@@ -1,0 +1,1290 @@
+"""Geometry algorithms (pure numpy) — the engine's GEOS replacement.
+
+The reference delegates these to vendored libgeos (see SURVEY.md §2.3,
+``spatial/src/spatial/geos/*``); this container has no GEOS/shapely, so the
+kernels are implemented from first principles against the OGC Simple
+Features semantics the reference's tests pin down
+(``/root/reference/test/sql/geometry/*.test``, ``test/sql/geos/*.test``).
+
+Numeric conventions:
+  * planar math in float64; ray-casting point-in-polygon with explicit
+    boundary detection (the reference's native ST_Contains uses a winding
+    test, ``spatial/src/spatial/core/functions/scalar/st_contains.cpp:30-150``)
+  * overlay (intersection/union/difference) is exact when the second operand
+    is CONVEX (half-plane clipping + convex-difference decomposition);
+    general concave×concave overlay raises NotImplementedError — tracked as
+    a known gap rather than silently returning wrong areas.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import geom as G
+from .geom import Geometry
+
+# ---------------------------------------------------------------------------
+# bounds / measures
+# ---------------------------------------------------------------------------
+
+def bounds(g: Geometry):
+    """(min_x, min_y, max_x, max_y) or None for EMPTY."""
+    mins = None
+    maxs = None
+    for arr in g.coord_arrays():
+        if len(arr) == 0:
+            continue
+        lo = arr[:, :2].min(axis=0)
+        hi = arr[:, :2].max(axis=0)
+        mins = lo if mins is None else np.minimum(mins, lo)
+        maxs = hi if maxs is None else np.maximum(maxs, hi)
+    if mins is None:
+        return None
+    return (float(mins[0]), float(mins[1]), float(maxs[0]), float(maxs[1]))
+
+
+def _ring_signed_area(ring: np.ndarray) -> float:
+    x = ring[:, 0]
+    y = ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def area(g: Geometry) -> float:
+    """Planar area; holes subtracted; 0 for points/lines; collections recurse
+    (reference ``st_area.cpp`` semantics)."""
+    if g.tag == G.POLYGON:
+        if not g.data:
+            return 0.0
+        a = abs(_ring_signed_area(g.data[0]))
+        for hole in g.data[1:]:
+            a -= abs(_ring_signed_area(hole))
+        return a
+    if g.tag in (G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
+        return sum(area(c) for c in g.data)
+    return 0.0
+
+
+def _seq_length(arr: np.ndarray) -> float:
+    if len(arr) < 2:
+        return 0.0
+    d = np.diff(arr[:, :2], axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def length(g: Geometry) -> float:
+    """Linestring length; 0 for points/polygons; collections recurse
+    (reference ``st_length.cpp``)."""
+    if g.tag == G.LINESTRING:
+        return _seq_length(g.data)
+    if g.tag in (G.MULTILINESTRING, G.GEOMETRYCOLLECTION):
+        return sum(length(c) for c in g.data)
+    return 0.0
+
+
+def perimeter(g: Geometry) -> float:
+    """Sum of polygon ring lengths (reference ``st_perimeter.cpp``)."""
+    if g.tag == G.POLYGON:
+        return sum(_seq_length(r) for r in g.data)
+    if g.tag in (G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
+        return sum(perimeter(c) for c in g.data)
+    return 0.0
+
+
+def centroid(g: Geometry):
+    """(x, y) centroid of the highest-dimension components, or None.
+
+    Area-weighted for polygons, length-weighted for lines, mean for points —
+    standard OGC semantics (reference ``st_centroid.cpp``)."""
+    leaves = list(g.flatten())
+    if not leaves:
+        return None
+    top = max(2 if l.tag == G.POLYGON else (1 if l.tag == G.LINESTRING else 0) for l in leaves)
+    wx = wy = wsum = 0.0
+    for l in leaves:
+        if top == 2 and l.tag == G.POLYGON:
+            for k, ring in enumerate(l.data):
+                sa = _ring_signed_area(ring)
+                w = abs(sa) if k == 0 else -abs(sa)
+                x, y = ring[:, 0], ring[:, 1]
+                cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+                if sa < 0:
+                    cross = -cross
+                denom = 6.0 * abs(sa) if sa != 0 else 1.0
+                cx = float(((x[:-1] + x[1:]) * cross).sum()) / denom if sa != 0 else float(x.mean())
+                cy = float(((y[:-1] + y[1:]) * cross).sum()) / denom if sa != 0 else float(y.mean())
+                wx += w * cx
+                wy += w * cy
+                wsum += w
+        elif top == 1 and l.tag == G.LINESTRING:
+            arr = l.data
+            for i in range(len(arr) - 1):
+                p, q = arr[i, :2], arr[i + 1, :2]
+                seg = float(np.hypot(*(q - p)))
+                wx += seg * (p[0] + q[0]) / 2
+                wy += seg * (p[1] + q[1]) / 2
+                wsum += seg
+        elif top == 0 and l.tag == G.POINT:
+            wx += float(l.data[0])
+            wy += float(l.data[1])
+            wsum += 1.0
+    if wsum == 0:
+        # degenerate (zero-area polygon / zero-length line): mean of vertices
+        allpts = np.vstack([a[:, :2] for a in g.coord_arrays()])
+        return (float(allpts[:, 0].mean()), float(allpts[:, 1].mean()))
+    return (wx / wsum, wy / wsum)
+
+
+# ---------------------------------------------------------------------------
+# low-level predicates
+# ---------------------------------------------------------------------------
+
+def _cross(ox, oy, ax, ay, bx, by):
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def point_on_seq(x: float, y: float, arr: np.ndarray, closed_only=False) -> bool:
+    """True if (x,y) lies on any segment of the sequence."""
+    if len(arr) < 2:
+        return len(arr) == 1 and arr[0, 0] == x and arr[0, 1] == y
+    x1, y1 = arr[:-1, 0], arr[:-1, 1]
+    x2, y2 = arr[1:, 0], arr[1:, 1]
+    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    on = (
+        (cross == 0)
+        & (np.minimum(x1, x2) <= x)
+        & (x <= np.maximum(x1, x2))
+        & (np.minimum(y1, y2) <= y)
+        & (y <= np.maximum(y1, y2))
+    )
+    return bool(on.any())
+
+
+def point_in_ring(x: float, y: float, ring: np.ndarray) -> int:
+    """2 = strictly inside, 1 = on boundary, 0 = outside (ray casting)."""
+    if point_on_seq(x, y, ring):
+        return 1
+    x1, y1 = ring[:-1, 0], ring[:-1, 1]
+    x2, y2 = ring[1:, 0], ring[1:, 1]
+    cond = ((y1 <= y) & (y2 > y)) | ((y2 <= y) & (y1 > y))
+    if not cond.any():
+        return 0
+    xs1, ys1, xs2, ys2 = x1[cond], y1[cond], x2[cond], y2[cond]
+    xint = xs1 + (y - ys1) * (xs2 - xs1) / (ys2 - ys1)
+    return 2 if (int((xint > x).sum()) % 2) == 1 else 0
+
+
+def point_in_polygon(x: float, y: float, poly: Geometry) -> int:
+    """2 = interior, 1 = boundary, 0 = exterior — holes respected."""
+    if not poly.data:
+        return 0
+    s = point_in_ring(x, y, poly.data[0])
+    if s != 2:
+        return s
+    for hole in poly.data[1:]:
+        h = point_in_ring(x, y, hole)
+        if h == 2:
+            return 0
+        if h == 1:
+            return 1
+    return 2
+
+
+def _segs(arr: np.ndarray):
+    """(n-1, 2, 2) segment array from a coordinate sequence."""
+    if len(arr) < 2:
+        return np.empty((0, 2, 2))
+    pts = arr[:, :2]
+    return np.stack([pts[:-1], pts[1:]], axis=1)
+
+
+def segs_intersect_matrix(A: np.ndarray, B: np.ndarray, proper: bool = False) -> np.ndarray:
+    """Boolean (n, m): does segment A[i] intersect B[j]?
+
+    proper=True counts only crossings at interior points of both segments
+    (used for touches/crosses interior tests). Vectorized orientation test.
+    """
+    n, m = len(A), len(B)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), dtype=bool)
+    p1 = A[:, 0][:, None, :]
+    p2 = A[:, 1][:, None, :]
+    q1 = B[None, :, 0, :]
+    q2 = B[None, :, 1, :]
+
+    def orient(o, a, b):
+        v = (a[..., 0] - o[..., 0]) * (b[..., 1] - o[..., 1]) - (
+            a[..., 1] - o[..., 1]
+        ) * (b[..., 0] - o[..., 0])
+        return np.sign(v)
+
+    d1 = orient(p1, p2, q1)
+    d2 = orient(p1, p2, q2)
+    d3 = orient(q1, q2, p1)
+    d4 = orient(q1, q2, p2)
+    properx = (d1 * d2 < 0) & (d3 * d4 < 0)
+    if proper:
+        return properx
+
+    def onseg(o, a, b):  # b collinear with segment (o,a) and within its bbox
+        return (
+            (np.minimum(o[..., 0], a[..., 0]) <= b[..., 0])
+            & (b[..., 0] <= np.maximum(o[..., 0], a[..., 0]))
+            & (np.minimum(o[..., 1], a[..., 1]) <= b[..., 1])
+            & (b[..., 1] <= np.maximum(o[..., 1], a[..., 1]))
+        )
+
+    touch = (
+        ((d1 == 0) & onseg(p1, p2, q1))
+        | ((d2 == 0) & onseg(p1, p2, q2))
+        | ((d3 == 0) & onseg(q1, q2, p1))
+        | ((d4 == 0) & onseg(q1, q2, p2))
+    )
+    return properx | touch
+
+
+def _any_seg_intersect(a: Geometry, b: Geometry, proper=False) -> bool:
+    for aa in a.coord_arrays():
+        A = _segs(aa)
+        for bb in b.coord_arrays():
+            if segs_intersect_matrix(A, _segs(bb), proper=proper).any():
+                return True
+    return False
+
+
+def _bbox_disjoint(a: Geometry, b: Geometry) -> bool:
+    ba, bb = bounds(a), bounds(b)
+    if ba is None or bb is None:
+        return True
+    return ba[0] > bb[2] or ba[2] < bb[0] or ba[1] > bb[3] or ba[3] < bb[1]
+
+
+# ---------------------------------------------------------------------------
+# OGC predicates over leaf pairs
+# ---------------------------------------------------------------------------
+
+def _leaf_intersects(a: Geometry, b: Geometry) -> bool:
+    if a.tag > b.tag:
+        a, b = b, a
+    if a.tag == G.POINT:
+        x, y = float(a.data[0]), float(a.data[1])
+        if b.tag == G.POINT:
+            return x == float(b.data[0]) and y == float(b.data[1])
+        if b.tag == G.LINESTRING:
+            return point_on_seq(x, y, b.data)
+        return point_in_polygon(x, y, b) > 0
+    if a.tag == G.LINESTRING:
+        if b.tag == G.LINESTRING:
+            return _any_seg_intersect(a, b)
+        # line vs polygon: any vertex inside, or any edge crossing
+        for v in a.data:
+            if point_in_polygon(float(v[0]), float(v[1]), b) > 0:
+                return True
+        return _any_seg_intersect(a, b)
+    # polygon vs polygon
+    for v in a.data[0] if a.data else []:
+        if point_in_polygon(float(v[0]), float(v[1]), b) > 0:
+            return True
+    for v in b.data[0] if b.data else []:
+        if point_in_polygon(float(v[0]), float(v[1]), a) > 0:
+            return True
+    return _any_seg_intersect(a, b)
+
+
+def intersects(a: Geometry, b: Geometry) -> bool:
+    if a.is_empty() or b.is_empty() or _bbox_disjoint(a, b):
+        return False
+    return any(_leaf_intersects(la, lb) for la in a.flatten() for lb in b.flatten())
+
+
+def disjoint(a: Geometry, b: Geometry) -> bool:
+    return not intersects(a, b)
+
+
+def _poly_interior_point(p: Geometry):
+    """A representative interior point of a polygon (scanline midpoint)."""
+    if not p.data:
+        return None
+    shell = p.data[0]
+    ys = np.unique(shell[:, 1])
+    if len(ys) == 1:
+        return None
+    # pick a y between distinct vertex ys to avoid degeneracies
+    for i in range(len(ys) - 1):
+        y = (float(ys[i]) + float(ys[i + 1])) / 2.0
+        xs = []
+        for ring in p.data:
+            x1, y1 = ring[:-1, 0], ring[:-1, 1]
+            x2, y2 = ring[1:, 0], ring[1:, 1]
+            cond = ((y1 <= y) & (y2 > y)) | ((y2 <= y) & (y1 > y))
+            if cond.any():
+                xi = x1[cond] + (y - y1[cond]) * (x2[cond] - x1[cond]) / (y2[cond] - y1[cond])
+                xs.extend(xi.tolist())
+        xs.sort()
+        for j in range(0, len(xs) - 1, 2):
+            if xs[j + 1] > xs[j]:
+                return ((xs[j] + xs[j + 1]) / 2.0, y)
+    return None
+
+
+def _interiors_intersect(a: Geometry, b: Geometry) -> bool:
+    """Do the interiors of a and b share a point? (approximate for lines)"""
+    for la in a.flatten():
+        for lb in b.flatten():
+            x, y = la, lb
+            if x.tag > y.tag:
+                x, y = y, x
+            if x.tag == G.POINT:
+                px, py = float(x.data[0]), float(x.data[1])
+                if y.tag == G.POINT:
+                    if px == float(y.data[0]) and py == float(y.data[1]):
+                        return True
+                elif y.tag == G.LINESTRING:
+                    # interior of line = line minus endpoints
+                    if point_on_seq(px, py, y.data) and not (
+                        (px, py) == (float(y.data[0, 0]), float(y.data[0, 1]))
+                        or (px, py) == (float(y.data[-1, 0]), float(y.data[-1, 1]))
+                    ):
+                        return True
+                else:
+                    if point_in_polygon(px, py, y) == 2:
+                        return True
+            elif x.tag == G.LINESTRING:
+                if y.tag == G.LINESTRING:
+                    if _any_seg_intersect(x, y, proper=True):
+                        return True
+                    # collinear overlap of positive length: midpoints of one on other
+                    mids = (x.data[:-1, :2] + x.data[1:, :2]) / 2
+                    for mxy in mids:
+                        if point_on_seq(float(mxy[0]), float(mxy[1]), y.data):
+                            return True
+                else:
+                    for v in x.data:
+                        if point_in_polygon(float(v[0]), float(v[1]), y) == 2:
+                            return True
+                    mids = (x.data[:-1, :2] + x.data[1:, :2]) / 2
+                    for mxy in mids:
+                        if point_in_polygon(float(mxy[0]), float(mxy[1]), y) == 2:
+                            return True
+                    if _any_seg_intersect(x, Geometry(G.LINESTRING, y.data[0]), proper=True):
+                        return True
+            else:  # polygon vs polygon
+                pa = _poly_interior_point(x)
+                if pa and point_in_polygon(pa[0], pa[1], y) == 2:
+                    return True
+                pb = _poly_interior_point(y)
+                if pb and point_in_polygon(pb[0], pb[1], x) == 2:
+                    return True
+                if _any_seg_intersect(x, y, proper=True):
+                    return True
+                for v in (x.data[0] if x.data else []):
+                    if point_in_polygon(float(v[0]), float(v[1]), y) == 2:
+                        return True
+                for v in (y.data[0] if y.data else []):
+                    if point_in_polygon(float(v[0]), float(v[1]), x) == 2:
+                        return True
+    return False
+
+
+def _covers_leaf(a: Geometry, b: Geometry, strict: bool) -> bool:
+    """Does leaf a cover leaf b? strict=True -> interior only (contains-properly
+    style boundary exclusion for points on a's boundary)."""
+    lo = 2 if strict else 1
+    if a.tag == G.POINT:
+        if b.tag != G.POINT:
+            return False
+        return float(a.data[0]) == float(b.data[0]) and float(a.data[1]) == float(b.data[1])
+    if a.tag == G.LINESTRING:
+        if b.tag == G.POINT:
+            return point_on_seq(float(b.data[0]), float(b.data[1]), a.data)
+        if b.tag == G.LINESTRING:
+            # every vertex and midpoint of b lies on a
+            pts = np.vstack([b.data[:, :2], (b.data[:-1, :2] + b.data[1:, :2]) / 2])
+            return all(point_on_seq(float(p[0]), float(p[1]), a.data) for p in pts)
+        return False
+    # a is polygon
+    if b.tag == G.POINT:
+        return point_in_polygon(float(b.data[0]), float(b.data[1]), a) >= lo
+    if b.tag == G.LINESTRING:
+        for v in b.data:
+            if point_in_polygon(float(v[0]), float(v[1]), a) < lo:
+                return False
+        if _any_seg_intersect(b, a, proper=True):
+            return False
+        mids = (b.data[:-1, :2] + b.data[1:, :2]) / 2
+        return all(point_in_polygon(float(p[0]), float(p[1]), a) >= lo for p in mids)
+    # polygon covers polygon
+    for ring in b.data:
+        for v in ring:
+            if point_in_polygon(float(v[0]), float(v[1]), a) < lo:
+                return False
+    if _any_seg_intersect(b, a, proper=True):
+        return False
+    ip = _poly_interior_point(b)
+    if ip is not None and point_in_polygon(ip[0], ip[1], a) == 0:
+        return False
+    # b must not wrap around a hole of a: a hole interior point inside b => fail
+    for hole in a.data[1:]:
+        hp = _poly_interior_point(Geometry(G.POLYGON, [hole]))
+        if hp is not None and point_in_polygon(hp[0], hp[1], b) == 2:
+            return False
+    return True
+
+
+def covers(a: Geometry, b: Geometry, strict: bool = False) -> bool:
+    if a.is_empty() or b.is_empty():
+        return False
+    for lb in b.flatten():
+        if not any(_covers_leaf(la, lb, strict) for la in a.flatten()):
+            # a multipolygon may cover b jointly; fall back to sampled check
+            if not _multi_covers(a, lb, strict):
+                return False
+    return True
+
+
+def _multi_covers(a: Geometry, lb: Geometry, strict: bool) -> bool:
+    polys = [l for l in a.flatten() if l.tag == G.POLYGON]
+    if not polys:
+        return False
+    lo = 2 if strict else 1
+
+    def covered_pt(x, y):
+        return any(point_in_polygon(x, y, p) >= lo for p in polys)
+
+    if lb.tag == G.POINT:
+        return covered_pt(float(lb.data[0]), float(lb.data[1]))
+    pts = np.vstack([arr[:, :2] for arr in lb.coord_arrays()])
+    mids = []
+    for arr in lb.coord_arrays():
+        if len(arr) > 1:
+            mids.append((arr[:-1, :2] + arr[1:, :2]) / 2)
+    if mids:
+        pts = np.vstack([pts] + mids)
+    return all(covered_pt(float(p[0]), float(p[1])) for p in pts)
+
+
+def contains(a: Geometry, b: Geometry) -> bool:
+    """OGC contains: covers + interiors intersect (so a point on the boundary
+    only is NOT contained — matches GEOS/PostGIS and the reference)."""
+    if not covers(a, b, strict=False):
+        return False
+    return _interiors_intersect(a, b)
+
+
+def contains_properly(a: Geometry, b: Geometry) -> bool:
+    return covers(a, b, strict=True)
+
+
+def within(a: Geometry, b: Geometry) -> bool:
+    return contains(b, a)
+
+
+def covered_by(a: Geometry, b: Geometry) -> bool:
+    return covers(b, a)
+
+
+def crosses(a: Geometry, b: Geometry) -> bool:
+    """dim(interior∩interior) < max dim and both have interior points inside
+    and outside the other. Implemented for line/line, line/poly, pt/line combos."""
+    if a.is_empty() or b.is_empty() or _bbox_disjoint(a, b):
+        return False
+    da, db = _dimension(a), _dimension(b)
+    if da > db:
+        return crosses(b, a)
+    if da == 1 and db == 1:
+        # proper interior crossing point
+        return _any_seg_intersect(a, b, proper=True) and not covers(a, b) and not covers(b, a)
+    if da == 0 and db >= 1:
+        ins = out = False
+        for la in a.flatten():
+            x, y = float(la.data[0]), float(la.data[1])
+            hit = (
+                point_on_seq(x, y, lb.data)
+                if db == 1
+                else point_in_polygon(x, y, lb) == 2
+                for lb in b.flatten()
+            )
+            if any(hit):
+                ins = True
+            else:
+                out = True
+        return ins and out
+    if da == 1 and db == 2:
+        if not _interiors_intersect(a, b):
+            return False
+        # some part of the line outside b
+        for la in a.flatten():
+            for v in la.data:
+                if all(point_in_polygon(float(v[0]), float(v[1]), lb) == 0
+                       for lb in b.flatten() if lb.tag == G.POLYGON):
+                    return True
+        return False
+    return False
+
+
+def overlaps(a: Geometry, b: Geometry) -> bool:
+    if _dimension(a) != _dimension(b):
+        return False
+    if not _interiors_intersect(a, b):
+        return False
+    return not covers(a, b) and not covers(b, a)
+
+
+def touches(a: Geometry, b: Geometry) -> bool:
+    if not intersects(a, b):
+        return False
+    return not _interiors_intersect(a, b)
+
+
+def equals(a: Geometry, b: Geometry) -> bool:
+    """Set equality via normalization (ring rotation/orientation insensitive)."""
+    from .wkb import to_wkb
+
+    if a.is_empty() and b.is_empty():
+        return True
+    na, nb = normalize(a), normalize(b)
+    if to_wkb(na) == to_wkb(nb):
+        return True
+    # fall back to mutual coverage
+    return covers(a, b) and covers(b, a)
+
+
+def _dimension(g: Geometry) -> int:
+    dims = [2 if l.tag == G.POLYGON else (1 if l.tag == G.LINESTRING else 0) for l in g.flatten()]
+    return max(dims) if dims else 0
+
+
+def dimension(g: Geometry) -> int:
+    return _dimension(g)
+
+
+# ---------------------------------------------------------------------------
+# distance
+# ---------------------------------------------------------------------------
+
+def _pt_seg_dist(px, py, x1, y1, x2, y2):
+    dx, dy = x2 - x1, y2 - y1
+    denom = dx * dx + dy * dy
+    if denom == 0:
+        return math.hypot(px - x1, py - y1), (x1, y1)
+    t = max(0.0, min(1.0, ((px - x1) * dx + (py - y1) * dy) / denom))
+    cx, cy = x1 + t * dx, y1 + t * dy
+    return math.hypot(px - cx, py - cy), (cx, cy)
+
+
+def _pt_seq_dist(px, py, arr):
+    if len(arr) == 1:
+        return math.hypot(px - arr[0, 0], py - arr[0, 1]), (float(arr[0, 0]), float(arr[0, 1]))
+    x1, y1 = arr[:-1, 0], arr[:-1, 1]
+    x2, y2 = arr[1:, 0], arr[1:, 1]
+    dx, dy = x2 - x1, y2 - y1
+    denom = dx * dx + dy * dy
+    denom = np.where(denom == 0, 1.0, denom)
+    t = np.clip(((px - x1) * dx + (py - y1) * dy) / denom, 0.0, 1.0)
+    cx, cy = x1 + t * dx, y1 + t * dy
+    d = np.hypot(px - cx, py - cy)
+    i = int(np.argmin(d))
+    return float(d[i]), (float(cx[i]), float(cy[i]))
+
+
+def distance(a: Geometry, b: Geometry, with_points: bool = False):
+    """Min euclidean distance; 0 when intersecting. Optionally returns the
+    closest point pair (for ST_ShortestLine)."""
+    if a.is_empty() or b.is_empty():
+        return (None, None, None) if with_points else None
+    if intersects(a, b):
+        # find a shared point for shortest_line: any vertex of a inside b, else seg isect
+        if with_points:
+            for la in a.flatten():
+                for arr in la.coord_arrays():
+                    for v in arr:
+                        x, y = float(v[0]), float(v[1])
+                        vg = G.point(x, y)
+                        if intersects(vg, b):
+                            return 0.0, (x, y), (x, y)
+            bb = bounds(a)
+            return 0.0, (bb[0], bb[1]), (bb[0], bb[1])
+        return 0.0
+    best = math.inf
+    pa = pb = None
+    a_arrs = list(a.coord_arrays())
+    b_arrs = list(b.coord_arrays())
+    for aa in a_arrs:
+        for bb in b_arrs:
+            # vertex-to-sequence both directions (sufficient for disjoint shapes)
+            for v in aa:
+                d, c = _pt_seq_dist(float(v[0]), float(v[1]), bb)
+                if d < best:
+                    best, pa, pb = d, (float(v[0]), float(v[1])), c
+            for v in bb:
+                d, c = _pt_seq_dist(float(v[0]), float(v[1]), aa)
+                if d < best:
+                    best, pa, pb = d, c, (float(v[0]), float(v[1]))
+    if with_points:
+        return best, pa, pb
+    return best
+
+
+def dwithin(a: Geometry, b: Geometry, dist: float) -> bool:
+    d = distance(a, b)
+    return d is not None and d <= dist
+
+
+def shortest_line(a: Geometry, b: Geometry):
+    d, pa, pb = distance(a, b, with_points=True)
+    if d is None:
+        return None
+    return G.linestring([[pa[0], pa[1]], [pb[0], pb[1]]])
+
+
+# ---------------------------------------------------------------------------
+# constructive ops
+# ---------------------------------------------------------------------------
+
+def envelope(g: Geometry) -> Geometry:
+    b = bounds(g)
+    if b is None:
+        return G.empty(G.POLYGON)
+    if b[0] == b[2] and b[1] == b[3]:
+        return G.point(b[0], b[1])
+    return G.box_polygon(*b)
+
+
+def convex_hull(g: Geometry) -> Geometry:
+    """Andrew's monotone chain."""
+    arrs = [a[:, :2] for a in g.coord_arrays()]
+    if not arrs:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    pts = np.unique(np.vstack(arrs), axis=0)
+    if len(pts) == 1:
+        return G.point(pts[0, 0], pts[0, 1])
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+    if len(pts) == 2:
+        return G.linestring(pts)
+
+    def half(points):
+        out = []
+        for p in points:
+            while len(out) >= 2 and _cross(out[-2][0], out[-2][1], out[-1][0], out[-1][1], p[0], p[1]) <= 0:
+                out.pop()
+            out.append((float(p[0]), float(p[1])))
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = lower[:-1] + upper[:-1]
+    if len(ring) < 3:
+        return G.linestring(np.asarray([ring[0], ring[-1]]))
+    ring.append(ring[0])
+    return G.polygon([np.asarray(ring)])
+
+
+def simplify(g: Geometry, tol: float, preserve_topology: bool = False) -> Geometry:
+    """Douglas–Peucker per coordinate sequence; rings keep >= 4 points when
+    preserve_topology is set."""
+
+    def dp(arr: np.ndarray) -> np.ndarray:
+        n = len(arr)
+        if n < 3:
+            return arr
+        keep = np.zeros(n, dtype=bool)
+        keep[0] = keep[-1] = True
+        stack = [(0, n - 1)]
+        while stack:
+            i, j = stack.pop()
+            if j <= i + 1:
+                continue
+            seg = arr[[i, j], :2]
+            dmax, imax = -1.0, -1
+            for k in range(i + 1, j):
+                d, _ = _pt_seg_dist(float(arr[k, 0]), float(arr[k, 1]),
+                                    seg[0, 0], seg[0, 1], seg[1, 0], seg[1, 1])
+                if d > dmax:
+                    dmax, imax = d, k
+            if dmax > tol:
+                keep[imax] = True
+                stack.append((i, imax))
+                stack.append((imax, j))
+        return arr[keep]
+
+    def simp_ring(ring: np.ndarray) -> np.ndarray:
+        out = dp(ring)
+        if preserve_topology and len(out) < 4:
+            return ring
+        return out
+
+    if g.tag == G.LINESTRING:
+        return Geometry(G.LINESTRING, dp(g.data) if len(g.data) else g.data, g.has_z, g.has_m)
+    if g.tag == G.POLYGON:
+        rings = [simp_ring(r) for r in g.data]
+        rings = [r for r in rings if len(r) >= 4]
+        return Geometry(G.POLYGON, rings, g.has_z, g.has_m)
+    if g.tag in (G.MULTILINESTRING, G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
+        return Geometry(g.tag, [simplify(c, tol, preserve_topology) for c in g.data], g.has_z, g.has_m)
+    return g
+
+
+def reduce_precision(g: Geometry, grid: float) -> Geometry:
+    if grid <= 0:
+        return g
+    return g.map_coords(lambda a: np.round(a / grid) * grid)
+
+
+def remove_repeated_points(g: Geometry, tol: float = 0.0) -> Geometry:
+    def dedupe(arr: np.ndarray) -> np.ndarray:
+        if len(arr) < 2:
+            return arr
+        d = np.sqrt(((np.diff(arr[:, :2], axis=0)) ** 2).sum(axis=1))
+        keep = np.concatenate([[True], d > tol])
+        out = arr[keep]
+        if len(out) == 1 and len(arr) > 1:
+            out = arr[[0, -1]]
+        return out
+
+    if g.tag == G.POINT:
+        return g
+    return g.map_coords(dedupe)
+
+
+def flip_coordinates(g: Geometry) -> Geometry:
+    def flip(a):
+        out = a.copy()
+        out[:, [0, 1]] = out[:, [1, 0]]
+        return out
+
+    return g.map_coords(flip)
+
+
+def reverse(g: Geometry) -> Geometry:
+    if g.tag == G.POINT:
+        return g
+    if g.tag == G.LINESTRING:
+        return Geometry(G.LINESTRING, g.data[::-1].copy(), g.has_z, g.has_m)
+    if g.tag == G.POLYGON:
+        return Geometry(G.POLYGON, [r[::-1].copy() for r in g.data], g.has_z, g.has_m)
+    return Geometry(g.tag, [reverse(c) for c in g.data], g.has_z, g.has_m)
+
+
+def force_dims(g: Geometry, has_z: bool, has_m: bool, z_default=0.0, m_default=0.0) -> Geometry:
+    """ST_Force2D/3DZ/3DM/4D (reference ``st_force.cpp``)."""
+    src_z, src_m = g.has_z, g.has_m
+
+    def conv(a: np.ndarray) -> np.ndarray:
+        n = len(a)
+        cols = [a[:, 0], a[:, 1]]
+        if has_z:
+            cols.append(a[:, 2] if src_z else np.full(n, z_default))
+        if has_m:
+            midx = 2 + (1 if src_z else 0)
+            cols.append(a[:, midx] if src_m else np.full(n, m_default))
+        return np.column_stack(cols)
+
+    out = g.map_coords(conv)
+
+    def retag(x: Geometry) -> Geometry:
+        x.has_z, x.has_m = has_z, has_m
+        for c in x.geometries():
+            retag(c)
+        return x
+
+    return retag(out)
+
+
+def boundary(g: Geometry) -> Geometry:
+    if g.tag == G.POINT or g.tag == G.MULTIPOINT:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    if g.tag == G.LINESTRING:
+        if g.is_empty() or bool(np.array_equal(g.data[0], g.data[-1])):
+            return G.empty(G.MULTIPOINT)
+        return G.Geometry(G.MULTIPOINT,
+                          [G.point(*g.data[0, :2]), G.point(*g.data[-1, :2])])
+    if g.tag == G.POLYGON:
+        lines = [Geometry(G.LINESTRING, r.copy()) for r in g.data]
+        if len(lines) == 1:
+            return lines[0]
+        return Geometry(G.MULTILINESTRING, lines)
+    parts = [boundary(c) for c in g.data]
+    parts = [p for p in parts if not p.is_empty()]
+    flat = []
+    for p in parts:
+        flat.extend(p.flatten())
+    return G.collect(flat)
+
+
+def point_on_surface(g: Geometry) -> Geometry:
+    leaves = list(g.flatten())
+    if not leaves:
+        return G.empty(G.POINT)
+    top = max(leaves, key=lambda l: (2 if l.tag == G.POLYGON else (1 if l.tag == G.LINESTRING else 0)))
+    if top.tag == G.POLYGON:
+        p = _poly_interior_point(top)
+        if p is not None:
+            return G.point(p[0], p[1])
+        return G.point(float(top.data[0][0, 0]), float(top.data[0][0, 1]))
+    if top.tag == G.LINESTRING:
+        mid = top.data[len(top.data) // 2]
+        return G.point(float(mid[0]), float(mid[1]))
+    return G.point(float(top.data[0]), float(top.data[1]))
+
+
+def is_closed(g: Geometry) -> bool:
+    if g.tag == G.LINESTRING:
+        return len(g.data) > 0 and bool(np.array_equal(g.data[0], g.data[-1]))
+    if g.tag == G.MULTILINESTRING:
+        return all(is_closed(c) for c in g.data) and len(g.data) > 0
+    return True  # points/polygons are closed by definition
+
+
+def is_ring(g: Geometry) -> bool:
+    return g.tag == G.LINESTRING and is_closed(g) and is_simple(g)
+
+
+def is_simple(g: Geometry) -> bool:
+    if g.tag == G.LINESTRING:
+        segs = _segs(g.data)
+        n = len(segs)
+        closed = is_closed(g)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if j == i + 1 or (closed and i == 0 and j == n - 1):
+                    # adjacent segments share one endpoint; proper crossing still bad
+                    if segs_intersect_matrix(segs[i: i + 1], segs[j: j + 1], proper=True).any():
+                        return False
+                    continue
+                if segs_intersect_matrix(segs[i: i + 1], segs[j: j + 1]).any():
+                    return False
+        return True
+    if g.tag == G.MULTIPOINT:
+        seen = set()
+        for c in g.data:
+            key = (float(c.data[0]), float(c.data[1]))
+            if key in seen:
+                return False
+            seen.add(key)
+        return True
+    if g.tag in (G.MULTILINESTRING, G.GEOMETRYCOLLECTION):
+        return all(is_simple(c) for c in g.data)
+    return True
+
+
+def _ring_self_intersections(ring: np.ndarray):
+    """Proper self-intersection points of a closed ring."""
+    segs = _segs(ring)
+    n = len(segs)
+    pts = []
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            if segs_intersect_matrix(segs[i: i + 1], segs[j: j + 1], proper=True).any():
+                # compute intersection point
+                p, p2 = segs[i]
+                q, q2 = segs[j]
+                r = p2 - p
+                s = q2 - q
+                denom = r[0] * s[1] - r[1] * s[0]
+                if denom != 0:
+                    t = ((q[0] - p[0]) * s[1] - (q[1] - p[1]) * s[0]) / denom
+                    pts.append((i, j, p + t * r))
+    return pts
+
+
+def is_valid(g: Geometry) -> bool:
+    if g.tag == G.POLYGON:
+        for ring in g.data:
+            if len(ring) < 4 or not np.array_equal(ring[0], ring[-1]):
+                return False
+            if abs(_ring_signed_area(ring)) == 0:
+                return False
+            if _ring_self_intersections(ring):
+                return False
+        # holes inside shell, not crossing
+        for hole in g.data[1:]:
+            for v in hole:
+                if point_in_ring(float(v[0]), float(v[1]), g.data[0]) == 0:
+                    return False
+        return True
+    if g.tag in (G.MULTIPOLYGON, G.GEOMETRYCOLLECTION, G.MULTILINESTRING, G.MULTIPOINT):
+        return all(is_valid(c) for c in g.data)
+    if g.tag == G.LINESTRING:
+        return len(g.data) != 1
+    return True
+
+
+def make_valid(g: Geometry) -> Geometry:
+    """Repair common invalidities: bowtie shells split at the crossing point
+    (the reference relies on GEOSMakeValid; we handle the single-crossing
+    case its tests exercise plus repeated-point cleanup)."""
+    if is_valid(g):
+        return g
+    if g.tag == G.POLYGON and g.data:
+        ring = remove_repeated_points(Geometry(G.LINESTRING, g.data[0])).data
+        xs = _ring_self_intersections(ring)
+        if len(xs) == 1:
+            i, j, p = xs[0]
+            r1 = np.vstack([p[None, :2], ring[i + 1: j + 1, :2], p[None, :2]])
+            r2 = np.vstack([p[None, :2], ring[j + 1:, :2], ring[1: i + 1, :2], p[None, :2]])
+            polys = []
+            for r in (r1, r2):
+                if len(r) >= 4 and abs(_ring_signed_area(r)) > 0:
+                    polys.append(Geometry(G.POLYGON, [r]))
+            if len(polys) == 2:
+                return Geometry(G.MULTIPOLYGON, polys)
+            if len(polys) == 1:
+                return polys[0]
+    if g.tag in (G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
+        return Geometry(g.tag, [make_valid(c) for c in g.data], g.has_z, g.has_m)
+    return g
+
+
+def normalize(g: Geometry) -> Geometry:
+    """Canonical form: shells CCW / holes CW, rings rotated to start at their
+    lexicographically smallest vertex, multi-parts sorted by serialized form."""
+    from .wkb import to_wkb
+
+    def norm_ring(ring: np.ndarray, want_ccw: bool) -> np.ndarray:
+        r = ring[:-1]
+        sa = _ring_signed_area(ring)
+        if (sa > 0) != want_ccw and sa != 0:
+            r = r[::-1]
+        # rotate to lexicographic min
+        idx = np.lexsort((r[:, 1], r[:, 0]))[0]
+        r = np.vstack([r[idx:], r[:idx]])
+        return np.vstack([r, r[:1]])
+
+    if g.tag == G.POLYGON and g.data:
+        rings = [norm_ring(g.data[0], True)] + [norm_ring(h, False) for h in g.data[1:]]
+        return Geometry(G.POLYGON, rings, g.has_z, g.has_m)
+    if g.tag == G.LINESTRING and len(g.data):
+        a, b = g.data[0, :2], g.data[-1, :2]
+        if (b[0], b[1]) < (a[0], a[1]):
+            return Geometry(G.LINESTRING, g.data[::-1].copy(), g.has_z, g.has_m)
+        return g
+    if g.tag in (G.MULTIPOINT, G.MULTILINESTRING, G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
+        kids = sorted((normalize(c) for c in g.data), key=to_wkb)
+        return Geometry(g.tag, kids, g.has_z, g.has_m)
+    return g
+
+
+def line_merge(g: Geometry, directed: bool = False) -> Geometry:
+    """Merge connected linestrings (reference ``st_linemerge.cpp``)."""
+    lines = [l for l in g.flatten() if l.tag == G.LINESTRING]
+    if not lines:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    chains = [l.data[:, :2].copy() for l in lines]
+    merged = True
+    while merged:
+        merged = False
+        for i in range(len(chains)):
+            if chains[i] is None:
+                continue
+            for j in range(len(chains)):
+                if i == j or chains[j] is None:
+                    continue
+                a, b = chains[i], chains[j]
+                if np.array_equal(a[-1], b[0]):
+                    chains[i] = np.vstack([a, b[1:]])
+                elif not directed and np.array_equal(a[-1], b[-1]):
+                    chains[i] = np.vstack([a, b[::-1][1:]])
+                elif not directed and np.array_equal(a[0], b[0]):
+                    chains[i] = np.vstack([a[::-1], b[1:]])
+                elif np.array_equal(b[-1], a[0]):
+                    chains[i] = np.vstack([b, a[1:]])
+                else:
+                    continue
+                chains[j] = None
+                merged = True
+    out = [G.linestring(c) for c in chains if c is not None]
+    if len(out) == 1:
+        return out[0]
+    return Geometry(G.MULTILINESTRING, out)
+
+
+def buffer(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
+    """Point buffers are exact circles (nseg segments per quadrant, GEOS
+    convention); zero-radius returns the input. Line/polygon buffering is a
+    documented round-2 gap (requires full offset curves)."""
+    if radius == 0:
+        return g
+    leaves = list(g.flatten())
+    if leaves and all(l.tag == G.POINT for l in leaves):
+        polys = []
+        n = max(4, 4 * nseg)
+        ang = np.linspace(0, 2 * math.pi, n, endpoint=False)
+        for l in leaves:
+            cx, cy = float(l.data[0]), float(l.data[1])
+            ring = np.column_stack([cx + radius * np.cos(ang), cy + radius * np.sin(ang)])
+            ring = np.vstack([ring, ring[:1]])
+            polys.append(Geometry(G.POLYGON, [ring]))
+        if len(polys) == 1:
+            return polys[0]
+        return union_all(polys)
+    raise NotImplementedError(
+        "ST_Buffer of lines/polygons requires offset-curve construction; "
+        "only point buffers are supported in this round"
+    )
+
+
+# ---------------------------------------------------------------------------
+# overlay: exact for convex second operand (half-plane clipping)
+# ---------------------------------------------------------------------------
+
+def _is_convex_ring(ring: np.ndarray) -> bool:
+    r = ring[:-1, :2]
+    n = len(r)
+    if n < 3:
+        return False
+    sign = 0
+    for i in range(n):
+        o, a, b = r[i], r[(i + 1) % n], r[(i + 2) % n]
+        c = _cross(o[0], o[1], a[0], a[1], b[0], b[1])
+        if c != 0:
+            s = 1 if c > 0 else -1
+            if sign == 0:
+                sign = s
+            elif s != sign:
+                return False
+    return sign != 0
+
+
+def is_convex_polygon(g: Geometry) -> bool:
+    return g.tag == G.POLYGON and len(g.data) == 1 and _is_convex_ring(g.data[0])
+
+
+def _clip_ring_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Sutherland–Hodgman step: keep the region where a*x + b*y + c >= 0."""
+    pts = ring[:-1, :2]
+    n = len(pts)
+    out = []
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        dp = a * p[0] + b * p[1] + c
+        dq = a * q[0] + b * q[1] + c
+        if dp >= 0:
+            out.append(p)
+            if dq < 0:
+                t = dp / (dp - dq)
+                out.append(p + t * (q - p))
+        elif dq >= 0:
+            t = dp / (dp - dq)
+            out.append(p + t * (q - p))
+    if len(out) < 3:
+        return np.empty((0, 2))
+    arr = np.asarray(out)
+    return np.vstack([arr, arr[:1]])
+
+
+def _convex_edges(ring: np.ndarray):
+    """Half-planes (a, b, c) with inside >= 0 for a convex ring (either
+    orientation)."""
+    ccw = _ring_signed_area(ring) > 0
+    pts = ring[:-1, :2]
+    n = len(pts)
+    planes = []
+    for i in range(n):
+        p, q = pts[i], pts[(i + 1) % n]
+        # interior is left of each directed edge for CCW rings: normal (-dy, dx)
+        a = p[1] - q[1]
+        b = q[0] - p[0]
+        if not ccw:
+            a, b = -a, -b
+        c = -(a * p[0] + b * p[1])
+        if a == 0 and b == 0:
+            continue
+        planes.append((float(a), float(b), float(c)))
+    return planes
+
+
+def _clip_polygon_convex(poly: Geometry, planes) -> Geometry:
+    """poly ∩ convex region (shell + holes clipped ring-by-ring)."""
+    rings = []
+    for k, ring in enumerate(poly.data):
+        r = ring
+        for (a, b, c) in planes:
+            r = _clip_ring_halfplane(r, a, b, c)
+            if len(r) == 0:
+                break
+        if len(r) and abs(_ring_signed_area(r)) > 0:
+            if k == 0:
+                rings.insert(0, r)
+            else:
+                rings.append(r)
+        elif k == 0:
+            return G.empty(G.POLYGON)
+    if not rings:
+        return G.empty(G.POLYGON)
+    return Geometry(G.POLYGON, rings)
+
+
+def _clip_line_convex(line: Geometry, planes) -> Geometry:
+    """line ∩ convex region via parametric clipping of each segment."""
+    pieces = []
+    cur = []
+    for i in range(len(line.data) - 1):
+        p = line.data[i, :2].astype(float)
+        q = line.data[i + 1, :2].astype(float)
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for (a, b, c) in planes:
+            dp = a * p[0] + b * p[1] + c
+            dq = a * q[0] + b * q[1] + c
+            if dp < 0 and dq < 0:
+                ok = False
+                break
+            if dp < 0:
+                t0 = max(t0, dp / (dp - dq))
+            elif dq < 0:
+                t1 = min(t1, dp / (dp - dq))
+        if not ok or t0 > t1:
+            if len(cur) > 1:
+                pieces.append(np.asarray(cur))
+            cur = []
+            continue
+        s = p + t0 * (q - p)
+        e = p + t1 * (q - p)
+        if not cur:
+            cur = [s]
+        elif not np.array_equal(np.asarray(cur[-1]), s):
+            if len(cur) > 1:
+                pieces.append(np.asarray(cur))
+            cur = [s]
+        cur.append(e)
+        if t1 < 1.0:
+            pieces.append(np.asarray(cur))
+            cur = []
+    if len(cur) > 1:
+        pieces.append(np.asarray(cur))
+    pieces = [p for p in pieces if _seq_length(p) > 0]
+    if not pieces:
+        return G.empty(G.LINESTRING)
+    if len(pieces) == 1:
+        return G.linestring(pieces[0])
+    return Geometry(G.MULTILINESTRING, [G.linestring(p) for p in pieces])
+
+
+def intersection(a: Geometry, b: Geometry) -> Geometry:
+    if a.is_empty() or b.is_empty() or _bbox_disjoint(a, b):
+        return G.empty(G.GEOMETRYCOLLECTION)
+    # point cases
+    a_leaves = list(a.flatten())
+    if all(l.tag == G.POINT for l in a_leaves):
+        hits = [l for l in a_leaves if intersects(l, b)]
+        return G.collect(hits) if len(hits) != 1 else hits[0]
+    b_leaves = list(b.flatten())
+    if all(l.tag == G.POINT for l in b_leaves):
+        return intersection(b, a)
+    # convex clip region?
+    clip = None
+    if is_convex_polygon(b):
+        clip = _convex_edges(b.data[0])
+    elif is_convex_polygon(a):
+        a, b = b, a
+        clip = _convex_edges(b.data[0])
+    if clip is not None:
+        out = []
+        for l in a.flatten():
+            if l.tag == G.POLYGON:
+                r = _clip_polygon_convex(l, clip)
+            elif l.tag == G.LINESTRING:
+                r = _clip_line_convex(l, clip)
+            else:
+                r = l if intersects(l, b) else G.empty(G.POINT)
+            if not r.is_empty():
+                out.extend(r.flatten())
+        if not out:
+            return G.empty(G.GEOMETRYCOLLECTION)
+        return out[0] if len(out) == 1 else G.collect(out)
+    if covers(b, a):
+        return a
+    if covers(a, b):
+        return b
+    if not intersects(a, b):
+        return G.empty(G.GEOMETRYCOLLECTION)
+    raise NotImplementedError(
+        "general concave×concave overlay not yet supported (round-2); "
+        "one operand must be convex"
+    )
+
+
+def difference(a: Geometry, b: Geometry) -> Geometry:
+    """a \\ b, exact when b's polygons are convex (progressive half-plane
+    decomposition — pieces a∩H̄ᵢ∩H₁..Hᵢ₋₁ are disjoint and union to a\\b)."""
+    if a.is_empty():
+        return a
+    if b.is_empty() or not intersects(a, b):
+        return a
+    b_polys = [l for l in b.flatten() if l.tag == G.POLYGON]
+    if not b_polys:
+        return a  # subtracting lower-dimension geometry leaves a unchanged
+    result_parts = list(a.flatten())
+    for bp in b_polys:
+        if not is_convex_polygon(bp):
+            if not intersects(a, bp):
+                continue
+            raise NotImplementedError("difference with concave polygon (round-2)")
+        planes = _convex_edges(bp.data[0])
+        next_parts = []
+        for part in result_parts:
+            if part.tag == G.POINT:
+                if point_in_polygon(float(part.data[0]), float(part.data[1]), bp) != 2:
+                    next_parts.append(part)
+                continue
+            if not intersects(part, bp):
+                next_parts.append(part)
+                continue
+            prefix = []  # half-planes already inside
+            for (pa, pb_, pc) in planes:
+                piece_planes = prefix + [(-pa, -pb_, -pc)]
+                if part.tag == G.POLYGON:
+                    piece = _clip_polygon_convex(part, piece_planes)
+                else:
+                    piece = _clip_line_convex(part, piece_planes)
+                if not piece.is_empty():
+                    next_parts.extend(piece.flatten())
+                prefix.append((pa, pb_, pc))
+        result_parts = next_parts
+    result_parts = [p for p in result_parts if not p.is_empty()]
+    if not result_parts:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    return result_parts[0] if len(result_parts) == 1 else G.collect(result_parts)
+
+
+def union(a: Geometry, b: Geometry) -> Geometry:
+    """a ∪ b as a valid disjoint decomposition: b ∪ (a \\ b). Exact when b's
+    polygons are convex; area/set semantics preserved (the result may be a
+    MULTIPOLYGON of pieces rather than one dissolved shell)."""
+    if a.is_empty():
+        return b
+    if b.is_empty():
+        return a
+    if not intersects(a, b):
+        return G.collect(list(a.flatten()) + list(b.flatten()))
+    if covers(a, b):
+        return a
+    if covers(b, a):
+        return b
+    diff = difference(a, b)
+    parts = list(b.flatten()) + list(diff.flatten())
+    return parts[0] if len(parts) == 1 else G.collect(parts)
+
+
+def union_all(geoms) -> Geometry:
+    acc = None
+    for g in geoms:
+        if g is None:
+            continue
+        acc = g if acc is None else union(acc, g)
+    return acc if acc is not None else G.empty(G.GEOMETRYCOLLECTION)
+
+
+def intersection_all(geoms) -> Geometry:
+    acc = None
+    for g in geoms:
+        if g is None:
+            continue
+        acc = g if acc is None else intersection(acc, g)
+        if acc.is_empty():
+            return acc
+    return acc if acc is not None else G.empty(G.GEOMETRYCOLLECTION)
