@@ -1,0 +1,200 @@
+"""ST_Transform + CRS registry.
+
+The reference binds vendored PROJ (``spatial/src/spatial/proj/functions.cpp``)
+with an ``always_xy`` flag controlling axis order (``functions.cpp:48-60``):
+by default EPSG:4326 coordinates are (lat, lon) per the authority definition;
+``always_xy=true`` forces (lon, lat) / easting-northing order.
+
+pyproj is not available in this container, so the transform registry is a
+small built-in table of analytic projections (the pairs the reference's own
+tests exercise — ``test/sql/proj.test:10-14`` pins EPSG:4326 -> EPSG:3857):
+
+  * EPSG:4326 (WGS84 geographic, authority order lat/lon)
+  * EPSG:3857 (Web/Pseudo-Mercator)
+  * EPSG:32601-32660 / 32701-32760 (WGS84 UTM, transverse mercator series)
+
+Unknown CRS raise with a clear message rather than silently passing through.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import geom as G
+from .udfs import _g, _wkb
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+_E2 = WGS84_F * (2 - WGS84_F)
+_E = math.sqrt(_E2)
+
+
+def _norm_crs(name: str) -> str:
+    s = name.strip().upper()
+    if s in ("WGS84", "CRS84", "OGC:CRS84", "EPSG:CRS84"):
+        return "EPSG:4326" if s == "WGS84" else "CRS84"
+    if s.isdigit():
+        return f"EPSG:{s}"
+    return s
+
+
+def _lonlat_axis(crs: str, always_xy: bool) -> bool:
+    """True if coordinates for this CRS are (lon, lat) in the given mode."""
+    if crs == "CRS84":
+        return True
+    if crs == "EPSG:4326":
+        return always_xy  # authority order is lat/lon
+    return True  # projected CRS are easting/northing in both modes
+
+
+def _to_lonlat(crs: str, x: np.ndarray, y: np.ndarray):
+    """Inverse-project to geographic lon/lat."""
+    if crs in ("EPSG:4326", "CRS84"):
+        return x, y
+    if crs == "EPSG:3857":
+        lon = np.degrees(x / WGS84_A)
+        lat = np.degrees(2 * np.arctan(np.exp(y / WGS84_A)) - math.pi / 2)
+        return lon, lat
+    zone, south = _utm_zone(crs)
+    if zone:
+        return _tm_inverse(x, y, zone, south)
+    raise ValueError(f"unsupported CRS {crs!r} (built-in registry: EPSG:4326, EPSG:3857, WGS84 UTM)")
+
+
+def _from_lonlat(crs: str, lon: np.ndarray, lat: np.ndarray):
+    if crs in ("EPSG:4326", "CRS84"):
+        return lon, lat
+    if crs == "EPSG:3857":
+        x = WGS84_A * np.radians(lon)
+        lat_r = np.radians(np.clip(lat, -89.9999, 89.9999))
+        y = WGS84_A * np.log(np.tan(math.pi / 4 + lat_r / 2))
+        return x, y
+    zone, south = _utm_zone(crs)
+    if zone:
+        return _tm_forward(lon, lat, zone, south)
+    raise ValueError(f"unsupported CRS {crs!r} (built-in registry: EPSG:4326, EPSG:3857, WGS84 UTM)")
+
+
+def _utm_zone(crs: str):
+    if crs.startswith("EPSG:326") and len(crs) == 10:
+        return int(crs[8:]), False
+    if crs.startswith("EPSG:327") and len(crs) == 10:
+        return int(crs[8:]), True
+    if crs.startswith("EPSG:32") and len(crs) in (9, 10):
+        code = int(crs.split(":")[1])
+        if 32601 <= code <= 32660:
+            return code - 32600, False
+        if 32701 <= code <= 32760:
+            return code - 32700, True
+    return None, False
+
+
+# -- transverse mercator (series form, Krüger n^4 — mm-level for UTM use) --
+_K0 = 0.9996
+_N = WGS84_F / (2 - WGS84_F)
+_A_CAP = WGS84_A / (1 + _N) * (1 + _N ** 2 / 4 + _N ** 4 / 64)
+_ALPHA = [
+    _N / 2 - 2 * _N ** 2 / 3 + 5 * _N ** 3 / 16,
+    13 * _N ** 2 / 48 - 3 * _N ** 3 / 5,
+    61 * _N ** 3 / 240,
+]
+_BETA = [
+    _N / 2 - 2 * _N ** 2 / 3 + 37 * _N ** 3 / 96,
+    _N ** 2 / 48 + _N ** 3 / 15,
+    17 * _N ** 3 / 480,
+]
+
+
+def _tm_forward(lon, lat, zone, south):
+    lon0 = math.radians(zone * 6 - 183)
+    lat_r = np.radians(lat)
+    lon_r = np.radians(lon) - lon0
+    t = np.sinh(np.arctanh(np.sin(lat_r)) - _E * np.arctanh(_E * np.sin(lat_r)))
+    xi = np.arctan2(t, np.cos(lon_r))
+    eta = np.arctanh(np.sin(lon_r) / np.sqrt(1 + t * t))
+    x = eta.copy()
+    y = xi.copy()
+    for j, (a,) in enumerate(zip(_ALPHA), start=1):
+        x = x + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        y = y + a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+    easting = _K0 * _A_CAP * x + 500000.0
+    northing = _K0 * _A_CAP * y + (10000000.0 if south else 0.0)
+    return easting, northing
+
+
+def _tm_inverse(easting, northing, zone, south):
+    lon0 = math.radians(zone * 6 - 183)
+    x = (np.asarray(easting, dtype=np.float64) - 500000.0) / (_K0 * _A_CAP)
+    y = (np.asarray(northing, dtype=np.float64) - (10000000.0 if south else 0.0)) / (_K0 * _A_CAP)
+    xi = y.copy()
+    eta = x.copy()
+    for j, (b,) in enumerate(zip(_BETA), start=1):
+        xi = xi - b * np.sin(2 * j * y) * np.cosh(2 * j * x)
+        eta = eta - b * np.cos(2 * j * y) * np.sinh(2 * j * x)
+    chi = np.arcsin(np.clip(np.sin(xi) / np.cosh(eta), -1, 1))
+    # conformal -> geodetic latitude: sin(lat) = tanh(atanh(sin chi) + e*atanh(e*sin lat))
+    psi = np.arctanh(np.clip(np.sin(chi), -0.999999999, 0.999999999))
+    sinlat = np.sin(chi)
+    for _ in range(8):
+        sinlat = np.tanh(psi + _E * np.arctanh(_E * sinlat))
+    lat = np.arcsin(np.clip(sinlat, -1, 1))
+    lon = lon0 + np.arctan2(np.sinh(eta), np.cos(xi))
+    return np.degrees(lon), np.degrees(lat)
+
+
+def transform_xy(x, y, src: str, dst: str, always_xy: bool = False):
+    """Transform coordinate arrays between two CRS, honoring axis order."""
+    src, dst = _norm_crs(src), _norm_crs(dst)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    if not _lonlat_axis(src, always_xy):
+        x, y = y, x  # incoming (lat, lon) -> lon/lat
+    lon, lat = _to_lonlat(src, x, y)
+    ox, oy = _from_lonlat(dst, lon, lat)
+    if not _lonlat_axis(dst, always_xy):
+        ox, oy = oy, ox
+    return ox, oy
+
+
+def make_st_transform():
+    @F.pandas_udf(T.BinaryType())
+    def st_transform(s: pd.Series, src: pd.Series, dst: pd.Series, always_xy: pd.Series) -> pd.Series:
+        out = []
+        for b, f_, t_, axy in zip(s, src, dst, always_xy):
+            if b is None or f_ is None or t_ is None:
+                out.append(None)
+                continue
+            g = _g(b)
+            axy = bool(axy)
+
+            def conv(arr):
+                ox, oy = transform_xy(arr[:, 0], arr[:, 1], f_, t_, axy)
+                rest = arr[:, 2:]
+                return np.column_stack([ox, oy] + ([rest] if rest.shape[1] else []))
+
+            out.append(_wkb(g.map_coords(conv)))
+        return pd.Series(out)
+
+    return st_transform
+
+
+def list_proj_crs_df(spark):
+    """SPATIAL_REF_SYS / ST_List_Proj_CRS analog: the built-in registry
+    (reference ``proj/functions.cpp:416-422`` lists the embedded PROJ db)."""
+    rows = [
+        ("EPSG", "4326", "WGS 84", "geographic 2D", "lat,lon"),
+        ("OGC", "CRS84", "WGS 84 (CRS84)", "geographic 2D", "lon,lat"),
+        ("EPSG", "3857", "WGS 84 / Pseudo-Mercator", "projected", "x,y"),
+    ]
+    rows += [
+        ("EPSG", str(32600 + z), f"WGS 84 / UTM zone {z}N", "projected", "x,y") for z in range(1, 61)
+    ]
+    rows += [
+        ("EPSG", str(32700 + z), f"WGS 84 / UTM zone {z}S", "projected", "x,y") for z in range(1, 61)
+    ]
+    return spark.createDataFrame(rows, "auth_name string, code string, name string, type string, axis string")

@@ -1,0 +1,982 @@
+"""ST_* scalar functions over the canonical GEOMETRY (= WKB binary) column.
+
+Each function mirrors a reference registration (SURVEY.md §2.2/§2.3; files
+under ``/root/reference/spatial/src/spatial/{core,geos}/functions/scalar/``).
+Implementation: Arrow-batched pandas UDFs dispatching into the numpy kernel
+(:mod:`duckdb_spatial_spark.geo`) — the Spark analog of the reference's
+vectorized 2048-row DataChunk execution (``geos_executor.hpp:60-67``).
+
+Prepared-geometry fast path (reference ``geos_executor.hpp:28-67``): WKB
+parsing is memoized with an LRU keyed on the raw bytes, so a constant
+argument (e.g. a literal envelope in a filter) parses once per batch
+instead of once per row.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import algorithms as A
+from ..geo import geom as G
+from ..geo import wkb as WKB
+from ..geo import wkt as WKT
+
+
+@functools.lru_cache(maxsize=4096)
+def _parse_cached(b: bytes):
+    return WKB.from_wkb(b)
+
+
+def _g(b):
+    """bytes | bytearray | None -> Geometry | None (memoized parse)."""
+    if b is None:
+        return None
+    return _parse_cached(bytes(b))
+
+
+def _wkb(g):
+    return None if g is None else WKB.to_wkb(g)
+
+
+# --------------------------------------------------------------------------
+# UDF factories
+# --------------------------------------------------------------------------
+
+def _unary(fn, rt):
+    """GEOMETRY -> scalar."""
+
+    @F.pandas_udf(rt)
+    def u(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else fn(_g(b)))
+
+    return u
+
+
+def _unary_geom(fn):
+    """GEOMETRY -> GEOMETRY."""
+
+    @F.pandas_udf(T.BinaryType())
+    def u(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: None if b is None else _wkb(fn(_g(b))))
+
+    return u
+
+
+def _binary(fn, rt):
+    """(GEOMETRY, GEOMETRY) -> scalar."""
+
+    @F.pandas_udf(rt)
+    def u(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if (x is None or y is None) else fn(_g(x), _g(y)) for x, y in zip(a, b)]
+        )
+
+    return u
+
+
+def _binary_geom(fn):
+    """(GEOMETRY, GEOMETRY) -> GEOMETRY."""
+
+    @F.pandas_udf(T.BinaryType())
+    def u(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if (x is None or y is None) else _wkb(fn(_g(x), _g(y))) for x, y in zip(a, b)]
+        )
+
+    return u
+
+
+BOX_2D = T.StructType(
+    [
+        T.StructField("min_x", T.DoubleType()),
+        T.StructField("min_y", T.DoubleType()),
+        T.StructField("max_x", T.DoubleType()),
+        T.StructField("max_y", T.DoubleType()),
+    ]
+)
+
+DUMP_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("geom", T.BinaryType()),
+            T.StructField("path", T.ArrayType(T.IntegerType())),
+        ]
+    )
+)
+
+
+# --------------------------------------------------------------------------
+# constructors  (st_point.cpp, st_makeenvelope.cpp, st_makeline.cpp, ...)
+# --------------------------------------------------------------------------
+
+@F.pandas_udf(T.BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    """ST_Point(x, y) -> GEOMETRY. Vectorized WKB assembly (no per-row pack):
+    21-byte little-endian point records built in one numpy pass."""
+    xs = x.to_numpy(dtype=np.float64, na_value=np.nan)
+    ys = y.to_numpy(dtype=np.float64, na_value=np.nan)
+    n = len(xs)
+    buf = np.zeros((n, 21), dtype=np.uint8)
+    buf[:, 0] = 1  # little endian
+    buf[:, 1] = 1  # type = POINT
+    buf[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(n, 8)
+    buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(n, 8)
+    nulls = x.isna().to_numpy() | y.isna().to_numpy()
+    rows = buf.tobytes()
+    return pd.Series(
+        [None if nulls[i] else rows[i * 21 : (i + 1) * 21] for i in range(n)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_makeenvelope(min_x: pd.Series, min_y: pd.Series, max_x: pd.Series, max_y: pd.Series) -> pd.Series:
+    out = []
+    for a, b, c, d in zip(min_x, min_y, max_x, max_y):
+        if a is None or b is None or c is None or d is None:
+            out.append(None)
+        else:
+            out.append(_wkb(G.box_polygon(float(a), float(b), float(c), float(d))))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_makeline(geoms: pd.Series) -> pd.Series:
+    """ST_MakeLine(LIST(GEOMETRY)): concatenates point geometries."""
+
+    def mk(lst):
+        if lst is None:
+            return None
+        pts = []
+        for b in lst:
+            if b is None:
+                continue
+            g = _g(b)
+            if g.tag != G.POINT or g.is_empty():
+                continue
+            pts.append([float(g.data[0]), float(g.data[1])])
+        if len(pts) < 2:
+            return _wkb(G.empty(G.LINESTRING))
+        return _wkb(G.linestring(np.asarray(pts)))
+
+    return geoms.map(mk)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_makeline2(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = []
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            out.append(None)
+            continue
+        ga, gb = _g(x), _g(y)
+        out.append(
+            _wkb(G.linestring(np.asarray([ga.data[:2], gb.data[:2]])))
+            if ga.tag == G.POINT and gb.tag == G.POINT
+            else None
+        )
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_makepolygon(shell: pd.Series) -> pd.Series:
+    def mk(b):
+        if b is None:
+            return None
+        g = _g(b)
+        if g.tag != G.LINESTRING or len(g.data) < 4 or not np.array_equal(g.data[0], g.data[-1]):
+            raise ValueError("ST_MakePolygon shell must be a closed ring with >= 4 points")
+        return _wkb(G.Geometry(G.POLYGON, [g.data.copy()], g.has_z, g.has_m))
+
+    return shell.map(mk)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_collect(geoms: pd.Series) -> pd.Series:
+    def mk(lst):
+        if lst is None:
+            return None
+        return _wkb(G.collect([_g(b) for b in lst if b is not None]))
+
+    return geoms.map(mk)
+
+
+st_multi = _unary_geom(G.multi)
+
+
+# --------------------------------------------------------------------------
+# I/O: text / wkb / hex / geojson / svg
+# --------------------------------------------------------------------------
+
+st_astext = _unary(WKT.to_wkt, T.StringType())
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromtext(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _wkb(WKT.from_wkt(v)))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromtext_ignore(s: pd.Series, ignore: pd.Series) -> pd.Series:
+    def mk(v, ig):
+        if v is None:
+            return None
+        try:
+            return _wkb(WKT.from_wkt(v))
+        except Exception:
+            if ig:
+                return None
+            raise
+
+    return pd.Series([mk(v, ig) for v, ig in zip(s, ignore)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_aswkb(s: pd.Series) -> pd.Series:
+    return s  # canonical form already IS WKB (reference st_aswkb.cpp)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromwkb(s: pd.Series) -> pd.Series:
+    # validate + re-canonicalize (EWKB -> ISO, big -> little endian)
+    return s.map(lambda b: None if b is None else _wkb(_g(b)))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromhexwkb(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _wkb(WKB.from_wkb(bytes.fromhex(v))))
+
+
+st_ashexwkb = _unary(lambda g: WKB.to_wkb(g).hex().upper(), T.StringType())
+
+
+@F.pandas_udf(T.StringType())
+def st_asgeojson(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None else _to_geojson(_g(b)))
+
+
+def _coords_list(arr):
+    return [[float(v) for v in row] for row in arr]
+
+
+def _to_geojson(g: G.Geometry) -> str:
+    t = g.tag
+    if t == G.POINT:
+        coords = [] if g.data is None else [float(v) for v in g.data]
+        return json.dumps({"type": "Point", "coordinates": coords}, separators=(",", ":"))
+    if t == G.LINESTRING:
+        return json.dumps({"type": "LineString", "coordinates": _coords_list(g.data)}, separators=(",", ":"))
+    if t == G.POLYGON:
+        return json.dumps({"type": "Polygon", "coordinates": [_coords_list(r) for r in g.data]}, separators=(",", ":"))
+    if t == G.MULTIPOINT:
+        return json.dumps({"type": "MultiPoint", "coordinates": [[float(v) for v in c.data] for c in g.data]}, separators=(",", ":"))
+    if t == G.MULTILINESTRING:
+        return json.dumps({"type": "MultiLineString", "coordinates": [_coords_list(c.data) for c in g.data]}, separators=(",", ":"))
+    if t == G.MULTIPOLYGON:
+        return json.dumps(
+            {"type": "MultiPolygon", "coordinates": [[_coords_list(r) for r in c.data] for c in g.data]},
+            separators=(",", ":"),
+        )
+    return json.dumps(
+        {"type": "GeometryCollection", "geometries": [json.loads(_to_geojson(c)) for c in g.data]},
+        separators=(",", ":"),
+    )
+
+
+def _from_geojson(obj) -> G.Geometry:
+    t = obj["type"]
+    c = obj.get("coordinates")
+    if t == "Point":
+        if not c:
+            return G.empty(G.POINT)
+        return G.point(*c[:4])
+    if t == "LineString":
+        return G.linestring(c) if c else G.empty(G.LINESTRING)
+    if t == "Polygon":
+        return G.polygon(c) if c else G.empty(G.POLYGON)
+    if t == "MultiPoint":
+        return G.Geometry(G.MULTIPOINT, [G.point(*p[:4]) for p in c])
+    if t == "MultiLineString":
+        return G.Geometry(G.MULTILINESTRING, [G.linestring(l) for l in c])
+    if t == "MultiPolygon":
+        return G.Geometry(G.MULTIPOLYGON, [G.polygon(p) for p in c])
+    if t == "GeometryCollection":
+        return G.Geometry(G.GEOMETRYCOLLECTION, [_from_geojson(x) for x in obj["geometries"]])
+    raise ValueError(f"unsupported GeoJSON type {t}")
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromgeojson(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else _wkb(_from_geojson(json.loads(v))))
+
+
+@F.pandas_udf(T.StringType())
+def st_assvg(s: pd.Series, rel: pd.Series, precision: pd.Series) -> pd.Series:
+    """SVG path data (reference st_assvg.cpp): points -> cx/cy, else path."""
+
+    def fmt(v, p):
+        return f"{v:.{int(p)}f}".rstrip("0").rstrip(".")
+
+    def mk(b, r, p):
+        if b is None:
+            return None
+        g = _g(b)
+        p = 15 if p is None else int(p)
+        parts = []
+        for leaf in g.flatten():
+            if leaf.tag == G.POINT:
+                parts.append(f'cx="{fmt(leaf.data[0], p)}" cy="{fmt(-0 + leaf.data[1] * -1, p)}"')
+            elif leaf.tag == G.LINESTRING:
+                arr = leaf.data
+                seg = "M " + " L ".join(f"{fmt(v[0], p)} {fmt(-v[1], p)}" for v in arr)
+                parts.append(seg)
+            else:
+                for ring in leaf.data:
+                    seg = "M " + " L ".join(f"{fmt(v[0], p)} {fmt(-v[1], p)}" for v in ring[:-1]) + " Z"
+                    parts.append(seg)
+        return " ".join(parts)
+
+    return pd.Series([mk(b, r, p) for b, r, p in zip(s, rel, precision)])
+
+
+# --------------------------------------------------------------------------
+# measures  (st_area.cpp, st_length.cpp, st_perimeter.cpp, st_centroid.cpp)
+# --------------------------------------------------------------------------
+
+st_area = _unary(A.area, T.DoubleType())
+st_length = _unary(A.length, T.DoubleType())
+st_perimeter = _unary(A.perimeter, T.DoubleType())
+
+
+def _centroid(g):
+    c = A.centroid(g)
+    return G.empty(G.POINT) if c is None else G.point(c[0], c[1])
+
+
+st_centroid = _unary_geom(_centroid)
+st_distance = _binary(A.distance, T.DoubleType())
+st_shortestline = _binary_geom(A.shortest_line)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_dwithin(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (x is None or y is None or dd is None) else A.dwithin(_g(x), _g(y), float(dd))
+            for x, y, dd in zip(a, b, d)
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# accessors
+# --------------------------------------------------------------------------
+
+def _leaf_x(g):
+    if g.tag != G.POINT:
+        raise ValueError("ST_X expects a POINT")
+    return None if g.data is None else float(g.data[0])
+
+
+def _leaf_y(g):
+    if g.tag != G.POINT:
+        raise ValueError("ST_Y expects a POINT")
+    return None if g.data is None else float(g.data[1])
+
+
+def _leaf_z(g):
+    if g.tag != G.POINT:
+        raise ValueError("ST_Z expects a POINT")
+    return float(g.data[2]) if g.data is not None and g.has_z else None
+
+
+def _leaf_m(g):
+    if g.tag != G.POINT:
+        raise ValueError("ST_M expects a POINT")
+    if g.data is None or not g.has_m:
+        return None
+    return float(g.data[2 + (1 if g.has_z else 0)])
+
+
+st_x = _unary(_leaf_x, T.DoubleType())
+st_y = _unary(_leaf_y, T.DoubleType())
+st_z = _unary(_leaf_z, T.DoubleType())
+st_m = _unary(_leaf_m, T.DoubleType())
+
+
+def _bound(idx):
+    def f(g):
+        b = A.bounds(g)
+        return None if b is None else b[idx]
+
+    return f
+
+
+st_xmin = _unary(_bound(0), T.DoubleType())
+st_ymin = _unary(_bound(1), T.DoubleType())
+st_xmax = _unary(_bound(2), T.DoubleType())
+st_ymax = _unary(_bound(3), T.DoubleType())
+
+
+def _zm_minmax(which, is_min):
+    def f(g):
+        vals = []
+        for arr in g.coord_arrays():
+            if which == "z" and g.has_z:
+                vals.append(arr[:, 2])
+            elif which == "m" and g.has_m:
+                vals.append(arr[:, 2 + (1 if g.has_z else 0)])
+        if not vals:
+            return None
+        v = np.concatenate(vals)
+        return float(v.min() if is_min else v.max())
+
+    return f
+
+
+st_zmin = _unary(_zm_minmax("z", True), T.DoubleType())
+st_zmax = _unary(_zm_minmax("z", False), T.DoubleType())
+st_mmin = _unary(_zm_minmax("m", True), T.DoubleType())
+st_mmax = _unary(_zm_minmax("m", False), T.DoubleType())
+
+
+@F.pandas_udf(BOX_2D)
+def st_extent(s: pd.Series) -> pd.DataFrame:
+    rows = []
+    for b in s:
+        bb = A.bounds(_g(b)) if b is not None else None
+        rows.append(
+            {"min_x": None, "min_y": None, "max_x": None, "max_y": None}
+            if bb is None
+            else {"min_x": bb[0], "min_y": bb[1], "max_x": bb[2], "max_y": bb[3]}
+        )
+    return pd.DataFrame(rows)
+
+
+st_geometrytype = _unary(lambda g: g.type_name, T.StringType())
+st_isempty = _unary(lambda g: g.is_empty(), T.BooleanType())
+st_isclosed = _unary(A.is_closed, T.BooleanType())
+st_isring = _unary(A.is_ring, T.BooleanType())
+st_issimple = _unary(A.is_simple, T.BooleanType())
+st_isvalid = _unary(A.is_valid, T.BooleanType())
+st_dimension = _unary(A.dimension, T.IntegerType())
+st_npoints = _unary(lambda g: g.num_points(), T.IntegerType())
+st_hasz = _unary(lambda g: g.has_z, T.BooleanType())
+st_hasm = _unary(lambda g: g.has_m, T.BooleanType())
+# 0 = 2D, 1 = 3DM, 2 = 3DZ, 3 = 4D (PostGIS/reference convention, st_has.cpp)
+st_zmflag = _unary(lambda g: (2 if g.has_z else 0) + (1 if g.has_m else 0), T.ShortType())
+
+
+def _ngeom(g):
+    if g.tag in (G.MULTIPOINT, G.MULTILINESTRING, G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
+        return len(g.data)
+    return 0 if g.is_empty() else 1
+
+
+st_ngeometries = _unary(_ngeom, T.IntegerType())
+
+
+def _ninterior(g):
+    if g.tag == G.POLYGON:
+        return max(0, len(g.data) - 1)
+    return None
+
+
+st_ninteriorrings = _unary(_ninterior, T.IntegerType())
+
+
+def _exterior(g):
+    if g.tag != G.POLYGON:
+        return None
+    if not g.data:
+        return G.empty(G.LINESTRING, g.has_z, g.has_m)
+    return G.Geometry(G.LINESTRING, g.data[0].copy(), g.has_z, g.has_m)
+
+
+st_exteriorring = _unary_geom(_exterior)
+
+
+def _start_pt(g):
+    if g.tag != G.LINESTRING or len(g.data) == 0:
+        return None
+    return G.Geometry(G.POINT, g.data[0].copy(), g.has_z, g.has_m)
+
+
+def _end_pt(g):
+    if g.tag != G.LINESTRING or len(g.data) == 0:
+        return None
+    return G.Geometry(G.POINT, g.data[-1].copy(), g.has_z, g.has_m)
+
+
+st_startpoint = _unary_geom(_start_pt)
+st_endpoint = _unary_geom(_end_pt)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_pointn(s: pd.Series, n: pd.Series) -> pd.Series:
+    """1-based; negative indexes from the end (reference st_pointn.cpp)."""
+
+    def mk(b, k):
+        if b is None or k is None:
+            return None
+        g = _g(b)
+        if g.tag != G.LINESTRING:
+            return None
+        k = int(k)
+        ln = len(g.data)
+        if k == 0 or abs(k) > ln:
+            return None
+        idx = k - 1 if k > 0 else ln + k
+        return _wkb(G.Geometry(G.POINT, g.data[idx].copy(), g.has_z, g.has_m))
+
+    return pd.Series([mk(b, k) for b, k in zip(s, n)])
+
+
+def _points(g):
+    pts = []
+    for arr in g.coord_arrays():
+        for row in arr:
+            pts.append(G.Geometry(G.POINT, row.copy(), g.has_z, g.has_m))
+    return G.Geometry(G.MULTIPOINT, pts, g.has_z, g.has_m)
+
+
+st_points = _unary_geom(_points)
+
+
+@F.pandas_udf(DUMP_TYPE)
+def st_dump(s: pd.Series) -> pd.Series:
+    """Explode into (geom, path) rows (reference st_dump.cpp:138-143)."""
+
+    def walk(g, path, out):
+        if g.tag in (G.MULTIPOINT, G.MULTILINESTRING, G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
+            for i, c in enumerate(g.data, start=1):
+                walk(c, path + [i], out)
+        else:
+            out.append({"geom": _wkb(g), "path": path})
+
+    def mk(b):
+        if b is None:
+            return None
+        out = []
+        walk(_g(b), [], out)
+        return out
+
+    return s.map(mk)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_collectionextract(s: pd.Series, ty: pd.Series) -> pd.Series:
+    """type: 1=point, 2=line, 3=polygon (docs/functions.md:455-463)."""
+
+    def mk(b, t):
+        if b is None:
+            return None
+        g = _g(b)
+        t = int(t)
+        want = {1: G.POINT, 2: G.LINESTRING, 3: G.POLYGON}[t]
+        parts = [l for l in g.flatten() if l.tag == want]
+        if not parts:
+            return _wkb(G.empty({1: G.MULTIPOINT, 2: G.MULTILINESTRING, 3: G.MULTIPOLYGON}[t]))
+        return _wkb(G.collect(parts))
+
+    return pd.Series([mk(b, t) for b, t in zip(s, ty)])
+
+
+# --------------------------------------------------------------------------
+# transforms
+# --------------------------------------------------------------------------
+
+st_flipcoordinates = _unary_geom(A.flip_coordinates)
+st_reverse = _unary_geom(A.reverse)
+st_force2d = _unary_geom(lambda g: A.force_dims(g, False, False))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_force3dz(s: pd.Series, z: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb(A.force_dims(_g(b), True, False, float(zz))) for b, zz in zip(s, z)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_force3dm(s: pd.Series, m: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb(A.force_dims(_g(b), False, True, 0.0, float(mm))) for b, mm in zip(s, m)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_force4d(s: pd.Series, z: pd.Series, m: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if b is None else _wkb(A.force_dims(_g(b), True, True, float(zz), float(mm)))
+            for b, zz, mm in zip(s, z, m)
+        ]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_removerepeatedpoints(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None else _wkb(A.remove_repeated_points(_g(b))))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_removerepeatedpoints_tol(s: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb(A.remove_repeated_points(_g(b), float(t))) for b, t in zip(s, tol)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_simplify(s: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series([None if b is None else _wkb(A.simplify(_g(b), float(t))) for b, t in zip(s, tol)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_simplifypreservetopology(s: pd.Series, tol: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb(A.simplify(_g(b), float(t), True)) for b, t in zip(s, tol)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_reduceprecision(s: pd.Series, grid: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb(A.reduce_precision(_g(b), float(t))) for b, t in zip(s, grid)]
+    )
+
+
+st_normalize = _unary_geom(A.normalize)
+st_makevalid = _unary_geom(A.make_valid)
+st_boundary = _unary_geom(A.boundary)
+st_envelope = _unary_geom(A.envelope)
+st_convexhull = _unary_geom(A.convex_hull)
+st_pointonsurface = _unary_geom(A.point_on_surface)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_linemerge(s: pd.Series) -> pd.Series:
+    return s.map(lambda b: None if b is None else _wkb(A.line_merge(_g(b))))
+
+
+@F.pandas_udf(T.BinaryType())
+def st_linemerge_directed(s: pd.Series, directed: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb(A.line_merge(_g(b), bool(d))) for b, d in zip(s, directed)]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_buffer(s: pd.Series, radius: pd.Series) -> pd.Series:
+    return pd.Series([None if b is None else _wkb(A.buffer(_g(b), float(r))) for b, r in zip(s, radius)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_buffer_nseg(s: pd.Series, radius: pd.Series, nseg: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else _wkb(A.buffer(_g(b), float(r), int(n))) for b, r, n in zip(s, radius, nseg)]
+    )
+
+
+# --------------------------------------------------------------------------
+# predicates (geos/functions/scalar/*.cpp)
+# --------------------------------------------------------------------------
+
+st_intersects = _binary(A.intersects, T.BooleanType())
+st_disjoint = _binary(A.disjoint, T.BooleanType())
+st_contains = _binary(A.contains, T.BooleanType())
+st_containsproperly = _binary(A.contains_properly, T.BooleanType())
+st_within = _binary(A.within, T.BooleanType())
+st_covers = _binary(lambda a, b: A.covers(a, b), T.BooleanType())
+st_coveredby = _binary(A.covered_by, T.BooleanType())
+st_crosses = _binary(A.crosses, T.BooleanType())
+st_overlaps = _binary(A.overlaps, T.BooleanType())
+st_touches = _binary(A.touches, T.BooleanType())
+st_equals = _binary(A.equals, T.BooleanType())
+
+
+def _intersects_extent(a, b):
+    ba, bb = A.bounds(a), A.bounds(b)
+    if ba is None or bb is None:
+        return False
+    return not (ba[0] > bb[2] or ba[2] < bb[0] or ba[1] > bb[3] or ba[3] < bb[1])
+
+
+st_intersects_extent = _binary(_intersects_extent, T.BooleanType())
+
+st_intersection = _binary_geom(A.intersection)
+st_union = _binary_geom(A.union)
+st_difference = _binary_geom(A.difference)
+
+
+# --------------------------------------------------------------------------
+# sphere / spheroid  (st_distance_sphere.cpp, geographiclib module)
+# --------------------------------------------------------------------------
+
+EARTH_RADIUS_M = 6371000.0  # mean radius used for haversine
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+WGS84_B = WGS84_A * (1 - WGS84_F)
+WGS84_AUTHALIC_R = 6371007.1809184747  # radius of sphere with WGS84's area
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Haversine meters between two point GEOMETRYs (x=lon, y=lat)."""
+
+    def hav(x, y):
+        if x is None or y is None:
+            return None
+        ga, gb = _g(x), _g(y)
+        if ga.tag != G.POINT or gb.tag != G.POINT:
+            raise ValueError("ST_Distance_Sphere expects POINT geometries")
+        return haversine_m(float(ga.data[0]), float(ga.data[1]), float(gb.data[0]), float(gb.data[1]))
+
+    return pd.Series([hav(x, y) for x, y in zip(a, b)])
+
+
+def haversine_m(lon1, lat1, lon2, lat2, r=EARTH_RADIUS_M):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp = p2 - p1
+    dl = math.radians(lon2 - lon1)
+    h = math.sin(dp / 2) ** 2 + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+    return 2 * r * math.asin(math.sqrt(h))
+
+
+def vincenty_m(lon1, lat1, lon2, lat2, tol=1e-12, max_iter=200):
+    """Vincenty inverse on WGS84 (reference uses GeographicLib; Vincenty is
+    accurate to ~0.5 mm for non-antipodal pairs)."""
+    if lon1 == lon2 and lat1 == lat2:
+        return 0.0
+    U1 = math.atan((1 - WGS84_F) * math.tan(math.radians(lat1)))
+    U2 = math.atan((1 - WGS84_F) * math.tan(math.radians(lat2)))
+    L = math.radians(lon2 - lon1)
+    lam = L
+    sinU1, cosU1 = math.sin(U1), math.cos(U1)
+    sinU2, cosU2 = math.sin(U2), math.cos(U2)
+    for _ in range(max_iter):
+        sinl, cosl = math.sin(lam), math.cos(lam)
+        sin_sigma = math.sqrt((cosU2 * sinl) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosl) ** 2)
+        if sin_sigma == 0:
+            return 0.0
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cosl
+        sigma = math.atan2(sin_sigma, cos_sigma)
+        sin_alpha = cosU1 * cosU2 * sinl / sin_sigma
+        cos2_alpha = 1 - sin_alpha ** 2
+        cos2sm = cos_sigma - 2 * sinU1 * sinU2 / cos2_alpha if cos2_alpha != 0 else 0.0
+        C = WGS84_F / 16 * cos2_alpha * (4 + WGS84_F * (4 - 3 * cos2_alpha))
+        lam_prev = lam
+        lam = L + (1 - C) * WGS84_F * sin_alpha * (
+            sigma + C * sin_sigma * (cos2sm + C * cos_sigma * (-1 + 2 * cos2sm ** 2))
+        )
+        if abs(lam - lam_prev) < tol:
+            break
+    u2 = cos2_alpha * (WGS84_A ** 2 - WGS84_B ** 2) / WGS84_B ** 2
+    A_ = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B_ = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+    dsig = B_ * sin_sigma * (
+        cos2sm
+        + B_ / 4 * (cos_sigma * (-1 + 2 * cos2sm ** 2) - B_ / 6 * cos2sm * (-3 + 4 * sin_sigma ** 2) * (-3 + 4 * cos2sm ** 2))
+    )
+    return WGS84_B * A_ * (sigma - dsig)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance_spheroid(a: pd.Series, b: pd.Series) -> pd.Series:
+    def f(x, y):
+        if x is None or y is None:
+            return None
+        ga, gb = _g(x), _g(y)
+        return vincenty_m(float(ga.data[0]), float(ga.data[1]), float(gb.data[0]), float(gb.data[1]))
+
+    return pd.Series([f(x, y) for x, y in zip(a, b)])
+
+
+@F.pandas_udf(T.BooleanType())
+def st_dwithin_spheroid(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
+    def f(x, y, dd):
+        if x is None or y is None or dd is None:
+            return None
+        ga, gb = _g(x), _g(y)
+        return vincenty_m(float(ga.data[0]), float(ga.data[1]), float(gb.data[0]), float(gb.data[1])) <= float(dd)
+
+    return pd.Series([f(x, y, dd) for x, y, dd in zip(a, b, d)])
+
+
+def _authalic_lat(lat_rad):
+    """Geodetic -> authalic latitude (series expansion, WGS84)."""
+    e2 = WGS84_F * (2 - WGS84_F)
+    return lat_rad - (
+        (e2 / 3 + 31 * e2 ** 2 / 180 + 59 * e2 ** 3 / 560) * math.sin(2 * lat_rad)
+        - (17 * e2 ** 2 / 360 + 61 * e2 ** 3 / 1260) * math.sin(4 * lat_rad)
+        + (383 * e2 ** 3 / 45360) * math.sin(6 * lat_rad)
+    )
+
+
+def _spherical_ring_area(ring, radius):
+    """Signed spherical polygon area (line-integral / l'Huilier style)."""
+    total = 0.0
+    n = len(ring) - 1
+    for i in range(n):
+        lon1, lat1 = math.radians(ring[i][0]), _authalic_lat(math.radians(ring[i][1]))
+        lon2, lat2 = math.radians(ring[i + 1][0]), _authalic_lat(math.radians(ring[i + 1][1]))
+        total += (lon2 - lon1) * (2 + math.sin(lat1) + math.sin(lat2))
+    return total * radius * radius / 2.0
+
+
+def spheroid_area(g: G.Geometry) -> float:
+    total = 0.0
+    for leaf in g.flatten():
+        if leaf.tag != G.POLYGON:
+            continue
+        for k, ring in enumerate(leaf.data):
+            a = abs(_spherical_ring_area(ring, WGS84_AUTHALIC_R))
+            total += a if k == 0 else -a
+    return total
+
+
+def spheroid_length(g: G.Geometry) -> float:
+    total = 0.0
+    for arr in (l.data for l in g.flatten() if l.tag == G.LINESTRING):
+        for i in range(len(arr) - 1):
+            total += vincenty_m(arr[i][0], arr[i][1], arr[i + 1][0], arr[i + 1][1])
+    return total
+
+
+def spheroid_perimeter(g: G.Geometry) -> float:
+    total = 0.0
+    for leaf in g.flatten():
+        if leaf.tag != G.POLYGON:
+            continue
+        for ring in leaf.data:
+            for i in range(len(ring) - 1):
+                total += vincenty_m(ring[i][0], ring[i][1], ring[i + 1][0], ring[i + 1][1])
+    return total
+
+
+st_area_spheroid = _unary(spheroid_area, T.DoubleType())
+st_length_spheroid = _unary(spheroid_length, T.DoubleType())
+st_perimeter_spheroid = _unary(spheroid_perimeter, T.DoubleType())
+
+
+# --------------------------------------------------------------------------
+# space-filling curves & tiling  (st_hilbert.cpp:241-250, st_quadkey.cpp)
+# --------------------------------------------------------------------------
+
+HILBERT_ORDER = 16  # 65536 x 65536 grid, index fits in uint32
+
+
+def hilbert_xy_to_d(xs: np.ndarray, ys: np.ndarray, order: int = HILBERT_ORDER) -> np.ndarray:
+    """Vectorized Hilbert curve index for integer grid coords (numpy)."""
+    x = xs.astype(np.int64).copy()
+    y = ys.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: flip when (ry==0, rx==1), then swap x/y when ry==0
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x = np.where(flip, s - 1 - x, x)
+        y = np.where(flip, s - 1 - y, y)
+        xt = x.copy()
+        x = np.where(swap, y, x)
+        y = np.where(swap, xt, y)
+        s >>= 1
+    return d
+
+
+def hilbert_scaled(xs, ys, min_x, min_y, max_x, max_y, order=HILBERT_ORDER):
+    """Map doubles in a box to the Hilbert index (reference overloads take an
+    explicit bounds box, st_hilbert.cpp:241-250)."""
+    side = (1 << order) - 1
+    wx = max(max_x - min_x, 1e-300)
+    wy = max(max_y - min_y, 1e-300)
+    gx = np.clip(((np.asarray(xs, dtype=np.float64) - min_x) / wx) * side, 0, side).astype(np.int64)
+    gy = np.clip(((np.asarray(ys, dtype=np.float64) - min_y) / wy) * side, 0, side).astype(np.int64)
+    return hilbert_xy_to_d(gx, gy, order)
+
+
+@F.pandas_udf(T.LongType())
+def st_hilbert(x: pd.Series, y: pd.Series, min_x: pd.Series, min_y: pd.Series, max_x: pd.Series, max_y: pd.Series) -> pd.Series:
+    d = hilbert_scaled(
+        x.to_numpy(np.float64),
+        y.to_numpy(np.float64),
+        float(min_x.iloc[0]),
+        float(min_y.iloc[0]),
+        float(max_x.iloc[0]),
+        float(max_y.iloc[0]),
+    )
+    out = pd.Series(d)
+    out[x.isna() | y.isna()] = None
+    return out
+
+
+@F.pandas_udf(T.LongType())
+def st_hilbert_geom(s: pd.Series, min_x: pd.Series, min_y: pd.Series, max_x: pd.Series, max_y: pd.Series) -> pd.Series:
+    """GEOMETRY overload: Hilbert index of the bbox center."""
+    cx, cy = [], []
+    for b in s:
+        bb = A.bounds(_g(b)) if b is not None else None
+        if bb is None:
+            cx.append(np.nan)
+            cy.append(np.nan)
+        else:
+            cx.append((bb[0] + bb[2]) / 2)
+            cy.append((bb[1] + bb[3]) / 2)
+    d = hilbert_scaled(np.asarray(cx), np.asarray(cy), float(min_x.iloc[0]), float(min_y.iloc[0]), float(max_x.iloc[0]), float(max_y.iloc[0]))
+    out = pd.Series(d)
+    out[np.isnan(cx)] = None
+    return out
+
+
+def quadkey_str(lon: float, lat: float, level: int) -> str:
+    """Bing maps quadkey (reference st_quadkey.cpp)."""
+    lat = min(max(lat, -85.05112878), 85.05112878)
+    x = (lon + 180.0) / 360.0
+    sinlat = math.sin(math.radians(lat))
+    y = 0.5 - math.log((1 + sinlat) / (1 - sinlat)) / (4 * math.pi)
+    n = 1 << level
+    tx = min(n - 1, max(0, int(x * n)))
+    ty = min(n - 1, max(0, int(y * n)))
+    out = []
+    for i in range(level, 0, -1):
+        digit = 0
+        mask = 1 << (i - 1)
+        if tx & mask:
+            digit += 1
+        if ty & mask:
+            digit += 2
+        out.append(str(digit))
+    return "".join(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_quadkey(lon: pd.Series, lat: pd.Series, level: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (a is None or b is None or l is None) else quadkey_str(float(a), float(b), int(l))
+            for a, b, l in zip(lon, lat, level)
+        ]
+    )
+
+
+@F.pandas_udf(T.StringType())
+def st_quadkey_geom(s: pd.Series, level: pd.Series) -> pd.Series:
+    def f(b, l):
+        if b is None or l is None:
+            return None
+        g = _g(b)
+        if g.tag != G.POINT or g.is_empty():
+            raise ValueError("ST_QuadKey expects a POINT")
+        return quadkey_str(float(g.data[0]), float(g.data[1]), int(l))
+
+    return pd.Series([f(b, l) for b, l in zip(s, level)])

