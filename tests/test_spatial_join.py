@@ -1,0 +1,132 @@
+"""Spatial join + aggregate correctness.
+
+Grid-tessellation and broadcast strategies must both reproduce the naive
+cross-join + exact-predicate result (the equivalence the reference's
+optimizer rewrite guarantees, ``optimizer_rules.cpp:261-264``).
+Workload shapes mirror FIXTURES.md T2/T3 (uniform points and rects).
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.functions import udfs
+from duckdb_spatial_spark.operators import st_extent_agg, st_intersection_agg, st_join, st_union_agg
+
+
+def _mk_points(spark, n=300, seed=7, bound=100.0):
+    rng = random.Random(seed)
+    rows = [(i, rng.uniform(0, bound), rng.uniform(0, bound)) for i in range(n)]
+    df = spark.createDataFrame(rows, "pid long, x double, y double")
+    return df.withColumn("geom", udfs.st_point("x", "y")).drop("x", "y")
+
+
+def _mk_rects(spark, m=60, seed=42, bound=100.0):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(m):
+        x1 = rng.uniform(0, bound)
+        y1 = rng.uniform(0, bound)
+        x2 = x1 + rng.uniform(0.5, 15)
+        y2 = y1 + rng.uniform(0.5, 15)
+        rows.append((i, f"POLYGON (({x1} {y1}, {x2} {y1}, {x2} {y2}, {x1} {y2}, {x1} {y1}))"))
+    df = spark.createDataFrame(rows, "rid long, wkt string")
+    return df.withColumn("geom", udfs.st_geomfromtext("wkt")).drop("wkt")
+
+
+def _naive_pairs(spark, pts, rects, predicate, distance=None):
+    """Cross join + exact predicate — the correctness oracle."""
+    r2 = rects.withColumnRenamed("geom", "rgeom")
+    crossed = pts.crossJoin(r2)
+    if predicate == "dwithin":
+        cond = udfs.st_dwithin(F.col("geom"), F.col("rgeom"), F.lit(float(distance)))
+    else:
+        cond = getattr(udfs, f"st_{predicate}")(F.col("geom"), F.col("rgeom"))
+    return {(r.pid, r.rid) for r in crossed.filter(cond).select("pid", "rid").collect()}
+
+
+@pytest.mark.parametrize("strategy", ["grid", "broadcast"])
+def test_point_in_rect_join(spark, strategy):
+    pts = _mk_points(spark)
+    rects = _mk_rects(spark)
+    expected = _naive_pairs(spark, pts, rects, "within")
+    got = st_join(pts, rects, predicate="within", strategy=strategy)
+    pairs = {(r.pid, r.rid) for r in got.select("pid", "rid").collect()}
+    assert pairs == expected
+    assert len(expected) > 50  # workload is non-trivial
+
+
+@pytest.mark.parametrize("strategy", ["grid", "broadcast"])
+def test_rect_rect_intersects_join(spark, strategy):
+    a = _mk_rects(spark, m=40, seed=1).withColumnRenamed("rid", "pid")
+    b = _mk_rects(spark, m=40, seed=2)
+    expected = _naive_pairs(spark, a, b, "intersects")
+    got = st_join(a, b, predicate="intersects", strategy=strategy)
+    pairs = {(r.pid, r.rid) for r in got.select("pid", "rid").collect()}
+    assert pairs == expected
+    assert len(expected) > 20
+
+
+def test_dwithin_join(spark):
+    pts = _mk_points(spark, n=150, seed=3)
+    other = _mk_points(spark, n=100, seed=4).withColumnRenamed("pid", "rid")
+    expected = _naive_pairs(spark, pts, other, "dwithin", distance=5.0)
+    got = st_join(pts, other, predicate="dwithin", distance=5.0)
+    pairs = {(r.pid, r.rid) for r in got.select("pid", "rid").collect()}
+    assert pairs == expected
+    assert len(expected) > 30
+
+
+def test_join_how_variants(spark):
+    pts = _mk_points(spark, n=100, seed=5)
+    rects = _mk_rects(spark, m=20, seed=6)
+    inner = st_join(pts, rects, predicate="within")
+    matched_pids = {r.pid for r in inner.select("pid").distinct().collect()}
+    semi = st_join(pts, rects, predicate="within", how="left_semi")
+    assert {r.pid for r in semi.collect()} == matched_pids
+    anti = st_join(pts, rects, predicate="within", how="left_anti")
+    assert {r.pid for r in anti.collect()} == {r.pid for r in pts.collect()} - matched_pids
+    left = st_join(pts, rects, predicate="within", how="left")
+    assert left.count() >= pts.count()
+    assert left.filter(F.col("rid").isNull()).count() == pts.count() - len(
+        [r for r in inner.select("pid").distinct().collect()]
+    )
+
+
+def test_extent_union_intersection_agg(spark):
+    # overlapping unit squares with 50% offsets per group (FIXTURES T7)
+    rows = []
+    for grp in range(3):
+        for k in range(4):
+            x = k * 0.5
+            rows.append((grp, f"POLYGON (({x} 0, {x + 1} 0, {x + 1} 1, {x} 1, {x} 0))"))
+    df = (
+        spark.createDataFrame(rows, "grp int, wkt string")
+        .withColumn("geom", udfs.st_geomfromtext("wkt"))
+        .drop("wkt")
+    )
+    ext = st_extent_agg(df, "geom", ["grp"]).orderBy("grp").collect()
+    assert all((r.min_x, r.max_x) == (0.0, 2.5) for r in ext)
+
+    uni = st_union_agg(df, "geom", ["grp"])
+    uni = uni.withColumn("area", udfs.st_area("union_agg")).collect()
+    for r in uni:
+        assert abs(r.area - 2.5) < 1e-9  # union of staggered squares: 2.5 x 1
+
+    inter = st_intersection_agg(df, "geom", ["grp"])
+    inter = inter.withColumn("area", udfs.st_area("intersection_agg")).collect()
+    for r in inter:
+        assert abs(r.area) < 1e-9  # no common cell across 4 offsets (span 1.5..2.5 vs 0..1)
+
+
+def test_join_null_and_empty_geoms(spark):
+    # NULL / EMPTY rows are skipped like the reference's index build filter
+    # (rtree_index_create_logical.cpp:45-76)
+    pts = _mk_points(spark, n=50, seed=9)
+    pts_with_null = pts.withColumn(
+        "geom", F.when(F.col("pid") % 10 == 0, F.lit(None).cast("binary")).otherwise(F.col("geom"))
+    )
+    rects = _mk_rects(spark, m=10, seed=10)
+    got = st_join(pts_with_null, rects, predicate="within")
+    assert got.filter(F.col("geom").isNull()).count() == 0
