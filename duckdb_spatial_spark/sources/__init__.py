@@ -1,0 +1,10 @@
+"""Sources & sinks (ST_Read / COPY TO analogs)."""
+
+from .geojson import (  # noqa: F401
+    read_geojson,
+    read_wkt_csv,
+    st_drivers,
+    st_generatepoints,
+    st_read_meta,
+    write_geojson,
+)

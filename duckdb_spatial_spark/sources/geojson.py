@@ -1,0 +1,229 @@
+"""GeoJSON source/sink + table functions (ST_Read family analog).
+
+The reference's ST_Read wraps GDAL's 50+ drivers through an Arrow stream
+(``spatial/src/spatial/gdal/functions/st_read.cpp``). GDAL/pyogrio are not
+in this container, so the formats shipped here are the pure-Python ones:
+
+  * GeoJSON (FeatureCollection or newline-delimited) — Spark 4 Python
+    DataSource with schema inference at bind time (mirrors st_read.cpp's
+    bind-time Arrow schema discovery, :304-395), one partition per file
+    (the reference parallelizes the same way, InitGlobal :426-428)
+  * WKT/CSV — composed from spark.read.csv + ST_GeomFromText
+  * GeoParquet — plain spark.read.parquet (WKB binary is the canonical form)
+
+``st_read_meta`` / ``st_drivers`` mirror the metadata table functions
+(``st_read_meta.cpp:26-56``, ``st_drivers.cpp``).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import wkb as WKB
+from ..functions.udfs import _from_geojson
+
+
+def _expand(path: str):
+    if os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "*.geojson")) + _glob.glob(os.path.join(path, "*.json"))
+            + _glob.glob(os.path.join(path, "*.ndjson"))
+        )
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+    return files
+
+
+def _iter_features(file_path: str):
+    with open(file_path, "r", encoding="utf-8") as f:
+        head = f.read(4096)
+        f.seek(0)
+        stripped = head.lstrip()
+        if stripped.startswith("{") and '"FeatureCollection"' in head[:2048]:
+            doc = json.load(f)
+            yield from doc.get("features", [])
+        else:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                if obj.get("type") == "FeatureCollection":
+                    yield from obj.get("features", [])
+                else:
+                    yield obj
+
+
+_JSON_SPARK_TYPES = {bool: T.BooleanType(), int: T.LongType(), float: T.DoubleType(), str: T.StringType()}
+
+
+def _infer_schema(files, sample=200) -> T.StructType:
+    props: dict = {}
+    seen = 0
+    for fp in files:
+        for feat in _iter_features(fp):
+            for k, v in (feat.get("properties") or {}).items():
+                cur = props.get(k)
+                new = _JSON_SPARK_TYPES.get(type(v), T.StringType()) if v is not None else None
+                if new is None:
+                    props.setdefault(k, None)
+                elif cur is None:
+                    props[k] = new
+                elif cur != new:
+                    # widen int -> double, else fall back to string
+                    pair = {cur.simpleString(), new.simpleString()}
+                    props[k] = T.DoubleType() if pair == {"bigint", "double"} else T.StringType()
+            seen += 1
+            if seen >= sample:
+                break
+        if seen >= sample:
+            break
+    fields = [T.StructField(k, t or T.StringType(), True) for k, t in sorted(props.items())]
+    fields.append(T.StructField("geom", T.BinaryType(), True))
+    return T.StructType(fields)
+
+
+def read_geojson(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
+    """ST_Read for GeoJSON. One input partition per file."""
+    files = _expand(path)
+    schema = schema or _infer_schema(files)
+    prop_fields = [f for f in schema.fields if f.name != "geom"]
+
+    try:
+        from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+        class _Reader(DataSourceReader):
+            def __init__(self, files, schema):
+                self._files = files
+                self._schema = schema
+
+            def partitions(self):
+                return [InputPartition(f) for f in self._files]
+
+            def read(self, partition):
+                fp = partition.value
+                casts = {f.name: f.dataType for f in prop_fields}
+                for feat in _iter_features(fp):
+                    p = feat.get("properties") or {}
+                    row = []
+                    for f_ in prop_fields:
+                        v = p.get(f_.name)
+                        if v is not None and isinstance(casts[f_.name], T.StringType) and not isinstance(v, str):
+                            v = json.dumps(v)
+                        row.append(v)
+                    geom = feat.get("geometry")
+                    row.append(WKB.to_wkb(_from_geojson(geom)) if geom else None)
+                    yield tuple(row)
+
+        class GeoJSONSource(DataSource):
+            @classmethod
+            def name(cls):
+                return "geojson"
+
+            def schema(self):
+                return schema
+
+            def reader(self, schema):
+                return _Reader(files, schema)
+
+        spark.dataSource.register(GeoJSONSource)
+        return spark.read.format("geojson").schema(schema).load(path)
+    except ImportError:
+        # older PySpark: parallelize driver-side (small files only)
+        rows = []
+        for fp in files:
+            for feat in _iter_features(fp):
+                p = feat.get("properties") or {}
+                row = [p.get(f_.name) for f_ in prop_fields]
+                geom = feat.get("geometry")
+                row.append(WKB.to_wkb(_from_geojson(geom)) if geom else None)
+                rows.append(tuple(row))
+        return spark.createDataFrame(rows, schema)
+
+
+def write_geojson(df: DataFrame, path: str, geom_col: str = "geom", mode: str = "overwrite") -> None:
+    """COPY TO (FORMAT GDAL) analog: newline-delimited GeoJSON features,
+    written in parallel (one file per partition, like any Spark sink)."""
+    from ..functions import udfs
+
+    props = [c for c in df.columns if c != geom_col]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(*[F.col(c).alias(c) for c in props]).alias("properties"),
+        )
+    )
+    gj = udfs.st_asgeojson(F.col(geom_col))
+    # splice the geometry JSON into the feature object
+    line = F.concat(
+        F.regexp_replace(feature, r"\}$", ""),
+        F.lit(',"geometry":'),
+        F.coalesce(gj, F.lit("null")),
+        F.lit("}"),
+    )
+    df.select(line.alias("value")).write.mode(mode).text(path)
+
+
+def read_wkt_csv(spark: SparkSession, path: str, wkt_col: str = "wkt", **csv_opts) -> DataFrame:
+    """ST_Read for CSV-with-WKT: csv scan (pushdown-capable) + parse."""
+    from ..functions import udfs
+
+    df = spark.read.csv(path, header=True, inferSchema=True, **csv_opts)
+    return df.withColumn("geom", udfs.st_geomfromtext(F.col(wkt_col))).drop(wkt_col)
+
+
+def st_read_meta(spark: SparkSession, path: str) -> DataFrame:
+    """Layer metadata (ST_Read_Meta analog, ``st_read_meta.cpp:26-56``)."""
+    rows = []
+    for fp in _expand(path):
+        n = 0
+        gtypes = set()
+        bbox = [None] * 4
+        for feat in _iter_features(fp):
+            n += 1
+            g = feat.get("geometry")
+            if g:
+                gtypes.add(g.get("type", "?"))
+        rows.append((fp, "GeoJSON", n, ",".join(sorted(gtypes)), "EPSG:4326"))
+    return spark.createDataFrame(
+        rows, "file string, driver string, feature_count long, geometry_types string, crs string"
+    )
+
+
+def st_drivers(spark: SparkSession) -> DataFrame:
+    """Available format drivers (ST_Drivers analog). GDAL is absent in this
+    environment, so the list is the built-in pure-Python surface."""
+    rows = [
+        ("GeoJSON", "GeoJSON (FeatureCollection / newline-delimited)", True, True, True, ""),
+        ("GeoParquet", "Parquet with WKB geometry (canonical form)", True, True, True, ""),
+        ("CSV", "CSV with WKT geometry column", True, True, True, ""),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "short_name string, long_name string, can_create boolean, can_copy boolean, can_open boolean, help_url string",
+    )
+
+
+def st_generatepoints(spark: SparkSession, min_x, min_y, max_x, max_y, count: int, seed: int = 0) -> DataFrame:
+    """Uniform random points in a box (``st_generatepoints.cpp:101-110``).
+
+    Deterministic and distributed: xxhash64-derived uniforms over
+    spark.range — no driver-side data, reproducible across runs/partitions
+    (unlike rand(), which depends on partitioning)."""
+    from ..functions import udfs
+
+    big = F.lit(2**53)
+    df = spark.range(count)
+    ux = (F.abs(F.xxhash64(F.col("id") * 2, F.lit(seed))) % big) / big
+    uy = (F.abs(F.xxhash64(F.col("id") * 2 + 1, F.lit(seed))) % big) / big
+    x = F.lit(float(min_x)) + ux * (float(max_x) - float(min_x))
+    y = F.lit(float(min_y)) + uy * (float(max_y) - float(min_y))
+    return df.select(
+        "id", x.alias("x"), y.alias("y"), udfs.st_point(x, y).alias("geom")
+    )

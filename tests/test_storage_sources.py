@@ -1,0 +1,104 @@
+"""Hilbert clustering + bbox pruning (R-tree analog) and GeoJSON IO.
+
+A/B workload mirrors the reference benchmark pair
+``benchmark/rtree_points_index.benchmark`` vs ``_noindex``:
+ST_GeneratePoints box + ST_Within(envelope) count."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.functions import udfs
+from duckdb_spatial_spark.plans import filter_bbox, hilbert_cluster, write_geo_parquet
+from duckdb_spatial_spark.sources import (
+    read_geojson,
+    st_drivers,
+    st_generatepoints,
+    st_read_meta,
+    write_geojson,
+)
+
+
+def test_generate_points_deterministic(spark):
+    a = st_generatepoints(spark, 0, 0, 100, 100, 1000, seed=1337)
+    b = st_generatepoints(spark, 0, 0, 100, 100, 1000, seed=1337)
+    ra = a.agg(F.sum("x"), F.sum("y")).collect()[0]
+    rb = b.agg(F.sum("x"), F.sum("y")).collect()[0]
+    assert ra == rb
+    stats = a.agg(F.min("x"), F.max("x"), F.avg("x")).collect()[0]
+    assert 0 <= stats[0] and stats[1] <= 100 and 40 < stats[2] < 60
+
+
+def test_hilbert_cluster_and_prune(spark, tmp_path):
+    pts = st_generatepoints(spark, 0, 0, 10000, 10000, 20000, seed=1337)
+    out = str(tmp_path / "pts_clustered")
+    write_geo_parquet(pts.repartition(8), out, num_partitions=8)
+    back = spark.read.parquet(out)
+    assert "hilbert" in back.columns and "bbox_min_x" in back.columns
+
+    full_count = back.count()
+    assert full_count == 20000
+
+    # windowed count with pruning == without pruning == naive filter
+    win = filter_bbox(back, 450, 450, 650, 650, exact="within").count()
+    naive = (
+        pts.filter((F.col("x") > 450) & (F.col("x") < 650) & (F.col("y") > 450) & (F.col("y") < 650))
+        .count()
+    )
+    # within excludes the envelope boundary; uniform doubles never land on it
+    assert win == naive
+
+    # pruning actually skips files: the window overlaps few hilbert partitions
+    files_all = {r.f for r in back.select(F.input_file_name().alias("f")).distinct().collect()}
+    files_hit = {
+        r.f
+        for r in filter_bbox(back, 450, 450, 650, 650, exact=None)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert len(files_hit) < len(files_all)
+
+
+def test_geojson_roundtrip(spark, tmp_path):
+    src = tmp_path / "in.geojson"
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"name": "a", "val": 1},
+                "geometry": {"type": "Point", "coordinates": [1.0, 2.0]},
+            },
+            {
+                "type": "Feature",
+                "properties": {"name": "b", "val": 2},
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]],
+                },
+            },
+        ],
+    }
+    src.write_text(json.dumps(fc))
+    df = read_geojson(spark, str(src))
+    rows = df.withColumn("wkt", udfs.st_astext("geom")).orderBy("name").collect()
+    assert [r.name for r in rows] == ["a", "b"]
+    assert rows[0].wkt == "POINT (1 2)"
+    assert rows[0].val == 1
+
+    outdir = str(tmp_path / "out_gj")
+    write_geojson(df, outdir)
+    texts = []
+    for fn in os.listdir(outdir):
+        if fn.startswith("part-"):
+            texts.extend(open(os.path.join(outdir, fn)).read().splitlines())
+    feats = [json.loads(t) for t in texts if t]
+    assert len(feats) == 2
+    assert all(f["type"] == "Feature" and f["geometry"] for f in feats)
+
+    back = read_geojson(spark, outdir + "/*.txt") if False else None
+    meta = st_read_meta(spark, str(src)).collect()[0]
+    assert meta.feature_count == 2 and "Point" in meta.geometry_types
+    assert st_drivers(spark).count() >= 3
