@@ -1,0 +1,235 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond-reference surface (BASELINE.json north star). All hot paths are
+built-in Spark functions (codegen'd, shuffle-aware); Python appears only
+where a kernel genuinely needs it. Each operator is designed for the
+100 TB shape: inverted-index joins instead of cross joins, band-bucketed
+LSH instead of all-pairs, map-side combines on every groupBy.
+
+  dedup_exact          hash-groupBy keep-first (one shuffle)
+  ngram_jaccard_pairs  shingle inverted index -> pair counts -> exact jaccard
+  minhash_lsh_pairs    minhash signatures -> banded buckets -> verified pairs
+  simhash              64-bit simhash fingerprint + near-dup pairs by
+                       hamming distance on rotated bands
+  embedding_neardup    cosine near-duplicate pairs over embedding vectors
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col, lowercase=True):
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def _shingles(text_col, n: int):
+    """Word n-gram shingles as an array of distinct strings — pure Column."""
+    toks = _tokens(text_col)
+    if n <= 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array()))
+
+
+def dedup_exact(df: DataFrame, cols, id_col: str = None) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (lowest id wins when
+    ``id_col`` given, else arbitrary-but-deterministic first)."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    order = F.col(id_col).asc() if id_col else F.monotonically_increasing_id().asc()
+    w = Window.partitionBy(*cols).orderBy(order)
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs with word-``n``-gram Jaccard >= threshold.
+
+    Inverted-index join: explode distinct shingles, self-join on shingle
+    (equi-join, shuffle on shingle hash — no cross join), count common
+    shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). Returns
+    (id_a, id_b, jaccard) with id_a < id_b."""
+    base = df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
+    sizes = base.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
+    inv = base.select("_id", F.explode("_sh").alias("_s"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "na"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "nb"), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64):
+    """MinHash signatures: min over shingles of xxhash64(shingle, seed_k)
+    for k seeds — all built-in (xxhash64 + transform + array_min)."""
+    sh = _shingles(text_col, n)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(k)))) for k in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("_id"), sh.alias("_sh"), sig.alias("_sig")).filter(
+        F.size("_sh") > 0
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, optionally verified
+    with exact shingle Jaccard.
+
+    shingle -> minhash -> band -> bucket-join (the standard construction):
+    rows/band = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b. Candidates
+    come from equi-joins on (band_idx, band_hash) — scales as data * bands,
+    never all-pairs."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, n, num_hashes)
+    banded = sigs.select(
+        "_id",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.concat_ws(",", *[F.element_at(F.col("_sig"), i * r + k + 1).cast("string") for k in range(r)]))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band", "bhash"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bhash") == F.col("b.bhash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("sh_a"),
+            F.col("b._sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if not verify:
+        return cand.select("id_a", "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.withColumn("jaccard", inter / uni)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1 weighted by
+    term frequency; sign of the vote vector -> fingerprint bits.
+
+    Built-in expression construction: per bit, sum over tokens of
+    ±1 -> aggregate. 64 aggregates over an exploded token table with a
+    map-side combine; one shuffle on id."""
+    toks = df.select(F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("_t"))
+    h = F.xxhash64("_t")
+    bit_sums = toks.groupBy("_id").agg(
+        *[
+            F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    fp = None
+    for b in range(64):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        shifted = F.shiftleft(term, b)
+        fp = shifted if fp is None else fp.bitwiseXOR(shifted)
+    out = bit_sums.select("_id", fp.alias(out_col)).withColumnRenamed("_id", id_col)
+    return df.join(out, id_col, "left")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: split the 64-bit fingerprint into ``bands`` chunks;
+    any pair within ``bands-1`` bit flips must agree on >= 1 chunk, so an
+    equi-join per chunk finds all candidates (exact when
+    max_hamming < bands). Popcount via bit_count."""
+    sh = simhash(df.select(id_col, text_col), id_col, text_col)
+    width = 64 // bands
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias(f"c{i}")
+            for i in range(bands)
+        ]
+    )
+    e = sh.select(F.col(id_col).alias("_id"), F.col("simhash"), F.posexplode(chunks).alias("band", "chunk"))
+    cand = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.withColumn("hamming", ham).filter(ham <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Cosine near-duplicate pairs over an array<float> embedding column.
+
+    Exact all-pairs via block-nested join on normalized vectors — suitable
+    when one side fits per-executor memory; for web scale, route through
+    :func:`duckdb_spatial_spark.operators.knn.ann_lsh_topk` instead."""
+    from .knn import _cosine_expr
+
+    norm = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    pairs = (
+        norm.alias("a")
+        .join(norm.alias("b"), F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            _cosine_expr(F.col("a._v"), F.col("b._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs

@@ -1,0 +1,171 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The container has no image/audio codecs, so the DECODE kernels are
+explicitly stubbed (deterministic fakes or NotImplementedError) — but the
+Spark-side contract is real and tested: schemas, Arrow batch shapes,
+mapInPandas signatures, partition sizing. Swapping a stub for PIL/ffmpeg is
+a one-function change that does not touch any plan.
+
+Conventions (GeoParquet-style sidecar metadata):
+
+  image  struct<data: binary, width: int, height: int, format: string>
+  audio  struct<data: binary, sample_rate: int, n_samples: long, format: string>
+  video  binary + struct<duration_s: double, fps: double, format: string>
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+IMAGE_META = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def _fake_decode(buf: bytes) -> np.ndarray:
+    """STUB decode: deterministic pixels derived from the bytes — replace
+    with PIL/turbojpeg in production. Keeps shape/dtype contract real."""
+    h = w = 16
+    seed = np.frombuffer(buf[:8].ljust(8, b"\0"), dtype=np.uint64)[0]
+    rng = np.random.RandomState(int(seed % (2**31)))
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
+    """Parse width/height/format from image headers.
+
+    Real parsing for PNG/JPEG/GIF magic + dimensions (header-only, no codec
+    needed); unknown formats yield NULLs."""
+
+    @F.pandas_udf(IMAGE_META)
+    def meta(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in s:
+            if b is None:
+                rows.append({"width": None, "height": None, "format": None})
+                continue
+            b = bytes(b)
+            if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+                w = int.from_bytes(b[16:20], "big")
+                h = int.from_bytes(b[20:24], "big")
+                rows.append({"width": w, "height": h, "format": "png"})
+            elif b[:3] == b"\xff\xd8\xff":
+                w = h = None
+                i = 2
+                while i + 9 < len(b):
+                    if b[i] != 0xFF:
+                        i += 1
+                        continue
+                    marker = b[i + 1]
+                    if marker in (0xC0, 0xC1, 0xC2):
+                        h = int.from_bytes(b[i + 5 : i + 7], "big")
+                        w = int.from_bytes(b[i + 7 : i + 9], "big")
+                        break
+                    seglen = int.from_bytes(b[i + 2 : i + 4], "big")
+                    i += 2 + seglen
+                rows.append({"width": w, "height": h, "format": "jpeg"})
+            elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+                rows.append(
+                    {
+                        "width": int.from_bytes(b[6:8], "little"),
+                        "height": int.from_bytes(b[8:10], "little"),
+                        "format": "gif",
+                    }
+                )
+            else:
+                rows.append({"width": None, "height": None, "format": None})
+        return pd.DataFrame(rows)
+
+    return df.withColumn("image_meta", meta(F.col(bin_col)))
+
+
+def image_features(
+    df: DataFrame, bin_col: str = "image", out_col: str = "features", dim: int = 64
+) -> DataFrame:
+    """Feature-extraction plumbing: binary -> fixed-dim float vector.
+
+    STUB kernel (channel histogram of the fake decode); the mapInPandas
+    batch contract, schema, and downstream ANN compatibility are real."""
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
+    cols = df.columns
+    bidx = cols.index(bin_col)
+
+    def extract(batches):
+        for pdf in batches:
+            feats = []
+            for b in pdf.iloc[:, bidx]:
+                if b is None:
+                    feats.append(None)
+                    continue
+                px = _fake_decode(bytes(b)).astype(np.float32)
+                hist = np.concatenate(
+                    [
+                        np.histogram(px[..., c], bins=dim // 4, range=(0, 256))[0]
+                        for c in range(3)
+                    ]
+                ).astype(np.float32)
+                vec = np.zeros(dim, dtype=np.float32)
+                vec[: len(hist)] = hist / max(hist.sum(), 1.0)
+                feats.append(vec.tolist())
+            pdf = pdf.copy()
+            pdf[out_col] = feats
+            yield pdf
+
+    return df.mapInPandas(extract, out_schema)
+
+
+def image_resize(df: DataFrame, bin_col: str = "image", size=(224, 224)) -> DataFrame:
+    """Resize plumbing — decode is stubbed in this container."""
+    raise NotImplementedError(
+        "image_resize requires an image codec (PIL/turbojpeg) not present in "
+        "this container; plumbing contract: mapInPandas binary->binary with "
+        f"target size {size}. See image_features for the live pattern."
+    )
+
+
+def video_frame_sample(df: DataFrame, bin_col: str = "video", every_s: float = 1.0) -> DataFrame:
+    """Frame-sampling plumbing — ffmpeg absent; explode contract documented."""
+    raise NotImplementedError(
+        "video_frame_sample requires ffmpeg (absent); contract: mapInPandas "
+        "binary -> exploded rows (frame_idx int, frame binary), one output "
+        "row per sampled frame"
+    )
+
+
+def audio_metadata(df: DataFrame, bin_col: str = "audio") -> DataFrame:
+    """WAV header parse (RIFF, header-only — real); other codecs NULL."""
+    schema = T.StructType(
+        [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_channels", T.IntegerType()),
+            T.StructField("format", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def meta(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in s:
+            b = bytes(b) if b is not None else b""
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 28:
+                rows.append(
+                    {
+                        "sample_rate": int.from_bytes(b[24:28], "little"),
+                        "n_channels": int.from_bytes(b[22:24], "little"),
+                        "format": "wav",
+                    }
+                )
+            else:
+                rows.append({"sample_rate": None, "n_channels": None, "format": None})
+        return pd.DataFrame(rows)
+
+    return df.withColumn("audio_meta", meta(F.col(bin_col)))

@@ -1,0 +1,175 @@
+"""Text analysis operators for training-data pipelines.
+
+All built-in Column expressions (codegen'd) except the winnowing
+fingerprint, which is a vectorized pandas UDF. Designed to run as one
+projection pass over a 100 TB documents table — no shuffles, no UDF in the
+common metrics.
+
+  token_count      whitespace tokenization + a BPE-ish subword estimate
+  quality_score    length / punctuation / stopword / repetition heuristics
+  lang_id          stopword-profile n-gram heuristic (en/de/fr/es/it/pt)
+  fingerprint      xxhash64 content fingerprint + winnowing rolling-hash
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_STOPWORDS = {
+    "en": "the of and to in a is that it was for on are with as be at by this have from or had not but what all were when we there can an your which their".split(),
+    "de": "der die das und zu in den von ist des sich mit dem dass er es ein ich auf so eine auch als an nach wie im für".split(),
+    "fr": "le la les de des et un une du en est que qui dans pour sur au avec ne se ce pas par il elle vous nous".split(),
+    "es": "el la los las de del y un una en es que se no por con para su al lo como más pero sus le ya o".split(),
+    "it": "il la i le di e un una in è che non per con si da come dei sono della questo ma anche più".split(),
+    "pt": "o a os as de do da e um uma em é que não se por com para seu ao os como mais mas foi são".split(),
+}
+
+
+def token_count(text_col) -> "F.Column":
+    """Whitespace token count — pure Column."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+
+
+def subword_count(text_col) -> "F.Column":
+    """BPE-ish subword estimate: split on whitespace AND on common subword
+    boundaries (non-alnum, case changes, digit runs) — a cheap proxy for a
+    tokenizer's token count."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.split(c, r"(\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\d)|(?<=\d)(?=[A-Za-z])|[^A-Za-z0-9]+)")
+    words = F.filter(pieces, lambda t: t != "")
+    # long words count as ceil(len/6) subwords (empirical BPE density)
+    return F.aggregate(
+        words, F.lit(0), lambda acc, wrd: acc + F.ceil(F.length(wrd) / 6.0).cast("int")
+    )
+
+
+def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One projection adding the standard quality-signal columns."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    spaces = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    en_sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_sw, t)))
+    uniq = F.size(F.array_distinct(toks))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("avg_word_len", F.when(n_tok > 0, (n_chars - spaces) / n_tok))
+        .withColumn("alpha_ratio", F.when(n_chars > 0, alpha / n_chars))
+        .withColumn("digit_ratio", F.when(n_chars > 0, digits / n_chars))
+        .withColumn("punct_ratio", F.when(n_chars > 0, punct / n_chars))
+        .withColumn("stopword_ratio", F.when(n_tok > 0, n_stop / n_tok))
+        .withColumn("unique_ratio", F.when(n_tok > 0, uniq / n_tok))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality") -> DataFrame:
+    """Composite [0,1] quality heuristic (Gopher/C4-style filters folded
+    into one score): penalize too-short/too-long docs, low alpha ratio,
+    low stopword ratio, heavy repetition."""
+    m = text_metrics(df, text_col)
+    len_score = F.least(F.col("n_tokens") / 50.0, F.lit(1.0)) * F.when(
+        F.col("n_tokens") > 100_000, 0.5
+    ).otherwise(1.0)
+    alpha_score = F.least(F.coalesce(F.col("alpha_ratio"), F.lit(0.0)) / 0.7, F.lit(1.0))
+    stop_score = F.least(F.coalesce(F.col("stopword_ratio"), F.lit(0.0)) / 0.2, F.lit(1.0))
+    rep_score = F.coalesce(F.col("unique_ratio"), F.lit(0.0))
+    score = F.round(
+        (len_score * 0.25 + alpha_score * 0.25 + stop_score * 0.25 + rep_score * 0.25), 6
+    )
+    return m.withColumn(out_col, score)
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Language ID by stopword-profile hit rate — one Column expression per
+    language, argmax via greatest(); no UDF, no shuffle."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = {}
+    for lang, words in _STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = (F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n).alias(
+            f"_sc_{lang}"
+        )
+    out = df
+    for lang in scores:
+        out = out.withColumn(f"_sc_{lang}", scores[lang])
+    best = F.greatest(*[F.col(f"_sc_{lang}") for lang in _STOPWORDS])
+    pred = F.lit("und")
+    for lang in _STOPWORDS:
+        pred = F.when((F.col(f"_sc_{lang}") == best) & (best > 0.02), F.lit(lang)).otherwise(pred)
+    out = out.withColumn(out_col, pred)
+    return out.drop(*[f"_sc_{lang}" for lang in _STOPWORDS])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Exact content fingerprint: xxhash64 of whitespace-normalized,
+    lowercased text — the dedup_exact key at web scale."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.xxhash64(norm))
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 9, window: int = 20
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling k-gram hashes, min per window -> sparse fingerprint set.
+    Returns (id, fingerprint) exploded rows; join on fingerprint to find
+    partial overlaps (plagiarism-style near-dup)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("fingerprint", T.LongType()),
+        ]
+    )
+    kk, ww = int(k), int(window)
+
+    def winnow(batches):
+        B = np.uint64(1000003)
+        Bk = B ** np.uint64(kk - 1)
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for did, text in zip(pdf["_id"], pdf["_t"]):
+                if text is None:
+                    continue
+                data = np.frombuffer(
+                    " ".join(str(text).lower().split()).encode("utf-8", "ignore"), dtype=np.uint8
+                ).astype(np.uint64)
+                n = len(data)
+                if n < kk:
+                    continue
+                # rolling polynomial hash over all k-grams (vectorized horner)
+                h = np.zeros(n - kk + 1, dtype=np.uint64)
+                acc = np.uint64(0)
+                for i in range(kk):
+                    acc = acc * B + data[i]
+                h[0] = acc
+                if n > kk:
+                    lead = data[: n - kk] * Bk
+                    rest = data[kk:]
+                    cur = acc
+                    for i in range(1, n - kk + 1):
+                        cur = (cur - lead[i - 1]) * B + rest[i - 1]
+                        h[i] = cur
+                m = len(h)
+                if m <= ww:
+                    sel = {int(h.min())}
+                else:
+                    view = np.lib.stride_tricks.sliding_window_view(h, ww)
+                    sel = set(view.min(axis=1).astype(np.int64).tolist())
+                ids_out.extend([did] * len(sel))
+                fps_out.extend(sel)
+            yield pd.DataFrame({"id": pd.Series(ids_out, dtype="int64"), "fingerprint": pd.Series(fps_out, dtype="int64")})
+
+    return df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).mapInPandas(
+        winnow, out_schema
+    )

@@ -1,0 +1,149 @@
+"""Dedup / ANN / text / multimodal operators over the real testdata tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators import dedup as D
+from duckdb_spatial_spark.operators import knn as K
+from duckdb_spatial_spark.operators import multimodal as M
+from duckdb_spatial_spark.operators import textops as X
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_dedup_exact(spark, docs):
+    dup = docs.union(docs.limit(20))  # inject exact dups
+    out = D.dedup_exact(dup, "text", id_col="doc_id")
+    assert out.count() == docs.select("text").distinct().count()
+
+
+def test_ngram_jaccard_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "the quick brown fox jumps over the lazy dog today"),  # identical
+        (3, "the quick brown fox jumps over the lazy cat today"),  # near-dup
+        (4, "completely different text about spark and parquet files"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3).collect()}
+    assert out[(1, 2)] == 1.0
+    assert (1, 3) in out and 0.3 <= out[(1, 3)] < 1.0
+    assert not any(4 in p for p in out)
+
+
+def test_minhash_lsh_recall(spark, docs):
+    # identical docs must always collide in every band
+    dup = docs.limit(30).union(docs.limit(30).withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = D.minhash_lsh_pairs(dup, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(i, i + 100000) for i in [r.doc_id for r in docs.limit(30).collect()]}
+    assert expected <= got
+
+
+def test_simhash_neardup(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5),
+        (3, "one two three four five six seven eight nine ten " * 5),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    sh = D.simhash(df, "id", "text").collect()
+    by_id = {r.id: r.simhash for r in sh}
+    assert by_id[1] == by_id[2] != by_id[3]
+    pairs = {(r.id_a, r.id_b) for r in D.simhash_neardup_pairs(df, "id", "text", max_hamming=3).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_embedding_neardup_and_brute_topk(spark, emb):
+    emb2 = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("float")))
+    queries = emb2.limit(5)
+    topk = K.ann_brute_topk(emb2, queries, k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.vec_id for r in queries.collect()}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        # self is its own nearest neighbor at cosine ~1
+        assert rows[0].neighbor_id == qid and rows[0].cosine > 0.999999
+        assert len(rows) == 5
+        assert all(rows[i].cosine >= rows[i + 1].cosine - 1e-12 for i in range(4))
+
+
+def test_ann_lsh_and_ivf_recall(spark, emb):
+    emb2 = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("float")))
+    queries = emb2.limit(10)
+    exact = K.ann_brute_topk(emb2, queries, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    # weak neighbors (near-random vectors) need coarse buckets + multiprobe
+    lsh = K.ann_lsh_topk(emb2, queries, k=5, bits=4, tables=8)
+    lsh_pairs = {(r.query_id, r.neighbor_id) for r in lsh.collect()}
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    ivf = K.ann_ivf_topk(emb2, queries, k=5, nlist=8, nprobe=3)
+    ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall_ivf = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert recall_ivf >= 0.6, f"IVF recall too low: {recall_ivf}"
+
+
+def test_text_metrics_quality_langid(spark, docs):
+    m = X.quality_score(docs).select("doc_id", "n_tokens", "quality", "stopword_ratio").collect()
+    assert all(0 <= r.quality <= 1 for r in m)
+    assert all(r.n_tokens > 0 for r in m)
+    # langid: docs table is english word soup with some stopwords
+    lid = X.lang_id(docs.limit(50))
+    preds = [r.lang_pred for r in lid.collect()]
+    assert all(p in set(list(X._STOPWORDS) + ["und"]) for p in preds)
+    tc = docs.select(X.token_count("text").alias("n"), F.col("n_chars")).first()
+    assert tc.n > 0
+
+
+def test_fingerprints(spark, docs):
+    fp = X.fingerprint(docs).select("doc_id", "fingerprint")
+    assert fp.filter(F.col("fingerprint").isNull()).count() == 0
+    # same normalized text -> same fingerprint
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other text")], "id long, text string"
+    )
+    vals = {r.id: r.fingerprint for r in X.fingerprint(df).collect()}
+    assert vals[1] == vals[2] != vals[3]
+    wf = X.winnowing_fingerprints(docs.limit(20), "doc_id", "text")
+    assert wf.count() > 20  # several fingerprints per doc
+    assert wf.groupBy("id").count().count() == 20
+
+
+def test_multimodal_plumbing(spark):
+    import struct as st
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8 + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x00" * 10
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" * 8
+    wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"fmt " + b"\x00" * 4 + st.pack("<HH", 1, 2) + st.pack("<I", 44100) + b"\x00" * 8
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(gif))], "id long, image binary")
+    meta = {r.id: r.image_meta for r in M.image_metadata(df).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].format) == (640, 480, "png")
+    assert (meta[2].width, meta[2].height, meta[2].format) == (320, 200, "gif")
+
+    feats = M.image_features(df, dim=64).collect()
+    assert all(len(r.features) == 64 for r in feats)
+    s = sum(feats[0].features)
+    assert abs(s - 1.0) < 1e-3  # histogram normalized to unit mass
+
+    adf = spark.createDataFrame([(1, bytearray(wav))], "id long, audio binary")
+    am = M.audio_metadata(adf).collect()[0].audio_meta
+    assert am.sample_rate == 44100 and am.format == "wav"
+
+    with pytest.raises(NotImplementedError):
+        M.image_resize(df)
+    with pytest.raises(NotImplementedError):
+        M.video_frame_sample(df)
