@@ -360,7 +360,22 @@ def _centroid(g):
 
 
 st_centroid = _unary_geom(_centroid)
-st_distance = _binary(A.distance, T.DoubleType())
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance(a: pd.Series, b: pd.Series) -> pd.Series:
+    from . import fastpath
+
+    fast = fastpath.try_distance_batch(a, b)
+    if fast is None:
+        fast = fastpath.try_distance_batch(b, a)  # distance is symmetric
+    if fast is not None:
+        return fast
+    return pd.Series(
+        [None if (x is None or y is None) else A.distance(_g(x), _g(y)) for x, y in zip(a, b)]
+    )
+
+
 st_shortestline = _binary_geom(A.shortest_line)
 
 
@@ -688,13 +703,31 @@ def st_buffer_nseg(s: pd.Series, radius: pd.Series, nseg: pd.Series) -> pd.Serie
 # predicates (geos/functions/scalar/*.cpp)
 # --------------------------------------------------------------------------
 
-st_intersects = _binary(A.intersects, T.BooleanType())
-st_disjoint = _binary(A.disjoint, T.BooleanType())
-st_contains = _binary(A.contains, T.BooleanType())
+def _binary_pred(name, fn):
+    """Predicate UDF with the vectorized point-batch/constant fast path
+    (see fastpath.py); falls back to the per-row kernel."""
+
+    @F.pandas_udf(T.BooleanType())
+    def u(a: pd.Series, b: pd.Series) -> pd.Series:
+        from . import fastpath
+
+        fast = fastpath.try_predicate_batch(name, a, b)
+        if fast is not None:
+            return fast
+        return pd.Series(
+            [None if (x is None or y is None) else fn(_g(x), _g(y)) for x, y in zip(a, b)]
+        )
+
+    return u
+
+
+st_intersects = _binary_pred("intersects", A.intersects)
+st_disjoint = _binary_pred("disjoint", A.disjoint)
+st_contains = _binary_pred("contains", A.contains)
 st_containsproperly = _binary(A.contains_properly, T.BooleanType())
-st_within = _binary(A.within, T.BooleanType())
-st_covers = _binary(lambda a, b: A.covers(a, b), T.BooleanType())
-st_coveredby = _binary(A.covered_by, T.BooleanType())
+st_within = _binary_pred("within", A.within)
+st_covers = _binary_pred("covers", lambda a, b: A.covers(a, b))
+st_coveredby = _binary_pred("covered_by", A.covered_by)
 st_crosses = _binary(A.crosses, T.BooleanType())
 st_overlaps = _binary(A.overlaps, T.BooleanType())
 st_touches = _binary(A.touches, T.BooleanType())

@@ -523,10 +523,43 @@ def crosses(a: Geometry, b: Geometry) -> bool:
     return False
 
 
+def _collinear_overlap_len(a: Geometry, b: Geometry) -> float:
+    """Total length of collinear segment overlap between two geometries."""
+    total = 0.0
+    for aa in a.coord_arrays():
+        for i in range(len(aa) - 1):
+            p, q = aa[i, :2], aa[i + 1, :2]
+            d = q - p
+            L2 = float(d[0] * d[0] + d[1] * d[1])
+            if L2 == 0:
+                continue
+            for bb in b.coord_arrays():
+                for j in range(len(bb) - 1):
+                    r, s = bb[j, :2], bb[j + 1, :2]
+                    if (
+                        _cross(p[0], p[1], q[0], q[1], r[0], r[1]) != 0
+                        or _cross(p[0], p[1], q[0], q[1], s[0], s[1]) != 0
+                    ):
+                        continue
+                    t0 = float((r - p) @ d) / L2
+                    t1 = float((s - p) @ d) / L2
+                    lo, hi = max(0.0, min(t0, t1)), min(1.0, max(t0, t1))
+                    if hi > lo:
+                        total += (hi - lo) * math.sqrt(L2)
+    return total
+
+
 def overlaps(a: Geometry, b: Geometry) -> bool:
-    if _dimension(a) != _dimension(b):
+    """OGC overlaps: same dimension, interiors intersect IN THAT dimension,
+    neither covers the other. For lines a mere point-crossing is not an
+    overlap — the shared piece must have positive length."""
+    da, db = _dimension(a), _dimension(b)
+    if da != db:
         return False
-    if not _interiors_intersect(a, b):
+    if da == 1:
+        if _collinear_overlap_len(a, b) <= 0:
+            return False
+    elif not _interiors_intersect(a, b):
         return False
     return not covers(a, b) and not covers(b, a)
 

@@ -1,0 +1,85 @@
+"""Streaming spatial / dedup pipelines (Structured Streaming).
+
+Batch parity: each function also accepts a batch DataFrame (Spark's
+unified API), so the same plan is testable synchronously and deployable
+on a stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def streaming_envelope_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+    envelope=(450.0, 450.0, 650.0, 650.0),
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Geofence hit counts per event-time window.
+
+    The spatial predicate is the native columnar kernel (pure comparisons),
+    so the streaming plan contains no Python and supports watermarked state
+    cleanup — the 100-TB/day shape."""
+    from ..functions import native
+
+    hit = native.point_in_box(
+        F.col(x_col), F.col(y_col), envelope[0], envelope[1], envelope[2], envelope[3]
+    )
+    out = events.filter(hit)
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark)
+    return out.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
+        F.count("*").alias("n_hits")
+    ).select(F.col("w.start").alias("window_start"), "n_hits")
+
+
+def streaming_session_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each content fingerprint
+    wins; later duplicates are dropped across micro-batches via
+    applyInPandasWithState (GroupState keyed by fingerprint)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.textops import fingerprint
+
+    fp = fingerprint(docs, text_col).withColumn("fp", F.col("fingerprint")).drop("fingerprint")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fp", T.LongType()),
+            T.StructField(id_col, T.LongType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedupe(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter([])
+        first_id = None
+        for pdf in pdfs:
+            if len(pdf):
+                mn = int(pdf[id_col].min())
+                first_id = mn if first_id is None else min(first_id, mn)
+        state.update((True,))
+        if first_id is None:
+            return iter([])
+        return iter([pd.DataFrame({"fp": [key[0]], id_col: [first_id]})])
+
+    if fp.isStreaming:
+        return fp.groupBy("fp").applyInPandasWithState(
+            dedupe, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    # batch parity path
+    from ..operators.dedup import dedup_exact
+
+    return dedup_exact(fp, "fp", id_col=id_col).select("fp", id_col)
