@@ -1054,10 +1054,11 @@ def buffer(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
         if len(polys) == 1:
             return polys[0]
         return union_all(polys)
-    raise NotImplementedError(
-        "ST_Buffer of lines/polygons requires offset-curve construction; "
-        "only point buffers are supported in this round"
-    )
+    # lines / polygons / mixed: union of convex parts (vertex circles +
+    # segment rectangles + polygon body); negative radius erodes
+    from .overlay import buffer_general
+
+    return buffer_general(g, radius, nseg)
 
 
 # ---------------------------------------------------------------------------
@@ -1235,10 +1236,10 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
         return b
     if not intersects(a, b):
         return G.empty(G.GEOMETRYCOLLECTION)
-    raise NotImplementedError(
-        "general concave×concave overlay not yet supported (round-2); "
-        "one operand must be convex"
-    )
+    # general concave x concave: triangle-decomposition overlay
+    from .overlay import intersection_tri
+
+    return intersection_tri(a, b)
 
 
 def difference(a: Geometry, b: Geometry) -> Geometry:
@@ -1256,7 +1257,19 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
         if not is_convex_polygon(bp):
             if not intersects(a, bp):
                 continue
-            raise NotImplementedError("difference with concave polygon (round-2)")
+            # concave subtrahend: triangle-decomposition difference
+            from .overlay import difference_tri
+
+            nxt = []
+            for part in result_parts:
+                if part.tag != G.POLYGON:
+                    if not covers(bp, part):
+                        nxt.append(part)
+                    continue
+                d = difference_tri(part, bp)
+                nxt.extend(d.flatten())
+            result_parts = nxt
+            continue
         planes = _convex_edges(bp.data[0])
         next_parts = []
         for part in result_parts:

@@ -1,0 +1,92 @@
+"""General (concave) overlay, triangulation, and general buffers."""
+
+import math
+
+import numpy as np
+import pytest
+
+from duckdb_spatial_spark.geo import algorithms as A, from_wkt, geom as G
+from duckdb_spatial_spark.geo.triangulate import triangulate_polygon
+
+# L-shaped concave polygon, area 3
+L_SHAPE = "POLYGON ((0 0, 2 0, 2 1, 1 1, 1 2, 0 2, 0 0))"
+# U-shaped concave polygon, area 5
+U_SHAPE = "POLYGON ((0 0, 3 0, 3 2, 2 2, 2 1, 1 1, 1 2, 0 2, 0 0))"
+# square with hole, area 8
+HOLED = "POLYGON ((0 0, 3 0, 3 3, 0 3, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+
+
+def test_triangulation_areas():
+    for wkt, expected in [(L_SHAPE, 3.0), (U_SHAPE, 5.0), (HOLED, 8.0)]:
+        tris = triangulate_polygon(from_wkt(wkt))
+        total = sum(abs(np.cross(t[1] - t[0], t[2] - t[0])) / 2 for t in tris)
+        assert abs(total - expected) < 1e-9, wkt
+
+
+def test_concave_intersection():
+    l_shape = from_wkt(L_SHAPE)
+    # concave x concave: L and its mirror overlap in [0,1]x[0,1] + corners
+    sq = from_wkt("POLYGON ((0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))")
+    inter = A.intersection(l_shape, sq)
+    # region of sq inside L: area = 0.75 (sq minus the [1,1.5]x[1,1.5] notch
+    # and nothing else: L covers x<=2,y<=1 and x<=1,y<=2)
+    assert abs(A.area(inter) - 0.75) < 1e-9
+    # concave x concave including holes
+    inter2 = A.intersection(from_wkt(HOLED), from_wkt(U_SHAPE))
+    # U area 5; holed square covers [0,3]x[0,2] portion of U except hole
+    # U ∩ [0,3]x[0,3] = U (area 5); minus hole overlap: hole [1,2]x[1,2] ∩ U =
+    # x in [1,2], y in [1,2]: U has the notch [1,2]x[1,2) removed -> overlap 0
+    assert abs(A.area(inter2) - 5.0) < 1e-9
+
+
+def test_concave_union_difference():
+    a = from_wkt(L_SHAPE)
+    b = from_wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))")  # fills the notch
+    u = A.union(a, b)
+    assert abs(A.area(u) - 4.0) < 1e-9
+    d = A.difference(a, b)
+    assert abs(A.area(d) - 3.0) < 1e-9  # disjoint interiors (b is the notch)
+    # subtract overlapping concave from concave
+    c = from_wkt("POLYGON ((0.5 0.5, 2.5 0.5, 2.5 1.5, 1.5 1.5, 1.5 2.5, 0.5 2.5, 0.5 0.5))")
+    d2 = A.difference(a, c)
+    inter_ac = A.intersection(a, c)
+    assert abs(A.area(d2) - (3.0 - A.area(inter_ac))) < 1e-9
+    u2 = A.union(a, c)
+    assert abs(A.area(u2) - (3.0 + A.area(c) - A.area(inter_ac))) < 1e-9
+
+
+def test_union_all_concave():
+    shapes = [from_wkt(L_SHAPE), from_wkt(U_SHAPE)]
+    u = A.union_all(shapes)
+    inter = A.intersection(from_wkt(L_SHAPE), from_wkt(U_SHAPE))
+    expected = 3.0 + 5.0 - A.area(inter)
+    assert abs(A.area(u) - expected) < 1e-9
+
+
+def test_line_buffer():
+    line = from_wkt("LINESTRING (0 0, 10 0)")
+    buf = A.buffer(line, 1.0)
+    # area ~ rectangle 10x2 + circle pi (two half circles at the ends)
+    expected = 20.0 + math.pi
+    assert abs(A.area(buf) - expected) / expected < 0.03
+    # every original vertex strictly inside
+    assert A.intersects(buf, from_wkt("POINT (5 0)"))
+    assert A.intersects(buf, from_wkt("POINT (0 0.9)"))
+    assert not A.intersects(buf, from_wkt("POINT (5 1.5)"))
+
+
+def test_polygon_buffer():
+    sq = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    buf = A.buffer(sq, 1.0)
+    # area ~ 16 + perimeter*r + pi*r^2 = 16 + 16 + pi
+    expected = 32.0 + math.pi
+    assert abs(A.area(buf) - expected) / expected < 0.03
+    erode = A.buffer(sq, -1.0)
+    assert abs(A.area(erode) - 4.0) < 0.25  # inner 2x2 square (circle approx)
+
+
+def test_bowtie_makevalid_then_overlay():
+    bow = A.make_valid(from_wkt("POLYGON ((0 0, 1 1, 1 0, 0 1, 0 0))"))
+    sq = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
+    inter = A.intersection(sq, bow)
+    assert abs(A.area(inter) - 0.5) < 1e-9
