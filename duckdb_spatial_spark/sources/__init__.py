@@ -8,3 +8,4 @@ from .geojson import (  # noqa: F401
     st_read_meta,
     write_geojson,
 )
+from .shapefile import read_shapefile, write_shapefile  # noqa: F401
