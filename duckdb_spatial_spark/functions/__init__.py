@@ -21,6 +21,9 @@ from .udfs import *  # noqa: F401,F403
 _REGISTRY = {
     # constructors
     "st_point": udfs.st_point,
+    "st_point2d": udfs.st_point,
+    "st_point3d": udfs.st_point3d,
+    "st_point4d": udfs.st_point4d,
     "st_makeenvelope": udfs.st_makeenvelope,
     "st_makeline": udfs.st_makeline,
     "st_makeline2": udfs.st_makeline2,

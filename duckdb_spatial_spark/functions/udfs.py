@@ -136,6 +136,29 @@ def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(T.BinaryType())
+def st_point3d(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+    """ST_Point3D / ST_PointZ (reference st_point.cpp overloads)."""
+    return pd.Series(
+        [
+            None if (a is None or b is None or c is None) else _wkb(G.point(float(a), float(b), float(c)))
+            for a, b, c in zip(x, y, z)
+        ]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_point4d(x: pd.Series, y: pd.Series, z: pd.Series, m: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None
+            if (a is None or b is None or c is None or d is None)
+            else _wkb(G.point(float(a), float(b), float(c), float(d)))
+            for a, b, c, d in zip(x, y, z, m)
+        ]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
 def st_makeenvelope(min_x: pd.Series, min_y: pd.Series, max_x: pd.Series, max_y: pd.Series) -> pd.Series:
     out = []
     for a, b, c, d in zip(min_x, min_y, max_x, max_y):
