@@ -123,6 +123,20 @@ def main():
             )
             st_join(pts, rects, predicate="within").count()
 
+        @bench("spatial_join_native")
+        def _():
+            # native lane: whole join JVM-side (PLANS.md) — the ingested-data path
+            pts = spark.sql(pts_sql)
+            rects = spark.sql(
+                "SELECT p_partkey AS rid, CAST(p_partkey * 7919 % 9900 AS DOUBLE) AS mnx,"
+                " CAST(p_partkey * 104729 % 9900 AS DOUBLE) AS mny FROM part"
+            ).selectExpr("rid", "mnx", "mny", "mnx + 50.0 AS mxx", "mny + 50.0 AS mxy")
+            st_join(
+                pts, rects, predicate="within",
+                left_point=("x", "y"), right_bbox=("mnx", "mny", "mxx", "mxy"),
+                right_is_box=True,
+            ).count()
+
         @bench("tpch_q1")
         def _():
             spark.sql(

@@ -143,12 +143,21 @@ def st_join(
     cell_size: float | None = None,
     distance: float | None = None,
     broadcast_threshold: int = 100_000,
+    left_point: tuple | None = None,
+    right_bbox: tuple | None = None,
+    right_is_box: bool = False,
 ) -> DataFrame:
     """Spatial join of two DataFrames on a spatial predicate.
 
     how: inner | left_semi | left_anti | left. Column name clashes on the
     right side get a ``_right`` suffix (geometry columns included).
-    """
+
+    Native fast lane (the 100-TB path): pass ``left_point=("x", "y")``
+    and/or ``right_bbox=("mnx", "mny", "mxx", "mxy")`` to build the bbox
+    sidecars from plain columns (no Python). With ``right_is_box=True``
+    and a point left side, within/intersects/covered_by/dwithin joins
+    skip the exact-recheck UDF entirely — the whole join is JVM-side
+    (bbox test IS the exact test for point×box)."""
     if predicate not in _PREDICATES:
         raise ValueError(f"unsupported predicate {predicate!r}; supported: {sorted(_PREDICATES)}")
     if predicate == "dwithin" and distance is None:
@@ -163,9 +172,50 @@ def st_join(
         right = right.withColumnRenamed(old, new)
     if right_geom in renames:
         right_geom = renames[right_geom]
+    if right_bbox is not None:
+        right_bbox = tuple(renames.get(c, c) for c in right_bbox)
 
-    lb = _with_bbox(left, left_geom, "l")
-    rb = _with_bbox(right, right_geom, "r")
+    if left_point is not None:
+        px, py = (F.col(c) for c in left_point)
+        lb = left.withColumn(
+            "l_bbox",
+            F.struct(px.alias("min_x"), py.alias("min_y"), px.alias("max_x"), py.alias("max_y")),
+        ).filter(px.isNotNull() & py.isNotNull())
+    else:
+        lb = _with_bbox(left, left_geom, "l")
+    if right_bbox is not None:
+        c0, c1, c2, c3 = (F.col(c) for c in right_bbox)
+        rb = right.withColumn(
+            "r_bbox",
+            F.struct(c0.alias("min_x"), c1.alias("min_y"), c2.alias("max_x"), c3.alias("max_y")),
+        ).filter(c0.isNotNull() & c2.isNotNull())
+    else:
+        rb = _with_bbox(right, right_geom, "r")
+
+    # point x box: the bbox comparison IS the exact predicate -> no UDF
+    native_exact = None
+    if left_point is not None and right_is_box:
+        if predicate == "within":
+            native_exact = (
+                (F.col("l_bbox.min_x") > F.col("r_bbox.min_x"))
+                & (F.col("l_bbox.min_x") < F.col("r_bbox.max_x"))
+                & (F.col("l_bbox.min_y") > F.col("r_bbox.min_y"))
+                & (F.col("l_bbox.min_y") < F.col("r_bbox.max_y"))
+            )
+        elif predicate in ("intersects", "covered_by"):
+            native_exact = F.lit(True)  # bbox-overlap prefilter already exact
+        elif predicate == "dwithin":
+            dx = F.greatest(
+                F.col("r_bbox.min_x") - F.col("l_bbox.min_x"),
+                F.col("l_bbox.min_x") - F.col("r_bbox.max_x"),
+                F.lit(0.0),
+            )
+            dy = F.greatest(
+                F.col("r_bbox.min_y") - F.col("l_bbox.min_y"),
+                F.col("l_bbox.min_y") - F.col("r_bbox.max_y"),
+                F.lit(0.0),
+            )
+            native_exact = F.sqrt(dx * dx + dy * dy) <= F.lit(float(distance))
 
     if strategy == "auto":
         strategy = "grid"
@@ -173,7 +223,9 @@ def st_join(
     if strategy == "broadcast":
         joined = _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, right)
     else:
-        joined = _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance)
+        joined = _grid_join(
+            lb, rb, predicate, left_geom, right_geom, cell_size, distance, native_exact
+        )
 
     if how == "inner":
         return joined
@@ -191,7 +243,7 @@ def st_join(
     raise ValueError(f"unsupported how={how!r}")
 
 
-def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance):
+def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance, native_exact=None):
     pad = float(distance or 0.0)
     params = _grid_params(lb, rb, "l", "r", cell_size, pad)
     out_cols = [c for c in lb.columns if c != "l_bbox"] + [c for c in rb.columns if c != "r_bbox"]
@@ -216,13 +268,16 @@ def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance):
         F.floor((ref_x - ox) / cs).cast("long") * _CELL_SHIFT + F.floor((ref_y - oy) / cs).cast("long")
     )
 
-    recheck = _make_recheck_udf(predicate, distance)
     pairs = (
         lc.join(rc, on=lc["l_cell"] == rc["r_cell"], how="inner")
         .filter(bbox_overlap)
         .filter(F.col("l_cell") == ref_cell)
-        .filter(recheck(F.col(left_geom), F.col(right_geom)))
     )
+    if native_exact is not None:
+        pairs = pairs.filter(native_exact)  # pure Column — whole join JVM-side
+    else:
+        recheck = _make_recheck_udf(predicate, distance)
+        pairs = pairs.filter(recheck(F.col(left_geom), F.col(right_geom)))
     return pairs.select(*out_cols)
 
 

@@ -130,3 +130,45 @@ def test_join_null_and_empty_geoms(spark):
     rects = _mk_rects(spark, m=10, seed=10)
     got = st_join(pts_with_null, rects, predicate="within")
     assert got.filter(F.col("geom").isNull()).count() == 0
+
+
+def test_native_point_box_join(spark):
+    """Native fast lane (left_point + right_is_box) must equal the
+    geometry-path result, with zero Python in the plan."""
+    import random
+
+    rng = random.Random(11)
+    pts_rows = [(i, rng.uniform(0, 100), rng.uniform(0, 100)) for i in range(400)]
+    pts = spark.createDataFrame(pts_rows, "pid long, x double, y double")
+    rect_rows = []
+    for i in range(50):
+        x1, y1 = rng.uniform(0, 90), rng.uniform(0, 90)
+        rect_rows.append((i, x1, y1, x1 + rng.uniform(1, 10), y1 + rng.uniform(1, 10)))
+    rects = spark.createDataFrame(rect_rows, "rid long, mnx double, mny double, mxx double, mxy double")
+
+    native = st_join(
+        pts, rects, predicate="within",
+        left_point=("x", "y"), right_bbox=("mnx", "mny", "mxx", "mxy"), right_is_box=True,
+    )
+    native_pairs = {(r.pid, r.rid) for r in native.select("pid", "rid").collect()}
+
+    # geometry-path oracle
+    gp = pts.withColumn("geom", udfs.st_point("x", "y")).select("pid", "geom")
+    gr = rects.withColumn(
+        "geom", udfs.st_makeenvelope("mnx", "mny", "mxx", "mxy")
+    ).select("rid", "geom")
+    geom_pairs = {(r.pid, r.rid) for r in st_join(gp, gr, predicate="within").select("pid", "rid").collect()}
+    assert native_pairs == geom_pairs and len(native_pairs) > 50
+
+    plan = native._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # dwithin native lane
+    nd = st_join(
+        pts, rects, predicate="dwithin", distance=3.0,
+        left_point=("x", "y"), right_bbox=("mnx", "mny", "mxx", "mxy"), right_is_box=True,
+    )
+    gd = st_join(gp, gr, predicate="dwithin", distance=3.0)
+    assert {(r.pid, r.rid) for r in nd.select("pid", "rid").collect()} == {
+        (r.pid, r.rid) for r in gd.select("pid", "rid").collect()
+    }
