@@ -1,0 +1,118 @@
+"""Property-based kernel tests (hypothesis) — mirrors the reference's
+randomized fuzz strategy (test/python/rtree_fuzz.py) at the kernel level."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from duckdb_spatial_spark.geo import algorithms as A, from_wkb, from_wkt, geom as G, to_wkb, to_wkt
+
+coord = st.floats(-1000, 1000, allow_nan=False, allow_infinity=False).map(lambda v: round(v, 6))
+
+
+@st.composite
+def points(draw):
+    return G.point(draw(coord), draw(coord))
+
+
+@st.composite
+def linestrings(draw):
+    n = draw(st.integers(2, 8))
+    return G.linestring([[draw(coord), draw(coord)] for _ in range(n)])
+
+
+@st.composite
+def boxes(draw):
+    x1, y1 = draw(coord), draw(coord)
+    w = draw(st.floats(0.001, 100)).__round__(6)
+    h = draw(st.floats(0.001, 100)).__round__(6)
+    return G.box_polygon(x1, y1, x1 + w, y1 + h)
+
+
+any_geom = st.one_of(points(), linestrings(), boxes())
+
+
+@given(any_geom)
+@settings(max_examples=150, deadline=None)
+def test_wkb_roundtrip(g):
+    assert to_wkt(from_wkb(to_wkb(g))) == to_wkt(g)
+
+
+@given(any_geom)
+@settings(max_examples=150, deadline=None)
+def test_wkt_roundtrip(g):
+    assert to_wkt(from_wkt(to_wkt(g))) == to_wkt(g)
+
+
+@given(any_geom, any_geom)
+@settings(max_examples=100, deadline=None)
+def test_predicate_duality(a, b):
+    assert A.intersects(a, b) == A.intersects(b, a)
+    assert A.disjoint(a, b) == (not A.intersects(a, b))
+    assert A.within(a, b) == A.contains(b, a)
+    assert A.covered_by(a, b) == A.covers(b, a)
+    if A.contains(a, b):
+        assert A.covers(a, b)  # contains implies covers
+    if A.within(a, b):
+        assert A.intersects(a, b)  # within implies intersects
+
+
+@given(any_geom, any_geom)
+@settings(max_examples=100, deadline=None)
+def test_distance_symmetry_and_consistency(a, b):
+    d1, d2 = A.distance(a, b), A.distance(b, a)
+    assert abs(d1 - d2) < 1e-9
+    assert (d1 == 0.0) == A.intersects(a, b)
+
+
+@given(boxes(), boxes())
+@settings(max_examples=80, deadline=None)
+def test_box_overlay_area_algebra(a, b):
+    ia = A.area(A.intersection(a, b))
+    ua = A.area(A.union(a, b))
+    da = A.area(A.difference(a, b))
+    assert abs((ia + ua) - (A.area(a) + A.area(b))) < 1e-6  # inclusion-exclusion
+    assert abs(da - (A.area(a) - ia)) < 1e-6
+    assert ia >= -1e-12 and ua <= A.area(a) + A.area(b) + 1e-9
+
+
+@given(any_geom)
+@settings(max_examples=100, deadline=None)
+def test_invariants_under_transform(g):
+    assert abs(A.area(A.reverse(g)) - A.area(g)) < 1e-9
+    assert abs(A.length(A.reverse(g)) - A.length(g)) < 1e-9
+    assert abs(A.area(A.normalize(g)) - A.area(g)) < 1e-9
+    fl = A.flip_coordinates(A.flip_coordinates(g))
+    assert to_wkt(fl) == to_wkt(g)
+    b1 = A.bounds(g)
+    b2 = A.bounds(A.flip_coordinates(g))
+    if b1 is not None:
+        assert b2 == (b1[1], b1[0], b1[3], b1[2])
+
+
+@given(boxes(), st.floats(0.01, 5).map(lambda v: round(v, 4)))
+@settings(max_examples=40, deadline=None)
+def test_buffer_grows_area(b, r):
+    buf = A.buffer(b, r)
+    assert A.area(buf) > A.area(b)
+    assert A.covers(buf, b) or A.area(A.difference(b, buf)) < 1e-6
+
+
+@given(linestrings(), st.floats(0.001, 10))
+@settings(max_examples=60, deadline=None)
+def test_simplify_reduces_points(l, tol):
+    s = A.simplify(l, tol)
+    assert s.num_points() <= l.num_points()
+    assert s.num_points() >= 2
+    # endpoints preserved
+    assert np.array_equal(s.data[0], l.data[0]) and np.array_equal(s.data[-1], l.data[-1])
+
+
+@given(st.lists(points(), min_size=1, max_size=20))
+@settings(max_examples=60, deadline=None)
+def test_hull_contains_all_points(pts):
+    mp = G.collect(pts)
+    hull = A.convex_hull(mp)
+    for p in pts:
+        assert A.covers(hull, p) or A.distance(hull, p) < 1e-9
