@@ -486,6 +486,15 @@ st_mmax = _unary(_zm_minmax("m", False), T.DoubleType())
 
 @F.pandas_udf(BOX_2D)
 def st_extent(s: pd.Series) -> pd.DataFrame:
+    from . import fastpath
+
+    pa = fastpath.points_xy(s)  # point batch: bbox IS the point (one numpy pass)
+    if pa is not None:
+        xs, ys, mask = pa
+        df = pd.DataFrame({"min_x": xs, "min_y": ys, "max_x": xs, "max_y": ys})
+        if not mask.all():
+            df[~mask] = None
+        return df
     rows = []
     for b in s:
         bb = A.bounds(_g(b)) if b is not None else None

@@ -117,6 +117,39 @@ def _make_recheck_udf(predicate: str, distance):
 
     @F.pandas_udf(T.BooleanType())
     def recheck(a: pd.Series, b: pd.Series) -> pd.Series:
+        # vectorized lane: left side all 2D-point WKBs (the dominant join
+        # shape) -> group rows by the right geometry and run one numpy
+        # point-in-polygon per distinct geometry instead of per pair
+        if predicate in ("within", "intersects", "covered_by"):
+            from ..functions import fastpath
+
+            pa = fastpath.points_xy(a)
+            if pa is not None:
+                xs, ys, mask = pa
+                out = np.zeros(len(a), dtype=bool)
+                groups: dict = {}
+                bvals = b.to_numpy(dtype=object)
+                for i, bv in enumerate(bvals):
+                    if bv is None or not mask[i]:
+                        continue
+                    groups.setdefault(bytes(bv), []).append(i)
+                vectorized = True
+                results = {}
+                for bb, idxs in groups.items():
+                    g = udfs._g(bb)
+                    ii = np.asarray(idxs)
+                    st_arr = fastpath._poly_state_or_none((xs[ii], ys[ii], None), g)
+                    if st_arr is None:
+                        vectorized = False
+                        break
+                    if predicate == "within":
+                        results[bb] = (ii, st_arr == 2)
+                    else:
+                        results[bb] = (ii, st_arr >= 1)
+                if vectorized:
+                    for ii, vals in results.values():
+                        out[ii] = vals
+                    return pd.Series(out)
         out = []
         for x, y in zip(a, b):
             if x is None or y is None:
@@ -218,7 +251,19 @@ def st_join(
             native_exact = F.sqrt(dx * dx + dy * dy) <= F.lit(float(distance))
 
     if strategy == "auto":
+        # broadcast when the build side is small by plan statistics (the
+        # analog of Spark's own autoBroadcastJoinThreshold); native-exact
+        # grid is already UDF-free so prefer it when available
         strategy = "grid"
+        if native_exact is None and right_geom in rb.columns:
+            try:
+                # broadcast probe is Python-per-row: only worth it for tiny
+                # build sides (measured: 20k-geometry side is faster via grid)
+                size = int(rb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+                if size < 256 * 1024:
+                    strategy = "broadcast"
+            except Exception:
+                pass
 
     if strategy == "broadcast":
         joined = _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, right)
