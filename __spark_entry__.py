@@ -158,6 +158,53 @@ def q_spatial_line_length(spark, sf_dir):
     )
 
 
+def q_spatial_perimeter(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT rid, round(ST_Perimeter(ST_MakeEnvelope(mx, my, mx + w, my + h)), 6) AS perim
+        FROM ({_RECTS})
+        """
+    )
+
+
+def q_spatial_makeline_npoints(spark, sf_dir):
+    """ST_MakeLine + ST_NPoints semantics: <2 usable points -> EMPTY (0)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey AS id,
+               ST_NPoints(ST_MakeLine(
+                 transform(
+                   array_sort(collect_list(struct(l_linenumber AS ln,
+                     ST_Point(CAST(l_partkey % 500 AS DOUBLE),
+                              CAST(l_suppkey % 500 AS DOUBLE)) AS pt))),
+                   s -> s.pt))) AS np
+        FROM lineitem WHERE l_orderkey % 25 = 0
+        GROUP BY l_orderkey
+        """
+    )
+
+
+def q_spatial_makeline_astext(spark, sf_dir):
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_orderkey AS id,
+               ST_AsText(ST_MakeLine(
+                 transform(
+                   array_sort(collect_list(struct(l_linenumber AS ln,
+                     CAST(l_partkey % 500 AS DOUBLE) AS x,
+                     CAST(l_suppkey % 500 AS DOUBLE) AS y,
+                     ST_Point(CAST(l_partkey % 500 AS DOUBLE),
+                              CAST(l_suppkey % 500 AS DOUBLE)) AS pt))),
+                   s -> s.pt))) AS wkt
+        FROM lineitem WHERE l_orderkey % 50 = 0
+        GROUP BY l_orderkey
+        """
+    )
+
+
 def q_spatial_centroid(spark, sf_dir):
     _prep(spark, sf_dir)
     return spark.sql(
@@ -558,6 +605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_distance": q_spatial_distance,
         "spatial_distance_sphere": q_spatial_distance_sphere,
         "spatial_line_length": q_spatial_line_length,
+        "spatial_perimeter": q_spatial_perimeter,
+        "spatial_makeline_npoints": q_spatial_makeline_npoints,
+        "spatial_makeline_astext": q_spatial_makeline_astext,
         "spatial_centroid": q_spatial_centroid,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_dwithin_join_count": q_spatial_dwithin_join_count,
@@ -631,6 +681,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spatial_centroid": f"""
             SELECT rid, round(mx + w / 2, 6) AS cx, round(my + h / 2, 6) AS cy FROM ({rects})
+        """,
+        "spatial_perimeter": f"""
+            SELECT rid, round(2 * (w + h), 6) AS perim FROM ({rects})
+        """,
+        "spatial_makeline_npoints": """
+            SELECT l_orderkey AS id,
+                   CAST(CASE WHEN count(*) < 2 THEN 0 ELSE count(*) END AS INT) AS np
+            FROM lineitem WHERE l_orderkey % 25 = 0
+            GROUP BY l_orderkey
+        """,
+        "spatial_makeline_astext": """
+            SELECT l_orderkey AS id,
+                   CASE WHEN count(*) < 2 THEN 'LINESTRING EMPTY'
+                        ELSE 'LINESTRING (' || string_agg(
+                               CAST(l_partkey % 500 AS BIGINT) || ' ' || CAST(l_suppkey % 500 AS BIGINT),
+                               ', ' ORDER BY l_linenumber, l_partkey % 500, l_suppkey % 500) || ')'
+                   END AS wkt
+            FROM lineitem WHERE l_orderkey % 50 = 0
+            GROUP BY l_orderkey
         """,
         "spatial_join_point_in_rect": f"""
             SELECT rid, count(*) AS n
