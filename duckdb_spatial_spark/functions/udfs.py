@@ -344,7 +344,12 @@ def st_assvg(s: pd.Series, rel: pd.Series, precision: pd.Series) -> pd.Series:
     """SVG path data (reference st_assvg.cpp): points -> cx/cy, else path."""
 
     def fmt(v, p):
-        return f"{v:.{int(p)}f}".rstrip("0").rstrip(".")
+        s = f"{v:.{int(p)}f}"
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        if s in ("", "-", "-0"):
+            s = "0"
+        return s
 
     def mk(b, r, p):
         if b is None:
@@ -354,7 +359,8 @@ def st_assvg(s: pd.Series, rel: pd.Series, precision: pd.Series) -> pd.Series:
         parts = []
         for leaf in g.flatten():
             if leaf.tag == G.POINT:
-                parts.append(f'cx="{fmt(leaf.data[0], p)}" cy="{fmt(-0 + leaf.data[1] * -1, p)}"')
+                # SVG y axis points down: negate y (PostGIS convention)
+                parts.append(f'cx="{fmt(leaf.data[0], p)}" cy="{fmt(-leaf.data[1], p)}"')
             elif leaf.tag == G.LINESTRING:
                 arr = leaf.data
                 seg = "M " + " L ".join(f"{fmt(v[0], p)} {fmt(-v[1], p)}" for v in arr)

@@ -428,11 +428,43 @@ def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, ri
     def probe(batches):
         import functools
 
+        from ..functions import fastpath
+
         index, boxes_np, wkbs, payload, ox, oy, cs = bc.value
         parse = functools.lru_cache(maxsize=None)(lambda i: WKB.from_wkb(wkbs[i]))
         pred = _PREDICATES[pred_name]
         pad = float(dist or 0.0)
         for pdf in batches:
+            # vectorized lane: all-point probe side + polygon build side
+            if pred_name in ("within", "intersects", "covered_by") and len(pdf):
+                pa = fastpath.points_xy(pdf.iloc[:, lg_idx])
+                if pa is not None:
+                    xs, ys, mask = pa
+                    out_rows = []
+                    for i in range(len(wkbs)):
+                        bb = boxes_np[i]
+                        cand = (
+                            (xs >= bb[0] - pad)
+                            & (xs <= bb[2] + pad)
+                            & (ys >= bb[1] - pad)
+                            & (ys <= bb[3] + pad)
+                            & mask
+                        )
+                        if not cand.any():
+                            continue
+                        idxs = np.nonzero(cand)[0]
+                        st_arr = fastpath._poly_state_or_none((xs[idxs], ys[idxs], None), parse(i))
+                        if st_arr is None:
+                            break  # build side not polygonal: per-row path
+                        ok = st_arr == 2 if pred_name == "within" else st_arr >= 1
+                        for j in idxs[ok]:
+                            out_rows.append(list(pdf.iloc[j]) + payload[i])
+                    else:
+                        if out_rows:
+                            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+                        else:
+                            yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
+                        continue
             out_rows = []
             for row in pdf.itertuples(index=False):
                 b = row[lg_idx]
