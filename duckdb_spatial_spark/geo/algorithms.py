@@ -1065,6 +1065,14 @@ def buffer(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
 # overlay: exact for convex second operand (half-plane clipping)
 # ---------------------------------------------------------------------------
 
+def _maybe_dissolve(g: Geometry) -> Geometry:
+    """Dissolve fragmented multi-piece overlay output at the API boundary."""
+    if g.tag == G.MULTIPOLYGON and len(g.data) > 1:
+        from .dissolve import try_dissolve
+
+        return try_dissolve(g)
+    return g
+
 def _is_convex_ring(ring: np.ndarray) -> bool:
     r = ring[:-1, :2]
     n = len(r)
@@ -1229,7 +1237,7 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
                 out.extend(r.flatten())
         if not out:
             return G.empty(G.GEOMETRYCOLLECTION)
-        return out[0] if len(out) == 1 else G.collect(out)
+        return _maybe_dissolve(out[0] if len(out) == 1 else G.collect(out))
     if covers(b, a):
         return a
     if covers(a, b):
@@ -1294,7 +1302,9 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
     result_parts = [p for p in result_parts if not p.is_empty()]
     if not result_parts:
         return G.empty(G.GEOMETRYCOLLECTION)
-    return result_parts[0] if len(result_parts) == 1 else G.collect(result_parts)
+    return _maybe_dissolve(
+        result_parts[0] if len(result_parts) == 1 else G.collect(result_parts)
+    )
 
 
 def union(a: Geometry, b: Geometry) -> Geometry:
@@ -1313,7 +1323,7 @@ def union(a: Geometry, b: Geometry) -> Geometry:
         return b
     diff = difference(a, b)
     parts = list(b.flatten()) + list(diff.flatten())
-    return parts[0] if len(parts) == 1 else G.collect(parts)
+    return _maybe_dissolve(parts[0] if len(parts) == 1 else G.collect(parts))
 
 
 def union_all(geoms) -> Geometry:

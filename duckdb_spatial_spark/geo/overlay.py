@@ -31,13 +31,20 @@ def _tri_poly(tri: np.ndarray) -> Geometry:
     return Geometry(G.POLYGON, [np.vstack([tri, tri[:1]])])
 
 
-def _pieces_to_geom(pieces) -> Geometry:
+def _pieces_to_geom(pieces, dissolve: bool = False) -> Geometry:
     pieces = [p for p in pieces if not p.is_empty() and A.area(p) > 0]
     if not pieces:
         return G.empty(G.GEOMETRYCOLLECTION)
     if len(pieces) == 1:
         return pieces[0]
-    return Geometry(G.MULTIPOLYGON, pieces)
+    frag = Geometry(G.MULTIPOLYGON, pieces)
+    # dissolve only at API boundaries (O(edges x pieces)); internal overlay
+    # chains pass dissolve=False and stay fragmented
+    if dissolve and len(pieces) <= 256:
+        from .dissolve import try_dissolve
+
+        return try_dissolve(frag)
+    return frag
 
 
 def _subtract_convex(piece: Geometry, clip_planes) -> list:
@@ -52,7 +59,7 @@ def _subtract_convex(piece: Geometry, clip_planes) -> list:
     return out
 
 
-def intersection_tri(ga: Geometry, gb: Geometry) -> Geometry:
+def intersection_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometry:
     tas = triangulate(ga)
     tbs = triangulate(gb)
     pieces = []
@@ -71,10 +78,10 @@ def intersection_tri(ga: Geometry, gb: Geometry) -> Geometry:
             piece = A._clip_polygon_convex(pa, planes)
             if not piece.is_empty():
                 pieces.append(piece)
-    return _pieces_to_geom(pieces)
+    return _pieces_to_geom(pieces, dissolve=dissolve)
 
 
-def difference_tri(ga: Geometry, gb: Geometry) -> Geometry:
+def difference_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometry:
     tas = triangulate(ga)
     tbs = triangulate(gb)
     tb_info = [
@@ -101,14 +108,14 @@ def difference_tri(ga: Geometry, gb: Geometry) -> Geometry:
             if not parts:
                 break
         pieces.extend(parts)
-    return _pieces_to_geom(pieces)
+    return _pieces_to_geom(pieces, dissolve=dissolve)
 
 
-def union_tri(ga: Geometry, gb: Geometry) -> Geometry:
+def union_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometry:
     a_parts = [_tri_poly(t) for t in triangulate(ga)]
-    diff = difference_tri(gb, ga)
+    diff = difference_tri(gb, ga, dissolve=False)
     pieces = a_parts + [p for p in diff.flatten() if p.tag == G.POLYGON]
-    return _pieces_to_geom(pieces)
+    return _pieces_to_geom(pieces, dissolve=dissolve)
 
 
 def buffer_general(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
@@ -158,10 +165,12 @@ def buffer_general(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
                     boundary_parts.append(circle(ring[i, 0], ring[i, 1], -radius))
         acc = body
         for part in boundary_parts:
-            acc = difference_tri(acc, part)
+            acc = difference_tri(acc, part, dissolve=False)
             if acc.is_empty():
                 return acc
-        return acc
+        from .dissolve import try_dissolve
+
+        return try_dissolve(acc)
 
     parts = []
     for leaf in g.flatten():
@@ -187,7 +196,7 @@ def buffer_general(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
         return G.empty(G.GEOMETRYCOLLECTION)
     # union all parts: fold with triangle-difference to keep pieces disjoint
     acc_pieces = [p for p in intersection_keepall(parts)]
-    return _pieces_to_geom(acc_pieces)
+    return _pieces_to_geom(acc_pieces, dissolve=True)
 
 
 def intersection_keepall(parts):
@@ -198,7 +207,7 @@ def intersection_keepall(parts):
     for p in parts:
         piece = p
         for q in prev:
-            piece = difference_tri(piece, q)
+            piece = difference_tri(piece, q, dissolve=False)
             if piece.is_empty():
                 break
         if not piece.is_empty():

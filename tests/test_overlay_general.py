@@ -90,3 +90,27 @@ def test_bowtie_makevalid_then_overlay():
     sq = from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")
     inter = A.intersection(sq, bow)
     assert abs(A.area(inter) - 0.5) < 1e-9
+
+
+def test_dissolve_clean_output():
+    """Overlay results dissolve into minimal boundaries when traceable."""
+    a = from_wkt("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    b = from_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    u = A.union(a, b)
+    assert u.tag == G.POLYGON  # dissolved to one ring, not fragments
+    assert abs(A.area(u) - 7.0) < 1e-9
+
+    # hole reconstruction: big \ inner = polygon with one hole
+    big = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    inner = from_wkt("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")
+    d = A.difference(big, inner)
+    assert d.tag == G.POLYGON and len(d.data) == 2
+    assert abs(A.area(d) - 12.0) < 1e-9
+    # the hole is where inner was
+    assert A.point_in_polygon(2, 2, d) == 0
+    assert A.point_in_polygon(0.5, 0.5, d) == 2
+
+    # disjoint union stays a multi-part
+    far = from_wkt("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")
+    u2 = A.union(a, far)
+    assert len(list(u2.flatten())) == 2
