@@ -8,9 +8,10 @@ Any×any boolean ops reduce to the exact convex half-plane machinery in
              every intermediate piece stays convex)
   A ∪ B  =  A triangles + (B \\ A)
 
-Output is a disjoint MULTIPOLYGON of convex pieces — set- and area-exact,
-though not dissolved into a minimal boundary (fragmentation is documented;
-a dissolve pass is future work). This upgrades ST_Intersection / ST_Union /
+Raw output is a disjoint MULTIPOLYGON of convex pieces — set- and
+area-exact; at API boundaries :mod:`.dissolve` reconstructs the minimal
+boundary (shells + holes), falling back to the fragmented-but-exact form
+when tracing fails. This upgrades ST_Intersection / ST_Union /
 ST_Difference / ST_Union_Agg from convex-only to arbitrary polygons, and
 enables line/polygon ST_Buffer as a union of convex parts.
 """

@@ -266,6 +266,11 @@ def st_join(
                 pass
 
     if strategy == "broadcast":
+        if left_geom not in lb.columns or right_geom not in rb.columns:
+            raise ValueError(
+                "broadcast strategy needs geometry columns on both sides; "
+                "native bbox-only inputs are grid-join only"
+            )
         joined = _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, right)
     else:
         joined = _grid_join(
