@@ -8,5 +8,6 @@ from .geojson import (  # noqa: F401
     st_read_meta,
     write_geojson,
 )
+from .flatgeobuf import read_flatgeobuf  # noqa: F401
 from .osm import read_osm  # noqa: F401
 from .shapefile import read_shapefile, write_shapefile  # noqa: F401
