@@ -150,14 +150,59 @@ def read_header(path: str):
         }
 
 
-def _packed_rtree_size(num_items: int, node_size: int) -> int:
+def _level_bounds(num_items: int, node_size: int):
+    """Per-level (start, end) node indexes, leaf level last (spec layout:
+    levels stored root-first; leaves are the final level)."""
     node_size = min(max(node_size, 2), 65535)
     n = num_items
-    num_nodes = n
+    sizes = [n]
     while n != 1:
         n = (n + node_size - 1) // node_size
-        num_nodes += n
-    return num_nodes * 40
+        sizes.append(n)
+    # sizes: [leaves, ..., root]; stored order is root..leaves
+    bounds = []
+    offset = 0
+    for s in reversed(sizes):
+        bounds.append((offset, offset + s))
+        offset += s
+    return bounds, offset  # bounds root-first, total node count
+
+
+def _packed_rtree_size(num_items: int, node_size: int) -> int:
+    return _level_bounds(num_items, node_size)[1] * 40
+
+
+def search_index(path: str, header, min_x, min_y, max_x, max_y):
+    """Query the packed Hilbert R-tree: byte offsets (relative to the
+    feature section) of features whose bbox intersects the window."""
+    n_items = header["features_count"]
+    node_size = header["index_node_size"]
+    if n_items == 0 or node_size == 0:
+        return None
+    bounds, total = _level_bounds(n_items, node_size)
+    with open(path, "rb") as f:
+        f.seek(header["index_offset"])
+        raw = f.read(total * 40)
+    nodes = np.frombuffer(raw, dtype=np.dtype([("minx", "<f8"), ("miny", "<f8"),
+                                               ("maxx", "<f8"), ("maxy", "<f8"),
+                                               ("off", "<u8")]))
+    leaf_start = bounds[-1][0]
+    hits = []
+    # DFS from root level; children of node i at level L start at
+    # bounds[L+1].start + (i - bounds[L].start) * node_size
+    stack = [(0, i) for i in range(bounds[0][0], bounds[0][1])]
+    while stack:
+        level, idx = stack.pop()
+        nd = nodes[idx]
+        if nd["minx"] > max_x or nd["maxx"] < min_x or nd["miny"] > max_y or nd["maxy"] < min_y:
+            continue
+        if idx >= leaf_start:
+            hits.append(int(nd["off"]))
+            continue
+        child0 = bounds[level + 1][0] + (idx - bounds[level][0]) * node_size
+        child1 = min(child0 + node_size, bounds[level + 1][1])
+        stack.extend((level + 1, c) for c in range(child0, child1))
+    return sorted(hits)
 
 
 # ---------------------------------------------------------------- geometry
@@ -260,6 +305,22 @@ def iter_features(path: str, header=None, start_offset=None, end_offset=None):
             yield props, geom
 
 
+def _read_one(path: str, header, abs_offset: int):
+    """Read a single feature at an absolute byte offset."""
+    with open(path, "rb") as f:
+        f.seek(abs_offset)
+        lenb = f.read(4)
+        if len(lenb) < 4:
+            return
+        (flen,) = struct.unpack("<I", lenb)
+        fbuf = f.read(flen)
+        t = _root(fbuf)
+        gt = t.table(0)
+        geom = _decode_geometry(gt, header["geometry_type"]) if gt else None
+        props = _decode_properties(t.bytes_vector(1), header["columns"])
+        yield props, geom
+
+
 def _feature_offsets(path: str, header, num_chunks: int):
     """Scan the framing once to produce balanced byte-range chunks."""
     spans = []
@@ -285,8 +346,12 @@ def _feature_offsets(path: str, header, num_chunks: int):
     return chunks
 
 
-def read_flatgeobuf(spark, path: str, num_partitions: int = 16):
-    """ST_Read for FlatGeobuf: schema from the header, parallel feature scan."""
+def read_flatgeobuf(spark, path: str, num_partitions: int = 16, bbox: tuple | None = None):
+    """ST_Read for FlatGeobuf: schema from the header, parallel feature scan.
+
+    ``bbox=(min_x, min_y, max_x, max_y)`` queries the file's packed Hilbert
+    R-tree and reads ONLY matching features (the reference's spatial-filter
+    pushdown, ``st_read.cpp:56-59`` / its R-tree index scan)."""
     from pyspark.sql import types as T
 
     header = read_header(path)
@@ -302,18 +367,42 @@ def read_flatgeobuf(spark, path: str, num_partitions: int = 16):
         [T.StructField(n or f"col{i}", type_map[t], True) for i, (n, t) in enumerate(header["columns"])]
         + [T.StructField("geom", T.BinaryType(), True)]
     )
-    chunks = _feature_offsets(path, header, num_partitions)
     colnames = [n for n, _t in header["columns"]]
+    if bbox is not None:
+        offs = search_index(path, header, *bbox)
+        if offs is None:  # no index in file: fall back to full chunking
+            chunks = _feature_offsets(path, header, num_partitions)
+        else:
+            base = header["features_offset"]
+            per = max(1, len(offs) // max(num_partitions, 1))
+            chunks = [
+                ("offsets", [base + o for o in offs[i : i + per]])
+                for i in range(0, len(offs), per)
+            ]
+    else:
+        chunks = _feature_offsets(path, header, num_partitions)
 
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
         class _Reader(DataSourceReader):
             def partitions(self):
-                return [InputPartition(c) for c in chunks]
+                # the API requires >= 1 partition; empty marker when the
+                # index pruned everything
+                return [InputPartition(c) for c in chunks] or [InputPartition(("empty",))]
 
             def read(self, partition):
-                s, e = partition.value
+                val = partition.value
+                if isinstance(val, tuple) and val and val[0] == "empty":
+                    return
+                if isinstance(val, tuple) and val and val[0] == "offsets":
+                    for off in val[1]:
+                        for props, geom in _read_one(path, header, off):
+                            row = [props.get(c) for c in colnames]
+                            row.append(WKB.to_wkb(geom) if geom is not None else None)
+                            yield tuple(row)
+                    return
+                s, e = val
                 for props, geom in iter_features(path, header, s, e):
                     row = [props.get(c) for c in colnames]
                     row.append(WKB.to_wkb(geom) if geom is not None else None)

@@ -42,3 +42,17 @@ def test_first50_match_geojson_extract():
         assert props.get("kind") == gf["properties"].get("kind")
         assert geom.type_name == gf["geometry"]["type"].upper()
         assert np.allclose(geom.data, np.asarray(gf["geometry"]["coordinates"]), atol=1e-9)
+
+
+@pytest.mark.skipif(not os.path.exists(FGB), reason="reference data not present")
+def test_rtree_bbox_pushdown(spark):
+    """The file's packed Hilbert R-tree prunes to the window's features."""
+    W = (554000.0, 6858000.0, 556000.0, 6860000.0)
+    env = udfs.st_makeenvelope(F.lit(W[0]), F.lit(W[1]), F.lit(W[2]), F.lit(W[3]))
+    full = read_flatgeobuf(spark, FGB)
+    n_full = full.filter(udfs.st_intersects(F.col("geom"), env)).count()
+    idx = read_flatgeobuf(spark, FGB, bbox=W)
+    n_cand = idx.count()
+    n_idx = idx.filter(udfs.st_intersects(F.col("geom"), env)).count()
+    assert n_idx == n_full > 0
+    assert n_cand < 100  # of 21648: the index actually pruned
