@@ -52,6 +52,22 @@ def _lonlat_axis(crs: str, always_xy: bool) -> bool:
     return True  # projected CRS are easting/northing in both modes
 
 
+# Conic projections shipped in the built-in registry (Snyder spherical-
+# ellipsoidal formulas): EPSG:5070 CONUS Albers, EPSG:3347 Canada LCC,
+# EPSG:2154 France Lambert-93 (all on GRS80, which shares WGS84's a & ~f).
+_CONICS = {
+    # code: (kind, lat1, lat2, lat0, lon0, false_e, false_n)
+    "EPSG:5070": ("albers", 29.5, 45.5, 23.0, -96.0, 0.0, 0.0),
+    "EPSG:3347": ("lcc", 49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0),
+    "EPSG:2154": ("lcc", 44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0),
+}
+
+_UNSUPPORTED_MSG = (
+    "unsupported CRS {crs!r} (built-in registry: EPSG:4326, EPSG:3857, WGS84 UTM, "
+    "EPSG:5070/3347/2154 conics)"
+)
+
+
 def _to_lonlat(crs: str, x: np.ndarray, y: np.ndarray):
     """Inverse-project to geographic lon/lat."""
     if crs in ("EPSG:4326", "CRS84"):
@@ -63,7 +79,9 @@ def _to_lonlat(crs: str, x: np.ndarray, y: np.ndarray):
     zone, south = _utm_zone(crs)
     if zone:
         return _tm_inverse(x, y, zone, south)
-    raise ValueError(f"unsupported CRS {crs!r} (built-in registry: EPSG:4326, EPSG:3857, WGS84 UTM)")
+    if crs in _CONICS:
+        return _conic_inverse(x, y, *_CONICS[crs])
+    raise ValueError(_UNSUPPORTED_MSG.format(crs=crs))
 
 
 def _from_lonlat(crs: str, lon: np.ndarray, lat: np.ndarray):
@@ -77,7 +95,94 @@ def _from_lonlat(crs: str, lon: np.ndarray, lat: np.ndarray):
     zone, south = _utm_zone(crs)
     if zone:
         return _tm_forward(lon, lat, zone, south)
-    raise ValueError(f"unsupported CRS {crs!r} (built-in registry: EPSG:4326, EPSG:3857, WGS84 UTM)")
+    if crs in _CONICS:
+        return _conic_forward(lon, lat, *_CONICS[crs])
+    raise ValueError(_UNSUPPORTED_MSG.format(crs=crs))
+
+
+# ----- conic projections (Snyder, Map Projections ch. 14/15, ellipsoidal)
+def _m_factor(lat_r):
+    s = np.sin(lat_r)
+    return np.cos(lat_r) / np.sqrt(1 - _E2 * s * s)
+
+
+def _t_factor(lat_r):
+    s = np.sin(lat_r)
+    return np.tan(math.pi / 4 - lat_r / 2) / ((1 - _E * s) / (1 + _E * s)) ** (_E / 2)
+
+
+def _q_factor(lat_r):
+    s = np.sin(lat_r)
+    return (1 - _E2) * (s / (1 - _E2 * s * s) - (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s)))
+
+
+def _conic_forward(lon, lat, kind, lat1, lat2, lat0, lon0, fe, fn):
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    p1, p2, p0, l0 = map(math.radians, (lat1, lat2, lat0, lon0))
+    if kind == "lcc":
+        m1, m2 = _m_factor(np.array([p1]))[0], _m_factor(np.array([p2]))[0]
+        t1, t2 = _t_factor(np.array([p1]))[0], _t_factor(np.array([p2]))[0]
+        t0 = _t_factor(np.array([p0]))[0]
+        n = math.log(m1 / m2) / math.log(t1 / t2)
+        F_ = m1 / (n * t1 ** n)
+        rho0 = WGS84_A * F_ * t0 ** n
+        t = _t_factor(lat_r)
+        rho = WGS84_A * F_ * t ** n
+        theta = n * (lon_r - l0)
+        return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+    # albers equal-area
+    m1, m2 = _m_factor(np.array([p1]))[0], _m_factor(np.array([p2]))[0]
+    q1, q2 = _q_factor(np.array([p1]))[0], _q_factor(np.array([p2]))[0]
+    q0 = _q_factor(np.array([p0]))[0]
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = WGS84_A * math.sqrt(C - n * q0) / n
+    q = _q_factor(lat_r)
+    rho = WGS84_A * np.sqrt(C - n * q) / n
+    theta = n * (lon_r - l0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def _conic_inverse(x, y, kind, lat1, lat2, lat0, lon0, fe, fn):
+    x = np.asarray(x, dtype=np.float64) - fe
+    y = np.asarray(y, dtype=np.float64) - fn
+    p1, p2, p0, l0 = map(math.radians, (lat1, lat2, lat0, lon0))
+    if kind == "lcc":
+        m1, m2 = _m_factor(np.array([p1]))[0], _m_factor(np.array([p2]))[0]
+        t1, t2 = _t_factor(np.array([p1]))[0], _t_factor(np.array([p2]))[0]
+        t0 = _t_factor(np.array([p0]))[0]
+        n = math.log(m1 / m2) / math.log(t1 / t2)
+        F_ = m1 / (n * t1 ** n)
+        rho0 = WGS84_A * F_ * t0 ** n
+        rho = np.sign(n) * np.sqrt(x * x + (rho0 - y) ** 2)
+        theta = np.arctan2(x, rho0 - y)
+        t = (rho / (WGS84_A * F_)) ** (1 / n)
+        # iterate: lat = pi/2 - 2*atan(t * ((1-e sin)/(1+e sin))^(e/2))
+        lat = math.pi / 2 - 2 * np.arctan(t)
+        for _ in range(8):
+            s = np.sin(lat)
+            lat = math.pi / 2 - 2 * np.arctan(t * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+        return np.degrees(theta / n + l0), np.degrees(lat)
+    m1, m2 = _m_factor(np.array([p1]))[0], _m_factor(np.array([p2]))[0]
+    q1, q2 = _q_factor(np.array([p1]))[0], _q_factor(np.array([p2]))[0]
+    q0 = _q_factor(np.array([p0]))[0]
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = WGS84_A * math.sqrt(C - n * q0) / n
+    rho = np.sqrt(x * x + (rho0 - y) ** 2)
+    theta = np.arctan2(x, rho0 - y)
+    q = (C - (rho * n / WGS84_A) ** 2) / n
+    # iterate geodetic latitude from authalic q (Snyder 3-16)
+    lat = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = lat + (
+            (1 - _E2 * s * s) ** 2
+            / (2 * np.cos(lat))
+            * (q / (1 - _E2) - s / (1 - _E2 * s * s) + (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s)))
+        )
+    return np.degrees(theta / n + l0), np.degrees(lat)
 
 
 def _utm_zone(crs: str):
@@ -190,6 +295,9 @@ def list_proj_crs_df(spark):
         ("EPSG", "4326", "WGS 84", "geographic 2D", "lat,lon"),
         ("OGC", "CRS84", "WGS 84 (CRS84)", "geographic 2D", "lon,lat"),
         ("EPSG", "3857", "WGS 84 / Pseudo-Mercator", "projected", "x,y"),
+        ("EPSG", "5070", "NAD83 / Conus Albers", "projected", "x,y"),
+        ("EPSG", "3347", "NAD83 / Statistics Canada Lambert", "projected", "x,y"),
+        ("EPSG", "2154", "RGF93 / Lambert-93", "projected", "x,y"),
     ]
     rows += [
         ("EPSG", str(32600 + z), f"WGS 84 / UTM zone {z}N", "projected", "x,y") for z in range(1, 61)

@@ -182,3 +182,21 @@ def test_null_propagation(spark):
     assert one(spark, "ST_Area(NULL)") is None
     assert one(spark, "ST_AsText(NULL)") is None
     assert one(spark, "ST_Intersects(NULL, ST_Point(0.0D, 0.0D))") is None
+
+
+def test_transform_conics(spark):
+    """Conic CRS (EPSG:5070 Albers, 2154/3347 LCC): origin invariants +
+    roundtrip through the SQL surface."""
+    def xy(expr):
+        r = spark.sql(f"SELECT ST_X({expr}) AS x, ST_Y({expr}) AS y").collect()[0]
+        return r.x, r.y
+
+    x, y = xy("ST_Transform(ST_Point(3.0D, 46.5D), 'OGC:CRS84', 'EPSG:2154', true)")
+    assert abs(x - 700000) < 1e-6 and abs(y - 6600000) < 1e-6
+    x, y = xy("ST_Transform(ST_Point(-96.0D, 23.0D), 'OGC:CRS84', 'EPSG:5070', true)")
+    assert abs(x) < 1e-6 and abs(y) < 1e-6
+    lon, lat = xy(
+        "ST_Transform(ST_Transform(ST_Point(2.3522D, 48.8566D), 'OGC:CRS84', 'EPSG:2154', true),"
+        " 'EPSG:2154', 'OGC:CRS84', true)"
+    )
+    assert abs(lon - 2.3522) < 1e-9 and abs(lat - 48.8566) < 1e-9
