@@ -52,16 +52,29 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs with word-``n``-gram Jaccard >= threshold.
 
     Inverted-index join: explode distinct shingles, self-join on shingle
     (equi-join, shuffle on shingle hash — no cross join), count common
     shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). Returns
-    (id_a, id_b, jaccard) with id_a < id_b."""
+    (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``max_shingle_df``: web-scale skew guard — shingles appearing in more
+    than this many documents are dropped from the JOIN side (a document
+    frequency cut). A shingle shared by k docs contributes k^2 candidate
+    pairs, so one boilerplate trigram can dominate the shuffle; dropping it
+    only *lowers* reported jaccard for pairs whose sole overlap was
+    boilerplate (exactness trade documented)."""
     base = df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
     sizes = base.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
     inv = base.select("_id", F.explode("_sh").alias("_s"))
+    if max_shingle_df is not None:
+        hot = (
+            inv.groupBy("_s").agg(F.count("*").alias("_df")).filter(F.col("_df") > max_shingle_df)
+        )
+        inv = inv.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))

@@ -147,3 +147,19 @@ def test_multimodal_plumbing(spark):
         M.image_resize(df)
     with pytest.raises(NotImplementedError):
         M.video_frame_sample(df)
+
+
+def test_ngram_jaccard_df_cut(spark):
+    """max_shingle_df drops boilerplate shingles from the join side."""
+    boiler = "lorem ipsum dolor sit amet " * 3
+    rows = [(i, boiler + f"unique tail {i} {i*7} {i*13}") for i in range(20)]
+    rows.append((100, "alpha beta gamma delta " * 4))
+    rows.append((101, "alpha beta gamma delta " * 4))
+    df = spark.createDataFrame(rows, "id long, text string")
+    # without the cut, boilerplate links all 20 docs
+    full = D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3)
+    n_full = full.count()
+    cut = D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3, max_shingle_df=5)
+    pairs = {(r.id_a, r.id_b) for r in cut.collect()}
+    assert (100, 101) in pairs          # true duplicates survive the cut
+    assert cut.count() < n_full         # boilerplate pairs pruned
