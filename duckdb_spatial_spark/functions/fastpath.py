@@ -29,6 +29,25 @@ def points_xy(s: pd.Series):
     WKB; else None."""
     vals = s.to_numpy(dtype=object)
     n = len(vals)
+    if n == 0:
+        return None
+    # fast path: no nulls -> one C-level join + vectorized validation
+    try:
+        joined = b"".join(vals)
+    except TypeError:
+        return _points_xy_with_nulls(vals, n)
+    if len(joined) != 21 * n:
+        return None
+    arr = np.frombuffer(joined, dtype=np.uint8).reshape(n, 21)
+    prefix = np.frombuffer(_POINT_PREFIX, dtype=np.uint8)
+    if not (arr[:, :5] == prefix).all():
+        return None
+    xs = arr[:, 5:13].copy().view("<f8").ravel()
+    ys = arr[:, 13:21].copy().view("<f8").ravel()
+    return xs, ys, np.ones(n, dtype=bool)
+
+
+def _points_xy_with_nulls(vals, n):
     mask = np.ones(n, dtype=bool)
     buf = bytearray()
     for i, v in enumerate(vals):
