@@ -946,27 +946,81 @@ def is_valid(g: Geometry) -> bool:
     return True
 
 
+def _node_ring(ring: np.ndarray) -> list:
+    """Ring vertex sequence with all proper self-intersection points
+    inserted (noded), as a closed list of (x, y) tuples."""
+    segs = _segs(ring)
+    n = len(segs)
+    inserts: dict = {}
+    for i in range(n):
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue
+            if not segs_intersect_matrix(segs[i: i + 1], segs[j: j + 1], proper=True).any():
+                continue
+            p, p2 = segs[i]
+            q, q2 = segs[j]
+            r = p2 - p
+            s = q2 - q
+            denom = r[0] * s[1] - r[1] * s[0]
+            if denom == 0:
+                continue
+            t = ((q[0] - p[0]) * s[1] - (q[1] - p[1]) * s[0]) / denom
+            u = ((q[0] - p[0]) * r[1] - (q[1] - p[1]) * r[0]) / denom
+            pt = (float(p[0] + t * r[0]), float(p[1] + t * r[1]))
+            inserts.setdefault(i, []).append((t, pt))
+            inserts.setdefault(j, []).append((u, pt))
+    out = []
+    for i in range(n):
+        out.append((float(ring[i, 0]), float(ring[i, 1])))
+        for t, pt in sorted(inserts.get(i, [])):
+            out.append(pt)
+    out.append((float(ring[-1, 0]), float(ring[-1, 1])))
+    return out
+
+
+def _extract_loops(seq: list) -> list:
+    """Split a closed noded walk into simple loops: whenever a vertex
+    repeats on the stack, pop that cycle (classic figure-eight split)."""
+    key = lambda p: (round(p[0], 12), round(p[1], 12))
+    stack = []
+    pos: dict = {}
+    loops = []
+    for p in seq[:-1]:
+        k = key(p)
+        if k in pos:
+            start = pos[k]
+            cycle = stack[start:] + [p]
+            for q in stack[start + 1 :]:
+                pos.pop(key(q), None)
+            del stack[start + 1 :]
+            if len(cycle) >= 4:
+                loops.append(np.asarray(cycle))
+        else:
+            pos[k] = len(stack)
+            stack.append(p)
+    if len(stack) >= 3:
+        loops.append(np.asarray(stack + [stack[0]]))
+    return loops
+
+
 def make_valid(g: Geometry) -> Geometry:
-    """Repair common invalidities: bowtie shells split at the crossing point
-    (the reference relies on GEOSMakeValid; we handle the single-crossing
-    case its tests exercise plus repeated-point cleanup)."""
+    """Repair invalid polygons: self-intersecting rings are noded at every
+    crossing and split into simple sub-rings (figure-eight/star repair —
+    the even-odd decomposition GEOSMakeValid produces for these shapes);
+    repeated points cleaned. Valid input returns unchanged."""
     if is_valid(g):
         return g
     if g.tag == G.POLYGON and g.data:
         ring = remove_repeated_points(Geometry(G.LINESTRING, g.data[0])).data
-        xs = _ring_self_intersections(ring)
-        if len(xs) == 1:
-            i, j, p = xs[0]
-            r1 = np.vstack([p[None, :2], ring[i + 1: j + 1, :2], p[None, :2]])
-            r2 = np.vstack([p[None, :2], ring[j + 1:, :2], ring[1: i + 1, :2], p[None, :2]])
-            polys = []
-            for r in (r1, r2):
-                if len(r) >= 4 and abs(_ring_signed_area(r)) > 0:
-                    polys.append(Geometry(G.POLYGON, [r]))
-            if len(polys) == 2:
-                return Geometry(G.MULTIPOLYGON, polys)
-            if len(polys) == 1:
-                return polys[0]
+        loops = _extract_loops(_node_ring(ring))
+        polys = [
+            Geometry(G.POLYGON, [lp]) for lp in loops if abs(_ring_signed_area(lp)) > 0
+        ]
+        if len(polys) > 1:
+            return Geometry(G.MULTIPOLYGON, polys)
+        if len(polys) == 1:
+            return polys[0]
     if g.tag in (G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
         return Geometry(g.tag, [make_valid(c) for c in g.data], g.has_z, g.has_m)
     return g

@@ -150,3 +150,23 @@ def test_collect_semantics():
     assert G.collect(mixed).tag == G.GEOMETRYCOLLECTION
     assert G.collect([]).tag == G.GEOMETRYCOLLECTION
     assert G.multi(from_wkt("POINT (0 0)")).tag == G.MULTIPOINT
+
+
+def test_makevalid_multi_crossing():
+    """General self-intersection repair (beyond the single-crossing bowtie)."""
+    import math
+
+    pts = []
+    for k in range(5):
+        ang = math.pi / 2 + k * 4 * math.pi / 5
+        pts.append((round(math.cos(ang), 6), round(math.sin(ang), 6)))
+    star = from_wkt(
+        "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in pts + [pts[0]]) + "))"
+    )
+    assert not A.is_valid(star)
+    mv = A.make_valid(star)
+    assert A.is_valid(mv) and A.area(mv) > 0
+
+    double = from_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 4 2, 4 0, 0 0))")
+    mv2 = A.make_valid(double)
+    assert A.is_valid(mv2) and A.area(mv2) > 0
