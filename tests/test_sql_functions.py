@@ -200,3 +200,45 @@ def test_transform_conics(spark):
         " 'EPSG:2154', 'OGC:CRS84', true)"
     )
     assert abs(lon - 2.3522) < 1e-9 and abs(lat - 48.8566) < 1e-9
+
+
+def test_misc_function_surface(spark):
+    """Known-answer sweep over the less-exercised SQL functions."""
+    assert one(spark, "ST_AsText(ST_Boundary(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))')))") == \
+        "LINESTRING (0 0, 1 0, 1 1, 0 1, 0 0)"
+    assert one(spark, "ST_AsText(ST_Reverse(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)')))") == \
+        "LINESTRING (2 2, 1 1, 0 0)"
+    assert one(spark, "ST_AsText(ST_Force3DZ(ST_GeomFromText('POINT (1 2)'), 7.0D))") == "POINT Z (1 2 7)"
+    assert one(spark, "ST_AsText(ST_Force2D(ST_GeomFromText('POINT ZM (1 2 3 4)')))") == "POINT (1 2)"
+    assert one(spark, "ST_NPoints(ST_Simplify(ST_GeomFromText('LINESTRING (0 0, 1 0.01, 2 0)'), 0.5D))") == 2
+    assert one(spark, "ST_AsText(ST_ReducePrecision(ST_GeomFromText('POINT (1.2345 5.6789)'), 0.01D))") == \
+        "POINT (1.23 5.68)"
+    assert one(spark, "ST_AsText(ST_ShortestLine(ST_Point(0.0D, 3.0D), ST_GeomFromText('LINESTRING (0 0, 5 0)')))") == \
+        "LINESTRING (0 3, 0 0)"
+    assert one(spark, "ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 1 1)'))") is True
+    assert one(spark, "ST_IsRing(ST_GeomFromText('LINESTRING (0 0, 1 0, 1 1, 0 0)'))") is True
+    assert one(spark, "ST_Dimension(ST_GeomFromText('GEOMETRYCOLLECTION (POINT (0 0), LINESTRING (0 0, 1 1))'))") == 1
+    assert one(spark, "ST_AsText(ST_FlipCoordinates(ST_GeomFromText('LINESTRING (1 2, 3 4)')))") == \
+        "LINESTRING (2 1, 4 3)"
+    assert one(spark, "ST_AsText(ST_Multi(ST_GeomFromText('POINT (1 1)')))") == "MULTIPOINT (1 1)"
+    assert one(spark, "ST_NumGeometries(ST_GeomFromText('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((2 2, 3 2, 3 3, 2 2)))'))") == 2
+    assert one(spark, "ST_AsText(ST_ExteriorRing(ST_GeomFromText('POLYGON ((0 0, 1 0, 1 1, 0 0), (0.1 0.1, 0.2 0.1, 0.2 0.2, 0.1 0.1))')))") == \
+        "LINESTRING (0 0, 1 0, 1 1, 0 0)"
+    assert one(spark, "ST_AsText(ST_StartPoint(ST_GeomFromText('LINESTRING (5 5, 6 6)')))") == "POINT (5 5)"
+    assert one(spark, "ST_AsText(ST_EndPoint(ST_GeomFromText('LINESTRING (5 5, 6 6)')))") == "POINT (6 6)"
+    assert one(spark, "ST_Intersects_Extent(ST_GeomFromText('POINT (1 1)'), ST_GeomFromText('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))") is True
+    assert one(spark, "ST_AsText(ST_Normalize(ST_GeomFromText('POLYGON ((1 1, 0 1, 0 0, 1 0, 1 1))')))") == \
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"
+    assert one(spark, "ST_AsText(ST_Points(ST_GeomFromText('LINESTRING (0 0, 1 1)')))") == "MULTIPOINT (0 0, 1 1)"
+    assert one(spark, "ST_AsText(ST_PointOnSurface(ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))')))") == \
+        "POINT (2 2)"
+    assert one(spark, "ST_NumInteriorRings(ST_GeomFromText('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))'))") == 1
+    svg = one(spark, "ST_AsSVG(ST_Point(5.0D, 7.0D), false, 0)")
+    assert svg == 'cx="5" cy="-7"'
+    assert one(spark, "ST_ZMFlag(ST_GeomFromText('POINT M (1 2 3)'))") == 1
+    assert one(spark, "ST_HasM(ST_GeomFromText('POINT M (1 2 3)'))") is True
+    assert one(spark, "round(ST_M(ST_GeomFromText('POINT M (1 2 3)')), 1)") == 3.0
+    assert one(spark, "round(ST_ZMax(ST_GeomFromText('LINESTRING Z (0 0 1, 1 1 5)')), 1)") == 5.0
+    assert one(spark, "ST_AsText(ST_RemoveRepeatedPoints(ST_GeomFromText('LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)')))") == \
+        "LINESTRING (0 0, 1 1, 2 2)"
+    assert one(spark, "ST_IsEmpty(ST_GeomFromText('POLYGON EMPTY'))") is True
