@@ -77,10 +77,14 @@ class _Reader:
             return G.Geometry(G.LINESTRING, self._seq(bo, dim), has_z, has_m)
         if base == G.POLYGON:
             (nrings,) = self.read(bo + "I", 4)
+            if nrings * 4 > len(self.buf) - self.i:
+                raise WKBParseError(f"ring count {nrings} exceeds buffer")
             rings = [self._seq(bo, dim) for _ in range(nrings)]
             return G.Geometry(G.POLYGON, rings, has_z, has_m)
         # multi / collection: children are full WKB geometries
         (n,) = self.read(bo + "I", 4)
+        if n * 5 > len(self.buf) - self.i:  # each child >= 5 bytes
+            raise WKBParseError(f"child count {n} exceeds buffer")
         children = [self.geometry() for _ in range(n)]
         hz = has_z or any(c.has_z for c in children)
         hm = has_m or any(c.has_m for c in children)
@@ -90,7 +94,12 @@ class _Reader:
         (n,) = self.read(bo + "I", 4)
         if n == 0:
             return np.empty((0, dim))
-        flat = self.read(bo + "d" * (n * dim), 8 * n * dim)
+        size = 8 * n * dim
+        # bound-check BEFORE building the format string: a hostile count
+        # would otherwise allocate a gigabyte-scale format string
+        if size > len(self.buf) - self.i:
+            raise WKBParseError(f"vertex count {n} exceeds buffer at byte {self.i}")
+        flat = self.read(bo + "d" * (n * dim), size)
         return np.asarray(flat, dtype=np.float64).reshape(n, dim)
 
 
