@@ -302,29 +302,46 @@ def disjoint(a: Geometry, b: Geometry) -> bool:
     return not intersects(a, b)
 
 
+def _poly_widest_interval_at(p: Geometry, y: float):
+    xs = []
+    for ring in p.data:
+        x1, y1 = ring[:-1, 0], ring[:-1, 1]
+        x2, y2 = ring[1:, 0], ring[1:, 1]
+        cond = ((y1 <= y) & (y2 > y)) | ((y2 <= y) & (y1 > y))
+        if cond.any():
+            xi = x1[cond] + (y - y1[cond]) * (x2[cond] - x1[cond]) / (y2[cond] - y1[cond])
+            xs.extend(xi.tolist())
+    xs.sort()
+    best = None
+    for j in range(0, len(xs) - 1, 2):
+        if xs[j + 1] > xs[j]:
+            if best is None or (xs[j + 1] - xs[j]) > best[1]:
+                best = ((xs[j] + xs[j + 1]) / 2.0, xs[j + 1] - xs[j])
+    return (best[0], y) if best else None
+
+
 def _poly_interior_point(p: Geometry):
-    """A representative interior point of a polygon (scanline midpoint)."""
+    """Representative interior point — GEOS InteriorPointArea convention:
+    horizontal bisector at the midpoint of the two vertex ys straddling the
+    bbox centre, widest intersection interval's midpoint (the PostGIS-
+    pinned answers in test/sql/postgis/st_pointonsurface.test follow this)."""
     if not p.data:
         return None
-    shell = p.data[0]
-    ys = np.unique(shell[:, 1])
-    if len(ys) == 1:
+    ys = np.unique(np.concatenate([r[:, 1] for r in p.data]))
+    if len(ys) < 2:
         return None
-    # pick a y between distinct vertex ys to avoid degeneracies
-    for i in range(len(ys) - 1):
-        y = (float(ys[i]) + float(ys[i + 1])) / 2.0
-        xs = []
-        for ring in p.data:
-            x1, y1 = ring[:-1, 0], ring[:-1, 1]
-            x2, y2 = ring[1:, 0], ring[1:, 1]
-            cond = ((y1 <= y) & (y2 > y)) | ((y2 <= y) & (y1 > y))
-            if cond.any():
-                xi = x1[cond] + (y - y1[cond]) * (x2[cond] - x1[cond]) / (y2[cond] - y1[cond])
-                xs.extend(xi.tolist())
-        xs.sort()
-        for j in range(0, len(xs) - 1, 2):
-            if xs[j + 1] > xs[j]:
-                return ((xs[j] + xs[j + 1]) / 2.0, y)
+    centre = (float(ys.min()) + float(ys.max())) / 2.0
+    lo_arr = ys[ys <= centre]
+    hi_arr = ys[ys > centre]
+    candidates = []
+    if len(lo_arr) and len(hi_arr):
+        candidates.append((float(lo_arr.max()) + float(hi_arr.min())) / 2.0)
+    # fallbacks: midpoints of every consecutive distinct-y pair
+    candidates.extend((float(ys[i]) + float(ys[i + 1])) / 2.0 for i in range(len(ys) - 1))
+    for y in candidates:
+        got = _poly_widest_interval_at(p, y)
+        if got is not None:
+            return got
     return None
 
 
@@ -857,7 +874,10 @@ def point_on_surface(g: Geometry) -> Geometry:
             return G.point(p[0], p[1])
         return G.point(float(top.data[0][0, 0]), float(top.data[0][0, 1]))
     if top.tag == G.LINESTRING:
-        mid = top.data[len(top.data) // 2]
+        # GEOS InteriorPointLine: vertex closest to the centroid, first wins
+        c = centroid(top)
+        d = np.hypot(top.data[:, 0] - c[0], top.data[:, 1] - c[1])
+        mid = top.data[int(np.argmin(d))]
         return G.point(float(mid[0]), float(mid[1]))
     return G.point(float(top.data[0]), float(top.data[1]))
 

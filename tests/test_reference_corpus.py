@@ -114,3 +114,34 @@ def test_collection_extract(spark):
     assert get(1) == "MULTIPOINT (1 1, 5 5, 6 6)"
     assert get(2) == "MULTILINESTRING ((0 0, 1 1))"
     assert get(3) == "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)))"
+
+
+def test_postgis_pointonsurface_corpus():
+    """test/sql/postgis/st_pointonsurface.test pinned answers (GEOS
+    InteriorPoint conventions)."""
+    assert to_wkt(A.point_on_surface(from_wkt("POINT (0 5)"))) == "POINT (0 5)"
+    assert to_wkt(A.point_on_surface(from_wkt("LINESTRING (0 5, 0 10)"))) == "POINT (0 5)"
+    assert (
+        to_wkt(A.point_on_surface(from_wkt("POLYGON ((0 0, 0 5, 5 5, 5 0, 0 0))")))
+        == "POINT (2.5 2.5)"
+    )
+    g = from_wkt(
+        "POLYGON ((130 120, 120 190, 30 140, 50 20, 190 20, 170 100, 90 60, 90 130, 130 120))"
+    )
+    assert to_wkt(A.point_on_surface(g)) == "POINT (62.5 110)"
+    c = A.centroid(g)
+    assert abs(c[0] - 100.18264840182648) < 1e-12 and abs(c[1] - 85.11415525114155) < 1e-12
+
+
+def test_postgis_linemerge_corpus():
+    """test/sql/postgis/st_linemerge.test pinned answers."""
+    m = A.line_merge(
+        from_wkt("MULTILINESTRING ((10 160, 60 120), (120 140, 60 120), (120 140, 180 120))")
+    )
+    assert to_wkt(m) == "LINESTRING (10 160, 60 120, 120 140, 180 120)"
+    d = A.line_merge(
+        from_wkt("MULTILINESTRING ((60 30, 10 70), (120 50, 60 30), (120 50, 180 30))"),
+        directed=True,
+    )
+    parts = {to_wkt(p) for p in d.flatten()}
+    assert parts == {"LINESTRING (120 50, 60 30, 10 70)", "LINESTRING (120 50, 180 30)"}
