@@ -576,6 +576,66 @@ def q_winnowing(spark, sf_dir):
     )
 
 
+def q_spatial_collect_dump(spark, sf_dir):
+    """ST_Collect -> ST_Dump round trip: collect points per group into a
+    MULTIPOINT, dump back out, verify count and coordinate sum survive."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT grp, count(*) AS n, round(sum(ST_X(d.geom)), 6) AS sx
+        FROM (
+          SELECT id % 50 AS grp, ST_Collect(collect_list(ST_Point(x, y))) AS mp
+          FROM ({_PTS}) WHERE id < 3000 GROUP BY id % 50
+        ) LATERAL VIEW explode(ST_Dump(mp)) t AS d
+        GROUP BY grp
+        """
+    )
+
+
+def q_spatial_line_endpoints(spark, sf_dir):
+    """ST_StartPoint / ST_EndPoint / ST_PointN (1-based, negative-from-end)
+    over per-order linestrings; <2 points -> EMPTY -> NULL accessors."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT id,
+               round(ST_X(ST_StartPoint(line)), 6) AS sx,
+               round(ST_Y(ST_EndPoint(line)), 6) AS ey,
+               round(ST_X(ST_PointN(line, 2)), 6) AS p2x,
+               round(ST_X(ST_PointN(line, -1)), 6) AS plx
+        FROM (
+          SELECT l_orderkey AS id,
+                 ST_MakeLine(transform(array_sort(collect_list(struct(l_linenumber AS ln,
+                   CAST(l_partkey % 500 AS DOUBLE) AS x,
+                   CAST(l_suppkey % 500 AS DOUBLE) AS y,
+                   ST_Point(CAST(l_partkey % 500 AS DOUBLE),
+                            CAST(l_suppkey % 500 AS DOUBLE)) AS pt))),
+                 s -> s.pt)) AS line
+          FROM lineitem WHERE l_orderkey % 25 = 0
+          GROUP BY l_orderkey
+        )
+        """
+    )
+
+
+def q_spatial_dwithin_grouped(spark, sf_dir):
+    """Per-group dwithin self-join (windowed proximity count): the join
+    rewrite plus a post-join group-key filter."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators import st_join
+
+    a = spark.sql(_PTS).filter("id % 10 = 0").selectExpr(
+        "id AS ida", "(id DIV 10) % 5 AS grpa", "ST_Point(x, y) AS geom"
+    )
+    b = spark.sql(_PTS).filter("id % 10 = 5").selectExpr(
+        "id AS idb", "(id DIV 10) % 5 AS grpb", "ST_Point(x, y) AS geom"
+    )
+    j = st_join(a, b, predicate="dwithin", distance=75.0)
+    return j.filter("grpa = grpb").groupBy(F.col("grpa").alias("grp")).agg(
+        F.count("*").alias("n")
+    )
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -617,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_quadkey": q_spatial_quadkey,
         "spatial_predicates": q_spatial_predicates,
         "spatial_hilbert": q_spatial_hilbert,
+        "spatial_collect_dump": q_spatial_collect_dump,
+        "spatial_line_endpoints": q_spatial_line_endpoints,
+        "spatial_dwithin_grouped": q_spatial_dwithin_grouped,
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
@@ -740,6 +803,37 @@ def oracle_sql() -> dict[str, str]:
                      CAST(floor((0.5 - ln((1 + sin(radians(lat))) / (1 - sin(radians(lat)))) / (4 * pi())) * 16) AS BIGINT) AS ty
               FROM ({lonlat}) WHERE cid < 500
             )
+        """,
+        "spatial_collect_dump": f"""
+            SELECT id % 50 AS grp, count(*) AS n, round(sum(x), 6) AS sx
+            FROM ({pts}) WHERE id < 3000 GROUP BY id % 50
+        """,
+        "spatial_line_endpoints": """
+            WITH s AS (
+              SELECT l_orderkey AS id,
+                     list(x ORDER BY l_linenumber, x, y) AS xs,
+                     list(y ORDER BY l_linenumber, x, y) AS ys
+              FROM (SELECT l_orderkey, l_linenumber,
+                           CAST(l_partkey % 500 AS DOUBLE) AS x,
+                           CAST(l_suppkey % 500 AS DOUBLE) AS y
+                    FROM lineitem WHERE l_orderkey % 25 = 0)
+              GROUP BY l_orderkey
+            )
+            SELECT id,
+                   CASE WHEN len(xs) >= 2 THEN round(xs[1], 6) END AS sx,
+                   CASE WHEN len(xs) >= 2 THEN round(ys[len(ys)], 6) END AS ey,
+                   CASE WHEN len(xs) >= 2 THEN round(xs[2], 6) END AS p2x,
+                   CASE WHEN len(xs) >= 2 THEN round(xs[len(xs)], 6) END AS plx
+            FROM s
+        """,
+        "spatial_dwithin_grouped": f"""
+            SELECT grp, count(*) AS n FROM (
+              SELECT (a.id // 10) % 5 AS grp
+              FROM (SELECT * FROM ({pts}) WHERE id % 10 = 0) a,
+                   (SELECT * FROM ({pts}) WHERE id % 10 = 5) b
+              WHERE (a.id // 10) % 5 = (b.id // 10) % 5
+                AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 75
+            ) GROUP BY grp
         """,
         "spatial_predicates": """
             SELECT * FROM (VALUES
