@@ -101,7 +101,11 @@ def main():
 
         @bench("points10m_cluster_build")
         def _():
-            write_geo_parquet(pts10m, tmp + "/pts", num_partitions=max(cpus, 16))
+            # sampled split points: one full UDF pass instead of two (the
+            # repartitionByRange sampling job re-evaluates the extent UDF)
+            write_geo_parquet(
+                pts10m, tmp + "/pts", num_partitions=max(cpus, 16), sample_fraction=0.01
+            )
 
         clustered = spark.read.parquet(tmp + "/pts")
 

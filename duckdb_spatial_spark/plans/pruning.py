@@ -40,16 +40,59 @@ def with_bbox_columns(df: DataFrame, geom_col: str = "geom") -> DataFrame:
     return df.drop("_bb")
 
 
+def _hash_preimages(spark: SparkSession, n: int) -> list[int]:
+    """For each bucket b in [0, n): an int j with pmod(hash(j), n) == b.
+
+    Lets ``repartition(n, j)`` place bucket b exactly in partition b —
+    manual range partitioning with a single shuffle and NO sampling pass.
+    Found with Spark's own hash() so the mapping matches the shuffle's
+    Murmur3 exactly (one tiny driver-side job, no data scan)."""
+    need, out = set(range(n)), [0] * n
+    width = max(64 * n, 256)
+    rows = (
+        spark.range(0, width)
+        .select(
+            F.col("id").cast("int").alias("j"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        if r.b in need:
+            out[r.b] = r.j
+            need.discard(r.b)
+    if need:  # astronomically unlikely with 64n candidates; widen once
+        for r in spark.range(width, width * 16).select(
+            F.col("id").cast("int").alias("j"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("b"),
+        ).collect():
+            if r.b in need:
+                out[r.b] = r.j
+                need.discard(r.b)
+    return out
+
+
 def hilbert_cluster(
     df: DataFrame,
     geom_col: str = "geom",
     bounds: tuple | None = None,
     num_partitions: int | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Add bbox columns + hilbert index and range-partition by it.
 
     ``bounds`` (min_x, min_y, max_x, max_y) defaults to the data extent
-    (one aggregate job, like the reference's index build scan)."""
+    (one aggregate job, like the reference's index build scan).
+
+    ``sample_fraction`` switches to **sampled split points**: Spark's
+    ``repartitionByRange`` runs a reservoir-sampling job that re-evaluates
+    the whole child plan — including the ST_Extent pandas UDF over every
+    geometry — before the shuffle pass evaluates it again. With a fraction
+    set, split points come from ``approxQuantile`` over a sample (the UDF
+    runs only on sampled rows), bucket ids are assigned with a pure-Column
+    expression, and one hash shuffle routes bucket b to partition b via
+    :func:`_hash_preimages`. One full pass over the data instead of two —
+    the difference matters at 100 TB (and measurably at 10M rows)."""
     df = with_bbox_columns(df, geom_col)
     if bounds is None:
         r = df.agg(
@@ -64,8 +107,30 @@ def hilbert_cluster(
             cx, cy, F.lit(float(bounds[0])), F.lit(float(bounds[1])), F.lit(float(bounds[2])), F.lit(float(bounds[3]))
         ),
     )
-    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    return df.repartitionByRange(int(n), "hilbert").sortWithinPartitions("hilbert")
+    n = int(num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if not sample_fraction:
+        return df.repartitionByRange(n, "hilbert").sortWithinPartitions("hilbert")
+
+    samp = df.select("hilbert").sample(fraction=float(sample_fraction), seed=42)
+    probs = [i / n for i in range(1, n)]
+    splits = sorted({int(s) for s in samp.stat.approxQuantile("hilbert", probs, 0.001)})
+    nb = len(splits) + 1
+    if nb == 1:
+        return df.coalesce(1).sortWithinPartitions("hilbert")
+    split_arr = F.array(*[F.lit(s) for s in splits])
+    bucket = F.aggregate(
+        split_arr,
+        F.lit(0),
+        lambda acc, s: acc + F.when(F.col("hilbert") >= s, 1).otherwise(0),
+    )
+    jmap = _hash_preimages(df.sparkSession, nb)
+    route = F.element_at(F.array(*[F.lit(int(j)) for j in jmap]), bucket + 1).cast("int")
+    return (
+        df.withColumn("_route", route)
+        .repartition(nb, F.col("_route"))
+        .sortWithinPartitions("hilbert")
+        .drop("_route")
+    )
 
 
 def write_geo_parquet(
@@ -75,10 +140,13 @@ def write_geo_parquet(
     mode: str = "overwrite",
     bounds: tuple | None = None,
     num_partitions: int | None = None,
+    sample_fraction: float | None = None,
 ) -> None:
     """Hilbert-clustered GeoParquet-style write (geometry stays WKB binary,
     which IS GeoParquet's encoding)."""
-    hilbert_cluster(df, geom_col, bounds, num_partitions).write.mode(mode).parquet(path)
+    hilbert_cluster(df, geom_col, bounds, num_partitions, sample_fraction).write.mode(
+        mode
+    ).parquet(path)
 
 
 def read_geo_parquet(spark: SparkSession, path: str) -> DataFrame:

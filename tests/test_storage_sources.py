@@ -61,6 +61,41 @@ def test_hilbert_cluster_and_prune(spark, tmp_path):
     assert len(files_hit) < len(files_all)
 
 
+def test_hilbert_cluster_sampled_splits(spark, tmp_path):
+    """sample_fraction path: one-pass shuffle must preserve rows, produce
+    partition-disjoint hilbert ranges, and prune files like the exact path."""
+    pts = st_generatepoints(spark, 0, 0, 10000, 10000, 20000, seed=7)
+    clustered = hilbert_cluster(pts.repartition(8), num_partitions=8, sample_fraction=0.2)
+    assert clustered.count() == 20000
+
+    # partitions hold disjoint hilbert ranges (the locality contract)
+    rng = (
+        clustered.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.min("hilbert").alias("lo"), F.max("hilbert").alias("hi"), F.count("*").alias("n"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(rng) > 1  # sampling found real split points
+    for a, b in zip(rng, rng[1:]):
+        assert a.hi <= b.lo
+    # no pathological skew: largest partition < half the data
+    assert max(r.n for r in rng) < 10000
+
+    out = str(tmp_path / "pts_sampled")
+    write_geo_parquet(pts.repartition(8), out, num_partitions=8, sample_fraction=0.2)
+    back = spark.read.parquet(out)
+    assert back.count() == 20000
+    files_all = {r.f for r in back.select(F.input_file_name().alias("f")).distinct().collect()}
+    files_hit = {
+        r.f
+        for r in filter_bbox(back, 450, 450, 650, 650, exact=None)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert len(files_hit) < len(files_all)
+
+
 def test_geojson_roundtrip(spark, tmp_path):
     src = tmp_path / "in.geojson"
     fc = {
