@@ -848,17 +848,20 @@ def oracle_sql() -> dict[str, str]:
             ) AS t(pid, i, c, t, x, o, e)
         """,
         "tpch_q1": """
+            -- DuckDB widens sum(BIGINT) to HUGEINT (Arrow decimal128); the
+            -- driver hash-compares Arrow values, so every aggregate-level sum
+            -- must be CAST back to BIGINT to match Spark's int64.
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_price_e4,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                        * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                       * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS sum_charge_e6,
-                   round(sum(CAST(l_quantity AS BIGINT)) / count(*), 6) AS avg_qty,
-                   round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0e0 / count(*), 6) AS avg_price,
-                   round(sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0e0 / count(*), 6) AS avg_disc,
+                       * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_e6,
+                   round(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / count(*), 6) AS avg_qty,
+                   round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0e0 / count(*), 6) AS avg_price,
+                   round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 100.0e0 / count(*), 6) AS avg_disc,
                    count(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -866,8 +869,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3": """
             SELECT l_orderkey,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
             FROM customer JOIN orders ON c_custkey = o_custkey
                           JOIN lineitem ON l_orderkey = o_orderkey
             WHERE c_mktsegment = 'BUILDING'
@@ -879,8 +882,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q5": """
             SELECT n_name,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS revenue_e4
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
             FROM customer
               JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -893,8 +896,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_name
         """,
         "tpch_q6": """
-            SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * CAST(round(l_discount * 100) AS BIGINT)) AS revenue_e4
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -903,7 +906,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly": """
             SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_ts,
-                   event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sv_cents
+                   event_type, count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sv_cents
             FROM events GROUP BY 1, 2
         """,
         "events_sessionization": """
@@ -923,9 +926,9 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 3
         """,
         "window_running_total": """
-            SELECT o_orderkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+            SELECT o_orderkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
             FROM orders WHERE o_custkey < 50
         """,
         "dedup_exact": """
