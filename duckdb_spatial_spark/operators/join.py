@@ -57,6 +57,7 @@ _PREDICATES = {
 }
 
 _CELL_SHIFT = 1 << 22  # pack (cx, cy) into one bigint cell id
+_SJ_ID = "__sj_left_id"  # surrogate key for left/semi/anti reconciliation
 
 
 def _with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
@@ -198,6 +199,14 @@ def st_join(
     if predicate == "disjoint":
         raise ValueError("disjoint joins are not accelerable (reference excludes them too)")
 
+    # left/semi/anti reconciliation joins back on a surrogate row id, never on
+    # the left columns themselves: plain equality drops NULL-bearing rows,
+    # collapses duplicate rows, and would compare full WKB blobs in the
+    # shuffle. The id is assigned before the spatial join so it rides through
+    # it; both reconciliation branches derive from this same tagged plan.
+    if how != "inner":
+        left = left.withColumn(_SJ_ID, F.monotonically_increasing_id())
+
     # disambiguate clashing column names (right gets _right suffix)
     clash = set(left.columns) & set(right.columns)
     renames = {c: f"{c}_right" for c in clash}
@@ -279,17 +288,14 @@ def st_join(
 
     if how == "inner":
         return joined
+    matched_ids = joined.select(_SJ_ID).distinct()
     if how in ("left_semi", "left_anti"):
-        keys = joined.select(*[F.col(c) for c in left.columns]).distinct()
-        return left.join(keys, on=left.columns, how="left_semi" if how == "left_semi" else "left_anti")
+        return left.join(matched_ids, on=_SJ_ID, how=how).drop(_SJ_ID)
     if how == "left":
-        matched = joined
-        unmatched = left.join(
-            joined.select(*left.columns).distinct(), on=left.columns, how="left_anti"
-        )
+        unmatched = left.join(matched_ids, on=_SJ_ID, how="left_anti")
         for c in [c for c in joined.columns if c not in left.columns]:
-            unmatched = unmatched.withColumn(c, F.lit(None))
-        return matched.unionByName(unmatched)
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(joined.schema[c].dataType))
+        return joined.unionByName(unmatched).drop(_SJ_ID)
     raise ValueError(f"unsupported how={how!r}")
 
 

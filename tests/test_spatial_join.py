@@ -94,6 +94,38 @@ def test_join_how_variants(spark):
     )
 
 
+def test_join_how_null_payload_and_duplicates(spark):
+    # left rows with NULL payload columns and exact-duplicate rows must
+    # survive left/semi/anti reconciliation (surrogate-id join, not
+    # full-row equality)
+    pts = _mk_points(spark, n=60, seed=11)
+    pts = pts.withColumn(
+        "tag", F.when(F.col("pid") % 3 == 0, F.lit(None).cast("string")).otherwise(F.lit("t"))
+    )
+    dup = pts.filter(F.col("pid") < 5)
+    pts2 = pts.unionByName(dup)  # 5 duplicated rows
+    rects = _mk_rects(spark, m=15, seed=12)
+
+    inner = st_join(pts2, rects, predicate="within")
+    matched_pids = {r.pid for r in inner.select("pid").distinct().collect()}
+    n_left = pts2.count()
+    n_matched_rows = pts2.filter(F.col("pid").isin(list(matched_pids))).count()
+
+    semi = st_join(pts2, rects, predicate="within", how="left_semi")
+    assert semi.count() == n_matched_rows  # duplicates preserved, NULL tag kept
+    assert {r.pid for r in semi.collect()} == matched_pids
+
+    anti = st_join(pts2, rects, predicate="within", how="left_anti")
+    assert anti.count() == n_left - n_matched_rows
+    assert {r.pid for r in anti.collect()} == {r.pid for r in pts2.collect()} - matched_pids
+
+    left = st_join(pts2, rects, predicate="within", how="left")
+    # every left row appears: matched rows once per match, unmatched once
+    assert left.filter(F.col("rid").isNull()).count() == n_left - n_matched_rows
+    assert left.select("pid").distinct().count() == pts2.select("pid").distinct().count()
+    assert "__sj_left_id" not in left.columns
+
+
 def test_extent_union_intersection_agg(spark):
     # overlapping unit squares with 50% offsets per group (FIXTURES T7)
     rows = []
