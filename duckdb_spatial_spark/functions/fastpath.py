@@ -65,6 +65,38 @@ def _points_xy_with_nulls(vals, n):
     return xs, ys, mask
 
 
+def bbox_arrays(s: pd.Series):
+    """Per-row bounds of a WKB series as 4 float64 arrays (NaN = null/EMPTY).
+
+    Point batches decode in one numpy view; anything else falls back to a
+    per-row parse. One call per batch — callers use this inside a
+    mapInPandas barrier so the decode runs exactly once per row regardless
+    of how many plan operators reference the bbox (Catalyst re-expands
+    projection-level UDF references otherwise)."""
+    n = len(s)
+    pa = points_xy(s)
+    if pa is not None:
+        xs, ys, mask = pa
+        if not mask.all():
+            xs = np.where(mask, xs, np.nan)
+            ys = np.where(mask, ys, np.nan)
+        return xs, ys, xs.copy(), ys.copy()
+    from .udfs import _g
+
+    mnx = np.full(n, np.nan)
+    mny = np.full(n, np.nan)
+    mxx = np.full(n, np.nan)
+    mxy = np.full(n, np.nan)
+    for i, b in enumerate(s):
+        if b is None:
+            continue
+        bb = A.bounds(_g(b))
+        if bb is None:
+            continue
+        mnx[i], mny[i], mxx[i], mxy[i] = bb
+    return mnx, mny, mxx, mxy
+
+
 def const_geom(s: pd.Series):
     """Parsed geometry if the whole batch holds one constant value."""
     if len(s) == 0:

@@ -31,6 +31,7 @@ All 10 reference predicates are supported; ``ST_Disjoint`` is NOT eligible
 
 from __future__ import annotations
 
+import math
 from collections import defaultdict
 
 import numpy as np
@@ -61,39 +62,85 @@ _SJ_ID = "__sj_left_id"  # surrogate key for left/semi/anti reconciliation
 
 
 def _with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
+    """Attach a bbox struct computed in ONE Python pass per row.
+
+    A plain ``withColumn(bb, st_extent(geom))`` gets re-expanded by Catalyst
+    into every downstream operator that references the struct (audited: 6
+    Python evals per grid join in round 1). mapInPandas is a hard barrier —
+    the bbox fields come out as materialized attributes, so the decode runs
+    exactly once however many times the plan references them. Point WKB
+    decodes vectorized (fastpath.bbox_arrays)."""
+    from pyspark.sql import types as T
+
+    from ..functions import fastpath
+
+    flat = [f"{prefix}_bb_mnx", f"{prefix}_bb_mny", f"{prefix}_bb_mxx", f"{prefix}_bb_mxy"]
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(c, T.DoubleType()) for c in flat]
+    )
+    gi = df.columns.index(geom_col)
+
+    def gen(batches):
+        for pdf in batches:
+            mnx, mny, mxx, mxy = fastpath.bbox_arrays(pdf.iloc[:, gi])
+            keep = ~np.isnan(mnx)
+            out = pdf[keep] if not keep.all() else pdf
+            out = out.assign(**dict(zip(flat, (mnx[keep], mny[keep], mxx[keep], mxy[keep]))))
+            yield out
+
     bb = f"{prefix}_bbox"
-    return df.withColumn(bb, udfs.st_extent(F.col(geom_col))).filter(F.col(bb + ".min_x").isNotNull())
+    out = df.mapInPandas(gen, schema=schema)
+    return out.withColumn(
+        bb,
+        F.struct(
+            F.col(flat[0]).alias("min_x"),
+            F.col(flat[1]).alias("min_y"),
+            F.col(flat[2]).alias("max_x"),
+            F.col(flat[3]).alias("max_y"),
+        ),
+    ).drop(*flat)
 
 
 def _grid_params(left_b: DataFrame, right_b: DataFrame, lp: str, rp: str, cell_size, pad=0.0):
-    """One tiny aggregate job per side to size the grid (like the reference's
-    bind-time statistics; runs once per join)."""
+    """Grid origin + cell size. With an explicit ``cell_size`` this is free
+    (fixed origin, no job — same contract as the streaming variant). Without
+    one, a bounded ``limit()`` sample per side estimates the average bbox
+    size — no full-table pass (the reference sizes from bind-time stats;
+    at 100 TB a full stats pass per join would be two extra scans)."""
+    if cell_size is not None:
+        return 0.0, 0.0, float(cell_size)
+    parts = []
+    for side, (df, p) in enumerate(((left_b, lp), (right_b, rp))):
+        bb = f"{p}_bbox"
+        parts.append(
+            df.select(
+                F.lit(side).alias("side"),
+                F.col(f"{bb}.min_x").alias("mnx"),
+                F.col(f"{bb}.min_y").alias("mny"),
+                F.col(f"{bb}.max_x").alias("mxx"),
+                F.col(f"{bb}.max_y").alias("mxy"),
+            ).limit(10_000)
+        )
+    rows = parts[0].unionAll(parts[1]).collect()  # one job for both samples
     stats = []
-    for df, p in ((left_b, lp), (right_b, rp)):
-        r = df.agg(
-            F.min(f"{p}_bbox.min_x").alias("mnx"),
-            F.min(f"{p}_bbox.min_y").alias("mny"),
-            F.max(f"{p}_bbox.max_x").alias("mxx"),
-            F.max(f"{p}_bbox.max_y").alias("mxy"),
-            F.avg(F.col(f"{p}_bbox.max_x") - F.col(f"{p}_bbox.min_x")).alias("aw"),
-            F.avg(F.col(f"{p}_bbox.max_y") - F.col(f"{p}_bbox.min_y")).alias("ah"),
-        ).collect()[0]
-        stats.append(r)
-    if any(s.mnx is None for s in stats):
-        return None
-    min_x = min(s.mnx for s in stats)
-    min_y = min(s.mny for s in stats)
-    max_x = max(s.mxx for s in stats)
-    max_y = max(s.mxy for s in stats)
-    if cell_size is None:
-        avg_dim = max(max(s.aw or 0.0, s.ah or 0.0) for s in stats)
-        extent = max(max_x - min_x, max_y - min_y, 1e-9)
-        # ~2 cells per avg (pad-expanded) geometry; degenerate (point) data
-        # falls back to a 1024^2 grid; never more than 2^20 cells per axis
-        base = avg_dim * 2.0 + pad * 2.0
-        if base <= 0:
-            base = extent / 1024.0
-        cell_size = max(base, extent / float(1 << 20))
+    for side in (0, 1):
+        a = np.asarray([[r.mnx, r.mny, r.mxx, r.mxy] for r in rows if r.side == side])
+        if len(a) == 0:
+            return None
+        stats.append(a)
+    min_x = min(float(a[:, 0].min()) for a in stats)
+    min_y = min(float(a[:, 1].min()) for a in stats)
+    max_x = max(float(a[:, 2].max()) for a in stats)
+    max_y = max(float(a[:, 3].max()) for a in stats)
+    avg_dim = max(max(float((a[:, 2] - a[:, 0]).mean()), float((a[:, 3] - a[:, 1]).mean())) for a in stats)
+    extent = max(max_x - min_x, max_y - min_y, 1e-9)
+    # ~2 cells per avg (pad-expanded) geometry; degenerate (point) data
+    # falls back to a 1024^2 grid; never more than 2^20 cells per axis
+    # (keeps packed cell ids collision-free)
+    base = avg_dim * 2.0 + pad * 2.0
+    if base <= 0:
+        base = extent / 1024.0
+    cell_size = max(base, extent / float(1 << 20))
     return float(min_x), float(min_y), float(cell_size)
 
 
@@ -390,43 +437,77 @@ def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance, na
 def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, right):
     """Collect + broadcast the right side as an in-memory grid index; probe
     the left side per Arrow batch (no shuffle at all)."""
-    rows = rb.collect()
     out_cols = [c for c in lb.columns if c != "l_bbox"] + [c for c in rb.columns if c != "r_bbox"]
     r_cols = [c for c in rb.columns if c != "r_bbox"]
-    geoms = []
-    boxes = []
-    payload = []
-    for r in rows:
-        d = r.asDict()
-        b = d[right_geom]
-        if b is None:
-            continue
-        g = WKB.from_wkb(bytes(b))
-        bb = A.bounds(g)
-        if bb is None:
-            continue
-        geoms.append(g)
-        boxes.append(bb)
-        payload.append([d[c] for c in r_cols])
-    if not boxes:
+    # Arrow collect of the build side; r_bbox comes from the _with_bbox
+    # barrier — no driver-side WKB parse, raw bytes broadcast as-is
+    # (executors parse lazily, LRU-cached)
+    flat = rb.select(
+        *r_cols,
+        F.col("r_bbox.min_x").alias("__mnx"),
+        F.col("r_bbox.min_y").alias("__mny"),
+        F.col("r_bbox.max_x").alias("__mxx"),
+        F.col("r_bbox.max_y").alias("__mxy"),
+    ).toPandas()
+    flat = flat[flat[right_geom].notna() & flat["__mnx"].notna()]
+    if not len(flat):
         empty = lb.limit(0)
         for c in r_cols:
             empty = empty.withColumn(c, F.lit(None))
         return empty.select(*out_cols)
-
-    boxes_np = np.asarray(boxes)
+    wkbs = [bytes(b) for b in flat[right_geom]]
+    payload = flat[r_cols].to_numpy(dtype=object).tolist()
+    boxes_np = flat[["__mnx", "__mny", "__mxx", "__mxy"]].to_numpy(dtype=np.float64)
+    boxes = boxes_np
     # grid sized to ~4 entries per cell
     span_x = max(boxes_np[:, 2].max() - boxes_np[:, 0].min(), 1e-9)
     cs = max(span_x / max(int(np.sqrt(len(boxes) / 4)) + 1, 1), 1e-9)
     ox, oy = float(boxes_np[:, 0].min()), float(boxes_np[:, 1].min())
     index = defaultdict(list)
     for i, bb in enumerate(boxes):
-        for cx in range(int((bb[0] - ox) / cs), int((bb[2] - ox) / cs) + 1):
-            for cy in range(int((bb[1] - oy) / cs), int((bb[3] - oy) / cs) + 1):
+        for cx in range(math.floor((bb[0] - ox) / cs), math.floor((bb[2] - ox) / cs) + 1):
+            for cy in range(math.floor((bb[1] - oy) / cs), math.floor((bb[3] - oy) / cs) + 1):
                 index[(cx, cy)].append(i)
+    # CSR form of the same index for the vectorized point-probe lane:
+    # sorted packed cell ids + per-cell [start, end) into a rect-id array
+    csr_pairs = sorted(
+        ((cx * (1 << 32) + cy, i) for (cx, cy), ids in index.items() for i in ids)
+    )
+    csr_cells = np.fromiter((p[0] for p in csr_pairs), dtype=np.int64, count=len(csr_pairs))
+    csr_rects = np.fromiter((p[1] for p in csr_pairs), dtype=np.int64, count=len(csr_pairs))
+    cell_uniq, cell_starts = np.unique(csr_cells, return_index=True)
+    cell_ends = np.r_[cell_starts[1:], len(csr_cells)]
+    # axis-aligned-box detection: a rect whose WKB equals the canonical
+    # envelope of its own bbox needs no geometry test at all
+    from ..functions.udfs import st_makeenvelope as _mkenv  # noqa: F401 (doc link)
+
+    is_box = np.zeros(len(wkbs), dtype=bool)
+    cand93 = [i for i, w in enumerate(wkbs) if len(w) == 93]
+    if cand93:
+        sub = boxes_np[cand93]
+        n93 = len(cand93)
+        buf = np.zeros((n93, 93), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1] = 3
+        buf[:, 5] = 1
+        buf[:, 9] = 5
+        ring = np.empty((n93, 10), dtype=np.float64)
+        a_, b_, c_, d_ = sub[:, 0], sub[:, 1], sub[:, 2], sub[:, 3]
+        ring[:, 0], ring[:, 1] = a_, b_
+        ring[:, 2], ring[:, 3] = c_, b_
+        ring[:, 4], ring[:, 5] = c_, d_
+        ring[:, 6], ring[:, 7] = a_, d_
+        ring[:, 8], ring[:, 9] = a_, b_
+        buf[:, 13:93] = ring.astype("<f8").view(np.uint8).reshape(n93, 80)
+        joined = b"".join(wkbs[i] for i in cand93)
+        got = np.frombuffer(joined, dtype=np.uint8).reshape(n93, 93)
+        is_box[np.asarray(cand93)[(got == buf).all(axis=1)]] = True
 
     spark = lb.sparkSession
-    bc = spark.sparkContext.broadcast((index, boxes_np, [WKB.to_wkb(g) for g in geoms], payload, ox, oy, cs))
+    bc = spark.sparkContext.broadcast(
+        (index, boxes_np, wkbs, payload, ox, oy, cs,
+         cell_uniq, cell_starts, cell_ends, csr_rects, is_box)
+    )
     pred_name = predicate
     dist = distance
     l_schema = lb.drop("l_bbox").schema
@@ -441,40 +522,78 @@ def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, ri
 
         from ..functions import fastpath
 
-        index, boxes_np, wkbs, payload, ox, oy, cs = bc.value
+        (index, boxes_np, wkbs, payload, ox, oy, cs,
+         cell_uniq, cell_starts, cell_ends, csr_rects, is_box) = bc.value
         parse = functools.lru_cache(maxsize=None)(lambda i: WKB.from_wkb(wkbs[i]))
         pred = _PREDICATES[pred_name]
         pad = float(dist or 0.0)
+        names = [f.name for f in out_schema.fields]
+
+        def emit(pdf, jj, ri):
+            if len(jj):
+                left_out = pdf.iloc[jj].reset_index(drop=True)
+                pay = pd.DataFrame([payload[i] for i in ri], columns=names[len(l_cols):])
+                return pd.concat([left_out.set_axis(names[: len(l_cols)], axis=1), pay], axis=1)
+            return pd.DataFrame({n_: pd.Series(dtype="object") for n_ in names})
+
         for pdf in batches:
-            # vectorized lane: all-point probe side + polygon build side
+            # vectorized lane: all-point probe side. Each point falls in
+            # exactly ONE grid cell (pad is 0 for these predicates) and the
+            # build index registered every geometry in every cell its bbox
+            # overlaps, so probing the point's own cell is complete. The
+            # (point, rect) pair list is built as one ragged numpy gather —
+            # O(candidate pairs), zero Python loops over rects; axis-aligned
+            # boxes resolve with pure compares, other polygons get a
+            # point-in-polygon test grouped per distinct geometry.
             if pred_name in ("within", "intersects", "covered_by") and len(pdf):
                 pa = fastpath.points_xy(pdf.iloc[:, lg_idx])
                 if pa is not None:
                     xs, ys, mask = pa
-                    out_rows = []
-                    for i in range(len(wkbs)):
-                        bb = boxes_np[i]
-                        cand = (
-                            (xs >= bb[0] - pad)
-                            & (xs <= bb[2] + pad)
-                            & (ys >= bb[1] - pad)
-                            & (ys <= bb[3] + pad)
-                            & mask
-                        )
-                        if not cand.any():
-                            continue
-                        idxs = np.nonzero(cand)[0]
-                        st_arr = fastpath._poly_state_or_none((xs[idxs], ys[idxs], None), parse(i))
-                        if st_arr is None:
-                            break  # build side not polygonal: per-row path
-                        ok = st_arr == 2 if pred_name == "within" else st_arr >= 1
-                        for j in idxs[ok]:
-                            out_rows.append(list(pdf.iloc[j]) + payload[i])
+                    cxs = np.floor((xs - ox) / cs).astype(np.int64)
+                    cys = np.floor((ys - oy) / cs).astype(np.int64)
+                    packed = cxs * (1 << 32) + cys
+                    pos = np.searchsorted(cell_uniq, packed)
+                    pos_c = np.clip(pos, 0, max(len(cell_uniq) - 1, 0))
+                    valid = mask & (len(cell_uniq) > 0) & (cell_uniq[pos_c] == packed)
+                    s_ = cell_starts[pos_c]
+                    counts = np.where(valid, cell_ends[pos_c] - s_, 0)
+                    total = int(counts.sum())
+                    pt_rep = np.repeat(np.arange(len(xs)), counts)
+                    offs = np.cumsum(counts) - counts
+                    within_off = np.arange(total) - np.repeat(offs, counts)
+                    rid = csr_rects[np.repeat(s_, counts) + within_off]
+                    bbp = boxes_np[rid]
+                    px, py = xs[pt_rep], ys[pt_rep]
+                    if pred_name == "within":
+                        box_ok = (px > bbp[:, 0]) & (px < bbp[:, 2]) & (py > bbp[:, 1]) & (py < bbp[:, 3])
                     else:
-                        if out_rows:
-                            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
-                        else:
-                            yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
+                        box_ok = (px >= bbp[:, 0]) & (px <= bbp[:, 2]) & (py >= bbp[:, 1]) & (py <= bbp[:, 3])
+                    boxm = is_box[rid]
+                    keep = boxm & box_ok
+                    # non-box rects: exact point-in-polygon per distinct geometry
+                    nb = np.nonzero(~boxm & box_ok)[0]
+                    nonpoly = False
+                    if len(nb):
+                        nb_r = rid[nb]
+                        order = np.argsort(nb_r, kind="stable")
+                        nb_sorted = nb[order]
+                        r_sorted = nb_r[order]
+                        grp_starts = np.r_[0, np.nonzero(np.diff(r_sorted))[0] + 1]
+                        grp_ends = np.r_[grp_starts[1:], len(r_sorted)]
+                        for g0, g1 in zip(grp_starts, grp_ends):
+                            i = int(r_sorted[g0])
+                            sel = nb_sorted[g0:g1]
+                            st_arr = fastpath._poly_state_or_none(
+                                (px[sel], py[sel], None), parse(i)
+                            )
+                            if st_arr is None:
+                                nonpoly = True
+                                break
+                            ok = st_arr == 2 if pred_name == "within" else st_arr >= 1
+                            keep[sel[ok]] = True
+                    if not nonpoly:
+                        hit = np.nonzero(keep)[0]
+                        yield emit(pdf, pt_rep[hit], rid[hit])
                         continue
             out_rows = []
             for row in pdf.itertuples(index=False):
@@ -486,8 +605,8 @@ def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, ri
                 if bb is None:
                     continue
                 cand = set()
-                for cx in range(int((bb[0] - pad - ox) / cs), int((bb[2] + pad - ox) / cs) + 1):
-                    for cy in range(int((bb[1] - pad - oy) / cs), int((bb[3] + pad - oy) / cs) + 1):
+                for cx in range(math.floor((bb[0] - pad - ox) / cs), math.floor((bb[2] + pad - ox) / cs) + 1):
+                    for cy in range(math.floor((bb[1] - pad - oy) / cs), math.floor((bb[3] + pad - oy) / cs) + 1):
                         cand.update(index.get((cx, cy), ()))
                 for i in sorted(cand):
                     obb = boxes_np[i]
