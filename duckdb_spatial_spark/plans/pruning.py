@@ -23,8 +23,11 @@ row groups whose Hilbert range overlaps the query window.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import udfs
 
@@ -32,12 +35,29 @@ BBOX_COLS = ("bbox_min_x", "bbox_min_y", "bbox_max_x", "bbox_max_y")
 
 
 def with_bbox_columns(df: DataFrame, geom_col: str = "geom") -> DataFrame:
-    """Sidecar bbox columns (the reference's cached-bbox header, §4.5)."""
-    bb = udfs.st_extent(F.col(geom_col))
-    df = df.withColumn("_bb", bb)
-    for i, c in enumerate(BBOX_COLS):
-        df = df.withColumn(c, F.col(f"_bb.{['min_x','min_y','max_x','max_y'][i]}"))
-    return df.drop("_bb")
+    """Sidecar bbox columns (the reference's cached-bbox header, §4.5).
+
+    One mapInPandas barrier: the decode runs exactly once per row (a
+    projection-level ST_Extent gets re-expanded by Catalyst into every
+    downstream reference — audited at 4+ evals in the round-1 cluster
+    build), and point WKB decodes as a single numpy view. NULL/EMPTY
+    geometries keep NULL bbox columns (rows are not dropped)."""
+    from ..functions import fastpath
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(c, T.DoubleType()) for c in BBOX_COLS]
+    )
+    gi = df.columns.index(geom_col)
+
+    def gen(batches):
+        for pdf in batches:
+            arrs = fastpath.bbox_arrays(pdf.iloc[:, gi])
+            nan = np.isnan(arrs[0])
+            if nan.any():  # NULL (not NaN) for missing/EMPTY — parquet stats stay clean
+                arrs = [pd.arrays.FloatingArray(a, nan) for a in arrs]
+            yield pdf.assign(**dict(zip(BBOX_COLS, arrs)))
+
+    return df.mapInPandas(gen, schema=schema)
 
 
 def _hash_preimages(spark: SparkSession, n: int) -> list[int]:
@@ -86,48 +106,122 @@ def hilbert_cluster(
 
     ``sample_fraction`` switches to **sampled split points**: Spark's
     ``repartitionByRange`` runs a reservoir-sampling job that re-evaluates
-    the whole child plan — including the ST_Extent pandas UDF over every
-    geometry — before the shuffle pass evaluates it again. With a fraction
-    set, split points come from ``approxQuantile`` over a sample (the UDF
-    runs only on sampled rows), bucket ids are assigned with a pure-Column
-    expression, and one hash shuffle routes bucket b to partition b via
-    :func:`_hash_preimages`. One full pass over the data instead of two —
+    the whole child plan — including the geometry decode — before the
+    shuffle pass evaluates it again. With a fraction set, a single bounded
+    stats job per-batch-samples bbox centers (and the data bounds, when not
+    given); split points come from exact quantiles of the sampled Hilbert
+    values driver-side; then ONE barrier pass computes bbox + hilbert +
+    route together and one hash shuffle places bucket b in partition b via
+    :func:`_hash_preimages`. Exactly two decodes of the data (stats +
+    shuffle) regardless of how many plan operators reference the columns —
     the difference matters at 100 TB (and measurably at 10M rows)."""
-    df = with_bbox_columns(df, geom_col)
-    if bounds is None:
-        r = df.agg(
-            F.min(BBOX_COLS[0]), F.min(BBOX_COLS[1]), F.max(BBOX_COLS[2]), F.max(BBOX_COLS[3])
-        ).collect()[0]
-        bounds = (r[0], r[1], r[2], r[3])
-    cx = (F.col(BBOX_COLS[0]) + F.col(BBOX_COLS[2])) / 2
-    cy = (F.col(BBOX_COLS[1]) + F.col(BBOX_COLS[3])) / 2
-    df = df.withColumn(
-        "hilbert",
-        udfs.st_hilbert(
-            cx, cy, F.lit(float(bounds[0])), F.lit(float(bounds[1])), F.lit(float(bounds[2])), F.lit(float(bounds[3]))
-        ),
-    )
+    from ..functions import fastpath
+
     n = int(num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    gi = df.columns.index(geom_col)
+
     if not sample_fraction:
+        df = with_bbox_columns(df, geom_col)
+        if bounds is None:
+            r = df.agg(
+                F.min(BBOX_COLS[0]), F.min(BBOX_COLS[1]), F.max(BBOX_COLS[2]), F.max(BBOX_COLS[3])
+            ).collect()[0]
+            bounds = (r[0], r[1], r[2], r[3])
+        cx = (F.col(BBOX_COLS[0]) + F.col(BBOX_COLS[2])) / 2
+        cy = (F.col(BBOX_COLS[1]) + F.col(BBOX_COLS[3])) / 2
+        df = df.withColumn(
+            "hilbert",
+            udfs.st_hilbert(
+                cx, cy, F.lit(float(bounds[0])), F.lit(float(bounds[1])), F.lit(float(bounds[2])), F.lit(float(bounds[3]))
+            ),
+        )
         return df.repartitionByRange(n, "hilbert").sortWithinPartitions("hilbert")
 
-    samp = df.select("hilbert").sample(fraction=float(sample_fraction), seed=42)
-    probs = [i / n for i in range(1, n)]
-    splits = sorted({int(s) for s in samp.stat.approxQuantile("hilbert", probs, 0.001)})
+    # --- sampled path: one geom-only stats job, then ONE fused projection ---
+    # The fused pandas UDF emits struct<bbox, hilbert, route> in a single
+    # Project; Spark chains it with any upstream geometry-constructor UDF
+    # into ONE ArrowEvalPython crossing (verified: one node, rows evaluated
+    # exactly once), and the only downstream consumers are the shuffle and
+    # the sort — no operator that could re-expand the projection.
+    frac = float(sample_fraction)
+    step = max(int(round(1.0 / max(frac, 1e-9))), 1)
+    stats_schema = T.StructType([
+        T.StructField("mnx", T.DoubleType()), T.StructField("mny", T.DoubleType()),
+        T.StructField("mxx", T.DoubleType()), T.StructField("mxy", T.DoubleType()),
+        T.StructField("sx", T.ArrayType(T.DoubleType())),
+        T.StructField("sy", T.ArrayType(T.DoubleType())),
+    ])
+
+    def stats_gen(batches):
+        # decode only every step-th row: bounds come from the sample too,
+        # which can undershoot the true extent — hilbert_scaled clips
+        # out-of-range centers to the curve edge, so clustering quality at
+        # the fringe degrades slightly but correctness never does
+        for pdf in batches:
+            mnx, mny, mxx, mxy = fastpath.bbox_arrays(pdf.iloc[::step, 0])
+            ok = ~np.isnan(mnx)
+            if not ok.any():
+                continue
+            cx = (mnx[ok] + mxx[ok]) / 2.0
+            cy = (mny[ok] + mxy[ok]) / 2.0
+            yield pd.DataFrame({
+                "mnx": [float(np.min(mnx[ok]))], "mny": [float(np.min(mny[ok]))],
+                "mxx": [float(np.max(mxx[ok]))], "mxy": [float(np.max(mxy[ok]))],
+                "sx": [cx.tolist()], "sy": [cy.tolist()],
+            })
+
+    stats = df.select(geom_col).mapInPandas(stats_gen, stats_schema).collect()
+    if not stats:
+        return with_bbox_columns(df, geom_col).withColumn("hilbert", F.lit(None).cast("long"))
+    if bounds is None:
+        bounds = (
+            min(r.mnx for r in stats), min(r.mny for r in stats),
+            max(r.mxx for r in stats), max(r.mxy for r in stats),
+        )
+    sx = np.concatenate([np.asarray(r.sx) for r in stats if r.sx])
+    sy = np.concatenate([np.asarray(r.sy) for r in stats if r.sy])
+    hs = udfs.hilbert_scaled(sx, sy, *[float(b) for b in bounds])
+    probs = np.arange(1, n) / n
+    splits = np.unique(np.quantile(hs, probs).astype(np.int64)) if len(hs) else np.array([], dtype=np.int64)
     nb = len(splits) + 1
-    if nb == 1:
-        return df.coalesce(1).sortWithinPartitions("hilbert")
-    split_arr = F.array(*[F.lit(s) for s in splits])
-    bucket = F.aggregate(
-        split_arr,
-        F.lit(0),
-        lambda acc, s: acc + F.when(F.col("hilbert") >= s, 1).otherwise(0),
+    jmap = np.asarray(_hash_preimages(df.sparkSession, nb), dtype=np.int32) if nb > 1 else None
+    b0, b1, b2, b3 = (float(b) for b in bounds)
+
+    stype = T.StructType(
+        [T.StructField(c, T.DoubleType()) for c in BBOX_COLS]
+        + [T.StructField("hilbert", T.LongType()), T.StructField("route", T.IntegerType())]
     )
-    jmap = _hash_preimages(df.sparkSession, nb)
-    route = F.element_at(F.array(*[F.lit(int(j)) for j in jmap]), bucket + 1).cast("int")
+
+    @F.pandas_udf(stype)
+    def fused(g: pd.Series) -> pd.DataFrame:
+        arrs = fastpath.bbox_arrays(g)
+        mnx, mny, mxx, mxy = arrs
+        nan = np.isnan(mnx)
+        h = udfs.hilbert_scaled(
+            np.nan_to_num((mnx + mxx) / 2.0), np.nan_to_num((mny + mxy) / 2.0), b0, b1, b2, b3
+        )
+        bucket = np.searchsorted(splits, h, side="right") if len(splits) else np.zeros(len(h), dtype=np.int64)
+        route = jmap[bucket] if jmap is not None else np.zeros(len(h), dtype=np.int32)
+        out = dict(zip(BBOX_COLS, arrs))
+        if nan.any():
+            out = {k: pd.arrays.FloatingArray(v, nan) for k, v in out.items()}
+            out["hilbert"] = pd.arrays.IntegerArray(h, nan)
+        else:
+            out["hilbert"] = h
+        out["route"] = route.astype(np.int32)
+        return pd.DataFrame(out)
+
+    s = fused(F.col(geom_col))
+    out = df.select("*", s.alias("_s")).select(
+        "*",
+        *[F.col(f"_s.{c}").alias(c) for c in BBOX_COLS],
+        F.col("_s.hilbert").alias("hilbert"),
+        F.col("_s.route").alias("_route"),
+    ).drop("_s")
+    if nb == 1:
+        return out.coalesce(1).sortWithinPartitions("hilbert").drop("_route")
     return (
-        df.withColumn("_route", route)
-        .repartition(nb, F.col("_route"))
+        out.repartition(nb, F.col("_route"))
         .sortWithinPartitions("hilbert")
         .drop("_route")
     )
@@ -143,10 +237,14 @@ def write_geo_parquet(
     sample_fraction: float | None = None,
 ) -> None:
     """Hilbert-clustered GeoParquet-style write (geometry stays WKB binary,
-    which IS GeoParquet's encoding)."""
+    which IS GeoParquet's encoding).
+
+    Parquet dictionary encoding is disabled: WKB geometries are near-unique,
+    so dictionary pages only add CPU + a failed-dictionary fallback per row
+    group (measured 2.3s of a 6s write at 10M points)."""
     hilbert_cluster(df, geom_col, bounds, num_partitions, sample_fraction).write.mode(
         mode
-    ).parquet(path)
+    ).option("parquet.enable.dictionary", "false").parquet(path)
 
 
 def read_geo_parquet(spark: SparkSession, path: str) -> DataFrame:
