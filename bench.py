@@ -1,14 +1,25 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Prints ONE JSON line: {"metric": "total_sec", "value": N, "unit": "sec",
-"queries": {name: sec, ...}, "sf": <sf>}.
+"queries": {name: sec, ...}, "sf": <sf>} plus, for every workload with a
+plain-SQL DuckDB comparable, "duckdb": {name: sec} (best-of-3, same parquet
+inputs, in-process) and "ratio": {name: ours/duckdb}.
 
-Workloads mirror BASELINE.md's derived protocol:
+Protocol (BASELINE.md "Derived BENCH protocol"):
+  * a JVM/Arrow/Python-worker WARMUP runs untimed before any measurement —
+    round-1 numbers charged ~5s of session warmup to the first query
   * windowed point count full-scan vs Hilbert-clustered + bbox-pruned
-    (the reference's rtree_points_index/_noindex A/B pair, 10M points)
-  * spatial join points x rects (the optimizer-rewrite path)
+    (the reference's rtree_points_index/_noindex A/B pair) — both engines
+    read the SAME pre-written parquet, so the timing is scan+filter, not
+    data generation
+  * the same trio again at a larger point count ($SPARK_GRAFT_BENCH_POINTS_LARGE,
+    default 50M, "_large" suffix) where Spark's per-job floor amortizes —
+    the 100 TB-relevant signal is the marginal rate, visible only there
+  * spatial join points x rects (optimizer-rewrite path); DuckDB comparable
+    is the identical inequality join (IEJoin) in plain SQL
   * TPC-H q1/q6, hourly events rollup (host-engine capability)
-  * MinHash-LSH dedup + brute-force ANN (pipeline operators)
+  * MinHash-LSH dedup + brute-force ANN (pipeline operators; no DuckDB
+    comparable without the spatial/ML extensions)
 """
 
 from __future__ import annotations
@@ -46,6 +57,8 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    import duckdb
+
     import duckdb_spatial_spark
     from duckdb_spatial_spark.functions import native, udfs
     from duckdb_spatial_spark.operators import st_join
@@ -59,7 +72,13 @@ def main():
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {cpus}")
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+
     timings: dict[str, float] = {}
+    duck: dict[str, float] = {}
 
     def bench(name):
         def deco(fn):
@@ -69,6 +88,23 @@ def main():
             return fn
 
         return deco
+
+    def duck_bench(name, sql):
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            con.execute(sql).fetchall()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        duck[name] = round(best, 3)
+
+    # ---- warmup (untimed): JVM codegen, parquet reader, shuffle, Arrow +
+    # Python UDF workers ----
+    spark.sql("SELECT count(*) FROM lineitem").collect()
+    spark.sql("SELECT l_returnflag, count(*) FROM lineitem GROUP BY 1").collect()
+    spark.range(100_000).select(
+        udfs.st_astext(udfs.st_point(F.col("id") * 1.0, F.col("id") * 2.0))
+    ).count()
 
     pts_sql = (
         "SELECT o_orderkey AS id, CAST(o_orderkey * 7919 % 10000 AS DOUBLE) AS x,"
@@ -88,39 +124,80 @@ def main():
             " ST_MakeEnvelOPE(450.0D, 450.0D, 2650.0D, 2650.0D))"
         ).collect()
 
-    n_points = int(os.environ.get("SPARK_GRAFT_BENCH_POINTS", "10000000"))
+    duck_bench(
+        "envelope_native",
+        f"SELECT count(*) FROM ({pts_sql}) WHERE x >= 450 AND x <= 2650 AND y >= 450 AND y <= 2650",
+    )
+    duck["envelope_geom_udf"] = duck["envelope_native"]
+
     tmp = tempfile.mkdtemp(prefix="bench_clustered_")
     try:
-        pts10m = st_generatepoints(spark, 0, 0, 10000, 10000, n_points, seed=1337)
+        def point_workloads(n_points: int, suffix: str):
+            """The reference's rtree_points_index/_noindex A/B pair: the same
+            exact ST_Within window predicate, with and without data skipping
+            (bbox conjuncts on the Hilbert-clustered layout). A third entry
+            measures the ingested-columns path (plain x/y compares, no
+            geometry at all) — the closest apples-to-apples DuckDB
+            comparable, reading the same parquet."""
+            raw = f"{tmp}/raw{suffix}"
+            pts = st_generatepoints(spark, 0, 0, 10000, 10000, n_points, seed=1337)
+            pts.select("id", "x", "y").write.mode("overwrite").parquet(raw)
+            flat = spark.read.parquet(raw)
 
-        @bench("points10m_fullscan_count")
-        def _():
-            pts10m.filter(
-                native.point_in_box(F.col("x"), F.col("y"), 450.0, 450.0, 650.0, 650.0)
-            ).count()
+            @bench(f"points_xy_native_count{suffix}")
+            def _():
+                flat.filter(
+                    native.point_in_box(F.col("x"), F.col("y"), 450.0, 450.0, 650.0, 650.0)
+                ).count()
 
-        @bench("points10m_cluster_build")
-        def _():
-            # sampled split points: one full UDF pass instead of two (the
-            # repartitionByRange sampling job re-evaluates the extent UDF)
-            write_geo_parquet(
-                pts10m, tmp + "/pts", num_partitions=max(cpus, 16), sample_fraction=0.01
+            duck_bench(
+                f"points_xy_native_count{suffix}",
+                f"SELECT count(*) FROM '{raw}/*.parquet'"
+                " WHERE x >= 450 AND x <= 650 AND y >= 450 AND y <= 650",
             )
 
-        clustered = spark.read.parquet(tmp + "/pts")
+            @bench(f"points_cluster_build{suffix}")
+            def _():
+                write_geo_parquet(
+                    flat.withColumn("geom", udfs.st_point("x", "y")).select("id", "geom"),
+                    f"{tmp}/pts{suffix}",
+                    num_partitions=max(cpus, 16),
+                    sample_fraction=0.01,
+                )
 
-        @bench("points10m_pruned_count")
-        def _():
-            filter_bbox(clustered, 450, 450, 650, 650, exact="within").count()
+            clustered = spark.read.parquet(f"{tmp}/pts{suffix}")
+
+            @bench(f"points_fullscan_count{suffix}")
+            def _():
+                # noindex control: exact predicate over every row
+                filter_bbox(clustered.drop(*[c for c in clustered.columns if c.startswith("bbox_")]),
+                            450, 450, 650, 650, exact="within").count()
+
+            @bench(f"points_pruned_count{suffix}")
+            def _():
+                filter_bbox(clustered, 450, 450, 650, 650, exact="within").count()
+
+            # DuckDB has no R-tree without the spatial extension (offline);
+            # its x/y full-scan number doubles as the baseline for both — the
+            # ratio shows our paths vs its best available plan.
+            duck[f"points_fullscan_count{suffix}"] = duck[f"points_xy_native_count{suffix}"]
+            duck[f"points_pruned_count{suffix}"] = duck[f"points_xy_native_count{suffix}"]
+
+        point_workloads(int(os.environ.get("SPARK_GRAFT_BENCH_POINTS", "10000000")), "")
+        large = int(os.environ.get("SPARK_GRAFT_BENCH_POINTS_LARGE", "50000000"))
+        if large > 0:
+            point_workloads(large, "_large")
+
+        rects_sql = (
+            "SELECT p_partkey AS rid, CAST(p_partkey * 7919 % 9900 AS DOUBLE) AS mx,"
+            " CAST(p_partkey * 104729 % 9900 AS DOUBLE) AS my,"
+            " CAST(p_partkey % 97 + 3 AS DOUBLE) AS w, CAST(p_partkey % 89 + 2 AS DOUBLE) AS h FROM part"
+        )
 
         @bench("spatial_join_grid")
         def _():
             pts = spark.sql(pts_sql).withColumn("geom", udfs.st_point("x", "y")).select("id", "geom")
-            rects = spark.sql(
-                "SELECT p_partkey AS rid, CAST(p_partkey * 7919 % 9900 AS DOUBLE) AS mx,"
-                " CAST(p_partkey * 104729 % 9900 AS DOUBLE) AS my,"
-                " CAST(p_partkey % 97 + 3 AS DOUBLE) AS w, CAST(p_partkey % 89 + 2 AS DOUBLE) AS h FROM part"
-            )
+            rects = spark.sql(rects_sql)
             rects = rects.select(
                 "rid",
                 udfs.st_makeenvelope("mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")).alias("geom"),
@@ -141,6 +218,19 @@ def main():
                 right_is_box=True,
             ).count()
 
+        duck_bench(
+            "spatial_join_grid",
+            f"SELECT count(*) FROM ({pts_sql}) p JOIN ({rects_sql}) r"
+            " ON p.x > r.mx AND p.x < r.mx + r.w AND p.y > r.my AND p.y < r.my + r.h",
+        )
+        duck_bench(
+            "spatial_join_native",
+            f"SELECT count(*) FROM ({pts_sql}) p JOIN"
+            " (SELECT p_partkey AS rid, CAST(p_partkey * 7919 % 9900 AS DOUBLE) AS mnx,"
+            "  CAST(p_partkey * 104729 % 9900 AS DOUBLE) AS mny FROM part) r"
+            " ON p.x > r.mnx AND p.x < r.mnx + 50 AND p.y > r.mny AND p.y < r.mny + 50",
+        )
+
         @bench("tpch_q1")
         def _():
             spark.sql(
@@ -154,6 +244,18 @@ def main():
                 """
             ).collect()
 
+        duck_bench(
+            "tpch_q1",
+            """
+            SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
+                   sum(l_extendedprice * (1 - l_discount)),
+                   sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                   avg(l_quantity), avg(l_extendedprice), avg(l_discount), count(*)
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            """,
+        )
+
         @bench("tpch_q6")
         def _():
             spark.sql(
@@ -165,12 +267,28 @@ def main():
                 """
             ).collect()
 
+        duck_bench(
+            "tpch_q6",
+            """
+            SELECT sum(l_extendedprice * l_discount) FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+            """,
+        )
+
         @bench("events_hourly")
         def _():
             spark.sql(
                 "SELECT ts div 3600000000000, event_type, count(*), sum(value)"
                 " FROM events GROUP BY 1, 2"
             ).collect()
+
+        duck_bench(
+            "events_hourly",
+            "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT), event_type, count(*), sum(value)"
+            " FROM events GROUP BY 1, 2",
+        )
 
         @bench("minhash_lsh_docs")
         def _():
@@ -187,7 +305,23 @@ def main():
         shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({"metric": "total_sec", "value": total, "unit": "sec", "queries": timings, "sf": sf}))
+    ratio = {
+        k: round(timings[k] / duck[k], 2) for k in timings if k in duck and duck[k] > 0
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "duckdb": duck,
+                "ratio": ratio,
+                "config": {"cpus": cpus, "warmup": True, "points_large": large},
+            }
+        )
+    )
     spark.stop()
 
 
