@@ -186,16 +186,12 @@ def _conic_inverse(x, y, kind, lat1, lat2, lat0, lon0, fe, fn):
 
 
 def _utm_zone(crs: str):
-    if crs.startswith("EPSG:326") and len(crs) == 10:
+    # only zones 1-60 are UTM; EPSG:32661+ (UPS polar stereographic etc.)
+    # must fall through to the unsupported-CRS error, not a bogus meridian
+    if crs.startswith("EPSG:326") and len(crs) == 10 and 1 <= int(crs[8:]) <= 60:
         return int(crs[8:]), False
-    if crs.startswith("EPSG:327") and len(crs) == 10:
+    if crs.startswith("EPSG:327") and len(crs) == 10 and 1 <= int(crs[8:]) <= 60:
         return int(crs[8:]), True
-    if crs.startswith("EPSG:32") and len(crs) in (9, 10):
-        code = int(crs.split(":")[1])
-        if 32601 <= code <= 32660:
-            return code - 32600, False
-        if 32701 <= code <= 32760:
-            return code - 32700, True
     return None, False
 
 

@@ -1116,6 +1116,9 @@ def buffer(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
     if radius == 0:
         return g
     leaves = list(g.flatten())
+    if radius < 0 and not any(l.tag == G.POLYGON for l in leaves):
+        # GEOS: negative buffer of 0/1-dimensional input is POLYGON EMPTY
+        return G.empty(G.POLYGON)
     if leaves and all(l.tag == G.POINT for l in leaves):
         polys = []
         n = max(4, 4 * nseg)
@@ -1324,6 +1327,89 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
     return intersection_tri(a, b)
 
 
+def _subtract_line_overlap(line: Geometry, b_lines: list) -> list:
+    """``line`` minus the collinear overlapping portions of ``b_lines``,
+    as a list of linestrings (interval subtraction per segment, chained
+    back into maximal polylines)."""
+    aa = line.data
+    chains: list = []
+    chain: list = []
+
+    def flush():
+        nonlocal chain
+        if len(chain) >= 2:
+            chains.append(np.asarray(chain, dtype=np.float64))
+        chain = []
+
+    for i in range(len(aa) - 1):
+        p, q = aa[i, :2].astype(float), aa[i + 1, :2].astype(float)
+        d = q - p
+        L2 = float(d[0] * d[0] + d[1] * d[1])
+        if L2 == 0:
+            continue
+        cut: list = []
+        for bl in b_lines:
+            bb = bl.data
+            for j in range(len(bb) - 1):
+                r, s = bb[j, :2], bb[j + 1, :2]
+                if (
+                    _cross(p[0], p[1], q[0], q[1], r[0], r[1]) != 0
+                    or _cross(p[0], p[1], q[0], q[1], s[0], s[1]) != 0
+                ):
+                    continue
+                t0 = float((r - p) @ d) / L2
+                t1 = float((s - p) @ d) / L2
+                lo, hi = max(0.0, min(t0, t1)), min(1.0, max(t0, t1))
+                if hi > lo:
+                    cut.append((lo, hi))
+        cut.sort()
+        kept: list = []
+        cur = 0.0
+        for lo, hi in cut:
+            if lo > cur:
+                kept.append((cur, lo))
+            cur = max(cur, hi)
+        if cur < 1.0:
+            kept.append((cur, 1.0))
+        for t0, t1 in kept:
+            p0 = p + t0 * d
+            p1 = p + t1 * d
+            if chain and np.allclose(chain[-1], p0):
+                chain.append(p1)
+            else:
+                flush()
+                chain = [p0, p1]
+    flush()
+    return [G.linestring(c) for c in chains]
+
+
+def _difference_lower_dim(a: Geometry, b: Geometry) -> Geometry:
+    """a minus a 0/1-dimensional b: areas pass through, lines lose collinear
+    overlap with b's lines, points covered by b are dropped."""
+    b_lines = [l for l in b.flatten() if l.tag == G.LINESTRING]
+    parts: list = []
+    changed = False
+    for part in a.flatten():
+        if part.tag == G.POLYGON:
+            parts.append(part)
+        elif part.tag == G.LINESTRING:
+            if b_lines and _collinear_overlap_len(part, b) > 0:
+                parts.extend(_subtract_line_overlap(part, b_lines))
+                changed = True
+            else:
+                parts.append(part)
+        else:  # POINT
+            if covers(b, part):
+                changed = True
+            else:
+                parts.append(part)
+    if not changed:
+        return a
+    if not parts:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    return parts[0] if len(parts) == 1 else G.collect(parts)
+
+
 def difference(a: Geometry, b: Geometry) -> Geometry:
     """a \\ b, exact when b's polygons are convex (progressive half-plane
     decomposition — pieces a∩H̄ᵢ∩H₁..Hᵢ₋₁ are disjoint and union to a\\b)."""
@@ -1333,7 +1419,10 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
         return a
     b_polys = [l for l in b.flatten() if l.tag == G.POLYGON]
     if not b_polys:
-        return a  # subtracting lower-dimension geometry leaves a unchanged
+        # subtracting a lower-dimension geometry leaves areas unchanged, but
+        # line\line must drop collinear overlap and point\b drops covered
+        # points (GEOS semantics)
+        return _difference_lower_dim(a, b)
     result_parts = list(a.flatten())
     for bp in b_polys:
         if not is_convex_polygon(bp):

@@ -18,7 +18,9 @@ import numpy as np
 
 from . import geom as G
 
-_NUM = re.compile(r"[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?")
+# nan/inf accepted: the writer emits "nan" for partially-NaN coordinates
+# (GEOS writes "NaN" too), so to_wkt output must survive from_wkt
+_NUM = re.compile(r"[-+]?(?:nan|inf(?:inity)?|(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?)", re.IGNORECASE)
 _WORD = re.compile(r"[A-Za-z]+")
 
 

@@ -170,3 +170,42 @@ def test_makevalid_multi_crossing():
     double = from_wkt("POLYGON ((0 0, 2 2, 2 0, 0 2, 4 2, 4 0, 0 0))")
     mv2 = A.make_valid(double)
     assert A.is_valid(mv2) and A.area(mv2) > 0
+
+
+def test_line_line_difference_collinear():
+    # ADVICE r1: collinear overlap must be removed (GEOS semantics)
+    a = from_wkt("LINESTRING (0 0, 10 0)")
+    b = from_wkt("LINESTRING (4 0, 6 0)")
+    d = A.difference(a, b)
+    assert abs(A.length(d) - 8.0) < 1e-9
+    parts = [l for l in d.flatten() if l.tag == G.LINESTRING]
+    assert len(parts) == 2
+    # crossing at a point removes nothing
+    c = from_wkt("LINESTRING (5 -1, 5 1)")
+    d2 = A.difference(a, c)
+    assert abs(A.length(d2) - 10.0) < 1e-9
+    # full cover -> empty
+    d3 = A.difference(b, a)
+    assert d3.is_empty()
+    # point minus covering line -> empty; off-line point survives
+    assert A.difference(from_wkt("POINT (5 0)"), a).is_empty()
+    assert not A.difference(from_wkt("POINT (5 1)"), a).is_empty()
+
+
+def test_negative_buffer_low_dim_empty():
+    # ADVICE r1: GEOS returns POLYGON EMPTY for negative buffer of 0/1-D
+    assert A.buffer(from_wkt("POINT (1 1)"), -1.0).is_empty()
+    assert A.buffer(from_wkt("LINESTRING (0 0, 5 0)"), -0.5).is_empty()
+    # positive point buffer still a disc
+    disc = A.buffer(from_wkt("POINT (0 0)"), 1.0)
+    assert abs(A.area(disc) - math.pi) < 0.03  # 32-gon inscribed-area deficit
+
+
+def test_wkt_nan_roundtrip():
+    # ADVICE r1: writer emits 'nan' for partially-NaN points; reader accepts
+    import struct
+
+    wkb = b"\x01\x01\x00\x00\x00" + struct.pack("<dd", float("nan"), 2.0)
+    w = to_wkt(from_wkb(wkb))
+    g = from_wkt(w)  # must not raise
+    assert g.tag == G.POINT
