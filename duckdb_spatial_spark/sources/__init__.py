@@ -9,5 +9,6 @@ from .geojson import (  # noqa: F401
     write_geojson,
 )
 from .flatgeobuf import read_flatgeobuf  # noqa: F401
+from .gpkg import gpkg_layers, read_gpkg, write_gpkg  # noqa: F401
 from .osm import read_osm  # noqa: F401
 from .shapefile import read_shapefile, write_shapefile  # noqa: F401
