@@ -318,13 +318,38 @@ def q_spatial_predicates(spark, sf_dir):
 
 
 def q_spatial_hilbert(spark, sf_dir):
-    """Space-filling curve index (rows-only check: not SQL-expressible)."""
+    """Space-filling curve index. Oracled: the oracle re-implements the
+    standard Hilbert xy->d algorithm as a DuckDB recursive CTE (16
+    iterations of quadrant rotation), independent of our numpy kernel."""
     _prep(spark, sf_dir)
     return spark.sql(
         f"""
         SELECT id, ST_Hilbert(x, y, 0.0D, 0.0D, 10000.0D, 10000.0D) AS h
         FROM ({_PTS}) WHERE id < 1000
         """
+    )
+
+
+def q_gpkg_roundtrip(spark, sf_dir):
+    """GeoPackage write -> read round trip (sources/gpkg.py): proves the GP
+    binary header + SQLite layer plumbing preserve geometry and keys."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources import read_gpkg, write_gpkg
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 500")
+        .withColumn("geom", F.expr("ST_Point(x, y)"))
+        .select("id", "geom")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="gpkg_q_"), "rt.gpkg")
+    write_gpkg(df, path, layer="pts")
+    back = read_gpkg(spark, path, num_partitions=4)
+    return back.selectExpr(
+        "id", "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y"
     )
 
 
@@ -677,6 +702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_quadkey": q_spatial_quadkey,
         "spatial_predicates": q_spatial_predicates,
         "spatial_hilbert": q_spatial_hilbert,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         "spatial_collect_dump": q_spatial_collect_dump,
         "spatial_line_endpoints": q_spatial_line_endpoints,
         "spatial_dwithin_grouped": q_spatial_dwithin_grouped,
@@ -699,6 +725,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "winnowing": q_winnowing,
     }
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB replica of operators/textops.py lang_id: per-language stopword
+    hit rate, argmax with a 0.02 floor. The Spark when-chain lets the LAST
+    tied language win, so the CASE goes in reverse dict order."""
+    from duckdb_spatial_spark.operators.textops import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    score_cols = []
+    for lang, words in _STOPWORDS.items():
+        arr = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains({arr}, t)))"
+            f" / greatest(len(toks), 1) AS sc_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"sc_{l}" for l in langs) + ")"
+    cases = " ".join(
+        f"WHEN sc_{l} = best AND best > 0.02 THEN '{l}'" for l in reversed(langs)
+    )
+    return f"""
+        WITH tok AS (
+          SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+          FROM documents
+        ), sc AS (
+          SELECT {', '.join(score_cols)} FROM tok
+        ), p AS (
+          SELECT CASE {cases} ELSE 'und' END AS lang_pred
+          FROM (SELECT *, {best} AS best FROM sc)
+        )
+        SELECT lang_pred, count(*) AS n FROM p GROUP BY lang_pred
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -979,7 +1037,37 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
             ) WHERE c >= 0.35
         """,
-        # minhash_lsh_pairs / simhash / lang_id / winnowing / spatial_hilbert:
-        # intentionally omitted -> driver records rows-only checks (hash
-        # functions / heuristics are engine-specific; see docstrings)
+        "spatial_hilbert": """
+            -- independent re-implementation of the standard Hilbert xy->d
+            -- walk (order 16) as a recursive CTE: per step, accumulate the
+            -- quadrant digit then rotate/flip the frame
+            WITH RECURSIVE pts AS (
+              SELECT id,
+                     CAST(floor(least(greatest((x - 0.0) / 10000.0 * 65535, 0.0), 65535.0)) AS BIGINT) AS gx,
+                     CAST(floor(least(greatest((y - 0.0) / 10000.0 * 65535, 0.0), 65535.0)) AS BIGINT) AS gy
+              FROM (SELECT o_orderkey AS id,
+                           CAST(o_orderkey * 7919 % 10000 AS DOUBLE) AS x,
+                           CAST(o_orderkey * 104729 % 10000 AS DOUBLE) AS y FROM orders)
+              WHERE id < 1000
+            ), it AS (
+              SELECT id, gx AS x, gy AS y, CAST(32768 AS BIGINT) AS s, CAST(0 AS BIGINT) AS d FROM pts
+              UNION ALL
+              SELECT id,
+                CASE WHEN (y & s) > 0 THEN x WHEN (x & s) = 0 THEN y ELSE s - 1 - y END,
+                CASE WHEN (y & s) > 0 THEN y WHEN (x & s) = 0 THEN x ELSE s - 1 - x END,
+                s // 2,
+                d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END),
+                                (CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END))
+              FROM it WHERE s > 0
+            )
+            SELECT id, d AS h FROM it WHERE s = 0
+        """,
+        "gpkg_roundtrip": f"""
+            SELECT id, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 500
+        """,
+        "lang_id": _lang_id_oracle(),
+        # minhash_lsh_pairs / simhash / winnowing: intentionally omitted ->
+        # driver records rows-only checks (xxhash64-based signatures are
+        # engine-specific; see docstrings)
     }
