@@ -40,8 +40,18 @@ def st_extent_agg(df: DataFrame, geom_col: str, group_cols=()) -> DataFrame:
     )
 
 
-def _fold_agg(df: DataFrame, geom_col: str, group_cols, fold_fn, out_name: str) -> DataFrame:
-    """Generic two-level geometric fold per group."""
+def _fold_agg(
+    df: DataFrame,
+    geom_col: str,
+    group_cols,
+    fold_fn,
+    out_name: str,
+    final_fn=None,
+    skip_empty: bool = True,
+) -> DataFrame:
+    """Generic two-level geometric fold per group. ``final_fn`` (defaults to
+    ``fold_fn``) merges the level-1 partials — aggregates whose partial is a
+    container (ST_Collect) need a different merge than their update."""
     group_cols = list(group_cols)
     if not group_cols:
         df = df.withColumn("_g", F.lit(1))
@@ -49,13 +59,15 @@ def _fold_agg(df: DataFrame, geom_col: str, group_cols, fold_fn, out_name: str) 
         drop_key = True
     else:
         drop_key = False
+    final_fn = final_fn or fold_fn
 
     key_fields = [df.schema[c] for c in group_cols]
     partial_schema = T.StructType(key_fields + [T.StructField(out_name, T.BinaryType())])
 
     def partial(pdf: pd.DataFrame) -> pd.DataFrame:
         geoms = [WKB.from_wkb(bytes(b)) for b in pdf[geom_col] if b is not None]
-        geoms = [g for g in geoms if not g.is_empty()]
+        if skip_empty:
+            geoms = [g for g in geoms if not g.is_empty()]
         acc = fold_fn(geoms) if geoms else None
         row = {c: pdf[c].iloc[0] for c in group_cols}
         row[out_name] = WKB.to_wkb(acc) if acc is not None else None
@@ -77,7 +89,7 @@ def _fold_agg(df: DataFrame, geom_col: str, group_cols, fold_fn, out_name: str) 
 
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         geoms = [WKB.from_wkb(bytes(b)) for b in pdf[out_name] if b is not None]
-        acc = fold_fn(geoms) if geoms else None
+        acc = final_fn(geoms) if geoms else None
         row = {c: pdf[c].iloc[0] for c in group_cols}
         row[out_name] = WKB.to_wkb(acc) if acc is not None else None
         return pd.DataFrame([row])
@@ -99,12 +111,22 @@ def st_intersection_agg(df: DataFrame, geom_col: str = "geom", group_cols=()) ->
 
 
 def st_collect_agg(df: DataFrame, geom_col: str = "geom", group_cols=()) -> DataFrame:
-    """ST_Collect over collect_list — pure Spark + one UDF call per group."""
-    group_cols = list(group_cols)
-    lst = F.collect_list(F.col(geom_col))
-    out = (
-        df.groupBy(*group_cols).agg(lst.alias("_geoms"))
-        if group_cols
-        else df.agg(lst.alias("_geoms"))
+    """ST_Collect as a salted two-level fold: a giant group never
+    materializes all WKB in one task's ``collect_list``. Level 1 wraps each
+    (group, partition) slice in a forced GEOMETRYCOLLECTION; the final merge
+    unwraps one level and re-collects, so the result equals single-pass
+    ST_Collect over the same rows (child order is partition order — no more
+    deterministic than collect_list's). All-NULL groups yield NULL."""
+
+    def part(geoms):
+        return G.collect(geoms, force_collection=True)
+
+    def fin(colls):
+        parts = []
+        for c in colls:
+            parts.extend(c.data)
+        return G.collect(parts)
+
+    return _fold_agg(
+        df, geom_col, group_cols, part, "collected", final_fn=fin, skip_empty=False
     )
-    return out.withColumn("collected", udfs.st_collect(F.col("_geoms"))).drop("_geoms")

@@ -204,3 +204,37 @@ def test_native_point_box_join(spark):
     assert {(r.pid, r.rid) for r in nd.select("pid", "rid").collect()} == {
         (r.pid, r.rid) for r in gd.select("pid", "rid").collect()
     }
+
+
+def test_collect_agg_two_level_fold(spark):
+    from duckdb_spatial_spark.operators import st_collect_agg
+    from duckdb_spatial_spark.geo import from_wkb
+
+    # semantics: equals single-pass ST_Collect per group (set equality of
+    # dumped children; order is partition-dependent either way)
+    pts = _mk_points(spark, n=200, seed=21).withColumn("grp", F.col("pid") % 4)
+    out = {r.grp: r.collected for r in st_collect_agg(pts, "geom", ["grp"]).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for grp, blob in out.items():
+        g = from_wkb(bytes(blob))
+        assert g.type_name == "MULTIPOINT"
+        got = {(round(float(p.data[0]), 9), round(float(p.data[1]), 9)) for p in g.data}
+        exp_rows = pts.filter(F.col("grp") == grp).select(
+            udfs.st_x("geom").alias("x"), udfs.st_y("geom").alias("y")
+        ).collect()
+        assert got == {(round(r.x, 9), round(r.y, 9)) for r in exp_rows}
+
+    # one dominant group at 1M rows: must complete without a single-task
+    # collect_list materialization
+    big = (
+        spark.range(1_000_000)
+        .select(
+            F.lit(0).alias("grp"),
+            udfs.st_point((F.col("id") % 1000).cast("double"),
+                          (F.col("id") % 997).cast("double")).alias("geom"),
+        )
+        .repartition(16)
+    )
+    row = st_collect_agg(big, "geom", ["grp"]).collect()[0]
+    g = from_wkb(bytes(row.collected))
+    assert g.type_name == "MULTIPOINT" and len(g.data) == 1_000_000
