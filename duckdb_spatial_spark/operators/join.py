@@ -102,13 +102,17 @@ def _with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
 
 
 def _grid_params(left_b: DataFrame, right_b: DataFrame, lp: str, rp: str, cell_size, pad=0.0):
-    """Grid origin + cell size. With an explicit ``cell_size`` this is free
-    (fixed origin, no job — same contract as the streaming variant). Without
-    one, a bounded ``limit()`` sample per side estimates the average bbox
-    size — no full-table pass (the reference sizes from bind-time stats;
-    at 100 TB a full stats pass per join would be two extra scans)."""
+    """Grid origin + cell size + hot-cell set. With an explicit
+    ``cell_size`` this is free (fixed origin, no job, no skew detection —
+    same contract as the streaming variant). Without one, a bounded
+    ``limit()`` sample per side estimates the average bbox size — no
+    full-table pass (the reference sizes from bind-time stats; at 100 TB a
+    full stats pass per join would be two extra scans). The same left-side
+    sample flags **hot cells** (a dense city = one shuffle key): any cell
+    holding >=2% of the sampled probe rows gets salted R ways in
+    :func:`_grid_join`."""
     if cell_size is not None:
-        return 0.0, 0.0, float(cell_size)
+        return 0.0, 0.0, float(cell_size), {}
     parts = []
     for side, (df, p) in enumerate(((left_b, lp), (right_b, rp))):
         bb = f"{p}_bbox"
@@ -141,7 +145,21 @@ def _grid_params(left_b: DataFrame, right_b: DataFrame, lp: str, rp: str, cell_s
     if base <= 0:
         base = extent / 1024.0
     cell_size = max(base, extent / float(1 << 20))
-    return float(min_x), float(min_y), float(cell_size)
+
+    # hot-cell detection from the left (probe) sample: center-cell counts
+    a = stats[0]
+    cx = np.floor(((a[:, 0] + a[:, 2]) / 2.0 - min_x) / cell_size).astype(np.int64)
+    cy = np.floor(((a[:, 1] + a[:, 3]) / 2.0 - min_y) / cell_size).astype(np.int64)
+    packed = cx * _CELL_SHIFT + cy
+    uniq, counts = np.unique(packed, return_counts=True)
+    n = len(a)
+    hot = {}
+    for cell, cnt in zip(uniq, counts):
+        share = cnt / n
+        if share >= 0.02 and cnt >= 8:
+            # R ~ the number of average cells this one is worth, capped
+            hot[int(cell)] = int(min(64, max(2, round(share * n / max(counts.mean(), 1.0)))))
+    return float(min_x), float(min_y), float(cell_size), hot
 
 
 def _cells(df: DataFrame, p: str, origin_x, origin_y, cs, pad) -> DataFrame:
@@ -402,10 +420,38 @@ def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance, na
     out_cols = [c for c in lb.columns if c != "l_bbox"] + [c for c in rb.columns if c != "r_bbox"]
     if params is None:  # one side has no non-null geometry
         return lb.limit(0).crossJoin(rb.limit(0)).select(*out_cols)
-    ox, oy, cs = params
+    ox, oy, cs, hot = params
 
     lc = _cells(lb, "l", ox, oy, cs, pad)
     rc = _cells(rb, "r", ox, oy, cs, 0.0)
+
+    if hot:
+        # sub-split hot cells: the probe side picks one of R salts (hashed
+        # from its bbox corner), the build side replicates into all R — a
+        # dense city stops being a single shuffle key. Pairs still meet
+        # exactly once (one salt per left row, all salts on the right).
+        R = max(hot.values())
+        hot_list = list(hot)
+        salt_l = (
+            F.when(
+                F.col("l_cell").isin(hot_list),
+                F.pmod(F.xxhash64(F.col("l_bbox.min_x"), F.col("l_bbox.min_y")), F.lit(R)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+        )
+        lc = lc.withColumn("l_salt", salt_l)
+        rc = rc.withColumn(
+            "r_salt",
+            F.explode(
+                F.when(
+                    F.col("r_cell").isin(hot_list), F.sequence(F.lit(0), F.lit(R - 1))
+                ).otherwise(F.sequence(F.lit(0), F.lit(0)))
+            ),
+        ).withColumn("r_salt", F.col("r_salt").cast("int"))
+        join_cond = (lc["l_cell"] == rc["r_cell"]) & (lc["l_salt"] == rc["r_salt"])
+    else:
+        join_cond = None
 
     bbox_overlap = (
         (F.col("l_bbox.min_x") - pad <= F.col("r_bbox.max_x"))
@@ -422,7 +468,7 @@ def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance, na
     )
 
     pairs = (
-        lc.join(rc, on=lc["l_cell"] == rc["r_cell"], how="inner")
+        lc.join(rc, on=join_cond if join_cond is not None else lc["l_cell"] == rc["r_cell"], how="inner")
         .filter(bbox_overlap)
         .filter(F.col("l_cell") == ref_cell)
     )

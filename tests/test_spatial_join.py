@@ -238,3 +238,38 @@ def test_collect_agg_two_level_fold(spark):
     row = st_collect_agg(big, "geom", ["grp"]).collect()[0]
     g = from_wkb(bytes(row.collected))
     assert g.type_name == "MULTIPOINT" and len(g.data) == 1_000_000
+
+
+def test_grid_join_skewed_hot_cell(spark):
+    """90% of points in one tiny spot (a 'dense city'): hot-cell salting
+    must keep the grid join correct (pairs meet exactly once)."""
+    rng = random.Random(31)
+    rows = []
+    for i in range(2000):
+        if i % 10 != 0:  # 90% clustered in [49.9, 50.1]^2
+            rows.append((i, 49.9 + rng.random() * 0.2, 49.9 + rng.random() * 0.2))
+        else:
+            rows.append((i, rng.uniform(0, 100), rng.uniform(0, 100)))
+    pts = spark.createDataFrame(rows, "pid long, x double, y double").withColumn(
+        "geom", udfs.st_point("x", "y")
+    ).drop("x", "y")
+    rects = _mk_rects(spark, m=30, seed=32)
+    hot_rects = spark.createDataFrame(
+        [(100 + i, f"POLYGON ((49 49, 51 49, 51 51, 49 51, 49 49))") for i in range(5)],
+        "rid long, wkt string",
+    ).withColumn("geom", udfs.st_geomfromtext("wkt")).drop("wkt")
+    rects = rects.unionByName(hot_rects)
+    expected = _naive_pairs(spark, pts, rects, "within")
+    got = st_join(pts, rects, predicate="within", strategy="grid")
+    pairs = [(r.pid, r.rid) for r in got.select("pid", "rid").collect()]
+    assert len(pairs) == len(set(pairs))  # no duplicate emissions under salting
+    assert set(pairs) == expected
+    assert len(expected) > 5000  # the hot spot really concentrates pairs
+
+    # the sampler really flags the hot cell on this distribution
+    from duckdb_spatial_spark.operators.join import _grid_params, _with_bbox
+
+    lb = _with_bbox(pts, "geom", "l")
+    rb = _with_bbox(rects, "geom", "r")
+    _ox, _oy, _cs, hot = _grid_params(lb, rb, "l", "r", None, 0.0)
+    assert hot, "expected at least one hot cell for a 90%-clustered probe side"
