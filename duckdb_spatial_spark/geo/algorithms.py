@@ -502,42 +502,14 @@ def covered_by(a: Geometry, b: Geometry) -> bool:
 
 
 def crosses(a: Geometry, b: Geometry) -> bool:
-    """dim(interior∩interior) < max dim and both have interior points inside
-    and outside the other. Implemented for line/line, line/poly, pt/line combos."""
+    """OGC crosses via the exact DE-9IM matrix (``geo/relate.py``):
+    dim(Int∩Int) below both operands' max dim, with an interior escape on
+    the lower-dimensional side."""
     if a.is_empty() or b.is_empty() or _bbox_disjoint(a, b):
         return False
-    da, db = _dimension(a), _dimension(b)
-    if da > db:
-        return crosses(b, a)
-    if da == 1 and db == 1:
-        # proper interior crossing point
-        return _any_seg_intersect(a, b, proper=True) and not covers(a, b) and not covers(b, a)
-    if da == 0 and db >= 1:
-        ins = out = False
-        for la in a.flatten():
-            x, y = float(la.data[0]), float(la.data[1])
-            hit = (
-                point_on_seq(x, y, lb.data)
-                if db == 1
-                else point_in_polygon(x, y, lb) == 2
-                for lb in b.flatten()
-            )
-            if any(hit):
-                ins = True
-            else:
-                out = True
-        return ins and out
-    if da == 1 and db == 2:
-        if not _interiors_intersect(a, b):
-            return False
-        # some part of the line outside b
-        for la in a.flatten():
-            for v in la.data:
-                if all(point_in_polygon(float(v[0]), float(v[1]), lb) == 0
-                       for lb in b.flatten() if lb.tag == G.POLYGON):
-                    return True
-        return False
-    return False
+    from .relate import im_crosses, relate9
+
+    return im_crosses(relate9(a, b), _dimension(a), _dimension(b))
 
 
 def _collinear_overlap_len(a: Geometry, b: Geometry) -> float:
@@ -567,37 +539,45 @@ def _collinear_overlap_len(a: Geometry, b: Geometry) -> float:
 
 
 def overlaps(a: Geometry, b: Geometry) -> bool:
-    """OGC overlaps: same dimension, interiors intersect IN THAT dimension,
-    neither covers the other. For lines a mere point-crossing is not an
-    overlap — the shared piece must have positive length."""
+    """OGC overlaps via the exact DE-9IM matrix: same dimension, interiors
+    share that dimension (for lines: positive-length, not a point-cross),
+    and each interior escapes the other."""
+    if a.is_empty() or b.is_empty() or _bbox_disjoint(a, b):
+        return False
     da, db = _dimension(a), _dimension(b)
     if da != db:
         return False
-    if da == 1:
-        if _collinear_overlap_len(a, b) <= 0:
-            return False
-    elif not _interiors_intersect(a, b):
-        return False
-    return not covers(a, b) and not covers(b, a)
+    from .relate import im_overlaps, relate9
+
+    return im_overlaps(relate9(a, b), da, db)
 
 
 def touches(a: Geometry, b: Geometry) -> bool:
+    """OGC touches via the exact DE-9IM matrix: they intersect but the
+    interiors never meet (noded-piece classification — no sampling)."""
     if not intersects(a, b):
         return False
-    return not _interiors_intersect(a, b)
+    from .relate import im_touches, relate9
+
+    return im_touches(relate9(a, b))
 
 
 def equals(a: Geometry, b: Geometry) -> bool:
-    """Set equality via normalization (ring rotation/orientation insensitive)."""
+    """Set equality: normalization fast path, then the exact DE-9IM
+    pattern T*F**FFF* (interiors meet; nothing of either side falls in
+    the other's exterior)."""
     from .wkb import to_wkb
 
     if a.is_empty() and b.is_empty():
         return True
+    if a.is_empty() or b.is_empty() or _bbox_disjoint(a, b):
+        return False
     na, nb = normalize(a), normalize(b)
     if to_wkb(na) == to_wkb(nb):
         return True
-    # fall back to mutual coverage
-    return covers(a, b) and covers(b, a)
+    from .relate import im_equals, relate9
+
+    return im_equals(relate9(a, b))
 
 
 def _dimension(g: Geometry) -> int:
