@@ -1,3 +1,9 @@
 """Planning helpers: bbox pruning rewrite + clustered storage (R-tree analog)."""
 
-from .pruning import filter_bbox, hilbert_cluster, read_geo_parquet, write_geo_parquet  # noqa: F401
+from .pruning import (  # noqa: F401
+    filter_bbox,
+    geo_parquet_stats,
+    hilbert_cluster,
+    read_geo_parquet,
+    write_geo_parquet,
+)

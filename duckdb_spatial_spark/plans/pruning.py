@@ -251,6 +251,76 @@ def read_geo_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def geo_parquet_stats(spark: SparkSession, path: str, level: str = "rowgroup") -> DataFrame:
+    """R-tree introspection analog (``rtree_index_pragmas.cpp`` exposes
+    ``rtree_index_dump`` with per-node bounding boxes; here the 'nodes' are
+    parquet row groups of a :func:`write_geo_parquet` dataset).
+
+    Returns one row per row group (or per file with ``level='file'``) with
+    the bbox-column min/max from the parquet FOOTER statistics plus row
+    counts — exactly the numbers the pruning rewrite skips on, so a slow
+    windowed query can be debugged by eyeballing which row groups a window
+    overlaps. Footers are read on executors (one task per file): no data
+    pages are touched and no driver bottleneck at 100k files."""
+    import glob as _glob
+    import os
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+
+    want_file_level = level == "file"
+
+    def footer_stats(fp: str):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fp).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        idx = {c: names.index(c) for c in BBOX_COLS + ("hilbert",) if c in names}
+        rows = []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            vals = {}
+            for c, ci in idx.items():
+                st = g.column(ci).statistics
+                vals[c] = (st.min, st.max) if st is not None and st.has_min_max else (None, None)
+            rows.append(
+                (
+                    os.path.basename(fp),
+                    rg,
+                    g.num_rows,
+                    vals.get(BBOX_COLS[0], (None, None))[0],
+                    vals.get(BBOX_COLS[1], (None, None))[0],
+                    vals.get(BBOX_COLS[2], (None, None))[1],
+                    vals.get(BBOX_COLS[3], (None, None))[1],
+                    vals.get("hilbert", (None, None))[0],
+                    vals.get("hilbert", (None, None))[1],
+                )
+            )
+        if want_file_level and rows:
+            agg = (
+                os.path.basename(fp),
+                -1,
+                sum(r[2] for r in rows),
+                min((r[3] for r in rows if r[3] is not None), default=None),
+                min((r[4] for r in rows if r[4] is not None), default=None),
+                max((r[5] for r in rows if r[5] is not None), default=None),
+                max((r[6] for r in rows if r[6] is not None), default=None),
+                min((r[7] for r in rows if r[7] is not None), default=None),
+                max((r[8] for r in rows if r[8] is not None), default=None),
+            )
+            return [agg]
+        return rows
+
+    schema = (
+        "file string, row_group int, n_rows long, min_x double, min_y double,"
+        " max_x double, max_y double, hilbert_min long, hilbert_max long"
+    )
+    rdd = spark.sparkContext.parallelize(files, max(len(files), 1)).flatMap(footer_stats)
+    return spark.createDataFrame(rdd, schema)
+
+
 def filter_bbox(
     df: DataFrame,
     min_x: float,

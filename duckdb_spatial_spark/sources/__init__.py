@@ -1,5 +1,61 @@
 """Sources & sinks (ST_Read / COPY TO analogs)."""
 
+from __future__ import annotations
+
+import os
+import re
+
+
+def st_read(spark, path: str, format: str | None = None, **options):
+    """Generic ST_Read: dispatch on format (or sniff the extension), return
+    a DataFrame with a WKB ``geom``/``geometry`` column. The reference's
+    ``ST_Read`` does the same via GDAL driver sniffing
+    (``spatial/src/spatial/gdal/functions/st_read.cpp``)."""
+    fmt = (format or "").lower()
+    if not fmt:
+        p = path.lower()
+        for ext, f in (
+            (".shp", "shapefile"), (".fgb", "flatgeobuf"), (".gpkg", "geopackage"),
+            (".geojson", "geojson"), (".ndjson", "geojson"), (".json", "geojson"),
+            (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),
+            (".csv", "wkt_csv"),
+        ):
+            if p.endswith(ext):
+                fmt = f
+                break
+        else:
+            raise ValueError(f"cannot sniff format from {path!r}; pass format=")
+    if fmt in ("shapefile", "shp"):
+        return read_shapefile(spark, path, **options)
+    if fmt in ("flatgeobuf", "fgb"):
+        return read_flatgeobuf(spark, path, **options)
+    if fmt in ("geopackage", "gpkg"):
+        return read_gpkg(spark, path, **options)
+    if fmt == "geojson":
+        return read_geojson(spark, path, **options)
+    if fmt == "osm":
+        return read_osm(spark, path, **options)
+    if fmt in ("geoparquet", "parquet"):
+        return spark.read.parquet(path)
+    if fmt in ("wkt_csv", "csv"):
+        return read_wkt_csv(spark, path, **options)
+    raise ValueError(f"unsupported format {format!r}")
+
+
+def register_geo_read(spark, path: str, format: str | None = None, name: str | None = None, **options) -> str:
+    """``FROM ST_Read('...')`` call-site analog: PySpark cannot register
+    Python table functions, so this loads the file with :func:`st_read` and
+    registers the result as a temp view — ``spark.sql(f"SELECT * FROM
+    {register_geo_read(spark, p)}")`` is the closest idiomatic spelling.
+    Returns the view name (sanitized file stem by default)."""
+    df = st_read(spark, path, format, **options)
+    if name is None:
+        stem = os.path.basename(path.rstrip("/")).split(".")[0] or "geo_read"
+        name = "geo_" + re.sub(r"[^A-Za-z0-9_]", "_", stem)
+    df.createOrReplaceTempView(name)
+    return name
+
+
 from .geojson import (  # noqa: F401
     read_geojson,
     read_wkt_csv,

@@ -137,3 +137,58 @@ def test_geojson_roundtrip(spark, tmp_path):
     meta = st_read_meta(spark, str(src)).collect()[0]
     assert meta.feature_count == 2 and "Point" in meta.geometry_types
     assert st_drivers(spark).count() >= 3
+
+
+def test_geo_parquet_stats_view(spark, tmp_path):
+    from duckdb_spatial_spark.plans import geo_parquet_stats, write_geo_parquet
+    from duckdb_spatial_spark.functions import udfs
+
+    pts = (
+        spark.range(20000)
+        .selectExpr("id", "CAST(id % 100 AS DOUBLE) AS x", "CAST(id % 97 AS DOUBLE) AS y")
+        .withColumn("geom", udfs.st_point("x", "y"))
+        .select("id", "geom")
+    )
+    out = str(tmp_path / "statsds")
+    write_geo_parquet(pts, out, num_partitions=4, sample_fraction=0.2)
+
+    st = geo_parquet_stats(spark, out).collect()
+    assert len(st) >= 4  # at least one row group per partition file
+    total = sum(r.n_rows for r in st)
+    assert total == 20000
+    for r in st:
+        assert r.min_x is not None and r.min_x <= r.max_x
+        assert r.hilbert_min is not None and r.hilbert_min <= r.hilbert_max
+    # file-level rollup
+    fl = geo_parquet_stats(spark, out, level="file").collect()
+    assert sum(r.n_rows for r in fl) == 20000
+    assert all(r.row_group == -1 for r in fl)
+    # hilbert ranges should be (mostly) disjoint across files: clustering worked
+    spans = sorted((r.hilbert_min, r.hilbert_max) for r in fl)
+    overlaps = sum(1 for a, b in zip(spans, spans[1:]) if b[0] < a[1])
+    assert overlaps <= 1
+
+
+def test_st_read_dispatch_and_sql_view(spark, tmp_path):
+    from duckdb_spatial_spark.sources import register_geo_read, st_read, write_gpkg
+    from duckdb_spatial_spark.functions import udfs
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "disp.gpkg")
+    df = spark.range(10).withColumn(
+        "geom", udfs.st_point(F.col("id") * 1.0, F.col("id") * 2.0)
+    )
+    write_gpkg(df, path, layer="pts")
+
+    got = st_read(spark, path)  # sniffed from extension
+    assert got.count() == 10
+
+    view = register_geo_read(spark, path)
+    assert view == "geo_disp"
+    n = spark.sql(f"SELECT count(*) AS n FROM {view} WHERE ST_X(geom) > 4").collect()[0].n
+    assert n == 5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        st_read(spark, "file.unknownext")
