@@ -62,8 +62,22 @@ _CONICS = {
     "EPSG:2154": ("lcc", 44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0),
 }
 
+# polar stereographic family (EPSG methods 9810 variant A / 9829 variant B,
+# Snyder ch. 21 ellipsoidal): code -> (south, lat_ts|None, k0|None, lon0, fe, fn)
+_POLAR = {
+    "EPSG:32661": (False, None, 0.994, 0.0, 2000000.0, 2000000.0),  # UPS North
+    "EPSG:32761": (True, None, 0.994, 0.0, 2000000.0, 2000000.0),  # UPS South
+    "EPSG:5041": (False, None, 0.994, 0.0, 2000000.0, 2000000.0),
+    "EPSG:5042": (True, None, 0.994, 0.0, 2000000.0, 2000000.0),
+    "EPSG:3413": (False, 70.0, None, -45.0, 0.0, 0.0),  # NSIDC Arctic
+    "EPSG:3995": (False, 71.0, None, 0.0, 0.0, 0.0),  # Arctic Polar Stereo
+    "EPSG:3031": (True, -71.0, None, 0.0, 0.0, 0.0),  # Antarctic Polar Stereo
+    "EPSG:3976": (True, -70.0, None, 0.0, 0.0, 0.0),  # NSIDC Antarctic
+}
+
 _UNSUPPORTED_MSG = (
-    "unsupported CRS {crs!r} (built-in registry: EPSG:4326, EPSG:3857, WGS84 UTM, "
+    "unsupported CRS {crs!r} (built-in registry: EPSG:4326, EPSG:3857, EPSG:3395, "
+    "WGS84 UTM, UPS/polar stereographic EPSG:32661/32761/5041/5042/3413/3995/3031/3976, "
     "EPSG:5070/3347/2154 conics)"
 )
 
@@ -76,6 +90,10 @@ def _to_lonlat(crs: str, x: np.ndarray, y: np.ndarray):
         lon = np.degrees(x / WGS84_A)
         lat = np.degrees(2 * np.arctan(np.exp(y / WGS84_A)) - math.pi / 2)
         return lon, lat
+    if crs == "EPSG:3395":
+        return _merc_inverse(x, y)
+    if crs in _POLAR:
+        return _polar_inverse(x, y, *_POLAR[crs])
     zone, south = _utm_zone(crs)
     if zone:
         return _tm_inverse(x, y, zone, south)
@@ -92,6 +110,10 @@ def _from_lonlat(crs: str, lon: np.ndarray, lat: np.ndarray):
         lat_r = np.radians(np.clip(lat, -89.9999, 89.9999))
         y = WGS84_A * np.log(np.tan(math.pi / 4 + lat_r / 2))
         return x, y
+    if crs == "EPSG:3395":
+        return _merc_forward(lon, lat)
+    if crs in _POLAR:
+        return _polar_forward(lon, lat, *_POLAR[crs])
     zone, south = _utm_zone(crs)
     if zone:
         return _tm_forward(lon, lat, zone, south)
@@ -183,6 +205,69 @@ def _conic_inverse(x, y, kind, lat1, lat2, lat0, lon0, fe, fn):
             * (q / (1 - _E2) - s / (1 - _E2 * s * s) + (1 / (2 * _E)) * np.log((1 - _E * s) / (1 + _E * s)))
         )
     return np.degrees(theta / n + l0), np.degrees(lat)
+
+
+# ----- polar stereographic (Snyder ch. 21 ellipsoidal; EPSG 9810/9829) ----
+_POLAR_DENOM = math.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E))
+
+
+def _polar_forward(lon, lat, south, lat_ts, k0, lon0, fe, fn):
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    l0 = math.radians(lon0)
+    phi = -lat_r if south else lat_r  # fold the south aspect onto the north formulas
+    t = _t_factor(phi)
+    if k0 is not None:  # variant A: scale factor at the pole
+        rho = 2 * WGS84_A * k0 * t / _POLAR_DENOM
+    else:  # variant B: standard parallel
+        tsr = math.radians(abs(lat_ts))
+        m_f = _m_factor(np.array([tsr]))[0]
+        t_f = _t_factor(np.array([tsr]))[0]
+        rho = WGS84_A * m_f * t / t_f
+    th = lon_r - l0
+    x = fe + rho * np.sin(th)
+    y = fn + (rho * np.cos(th) if south else -rho * np.cos(th))
+    return x, y
+
+
+def _polar_inverse(x, y, south, lat_ts, k0, lon0, fe, fn):
+    X = np.asarray(x, dtype=np.float64) - fe
+    Y = np.asarray(y, dtype=np.float64) - fn
+    l0 = math.radians(lon0)
+    rho = np.hypot(X, Y)
+    if k0 is not None:
+        tp = rho * _POLAR_DENOM / (2 * WGS84_A * k0)
+    else:
+        tsr = math.radians(abs(lat_ts))
+        m_f = _m_factor(np.array([tsr]))[0]
+        t_f = _t_factor(np.array([tsr]))[0]
+        tp = rho * t_f / (WGS84_A * m_f)
+    phi = math.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):  # fixed point for the conformal->geodetic latitude
+        s = np.sin(phi)
+        phi = math.pi / 2 - 2 * np.arctan(tp * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+    lon = l0 + (np.arctan2(X, Y) if south else np.arctan2(X, -Y))
+    lat = -phi if south else phi
+    lon_deg = (np.degrees(lon) + 180.0) % 360.0 - 180.0  # wrap past the antimeridian
+    return lon_deg, np.degrees(lat)
+
+
+# ----- ellipsoidal Mercator, EPSG:3395 (Snyder 7-7/7-10; EPSG 9804) -------
+def _merc_forward(lon, lat):
+    lat_r = np.radians(np.clip(np.asarray(lat, dtype=np.float64), -89.9999, 89.9999))
+    x = WGS84_A * np.radians(np.asarray(lon, dtype=np.float64))
+    y = -WGS84_A * np.log(_t_factor(lat_r))
+    return x, y
+
+
+def _merc_inverse(x, y):
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / WGS84_A)
+    tp = np.exp(-np.asarray(y, dtype=np.float64) / WGS84_A)
+    phi = math.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = math.pi / 2 - 2 * np.arctan(tp * ((1 - _E * s) / (1 + _E * s)) ** (_E / 2))
+    return lon, np.degrees(phi)
 
 
 def _utm_zone(crs: str):
@@ -294,6 +379,15 @@ def list_proj_crs_df(spark):
         ("EPSG", "5070", "NAD83 / Conus Albers", "projected", "x,y"),
         ("EPSG", "3347", "NAD83 / Statistics Canada Lambert", "projected", "x,y"),
         ("EPSG", "2154", "RGF93 / Lambert-93", "projected", "x,y"),
+        ("EPSG", "3395", "WGS 84 / World Mercator", "projected", "x,y"),
+        ("EPSG", "32661", "WGS 84 / UPS North", "projected", "x,y"),
+        ("EPSG", "32761", "WGS 84 / UPS South", "projected", "x,y"),
+        ("EPSG", "5041", "WGS 84 / UPS North (E,N)", "projected", "x,y"),
+        ("EPSG", "5042", "WGS 84 / UPS South (E,N)", "projected", "x,y"),
+        ("EPSG", "3413", "WGS 84 / NSIDC Sea Ice Polar Stereographic North", "projected", "x,y"),
+        ("EPSG", "3995", "WGS 84 / Arctic Polar Stereographic", "projected", "x,y"),
+        ("EPSG", "3031", "WGS 84 / Antarctic Polar Stereographic", "projected", "x,y"),
+        ("EPSG", "3976", "WGS 84 / NSIDC Sea Ice Polar Stereographic South", "projected", "x,y"),
     ]
     rows += [
         ("EPSG", str(32600 + z), f"WGS 84 / UTM zone {z}N", "projected", "x,y") for z in range(1, 61)

@@ -242,3 +242,34 @@ def test_misc_function_surface(spark):
     assert one(spark, "ST_AsText(ST_RemoveRepeatedPoints(ST_GeomFromText('LINESTRING (0 0, 0 0, 1 1, 1 1, 2 2)')))") == \
         "LINESTRING (0 0, 1 1, 2 2)"
     assert one(spark, "ST_IsEmpty(ST_GeomFromText('POLYGON EMPTY'))") is True
+
+
+def test_transform_polar_and_mercator():
+    """Pinned EPSG Guidance Note 7-2 worked example (Polar Stereographic
+    variant A / UPS North) + roundtrips across the polar family and
+    ellipsoidal World Mercator."""
+    import numpy as np
+
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    x, y = transform_xy([44.0], [73.0], "EPSG:4326", "EPSG:32661", always_xy=True)
+    assert abs(x[0] - 3320416.75) < 0.5 and abs(y[0] - 632668.43) < 0.5
+
+    rng = np.random.default_rng(7)
+    for crs, latrange in [
+        ("EPSG:32661", (60, 89.5)), ("EPSG:32761", (-89.5, -60)),
+        ("EPSG:3413", (60, 89.5)), ("EPSG:3995", (60, 89.5)),
+        ("EPSG:3031", (-89.5, -60)), ("EPSG:3976", (-89.5, -60)),
+        ("EPSG:3395", (-80, 80)),
+    ]:
+        lons = rng.uniform(-179, 179, 100)
+        lats = rng.uniform(*latrange, 100)
+        px, py = transform_xy(lons, lats, "EPSG:4326", crs, always_xy=True)
+        lon2, lat2 = transform_xy(px, py, crs, "EPSG:4326", always_xy=True)
+        assert max(np.abs(lon2 - lons).max(), np.abs(lat2 - lats).max()) < 1e-9, crs
+
+    # 32662 (plate carree, not UTM/UPS) still raises cleanly
+    import pytest
+
+    with pytest.raises(ValueError):
+        transform_xy([0.0], [0.0], "EPSG:4326", "EPSG:32662", always_xy=True)
