@@ -89,19 +89,124 @@ def _infer_schema(files, sample=200) -> T.StructType:
     return T.StructType(fields)
 
 
-def read_geojson(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
-    """ST_Read for GeoJSON. One input partition per file."""
+def _coords_bbox(coords):
+    """(min_x, min_y, max_x, max_y) of a raw GeoJSON coordinates nest —
+    cheap (no WKB build), used for the spatial-filter pushdown."""
+    if not coords:
+        return None
+    if isinstance(coords[0], (int, float)):
+        x, y = float(coords[0]), float(coords[1])
+        return x, y, x, y
+    box = None
+    for c in coords:
+        b = _coords_bbox(c)
+        if b is None:
+            continue
+        box = b if box is None else (
+            min(box[0], b[0]), min(box[1], b[1]), max(box[2], b[2]), max(box[3], b[3])
+        )
+    return box
+
+
+def _filter_predicate(filters):
+    """Compile pushed-down attribute filters into one dict->bool closure.
+    Unknown filter shapes are skipped (Spark re-applies everything above)."""
+    from pyspark.sql import datasource as ds
+
+    preds = []
+    for flt in filters:
+        neg = False
+        if isinstance(flt, ds.Not):
+            flt, neg = flt.child, True
+        if not hasattr(flt, "attribute") or len(flt.attribute) != 1:
+            continue
+        col = flt.attribute[0]
+        if isinstance(flt, ds.EqualTo):
+            base = lambda p, c=col, v=flt.value: p.get(c) == v
+        elif isinstance(flt, ds.GreaterThan):
+            base = lambda p, c=col, v=flt.value: p.get(c) is not None and p.get(c) > v
+        elif isinstance(flt, ds.GreaterThanOrEqual):
+            base = lambda p, c=col, v=flt.value: p.get(c) is not None and p.get(c) >= v
+        elif isinstance(flt, ds.LessThan):
+            base = lambda p, c=col, v=flt.value: p.get(c) is not None and p.get(c) < v
+        elif isinstance(flt, ds.LessThanOrEqual):
+            base = lambda p, c=col, v=flt.value: p.get(c) is not None and p.get(c) <= v
+        elif isinstance(flt, ds.In):
+            base = lambda p, c=col, v=tuple(flt.value): p.get(c) in v
+        elif isinstance(flt, ds.IsNull):
+            base = lambda p, c=col: p.get(c) is None
+        elif isinstance(flt, ds.IsNotNull):
+            base = lambda p, c=col: p.get(c) is not None
+        elif isinstance(flt, ds.StringStartsWith):
+            base = lambda p, c=col, v=flt.value: isinstance(p.get(c), str) and p[c].startswith(v)
+        else:
+            continue
+        preds.append((base, neg))
+    if not preds:
+        return None
+
+    def ok(props):
+        for base, neg in preds:
+            r = base(props)
+            if neg:
+                r = not r
+            if not r:
+                return False
+        return True
+
+    return ok
+
+
+def read_geojson(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list | None = None,
+    bbox: tuple | None = None,
+) -> DataFrame:
+    """ST_Read for GeoJSON. One input partition per file.
+
+    Pushdown (the reference does attribute->OGR-SQL and spatial filter
+    pushdown, ``st_read.cpp:56-59,478,681-682``):
+
+    * **filters** — Spark 4.1's Python DataSource ``pushFilters`` hook:
+      comparison/null/IN/prefix filters on property columns are evaluated on
+      the raw JSON dict BEFORE the geometry is converted to WKB (the
+      expensive step). Spark still re-applies every filter above, so the
+      pushdown is purely an early-out.
+    * **columns=** — projection: only the named property columns are decoded
+      (``geom`` always included unless excluded explicitly).
+    * **bbox=(min_x, min_y, max_x, max_y)** — spatial filter: features whose
+      raw-coordinate bbox misses the window are skipped pre-WKB.
+    """
     files = _expand(path)
     schema = schema or _infer_schema(files)
+    if columns is not None:
+        keep = set(columns)
+        schema = T.StructType([f for f in schema.fields if f.name in keep])
     prop_fields = [f for f in schema.fields if f.name != "geom"]
+    want_geom = any(f.name == "geom" for f in schema.fields)
 
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+        try:  # required for the pushFilters hook to be honored (4.1+)
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+            push_enabled = True
+        except Exception:
+            push_enabled = False
 
         class _Reader(DataSourceReader):
             def __init__(self, files, schema):
                 self._files = files
                 self._schema = schema
+                self._pred = None
+
+            if push_enabled:  # defining the hook with pushdown off is an error
+
+                def pushFilters(self, filters):
+                    self._pred = _filter_predicate(filters)
+                    return filters  # best-effort early-out; Spark re-applies all
 
             def partitions(self):
                 return [InputPartition(f) for f in self._files]
@@ -109,16 +214,24 @@ def read_geojson(spark: SparkSession, path: str, schema: T.StructType | None = N
             def read(self, partition):
                 fp = partition.value
                 casts = {f.name: f.dataType for f in prop_fields}
+                pred = self._pred
                 for feat in _iter_features(fp):
                     p = feat.get("properties") or {}
+                    if pred is not None and not pred(p):
+                        continue
+                    geom = feat.get("geometry")
+                    if bbox is not None:
+                        gb = _coords_bbox((geom or {}).get("coordinates")) if geom else None
+                        if gb is None or gb[0] > bbox[2] or gb[2] < bbox[0] or gb[1] > bbox[3] or gb[3] < bbox[1]:
+                            continue
                     row = []
                     for f_ in prop_fields:
                         v = p.get(f_.name)
                         if v is not None and isinstance(casts[f_.name], T.StringType) and not isinstance(v, str):
                             v = json.dumps(v)
                         row.append(v)
-                    geom = feat.get("geometry")
-                    row.append(WKB.to_wkb(_from_geojson(geom)) if geom else None)
+                    if want_geom:
+                        row.append(WKB.to_wkb(_from_geojson(geom)) if geom else None)
                     yield tuple(row)
 
         class GeoJSONSource(DataSource):
@@ -142,7 +255,8 @@ def read_geojson(spark: SparkSession, path: str, schema: T.StructType | None = N
                 p = feat.get("properties") or {}
                 row = [p.get(f_.name) for f_ in prop_fields]
                 geom = feat.get("geometry")
-                row.append(WKB.to_wkb(_from_geojson(geom)) if geom else None)
+                if want_geom:
+                    row.append(WKB.to_wkb(_from_geojson(geom)) if geom else None)
                 rows.append(tuple(row))
         return spark.createDataFrame(rows, schema)
 

@@ -192,3 +192,48 @@ def test_st_read_dispatch_and_sql_view(spark, tmp_path):
 
     with pytest.raises(ValueError):
         st_read(spark, "file.unknownext")
+
+
+def test_geojson_pushdown(spark, tmp_path):
+    """Attribute filters reach the Python DataSource reader (pushFilters)
+    and bbox= / columns= prune work."""
+    import json as _json
+
+    from duckdb_spatial_spark.sources import read_geojson
+    from duckdb_spatial_spark.functions import udfs
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "push.ndjson")
+    with open(path, "w") as f:
+        for i in range(100):
+            f.write(_json.dumps({
+                "type": "Feature",
+                "properties": {"fid": i, "kind": "a" if i % 2 == 0 else "b"},
+                "geometry": {"type": "Point", "coordinates": [float(i), float(i % 10)]},
+            }) + "\n")
+
+    df = read_geojson(spark, path)
+    # filter pushdown is an early-out; results must equal the plain filter
+    got = df.filter((F.col("kind") == "a") & (F.col("fid") > 50)).collect()
+    assert sorted(r.fid for r in got) == [52, 54, 56, 58, 60, 62, 64, 66, 68, 70,
+                                          72, 74, 76, 78, 80, 82, 84, 86, 88, 90,
+                                          92, 94, 96, 98]
+    assert all(r.kind == "a" for r in got)
+
+    # the pushFilters hook actually compiled a predicate
+    from duckdb_spatial_spark.sources.geojson import _filter_predicate
+    from pyspark.sql.datasource import EqualTo, GreaterThan
+
+    pred = _filter_predicate([EqualTo(("kind",), "a"), GreaterThan(("fid",), 50)])
+    assert pred({"kind": "a", "fid": 60}) and not pred({"kind": "b", "fid": 60})
+    assert not pred({"kind": "a", "fid": 10})
+
+    # spatial filter: only features in the window come back
+    win = read_geojson(spark, path, bbox=(10.0, 0.0, 20.0, 10.0))
+    fids = sorted(r.fid for r in win.collect())
+    assert fids == list(range(10, 21))
+
+    # projection: geom excluded -> no WKB in schema
+    slim = read_geojson(spark, path, columns=["fid"])
+    assert slim.columns == ["fid"]
+    assert slim.count() == 100
