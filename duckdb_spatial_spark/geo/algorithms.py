@@ -1153,9 +1153,14 @@ def is_convex_polygon(g: Geometry) -> bool:
 
 
 def _clip_ring_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
-    """Sutherland–Hodgman step: keep the region where a*x + b*y + c >= 0."""
-    pts = ring[:-1, :2]
+    """Sutherland–Hodgman step: keep the region where a*x + b*y + c >= 0.
+
+    Works on the FULL coordinate width — Z/M values on vertices introduced
+    at the clip line are linearly interpolated (the reference interpolates
+    Z through GEOS overlay the same way)."""
+    pts = ring[:-1]
     n = len(pts)
+    w = ring.shape[1]
     out = []
     for i in range(n):
         p, q = pts[i], pts[(i + 1) % n]
@@ -1170,7 +1175,7 @@ def _clip_ring_halfplane(ring: np.ndarray, a: float, b: float, c: float) -> np.n
             t = dp / (dp - dq)
             out.append(p + t * (q - p))
     if len(out) < 3:
-        return np.empty((0, 2))
+        return np.empty((0, w))
     arr = np.asarray(out)
     return np.vstack([arr, arr[:1]])
 
@@ -1214,7 +1219,7 @@ def _clip_polygon_convex(poly: Geometry, planes) -> Geometry:
             return G.empty(G.POLYGON)
     if not rings:
         return G.empty(G.POLYGON)
-    return Geometry(G.POLYGON, rings)
+    return Geometry(G.POLYGON, rings, poly.has_z, poly.has_m)
 
 
 def _clip_line_convex(line: Geometry, planes) -> Geometry:
@@ -1222,8 +1227,9 @@ def _clip_line_convex(line: Geometry, planes) -> Geometry:
     pieces = []
     cur = []
     for i in range(len(line.data) - 1):
-        p = line.data[i, :2].astype(float)
-        q = line.data[i + 1, :2].astype(float)
+        # full coordinate width: Z/M on clip-introduced vertices interpolate
+        p = line.data[i].astype(float)
+        q = line.data[i + 1].astype(float)
         t0, t1 = 0.0, 1.0
         ok = True
         for (a, b, c) in planes:
@@ -1258,9 +1264,10 @@ def _clip_line_convex(line: Geometry, planes) -> Geometry:
     pieces = [p for p in pieces if _seq_length(p) > 0]
     if not pieces:
         return G.empty(G.LINESTRING)
+    mk = lambda arr: Geometry(G.LINESTRING, np.asarray(arr, dtype=np.float64), line.has_z, line.has_m)
     if len(pieces) == 1:
-        return G.linestring(pieces[0])
-    return Geometry(G.MULTILINESTRING, [G.linestring(p) for p in pieces])
+        return mk(pieces[0])
+    return Geometry(G.MULTILINESTRING, [mk(p) for p in pieces], line.has_z, line.has_m)
 
 
 def intersection(a: Geometry, b: Geometry) -> Geometry:

@@ -209,3 +209,22 @@ def test_wkt_nan_roundtrip():
     w = to_wkt(from_wkb(wkb))
     g = from_wkt(w)  # must not raise
     assert g.tag == G.POINT
+
+
+def test_overlay_z_interpolation():
+    # Z on vertices introduced at the clip line is linearly interpolated
+    line = from_wkt("LINESTRING Z (0 0 0, 10 0 100)")
+    box = from_wkt("POLYGON ((2 -1, 6 -1, 6 1, 2 1, 2 -1))")
+    out = A.intersection(line, box)
+    assert out.has_z
+    arr = [l.data for l in out.flatten() if l.tag == G.LINESTRING][0]
+    zs = {round(float(r[0]), 6): round(float(r[2]), 6) for r in arr}
+    assert zs[2.0] == 20.0 and zs[6.0] == 60.0  # z = 10 * x on this line
+
+    poly = from_wkt("POLYGON Z ((0 0 0, 4 0 40, 4 4 80, 0 4 40, 0 0 0))")
+    clip = from_wkt("POLYGON ((2 -1, 9 -1, 9 9, 2 9, 2 -1))")
+    cut = A.intersection(poly, clip)
+    assert cut.has_z
+    ring = [l for l in cut.flatten() if l.tag == G.POLYGON][0].data[0]
+    at_x2 = {round(float(r[1]), 6): round(float(r[2]), 6) for r in ring if abs(r[0] - 2.0) < 1e-9}
+    assert at_x2[0.0] == 20.0  # on edge (0 0 0)->(4 0 40)
