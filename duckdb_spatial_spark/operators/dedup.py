@@ -69,7 +69,10 @@ def ngram_jaccard_pairs(
     boilerplate (exactness trade documented)."""
     base = df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
     sizes = base.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
-    inv = base.select("_id", F.explode("_sh").alias("_s"))
+    # explode_outer + output-attribute filter: see minhash_signature — a
+    # plain explode gets a size()>0 filter inferred and pushed to the scan,
+    # re-evaluating the shingle expression interpreted per source row
+    inv = base.select("_id", F.explode_outer("_sh").alias("_s")).where(F.col("_s").isNotNull())
     if max_shingle_df is not None:
         hot = (
             inv.groupBy("_s").agg(F.count("*").alias("_df")).filter(F.col("_df") > max_shingle_df)
@@ -103,20 +106,27 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3, num
     target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() < max(2, target // 2):
         df = df.repartition(target)
-    base = df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh")).filter(
-        F.size("_sh") > 0
+    base = df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
+    # explode_outer, NOT explode: a plain explode makes Catalyst's
+    # InferFiltersFromGenerate synthesize size(_sh)>0 and push it to the
+    # scan, where the whole (interpreted) shingle expression re-evaluates
+    # per row on unsplit input — measured 16x slower at 5k docs. The outer
+    # variant infers nothing; empty-shingle docs surface as one NULL row
+    # dropped by a filter on the generator OUTPUT attribute (which cannot
+    # be pushed below the Generate). The flat min-aggregate keeps the rest
+    # in whole-stage codegen with map-side partial mins — one shuffle.
+    ex = base.select("_id", F.explode_outer("_sh").alias("_s")).where(F.col("_s").isNotNull())
+    hcols = [F.xxhash64("_s", F.lit(k)).alias(f"_h{k}") for k in range(num_hashes)]
+    sig = (
+        ex.select("_id", *hcols)
+        .groupBy("_id")
+        .agg(*[F.min(f"_h{k}").alias(f"_h{k}") for k in range(num_hashes)])
+        .select("_id", F.array(*[f"_h{k}" for k in range(num_hashes)]).alias("_sig"))
     )
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
-    sig = F.aggregate(
-        F.col("_sh"),
-        init,
-        lambda acc, s: F.zip_with(
-            acc,
-            F.array(*[F.xxhash64(s, F.lit(k)) for k in range(num_hashes)]),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    return base.select("_id", "_sh", sig.alias("_sig"))
+    # _sh is NOT carried: every downstream self-join would re-evaluate (and
+    # re-shuffle) the whole shingle pipeline per reference; verification
+    # re-derives shingles for candidate ids only
+    return sig
 
 
 def minhash_lsh_pairs(
@@ -165,8 +175,15 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # re-attach shingle sets once per distinct candidate pair
-    sh = sigs.select("_id", "_sh")
+    # exact-Jaccard verification: shingles are re-derived ONLY for rows that
+    # appear in some candidate pair (semi-join first — candidates are
+    # usually a tiny fraction of the corpus, so this beats carrying the
+    # shingle arrays through the band join or caching full signatures)
+    ids = cand.select(F.col("id_a").alias("_id")).union(
+        cand.select(F.col("id_b").alias("_id"))
+    ).distinct()
+    sub = df.join(ids, F.col(id_col) == ids["_id"], "left_semi")
+    sh = sub.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
     cand = (
         cand.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
