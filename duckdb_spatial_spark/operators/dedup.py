@@ -204,7 +204,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash")
     Built-in expression construction: per bit, sum over tokens of
     ±1 -> aggregate. 64 aggregates over an exploded token table with a
     map-side combine; one shuffle on id."""
-    toks = df.select(F.col(id_col).alias("_id"), F.explode(_tokens(text_col)).alias("_t"))
+    # explode_outer: see minhash_signature — plain explode gets a size()>0
+    # filter inferred and pushed to the scan, re-evaluating the tokenizer
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode_outer(_tokens(text_col)).alias("_t")
+    ).where(F.col("_t").isNotNull())
     h = F.xxhash64("_t")
     bit_sums = toks.groupBy("_id").agg(
         *[
