@@ -105,6 +105,13 @@ def main():
     spark.range(100_000).select(
         udfs.st_astext(udfs.st_point(F.col("id") * 1.0, F.col("id") * 2.0))
     ).count()
+    # warm every Python worker with the layered UDF-chain shape the spatial
+    # queries use (first such query otherwise pays ~2s of worker imports)
+    spark.range(200_000).selectExpr(
+        "CAST(id % 1000 AS DOUBLE) AS x", "CAST(id % 997 AS DOUBLE) AS y"
+    ).filter(
+        F.expr("ST_Within(ST_Point(x, y), ST_MakeEnvelope(0.0D, 0.0D, 500.0D, 500.0D))")
+    ).count()
 
     pts_sql = (
         "SELECT o_orderkey AS id, CAST(o_orderkey * 7919 % 10000 AS DOUBLE) AS x,"
