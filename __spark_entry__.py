@@ -353,6 +353,32 @@ def q_gpkg_roundtrip(spark, sf_dir):
     )
 
 
+def q_kml_roundtrip(spark, sf_dir):
+    """KML write -> read round trip (sources/xmlgeo.py): stdlib-xml Placemark
+    emission and parse preserve geometry and ExtendedData attributes. The
+    reference covers KML through the GDAL driver matrix (st_read.cpp)."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources import read_kml, write_kml
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 300")
+        .withColumn("geom", F.expr("ST_Point(x, y)"))
+        .selectExpr("CAST(id AS STRING) AS id", "geom")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="kml_q_"), "rt.kml")
+    write_kml(df, path)
+    back = read_kml(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "round(ST_X(geom), 6) AS x",
+        "round(ST_Y(geom), 6) AS y",
+    )
+
+
 # --------------------------------------------------------------------------
 # relational (host-engine capability = Spark SQL; trivial oracles)
 # --------------------------------------------------------------------------
@@ -703,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_predicates": q_spatial_predicates,
         "spatial_hilbert": q_spatial_hilbert,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "kml_roundtrip": q_kml_roundtrip,
         "spatial_collect_dump": q_spatial_collect_dump,
         "spatial_line_endpoints": q_spatial_line_endpoints,
         "spatial_dwithin_grouped": q_spatial_dwithin_grouped,
@@ -1065,6 +1092,10 @@ def oracle_sql() -> dict[str, str]:
         "gpkg_roundtrip": f"""
             SELECT id, round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 500
+        """,
+        "kml_roundtrip": f"""
+            SELECT id, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
         """,
         "lang_id": _lang_id_oracle(),
         # minhash_lsh_pairs / simhash / winnowing: intentionally omitted ->

@@ -18,7 +18,7 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".shp", "shapefile"), (".fgb", "flatgeobuf"), (".gpkg", "geopackage"),
             (".geojson", "geojson"), (".ndjson", "geojson"), (".json", "geojson"),
             (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),
-            (".csv", "wkt_csv"),
+            (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
         ):
             if p.endswith(ext):
                 fmt = f
@@ -39,6 +39,12 @@ def st_read(spark, path: str, format: str | None = None, **options):
         return spark.read.parquet(path)
     if fmt in ("wkt_csv", "csv"):
         return read_wkt_csv(spark, path, **options)
+    if fmt == "kml":
+        return read_kml(spark, path, **options)
+    if fmt == "gpx":
+        return read_gpx(spark, path, **options)
+    if fmt == "gml":
+        return read_gml(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -68,3 +74,4 @@ from .flatgeobuf import read_flatgeobuf  # noqa: F401
 from .gpkg import gpkg_layers, read_gpkg, write_gpkg  # noqa: F401
 from .osm import read_osm  # noqa: F401
 from .shapefile import read_shapefile, write_shapefile  # noqa: F401
+from .xmlgeo import read_gml, read_gpx, read_kml, write_kml  # noqa: F401

@@ -317,6 +317,13 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("GeoJSON", "GeoJSON (FeatureCollection / newline-delimited)", True, True, True, ""),
         ("GeoParquet", "Parquet with WKB geometry (canonical form)", True, True, True, ""),
         ("CSV", "CSV with WKT geometry column", True, True, True, ""),
+        ("ESRI Shapefile", ".shp/.shx/.dbf (pure-Python reader/writer)", True, True, True, ""),
+        ("FlatGeobuf", "FlatGeobuf with packed-Rtree bbox pushdown (read-only)", False, False, True, ""),
+        ("GPKG", "GeoPackage (stdlib sqlite3 reader/writer)", True, True, True, ""),
+        ("OSM", "OpenStreetMap PBF (read-only, blob-parallel)", False, False, True, ""),
+        ("KML", "OGC KML 2.2 placemarks (read/write, stdlib xml)", True, True, True, ""),
+        ("GPX", "Topografix GPX waypoints/routes/tracks (read-only)", False, False, True, ""),
+        ("GML", "OGC GML 2/3.2 feature collections (read-only)", False, False, True, ""),
     ]
     return spark.createDataFrame(
         rows,
