@@ -553,6 +553,19 @@ def q_text_ngram_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-duplicate clusters: n-gram Jaccard pairs -> connected components
+    (large-star/small-star contraction, operators/dedup.py). cluster_id =
+    min doc_id of the component; docs with no near-dup are their own
+    cluster."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    docs = spark.table("documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    return duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Exact brute-force top-5 neighbors for 5 query vectors; ranking by
     rounded cosine + id so both engines break ties identically."""
@@ -745,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_metrics": q_text_metrics,
         "text_ngram_jaccard": q_text_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1029,6 +1043,32 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text), 6) AS alpha_ratio,
                    round(length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text), 6) AS digit_ratio
             FROM documents
+        """,
+        "dedup_clusters": r"""
+            -- transitive closure of the jaccard pairs via recursive CTE
+            -- (the engine side uses large-star/small-star contraction)
+            WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                    FROM documents WHERE doc_id < 200)
+            ), p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+                FROM t a, t b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+              ) WHERE j >= 0.1
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
         "text_ngram_jaccard": r"""
             WITH t AS (

@@ -285,3 +285,96 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# connected components over near-duplicate pairs
+# --------------------------------------------------------------------------
+
+def _sym(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Output edges point big -> small."""
+    nbrs = _sym(e)
+    mins = (
+        nbrs.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select("u", F.least("u", "_mn").alias("m"))
+    )
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u over its smaller-or-equal neighbors: connect all of
+    them (and u) to the minimum."""
+    ee = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = ee.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = ee.join(mins, "u")
+    return (
+        nbrs.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Transitive closure of a near-duplicate pair list: connected
+    components, returned as ``(id, cluster_id)`` with ``cluster_id`` = the
+    minimum member id of the component. The standard last stage of a
+    dedup pipeline (LSH/SimHash emit *pairs*; deletion needs *clusters*).
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): O(log n)
+    rounds, each round two shuffles keyed on node id — no adjacency
+    ``collect_list`` (a hot node never materializes its whole neighborhood
+    in one task) and no driver-side graph state. Lineage is cut per round
+    with ``localCheckpoint`` so the plan stays O(1) across iterations.
+
+    ``nodes``: optional DataFrame of all ids (``id_col``); ids appearing in
+    no pair come back as singleton clusters of themselves. Without it, only
+    ids present in ``pairs`` are returned.
+    """
+    e = (
+        pairs.select(F.col(left_col).alias("u"), F.col(right_col).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = e.agg(
+            F.count("*").alias("n"),
+            # order-insensitive set fingerprint; bit_xor never overflows
+            # (ANSI mode makes sum(hash) throw on long overflow)
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    mapping = e.select(F.col("u").alias(id_col), F.col("v").alias("cluster_id"))
+    base = (
+        nodes.select(F.col(id_col)).distinct()
+        if nodes is not None
+        else _sym(e).select(F.col("u").alias(id_col)).distinct()
+    )
+    return base.join(mapping, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+    )

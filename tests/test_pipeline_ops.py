@@ -163,3 +163,21 @@ def test_ngram_jaccard_df_cut(spark):
     pairs = {(r.id_a, r.id_b) for r in cut.collect()}
     assert (100, 101) in pairs          # true duplicates survive the cut
     assert cut.count() < n_full         # boilerplate pairs pruned
+
+
+def test_duplicate_clusters(spark):
+    """Connected components (large-star/small-star): chains collapse to the
+    min id, separate components stay separate, singletons self-label."""
+    pairs = [(i, i + 1) for i in range(49)] + [(101, 100), (300, 200)]
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(50)) + [100, 101, 200, 300, 999]], "id long"
+    )
+    m = {r["id"]: r["cluster_id"] for r in D.duplicate_clusters(pdf, nodes=nodes).collect()}
+    assert all(m[i] == 0 for i in range(50))        # 50-chain needs log-round convergence
+    assert m[100] == 100 and m[101] == 100
+    assert m[200] == 200 and m[300] == 200
+    assert m[999] == 999                            # singleton from nodes=
+    # without nodes=, only pair members come back
+    m2 = {r["id"]: r["cluster_id"] for r in D.duplicate_clusters(pdf).collect()}
+    assert 999 not in m2 and len(m2) == 54
