@@ -151,8 +151,16 @@ def ann_lsh_topk(
 
     b = sig_cols(base.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias(vec_col)), "b")
     q = sig_cols(queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias(vec_col)), "q")
-    be = b.select("b_id", F.col(vec_col).alias("b_vec"), F.posexplode("b_sigs").alias("tbl", "sig"))
-    qe = q.select("q_id", F.col(vec_col).alias("q_vec"), F.posexplode("q_sigs").alias("tbl", "sig"))
+    # posexplode_outer + output-attribute filter: a plain posexplode gets a
+    # size(sigs) > 0 filter inferred (InferFiltersFromGenerate) and pushed to
+    # the scan, re-evaluating the whole interpreted signature array per row —
+    # the same trap fixed for minhash/jaccard/simhash in operators/dedup.py
+    be = b.select(
+        "b_id", F.col(vec_col).alias("b_vec"), F.posexplode_outer("b_sigs").alias("tbl", "sig")
+    ).where(F.col("sig").isNotNull())
+    qe = q.select(
+        "q_id", F.col(vec_col).alias("q_vec"), F.posexplode_outer("q_sigs").alias("tbl", "sig")
+    ).where(F.col("sig").isNotNull())
     cand = (
         be.join(qe, ["tbl", "sig"])
         .dropDuplicates(["q_id", "b_id"])
