@@ -227,6 +227,91 @@ def hilbert_cluster(
     )
 
 
+def hilbert_cluster_points(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    geom_col: str = "geom",
+    bounds: tuple | None = None,
+    num_partitions: int | None = None,
+    sample_fraction: float = 0.01,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-ingest clustering: the source rows carry plain ``x``/``y``
+    doubles (raw telemetry, the 100 TB shape), so the bounds aggregate and
+    the split-point sample run entirely JVM-side against the numeric
+    columns — the generic path must push every row through the geometry
+    UDF chain even for its stats job. ONE Python crossing total: a fused
+    UDF that assembles point WKB (vectorized 21-byte records), bbox
+    sidecars, Hilbert index, and shuffle route per batch."""
+    from ..functions import fastpath  # noqa: F401  (parity with generic path)
+
+    spark = df.sparkSession
+    n = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if bounds is None:
+        r = df.agg(F.min(x_col), F.min(y_col), F.max(x_col), F.max(y_col)).collect()[0]
+        bounds = (r[0], r[1], r[2], r[3])
+    b0, b1, b2, b3 = (float(b) for b in bounds)
+    sample = (
+        df.select(F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+        .sample(fraction=float(sample_fraction), seed=seed)
+        .limit(2_000_000)  # driver-memory guard: 1% of a 100 TB table is not collectable
+        .collect()
+    )
+    if sample:
+        sx = np.asarray([r.x for r in sample], dtype=np.float64)
+        sy = np.asarray([r.y for r in sample], dtype=np.float64)
+        hs = udfs.hilbert_scaled(sx, sy, b0, b1, b2, b3)
+        probs = np.arange(1, n) / n
+        splits = np.unique(np.quantile(hs, probs).astype(np.int64))
+    else:
+        splits = np.array([], dtype=np.int64)
+    nb = len(splits) + 1
+    jmap = np.asarray(_hash_preimages(spark, nb), dtype=np.int32) if nb > 1 else None
+
+    stype = T.StructType(
+        [T.StructField(geom_col, T.BinaryType())]
+        + [T.StructField(c, T.DoubleType()) for c in BBOX_COLS]
+        + [T.StructField("hilbert", T.LongType()), T.StructField("route", T.IntegerType())]
+    )
+
+    @F.pandas_udf(stype)
+    def fused(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        xs = x.to_numpy(dtype=np.float64, na_value=np.nan)
+        ys = y.to_numpy(dtype=np.float64, na_value=np.nan)
+        m = len(xs)
+        buf = np.zeros((m, 21), dtype=np.uint8)
+        buf[:, 0] = 1
+        buf[:, 1] = 1
+        buf[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(m, 8)
+        buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(m, 8)
+        rows = buf.tobytes()
+        nan = np.isnan(xs) | np.isnan(ys)
+        geoms = [None if nan[i] else rows[i * 21 : (i + 1) * 21] for i in range(m)]
+        h = udfs.hilbert_scaled(np.nan_to_num(xs), np.nan_to_num(ys), b0, b1, b2, b3)
+        bucket = np.searchsorted(splits, h, side="right") if len(splits) else np.zeros(m, dtype=np.int64)
+        route = jmap[bucket] if jmap is not None else np.zeros(m, dtype=np.int32)
+        out = {geom_col: geoms}
+        for c, v in zip(BBOX_COLS, (xs, ys, xs, ys)):
+            out[c] = pd.arrays.FloatingArray(v, nan) if nan.any() else v
+        out["hilbert"] = pd.arrays.IntegerArray(h, nan) if nan.any() else h
+        out["route"] = route.astype(np.int32)
+        return pd.DataFrame(out)
+
+    s = fused(F.col(x_col), F.col(y_col))
+    keep = [c for c in df.columns if c not in (x_col, y_col)]
+    out = df.select(*keep, s.alias("_s")).select(
+        *keep,
+        F.col(f"_s.{geom_col}").alias(geom_col),
+        *[F.col(f"_s.{c}").alias(c) for c in BBOX_COLS],
+        F.col("_s.hilbert").alias("hilbert"),
+        F.col("_s.route").alias("_route"),
+    )
+    if nb == 1:
+        return out.coalesce(1).sortWithinPartitions("hilbert").drop("_route")
+    return out.repartition(nb, F.col("_route")).sortWithinPartitions("hilbert").drop("_route")
+
+
 def write_geo_parquet(
     df: DataFrame,
     path: str,
@@ -235,16 +320,26 @@ def write_geo_parquet(
     bounds: tuple | None = None,
     num_partitions: int | None = None,
     sample_fraction: float | None = None,
+    point_xy: tuple | None = None,
 ) -> None:
     """Hilbert-clustered GeoParquet-style write (geometry stays WKB binary,
     which IS GeoParquet's encoding).
 
+    ``point_xy=(x_col, y_col)``: point-ingest fast lane — geometry is
+    ASSEMBLED here from numeric columns (stats jobs stay JVM-side, one
+    Python crossing total; see :func:`hilbert_cluster_points`).
+
     Parquet dictionary encoding is disabled: WKB geometries are near-unique,
     so dictionary pages only add CPU + a failed-dictionary fallback per row
     group (measured 2.3s of a 6s write at 10M points)."""
-    hilbert_cluster(df, geom_col, bounds, num_partitions, sample_fraction).write.mode(
-        mode
-    ).option("parquet.enable.dictionary", "false").parquet(path)
+    if point_xy is not None:
+        clustered = hilbert_cluster_points(
+            df, point_xy[0], point_xy[1], geom_col, bounds, num_partitions,
+            sample_fraction if sample_fraction else 0.01,
+        )
+    else:
+        clustered = hilbert_cluster(df, geom_col, bounds, num_partitions, sample_fraction)
+    clustered.write.mode(mode).option("parquet.enable.dictionary", "false").parquet(path)
 
 
 def read_geo_parquet(spark: SparkSession, path: str) -> DataFrame:

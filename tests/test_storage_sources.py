@@ -237,3 +237,26 @@ def test_geojson_pushdown(spark, tmp_path):
     slim = read_geojson(spark, path, columns=["fid"])
     assert slim.columns == ["fid"]
     assert slim.count() == 100
+
+
+def test_point_ingest_cluster_matches_generic(spark, tmp_path):
+    """point_xy= ingest lane: JVM-side stats + fused WKB/bbox/hilbert UDF
+    produces the same queryable layout as the generic geometry path."""
+    pts = st_generatepoints(spark, 0, 0, 10000, 10000, 20000, seed=99)
+    a, b = str(tmp_path / "generic"), str(tmp_path / "points")
+    write_geo_parquet(
+        pts.withColumn("geom", udfs.st_point("x", "y")).select("id", "geom"),
+        a, num_partitions=8, sample_fraction=0.05,
+    )
+    write_geo_parquet(pts.select("id", "x", "y"), b, num_partitions=8, point_xy=("x", "y"))
+    da, db = spark.read.parquet(a), spark.read.parquet(b)
+    assert sorted(db.columns) == sorted(da.columns)
+    for win in ((450, 450, 650, 650), (0, 0, 10000, 10000)):
+        na = filter_bbox(da, *win, exact="within").count()
+        nb = filter_bbox(db, *win, exact="within").count()
+        assert na == nb
+    # same geometry content
+    assert (
+        da.selectExpr("bit_xor(xxhash64(geom)) s").collect()[0]["s"]
+        == db.selectExpr("bit_xor(xxhash64(geom)) s").collect()[0]["s"]
+    )
