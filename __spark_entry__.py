@@ -620,6 +620,34 @@ def q_simhash(spark, sf_dir):
     return simhash(docs, "doc_id", "text").select("doc_id", "simhash")
 
 
+def q_minhash_lsh_spec(spark, sf_dir):
+    """MinHash-LSH with the portable poly hash (dedup.poly_hash_expr) in
+    place of xxhash64: every stage — shingles, signatures, band collisions,
+    jaccard verification — is replicated value-for-value by the DuckDB
+    oracle. The production xxhash64 lane is q_minhash_lsh_pairs."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dedup import minhash_lsh_pairs, poly_hash_expr
+
+    docs = spark.table("documents").filter("doc_id < 150")
+    out = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=8, bands=4, threshold=0.2,
+        hash_fn=lambda col, k: poly_hash_expr(col, k),
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_spec(spark, sf_dir):
+    """30-bit SimHash on the portable poly hash — oracle replicates the
+    token votes and fingerprint assembly exactly (production 64-bit
+    xxhash64 lane is q_simhash)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dedup import poly_hash_expr, simhash
+
+    docs = spark.table("documents").filter("doc_id < 150").select("doc_id", "text")
+    out = simhash(docs, "doc_id", "text", bits=30, hash_fn=lambda c: poly_hash_expr(c, 0))
+    return out.select("doc_id", "simhash")
+
+
 def q_lang_id(spark, sf_dir):
     """Stopword-profile language id distribution (heuristic: rows-only)."""
     _prep(spark, sf_dir)
@@ -763,9 +791,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "minhash_lsh_spec": q_minhash_lsh_spec,
+        "simhash_spec": q_simhash_spec,
         "lang_id": q_lang_id,
         "winnowing": q_winnowing,
     }
+
+
+def _poly_sql(var: str, k: int) -> str:
+    """DuckDB replica of dedup.poly_hash_expr(col, k)."""
+    return (
+        f"list_reduce(list_prepend(CAST({k + 1} AS BIGINT), "
+        f"list_transform(string_split({var}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, ch) -> (acc * 131 + ch) % 1000000007)"
+    )
+
+
+def _minhash_spec_oracle() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, u -> {_poly_sql('u', k)}))" for k in range(8)
+    )
+    bands_or = " OR ".join(
+        f"(a.sig[{2 * i + 1}] = b.sig[{2 * i + 1}] AND a.sig[{2 * i + 2}] = b.sig[{2 * i + 2}])"
+        for i in range(4)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+                FROM documents WHERE doc_id < 150)
+        ), s AS (
+          SELECT doc_id, sh, [{mins}] AS sig FROM t WHERE len(sh) > 0
+        ), cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb
+          FROM s a, s b WHERE a.doc_id < b.doc_id AND ({bands_or})
+        )
+        SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+          SELECT id_a, id_b, len(list_intersect(sha, shb))::DOUBLE
+                 / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS j
+          FROM cand
+        ) WHERE j >= 0.2
+    """
+
+
+def _simhash_spec_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(30)
+    )
+    fp = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(30))
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+          FROM documents WHERE doc_id < 150
+        ), h AS (
+          SELECT doc_id, {_poly_sql('t', 0)} AS h FROM tok
+        ), v AS (
+          SELECT doc_id, {votes} FROM h GROUP BY doc_id
+        ), fp AS (
+          SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM v
+        )
+        SELECT d.doc_id, f.simhash
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+        LEFT JOIN fp f USING (doc_id)
+    """
 
 
 def _lang_id_oracle() -> str:
@@ -1138,6 +1229,8 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) WHERE id < 300
         """,
         "lang_id": _lang_id_oracle(),
+        "minhash_lsh_spec": _minhash_spec_oracle(),
+        "simhash_spec": _simhash_spec_oracle(),
         # minhash_lsh_pairs / simhash / winnowing: intentionally omitted ->
         # driver records rows-only checks (xxhash64-based signatures are
         # engine-specific; see docstrings)

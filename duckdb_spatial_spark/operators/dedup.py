@@ -37,6 +37,21 @@ def _shingles(text_col, n: int):
     return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(F.array()))
 
 
+def poly_hash_expr(col, seed: int):
+    """Portable polynomial hash over codepoints: h = fold((h*131 + c) mod
+    1e9+7, init seed+1). Bit-identical in plain SQL (DuckDB ``list_reduce``
+    over ``string_split(s,'')``) and Spark Columns, so the ``*_spec``
+    driver queries can cross-check the full minhash/simhash pipelines
+    value-for-value. ~30 bits of entropy — production paths stay on
+    xxhash64; this exists for oracle parity."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.transform(F.split(c, ""), lambda ch: F.ascii(ch).cast("long")),
+        F.lit(seed + 1).cast("long"),
+        lambda acc, ch: (acc * 131 + ch) % 1000000007,
+    )
+
+
 def dedup_exact(df: DataFrame, cols, id_col: str = None) -> DataFrame:
     """Keep one row per distinct value of ``cols`` (lowest id wins when
     ``id_col`` given, else arbitrary-but-deterministic first)."""
@@ -94,7 +109,7 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64):
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 64, hash_fn=None):
     """MinHash signatures: elementwise-min fold over shingles of
     [xxhash64(s, k) for k seeds].
 
@@ -116,7 +131,8 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3, num
     # be pushed below the Generate). The flat min-aggregate keeps the rest
     # in whole-stage codegen with map-side partial mins — one shuffle.
     ex = base.select("_id", F.explode_outer("_sh").alias("_s")).where(F.col("_s").isNotNull())
-    hcols = [F.xxhash64("_s", F.lit(k)).alias(f"_h{k}") for k in range(num_hashes)]
+    hf = hash_fn or (lambda col, k: F.xxhash64(col, F.lit(k)))
+    hcols = [hf(F.col("_s"), k).alias(f"_h{k}") for k in range(num_hashes)]
     sig = (
         ex.select("_id", *hcols)
         .groupBy("_id")
@@ -138,6 +154,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.7,
     verify: bool = True,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, optionally verified
     with exact shingle Jaccard.
@@ -148,7 +165,7 @@ def minhash_lsh_pairs(
     never all-pairs."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signature(df, id_col, text_col, n, num_hashes, hash_fn=hash_fn)
     # band hashes only — the shingle arrays must NOT travel through the
     # band join (they blow up the shuffle when buckets are dense)
     banded = sigs.select(
@@ -197,7 +214,7 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash", bits: int = 64, hash_fn=None) -> DataFrame:
     """64-bit SimHash: per-token xxhash64, each bit votes +1/-1 weighted by
     term frequency; sign of the vote vector -> fingerprint bits.
 
@@ -209,15 +226,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash")
     toks = df.select(
         F.col(id_col).alias("_id"), F.explode_outer(_tokens(text_col)).alias("_t")
     ).where(F.col("_t").isNotNull())
-    h = F.xxhash64("_t")
+    h = hash_fn(F.col("_t")) if hash_fn else F.xxhash64("_t")
     bit_sums = toks.groupBy("_id").agg(
         *[
             F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-            for b in range(64)
+            for b in range(bits)
         ]
     )
     fp = None
-    for b in range(64):
+    for b in range(bits):
         term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         shifted = F.shiftleft(term, b)
         fp = shifted if fp is None else fp.bitwiseXOR(shifted)
