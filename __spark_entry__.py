@@ -27,9 +27,14 @@ def _prep(spark: SparkSession, sf_dir: str):
     import duckdb_spatial_spark
 
     duckdb_spatial_spark.register_all(spark)
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects by
-    # default; read nanos as bigint (events queries do epoch arithmetic).
+    # Some testdata generations carry events.ts as TIMESTAMP(NANOS), which
+    # Spark's reader rejects by default; read nanos as bigint in that case.
+    # Other generations use timestamp[us] (TIMESTAMP_NTZ) — events queries
+    # branch on the actual dtype via _events_epoch_us().
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin naive-timestamp interpretation to UTC so unix_micros(cast(ntz as
+    # timestamp)) equals DuckDB's epoch(ts) regardless of machine timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
@@ -461,12 +466,26 @@ def q_tpch_q6(spark, sf_dir):
     )
 
 
+def _events_epoch_us(spark) -> str:
+    """SQL expression: events.ts as epoch microseconds (BIGINT), schema-robust.
+
+    The driver's events.parquet has shipped ts as TIMESTAMP(NANOS) (surfaced
+    as bigint nanos under nanosAsLong), as timestamp[us] (TIMESTAMP_NTZ), and
+    could plausibly be plain TIMESTAMP; normalize all three to epoch micros
+    (session tz is pinned to UTC in _prep, so NTZ == DuckDB naive epoch).
+    """
+    dtype = dict(spark.table("events").dtypes)["ts"]
+    if dtype in ("bigint", "long"):
+        return "(ts div 1000)"
+    return "unix_micros(CAST(ts AS TIMESTAMP))"
+
+
 def q_events_hourly(spark, sf_dir):
     _prep(spark, sf_dir)
-    # ts is bigint nanoseconds (see _prep); hour bucket via integer division
+    us = _events_epoch_us(spark)
     return spark.sql(
-        """
-        SELECT CAST(ts div 3600000000000 * 3600 AS BIGINT) AS hour_ts,
+        f"""
+        SELECT CAST({us} div 3600000000 * 3600 AS BIGINT) AS hour_ts,
                event_type, count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sv_cents
         FROM events GROUP BY 1, 2
         """
@@ -476,12 +495,13 @@ def q_events_hourly(spark, sf_dir):
 def q_events_sessionization(spark, sf_dir):
     """Sessionization: gap > 1800s starts a new session (OLAP pattern)."""
     _prep(spark, sf_dir)
+    us = _events_epoch_us(spark)
     return spark.sql(
-        """
-        SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        f"""
+        SELECT user_id, CAST(1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
         FROM (
           SELECT user_id,
-                 ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                 {us} - lag({us}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
           FROM events
         ) GROUP BY user_id
         """

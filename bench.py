@@ -79,11 +79,19 @@ def main():
 
     timings: dict[str, float] = {}
     duck: dict[str, float] = {}
+    errors: dict[str, str] = {}
 
     def bench(name):
+        """Time one workload; a failure records an error for THAT query only
+        (round-3 lesson: one bad query must never zero out the whole bench)."""
         def deco(fn):
             t0 = time.time()
-            fn()
+            try:
+                fn()
+            except Exception as e:  # noqa: BLE001 - isolate per-query failure
+                errors[name] = f"{type(e).__name__}: {e}"[:500]
+                print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
+                return fn
             timings[name] = round(time.time() - t0, 3)
             return fn
 
@@ -91,11 +99,16 @@ def main():
 
     def duck_bench(name, sql):
         best = None
-        for _ in range(3):
-            t0 = time.time()
-            con.execute(sql).fetchall()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                con.execute(sql).fetchall()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # noqa: BLE001
+            errors[f"duckdb:{name}"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"[bench] duckdb:{name} FAILED: {errors[f'duckdb:{name}']}", file=sys.stderr)
+            return
         duck[name] = round(best, 3)
 
     # ---- warmup (untimed): JVM codegen, parquet reader, shuffle, Arrow +
@@ -135,7 +148,8 @@ def main():
         "envelope_native",
         f"SELECT count(*) FROM ({pts_sql}) WHERE x >= 450 AND x <= 2650 AND y >= 450 AND y <= 2650",
     )
-    duck["envelope_geom_udf"] = duck["envelope_native"]
+    if "envelope_native" in duck:
+        duck["envelope_geom_udf"] = duck["envelope_native"]
 
     tmp = tempfile.mkdtemp(prefix="bench_clustered_")
     try:
@@ -187,13 +201,18 @@ def main():
             # DuckDB has no R-tree without the spatial extension (offline);
             # its x/y full-scan number doubles as the baseline for both — the
             # ratio shows our paths vs its best available plan.
-            duck[f"points_fullscan_count{suffix}"] = duck[f"points_xy_native_count{suffix}"]
-            duck[f"points_pruned_count{suffix}"] = duck[f"points_xy_native_count{suffix}"]
+            if f"points_xy_native_count{suffix}" in duck:
+                duck[f"points_fullscan_count{suffix}"] = duck[f"points_xy_native_count{suffix}"]
+                duck[f"points_pruned_count{suffix}"] = duck[f"points_xy_native_count{suffix}"]
 
-        point_workloads(int(os.environ.get("SPARK_GRAFT_BENCH_POINTS", "10000000")), "")
         large = int(os.environ.get("SPARK_GRAFT_BENCH_POINTS_LARGE", "50000000"))
-        if large > 0:
-            point_workloads(large, "_large")
+        try:
+            point_workloads(int(os.environ.get("SPARK_GRAFT_BENCH_POINTS", "10000000")), "")
+            if large > 0:
+                point_workloads(large, "_large")
+        except Exception as e:  # noqa: BLE001 - glue between benches failed
+            errors["points_workloads"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"[bench] points_workloads FAILED: {errors['points_workloads']}", file=sys.stderr)
 
         rects_sql = (
             "SELECT p_partkey AS rid, CAST(p_partkey * 7919 % 9900 AS DOUBLE) AS mx,"
@@ -284,10 +303,15 @@ def main():
             """,
         )
 
+        # events.ts dtype varies by testdata generation: bigint nanos (legacy
+        # TIMESTAMP(NANOS) under nanosAsLong) or TIMESTAMP_NTZ micros.
+        ts_dtype = dict(spark.table("events").dtypes)["ts"]
+        ev_us = "(ts div 1000)" if ts_dtype in ("bigint", "long") else "unix_micros(CAST(ts AS TIMESTAMP))"
+
         @bench("events_hourly")
         def _():
             spark.sql(
-                "SELECT ts div 3600000000000, event_type, count(*), sum(value)"
+                f"SELECT {ev_us} div 3600000000, event_type, count(*), sum(value)"
                 " FROM events GROUP BY 1, 2"
             ).collect()
 
@@ -325,6 +349,7 @@ def main():
                 "sf": sf,
                 "duckdb": duck,
                 "ratio": ratio,
+                "errors": errors,
                 "config": {"cpus": cpus, "warmup": True, "points_large": large},
             }
         )
