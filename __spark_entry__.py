@@ -253,13 +253,130 @@ def q_spatial_dwithin_join_count(spark, sf_dir):
 
 
 def q_spatial_extent_agg(spark, sf_dir):
+    """ST_Extent_Agg operator (aggregates.py): per-group envelope; the extent
+    polygon's area is oracled as (max_x-min_x)*(max_y-min_y)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.functions import udfs
+    from duckdb_spatial_spark.operators import aggregates
+
+    pts = (
+        spark.sql(_PTS)
+        .withColumn("grp", F.col("id") % 10)
+        .withColumn("geom", udfs.st_point("x", "y"))
+    )
+    out = aggregates.st_extent_agg(pts, "geom", group_cols=["grp"])
+    return out.select(
+        "grp", "min_x", "min_y", "max_x", "max_y",
+        F.round(udfs.st_area(F.col("extent")), 6).alias("extent_area"),
+    )
+
+
+def q_spatial_overlay_rects(spark, sf_dir):
+    """ST_Intersection/Union/Difference on an overlapping rect pair
+    (B = A shifted by (w/2, h/2)); areas have closed rectangle forms.
+    Exercises geo/overlay.py triangle decomposition + dissolve
+    (reference geos/functions/scalar.cpp overlay entry points)."""
     _prep(spark, sf_dir)
     return spark.sql(
         f"""
-        SELECT id % 10 AS grp, min(x) AS min_x, min(y) AS min_y,
-               max(x) AS max_x, max(y) AS max_y
-        FROM ({_PTS}) GROUP BY id % 10
+        SELECT rid,
+          round(ST_Area(ST_Intersection(ST_MakeEnvelope(mx, my, mx + w, my + h),
+            ST_MakeEnvelope(mx + w/2, my + h/2, mx + w/2 + w, my + h/2 + h))), 6) AS inter_area,
+          round(ST_Area(ST_Union(ST_MakeEnvelope(mx, my, mx + w, my + h),
+            ST_MakeEnvelope(mx + w/2, my + h/2, mx + w/2 + w, my + h/2 + h))), 6) AS union_area,
+          round(ST_Area(ST_Difference(ST_MakeEnvelope(mx, my, mx + w, my + h),
+            ST_MakeEnvelope(mx + w/2, my + h/2, mx + w/2 + w, my + h/2 + h))), 6) AS diff_area
+        FROM ({_RECTS}) WHERE rid <= 500
         """
+    )
+
+
+def q_spatial_intersection_tri_rect(spark, sf_dir):
+    """Right triangle clipped by its lower half-rect -> trapezoid, area
+    3wh/8; the hypotenuse genuinely crosses rect edges (noding path)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT rid, round(ST_Area(ST_Intersection(
+          ST_GeomFromText('POLYGON ((' || mx || ' ' || my || ', ' || (mx+w) || ' ' || my
+                          || ', ' || mx || ' ' || (my+h) || ', ' || mx || ' ' || my || '))'),
+          ST_MakeEnvelope(mx, my, mx + w, my + h/2))), 6) AS area
+        FROM ({_RECTS}) WHERE rid <= 500
+        """
+    )
+
+
+def q_spatial_convexhull_area(spark, sf_dir):
+    """Hull of 3 triangle corners + 1 interior point = the triangle (wh/2)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT rid, round(ST_Area(ST_ConvexHull(ST_Collect(array(
+          ST_Point(mx, my), ST_Point(mx + w, my), ST_Point(mx, my + h),
+          ST_Point(mx + w/4, my + h/4))))), 6) AS hull_area
+        FROM ({_RECTS}) WHERE rid <= 500
+        """
+    )
+
+
+def q_spatial_makevalid_bowtie(spark, sf_dir):
+    """Self-intersecting bowtie -> MakeValid splits at the crossing into two
+    triangles of total area wh/2 (reference geos ST_MakeValid semantics)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT rid, round(ST_Area(ST_MakeValid(ST_GeomFromText(
+          'POLYGON ((' || mx || ' ' || my || ', ' || (mx+w) || ' ' || (my+h) || ', '
+                       || (mx+w) || ' ' || my || ', ' || mx || ' ' || (my+h) || ', '
+                       || mx || ' ' || my || '))'))), 6) AS area
+        FROM ({_RECTS}) WHERE rid <= 500
+        """
+    )
+
+
+def q_spatial_union_agg_chain(spark, sf_dir):
+    """ST_Union_Agg over a per-group chain of overlapping rects (step 5 <
+    width 10): union area = 10 * (5*(max_i - min_i) + 10). Exercises the
+    salted two-level fold in aggregates._fold_agg end-to-end."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.functions import udfs
+    from duckdb_spatial_spark.operators import aggregates
+
+    rects = spark.sql(
+        """
+        SELECT CAST(p_partkey % 8 AS BIGINT) AS grp,
+               ST_MakeEnvelope(CAST(5*(p_partkey div 8) AS DOUBLE), 0.0D,
+                               CAST(5*(p_partkey div 8)+10 AS DOUBLE), 10.0D) AS geom
+        FROM part WHERE p_partkey <= 400
+        """
+    )
+    out = aggregates.st_union_agg(rects, "geom", group_cols=["grp"])
+    return out.select(
+        "grp", F.round(udfs.st_area(F.col("union_agg")), 6).alias("union_area")
+    )
+
+
+def q_spatial_intersection_agg(spark, sf_dir):
+    """ST_Intersection_Agg over per-group rects sharing a common core; the
+    intersection rectangle's edges are min/max of modular offsets."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.functions import udfs
+    from duckdb_spatial_spark.operators import aggregates
+
+    rects = spark.sql(
+        """
+        SELECT CAST(p_partkey % 8 AS BIGINT) AS grp,
+               ST_MakeEnvelope(
+                 CAST((p_partkey % 8)*1000 - (p_partkey div 8) % 11 AS DOUBLE),
+                 CAST(-((p_partkey div 8) % 17) AS DOUBLE),
+                 CAST((p_partkey % 8)*1000 + 10 + (p_partkey div 8) % 13 AS DOUBLE),
+                 CAST(10 + (p_partkey div 8) % 19 AS DOUBLE)) AS geom
+        FROM part WHERE p_partkey BETWEEN 801 AND 864
+        """
+    )
+    out = aggregates.st_intersection_agg(rects, "geom", group_cols=["grp"])
+    return out.select(
+        "grp", F.round(udfs.st_area(F.col("intersection_agg")), 6).alias("inter_area")
     )
 
 
@@ -784,6 +901,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_dwithin_join_count": q_spatial_dwithin_join_count,
         "spatial_extent_agg": q_spatial_extent_agg,
+        "spatial_overlay_rects": q_spatial_overlay_rects,
+        "spatial_intersection_tri_rect": q_spatial_intersection_tri_rect,
+        "spatial_convexhull_area": q_spatial_convexhull_area,
+        "spatial_makevalid_bowtie": q_spatial_makevalid_bowtie,
+        "spatial_union_agg_chain": q_spatial_union_agg_chain,
+        "spatial_intersection_agg": q_spatial_intersection_agg,
         "spatial_transform_3857": q_spatial_transform_3857,
         "spatial_buffer_area": q_spatial_buffer_area,
         "spatial_quadkey": q_spatial_quadkey,
@@ -988,8 +1111,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spatial_extent_agg": f"""
             SELECT id % 10 AS grp, min(x) AS min_x, min(y) AS min_y,
-                   max(x) AS max_x, max(y) AS max_y
+                   max(x) AS max_x, max(y) AS max_y,
+                   round((max(x) - min(x)) * (max(y) - min(y)), 6) AS extent_area
             FROM ({pts}) GROUP BY id % 10
+        """,
+        "spatial_overlay_rects": f"""
+            SELECT rid, round(w/2 * h/2, 6) AS inter_area,
+                   round(2*w*h - w/2*h/2, 6) AS union_area,
+                   round(w*h - w/2*h/2, 6) AS diff_area
+            FROM ({rects}) WHERE rid <= 500
+        """,
+        "spatial_intersection_tri_rect": f"""
+            SELECT rid, round(3*w*h/8, 6) AS area FROM ({rects}) WHERE rid <= 500
+        """,
+        "spatial_convexhull_area": f"""
+            SELECT rid, round(w*h/2, 6) AS hull_area FROM ({rects}) WHERE rid <= 500
+        """,
+        "spatial_makevalid_bowtie": f"""
+            SELECT rid, round(w*h/2, 6) AS area FROM ({rects}) WHERE rid <= 500
+        """,
+        "spatial_union_agg_chain": """
+            SELECT CAST(p_partkey % 8 AS BIGINT) AS grp,
+                   round(10 * (5*(max(p_partkey // 8) - min(p_partkey // 8)) + 10), 6) AS union_area
+            FROM part WHERE p_partkey <= 400 GROUP BY 1
+        """,
+        "spatial_intersection_agg": """
+            SELECT CAST(p_partkey % 8 AS BIGINT) AS grp,
+                   round((10 + min((p_partkey // 8) % 13) + min((p_partkey // 8) % 11))
+                       * (10 + min((p_partkey // 8) % 19) + min((p_partkey // 8) % 17)), 6) AS inter_area
+            FROM part WHERE p_partkey BETWEEN 801 AND 864 GROUP BY 1
         """,
         "spatial_transform_3857": f"""
             SELECT cid,
