@@ -281,27 +281,149 @@ def simhash_neardup_pairs(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    strategy: str = "auto",
+    bits: int = 8,
+    tables: int | None = None,
+    seed: int = 7,
+    block_size: int = 4096,
 ) -> DataFrame:
     """Cosine near-duplicate pairs over an array<float> embedding column.
 
-    Exact all-pairs via block-nested join on normalized vectors — suitable
-    when one side fits per-executor memory; for web scale, route through
-    :func:`duckdb_spatial_spark.operators.knn.ann_lsh_topk` instead."""
+    Strategies (``auto`` picks by threshold):
+
+    * ``lsh`` (auto default for threshold >= 0.8, the near-duplicate
+      regime): random-hyperplane sign signatures (knn.add_lsh_signatures),
+      self-equi-join on (table, signature) bucket, exact JVM-side cosine
+      verify. Candidate count scales with bucket sizes, never all-pairs —
+      no CartesianProduct in the plan. ``tables`` defaults from the
+      threshold so a pair AT the threshold is missed with prob < 1e-4.
+    * ``blocked`` (auto default for low thresholds, where hyperplane LSH
+      cannot bound recall): exact all-pairs, but computed as a block-matrix
+      product — vectors are packed into ~``block_size``-row blocks, block
+      pairs fan out, and each task scores one block pair with a single
+      numpy matmul. O(n^2/2) dot products is inherent to exact all-pairs;
+      this lane does them at BLAS rate with one shuffle, instead of a
+      row-level join shipping one pair per row through an interpreted
+      fold (the round-2/3 scale-killer).
+    * ``exact``: the legacy row-level ``a._id < b._id`` join. Opt-in only;
+      kept as the semantics baseline for tests.
+    """
     from .knn import _cosine_expr
 
+    if strategy == "auto":
+        strategy = "lsh" if threshold >= 0.8 else "blocked"
+
     norm = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    pairs = (
-        norm.alias("a")
-        .join(norm.alias("b"), F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            _cosine_expr(F.col("a._v"), F.col("b._v")).alias("cosine"),
+
+    if strategy == "exact":
+        pairs = (
+            norm.alias("a")
+            .join(norm.alias("b"), F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                _cosine_expr(F.col("a._v"), F.col("b._v")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
         )
-        .filter(F.col("cosine") >= threshold)
+        return pairs
+
+    if strategy == "lsh":
+        import math
+
+        from .knn import add_lsh_signatures
+
+        dim = len(norm.select("_v").first()[0])
+        if tables is None:
+            # P[bit agrees] = 1 - theta/pi at the threshold angle; size the
+            # table count so P[all tables miss] < 1e-4 for a threshold pair
+            p_bit = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+            p_tab = max(1e-9, p_bit**bits)
+            tables = min(48, max(4, math.ceil(math.log(1e-4) / math.log1p(-min(p_tab, 1 - 1e-12)))))
+        sigged = add_lsh_signatures(norm, "_v", dim, bits, tables, seed, "_sigs")
+        # posexplode_outer + null filter: avoid InferFiltersFromGenerate
+        # re-evaluating the signature array at the scan (see ann_lsh_topk)
+        ex = sigged.select(
+            "_id", "_v", F.posexplode_outer("_sigs").alias("tbl", "sig")
+        ).where(F.col("sig").isNotNull())
+        cand = (
+            ex.alias("a")
+            .join(ex.alias("b"), ["tbl", "sig"])
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                F.col("a._v").alias("va"),
+                F.col("b._v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.withColumn("cosine", _cosine_expr(F.col("va"), F.col("vb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine")
+        )
+
+    if strategy != "blocked":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = norm.count()
+    nblocks = max(1, math.ceil(n / block_size))
+    wb = norm.withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(nblocks)).cast("int")
     )
-    return pairs
+    packed = wb.groupBy("_blk").agg(
+        F.collect_list(F.struct(F.col("_id"), F.col("_v"))).alias("items")
+    )
+    bp = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a._blk") <= F.col("b._blk"))
+        .select(
+            F.col("a._blk").alias("blk_a"),
+            F.col("b._blk").alias("blk_b"),
+            F.col("a.items").alias("items_a"),
+            F.col("b.items").alias("items_b"),
+        )
+    )
+    # spread block pairs across the cluster before the numpy stage
+    bp = bp.repartition(max(nblocks, 32))
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def score(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                ia = np.asarray([x["_id"] for x in row.items_a], dtype=np.int64)
+                ib = np.asarray([x["_id"] for x in row.items_b], dtype=np.int64)
+                Ma = np.asarray([x["_v"] for x in row.items_a], dtype=np.float64)
+                Mb = np.asarray([x["_v"] for x in row.items_b], dtype=np.float64)
+                na = np.sqrt((Ma * Ma).sum(axis=1))
+                nb = np.sqrt((Mb * Mb).sum(axis=1))
+                S = (Ma @ Mb.T) / np.outer(na, nb)
+                mask = S >= threshold
+                if row.blk_a == row.blk_b:
+                    # same block joined to itself once: keep each unordered
+                    # pair once, excluding the diagonal
+                    mask &= ia[:, None] < ib[None, :]
+                i, j = np.nonzero(mask)
+                if len(i) == 0:
+                    continue
+                id_a = np.minimum(ia[i], ib[j])
+                id_b = np.maximum(ia[i], ib[j])
+                yield pd.DataFrame(
+                    {"id_a": id_a, "id_b": id_b, "cosine": S[i, j]}
+                )
+
+    return bp.mapInPandas(score, out_schema)
 
 
 # --------------------------------------------------------------------------

@@ -105,6 +105,36 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def add_lsh_signatures(
+    df: DataFrame, vec_col: str, dim: int, bits: int, tables: int, seed: int, out_col: str
+) -> DataFrame:
+    """Append ``out_col``: array of ``tables`` random-hyperplane sign
+    signatures (one long per table, ``bits`` bits each). Pure Column dot
+    products — JVM-side, no Python. Shared by ann_lsh_topk and
+    dedup.embedding_neardup_pairs."""
+    sig_exprs = []
+    for t in range(tables):
+        H = _hyperplanes(dim, bits, seed + t)
+        bit_exprs = []
+        for b in range(bits):
+            w = H[b]
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in w]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit_exprs.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        sig = bit_exprs[0]
+        for e in bit_exprs[1:]:
+            sig = sig + e
+        sig_exprs.append(sig.cast("long"))
+    return df.withColumn(out_col, F.array(*sig_exprs))
+
+
 def ann_lsh_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -125,32 +155,14 @@ def ann_lsh_topk(
     if dim is None:
         dim = len(base.select(vec_col).first()[0])
 
-    def sig_cols(df, prefix):
-        out = df
-        sig_exprs = []
-        for t in range(tables):
-            H = _hyperplanes(dim, bits, seed + t)
-            bit_exprs = []
-            for b in range(bits):
-                w = H[b]
-                dot = F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(v)) for v in w]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                bit_exprs.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-            sig = bit_exprs[0]
-            for e in bit_exprs[1:]:
-                sig = sig + e
-            sig_exprs.append(sig.cast("long"))
-        return out.withColumn(f"{prefix}_sigs", F.array(*sig_exprs))
-
-    b = sig_cols(base.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias(vec_col)), "b")
-    q = sig_cols(queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias(vec_col)), "q")
+    b = add_lsh_signatures(
+        base.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias(vec_col)),
+        vec_col, dim, bits, tables, seed, "b_sigs",
+    )
+    q = add_lsh_signatures(
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias(vec_col)),
+        vec_col, dim, bits, tables, seed, "q_sigs",
+    )
     # posexplode_outer + output-attribute filter: a plain posexplode gets a
     # size(sigs) > 0 filter inferred (InferFiltersFromGenerate) and pushed to
     # the scan, re-evaluating the whole interpreted signature array per row —

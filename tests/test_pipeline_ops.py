@@ -81,6 +81,46 @@ def test_embedding_neardup_and_brute_topk(spark, emb):
         assert all(rows[i].cosine >= rows[i + 1].cosine - 1e-12 for i in range(4))
 
 
+def test_embedding_neardup_blocked_matches_exact(spark, emb):
+    emb2 = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("double")))
+    exact = D.embedding_neardup_pairs(emb2, "vec_id", "embedding", threshold=0.35, strategy="exact")
+    er = sorted((r.id_a, r.id_b, round(r.cosine, 9)) for r in exact.collect())
+    # small block_size forces many blocks -> same-block + cross-block paths
+    blocked = D.embedding_neardup_pairs(
+        emb2, "vec_id", "embedding", threshold=0.35, strategy="blocked", block_size=64
+    )
+    br = sorted((r.id_a, r.id_b, round(r.cosine, 9)) for r in blocked.collect())
+    assert er == br and len(er) > 0
+
+
+def test_embedding_neardup_lsh_default_no_cartesian(spark):
+    # planted near-dup clusters: base vector + tiny noise => cosine > 0.99
+    rng = np.random.RandomState(42)
+    base = rng.standard_normal((20, 32))
+    rows = []
+    vid = 0
+    expected = set()
+    for c in range(20):
+        members = []
+        for k in range(3):
+            v = base[c] + rng.standard_normal(32) * 0.02
+            rows.append((vid, [float(x) for x in v]))
+            members.append(vid)
+            vid += 1
+        for i in range(3):
+            for j in range(i + 1, 3):
+                expected.add((members[i], members[j]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = D.embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.95)  # auto -> lsh
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    # every planted intra-cluster pair found, no cross-cluster false dups
+    assert expected <= got
+    for a, b in got - expected:
+        assert a // 3 == b // 3
+
+
 def test_ann_lsh_and_ivf_recall(spark, emb):
     emb2 = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("float")))
     queries = emb2.limit(10)
