@@ -10,10 +10,10 @@ Numeric conventions:
   * planar math in float64; ray-casting point-in-polygon with explicit
     boundary detection (the reference's native ST_Contains uses a winding
     test, ``spatial/src/spatial/core/functions/scalar/st_contains.cpp:30-150``)
-  * overlay (intersection/union/difference) is exact when the second operand
-    is CONVEX (half-plane clipping + convex-difference decomposition);
-    general concave×concave overlay raises NotImplementedError — tracked as
-    a known gap rather than silently returning wrong areas.
+  * overlay (intersection/union/difference): convex second operands take
+    the half-plane clipping fast path here; the general concave×concave
+    case is handled by triangle decomposition + dissolve in overlay.py
+    (see ``geo/overlay.py`` docstring for the decomposition invariants).
 """
 
 from __future__ import annotations

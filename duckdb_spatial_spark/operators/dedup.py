@@ -67,23 +67,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 500,
 ) -> DataFrame:
     """All pairs with word-``n``-gram Jaccard >= threshold.
 
     Inverted-index join: explode distinct shingles, self-join on shingle
-    (equi-join, shuffle on shingle hash — no cross join), count common
-    shingles per pair, then |A∩B| / (|A|+|B|-|A∩B|). Returns
+    (equi-join, shuffle on shingle hash — no cross join) to discover
+    candidate pairs, then compute the EXACT jaccard on each candidate from
+    the full shingle sets (array_intersect, JVM-side). Returns
     (id_a, id_b, jaccard) with id_a < id_b.
 
-    ``max_shingle_df``: web-scale skew guard — shingles appearing in more
-    than this many documents are dropped from the JOIN side (a document
-    frequency cut). A shingle shared by k docs contributes k^2 candidate
-    pairs, so one boilerplate trigram can dominate the shuffle; dropping it
-    only *lowers* reported jaccard for pairs whose sole overlap was
-    boilerplate (exactness trade documented)."""
+    ``max_shingle_df`` (default 500): web-scale skew guard — shingles
+    appearing in more than this many documents are dropped from CANDIDATE
+    GENERATION only. A shingle shared by k docs contributes k^2 candidate
+    pairs, so one boilerplate trigram can dominate the shuffle. Because
+    jaccard is recomputed from the full sets, the cut never changes a
+    reported value; the only effect is that a pair whose ENTIRE overlap is
+    boilerplate (every common shingle above the cut) is not discovered.
+    Pass ``None`` to disable the cut (exhaustive candidates)."""
     base = df.select(F.col(id_col).alias("_id"), _shingles(text_col, n).alias("_sh"))
-    sizes = base.select("_id", F.size("_sh").alias("_n")).filter(F.col("_n") > 0)
     # explode_outer + output-attribute filter: see minhash_signature — a
     # plain explode gets a size()>0 filter inferred and pushed to the scan,
     # re-evaluating the shingle expression interpreted per source row
@@ -93,16 +95,22 @@ def ngram_jaccard_pairs(
             inv.groupBy("_s").agg(F.count("*").alias("_df")).filter(F.col("_df") > max_shingle_df)
         )
         inv = inv.join(F.broadcast(hot.select("_s")), "_s", "left_anti")
-    pairs = (
+    cand = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
     )
+    sets_a = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    sets_b = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
     out = (
-        pairs.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_n", "na"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("_n", "nb"), "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        cand.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("_sha", "_shb")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("_sha") + F.size("_shb") - F.col("common")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -241,7 +241,6 @@ def st_join(
     strategy: str = "auto",
     cell_size: float | None = None,
     distance: float | None = None,
-    broadcast_threshold: int = 100_000,
     left_point: tuple | None = None,
     right_bbox: tuple | None = None,
     right_is_box: bool = False,
@@ -336,8 +335,12 @@ def st_join(
                 size = int(rb._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
                 if size < 256 * 1024:
                     strategy = "broadcast"
-            except Exception:
-                pass
+            except Exception as e:  # noqa: BLE001 - stats probe is advisory
+                import logging
+
+                logging.getLogger(__name__).debug(
+                    "plan-stats probe failed, staying on grid strategy: %s", e
+                )
 
     if strategy == "broadcast":
         if left_geom not in lb.columns or right_geom not in rb.columns:

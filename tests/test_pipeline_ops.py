@@ -42,6 +42,29 @@ def test_ngram_jaccard_pairs(spark):
     assert not any(4 in p for p in out)
 
 
+def test_ngram_jaccard_df_cut_bounds_candidates(spark):
+    # 50 docs all sharing one boilerplate lead-in, pairwise near-dups only
+    # inside two planted pairs; with the cut the boilerplate shingles stop
+    # generating k^2 candidates but discovered pairs keep exact jaccard
+    boiler = "subscribe to our newsletter for updates "
+    rows = [(i, boiler + f"unique body {i} " + "filler words " * 3) for i in range(50)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog again and again"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog again and again"))
+    df = spark.createDataFrame(rows, "id long, text string")
+    cut = D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3, max_shingle_df=10)
+    nocut = D.ngram_jaccard_pairs(df, "id", "text", n=3, threshold=0.3, max_shingle_df=None)
+    got_cut = {(r.id_a, r.id_b): r.jaccard for r in cut.collect()}
+    got_all = {(r.id_a, r.id_b): r.jaccard for r in nocut.collect()}
+    assert got_cut[(100, 101)] == got_all[(100, 101)] == 1.0
+    # every pair the cut lane reports carries the same exact jaccard
+    for k, v in got_cut.items():
+        assert got_all[k] == v
+    # pairs whose ENTIRE overlap is boilerplate (df 50 > cut 10) are not
+    # discovered — that is the candidate bound doing its job
+    assert not any(a < 50 and b < 50 for (a, b) in got_cut)
+    assert any(a < 50 and b < 50 for (a, b) in got_all)
+
+
 def test_minhash_lsh_recall(spark, docs):
     # identical docs must always collide in every band
     dup = docs.limit(30).union(docs.limit(30).withColumn("doc_id", F.col("doc_id") + 100000))
