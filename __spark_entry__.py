@@ -392,6 +392,40 @@ def q_spatial_transform_3857(spark, sf_dir):
     )
 
 
+def _TRANSFORM_CASES():
+    # (id, lon, lat, src, dst) — row 1 is the OS 'Guide to coordinate systems
+    # in Great Britain' worked example (OSGB36 geodetic -> BNG 651409.903 /
+    # 313177.270), the independent anchor for the proj4 engine; the rest are
+    # datum-shifted city coordinates across tmerc/somerc/lcc kernels + units.
+    return [
+        (1, 1.7179215833333334, 52.65757030555555, "EPSG:4277", "EPSG:27700"),
+        (2, -2.0, 54.0, "OGC:CRS84", "EPSG:27700"),
+        (3, -0.1276, 51.5072, "OGC:CRS84", "EPSG:27700"),
+        (4, 7.439583333333333, 46.95240555555556, "OGC:CRS84", "EPSG:2056"),
+        (5, 8.5417, 47.3769, "OGC:CRS84", "EPSG:2056"),
+        (6, 174.7645, -36.8509, "OGC:CRS84", "EPSG:2193"),
+        (7, 4.3517, 50.8503, "OGC:CRS84", "EPSG:31370"),
+        (8, -118.2437, 34.0522, "OGC:CRS84", "EPSG:2229"),
+    ]
+
+
+def q_spatial_transform_longtail(spark, sf_dir):
+    """Long-tail CRS via the proj4 front-end (functions/proj4.py): OSGB
+    National Grid, Swiss LV95, NZTM2000, Belgian Lambert 72, California
+    state plane (ftUS) — oracle is the pinned expected grid coordinates
+    (row 1 independently published by Ordnance Survey)."""
+    _prep(spark, sf_dir)
+    df = spark.createDataFrame(
+        _TRANSFORM_CASES(), "id long, lon double, lat double, src string, dst string"
+    )
+    out = df.selectExpr(
+        "id",
+        "round(ST_X(ST_Transform(ST_Point(lon, lat), src, dst, true)), 3) AS e",
+        "round(ST_Y(ST_Transform(ST_Point(lon, lat), src, dst, true)), 3) AS n",
+    )
+    return out
+
+
 def q_spatial_buffer_area(spark, sf_dir):
     _prep(spark, sf_dir)
     return spark.sql(
@@ -908,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_union_agg_chain": q_spatial_union_agg_chain,
         "spatial_intersection_agg": q_spatial_intersection_agg,
         "spatial_transform_3857": q_spatial_transform_3857,
+        "spatial_transform_longtail": q_spatial_transform_longtail,
         "spatial_buffer_area": q_spatial_buffer_area,
         "spatial_quadkey": q_spatial_quadkey,
         "spatial_predicates": q_spatial_predicates,
@@ -1146,6 +1181,18 @@ def oracle_sql() -> dict[str, str]:
                    round(6378137.0 * radians(lon), 3) AS mx,
                    round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 3) AS my
             FROM ({lonlat})
+        """,
+        "spatial_transform_longtail": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 651409.903, 313177.27),
+              (2, 400097.646, 455996.503),
+              (3, 530043.195, 180358.209),
+              (4, 2600072.39, 1200147.056),
+              (5, 2683303.894, 1247925.628),
+              (6, 1757311.331, 5920214.564),
+              (7, 148799.17, 171100.155),
+              (8, 6487847.003, 1841468.252)
+            ) AS t(id, e, n)
         """,
         "spatial_buffer_area": f"""
             SELECT cid, round((32.0 / 2) * ((cid % 10 + 1) * (cid % 10 + 1)) * sin(2 * pi() / 32), 3) AS area

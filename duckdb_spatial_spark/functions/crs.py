@@ -35,7 +35,10 @@ _E = math.sqrt(_E2)
 
 
 def _norm_crs(name: str) -> str:
-    s = name.strip().upper()
+    s = name.strip()
+    if s.startswith("+"):
+        return s  # raw proj4 string: case-sensitive, pass through
+    s = s.upper()
     if s in ("WGS84", "CRS84", "OGC:CRS84", "EPSG:CRS84"):
         return "EPSG:4326" if s == "WGS84" else "CRS84"
     if s.isdigit():
@@ -43,11 +46,15 @@ def _norm_crs(name: str) -> str:
     return s
 
 
+# geographic EPSG codes whose authority axis order is (lat, lon)
+_GEOGRAPHIC_EPSG = {"EPSG:4326", "EPSG:4258", "EPSG:4277", "EPSG:4149", "EPSG:4150"}
+
+
 def _lonlat_axis(crs: str, always_xy: bool) -> bool:
     """True if coordinates for this CRS are (lon, lat) in the given mode."""
-    if crs == "CRS84":
-        return True
-    if crs == "EPSG:4326":
+    if crs == "CRS84" or crs.startswith("+"):
+        return True  # proj4 strings are always lon/lat-or-easting/northing
+    if crs in _GEOGRAPHIC_EPSG:
         return always_xy  # authority order is lat/lon
     return True  # projected CRS are easting/northing in both modes
 
@@ -76,10 +83,138 @@ _POLAR = {
 }
 
 _UNSUPPORTED_MSG = (
-    "unsupported CRS {crs!r} (built-in registry: EPSG:4326, EPSG:3857, EPSG:3395, "
-    "WGS84 UTM, UPS/polar stereographic EPSG:32661/32761/5041/5042/3413/3995/3031/3976, "
-    "EPSG:5070/3347/2154 conics)"
+    "unsupported CRS {crs!r} (built-ins: EPSG:4326/3857/3395, WGS84 UTM, polar "
+    "stereographic, EPSG:5070/3347/2154 conics; registry long tail incl. "
+    "EPSG:27700/2056/21781/31370/2193/2229/258xx/269xx; or pass a raw "
+    "'+proj=...' proj4 string)"
 )
+
+# ---------------------------------------------------------------------------
+# proj4-string long tail (functions/proj4.py engine): EPSG codes beyond the
+# analytic built-ins resolve to their published proj4 definitions, and raw
+# "+proj=..." strings are accepted directly — the analog of the reference's
+# embedded PROJ database (proj/functions.cpp:487-508).
+# ---------------------------------------------------------------------------
+_PROJ4_STRINGS = {
+    # geographic datums
+    "EPSG:4258": "+proj=longlat +ellps=GRS80 +no_defs",  # ETRS89
+    "EPSG:4277": (  # OSGB36 geographic
+        "+proj=longlat +ellps=airy "
+        "+towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 +no_defs"
+    ),
+    # Great Britain / Ireland
+    "EPSG:27700": (  # OSGB36 / British National Grid
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 "
+        "+ellps=airy +towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 +units=m +no_defs"
+    ),
+    "EPSG:29903": (  # TM75 / Irish Grid
+        "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=1.000035 +x_0=200000 +y_0=250000 "
+        "+ellps=mod_airy +towgs84=482.5,-130.6,564.6,-1.042,-0.214,-0.631,8.15 +units=m +no_defs"
+    ),
+    # Switzerland
+    "EPSG:2056": (  # CH1903+ / LV95
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 +k_0=1 "
+        "+x_0=2600000 +y_0=1200000 +ellps=bessel +towgs84=674.374,15.056,405.346,0,0,0,0 "
+        "+units=m +no_defs"
+    ),
+    "EPSG:21781": (  # CH1903 / LV03
+        "+proj=somerc +lat_0=46.95240555555556 +lon_0=7.439583333333333 +k_0=1 "
+        "+x_0=600000 +y_0=200000 +ellps=bessel +towgs84=674.4,15.1,405.3,0,0,0,0 "
+        "+units=m +no_defs"
+    ),
+    # Belgium (Lambert 72)
+    "EPSG:31370": (
+        "+proj=lcc +lat_0=90 +lon_0=4.367486666666666 +lat_1=51.16666723333333 "
+        "+lat_2=49.8333339 +x_0=150000.013 +y_0=5400088.438 +ellps=intl "
+        "+towgs84=-106.8686,52.2978,-103.7239,0.3366,-0.457,1.8422,-1.2747 +units=m +no_defs"
+    ),
+    # New Zealand Transverse Mercator 2000
+    "EPSG:2193": (
+        "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 +y_0=10000000 "
+        "+ellps=GRS80 +units=m +no_defs"
+    ),
+    # NAD83 California zone 5 (US survey feet) — state-plane + units coverage
+    "EPSG:2229": (
+        "+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 +lat_0=33.5 "
+        "+lon_0=-118 +x_0=2000000.0001016 +y_0=500000.0001016002 +ellps=GRS80 "
+        "+units=us-ft +no_defs"
+    ),
+    # Finland TM35FIN
+    "EPSG:3067": "+proj=utm +zone=35 +ellps=GRS80 +units=m +no_defs",
+}
+# ETRS89 / UTM zones 28N-38N
+for _z in range(28, 39):
+    _PROJ4_STRINGS[f"EPSG:{25800 + _z}"] = (
+        f"+proj=utm +zone={_z} +ellps=GRS80 +units=m +no_defs"
+    )
+# NAD83 / UTM zones 1N-23N
+for _z in range(1, 24):
+    _PROJ4_STRINGS[f"EPSG:{26900 + _z}"] = (
+        f"+proj=utm +zone={_z} +ellps=GRS80 +units=m +no_defs"
+    )
+
+_PROJ4_CACHE: dict = {}
+
+
+def _proj4_def(crs: str):
+    """Parsed ProjDef for a proj4 string or registry EPSG code, else None."""
+    from . import proj4 as P
+
+    s = _PROJ4_STRINGS.get(crs, crs if crs.startswith("+") else None)
+    if s is None:
+        return None
+    d = _PROJ4_CACHE.get(s)
+    if d is None:
+        d = _PROJ4_CACHE[s] = P.parse_proj4(s)
+    return d
+
+
+# proj4 equivalents of the analytic built-ins, used when one side of a
+# transform needs the proj4 engine (so datum pipelines line up)
+_BUILTIN_AS_PROJ4 = {
+    "EPSG:4326": "+proj=longlat +datum=WGS84 +no_defs",
+    "CRS84": "+proj=longlat +datum=WGS84 +no_defs",
+    "EPSG:3857": "+proj=webmerc +datum=WGS84 +no_defs",
+    "EPSG:3395": "+proj=merc +datum=WGS84 +no_defs",
+    "EPSG:5070": "+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96 +ellps=GRS80 +no_defs",
+    "EPSG:3347": (
+        "+proj=lcc +lat_1=49 +lat_2=77 +lat_0=63.390675 +lon_0=-91.866667 "
+        "+x_0=6200000 +y_0=3000000 +ellps=GRS80 +no_defs"
+    ),
+    "EPSG:2154": (
+        "+proj=lcc +lat_1=44 +lat_2=49 +lat_0=46.5 +lon_0=3 +x_0=700000 "
+        "+y_0=6600000 +ellps=GRS80 +no_defs"
+    ),
+    "EPSG:32661": "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 +y_0=2000000 +datum=WGS84",
+    "EPSG:32761": "+proj=stere +lat_0=-90 +k=0.994 +x_0=2000000 +y_0=2000000 +datum=WGS84",
+    "EPSG:5041": "+proj=stere +lat_0=90 +k=0.994 +x_0=2000000 +y_0=2000000 +datum=WGS84",
+    "EPSG:5042": "+proj=stere +lat_0=-90 +k=0.994 +x_0=2000000 +y_0=2000000 +datum=WGS84",
+    "EPSG:3413": "+proj=stere +lat_0=90 +lat_ts=70 +lon_0=-45 +datum=WGS84",
+    "EPSG:3995": "+proj=stere +lat_0=90 +lat_ts=71 +lon_0=0 +datum=WGS84",
+    "EPSG:3031": "+proj=stere +lat_0=-90 +lat_ts=-71 +lon_0=0 +datum=WGS84",
+    "EPSG:3976": "+proj=stere +lat_0=-90 +lat_ts=-70 +lon_0=0 +datum=WGS84",
+}
+
+
+def _as_proj4_def(crs: str):
+    """ProjDef for any supported CRS name (long-tail, raw string, or a
+    proj4 re-expression of an analytic built-in); None if unknown."""
+    d = _proj4_def(crs)
+    if d is not None:
+        return d
+    from . import proj4 as P
+
+    s = _BUILTIN_AS_PROJ4.get(crs)
+    if s is None:
+        zone, south = _utm_zone(crs)
+        if zone:
+            s = f"+proj=utm +zone={zone}{' +south' if south else ''} +datum=WGS84"
+    if s is None:
+        return None
+    d = _PROJ4_CACHE.get(s)
+    if d is None:
+        d = _PROJ4_CACHE[s] = P.parse_proj4(s)
+    return d
 
 
 def _to_lonlat(crs: str, x: np.ndarray, y: np.ndarray):
@@ -334,14 +469,35 @@ def _tm_inverse(easting, northing, zone, south):
 
 
 def transform_xy(x, y, src: str, dst: str, always_xy: bool = False):
-    """Transform coordinate arrays between two CRS, honoring axis order."""
+    """Transform coordinate arrays between two CRS, honoring axis order.
+
+    Analytic built-ins (all WGS84-datum) take the direct kernel path; any
+    other pair — long-tail EPSG codes from _PROJ4_STRINGS or raw
+    ``+proj=...`` strings — runs through the proj4 engine, including the
+    towgs84 Helmert datum step (functions/proj4.py)."""
     src, dst = _norm_crs(src), _norm_crs(dst)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     if not _lonlat_axis(src, always_xy):
         x, y = y, x  # incoming (lat, lon) -> lon/lat
-    lon, lat = _to_lonlat(src, x, y)
-    ox, oy = _from_lonlat(dst, lon, lat)
+    if _proj4_def(src) is None and _proj4_def(dst) is None:
+        try:
+            lon, lat = _to_lonlat(src, x, y)
+            ox, oy = _from_lonlat(dst, lon, lat)
+        except ValueError:
+            ox = None  # one side unknown to the built-ins: try proj4
+        if ox is not None:
+            if not _lonlat_axis(dst, always_xy):
+                ox, oy = oy, ox
+            return ox, oy
+    from . import proj4 as P
+
+    sd, dd = _as_proj4_def(src), _as_proj4_def(dst)
+    if sd is None:
+        raise ValueError(_UNSUPPORTED_MSG.format(crs=src))
+    if dd is None:
+        raise ValueError(_UNSUPPORTED_MSG.format(crs=dst))
+    ox, oy = P.transform_proj4(x, y, sd, dd)
     if not _lonlat_axis(dst, always_xy):
         ox, oy = oy, ox
     return ox, oy
@@ -395,4 +551,26 @@ def list_proj_crs_df(spark):
     rows += [
         ("EPSG", str(32700 + z), f"WGS 84 / UTM zone {z}S", "projected", "x,y") for z in range(1, 61)
     ]
+    _long_tail_names = {
+        "EPSG:4258": "ETRS89 (geographic 2D)",
+        "EPSG:4277": "OSGB36 (geographic 2D)",
+        "EPSG:27700": "OSGB36 / British National Grid",
+        "EPSG:29903": "TM75 / Irish Grid",
+        "EPSG:2056": "CH1903+ / LV95",
+        "EPSG:21781": "CH1903 / LV03",
+        "EPSG:31370": "BD72 / Belgian Lambert 72",
+        "EPSG:2193": "NZGD2000 / New Zealand Transverse Mercator 2000",
+        "EPSG:2229": "NAD83 / California zone 5 (ftUS)",
+        "EPSG:3067": "ETRS89 / TM35FIN(E,N)",
+    }
+    for code in sorted(_PROJ4_STRINGS):
+        num = code.split(":")[1]
+        name = _long_tail_names.get(code)
+        if name is None:
+            z = int(num) - 25800 if num.startswith("258") else int(num) - 26900
+            name = (f"ETRS89 / UTM zone {z}N" if num.startswith("258")
+                    else f"NAD83 / UTM zone {z}N")
+        kind = "geographic 2D" if code in _GEOGRAPHIC_EPSG else "projected"
+        axis = "lat,lon" if code in _GEOGRAPHIC_EPSG else "x,y"
+        rows.append(("EPSG", num, name, kind, axis))
     return spark.createDataFrame(rows, "auth_name string, code string, name string, type string, axis string")

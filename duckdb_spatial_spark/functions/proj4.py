@@ -1,0 +1,633 @@
+"""proj4-string front-end for ST_Transform — the long-tail CRS path.
+
+The reference embeds the full PROJ database (``spatial/src/spatial/proj/
+functions.cpp:487-508``; vendored proj-9.1.1 in ``deps/CMakeLists.txt``),
+so any ``+proj=...`` string or EPSG code resolves. This container has no
+pyproj, so this module implements the projection pipeline from the public
+formulas (Snyder, *Map Projections — A Working Manual*; Karney/Krüger
+series for transverse mercator; EPSG Guidance Note 7-2; swisstopo's
+published oblique-mercator formulas):
+
+    src projected -> src geodetic (src ellipsoid)
+        -> [towgs84 Helmert via geocentric XYZ, EPSG 9606 position-vector]
+        -> WGS84 geodetic -> dst geodetic (dst ellipsoid) -> dst projected
+
+Supported ``+proj`` kinds: longlat, tmerc, utm, merc, webmerc, lcc
+(1SP & 2SP), aea, stere (polar aspects), somerc. Ellipsoids: the common
+``+ellps`` names plus explicit ``+a``/``+b``/``+rf``/``+f``. Units via
+``+units``/``+to_meter``. Anything else raises with the offending token so
+the error is actionable.
+
+All kernels are vectorized numpy over coordinate arrays — the pandas-UDF
+caller hands whole Arrow batches through, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# ellipsoids (a, 1/f); rf=0 => sphere
+# ---------------------------------------------------------------------------
+ELLIPSOIDS = {
+    "WGS84": (6378137.0, 298.257223563),
+    "GRS80": (6378137.0, 298.257222101),
+    "airy": (6377563.396, 299.3249646),
+    "mod_airy": (6377340.189, 299.3249646),
+    "bessel": (6377397.155, 299.1528128),
+    "intl": (6378388.0, 297.0),
+    "clrk66": (6378206.4, 294.9786982),
+    "clrk80": (6378249.145, 293.465),
+    "clrk80ign": (6378249.2, 293.4660212936269),
+    "krass": (6378245.0, 298.3),
+    "evrst30": (6377276.345, 300.8017),
+    "GRS67": (6378160.0, 298.2471674270),
+    "aust_SA": (6378160.0, 298.25),
+    "helmert": (6378200.0, 298.3),
+    "sphere": (6370997.0, 0.0),
+}
+
+_UNITS = {"m": 1.0, "us-ft": 1200.0 / 3937.0, "ft": 0.3048, "km": 1000.0}
+
+
+class Ellipsoid:
+    __slots__ = ("a", "f", "e2", "e", "n", "A", "alpha", "beta")
+
+    def __init__(self, a: float, rf: float):
+        self.a = a
+        self.f = 0.0 if rf == 0 else 1.0 / rf
+        self.e2 = self.f * (2 - self.f)
+        self.e = math.sqrt(self.e2)
+        n = self.f / (2 - self.f)
+        self.n = n
+        # Krüger rectifying radius + series to n^4 (micrometer-level)
+        self.A = a / (1 + n) * (1 + n**2 / 4 + n**4 / 64)
+        self.alpha = (
+            n / 2 - 2 * n**2 / 3 + 5 * n**3 / 16 + 41 * n**4 / 180,
+            13 * n**2 / 48 - 3 * n**3 / 5 + 557 * n**4 / 1440,
+            61 * n**3 / 240 - 103 * n**4 / 140,
+            49561 * n**4 / 161280,
+        )
+        self.beta = (
+            n / 2 - 2 * n**2 / 3 + 37 * n**3 / 96 - n**4 / 360,
+            n**2 / 48 + n**3 / 15 - 437 * n**4 / 1440,
+            17 * n**3 / 480 - 37 * n**4 / 840,
+            4397 * n**4 / 161280,
+        )
+
+
+_WGS84 = Ellipsoid(*ELLIPSOIDS["WGS84"])
+
+
+# ---------------------------------------------------------------------------
+# proj4 string parsing
+# ---------------------------------------------------------------------------
+class ProjDef:
+    __slots__ = ("proj", "ell", "params", "towgs84", "to_meter")
+
+    def __init__(self, proj, ell, params, towgs84, to_meter):
+        self.proj = proj
+        self.ell = ell
+        self.params = params
+        self.towgs84 = towgs84
+        self.to_meter = to_meter
+
+
+def _parse_angle(v: str) -> float:
+    # proj4 accepts plain degrees and dDmM's" forms; registry uses degrees
+    return float(v)
+
+
+def parse_proj4(s: str) -> ProjDef:
+    params: dict[str, str] = {}
+    for tok in s.split():
+        if not tok.startswith("+"):
+            continue
+        body = tok[1:]
+        if "=" in body:
+            k, v = body.split("=", 1)
+            params[k] = v
+        else:
+            params[body] = "true"
+    proj = params.get("proj")
+    if proj is None:
+        raise ValueError(f"proj4 string missing +proj: {s!r}")
+
+    if "a" in params:
+        a = float(params["a"])
+        if "rf" in params:
+            rf = float(params["rf"])
+        elif "f" in params:
+            f = float(params["f"])
+            rf = 0.0 if f == 0 else 1.0 / f
+        elif "b" in params:
+            b = float(params["b"])
+            rf = 0.0 if b == a else a / (a - b)
+        else:
+            rf = 0.0  # sphere
+        ell = Ellipsoid(a, rf)
+    else:
+        name = params.get("ellps", "WGS84")
+        if params.get("datum") == "WGS84":
+            name = "WGS84"
+        if name not in ELLIPSOIDS:
+            raise ValueError(f"unknown +ellps={name} in {s!r}")
+        ell = Ellipsoid(*ELLIPSOIDS[name])
+
+    towgs84 = None
+    if "towgs84" in params:
+        vals = [float(v) for v in params["towgs84"].split(",")]
+        if len(vals) == 3:
+            vals += [0.0, 0.0, 0.0, 0.0]
+        if len(vals) != 7:
+            raise ValueError(f"+towgs84 needs 3 or 7 values: {s!r}")
+        if any(vals):
+            towgs84 = vals
+    to_meter = float(params["to_meter"]) if "to_meter" in params else _UNITS.get(
+        params.get("units", "m")
+    )
+    if to_meter is None:
+        raise ValueError(f"unsupported +units={params.get('units')} in {s!r}")
+
+    num = {}
+    for k in ("lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0", "x_0", "y_0", "zone"):
+        if k in params:
+            num[k] = _parse_angle(params[k])
+    num["south"] = "south" in params
+    if proj not in (
+        "longlat", "latlong", "tmerc", "utm", "merc", "webmerc", "lcc", "aea", "stere", "somerc"
+    ):
+        raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
+                         f"webmerc, lcc, aea, stere, somerc)")
+    return ProjDef(proj, ell, num, towgs84, to_meter)
+
+
+# ---------------------------------------------------------------------------
+# datum shift: geodetic <-> geocentric + 7-param Helmert (EPSG 9606,
+# position-vector sign convention — the one proj's +towgs84 uses)
+# ---------------------------------------------------------------------------
+def _geodetic_to_xyz(ell: Ellipsoid, lon, lat, h=0.0):
+    lon_r = np.radians(lon)
+    lat_r = np.radians(lat)
+    s, c = np.sin(lat_r), np.cos(lat_r)
+    N = ell.a / np.sqrt(1 - ell.e2 * s * s)
+    x = (N + h) * c * np.cos(lon_r)
+    y = (N + h) * c * np.sin(lon_r)
+    z = (N * (1 - ell.e2) + h) * s
+    return x, y, z
+
+
+def _xyz_to_geodetic(ell: Ellipsoid, x, y, z):
+    lon = np.degrees(np.arctan2(y, x))
+    p = np.hypot(x, y)
+    lat = np.arctan2(z, p * (1 - ell.e2))
+    for _ in range(6):
+        s = np.sin(lat)
+        N = ell.a / np.sqrt(1 - ell.e2 * s * s)
+        lat = np.arctan2(z + ell.e2 * N * s, p)
+    return lon, np.degrees(lat)
+
+
+_ARCSEC = math.pi / (180.0 * 3600.0)
+
+
+def _helmert(xyz, p, inverse=False):
+    dx, dy, dz, rx, ry, rz, ds = p
+    rx, ry, rz = rx * _ARCSEC, ry * _ARCSEC, rz * _ARCSEC
+    m = 1 + ds * 1e-6
+    x, y, z = xyz
+    if not inverse:
+        return (
+            dx + m * (x - rz * y + ry * z),
+            dy + m * (rz * x + y - rx * z),
+            dz + m * (-ry * x + rx * y + z),
+        )
+    # exact-enough inverse for cm-level params: invert the linearized form
+    x, y, z = (x - dx) / m, (y - dy) / m, (z - dz) / m
+    return (
+        x + rz * y - ry * z,
+        -rz * x + y + rx * z,
+        ry * x - rx * y + z,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernels (all take/return degrees lon/lat and meters x/y)
+# ---------------------------------------------------------------------------
+def _t_fac(ell, lat_r):
+    s = np.sin(lat_r)
+    return np.tan(math.pi / 4 - lat_r / 2) / ((1 - ell.e * s) / (1 + ell.e * s)) ** (ell.e / 2)
+
+
+def _m_fac(ell, lat_r):
+    s = np.sin(lat_r)
+    return np.cos(lat_r) / np.sqrt(1 - ell.e2 * s * s)
+
+
+def _q_fac(ell, lat_r):
+    s = np.sin(lat_r)
+    if ell.e == 0:
+        return 2 * s
+    return (1 - ell.e2) * (
+        s / (1 - ell.e2 * s * s) - (1 / (2 * ell.e)) * np.log((1 - ell.e * s) / (1 + ell.e * s))
+    )
+
+
+def _conformal_to_geodetic(ell, tp):
+    """lat from conformal factor t (Snyder 7-9 fixed point)."""
+    phi = math.pi / 2 - 2 * np.arctan(tp)
+    for _ in range(8):
+        s = np.sin(phi)
+        phi = math.pi / 2 - 2 * np.arctan(tp * ((1 - ell.e * s) / (1 + ell.e * s)) ** (ell.e / 2))
+    return phi
+
+
+# --- transverse mercator (Krüger series, arbitrary lat_0/k_0/x_0/y_0) -----
+def _tm_mu(ell, lat0_r: float) -> float:
+    """Rectifying 'xi' of the central latitude (for the meridian-arc offset)."""
+    if lat0_r == 0.0:
+        return 0.0
+    t = math.sinh(
+        math.atanh(math.sin(lat0_r)) - ell.e * math.atanh(ell.e * math.sin(lat0_r))
+    )
+    xi = math.atan2(t, 1.0)  # cos(0)=1
+    y = xi
+    for j, a in enumerate(ell.alpha, start=1):
+        y += a * math.sin(2 * j * xi)
+    return y
+
+
+def tmerc_forward(ell, lon, lat, lat_0, lon_0, k_0, x_0, y_0):
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64)) - math.radians(lon_0)
+    lon_r = (lon_r + math.pi) % (2 * math.pi) - math.pi
+    t = np.sinh(np.arctanh(np.sin(lat_r)) - ell.e * np.arctanh(ell.e * np.sin(lat_r)))
+    xi = np.arctan2(t, np.cos(lon_r))
+    eta = np.arctanh(np.sin(lon_r) / np.sqrt(1 + t * t))
+    x = eta.copy()
+    y = xi.copy()
+    for j, a in enumerate(ell.alpha, start=1):
+        x = x + a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        y = y + a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+    M0 = ell.A * _tm_mu(ell, math.radians(lat_0))
+    return x_0 + k_0 * ell.A * x, y_0 + k_0 * (ell.A * y - M0)
+
+
+def tmerc_inverse(ell, X, Y, lat_0, lon_0, k_0, x_0, y_0):
+    M0 = ell.A * _tm_mu(ell, math.radians(lat_0))
+    x = (np.asarray(X, dtype=np.float64) - x_0) / (k_0 * ell.A)
+    y = (np.asarray(Y, dtype=np.float64) - y_0 + k_0 * M0) / (k_0 * ell.A)
+    xi = y.copy()
+    eta = x.copy()
+    for j, b in enumerate(ell.beta, start=1):
+        xi = xi - b * np.sin(2 * j * y) * np.cosh(2 * j * x)
+        eta = eta - b * np.cos(2 * j * y) * np.sinh(2 * j * x)
+    chi = np.arcsin(np.clip(np.sin(xi) / np.cosh(eta), -1, 1))
+    psi = np.arctanh(np.clip(np.sin(chi), -0.999999999999, 0.999999999999))
+    sinlat = np.sin(chi)
+    for _ in range(10):
+        sinlat = np.tanh(psi + ell.e * np.arctanh(ell.e * sinlat))
+    lat = np.degrees(np.arcsin(np.clip(sinlat, -1, 1)))
+    lon = lon_0 + np.degrees(np.arctan2(np.sinh(eta), np.cos(xi)))
+    return lon, lat
+
+
+# --- mercator (EPSG 9804/9805) ---------------------------------------------
+def merc_forward(ell, lon, lat, lon_0, k_0, lat_ts, x_0, y_0):
+    if lat_ts is not None:
+        k_0 = _m_fac(ell, np.array([math.radians(lat_ts)]))[0]
+    lat_r = np.radians(np.clip(np.asarray(lat, dtype=np.float64), -89.9999, 89.9999))
+    x = x_0 + k_0 * ell.a * (np.radians(np.asarray(lon, dtype=np.float64) - lon_0))
+    y = y_0 - k_0 * ell.a * np.log(_t_fac(ell, lat_r))
+    return x, y
+
+
+def merc_inverse(ell, X, Y, lon_0, k_0, lat_ts, x_0, y_0):
+    if lat_ts is not None:
+        k_0 = _m_fac(ell, np.array([math.radians(lat_ts)]))[0]
+    lon = lon_0 + np.degrees((np.asarray(X, dtype=np.float64) - x_0) / (k_0 * ell.a))
+    tp = np.exp(-(np.asarray(Y, dtype=np.float64) - y_0) / (k_0 * ell.a))
+    return lon, np.degrees(_conformal_to_geodetic(ell, tp))
+
+
+# --- lambert conformal conic (1SP: EPSG 9801, 2SP: EPSG 9802) --------------
+def _lcc_setup(ell, lat_1, lat_2, lat_0, k_0):
+    p0 = math.radians(lat_0)
+    if lat_2 is None:
+        # 1SP: n = sin(lat_1); F from k_0 at lat_1
+        p1 = math.radians(lat_1 if lat_1 is not None else lat_0)
+        n = math.sin(p1)
+        m1 = _m_fac(ell, np.array([p1]))[0]
+        t1 = _t_fac(ell, np.array([p1]))[0]
+        F_ = k_0 * m1 / (n * t1**n)
+    else:
+        p1, p2 = math.radians(lat_1), math.radians(lat_2)
+        m1 = _m_fac(ell, np.array([p1]))[0]
+        m2 = _m_fac(ell, np.array([p2]))[0]
+        t1 = _t_fac(ell, np.array([p1]))[0]
+        t2 = _t_fac(ell, np.array([p2]))[0]
+        n = math.log(m1 / m2) / math.log(t1 / t2)
+        F_ = m1 / (n * t1**n)
+    t0 = _t_fac(ell, np.array([p0]))[0]
+    rho0 = ell.a * F_ * t0**n
+    return n, F_, rho0
+
+
+def lcc_forward(ell, lon, lat, lat_1, lat_2, lat_0, lon_0, k_0, x_0, y_0):
+    n, F_, rho0 = _lcc_setup(ell, lat_1, lat_2, lat_0, k_0)
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = ell.a * F_ * _t_fac(ell, lat_r) ** n
+    th = n * np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    return x_0 + rho * np.sin(th), y_0 + rho0 - rho * np.cos(th)
+
+
+def lcc_inverse(ell, X, Y, lat_1, lat_2, lat_0, lon_0, k_0, x_0, y_0):
+    n, F_, rho0 = _lcc_setup(ell, lat_1, lat_2, lat_0, k_0)
+    x = np.asarray(X, dtype=np.float64) - x_0
+    y = np.asarray(Y, dtype=np.float64) - y_0
+    rho = np.sign(n) * np.hypot(x, rho0 - y)
+    th = np.arctan2(x, rho0 - y)
+    tp = (rho / (ell.a * F_)) ** (1 / n)
+    lat = np.degrees(_conformal_to_geodetic(ell, tp))
+    return lon_0 + np.degrees(th / n), lat
+
+
+# --- albers equal area (EPSG 9822) -----------------------------------------
+def _aea_setup(ell, lat_1, lat_2, lat_0):
+    p0, p1, p2 = (math.radians(v) for v in (lat_0, lat_1, lat_2))
+    m1 = _m_fac(ell, np.array([p1]))[0]
+    m2 = _m_fac(ell, np.array([p2]))[0]
+    q1 = _q_fac(ell, np.array([p1]))[0]
+    q2 = _q_fac(ell, np.array([p2]))[0]
+    q0 = _q_fac(ell, np.array([p0]))[0]
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = ell.a * math.sqrt(C - n * q0) / n
+    return n, C, rho0
+
+
+def aea_forward(ell, lon, lat, lat_1, lat_2, lat_0, lon_0, x_0, y_0):
+    n, C, rho0 = _aea_setup(ell, lat_1, lat_2, lat_0)
+    q = _q_fac(ell, np.radians(np.asarray(lat, dtype=np.float64)))
+    rho = ell.a * np.sqrt(C - n * q) / n
+    th = n * np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    return x_0 + rho * np.sin(th), y_0 + rho0 - rho * np.cos(th)
+
+
+def aea_inverse(ell, X, Y, lat_1, lat_2, lat_0, lon_0, x_0, y_0):
+    n, C, rho0 = _aea_setup(ell, lat_1, lat_2, lat_0)
+    x = np.asarray(X, dtype=np.float64) - x_0
+    y = np.asarray(Y, dtype=np.float64) - y_0
+    rho = np.hypot(x, rho0 - y)
+    th = np.arctan2(x, rho0 - y)
+    q = (C - (rho * n / ell.a) ** 2) / n
+    lat = np.arcsin(np.clip(q / 2, -1, 1))
+    for _ in range(8):
+        s = np.sin(lat)
+        lat = lat + (
+            (1 - ell.e2 * s * s) ** 2
+            / (2 * np.cos(lat))
+            * (
+                q / (1 - ell.e2)
+                - s / (1 - ell.e2 * s * s)
+                + (1 / (2 * ell.e)) * np.log((1 - ell.e * s) / (1 + ell.e * s))
+            )
+        )
+    return lon_0 + np.degrees(th / n), np.degrees(lat)
+
+
+# --- polar stereographic (EPSG 9810 variant A / 9829 variant B) ------------
+def stere_forward(ell, lon, lat, lat_0, lat_ts, lon_0, k_0, x_0, y_0):
+    south = lat_0 < 0
+    denom = math.sqrt((1 + ell.e) ** (1 + ell.e) * (1 - ell.e) ** (1 - ell.e))
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    phi = -lat_r if south else lat_r
+    t = _t_fac(ell, phi)
+    if lat_ts is None:
+        rho = 2 * ell.a * (k_0 or 1.0) * t / denom
+    else:
+        tsr = math.radians(abs(lat_ts))
+        rho = ell.a * _m_fac(ell, np.array([tsr]))[0] * t / _t_fac(ell, np.array([tsr]))[0]
+    th = lon_r - math.radians(lon_0)
+    x = x_0 + rho * np.sin(th)
+    y = y_0 + (rho * np.cos(th) if south else -rho * np.cos(th))
+    return x, y
+
+
+def stere_inverse(ell, X, Y, lat_0, lat_ts, lon_0, k_0, x_0, y_0):
+    south = lat_0 < 0
+    denom = math.sqrt((1 + ell.e) ** (1 + ell.e) * (1 - ell.e) ** (1 - ell.e))
+    x = np.asarray(X, dtype=np.float64) - x_0
+    y = np.asarray(Y, dtype=np.float64) - y_0
+    rho = np.hypot(x, y)
+    if lat_ts is None:
+        tp = rho * denom / (2 * ell.a * (k_0 or 1.0))
+    else:
+        tsr = math.radians(abs(lat_ts))
+        tp = rho * _t_fac(ell, np.array([tsr]))[0] / (ell.a * _m_fac(ell, np.array([tsr]))[0])
+    phi = _conformal_to_geodetic(ell, tp)
+    lon = math.radians(lon_0) + (np.arctan2(x, y) if south else np.arctan2(x, -y))
+    lat = -phi if south else phi
+    lon_deg = (np.degrees(lon) + 180.0) % 360.0 - 180.0
+    return lon_deg, np.degrees(lat)
+
+
+# --- swiss oblique mercator (EPSG 9815 circular variant; swisstopo doc) ----
+def _somerc_setup(ell, lat_0, k_0):
+    p0 = math.radians(lat_0)
+    s0, c0 = math.sin(p0), math.cos(p0)
+    alfa = math.sqrt(1 + ell.e2 / (1 - ell.e2) * c0**4)
+    b0 = math.asin(s0 / alfa)
+    K = (
+        math.log(math.tan(math.pi / 4 + b0 / 2))
+        - alfa * math.log(math.tan(math.pi / 4 + p0 / 2))
+        + alfa * ell.e / 2 * math.log((1 + ell.e * s0) / (1 - ell.e * s0))
+    )
+    R = ell.a * (k_0 or 1.0) * math.sqrt(1 - ell.e2) / (1 - ell.e2 * s0 * s0)
+    return alfa, b0, K, R
+
+
+def somerc_forward(ell, lon, lat, lat_0, lon_0, k_0, x_0, y_0):
+    alfa, b0, K, R = _somerc_setup(ell, lat_0, k_0)
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    s = np.sin(lat_r)
+    S = (
+        alfa * np.log(np.tan(math.pi / 4 + lat_r / 2))
+        - alfa * ell.e / 2 * np.log((1 + ell.e * s) / (1 - ell.e * s))
+        + K
+    )
+    b = 2 * (np.arctan(np.exp(S)) - math.pi / 4)
+    ll = alfa * lon_r
+    # rotate the conformal sphere so the projection equator runs through
+    # the center: b̄ = asin(cos b0 sin b − sin b0 cos b cos l),
+    # l̄ = atan2(cos b sin l, cos b0 cos b cos l + sin b0 sin b)
+    bbar = np.arcsin(
+        np.clip(math.cos(b0) * np.sin(b) - math.sin(b0) * np.cos(b) * np.cos(ll), -1, 1)
+    )
+    lbar = np.arctan2(
+        np.cos(b) * np.sin(ll),
+        math.cos(b0) * np.cos(b) * np.cos(ll) + math.sin(b0) * np.sin(b),
+    )
+    Y = R * lbar
+    X = R / 2 * np.log((1 + np.sin(bbar)) / (1 - np.sin(bbar)))
+    return x_0 + Y, y_0 + X
+
+
+def somerc_inverse(ell, X, Y, lat_0, lon_0, k_0, x_0, y_0):
+    alfa, b0, K, R = _somerc_setup(ell, lat_0, k_0)
+    yy = (np.asarray(X, dtype=np.float64) - x_0) / R  # easting -> rotated lon
+    xx = (np.asarray(Y, dtype=np.float64) - y_0) / R  # northing -> rotated lat
+    bbar = 2 * (np.arctan(np.exp(xx)) - math.pi / 4)
+    lbar = yy
+    b = np.arcsin(
+        np.clip(math.cos(b0) * np.sin(bbar) + math.sin(b0) * np.cos(bbar) * np.cos(lbar), -1, 1)
+    )
+    ll = np.arctan2(
+        np.cos(bbar) * np.sin(lbar),
+        math.cos(b0) * np.cos(bbar) * np.cos(lbar) - math.sin(b0) * np.sin(bbar),
+    )
+    lon = lon_0 + np.degrees(ll / alfa)
+    # conformal sphere lat -> geodetic (fixed point on S)
+    lat = b.copy()
+    for _ in range(10):
+        s = np.sin(lat)
+        Sv = (np.log(np.tan(math.pi / 4 + b / 2)) - K) / alfa + ell.e / 2 * np.log(
+            (1 + ell.e * s) / (1 - ell.e * s)
+        )
+        lat = 2 * (np.arctan(np.exp(Sv)) - math.pi / 4)
+    return lon, np.degrees(lat)
+
+
+# ---------------------------------------------------------------------------
+# pipeline
+# ---------------------------------------------------------------------------
+def _fwd(d: ProjDef, lon, lat):
+    p = d.params
+    g = p.get
+    if d.proj in ("longlat", "latlong"):
+        return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+    if d.proj == "utm":
+        zone = int(g("zone", 0))
+        if not 1 <= zone <= 60:
+            raise ValueError("+proj=utm needs +zone=1..60")
+        x, y = tmerc_forward(
+            d.ell, lon, lat, 0.0, zone * 6 - 183, 0.9996, 500000.0,
+            10000000.0 if p["south"] else 0.0,
+        )
+    elif d.proj == "tmerc":
+        x, y = tmerc_forward(
+            d.ell, lon, lat, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    elif d.proj == "webmerc":
+        lat_c = np.clip(np.asarray(lat, dtype=np.float64), -89.9999, 89.9999)
+        x = d.ell.a * np.radians(np.asarray(lon, dtype=np.float64) - g("lon_0", 0.0))
+        y = d.ell.a * np.log(np.tan(math.pi / 4 + np.radians(lat_c) / 2))
+        x, y = x + g("x_0", 0.0), y + g("y_0", 0.0)
+    elif d.proj == "merc":
+        x, y = merc_forward(
+            d.ell, lon, lat, g("lon_0", 0.0), g("k", g("k_0", 1.0)),
+            p.get("lat_ts"), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    elif d.proj == "lcc":
+        x, y = lcc_forward(
+            d.ell, lon, lat, p.get("lat_1"), p.get("lat_2"), g("lat_0", 0.0),
+            g("lon_0", 0.0), g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    elif d.proj == "aea":
+        x, y = aea_forward(
+            d.ell, lon, lat, g("lat_1", 29.5), g("lat_2", 45.5), g("lat_0", 0.0),
+            g("lon_0", 0.0), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    elif d.proj == "stere":
+        lat0 = g("lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise ValueError("+proj=stere supported in polar aspects only (lat_0=+/-90)")
+        x, y = stere_forward(
+            d.ell, lon, lat, lat0, p.get("lat_ts"), g("lon_0", 0.0),
+            g("k", g("k_0", None)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    elif d.proj == "somerc":
+        x, y = somerc_forward(
+            d.ell, lon, lat, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    else:  # pragma: no cover - parse_proj4 already validated
+        raise ValueError(f"unsupported +proj={d.proj}")
+    if d.to_meter != 1.0:
+        x, y = x / d.to_meter, y / d.to_meter
+    return x, y
+
+
+def _inv(d: ProjDef, x, y):
+    p = d.params
+    g = p.get
+    if d.proj in ("longlat", "latlong"):
+        return np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    if d.to_meter != 1.0:
+        x = np.asarray(x, dtype=np.float64) * d.to_meter
+        y = np.asarray(y, dtype=np.float64) * d.to_meter
+    if d.proj == "utm":
+        zone = int(g("zone", 0))
+        return tmerc_inverse(
+            d.ell, x, y, 0.0, zone * 6 - 183, 0.9996, 500000.0,
+            10000000.0 if p["south"] else 0.0,
+        )
+    if d.proj == "tmerc":
+        return tmerc_inverse(
+            d.ell, x, y, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "webmerc":
+        lon = g("lon_0", 0.0) + np.degrees((np.asarray(x, dtype=np.float64) - g("x_0", 0.0)) / d.ell.a)
+        lat = np.degrees(
+            2 * np.arctan(np.exp((np.asarray(y, dtype=np.float64) - g("y_0", 0.0)) / d.ell.a))
+            - math.pi / 2
+        )
+        return lon, lat
+    if d.proj == "merc":
+        return merc_inverse(
+            d.ell, x, y, g("lon_0", 0.0), g("k", g("k_0", 1.0)),
+            p.get("lat_ts"), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "lcc":
+        return lcc_inverse(
+            d.ell, x, y, p.get("lat_1"), p.get("lat_2"), g("lat_0", 0.0),
+            g("lon_0", 0.0), g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "aea":
+        return aea_inverse(
+            d.ell, x, y, g("lat_1", 29.5), g("lat_2", 45.5), g("lat_0", 0.0),
+            g("lon_0", 0.0), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "stere":
+        return stere_inverse(
+            d.ell, x, y, g("lat_0", 90.0), p.get("lat_ts"), g("lon_0", 0.0),
+            g("k", g("k_0", None)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "somerc":
+        return somerc_inverse(
+            d.ell, x, y, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    raise ValueError(f"unsupported +proj={d.proj}")  # pragma: no cover
+
+
+def transform_proj4(x, y, src: ProjDef, dst: ProjDef):
+    """Full pipeline between two parsed proj4 defs (x/y in src CRS units)."""
+    lon, lat = _inv(src, x, y)
+    same_datum = (src.towgs84 == dst.towgs84) and (
+        abs(src.ell.a - dst.ell.a) < 1e-9 and abs(src.ell.f - dst.ell.f) < 1e-15
+    )
+    if not same_datum:
+        xyz = _geodetic_to_xyz(src.ell, lon, lat)
+        if src.towgs84:
+            xyz = _helmert(xyz, src.towgs84)
+        if dst.towgs84:
+            xyz = _helmert(xyz, dst.towgs84, inverse=True)
+        lon, lat = _xyz_to_geodetic(dst.ell, *xyz)
+    return _fwd(dst, lon, lat)

@@ -273,3 +273,63 @@ def test_transform_polar_and_mercator():
 
     with pytest.raises(ValueError):
         transform_xy([0.0], [0.0], "EPSG:4326", "EPSG:32662", always_xy=True)
+
+
+def test_transform_proj4_long_tail():
+    """proj4-string front-end: pinned worked examples for EPSG:27700 and
+    EPSG:2056 plus datum-shift roundtrips (reference embeds full PROJ,
+    proj/functions.cpp:487-508; ours covers the long tail via proj4 defs)."""
+    import numpy as np
+
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    # OS 'A guide to coordinate systems in Great Britain' worked example:
+    # OSGB36 geodetic 52d39'27.2531"N 1d43'4.5177"E -> E 651409.903 N 313177.270
+    lat = 52 + 39 / 60 + 27.2531 / 3600
+    lon = 1 + 43 / 60 + 4.5177 / 3600
+    e, n = transform_xy([lon], [lat], "EPSG:4277", "EPSG:27700", always_xy=True)
+    assert abs(e[0] - 651409.903) < 0.002 and abs(n[0] - 313177.270) < 0.002
+
+    # WGS84 -> BNG: the WGS84 graticule sits ~100 m east of OSGB36's near
+    # Greenwich (the transit-circle offset), so lon -2 must land east of
+    # the 400000 false-easting meridian after the Helmert step
+    e, n = transform_xy([-2.0], [54.0], "OGC:CRS84", "EPSG:27700", always_xy=True)
+    assert 400080 < e[0] < 400120
+    lon2, lat2 = transform_xy(e, n, "EPSG:27700", "OGC:CRS84", always_xy=True)
+    assert abs(lon2[0] + 2.0) < 1e-7 and abs(lat2[0] - 54.0) < 1e-7
+
+    # Swiss LV95: the projection center is the false origin by definition
+    e, n = transform_xy(
+        [7.439583333333333], [46.95240555555556], "EPSG:4326", "EPSG:2056", always_xy=True
+    )
+    # WGS84 center differs from CH1903+ center by the datum shift (~130 m)
+    assert abs(e[0] - 2600000) < 250 and abs(n[0] - 1200000) < 250
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(6.0, 10.0, 50)
+    lats = rng.uniform(46.0, 47.5, 50)
+    px, py = transform_xy(lons, lats, "EPSG:4326", "EPSG:2056", always_xy=True)
+    lon3, lat3 = transform_xy(px, py, "EPSG:2056", "EPSG:4326", always_xy=True)
+    assert max(np.abs(lon3 - lons).max(), np.abs(lat3 - lats).max()) < 1e-7
+
+    # raw proj4 string == registry entry
+    bng = ("+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 +x_0=400000 +y_0=-100000 "
+           "+ellps=airy +towgs84=446.448,-125.157,542.06,0.15,0.247,0.842,-20.489 +units=m")
+    e2, n2 = transform_xy([-2.0], [54.0], "OGC:CRS84", bng, always_xy=True)
+    e3, n3 = transform_xy([-2.0], [54.0], "OGC:CRS84", "EPSG:27700", always_xy=True)
+    assert abs(e2[0] - e3[0]) < 1e-9 and abs(n2[0] - n3[0]) < 1e-9
+
+    # ETRS89/UTM32 (GRS80) ~= WGS84/UTM32 to sub-mm
+    x1, y1 = transform_xy([9.1], [48.7], "OGC:CRS84", "EPSG:25832", always_xy=True)
+    x2, y2 = transform_xy([9.1], [48.7], "OGC:CRS84", "EPSG:32632", always_xy=True)
+    assert abs(x1[0] - x2[0]) < 1e-3 and abs(y1[0] - y2[0]) < 1e-3
+
+    # us-ft units: state-plane easting/northing are the meter values / 0.3048006...
+    ftUS = 1200.0 / 3937.0
+    m_def = ("+proj=lcc +lat_1=35.46666666666667 +lat_2=34.03333333333333 +lat_0=33.5 "
+             "+lon_0=-118 +x_0=2000000.0001016 +y_0=500000.0001016002 +ellps=GRS80 +units=m")
+    xf, yf = transform_xy([-118.2437], [34.0522], "OGC:CRS84", "EPSG:2229", always_xy=True)
+    xm, ym = transform_xy([-118.2437], [34.0522], "OGC:CRS84", m_def, always_xy=True)
+    # identical lcc, different unit: ftUS output * ftUS-in-meters == meters
+    assert abs(xf[0] * ftUS - xm[0]) < 1e-6 and abs(yf[0] * ftUS - ym[0]) < 1e-6
+    lonb, latb = transform_xy(xf, yf, "EPSG:2229", "OGC:CRS84", always_xy=True)
+    assert abs(lonb[0] + 118.2437) < 1e-7 and abs(latb[0] - 34.0522) < 1e-7
