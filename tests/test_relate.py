@@ -105,3 +105,79 @@ def test_disjoint_and_empty():
     b = from_wkt("POINT (5 5)")
     assert not A.touches(a, b) and not A.equals(a, b)
     assert A.equals(from_wkt("POINT EMPTY"), from_wkt("LINESTRING EMPTY"))
+
+
+# ---------------------------------------------------------------------------
+# adversarial / near-degenerate noding cases (round-4; bar:
+# reference test/sql/geos/predicates.test). The eps in relate9 is relative
+# (1e-9 * coordinate scale) — these pin that it stays scale-aware.
+# ---------------------------------------------------------------------------
+import math
+
+import numpy as np
+
+from duckdb_spatial_spark.geo import geom as G
+from duckdb_spatial_spark.geo import relate as R
+
+
+def _poly(pts):
+    ring = list(pts) + [pts[0]]
+    return G.Geometry(G.POLYGON, [np.array(ring, dtype=float)])
+
+
+@pytest.mark.parametrize("S", [1.0, 1e6, 1e8])
+def test_predicates_scale_invariant(S):
+    a = _poly([(0, 0), (2 * S, 0), (2 * S, 2 * S), (0, 2 * S)])
+    # exact shared edge -> touches
+    b = _poly([(2 * S, 0), (4 * S, 0), (4 * S, 2 * S), (2 * S, 2 * S)])
+    assert R.im_touches(R.relate9(a, b))
+    # edge offset far below eps (1e-12 * S) -> still touches, not overlap
+    d = 1e-12 * S
+    b2 = _poly([(2 * S + d, 0), (4 * S, 0), (4 * S, 2 * S), (2 * S + d, 2 * S)])
+    assert R.im_touches(R.relate9(a, b2))
+    # gap well above eps -> disjoint
+    d = 1e-6 * S
+    b3 = _poly([(2 * S + d, 0), (4 * S, 0), (4 * S, 2 * S), (2 * S + d, 2 * S)])
+    assert not R.im_intersects(R.relate9(a, b3))
+    # genuine overlap unaffected
+    b4 = _poly([(S, 0), (3 * S, 0), (3 * S, 2 * S), (S, 2 * S)])
+    assert R.im_overlaps(R.relate9(a, b4), 2, 2)
+
+
+def _rot(pts, th, cx, cy):
+    c, s = math.cos(th), math.sin(th)
+    return [((x - cx) * c - (y - cy) * s + cx, (x - cx) * s + (y - cy) * c + cy) for x, y in pts]
+
+
+@pytest.mark.parametrize("off", [0.0, 1e7])
+@pytest.mark.parametrize("th", [0.1, 0.3, math.pi / 4, 1.1])
+def test_overlay_invariants_rotated(off, th):
+    """area(A)+area(B) == area(A∪B)+area(A∩B) and diff == A minus I for
+    rotated overlapping squares, including at a 1e7 coordinate offset where
+    absolute-eps noding would collapse."""
+    sq = [(0, 0), (2, 0), (2, 2), (0, 2)]
+    a = _poly([(x + off, y + off) for x, y in sq])
+    b = _poly([(x + off, y + off) for x, y in _rot(sq, th, 1, 1)])
+    ai = A.area(A.intersection(a, b))
+    au = A.area(A.union(a, b))
+    ad = A.area(A.difference(a, b))
+    tol = 1e-6 * max(1.0, off / 1e3)
+    assert abs((au + ai) - 8.0) < tol
+    assert abs(ad - (4.0 - ai)) < tol
+
+
+def test_near_parallel_crossing_and_slivers():
+    # bottom edge of b crosses a at ~1e-8 radian grazing angle
+    a = _poly([(0, 0), (10, 0), (10, 1), (0, 1)])
+    b = _poly([(0, 0.5 - 5e-8), (10, 0.5 + 5e-8), (10, 1.5), (0, 1.5)])
+    assert R.im_overlaps(R.relate9(a, b), 2, 2)
+    assert abs(A.area(A.intersection(a, b)) - 5.0) < 1e-5
+    # 1e-9-thin sliver rectangle still intersects exactly
+    sliver = _poly([(0, 0), (10, 0), (10, 1e-9), (0, 1e-9)])
+    box = _poly([(5, -1), (6, -1), (6, 1), (5, 1)])
+    assert abs(A.area(A.intersection(sliver, box)) - 1e-9) < 1e-15
+    # corner-only contact is touches, never overlap
+    c = _poly([(2, 2), (4, 2), (4, 4), (2, 4)])
+    d = _poly([(4, 4), (6, 4), (6, 6), (4, 6)])
+    M = R.relate9(c, d)
+    assert R.im_touches(M) and not R.im_overlaps(M, 2, 2)
