@@ -261,9 +261,18 @@ def read_geojson(
         return spark.createDataFrame(rows, schema)
 
 
-def write_geojson(df: DataFrame, path: str, geom_col: str = "geom", mode: str = "overwrite") -> None:
-    """COPY TO (FORMAT GDAL) analog: newline-delimited GeoJSON features,
-    written in parallel (one file per partition, like any Spark sink)."""
+def write_geojson(
+    df: DataFrame, path: str, geom_col: str = "geom", mode: str = "overwrite",
+    style: str = "lines", max_rows: int = 10_000_000,
+) -> None:
+    """COPY TO (FORMAT GDAL) analog.
+
+    ``style="lines"`` (default, the scale path): newline-delimited GeoJSON
+    features written in parallel, one file per partition like any Spark
+    sink. ``style="collection"``: a single RFC 7946 FeatureCollection
+    document at ``path`` — feature strings are still rendered distributed,
+    then streamed through the driver (bounded by ``max_rows``), since one
+    JSON document is inherently a single file."""
     from ..functions import udfs
 
     props = [c for c in df.columns if c != geom_col]
@@ -281,7 +290,24 @@ def write_geojson(df: DataFrame, path: str, geom_col: str = "geom", mode: str = 
         F.coalesce(gj, F.lit("null")),
         F.lit("}"),
     )
-    df.select(line.alias("value")).write.mode(mode).text(path)
+    lines = df.select(line.alias("value"))
+    if style == "lines":
+        lines.write.mode(mode).text(path)
+        return
+    if style != "collection":
+        raise ValueError(f"write_geojson: unknown style {style!r} (lines|collection)")
+    n = 0
+    with open(path, "w", encoding="utf-8") as f:
+        f.write('{"type":"FeatureCollection","features":[\n')
+        for r in lines.toLocalIterator():
+            n += 1
+            if n > max_rows:
+                raise ValueError(
+                    f"write_geojson: more than max_rows={max_rows} rows for a single "
+                    "FeatureCollection document; use style='lines' for sharded output"
+                )
+            f.write(("," if n > 1 else "") + r.value + "\n")
+        f.write("]}\n")
 
 
 def read_wkt_csv(spark: SparkSession, path: str, wkt_col: str = "wkt", **csv_opts) -> DataFrame:

@@ -548,3 +548,133 @@ def read_gml(spark: SparkSession, path: str, columns: list | None = None) -> Dat
             )
 
     return _make_df(spark, files, schema, iter_rows, "gml")
+
+
+def _xml_esc(s) -> str:
+    return str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _gml_geom_xml(gj) -> str:
+    """GeoJSON dict -> GML3 fragment (posList dialect, the one read_gml
+    round-trips; reference writes via GDAL's GML driver, st_write.cpp)."""
+    t = gj["type"]
+
+    def pos(c):
+        return " ".join(repr(float(v)) for v in c)
+
+    def poslist(cs):
+        return " ".join(repr(float(v)) for pt in cs for v in pt[:2])
+
+    if t == "Point":
+        return f"<gml:Point><gml:pos>{pos(gj['coordinates'])}</gml:pos></gml:Point>"
+    if t == "LineString":
+        return (f"<gml:LineString><gml:posList>{poslist(gj['coordinates'])}"
+                "</gml:posList></gml:LineString>")
+    if t == "Polygon":
+        out = "<gml:Polygon>"
+        for i, ring in enumerate(gj["coordinates"]):
+            b = "exterior" if i == 0 else "interior"
+            out += (f"<gml:{b}><gml:LinearRing><gml:posList>{poslist(ring)}"
+                    f"</gml:posList></gml:LinearRing></gml:{b}>")
+        return out + "</gml:Polygon>"
+    wrap = {"MultiPoint": ("gml:MultiPoint", "gml:pointMember", "Point"),
+            "MultiLineString": ("gml:MultiCurve", "gml:curveMember", "LineString"),
+            "MultiPolygon": ("gml:MultiSurface", "gml:surfaceMember", "Polygon")}
+    if t in wrap:
+        outer, member, part_t = wrap[t]
+        inner = "".join(
+            f"<{member}>{_gml_geom_xml({'type': part_t, 'coordinates': c})}</{member}>"
+            for c in gj["coordinates"]
+        )
+        return f"<{outer}>{inner}</{outer}>"
+    inner = "".join(
+        f"<gml:geometryMember>{_gml_geom_xml(g)}</gml:geometryMember>"
+        for g in gj["geometries"]
+    )
+    return f"<gml:MultiGeometry>{inner}</gml:MultiGeometry>"
+
+
+def write_gml(
+    df: DataFrame, path: str, geom_col: str = "geom", layer: str = "feature",
+    max_rows: int = 1_000_000,
+) -> None:
+    """COPY TO (FORMAT GDAL, DRIVER GML) analog: a WFS-style
+    FeatureCollection with one featureMember per row; single-document
+    format, so rows stream through the driver with a hard cap (same policy
+    as write_kml)."""
+    import json as _json
+
+    props = [c for c in df.columns if c != geom_col]
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gml:FeatureCollection xmlns:gml="http://www.opengis.net/gml" xmlns:x="urn:x">',
+    ]
+    n = 0
+    for r in df.toLocalIterator():
+        n += 1
+        if n > max_rows:
+            raise ValueError(f"write_gml: more than max_rows={max_rows} rows; raise the cap explicitly")
+        d = r.asDict()
+        parts.append(f"<gml:featureMember><x:{layer}>")
+        for c in props:
+            if d.get(c) is not None:
+                parts.append(f"<x:{_xml_esc(c)}>{_xml_esc(d[c])}</x:{_xml_esc(c)}>")
+        wkb = d.get(geom_col)
+        if wkb is not None:
+            gj = _json.loads(_to_geojson(WKB.from_wkb(bytes(wkb))))
+            parts.append(f"<x:geometry>{_gml_geom_xml(gj)}</x:geometry>")
+        parts.append(f"</x:{layer}></gml:featureMember>")
+    parts.append("</gml:FeatureCollection>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("".join(parts))
+
+
+def write_gpx(
+    df: DataFrame, path: str, geom_col: str = "geom", name_col: str | None = None,
+    max_rows: int = 1_000_000,
+) -> None:
+    """COPY TO (FORMAT GDAL, DRIVER GPX) analog. Point rows become <wpt>,
+    LineString/MultiLineString rows become <trk>/<trkseg>; other geometry
+    types raise (GPX has no polygon concept — GDAL's driver skips them,
+    we'd rather tell the user)."""
+    import json as _json
+
+    parts = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<gpx version="1.1" creator="duckdb_spatial_spark" xmlns="http://www.topografix.com/GPX/1/1">',
+    ]
+
+    def pt(tag, c, nm):
+        ele = f"<ele>{repr(float(c[2]))}</ele>" if len(c) > 2 else ""
+        nm_x = f"<name>{_xml_esc(nm)}</name>" if nm is not None else ""
+        return f'<{tag} lat="{repr(float(c[1]))}" lon="{repr(float(c[0]))}">{ele}{nm_x}</{tag}>'
+
+    n = 0
+    for r in df.toLocalIterator():
+        n += 1
+        if n > max_rows:
+            raise ValueError(f"write_gpx: more than max_rows={max_rows} rows; raise the cap explicitly")
+        d = r.asDict()
+        wkb = d.get(geom_col)
+        if wkb is None:
+            continue
+        nm = d.get(name_col) if name_col else None
+        gj = _json.loads(_to_geojson(WKB.from_wkb(bytes(wkb))))
+        t = gj["type"]
+        if t == "Point":
+            parts.append(pt("wpt", gj["coordinates"], nm))
+        elif t == "MultiPoint":
+            parts.extend(pt("wpt", c, nm) for c in gj["coordinates"])
+        elif t in ("LineString", "MultiLineString"):
+            segs = [gj["coordinates"]] if t == "LineString" else gj["coordinates"]
+            nm_x = f"<name>{_xml_esc(nm)}</name>" if nm is not None else ""
+            body = "".join(
+                "<trkseg>" + "".join(pt("trkpt", c, None) for c in seg) + "</trkseg>"
+                for seg in segs
+            )
+            parts.append(f"<trk>{nm_x}{body}</trk>")
+        else:
+            raise ValueError(f"write_gpx: unsupported geometry type {t} (GPX has points/tracks only)")
+    parts.append("</gpx>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("".join(parts))

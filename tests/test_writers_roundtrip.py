@@ -1,0 +1,92 @@
+"""Writer breadth (COPY TO analogs): FlatGeobuf / GML / GPX / GeoJSON
+FeatureCollection, each round-tripped through the matching reader
+(readers are themselves validated against reference GDAL fixtures)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+from duckdb_spatial_spark.sources.geojson import read_geojson, write_geojson
+from duckdb_spatial_spark.sources.xmlgeo import read_gml, read_gpx, write_gml, write_gpx
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    return spark.sql(
+        """
+        SELECT id, CAST(id AS STRING) AS name, CAST(id * 1.5 AS DOUBLE) AS score,
+               CASE WHEN id % 4 = 0 THEN ST_Point(CAST(id AS DOUBLE), CAST(id*2 AS DOUBLE))
+                    WHEN id % 4 = 1 THEN ST_MakeLine(array(
+                        ST_Point(CAST(id AS DOUBLE), 0.0D), ST_Point(CAST(id+1 AS DOUBLE), 1.0D),
+                        ST_Point(CAST(id+2 AS DOUBLE), 0.5D)))
+                    WHEN id % 4 = 2 THEN ST_Multi(ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0D,
+                        CAST(id+2 AS DOUBLE), 2.0D))
+                    ELSE ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0D, CAST(id+2 AS DOUBLE), 2.0D)
+               END AS geom
+        FROM range(30)
+        """
+    ).cache()
+
+
+def _wkts(df):
+    return {int(r.id): r.wkt for r in df.selectExpr("CAST(id AS LONG) AS id", "ST_AsText(geom) AS wkt").collect()}
+
+
+def test_flatgeobuf_roundtrip(spark, mixed, tmp_path):
+    p = str(tmp_path / "rt.fgb")
+    write_flatgeobuf(mixed, p, name="test")
+    back = read_flatgeobuf(spark, p)
+    assert set(back.columns) == {"id", "name", "score", "geom"}
+    assert _wkts(back) == _wkts(mixed)
+    assert {r.id: (r.name, r.score) for r in back.collect()} == {
+        r.id: (r.name, r.score) for r in mixed.collect()
+    }
+
+
+def test_flatgeobuf_null_geometry_and_props(spark, tmp_path):
+    df = spark.sql(
+        "SELECT id, CASE WHEN id = 1 THEN NULL ELSE CAST(id AS STRING) END AS name,"
+        " CASE WHEN id = 2 THEN NULL ELSE ST_Point(CAST(id AS DOUBLE), 0.0D) END AS geom"
+        " FROM range(4)"
+    )
+    p = str(tmp_path / "nulls.fgb")
+    write_flatgeobuf(df, p)
+    back = read_flatgeobuf(spark, p)
+    rows = {r.id: (r.name, r.geom is None) for r in back.collect()}
+    assert rows[1][0] is None and rows[2][1]
+    assert back.count() == 4
+
+
+def test_gml_roundtrip(spark, mixed, tmp_path):
+    p = str(tmp_path / "rt.gml")
+    write_gml(mixed, p)
+    back = read_gml(spark, p)
+    assert back.count() == 30
+    assert _wkts(back) == _wkts(mixed)
+
+
+def test_gpx_roundtrip(spark, mixed, tmp_path):
+    pts = mixed.filter("id % 4 = 0")
+    p = str(tmp_path / "w.gpx")
+    write_gpx(pts, p, name_col="name")
+    back = read_gpx(spark, p, layer="waypoints")
+    assert back.count() == pts.count()
+    lines = mixed.filter("id % 4 = 1")
+    p2 = str(tmp_path / "t.gpx")
+    write_gpx(lines, p2, name_col="name")
+    back2 = read_gpx(spark, p2, layer="tracks")
+    assert back2.count() == lines.count()
+    with pytest.raises(ValueError):
+        write_gpx(mixed.filter("id % 4 = 3"), str(tmp_path / "bad.gpx"))
+
+
+def test_geojson_collection_roundtrip(spark, mixed, tmp_path):
+    p = str(tmp_path / "fc.json")
+    write_geojson(mixed, p, style="collection")
+    doc = json.load(open(p))
+    assert doc["type"] == "FeatureCollection" and len(doc["features"]) == 30
+    back = read_geojson(spark, p)
+    assert back.count() == 30
+    assert _wkts(back.withColumn("id", F.col("id").cast("long"))) == _wkts(mixed)
