@@ -304,22 +304,110 @@ def main():
         )
 
         # events.ts dtype varies by testdata generation: bigint nanos (legacy
-        # TIMESTAMP(NANOS) under nanosAsLong) or TIMESTAMP_NTZ micros.
+        # TIMESTAMP(NANOS) under nanosAsLong) or TIMESTAMP_NTZ micros. For
+        # timestamps, group on date_trunc and convert only the GROUP KEYS to
+        # epoch — the per-row NTZ->TZ cast was 2x the whole query (measured).
+        def hourly_sql(table, ts_dtype):
+            if ts_dtype in ("bigint", "long"):
+                return (f"SELECT (ts div 1000) div 3600000000, event_type, count(*), sum(value)"
+                        f" FROM {table} GROUP BY 1, 2")
+            return (
+                "SELECT unix_micros(CAST(h AS TIMESTAMP)) div 3600000000, event_type, n, sv"
+                " FROM (SELECT date_trunc('HOUR', ts) AS h, event_type, count(*) AS n,"
+                f" sum(value) AS sv FROM {table} GROUP BY 1, 2)"
+            )
+
         ts_dtype = dict(spark.table("events").dtypes)["ts"]
-        ev_us = "(ts div 1000)" if ts_dtype in ("bigint", "long") else "unix_micros(CAST(ts AS TIMESTAMP))"
 
         @bench("events_hourly")
         def _():
-            spark.sql(
-                f"SELECT {ev_us} div 3600000000, event_type, count(*), sum(value)"
-                " FROM events GROUP BY 1, 2"
-            ).collect()
+            spark.sql(hourly_sql("events", ts_dtype)).collect()
 
         duck_bench(
             "events_hourly",
             "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT), event_type, count(*), sum(value)"
             " FROM events GROUP BY 1, 2",
         )
+
+        # ---- large tier: replicate sf0.1 lineitem/events into tmp parquet
+        # and run the same queries in BOTH engines against the same files.
+        # At sf0.1 DuckDB answers in tens of ms vs Spark's ~0.3-0.5 s per-job
+        # floor, so small-tier ratios measure scheduling; the marginal rate —
+        # the 100 TB-relevant number — only shows where compute dominates.
+        tpch_mult = int(os.environ.get("SPARK_GRAFT_BENCH_TPCH_MULT", "64"))
+        ev_mult = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS_MULT", "100"))
+        try:
+            if tpch_mult > 0:
+                li_big = f"{tmp}/lineitem_big"
+                (
+                    spark.table("lineitem")
+                    .select(
+                        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                        "l_returnflag", "l_linestatus", "l_shipdate",
+                    )
+                    .crossJoin(spark.range(tpch_mult).select(F.col("id").alias("_rep")))
+                    .drop("_rep")
+                    .repartition(cpus)
+                    .write.mode("overwrite")
+                    .parquet(li_big)
+                )
+                spark.read.parquet(li_big).createOrReplaceTempView("lineitem_big")
+                con.execute(f"CREATE VIEW lineitem_big AS FROM '{li_big}/*.parquet'")
+
+                q1_body = """
+                    SELECT l_returnflag, l_linestatus, sum(l_quantity), sum(l_extendedprice),
+                           sum(l_extendedprice * (1 - l_discount)),
+                           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)),
+                           avg(l_quantity), avg(l_extendedprice), avg(l_discount), count(*)
+                    FROM lineitem_big WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+                    GROUP BY l_returnflag, l_linestatus
+                """
+                q6_body = """
+                    SELECT sum(l_extendedprice * l_discount) FROM lineitem_big
+                    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                      AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24
+                """
+
+                @bench("tpch_q1_large")
+                def _():
+                    spark.sql(q1_body).collect()
+
+                duck_bench("tpch_q1_large", q1_body)
+
+                @bench("tpch_q6_large")
+                def _():
+                    spark.sql(q6_body).collect()
+
+                duck_bench("tpch_q6_large", q6_body)
+
+            if ev_mult > 0:
+                ev_big = f"{tmp}/events_big"
+                (
+                    spark.table("events")
+                    .select("ts", "event_type", "value")
+                    .crossJoin(spark.range(ev_mult).select(F.col("id").alias("_rep")))
+                    .drop("_rep")
+                    .repartition(cpus)
+                    .write.mode("overwrite")
+                    .parquet(ev_big)
+                )
+                spark.read.parquet(ev_big).createOrReplaceTempView("events_big")
+                con.execute(f"CREATE VIEW events_big AS FROM '{ev_big}/*.parquet'")
+                big_dtype = dict(spark.table("events_big").dtypes)["ts"]
+
+                @bench("events_hourly_large")
+                def _():
+                    spark.sql(hourly_sql("events_big", big_dtype)).collect()
+
+                duck_bench(
+                    "events_hourly_large",
+                    "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT), event_type, count(*), sum(value)"
+                    " FROM events_big GROUP BY 1, 2",
+                )
+        except Exception as e:  # noqa: BLE001 - large-tier glue failed
+            errors["large_tier"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"[bench] large_tier FAILED: {errors['large_tier']}", file=sys.stderr)
 
         @bench("minhash_lsh_docs")
         def _():
