@@ -11,9 +11,16 @@ def st_read(spark, path: str, format: str | None = None, **options):
     a DataFrame with a WKB ``geom``/``geometry`` column. The reference's
     ``ST_Read`` does the same via GDAL driver sniffing
     (``spatial/src/spatial/gdal/functions/st_read.cpp``)."""
-    fmt = (format or "").lower()
-    if not fmt:
-        p = path.lower()
+    from .vfs import localize
+
+    local = localize(path)
+    if local is not None:
+        if not local:
+            raise FileNotFoundError(f"{path!r}: archive matched no files")
+        path = local[0] if len(local) == 1 else local
+
+    def _sniff(p: str):
+        p = p.lower()
         for ext, f in (
             (".shp", "shapefile"), (".fgb", "flatgeobuf"), (".gpkg", "geopackage"),
             (".geojson", "geojson"), (".ndjson", "geojson"), (".json", "geojson"),
@@ -21,10 +28,30 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
         ):
             if p.endswith(ext):
-                fmt = f
+                return f
+        return None
+
+    fmt = (format or "").lower()
+    if not fmt:
+        cands = path if isinstance(path, list) else [path]
+        for c in cands:
+            fmt = _sniff(c)
+            if fmt:
                 break
-        else:
+        if not fmt:
             raise ValueError(f"cannot sniff format from {path!r}; pass format=")
+    if isinstance(path, list):
+        # multi-member archive: keep members of the dispatched format; the
+        # per-format readers accept a single path, so recurse + union
+        keep = [p for p in path if _sniff(p) == fmt]
+        if not keep:
+            raise ValueError(f"no archive member matches format {fmt!r}")
+        if len(keep) > 1:
+            from functools import reduce
+
+            dfs = [st_read(spark, p, fmt, **options) for p in keep]
+            return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+        path = keep[0]
     if fmt in ("shapefile", "shp"):
         return read_shapefile(spark, path, **options)
     if fmt in ("flatgeobuf", "fgb"):

@@ -352,6 +352,13 @@ def read_flatgeobuf(spark, path: str, num_partitions: int = 16, bbox: tuple | No
     ``bbox=(min_x, min_y, max_x, max_y)`` queries the file's packed Hilbert
     R-tree and reads ONLY matching features (the reference's spatial-filter
     pushdown, ``st_read.cpp:56-59`` / its R-tree index scan)."""
+    from .vfs import localize
+
+    _v = localize(path, (".fgb",))
+    if _v is not None:
+        if len(_v) != 1:
+            raise ValueError(f"{path!r}: archive holds {len(_v)} .fgb members; address one with !member")
+        path = _v[0]
     from pyspark.sql import types as T
 
     header = read_header(path)

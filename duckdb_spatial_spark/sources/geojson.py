@@ -30,6 +30,11 @@ from ..functions.udfs import _from_geojson
 
 
 def _expand(path: str):
+    from .vfs import localize
+
+    v = localize(path, (".geojson", ".json", ".ndjson"))
+    if v is not None:
+        return v
     if os.path.isdir(path):
         files = sorted(
             _glob.glob(os.path.join(path, "*.geojson")) + _glob.glob(os.path.join(path, "*.json"))

@@ -126,6 +126,13 @@ def read_gpkg(spark, path: str, layer: str | None = None, num_partitions: int | 
     """ST_Read for .gpkg: one DataFrame per layer (default: first feature
     layer). ``path`` may be a file, glob, or directory of .gpkg files (all
     must share the layer's schema)."""
+    from .vfs import localize
+
+    _v = localize(path, (".gpkg",))
+    if _v is not None:
+        if len(_v) != 1:
+            raise ValueError(f"{path!r}: archive holds {len(_v)} .gpkg members; address one with !member")
+        path = _v[0]
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, "*.gpkg")))
     else:

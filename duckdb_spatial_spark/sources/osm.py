@@ -266,6 +266,13 @@ OSM_SCHEMA = (
 def read_osm(spark, path: str):
     """ST_ReadOSM(path): fixed 8-column schema, one partition per data blob
     (parallel decode like the reference, ``st_read_osm.cpp`` max_threads)."""
+    from .vfs import localize
+
+    _v = localize(path, (".pbf",))
+    if _v is not None:
+        if len(_v) != 1:
+            raise ValueError(f"{path!r}: archive holds {len(_v)} .pbf members; address one with !member")
+        path = _v[0]
     spans = [(o, s) for t, o, s in iter_blob_spans(path) if t == "OSMData"]
 
     try:

@@ -192,6 +192,13 @@ def _spark_type(ftype: str, fdec: int):
 def read_shapefile(spark, path: str, encoding: str = "utf-8"):
     """ST_ReadSHP: .shp geometry + .dbf attributes as a DataFrame
     (geom = WKB BinaryType). ``path`` may be a .shp file, a glob, or a dir."""
+    from .vfs import localize
+
+    _v = localize(path, (".shp",))
+    if _v is not None:
+        if len(_v) != 1:
+            raise ValueError(f"{path!r}: archive holds {len(_v)} .shp members; address one with !member")
+        path = _v[0]
     from pyspark.sql import types as T
 
     if os.path.isdir(path):

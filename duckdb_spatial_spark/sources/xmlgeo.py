@@ -30,6 +30,11 @@ def _local(tag: str) -> str:
 
 
 def _expand(path: str, exts: tuple[str, ...]):
+    from .vfs import localize
+
+    v = localize(path, exts)
+    if v is not None:
+        return v
     if os.path.isdir(path):
         files = sorted(
             f for e in exts for f in _glob.glob(os.path.join(path, "*" + e))
