@@ -340,6 +340,19 @@ def write_geo_parquet(
     else:
         clustered = hilbert_cluster(df, geom_col, bounds, num_partitions, sample_fraction)
     clustered.write.mode(mode).option("parquet.enable.dictionary", "false").parquet(path)
+    if mode == "overwrite" and not path.startswith(("s3://", "s3a://", "hdfs://")):
+        # metadata sidecar for append_geo_parquet: the clustering bounds
+        # (explicit, or reconstructed from the just-written footer stats)
+        eff = bounds
+        if eff is None:
+            st = geo_parquet_stats(df.sparkSession, path, level="file").agg(
+                F.min("min_x"), F.min("min_y"), F.max("max_x"), F.max("max_y")
+            ).collect()[0]
+            eff = (st[0], st[1], st[2], st[3])
+        if eff[0] is not None:
+            _write_layout_meta(
+                path, {"bounds": [float(v) for v in eff], "geom_col": geom_col, "generation": 1}
+            )
 
 
 def read_geo_parquet(spark: SparkSession, path: str) -> DataFrame:
@@ -456,3 +469,125 @@ def filter_bbox(
         ]
         df = df.filter(pred(F.col(geom_col), env))
     return df
+
+
+# ---------------------------------------------------------------------------
+# incremental maintenance (reference core/index/rtree/rtree.cpp keeps the
+# R-tree current under insert/delete with a WAL; the lakehouse-shaped analog
+# for a clustered-parquet layout is append-batch + fragmentation metric +
+# offline compaction, like OPTIMIZE in the public Delta/Iceberg designs)
+# ---------------------------------------------------------------------------
+_LAYOUT_META = "_geo_layout.json"
+
+
+def _write_layout_meta(path: str, meta: dict) -> None:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, _LAYOUT_META), "w", encoding="utf-8") as f:
+        _json.dump(meta, f)
+
+
+def read_layout_meta(path: str) -> dict | None:
+    """Layout metadata written by :func:`write_geo_parquet` (None for
+    layouts written before this existed — callers fall back to footer
+    stats). Spark ignores underscore-prefixed files, so the sidecar never
+    pollutes reads."""
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, _LAYOUT_META)
+    if not _os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        return _json.load(f)
+
+
+def append_geo_parquet(
+    df: DataFrame,
+    path: str,
+    geom_col: str = "geom",
+    num_partitions: int | None = None,
+    sample_fraction: float | None = None,
+    point_xy: tuple | None = None,
+) -> None:
+    """Append a batch to an existing clustered layout (rtree.cpp:Insert
+    analog). The batch is Hilbert-clustered against the layout's ORIGINAL
+    bounds — hilbert values stay comparable across generations, so bbox
+    pruning and the hilbert sort order remain valid; the new files simply
+    overlap old ones in hilbert range until :func:`compact_geo_parquet`
+    folds them in. Bounds come from the metadata sidecar, else from the
+    bbox footer stats of the existing files (legacy layouts)."""
+    meta = read_layout_meta(path)
+    if meta is not None:
+        bounds = tuple(meta["bounds"])
+    else:
+        spark = df.sparkSession
+        st = geo_parquet_stats(spark, path, level="file").agg(
+            F.min("min_x"), F.min("min_y"), F.max("max_x"), F.max("max_y")
+        ).collect()[0]
+        if st[0] is None:
+            raise ValueError(f"{path}: not an existing clustered layout (no bbox stats)")
+        bounds = (st[0], st[1], st[2], st[3])
+    write_geo_parquet(
+        df, path, geom_col=geom_col, mode="append", bounds=bounds,
+        num_partitions=num_partitions, sample_fraction=sample_fraction,
+        point_xy=point_xy,
+    )
+    gen = (meta or {}).get("generation", 1) + 1
+    _write_layout_meta(path, {**(meta or {"bounds": list(bounds), "geom_col": geom_col}),
+                              "generation": gen})
+
+
+def layout_fragmentation(spark: SparkSession, path: str) -> float:
+    """Mean number of OTHER files each file overlaps in hilbert range,
+    normalized by file count (0 = perfectly disjoint ranges, -> 1 = every
+    file overlaps every other). Freshly-clustered layouts sit near 0;
+    appends push it up — the driver-side signal for when to compact."""
+    rows = geo_parquet_stats(spark, path, level="file").select(
+        "hilbert_min", "hilbert_max"
+    ).collect()
+    rng = [(r.hilbert_min, r.hilbert_max) for r in rows if r.hilbert_min is not None]
+    k = len(rng)
+    if k <= 1:
+        return 0.0
+    overlaps = 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            if rng[i][0] <= rng[j][1] and rng[j][0] <= rng[i][1]:
+                overlaps += 2
+    return overlaps / (k * (k - 1))
+
+
+def compact_geo_parquet(
+    spark: SparkSession,
+    path: str,
+    geom_col: str = "geom",
+    num_partitions: int | None = None,
+    min_fragmentation: float = 0.0,
+) -> bool:
+    """Re-cluster the whole layout in place (OPTIMIZE analog; the reference
+    instead maintains the R-tree online via its WAL — rtree.cpp:63-118 —
+    which parquet files can't do). Skips when fragmentation <=
+    ``min_fragmentation``. Rewrites into a sibling temp dir and swaps, so
+    a concurrent reader sees either the old or the new layout, never a
+    half-written one (same move-based swap every filesystem commit
+    protocol in Spark relies on)."""
+    import os as _os
+    import shutil as _shutil
+
+    if layout_fragmentation(spark, path) <= min_fragmentation:
+        return False
+    meta = read_layout_meta(path)
+    bounds = tuple(meta["bounds"]) if meta else None
+    df = spark.read.parquet(path).drop(*BBOX_COLS, "hilbert")
+    tmp = path.rstrip("/") + "__compact"
+    write_geo_parquet(df, tmp, geom_col=geom_col, mode="overwrite", bounds=bounds,
+                      num_partitions=num_partitions)
+    if meta:
+        _write_layout_meta(tmp, {**meta, "generation": meta.get("generation", 1) + 1})
+    old = path.rstrip("/") + "__old"
+    _os.rename(path, old)
+    _os.rename(tmp, path)
+    _shutil.rmtree(old)
+    return True

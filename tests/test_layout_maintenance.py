@@ -1,0 +1,52 @@
+"""Clustered-layout maintenance: append + fragmentation + compaction
+(the parquet analog of the reference's online R-tree maintenance,
+core/index/rtree/rtree.cpp)."""
+
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.plans import pruning as P
+
+
+def _points(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"),
+        (F.col("id") % 1000).cast("double").alias("x"),
+        ((F.col("id") * 7) % 1000).cast("double").alias("y"),
+    )
+
+
+def test_append_fragmentation_compact(spark, tmp_path):
+    path = str(tmp_path / "layout")
+    base = _points(spark, 0, 20_000)
+    P.write_geo_parquet(base, path, point_xy=("x", "y"), num_partitions=4)
+    meta = P.read_layout_meta(path)
+    assert meta is not None and meta["generation"] == 1
+    f0 = P.layout_fragmentation(spark, path)
+
+    P.append_geo_parquet(
+        _points(spark, 20_000, 30_000), path, point_xy=("x", "y"), num_partitions=4
+    )
+    assert P.read_layout_meta(path)["generation"] == 2
+    df = spark.read.parquet(path)
+    assert df.count() == 30_000
+    # appended files overlap the original hilbert ranges
+    f1 = P.layout_fragmentation(spark, path)
+    assert f1 > f0
+
+    # pruned read stays correct across generations (same bounds => same curve)
+    n_pruned = P.filter_bbox(df, 100, 100, 300, 300, exact="within").count()
+    n_exact = _points(spark, 0, 30_000).filter(
+        (F.col("x") > 100) & (F.col("x") < 300) & (F.col("y") > 100) & (F.col("y") < 300)
+    ).count()
+    assert n_pruned == n_exact
+
+    # compaction folds the layout back to near-disjoint ranges
+    assert P.compact_geo_parquet(spark, path, min_fragmentation=0.0)
+    f2 = P.layout_fragmentation(spark, path)
+    assert f2 <= f1
+    df2 = spark.read.parquet(path)
+    assert df2.count() == 30_000
+    assert P.read_layout_meta(path)["generation"] == 3
+    assert P.filter_bbox(df2, 100, 100, 300, 300, exact="within").count() == n_exact
+    # idempotent: already-compact layout skips
+    assert not P.compact_geo_parquet(spark, path, min_fragmentation=max(f2, 0.05))
