@@ -426,6 +426,41 @@ def q_spatial_transform_longtail(spark, sf_dir):
     return out
 
 
+_FORMAT_WKTS = [
+    (1, "POINT (1 2)"),
+    (2, "LINESTRING (0 0, 3 0, 3 4)"),
+    (3, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+    (4, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+    (5, "MULTIPOINT (1 1, 2 2)"),
+    (6, "GEOMETRYCOLLECTION (POINT (5 6), LINESTRING (0 0, 1 1))"),
+]
+
+
+def q_spatial_format_ops(spark, sf_dir):
+    """Serialization + transform functions over pinned WKTs: AsGeoJSON,
+    AsHEXWKB (spec-checkable little-endian WKB), AsSVG (PostGIS y-negation
+    convention), Force3DZ, FlipCoordinates, GeometryType/Dimension/NPoints.
+    Oracle = the pinned expected literals (hex verified by hand against the
+    WKB layout; reference semantics per geometry/*.test)."""
+    _prep(spark, sf_dir)
+    df = spark.createDataFrame(_FORMAT_WKTS, "id long, wkt string")
+    df.createOrReplaceTempView("_fmt_w")
+    return spark.sql(
+        """
+        SELECT id,
+          ST_AsGeoJSON(ST_GeomFromText(wkt)) AS gj,
+          ST_AsHEXWKB(ST_GeomFromText(wkt)) AS hex,
+          ST_AsSVG(ST_GeomFromText(wkt), false, 0) AS svg,
+          ST_AsText(ST_Force3DZ(ST_GeomFromText(wkt), 7.0D)) AS f3d,
+          ST_AsText(ST_FlipCoordinates(ST_GeomFromText(wkt))) AS flip,
+          ST_GeometryType(ST_GeomFromText(wkt)) AS gt,
+          CAST(ST_Dimension(ST_GeomFromText(wkt)) AS INT) AS dim,
+          CAST(ST_NPoints(ST_GeomFromText(wkt)) AS INT) AS np
+        FROM _fmt_w
+        """
+    )
+
+
 def q_spatial_buffer_area(spark, sf_dir):
     _prep(spark, sf_dir)
     return spark.sql(
@@ -959,6 +994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_intersection_agg": q_spatial_intersection_agg,
         "spatial_transform_3857": q_spatial_transform_3857,
         "spatial_transform_longtail": q_spatial_transform_longtail,
+        "spatial_format_ops": q_spatial_format_ops,
         "spatial_buffer_area": q_spatial_buffer_area,
         "spatial_quadkey": q_spatial_quadkey,
         "spatial_predicates": q_spatial_predicates,
@@ -1209,6 +1245,34 @@ def oracle_sql() -> dict[str, str]:
               (7, 148799.17, 171100.155),
               (8, 6487847.003, 1841468.252)
             ) AS t(id, e, n)
+        """,
+        "spatial_format_ops": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), '{"type":"Point","coordinates":[1.0,2.0]}',
+               '0101000000000000000000F03F0000000000000040',
+               'cx="1" cy="-2"',
+               'POINT Z (1 2 7)', 'POINT (2 1)', 'POINT', 0, 1),
+              (2, '{"type":"LineString","coordinates":[[0.0,0.0],[3.0,0.0],[3.0,4.0]]}',
+               '010200000003000000000000000000000000000000000000000000000000000840000000000000000000000000000008400000000000001040',
+               'M 0 0 L 3 0 L 3 -4',
+               'LINESTRING Z (0 0 7, 3 0 7, 3 4 7)', 'LINESTRING (0 0, 0 3, 4 3)', 'LINESTRING', 1, 3),
+              (3, '{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]]]}',
+               '010300000001000000050000000000000000000000000000000000000000000000000010400000000000000000000000000000104000000000000010400000000000000000000000000000104000000000000000000000000000000000',
+               'M 0 0 L 4 0 L 4 -4 L 0 -4 Z',
+               'POLYGON Z ((0 0 7, 4 0 7, 4 4 7, 0 4 7, 0 0 7))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON', 2, 5),
+              (4, '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],[[2.0,2.0],[4.0,2.0],[4.0,4.0],[2.0,4.0],[2.0,2.0]]]}',
+               '010300000002000000050000000000000000000000000000000000000000000000000024400000000000000000000000000000244000000000000024400000000000000000000000000000244000000000000000000000000000000000050000000000000000000040000000000000004000000000000010400000000000000040000000000000104000000000000010400000000000000040000000000000104000000000000000400000000000000040',
+               'M 0 0 L 10 0 L 10 -10 L 0 -10 Z M 2 -2 L 4 -2 L 4 -4 L 2 -4 Z',
+               'POLYGON Z ((0 0 7, 10 0 7, 10 10 7, 0 10 7, 0 0 7), (2 2 7, 4 2 7, 4 4 7, 2 4 7, 2 2 7))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))', 'POLYGON', 2, 10),
+              (5, '{"type":"MultiPoint","coordinates":[[1.0,1.0],[2.0,2.0]]}',
+               '0104000000020000000101000000000000000000F03F000000000000F03F010100000000000000000000400000000000000040',
+               'cx="1" cy="-1" cx="2" cy="-2"',
+               'MULTIPOINT Z (1 1 7, 2 2 7)', 'MULTIPOINT (1 1, 2 2)', 'MULTIPOINT', 0, 2),
+              (6, '{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":[5.0,6.0]},{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]}]}',
+               '01070000000200000001010000000000000000001440000000000000184001020000000200000000000000000000000000000000000000000000000000F03F000000000000F03F',
+               'cx="5" cy="-6" M 0 0 L 1 -1',
+               'GEOMETRYCOLLECTION Z (POINT Z (5 6 7), LINESTRING Z (0 0 7, 1 1 7))', 'GEOMETRYCOLLECTION (POINT (6 5), LINESTRING (0 0, 1 1))', 'GEOMETRYCOLLECTION', 1, 3)
+            ) AS t(id, gj, hex, svg, f3d, flip, gt, dim, np)
         """,
         "spatial_buffer_area": f"""
             SELECT cid, round((32.0 / 2) * ((cid % 10 + 1) * (cid % 10 + 1)) * sin(2 * pi() / 32), 3) AS area

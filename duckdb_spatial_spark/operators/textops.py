@@ -147,19 +147,22 @@ def winnowing_fingerprints(
                 n = len(data)
                 if n < kk:
                     continue
-                # rolling polynomial hash over all k-grams (vectorized horner)
+                # rolling polynomial hash over all k-grams (vectorized
+                # horner); uint64 wraparound IS the modulus — silence the
+                # expected overflow warnings
                 h = np.zeros(n - kk + 1, dtype=np.uint64)
-                acc = np.uint64(0)
-                for i in range(kk):
-                    acc = acc * B + data[i]
-                h[0] = acc
-                if n > kk:
-                    lead = data[: n - kk] * Bk
-                    rest = data[kk:]
-                    cur = acc
-                    for i in range(1, n - kk + 1):
-                        cur = (cur - lead[i - 1]) * B + rest[i - 1]
-                        h[i] = cur
+                with np.errstate(over="ignore"):
+                    acc = np.uint64(0)
+                    for i in range(kk):
+                        acc = acc * B + data[i]
+                    h[0] = acc
+                    if n > kk:
+                        lead = data[: n - kk] * Bk
+                        rest = data[kk:]
+                        cur = acc
+                        for i in range(1, n - kk + 1):
+                            cur = (cur - lead[i - 1]) * B + rest[i - 1]
+                            h[i] = cur
                 m = len(h)
                 if m <= ww:
                     sel = {int(h.min())}
