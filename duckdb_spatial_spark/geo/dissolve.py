@@ -47,17 +47,19 @@ def dissolve_pieces(pieces) -> Geometry | None:
     if len(polys) == 1:
         return polys[0]
 
-    # all vertices (for noding)
-    all_pts = np.vstack([p.data[0][:-1, :2] for p in polys])
+    # all vertices (for noding) — FULL coordinate width so Z/M survive
+    # the re-stitch (keys stay xy-only)
+    width = polys[0].data[0].shape[1]
+    all_pts = np.vstack([p.data[0][:-1] for p in polys])
     uniq = {}
     for pt in all_pts:
         uniq[_key(pt)] = pt
-    vyx = np.array(list(uniq.values())) if uniq else np.empty((0, 2))
+    vyx = np.array(list(uniq.values())) if uniq else np.empty((0, width))
 
     # collect directed edges per piece, CCW orientation
     edges = []  # (piece_idx, p, q)
     for pi, poly in enumerate(polys):
-        ring = poly.data[0][:, :2]
+        ring = poly.data[0]
         if A._ring_signed_area(poly.data[0]) < 0:
             ring = ring[::-1]
         for i in range(len(ring) - 1):
@@ -67,11 +69,11 @@ def dissolve_pieces(pieces) -> Geometry | None:
             # node: split at any other vertex lying on this edge — use the
             # EXACT node coordinates (recomputing p + t*d drifts off the
             # neighbors' vertices and breaks key matching)
-            d = q - p
+            d = (q - p)[:2]
             L2 = float(d @ d)
             nodes = [(0.0, p), (1.0, q)]
             if len(vyx):
-                w = vyx - p
+                w = vyx[:, :2] - p[:2]
                 cross = np.abs(w[:, 0] * d[1] - w[:, 1] * d[0]) / math.sqrt(L2)
                 t = (w @ d) / L2
                 on = (cross < 1e-7) & (t > 1e-9) & (t < 1 - 1e-9)
@@ -84,6 +86,7 @@ def dissolve_pieces(pieces) -> Geometry | None:
 
     # boundary test: midpoint interior to any OTHER piece?
     out_edges = []
+    rowmap: dict = {}
     for (pi, p, q) in edges:
         mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
         interior = False
@@ -100,6 +103,8 @@ def dissolve_pieces(pieces) -> Geometry | None:
                 interior = True
                 break
         if not interior:
+            rowmap[_key(p)] = p
+            rowmap[_key(q)] = q
             out_edges.append((_key(p), _key(q)))
 
     if not out_edges:
@@ -146,7 +151,9 @@ def dissolve_pieces(pieces) -> Geometry | None:
     if not rings:
         return None
 
-    ring_arrays = [np.array(r, dtype=np.float64) for r in rings if len(r) >= 4]
+    ring_arrays = [
+        np.array([rowmap[k] for k in r], dtype=np.float64) for r in rings if len(r) >= 4
+    ]
     if not ring_arrays:
         return None
     shells = []
@@ -169,8 +176,9 @@ def dissolve_pieces(pieces) -> Geometry | None:
         if target is None:
             return None
         target.append(h)
-    geoms = [Geometry(G.POLYGON, op) for op in out_polys]
-    result = geoms[0] if len(geoms) == 1 else Geometry(G.MULTIPOLYGON, geoms)
+    hz, hm = polys[0].has_z, polys[0].has_m
+    geoms = [Geometry(G.POLYGON, op, hz, hm) for op in out_polys]
+    result = geoms[0] if len(geoms) == 1 else Geometry(G.MULTIPOLYGON, geoms, hz, hm)
 
     # sanity: dissolved area must match the pieces' total
     if abs(A.area(result) - sum(A.area(p) for p in polys)) > max(1e-6, 1e-9 * sum(A.area(p) for p in polys)):

@@ -28,17 +28,30 @@ from .geom import Geometry
 from .triangulate import triangulate
 
 
-def _tri_poly(tri: np.ndarray) -> Geometry:
-    return Geometry(G.POLYGON, [np.vstack([tri, tri[:1]])])
+def _tri_poly(tri: np.ndarray, has_z: bool = False, has_m: bool = False) -> Geometry:
+    return Geometry(G.POLYGON, [np.vstack([tri, tri[:1]])], has_z, has_m)
 
 
-def _pieces_to_geom(pieces, dissolve: bool = False) -> Geometry:
+def _norm_zm(ga: Geometry, gb: Geometry):
+    """Force both inputs to the UNION of their Z/M flags (missing dims
+    default 0), so triangles from either side share a coordinate width —
+    the reference propagates flags the same way through GEOS overlay
+    (geometry_properties.hpp:10-63)."""
+    hz, hm = ga.has_z or gb.has_z, ga.has_m or gb.has_m
+    if (ga.has_z, ga.has_m) != (hz, hm):
+        ga = A.force_dims(ga, hz, hm)
+    if (gb.has_z, gb.has_m) != (hz, hm):
+        gb = A.force_dims(gb, hz, hm)
+    return ga, gb, hz, hm
+
+
+def _pieces_to_geom(pieces, dissolve: bool = False, has_z: bool = False, has_m: bool = False) -> Geometry:
     pieces = [p for p in pieces if not p.is_empty() and A.area(p) > 0]
     if not pieces:
-        return G.empty(G.GEOMETRYCOLLECTION)
+        return G.empty(G.GEOMETRYCOLLECTION, has_z, has_m)
     if len(pieces) == 1:
         return pieces[0]
-    frag = Geometry(G.MULTIPOLYGON, pieces)
+    frag = Geometry(G.MULTIPOLYGON, pieces, has_z, has_m)
     # dissolve only at API boundaries (O(edges x pieces)); internal overlay
     # chains pass dissolve=False and stay fragmented
     if dissolve and len(pieces) <= 256:
@@ -61,12 +74,13 @@ def _subtract_convex(piece: Geometry, clip_planes) -> list:
 
 
 def intersection_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometry:
+    ga, gb, hz, hm = _norm_zm(ga, gb)
     tas = triangulate(ga)
     tbs = triangulate(gb)
     pieces = []
     tb_planes = [(tb, A._convex_edges(np.vstack([tb, tb[:1]]))) for tb in tbs]
     for ta in tas:
-        pa = _tri_poly(ta)
+        pa = _tri_poly(ta, hz, hm)
         bb_a = A.bounds(pa)
         for tb, planes in tb_planes:
             if (
@@ -79,10 +93,11 @@ def intersection_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geome
             piece = A._clip_polygon_convex(pa, planes)
             if not piece.is_empty():
                 pieces.append(piece)
-    return _pieces_to_geom(pieces, dissolve=dissolve)
+    return _pieces_to_geom(pieces, dissolve=dissolve, has_z=hz, has_m=hm)
 
 
 def difference_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometry:
+    ga, gb, hz, hm = _norm_zm(ga, gb)
     tas = triangulate(ga)
     tbs = triangulate(gb)
     tb_info = [
@@ -94,7 +109,7 @@ def difference_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometr
     ]
     pieces = []
     for ta in tas:
-        parts = [_tri_poly(ta)]
+        parts = [_tri_poly(ta, hz, hm)]
         for bb, planes in tb_info:
             nxt = []
             for p in parts:
@@ -109,14 +124,15 @@ def difference_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometr
             if not parts:
                 break
         pieces.extend(parts)
-    return _pieces_to_geom(pieces, dissolve=dissolve)
+    return _pieces_to_geom(pieces, dissolve=dissolve, has_z=hz, has_m=hm)
 
 
 def union_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometry:
-    a_parts = [_tri_poly(t) for t in triangulate(ga)]
+    ga, gb, hz, hm = _norm_zm(ga, gb)
+    a_parts = [_tri_poly(t, hz, hm) for t in triangulate(ga)]
     diff = difference_tri(gb, ga, dissolve=False)
     pieces = a_parts + [p for p in diff.flatten() if p.tag == G.POLYGON]
-    return _pieces_to_geom(pieces, dissolve=dissolve)
+    return _pieces_to_geom(pieces, dissolve=dissolve, has_z=hz, has_m=hm)
 
 
 def buffer_general(g: Geometry, radius: float, nseg: int = 8) -> Geometry:

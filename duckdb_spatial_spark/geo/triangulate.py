@@ -37,12 +37,15 @@ def _point_in_tri(p, a, b, c, eps=0.0):
 
 
 def _open_ring(ring: np.ndarray) -> np.ndarray:
-    pts = np.asarray(ring, dtype=np.float64)[:, :2]
-    if len(pts) > 1 and np.array_equal(pts[0], pts[-1]):
+    """Open + dedupe a ring, KEEPING the full coordinate width: triangles
+    slice whole rows, so Z/M ride through the decomposition and the convex
+    clip machinery interpolates them at cut vertices."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) > 1 and np.array_equal(pts[0, :2], pts[-1, :2]):
         pts = pts[:-1]
-    # drop consecutive duplicates
+    # drop consecutive duplicates (by xy; extra dims follow their vertex)
     if len(pts) > 1:
-        keep = np.concatenate([[True], np.any(np.diff(pts, axis=0) != 0, axis=1)])
+        keep = np.concatenate([[True], np.any(np.diff(pts[:, :2], axis=0) != 0, axis=1)])
         pts = pts[keep]
     return pts
 
@@ -53,8 +56,8 @@ def _bridge_holes(shell: np.ndarray, holes: list) -> np.ndarray:
     # process holes by decreasing max-x (rightmost first)
     hs = sorted((list(map(tuple, h)) for h in holes), key=lambda h: -max(p[0] for p in h))
     for hole in hs:
-        # rightmost hole vertex
-        hi = max(range(len(hole)), key=lambda i: hole[i])
+        # rightmost hole vertex (by xy only — rows may carry Z/M)
+        hi = max(range(len(hole)), key=lambda i: (hole[i][0], hole[i][1]))
         hp = hole[hi]
         # find visible shell vertex: nearest shell vertex right of hp with
         # unobstructed segment (simple robust heuristic: nearest by distance

@@ -114,3 +114,40 @@ def test_dissolve_clean_output():
     far = from_wkt("POLYGON ((10 10, 11 10, 11 11, 10 11, 10 10))")
     u2 = A.union(a, far)
     assert len(list(u2.flatten())) == 2
+
+
+def test_overlay_preserves_z():
+    """Z rides through the triangle decomposition + dissolve: cut vertices
+    interpolate linearly (reference keeps Z/M flags through GEOS overlay,
+    geometry_properties.hpp:10-63)."""
+    import numpy as np
+
+    from duckdb_spatial_spark.geo import algorithms as A
+    from duckdb_spatial_spark.geo import geom as G
+
+    def zpoly(pts, z):
+        ring = [list(p) + [zv] for p, zv in zip(pts, z)]
+        ring.append(ring[0])
+        return G.Geometry(G.POLYGON, [np.array(ring, dtype=float)], has_z=True)
+
+    def z_is_x_plus_y(g):
+        for leaf in g.flatten():
+            if leaf.tag == G.POLYGON:
+                for r in leaf.data:
+                    for row in r:
+                        assert len(row) >= 3 and abs(row[2] - (row[0] + row[1])) < 1e-9, tuple(row)
+
+    a = zpoly([(0, 0), (4, 0), (4, 4), (0, 4)], [0, 4, 8, 4])          # z = x+y
+    b = zpoly([(2, 2), (6, 2), (6, 6), (2, 6)], [4, 8, 12, 8])         # z = x+y
+    conc = zpoly([(0, 0), (6, 0), (6, 6), (3, 3), (0, 6)], [0, 6, 12, 6, 6])
+    for g, want_area in ((A.intersection(a, b), 4.0), (A.union(a, b), 28.0),
+                         (A.difference(a, b), 12.0), (A.intersection(conc, b), 9.0)):
+        assert g.has_z and abs(A.area(g) - want_area) < 1e-9
+        z_is_x_plus_y(g)
+    # mixed 2D x 3D: flags union; the 2D side defaults z=0, pieces from the
+    # 3D side keep interpolated z
+    from duckdb_spatial_spark.geo import from_wkt
+
+    m = A.intersection(a, from_wkt("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"))
+    assert m.has_z and abs(A.area(m) - 1.0) < 1e-9
+    z_is_x_plus_y(m)
