@@ -110,6 +110,7 @@ _REGISTRY = {
     "st_linemerge_directed": udfs.st_linemerge_directed,
     "st_buffer": udfs.st_buffer,
     "st_buffer_nseg": udfs.st_buffer_nseg,
+    "st_buffer_style": udfs.st_buffer_style,
     # predicates
     "st_intersects": udfs.st_intersects,
     "st_intersects_extent": udfs.st_intersects_extent,

@@ -751,6 +751,20 @@ def st_buffer_nseg(s: pd.Series, radius: pd.Series, nseg: pd.Series) -> pd.Serie
     )
 
 
+@F.pandas_udf(T.BinaryType())
+def st_buffer_style(
+    s: pd.Series, radius: pd.Series, nseg: pd.Series, cap: pd.Series, join: pd.Series
+) -> pd.Series:
+    """ST_Buffer 5-arg overload: cap round|flat|square, join
+    round|mitre|bevel (reference geos buffer entry with CAP_/JOIN_ enums)."""
+    return pd.Series(
+        [
+            None if b is None else _wkb(A.buffer(_g(b), float(r), int(n), cap=str(c), join=str(j)))
+            for b, r, n, c, j in zip(s, radius, nseg, cap, join)
+        ]
+    )
+
+
 # --------------------------------------------------------------------------
 # predicates (geos/functions/scalar/*.cpp)
 # --------------------------------------------------------------------------

@@ -1089,10 +1089,14 @@ def line_merge(g: Geometry, directed: bool = False) -> Geometry:
     return Geometry(G.MULTILINESTRING, out)
 
 
-def buffer(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
+def buffer(
+    g: Geometry, radius: float, nseg: int = 8,
+    cap: str = "round", join: str = "round", mitre_limit: float = 5.0,
+) -> Geometry:
     """Point buffers are exact circles (nseg segments per quadrant, GEOS
-    convention); zero-radius returns the input. Line/polygon buffering is a
-    documented round-2 gap (requires full offset curves)."""
+    convention); zero-radius returns the input. Lines/polygons are the
+    union-of-convex-parts Minkowski sum in overlay.buffer_general, with
+    round|flat|square caps and round|mitre|bevel joins."""
     if radius == 0:
         return g
     leaves = list(g.flatten())
@@ -1115,7 +1119,7 @@ def buffer(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
     # segment rectangles + polygon body); negative radius erodes
     from .overlay import buffer_general
 
-    return buffer_general(g, radius, nseg)
+    return buffer_general(g, radius, nseg, cap=cap, join=join, mitre_limit=mitre_limit)
 
 
 # ---------------------------------------------------------------------------

@@ -135,11 +135,32 @@ def union_tri(ga: Geometry, gb: Geometry, dissolve: bool = True) -> Geometry:
     return _pieces_to_geom(pieces, dissolve=dissolve, has_z=hz, has_m=hm)
 
 
-def buffer_general(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
-    """Positive buffer of any geometry as a union of convex parts:
-    per-vertex circles + per-segment oriented rectangles + (for polygons)
-    the polygon body itself. Negative radius on polygons erodes via
-    difference with the boundary's buffer."""
+def buffer_general(
+    g: Geometry,
+    radius: float,
+    nseg: int = 8,
+    cap: str = "round",
+    join: str = "round",
+    mitre_limit: float = 5.0,
+) -> Geometry:
+    """Buffer of any geometry as a union of convex parts — the Minkowski
+    sum with a disk IS exactly per-segment rectangles + per-vertex circles
+    for the round style, so the only approximation is the inscribed-circle
+    discretization (same convention as GEOS quadrant segments).
+
+    ``cap``: round | flat | square (line endpoints; reference ST_Buffer's
+    cap_style arg, geos/functions/scalar.cpp buffer entry).
+    ``join``: round | mitre | bevel (corners; mitre falls back to bevel
+    past ``mitre_limit`` * radius, GEOS semantics). Negative radius on
+    polygons erodes via difference with the boundary's buffer."""
+    cap = cap.lower()
+    join = join.lower()
+    if cap not in ("round", "flat", "square"):
+        raise ValueError(f"unknown cap style {cap!r} (round|flat|square)")
+    if join not in ("round", "mitre", "miter", "bevel"):
+        raise ValueError(f"unknown join style {join!r} (round|mitre|bevel)")
+    if join == "miter":
+        join = "mitre"
     if radius == 0:
         return g
     n = max(8, 4 * nseg)
@@ -167,6 +188,66 @@ def buffer_general(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
         )
         return Geometry(G.POLYGON, [ring])
 
+    def square_cap(p, other, r):
+        """Half-square past endpoint p, away from its neighbor vertex."""
+        d = p - other
+        L = math.hypot(d[0], d[1])
+        if L == 0:
+            return None
+        ux, uy = d[0] / L * r, d[1] / L * r  # outward along the segment
+        nx, ny = -uy, ux
+        ring = np.array(
+            [
+                [p[0] + nx, p[1] + ny],
+                [p[0] + ux + nx, p[1] + uy + ny],
+                [p[0] + ux - nx, p[1] + uy - ny],
+                [p[0] - nx, p[1] - ny],
+                [p[0] + nx, p[1] + ny],
+            ]
+        )
+        return Geometry(G.POLYGON, [ring])
+
+    def join_piece(prev, v, nxt, r):
+        """Corner fill at interior vertex v between segments prev->v->nxt:
+        None for round (caller adds a circle), else a convex bevel triangle
+        or mitre quad on the OUTSIDE of the turn."""
+        d1 = v - prev
+        d2 = nxt - v
+        L1 = math.hypot(d1[0], d1[1])
+        L2 = math.hypot(d2[0], d2[1])
+        if L1 == 0 or L2 == 0:
+            return None
+        u1 = d1 / L1
+        u2 = d2 / L2
+        turn = u1[0] * u2[1] - u1[1] * u2[0]
+        if abs(turn) < 1e-12:  # collinear: rectangles already cover it
+            return None
+        # outward normals on the convex side of the corner
+        if turn < 0:  # right turn: outside is the left side
+            n1 = np.array([-u1[1], u1[0]])
+            n2 = np.array([-u2[1], u2[0]])
+        else:
+            n1 = np.array([u1[1], -u1[0]])
+            n2 = np.array([u2[1], -u2[0]])
+        p1 = v + r * n1
+        p2 = v + r * n2
+        if join == "bevel":
+            ring = np.array([v, p1, p2, v], dtype=float)
+            return Geometry(G.POLYGON, [ring])
+        # mitre: offset-line intersection point, limited
+        bis = n1 + n2
+        bl = math.hypot(bis[0], bis[1])
+        if bl < 1e-12:
+            return None  # 180-degree reversal: no finite mitre
+        cos_half = bl / 2.0
+        ratio = 1.0 / cos_half
+        if ratio > mitre_limit:
+            ring = np.array([v, p1, p2, v], dtype=float)
+            return Geometry(G.POLYGON, [ring])
+        m = v + (r * ratio) * (bis / bl)
+        ring = np.array([v, p1, m, p2, v], dtype=float)
+        return Geometry(G.POLYGON, [ring])
+
     if radius < 0:
         polys = [l for l in g.flatten() if l.tag == G.POLYGON]
         if not polys:
@@ -189,23 +270,46 @@ def buffer_general(g: Geometry, radius: float, nseg: int = 8) -> Geometry:
 
         return try_dissolve(acc)
 
+    def corner(prev, v, nxt):
+        if join == "round":
+            return circle(float(v[0]), float(v[1]), radius)
+        return join_piece(np.asarray(prev[:2], float), np.asarray(v[:2], float),
+                          np.asarray(nxt[:2], float), radius)
+
     parts = []
     for leaf in g.flatten():
         if leaf.tag == G.POINT:
             parts.append(circle(float(leaf.data[0]), float(leaf.data[1]), radius))
         elif leaf.tag == G.LINESTRING:
             arr = leaf.data
-            for i in range(len(arr)):
-                parts.append(circle(float(arr[i, 0]), float(arr[i, 1]), radius))
-                if i + 1 < len(arr):
+            m = len(arr)
+            for i in range(m):
+                if i in (0, m - 1):  # endpoint: cap style
+                    if cap == "round":
+                        parts.append(circle(float(arr[i, 0]), float(arr[i, 1]), radius))
+                    elif cap == "square" and m > 1:
+                        other = arr[1, :2] if i == 0 else arr[m - 2, :2]
+                        sq = square_cap(
+                            np.asarray(arr[i, :2], float), np.asarray(other, float), radius
+                        )
+                        if sq is not None:
+                            parts.append(sq)
+                else:  # interior vertex: join style
+                    piece = corner(arr[i - 1, :2], arr[i, :2], arr[i + 1, :2])
+                    if piece is not None:
+                        parts.append(piece)
+                if i + 1 < m:
                     rect = seg_rect(arr[i, :2], arr[i + 1, :2], radius)
                     if rect is not None:
                         parts.append(rect)
-        else:  # polygon: body + boundary swept
+        else:  # polygon: body + boundary swept, ring vertices use join style
             parts.append(Geometry(G.POLYGON, leaf.data))
             for ring in leaf.data:
-                for i in range(len(ring) - 1):
-                    parts.append(circle(float(ring[i, 0]), float(ring[i, 1]), radius))
+                k = len(ring) - 1  # ring closed: last == first
+                for i in range(k):
+                    piece = corner(ring[(i - 1) % k, :2], ring[i, :2], ring[(i + 1) % k, :2])
+                    if piece is not None:
+                        parts.append(piece)
                     rect = seg_rect(ring[i, :2], ring[i + 1, :2], radius)
                     if rect is not None:
                         parts.append(rect)

@@ -151,3 +151,48 @@ def test_overlay_preserves_z():
     m = A.intersection(a, from_wkt("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"))
     assert m.has_z and abs(A.area(m) - 1.0) < 1e-9
     z_is_x_plus_y(m)
+
+
+def test_buffer_cap_join_styles():
+    """Cap (round|flat|square) and join (round|mitre|bevel) styles against
+    closed-form areas (reference ST_Buffer 5-arg overload semantics)."""
+    import math
+
+    import pytest
+
+    from duckdb_spatial_spark.geo import algorithms as A, from_wkt
+
+    line = from_wkt("LINESTRING (0 0, 10 0)")
+    assert abs(A.area(A.buffer(line, 2.0, 16, cap="flat")) - 40.0) < 1e-9
+    assert abs(A.area(A.buffer(line, 2.0, 16, cap="square")) - 56.0) < 1e-9
+    # round cap: inscribed-circle discretization converges from below
+    assert abs(A.area(A.buffer(line, 2.0, 32)) - (40 + math.pi * 4)) < 0.01
+
+    el = from_wkt("LINESTRING (0 0, 10 0, 10 10)")
+    assert abs(A.area(A.buffer(el, 1.0, 8, cap="flat", join="mitre")) - 40.0) < 1e-9
+    assert abs(A.area(A.buffer(el, 1.0, 8, cap="flat", join="bevel")) - 39.5) < 1e-9
+
+    poly = from_wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    assert abs(A.area(A.buffer(poly, 1.0, 8, join="mitre")) - 36.0) < 1e-9
+    assert abs(A.area(A.buffer(poly, 1.0, 8, join="bevel")) - 34.0) < 1e-9
+
+    # mitre limit: a 170-degree-sharp corner falls back to bevel
+    sharp = from_wkt("LINESTRING (0 0, 10 0, 0 1)")
+    lim = A.buffer(sharp, 1.0, 8, cap="flat", join="mitre", mitre_limit=2.0)
+    unlim = A.buffer(sharp, 1.0, 8, cap="flat", join="mitre", mitre_limit=1000.0)
+    assert A.area(lim) < A.area(unlim)
+
+    with pytest.raises(ValueError):
+        A.buffer(line, 1.0, 8, cap="weird")
+    with pytest.raises(ValueError):
+        A.buffer(line, 1.0, 8, join="weird")
+
+
+def test_buffer_style_sql(spark):
+    # Spark can't overload one UDF name by arity: the reference's 5-arg
+    # ST_Buffer(geom, r, nseg, cap, join) registers as ST_Buffer_Style
+    rows = spark.sql(
+        "SELECT round(ST_Area(ST_Buffer_Style(ST_GeomFromText('LINESTRING (0 0, 10 0)'),"
+        " 2.0D, 16, 'flat', 'round')), 6) AS a"
+    ).collect()
+    assert rows[0].a == 40.0
