@@ -1,0 +1,237 @@
+"""Pure-Python image/audio codecs for the multimodal operators.
+
+No PIL/ffmpeg in this container, but PNG needs only stdlib zlib + the
+public spec (RFC 2083: IDAT inflate + per-scanline unfiltering), BMP is
+raw rows, and WAV is RIFF chunks — so those DECODE paths are real, not
+stubs. JPEG/GIF entropy decoding genuinely needs a codec and stays
+unimplemented (clear error, not a fake).
+
+All decoders return HxWxC uint8 arrays (C in {1,2,3,4}); the WAV decoder
+returns (samples float64 in [-1, 1] shaped (n, channels), sample_rate).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --------------------------------------------------------------------- PNG
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG -> HxWxC uint8. Supports bit depth 8 (all color types incl.
+    palette) and 1/2/4-bit grayscale+palette, non-interlaced."""
+    if buf[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG")
+    i = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    plte = None
+    trns = None
+    while i + 8 <= len(buf):
+        (ln,) = struct.unpack_from(">I", buf, i)
+        ctype = buf[i + 4 : i + 8]
+        data = buf[i + 8 : i + 8 + ln]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + ln
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if bit_depth not in (1, 2, 4, 8):
+        raise NotImplementedError(f"PNG bit depth {bit_depth} not supported")
+    nch = _CHANNELS.get(color_type)
+    if nch is None:
+        raise ValueError(f"bad PNG color type {color_type}")
+    if bit_depth < 8 and color_type not in (0, 3):
+        raise ValueError("sub-byte depth only valid for gray/palette")
+
+    raw = zlib.decompress(bytes(idat))
+    bits_per_px = bit_depth * nch
+    stride = (width * bits_per_px + 7) // 8  # filtered bytes per scanline
+    bpp = max(1, bits_per_px // 8)  # filter 'corresponding byte' distance
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG data truncated")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += stride + 1
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.empty(stride, dtype=np.int32)
+            # Sub/Average/Paeth need the just-reconstructed left byte ->
+            # sequential within the row (rows stay vectorized for 0/2)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:  # Sub
+                    v = line[x] + a
+                elif ftype == 3:  # Average
+                    v = line[x] + ((a + b) >> 1)
+                elif ftype == 4:  # Paeth
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+
+    if bit_depth == 8:
+        px = out[:, : width * nch].reshape(height, width, nch)
+    else:
+        bits = np.unpackbits(out, axis=1)[:, : width * bit_depth]
+        vals = bits.reshape(height, width, bit_depth)
+        px = np.zeros((height, width, 1), dtype=np.uint8)
+        for k in range(bit_depth):
+            px[:, :, 0] = (px[:, :, 0] << 1) | vals[:, :, k]
+        if color_type == 0:  # scale to full 0-255 range
+            px = (px.astype(np.uint16) * (255 // ((1 << bit_depth) - 1))).astype(np.uint8)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idxs = px[:, :, 0]
+        rgb = plte[idxs]
+        if trns is not None:
+            alpha = np.full(idxs.shape, 255, dtype=np.uint8)
+            lim = min(len(trns), plte.shape[0])
+            mask = idxs < lim
+            alpha[mask] = trns[idxs[mask]]
+            return np.dstack([rgb, alpha])
+        return rgb
+    return px
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """HxWxC (or HxW) uint8 -> PNG bytes (filter 0, one zlib stream)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    comp = zlib.compress(raw, 6)
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0)
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", comp) + chunk(b"IEND", b"")
+
+
+# --------------------------------------------------------------------- BMP
+def decode_bmp(buf: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BITMAPINFOHEADER BMP -> HxWx3/4 uint8."""
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", buf, 10)
+    (hdr_sz,) = struct.unpack_from("<I", buf, 14)
+    if hdr_sz < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", buf, 18)
+    (bpp,) = struct.unpack_from("<H", buf, 28)
+    (compression,) = struct.unpack_from("<I", buf, 30)
+    if compression not in (0, 3) or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} not supported")
+    flip = h > 0
+    h = abs(h)
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    px = np.frombuffer(buf, dtype=np.uint8, count=stride * h, offset=data_off)
+    px = px.reshape(h, stride)[:, : w * nbytes].reshape(h, w, nbytes)
+    if flip:
+        px = px[::-1]
+    # BGR(A) -> RGB(A)
+    if nbytes == 3:
+        return px[:, :, ::-1].copy()
+    return px[:, :, [2, 1, 0, 3]].copy()
+
+
+def decode_image(buf: bytes) -> np.ndarray:
+    """Sniff + decode PNG/BMP; JPEG/GIF raise (codec genuinely required)."""
+    b = bytes(buf)
+    if b[:8] == _PNG_MAGIC:
+        return decode_png(b)
+    if b[:2] == b"BM":
+        return decode_bmp(b)
+    if b[:3] == b"\xff\xd8\xff":
+        raise NotImplementedError("JPEG entropy decode requires a codec (absent here)")
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("GIF LZW decode not implemented")
+    raise ValueError("unknown image format")
+
+
+def resize_nearest(px: np.ndarray, size: tuple) -> np.ndarray:
+    """Nearest-neighbor resize (deterministic, codec-free)."""
+    th, tw = size
+    h, w = px.shape[:2]
+    ys = np.minimum((np.arange(th) * h) // th, h - 1)
+    xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return px[ys][:, xs]
+
+
+# --------------------------------------------------------------------- WAV
+def decode_wav(buf: bytes):
+    """RIFF/WAVE -> (float64 (n, channels) in [-1, 1], sample_rate).
+    PCM 8/16/32-bit and IEEE float32/64."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i = 12
+    fmt = None
+    data = None
+    while i + 8 <= len(buf):
+        tag = buf[i : i + 4]
+        (ln,) = struct.unpack_from("<I", buf, i + 4)
+        body = buf[i + 8 : i + 8 + ln]
+        if tag == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif tag == b"data":
+            data = body
+        i += 8 + ln + (ln & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _, _, bits = fmt
+    if audio_fmt == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+        else:
+            raise NotImplementedError(f"PCM bits={bits}")
+    elif audio_fmt == 3:  # IEEE float
+        x = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8").astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV format code {audio_fmt} (need PCM or float)")
+    n = (len(x) // n_ch) * n_ch
+    return x[:n].reshape(-1, n_ch), rate

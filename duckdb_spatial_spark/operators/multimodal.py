@@ -1,10 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
-The container has no image/audio codecs, so the DECODE kernels are
-explicitly stubbed (deterministic fakes or NotImplementedError) — but the
-Spark-side contract is real and tested: schemas, Arrow batch shapes,
-mapInPandas signatures, partition sizing. Swapping a stub for PIL/ffmpeg is
-a one-function change that does not touch any plan.
+Decode is REAL for the codec-free formats (operators/codecs.py): PNG
+(stdlib zlib inflate + scanline unfiltering per RFC 2083), uncompressed
+BMP, and WAV PCM/float — features, resize, and audio sample extraction run
+on actual pixels/samples for those. JPEG/GIF entropy decoding genuinely
+needs an external codec: those paths fall back per the operator's
+``fallback`` policy (deterministic fake or NULL) and say so. Video frame
+sampling still needs ffmpeg and stays an explicit stub.
 
 Conventions (GeoParquet-style sidecar metadata):
 
@@ -80,6 +82,14 @@ def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
                         "format": "gif",
                     }
                 )
+            elif b[:2] == b"BM" and len(b) >= 26:
+                rows.append(
+                    {
+                        "width": int.from_bytes(b[18:22], "little", signed=True),
+                        "height": abs(int.from_bytes(b[22:26], "little", signed=True)),
+                        "format": "bmp",
+                    }
+                )
             else:
                 rows.append({"width": None, "height": None, "format": None})
         return pd.DataFrame(rows)
@@ -88,12 +98,15 @@ def image_metadata(df: DataFrame, bin_col: str = "image") -> DataFrame:
 
 
 def image_features(
-    df: DataFrame, bin_col: str = "image", out_col: str = "features", dim: int = 64
+    df: DataFrame, bin_col: str = "image", out_col: str = "features", dim: int = 64,
+    fallback: str = "fake",
 ) -> DataFrame:
-    """Feature-extraction plumbing: binary -> fixed-dim float vector.
+    """Feature extraction: binary -> fixed-dim float vector (channel
+    histograms). PNG/BMP decode for real (codecs.py); other formats follow
+    ``fallback``: "fake" (deterministic bytes-seeded pixels — keeps the
+    contract exercised end-to-end) or "null"."""
+    from . import codecs
 
-    STUB kernel (channel histogram of the fake decode); the mapInPandas
-    batch contract, schema, and downstream ANN compatibility are real."""
     fields = [f for f in df.schema.fields]
     out_schema = T.StructType(fields + [T.StructField(out_col, T.ArrayType(T.FloatType()))])
     cols = df.columns
@@ -106,7 +119,17 @@ def image_features(
                 if b is None:
                     feats.append(None)
                     continue
-                px = _fake_decode(bytes(b)).astype(np.float32)
+                try:
+                    px = codecs.decode_image(bytes(b))
+                    if px.shape[2] == 1:
+                        px = np.repeat(px, 3, axis=2)
+                    px = px[:, :, :3]
+                except (ValueError, NotImplementedError):
+                    if fallback == "null":
+                        feats.append(None)
+                        continue
+                    px = _fake_decode(bytes(b))
+                px = px.astype(np.float32)
                 hist = np.concatenate(
                     [
                         np.histogram(px[..., c], bins=dim // 4, range=(0, 256))[0]
@@ -123,13 +146,77 @@ def image_features(
     return df.mapInPandas(extract, out_schema)
 
 
-def image_resize(df: DataFrame, bin_col: str = "image", size=(224, 224)) -> DataFrame:
-    """Resize plumbing — decode is stubbed in this container."""
-    raise NotImplementedError(
-        "image_resize requires an image codec (PIL/turbojpeg) not present in "
-        "this container; plumbing contract: mapInPandas binary->binary with "
-        f"target size {size}. See image_features for the live pattern."
+def image_resize(
+    df: DataFrame, bin_col: str = "image", out_col: str = "resized", size=(224, 224)
+) -> DataFrame:
+    """Real resize for PNG/BMP inputs: decode (codecs.py), nearest-neighbor
+    resample, re-encode PNG. Formats needing an external codec (JPEG/GIF)
+    yield NULL — mapInPandas binary->binary, one Arrow crossing."""
+    from . import codecs
+
+    fields = [f for f in df.schema.fields]
+    out_schema = T.StructType(fields + [T.StructField(out_col, T.BinaryType())])
+    bidx = df.columns.index(bin_col)
+
+    def conv(batches):
+        for pdf in batches:
+            out = []
+            for b in pdf.iloc[:, bidx]:
+                if b is None:
+                    out.append(None)
+                    continue
+                try:
+                    px = codecs.decode_image(bytes(b))
+                    out.append(codecs.encode_png(codecs.resize_nearest(px, size)))
+                except (ValueError, NotImplementedError):
+                    out.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return df.mapInPandas(conv, out_schema)
+
+
+def audio_samples(
+    df: DataFrame, bin_col: str = "audio", out_col: str = "samples", max_samples: int = 480_000
+) -> DataFrame:
+    """WAV PCM/float decode to mono float samples in [-1, 1] (channel
+    mean), truncated at ``max_samples``; non-WAV yields NULL. Real decode,
+    no codec dependency (codecs.decode_wav)."""
+    from . import codecs
+
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [
+            T.StructField(out_col, T.ArrayType(T.FloatType())),
+            T.StructField("sample_rate", T.IntegerType()),
+        ]
     )
+    bidx = df.columns.index(bin_col)
+
+    def conv(batches):
+        for pdf in batches:
+            vals, rates = [], []
+            for b in pdf.iloc[:, bidx]:
+                if b is None:
+                    vals.append(None)
+                    rates.append(None)
+                    continue
+                try:
+                    x, rate = codecs.decode_wav(bytes(b))
+                except (ValueError, NotImplementedError):
+                    vals.append(None)
+                    rates.append(None)
+                    continue
+                mono = x.mean(axis=1)[:max_samples].astype(np.float32)
+                vals.append(mono.tolist())
+                rates.append(int(rate))
+            pdf = pdf.copy()
+            pdf[out_col] = vals
+            pdf["sample_rate"] = rates
+            yield pdf
+
+    return df.mapInPandas(conv, schema)
 
 
 def video_frame_sample(df: DataFrame, bin_col: str = "video", every_s: float = 1.0) -> DataFrame:
