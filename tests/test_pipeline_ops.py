@@ -206,8 +206,11 @@ def test_multimodal_plumbing(spark):
     am = M.audio_metadata(adf).collect()[0].audio_meta
     assert am.sample_rate == 44100 and am.format == "wav"
 
-    with pytest.raises(NotImplementedError):
-        M.image_resize(df)
+    # resize is now REAL for decodable formats; these synthetic headers are
+    # not decodable PNG/GIF payloads, so they resolve to NULL (round-4:
+    # see test_codecs.py for the real-decode coverage)
+    resized = M.image_resize(df).collect()
+    assert all(r.resized is None for r in resized)
     with pytest.raises(NotImplementedError):
         M.video_frame_sample(df)
 
