@@ -471,6 +471,30 @@ def q_spatial_buffer_area(spark, sf_dir):
     )
 
 
+def q_spatial_buffer_styles(spark, sf_dir):
+    """Line buffers with flat/square caps and polygon buffers with mitre/
+    bevel joins are exact Minkowski sums — areas have closed forms the
+    oracle computes in plain arithmetic (round-style areas are
+    discretization-dependent, so the exact styles are the oracled ones)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT rid,
+          round(ST_Area(ST_Buffer_Style(
+            ST_MakeLine2(ST_Point(mx, my), ST_Point(mx + w, my)),
+            h/4, 8, 'flat', 'round')), 6) AS flat_area,
+          round(ST_Area(ST_Buffer_Style(
+            ST_MakeLine2(ST_Point(mx, my), ST_Point(mx + w, my)),
+            h/4, 8, 'square', 'round')), 6) AS square_area,
+          round(ST_Area(ST_Buffer_Style(
+            ST_MakeEnvelope(mx, my, mx + w, my + h), 2.0D, 8, 'round', 'mitre')), 6) AS mitre_area,
+          round(ST_Area(ST_Buffer_Style(
+            ST_MakeEnvelope(mx, my, mx + w, my + h), 2.0D, 8, 'round', 'bevel')), 6) AS bevel_area
+        FROM ({_RECTS}) WHERE rid <= 300
+        """
+    )
+
+
 def q_spatial_quadkey(spark, sf_dir):
     _prep(spark, sf_dir)
     return spark.sql(
@@ -995,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_transform_3857": q_spatial_transform_3857,
         "spatial_transform_longtail": q_spatial_transform_longtail,
         "spatial_format_ops": q_spatial_format_ops,
+        "spatial_buffer_styles": q_spatial_buffer_styles,
         "spatial_buffer_area": q_spatial_buffer_area,
         "spatial_quadkey": q_spatial_quadkey,
         "spatial_predicates": q_spatial_predicates,
@@ -1273,6 +1298,14 @@ def oracle_sql() -> dict[str, str]:
                'cx="5" cy="-6" M 0 0 L 1 -1',
                'GEOMETRYCOLLECTION Z (POINT Z (5 6 7), LINESTRING Z (0 0 7, 1 1 7))', 'GEOMETRYCOLLECTION (POINT (6 5), LINESTRING (0 0, 1 1))', 'GEOMETRYCOLLECTION', 1, 3)
             ) AS t(id, gj, hex, svg, f3d, flip, gt, dim, np)
+        """,
+        "spatial_buffer_styles": f"""
+            SELECT rid,
+              round(2 * (h/4) * w, 6) AS flat_area,
+              round(2 * (h/4) * w + 2 * (2 * (h/4) * (h/4)), 6) AS square_area,
+              round(w*h + 2*2*(2*w + 2*h)/2 + 4*4, 6) AS mitre_area,
+              round(w*h + 2*2*(2*w + 2*h)/2 + 4*4 - 4*2*2/2, 6) AS bevel_area
+            FROM ({rects}) WHERE rid <= 300
         """,
         "spatial_buffer_area": f"""
             SELECT cid, round((32.0 / 2) * ((cid % 10 + 1) * (cid % 10 + 1)) * sin(2 * pi() / 32), 3) AS area
