@@ -26,6 +26,7 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".geojson", "geojson"), (".ndjson", "geojson"), (".json", "geojson"),
             (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),
             (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
+            (".topojson", "topojson"),
         ):
             if p.endswith(ext):
                 return f
@@ -72,6 +73,8 @@ def st_read(spark, path: str, format: str | None = None, **options):
         return read_gpx(spark, path, **options)
     if fmt == "gml":
         return read_gml(spark, path, **options)
+    if fmt == "topojson":
+        return read_topojson(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -101,4 +104,5 @@ from .flatgeobuf import read_flatgeobuf  # noqa: F401
 from .gpkg import gpkg_layers, read_gpkg, write_gpkg  # noqa: F401
 from .osm import read_osm  # noqa: F401
 from .shapefile import read_shapefile, write_shapefile  # noqa: F401
+from .topojson import read_topojson  # noqa: F401
 from .xmlgeo import read_gml, read_gpx, read_kml, write_kml  # noqa: F401
