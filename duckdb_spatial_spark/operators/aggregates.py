@@ -130,3 +130,7 @@ def st_collect_agg(df: DataFrame, geom_col: str = "geom", group_cols=()) -> Data
     return _fold_agg(
         df, geom_col, group_cols, part, "collected", final_fn=fin, skip_empty=False
     )
+
+
+# the reference docs also expose the extent aggregate as ST_Envelope_Agg
+st_envelope_agg = st_extent_agg

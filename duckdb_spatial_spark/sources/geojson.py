@@ -323,6 +323,18 @@ def read_wkt_csv(spark: SparkSession, path: str, wkt_col: str = "wkt", **csv_opt
     return df.withColumn("geom", udfs.st_geomfromtext(F.col(wkt_col))).drop(wkt_col)
 
 
+def write_wkt_csv(
+    df: DataFrame, path: str, geom_col: str = "geom", wkt_col: str = "wkt",
+    mode: str = "overwrite", **csv_opts,
+) -> None:
+    """COPY TO (FORMAT CSV) analog: geometry serialized as WKT, written in
+    parallel through Spark's csv sink (one file per partition)."""
+    from ..functions import udfs
+
+    out = df.withColumn(wkt_col, udfs.st_astext(F.col(geom_col))).drop(geom_col)
+    out.write.mode(mode).option("header", True).options(**csv_opts).csv(path)
+
+
 def st_read_meta(spark: SparkSession, path: str) -> DataFrame:
     """Layer metadata (ST_Read_Meta analog, ``st_read_meta.cpp:26-56``)."""
     rows = []

@@ -90,3 +90,13 @@ def test_geojson_collection_roundtrip(spark, mixed, tmp_path):
     back = read_geojson(spark, p)
     assert back.count() == 30
     assert _wkts(back.withColumn("id", F.col("id").cast("long"))) == _wkts(mixed)
+
+
+def test_wkt_csv_roundtrip(spark, mixed, tmp_path):
+    from duckdb_spatial_spark.sources.geojson import read_wkt_csv, write_wkt_csv
+
+    p = str(tmp_path / "csvout")
+    write_wkt_csv(mixed, p)
+    back = read_wkt_csv(spark, p + "/*.csv")
+    assert back.count() == 30
+    assert _wkts(back) == _wkts(mixed)
