@@ -812,6 +812,82 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Approximate top-k via hyperplane-LSH buckets + exact re-rank
+    (rows-only: bucketing is engine-specific, so no SQL oracle — the
+    pytest recall bound vs brute force is the semantic check)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.knn import ann_lsh_topk
+
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
+    queries = emb.filter("vec_id < 10")
+    return ann_lsh_topk(emb, queries, k=5, bits=4, tables=8)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """Approximate top-k via IVF coarse quantizer + probed-list re-rank
+    (rows-only, same rationale as ann_lsh_topk)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.knn import ann_ivf_topk
+
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
+    queries = emb.filter("vec_id < 10")
+    return ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal decode stack end-to-end on deterministic in-query
+    fixtures: PNG encode (codecs.py) -> header parse -> real decode ->
+    resize -> re-decoded shape; WAV bytes -> sample extraction. All values
+    deterministic, so the oracle pins them as literals."""
+    _prep(spark, sf_dir)
+    import struct as _st
+
+    import numpy as np
+
+    from duckdb_spatial_spark.operators import codecs
+    from duckdb_spatial_spark.operators import multimodal as M
+
+    rows = []
+    for i in range(1, 5):
+        h, w = 4 * i, 3 * i
+        px = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 7)) % 256).astype(np.uint8)
+        # minimal PCM16 WAV, i*100 frames at 8000 Hz, amplitude ramp
+        n = i * 100
+        pcm = (np.arange(n, dtype=np.int16) * 17).tobytes()
+        wav = (
+            b"RIFF" + _st.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + _st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + _st.pack("<I", len(pcm)) + pcm
+        )
+        rows.append((i, bytearray(codecs.encode_png(px)), bytearray(wav)))
+    df = spark.createDataFrame(rows, "id long, image binary, audio binary")
+    meta = M.image_metadata(df)
+    rs = M.image_resize(meta, size=(8, 8))
+    au = M.audio_samples(rs)
+    out_schema = "id long, w int, h int, fmt string, rw int, rh int, sr int, ns int"
+
+    def finish(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            outs = []
+            for _, r in pdf.iterrows():
+                rp = codecs.decode_png(bytes(r["resized"]))
+                outs.append(
+                    (int(r["id"]), int(r["image_meta"]["width"]), int(r["image_meta"]["height"]),
+                     str(r["image_meta"]["format"]), int(rp.shape[1]), int(rp.shape[0]),
+                     int(r["sample_rate"]), len(r["samples"]))
+                )
+            yield pd.DataFrame(outs, columns=["id", "w", "h", "fmt", "rw", "rh", "sr", "ns"])
+
+    return au.mapInPandas(finish, out_schema)
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Exact brute-force top-5 neighbors for 5 query vectors; ranking by
     rounded cosine + id so both engines break ties identically."""
@@ -1043,6 +1119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_jaccard": q_text_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_meta": q_multimodal_meta,
         "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -1298,6 +1377,14 @@ def oracle_sql() -> dict[str, str]:
                'cx="5" cy="-6" M 0 0 L 1 -1',
                'GEOMETRYCOLLECTION Z (POINT Z (5 6 7), LINESTRING Z (0 0 7, 1 1 7))', 'GEOMETRYCOLLECTION (POINT (6 5), LINESTRING (0 0, 1 1))', 'GEOMETRYCOLLECTION', 1, 3)
             ) AS t(id, gj, hex, svg, f3d, flip, gt, dim, np)
+        """,
+        "multimodal_meta": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 3, 4, 'png', 8, 8, 8000, 100),
+              (2, 6, 8, 'png', 8, 8, 8000, 200),
+              (3, 9, 12, 'png', 8, 8, 8000, 300),
+              (4, 12, 16, 'png', 8, 8, 8000, 400)
+            ) AS t(id, w, h, fmt, rw, rh, sr, ns)
         """,
         "spatial_buffer_styles": f"""
             SELECT rid,
