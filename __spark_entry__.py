@@ -238,6 +238,31 @@ def q_spatial_join_point_in_rect(spark, sf_dir):
     return j.groupBy("rid").agg(F.count("*").alias("n"))
 
 
+def q_spatial_join_rect_overlap(spark, sf_dir):
+    """Polygon×polygon ST_Intersects join through the grid lane: axis-
+    aligned rects on both sides, so the oracle is plain interval-overlap
+    SQL while the engine runs the full grid + bbox + exact-recheck path."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators import st_join
+
+    a = (
+        spark.sql(_RECTS)
+        .filter("rid % 3 = 0")
+        .withColumn("geom", F.expr("ST_MakeEnvelope(mx, my, mx + w, my + h)"))
+        .select(F.col("rid").alias("rid_a"), "geom")
+    )
+    b = (
+        spark.sql(_RECTS)
+        .filter("rid % 3 = 1")
+        .withColumn(
+            "geom", F.expr("ST_MakeEnvelope(my, mx, my + h + 40, mx + w + 40)")
+        )
+        .select(F.col("rid").alias("rid_b"), "geom")
+    )
+    j = st_join(a, b, predicate="intersects")
+    return j.select("rid_a", "rid_b")
+
+
 def q_spatial_dwithin_join_count(spark, sf_dir):
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators import st_join
@@ -1086,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_dwithin_join_count": q_spatial_dwithin_join_count,
         "spatial_extent_agg": q_spatial_extent_agg,
+        "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "spatial_overlay_rects": q_spatial_overlay_rects,
         "spatial_intersection_tri_rect": q_spatial_intersection_tri_rect,
         "spatial_convexhull_area": q_spatial_convexhull_area,
@@ -1299,6 +1325,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM ({pts}) WHERE id % 20 = 0) a,
                  (SELECT * FROM ({pts}) WHERE id % 20 = 10) b
             WHERE sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 50
+        """,
+        "spatial_join_rect_overlap": f"""
+            SELECT a.rid AS rid_a, b.rid AS rid_b
+            FROM (SELECT * FROM ({rects}) WHERE rid % 3 = 0) a
+            JOIN (SELECT rid, my AS bx, mx AS by, my + h + 40 AS tx, mx + w + 40 AS ty
+                  FROM ({rects}) WHERE rid % 3 = 1) b
+              ON a.mx <= b.tx AND b.bx <= a.mx + a.w
+             AND a.my <= b.ty AND b.by <= a.my + a.h
         """,
         "spatial_extent_agg": f"""
             SELECT id % 10 AS grp, min(x) AS min_x, min(y) AS min_y,
