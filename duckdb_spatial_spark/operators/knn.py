@@ -109,30 +109,35 @@ def add_lsh_signatures(
     df: DataFrame, vec_col: str, dim: int, bits: int, tables: int, seed: int, out_col: str
 ) -> DataFrame:
     """Append ``out_col``: array of ``tables`` random-hyperplane sign
-    signatures (one long per table, ``bits`` bits each). Pure Column dot
-    products — JVM-side, no Python. Shared by ann_lsh_topk and
-    dedup.embedding_neardup_pairs."""
-    sig_exprs = []
-    for t in range(tables):
-        H = _hyperplanes(dim, bits, seed + t)
-        bit_exprs = []
-        for b in range(bits):
-            w = H[b]
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in w]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bit_exprs.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
-        sig = bit_exprs[0]
-        for e in bit_exprs[1:]:
-            sig = sig + e
-        sig_exprs.append(sig.cast("long"))
-    return df.withColumn(out_col, F.array(*sig_exprs))
+    signatures (one long per table, ``bits`` bits each). One Arrow-batched
+    matmul against the stacked (tables*bits, dim) hyperplane matrix —
+    Spark's Column higher-order functions are CodegenFallback (interpreted
+    per element), so the numpy crossing is the fast path. Shared by
+    ann_lsh_topk and dedup.embedding_neardup_pairs."""
+    H = np.vstack([_hyperplanes(dim, bits, seed + t) for t in range(tables)])  # (T*B, dim)
+    weights = np.left_shift(1, np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sigs(s: pd.Series) -> pd.Series:
+        out = []
+        vecs = []
+        idx = []
+        for i, v in enumerate(s):
+            if v is None or len(v) != dim:
+                out.append(None)
+            else:
+                out.append(True)  # placeholder, filled below
+                vecs.append(v)
+                idx.append(i)
+        if vecs:
+            X = np.asarray(vecs, dtype=np.float64)
+            S = (X @ H.T) >= 0  # (n, T*B) sign bits
+            packed = (S.reshape(len(vecs), tables, bits) * weights).sum(axis=2)
+            for j, i in enumerate(idx):
+                out[i] = [int(v) for v in packed[j]]
+        return pd.Series(out)
+
+    return df.withColumn(out_col, sigs(F.col(vec_col)))
 
 
 def ann_lsh_topk(
