@@ -333,6 +333,13 @@ def write_geo_parquet(
     so dictionary pages only add CPU + a failed-dictionary fallback per row
     group (measured 2.3s of a 6s write at 10M points)."""
     if point_xy is not None:
+        if bounds is None:
+            # compute the exact bounds HERE (same JVM agg the cluster lane
+            # would run) so the metadata sidecar needs no extra job
+            r = df.agg(
+                F.min(point_xy[0]), F.min(point_xy[1]), F.max(point_xy[0]), F.max(point_xy[1])
+            ).collect()[0]
+            bounds = (r[0], r[1], r[2], r[3])
         clustered = hilbert_cluster_points(
             df, point_xy[0], point_xy[1], geom_col, bounds, num_partitions,
             sample_fraction if sample_fraction else 0.01,
@@ -342,7 +349,8 @@ def write_geo_parquet(
     clustered.write.mode(mode).option("parquet.enable.dictionary", "false").parquet(path)
     if mode == "overwrite" and not path.startswith(("s3://", "s3a://", "hdfs://")):
         # metadata sidecar for append_geo_parquet: the clustering bounds
-        # (explicit, or reconstructed from the just-written footer stats)
+        # (explicit or just computed; the generic sampled lane reconstructs
+        # from the written footer stats — its own bounds are sampled)
         eff = bounds
         if eff is None:
             st = geo_parquet_stats(df.sparkSession, path, level="file").agg(
