@@ -322,16 +322,24 @@ def buffer_general(
 
 def intersection_keepall(parts):
     """Disjoint decomposition of a union of overlapping convex parts:
-    part_i minus all previous parts."""
+    part_i minus the previous parts whose bboxes overlap it. The bbox
+    prefilter turns a long buffer chain (k segments -> k rects + k caps,
+    mostly pairwise-disjoint) from O(k^2) difference calls into
+    O(k * local overlaps)."""
     out = []
-    prev = []
+    prev: list = []  # (part, bbox)
     for p in parts:
         piece = p
-        for q in prev:
+        bb = A.bounds(p)
+        if bb is None:
+            continue
+        for q, qb in prev:
+            if qb[0] > bb[2] or qb[2] < bb[0] or qb[1] > bb[3] or qb[3] < bb[1]:
+                continue
             piece = difference_tri(piece, q, dissolve=False)
             if piece.is_empty():
                 break
         if not piece.is_empty():
             out.extend(l for l in piece.flatten() if l.tag == G.POLYGON)
-        prev.append(p)
+        prev.append((p, bb))
     return out
