@@ -593,6 +593,32 @@ def q_gpkg_roundtrip(spark, sf_dir):
     )
 
 
+def q_fgb_roundtrip(spark, sf_dir):
+    """FlatGeobuf write -> read round trip (sources/flatgeobuf.py): the
+    hand-rolled flatbuffers builder + the fixture-validated decoder must
+    preserve rect geometry and typed attributes exactly."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
+
+    df = (
+        spark.sql(_RECTS)
+        .filter("rid < 500")
+        .withColumn("geom", F.expr("ST_MakeEnvelope(mx, my, mx + w, my + h)"))
+        .select("rid", F.col("w").alias("width"), "geom")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="fgb_q_"), "rt.fgb")
+    write_flatgeobuf(df, path, name="rects")
+    back = read_flatgeobuf(spark, path, num_partitions=4)
+    return back.selectExpr(
+        "rid", "width",
+        "round(ST_XMin(geom), 6) AS mnx", "round(ST_YMin(geom), 6) AS mny",
+        "round(ST_Area(geom), 6) AS area",
+    )
+
+
 def q_kml_roundtrip(spark, sf_dir):
     """KML write -> read round trip (sources/xmlgeo.py): stdlib-xml Placemark
     emission and parse preserve geometry and ExtendedData attributes. The
@@ -1127,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_predicates": q_spatial_predicates,
         "spatial_hilbert": q_spatial_hilbert,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "fgb_roundtrip": q_fgb_roundtrip,
         "kml_roundtrip": q_kml_roundtrip,
         "spatial_collect_dump": q_spatial_collect_dump,
         "spatial_line_endpoints": q_spatial_line_endpoints,
@@ -1670,6 +1697,11 @@ def oracle_sql() -> dict[str, str]:
               FROM it WHERE s > 0
             )
             SELECT id, d AS h FROM it WHERE s = 0
+        """,
+        "fgb_roundtrip": f"""
+            SELECT rid, w AS width, round(mx, 6) AS mnx, round(my, 6) AS mny,
+                   round(w * h, 6) AS area
+            FROM ({rects}) WHERE rid < 500
         """,
         "gpkg_roundtrip": f"""
             SELECT id, round(x, 6) AS x, round(y, 6) AS y
