@@ -24,11 +24,29 @@ from pyspark.sql import types as T
 
 def _cosine_expr(a, b):
     """Cosine similarity as a pure Column expression (zip_with + aggregate),
-    sequential fold => reproducible IEEE order."""
+    sequential fold => reproducible IEEE order. Used where a DuckDB oracle
+    replicates the value (sequential float64 adds match list_cosine_
+    similarity bit-for-bit); hot candidate re-ranks use _cosine_batch."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     return dot / (na * nb)
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched cosine for candidate re-ranks — the Column fold above
+    is CodegenFallback (interpreted per element)."""
+    out = np.full(len(a), np.nan)
+    pairs = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x is not None and y is not None]
+    if pairs:
+        idx = [p[0] for p in pairs]
+        X = np.asarray([p[1] for p in pairs], dtype=np.float64)
+        Y = np.asarray([p[2] for p in pairs], dtype=np.float64)
+        num = (X * Y).sum(axis=1)
+        den = np.sqrt((X * X).sum(axis=1)) * np.sqrt((Y * Y).sum(axis=1))
+        out[idx] = num / den
+    return pd.Series(out)
 
 
 def cosine_similarity(a, b):
@@ -155,8 +173,8 @@ def ann_lsh_topk(
     base and queries on (table, signature), exact cosine re-rank.
 
     Scales as sum of bucket sizes (no all-pairs); recall grows with
-    ``tables`` (multi-probe). Signature computed with a pure-Column dot
-    product per hyperplane (JVM-side)."""
+    ``tables`` (multi-probe). Signatures and the candidate re-rank both
+    run as Arrow-batched numpy (see add_lsh_signatures / _cosine_batch)."""
     if dim is None:
         dim = len(base.select(vec_col).first()[0])
 
@@ -181,7 +199,7 @@ def ann_lsh_topk(
     cand = (
         be.join(qe, ["tbl", "sig"])
         .dropDuplicates(["q_id", "b_id"])
-        .withColumn("cosine", _cosine_expr(F.col("q_vec"), F.col("b_vec")))
+        .withColumn("cosine", _cosine_batch(F.col("q_vec"), F.col("b_vec")))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("b_id").asc())
     return (
@@ -245,7 +263,7 @@ def ann_ivf_topk(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
         .withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
     )
-    cand = b.join(q, "cell").withColumn("cosine", _cosine_expr(F.col("q_vec"), F.col("b_vec")))
+    cand = b.join(q, "cell").withColumn("cosine", _cosine_batch(F.col("q_vec"), F.col("b_vec")))
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("b_id").asc())
     return (
         cand.withColumn("rank", F.row_number().over(w))
