@@ -593,6 +593,22 @@ def q_gpkg_roundtrip(spark, sf_dir):
     )
 
 
+def q_spatial_generatepoints(spark, sf_dir):
+    """ST_GeneratePoints table function: deterministic xxhash64-derived
+    uniforms over spark.range (st_generatepoints.cpp analog) — count,
+    bounds, and means are reproducible, so the oracle pins them."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.sources import st_generatepoints
+
+    pts = st_generatepoints(spark, 10.0, 20.0, 110.0, 220.0, 50_000, seed=42)
+    return pts.agg(
+        F.count("*").alias("n"),
+        F.round(F.min("x"), 6).alias("mnx"), F.round(F.max("x"), 6).alias("mxx"),
+        F.round(F.min("y"), 6).alias("mny"), F.round(F.max("y"), 6).alias("mxy"),
+        F.round(F.avg("x"), 6).alias("ax"), F.round(F.avg("y"), 6).alias("ay"),
+    )
+
+
 def q_fgb_roundtrip(spark, sf_dir):
     """FlatGeobuf write -> read round trip (sources/flatgeobuf.py): the
     hand-rolled flatbuffers builder + the fixture-validated decoder must
@@ -1154,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_hilbert": q_spatial_hilbert,
         "gpkg_roundtrip": q_gpkg_roundtrip,
         "fgb_roundtrip": q_fgb_roundtrip,
+        "spatial_generatepoints": q_spatial_generatepoints,
         "kml_roundtrip": q_kml_roundtrip,
         "spatial_collect_dump": q_spatial_collect_dump,
         "spatial_line_endpoints": q_spatial_line_endpoints,
@@ -1697,6 +1714,12 @@ def oracle_sql() -> dict[str, str]:
               FROM it WHERE s > 0
             )
             SELECT id, d AS h FROM it WHERE s = 0
+        """,
+        "spatial_generatepoints": """
+            SELECT CAST(50000 AS BIGINT) AS n,
+                   10.004095 AS mnx, 109.998386 AS mxx,
+                   20.013 AS mny, 219.990836 AS mxy,
+                   60.062682 AS ax, 120.088971 AS ay
         """,
         "fgb_roundtrip": f"""
             SELECT rid, w AS width, round(mx, 6) AS mnx, round(my, 6) AS mny,

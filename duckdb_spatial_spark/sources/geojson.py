@@ -357,16 +357,17 @@ def st_drivers(spark: SparkSession) -> DataFrame:
     """Available format drivers (ST_Drivers analog). GDAL is absent in this
     environment, so the list is the built-in pure-Python surface."""
     rows = [
-        ("GeoJSON", "GeoJSON (FeatureCollection / newline-delimited)", True, True, True, ""),
+        ("GeoJSON", "GeoJSON (FeatureCollection / newline-delimited, read/write)", True, True, True, ""),
         ("GeoParquet", "Parquet with WKB geometry (canonical form)", True, True, True, ""),
-        ("CSV", "CSV with WKT geometry column", True, True, True, ""),
+        ("CSV", "CSV with WKT geometry column (read/write)", True, True, True, ""),
         ("ESRI Shapefile", ".shp/.shx/.dbf (pure-Python reader/writer)", True, True, True, ""),
-        ("FlatGeobuf", "FlatGeobuf with packed-Rtree bbox pushdown (read-only)", False, False, True, ""),
+        ("FlatGeobuf", "FlatGeobuf, packed-Rtree bbox pushdown (read/write)", True, True, True, ""),
         ("GPKG", "GeoPackage (stdlib sqlite3 reader/writer)", True, True, True, ""),
         ("OSM", "OpenStreetMap PBF (read-only, blob-parallel)", False, False, True, ""),
         ("KML", "OGC KML 2.2 placemarks (read/write, stdlib xml)", True, True, True, ""),
-        ("GPX", "Topografix GPX waypoints/routes/tracks (read-only)", False, False, True, ""),
-        ("GML", "OGC GML 2/3.2 feature collections (read-only)", False, False, True, ""),
+        ("GPX", "Topografix GPX waypoints/routes/tracks (read/write)", True, True, True, ""),
+        ("GML", "OGC GML 2/3.2 feature collections (read/write)", True, True, True, ""),
+        ("TopoJSON", "TopoJSON topologies, shared-arc decode (read-only)", False, False, True, ""),
     ]
     return spark.createDataFrame(
         rows,
