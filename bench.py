@@ -81,18 +81,29 @@ def main():
     duck: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    def bench(name):
-        """Time one workload; a failure records an error for THAT query only
-        (round-3 lesson: one bad query must never zero out the whole bench)."""
+    repeats_map: dict[str, list[float]] = {}
+
+    def bench(name, repeats: int = 3):
+        """Time one workload best-of-N (default 3, matching the DuckDB side —
+        round-4 lesson: single-shot timings made every round-over-round
+        regression claim unfalsifiable). All repeats are recorded in the
+        output's ``repeats`` map so variance is visible. A failure records
+        an error for THAT query only (round-3 lesson: one bad query must
+        never zero out the whole bench)."""
         def deco(fn):
-            t0 = time.time()
+            runs = []
             try:
-                fn()
+                for _ in range(repeats):
+                    t0 = time.time()
+                    fn()
+                    runs.append(round(time.time() - t0, 3))
             except Exception as e:  # noqa: BLE001 - isolate per-query failure
                 errors[name] = f"{type(e).__name__}: {e}"[:500]
                 print(f"[bench] {name} FAILED: {errors[name]}", file=sys.stderr)
-                return fn
-            timings[name] = round(time.time() - t0, 3)
+                if not runs:
+                    return fn
+            timings[name] = min(runs)
+            repeats_map[name] = runs
             return fn
 
         return deco
@@ -177,7 +188,7 @@ def main():
                 " WHERE x >= 450 AND x <= 650 AND y >= 450 AND y <= 650",
             )
 
-            @bench(f"points_cluster_build{suffix}")
+            @bench(f"points_cluster_build{suffix}", repeats=2)
             def _():
                 write_geo_parquet(
                     flat.withColumn("geom", udfs.st_point("x", "y")).select("id", "geom"),
@@ -437,8 +448,10 @@ def main():
                 "sf": sf,
                 "duckdb": duck,
                 "ratio": ratio,
+                "repeats": repeats_map,
                 "errors": errors,
-                "config": {"cpus": cpus, "warmup": True, "points_large": large},
+                "config": {"cpus": cpus, "warmup": True, "points_large": large,
+                           "timing": "best-of-N (see repeats)"},
             }
         )
     )

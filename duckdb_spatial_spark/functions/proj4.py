@@ -100,6 +100,20 @@ def _parse_angle(v: str) -> float:
     return float(v)
 
 
+# every +key this engine consumes; anything else is semantically meaningful
+# in PROJ (e.g. +pm, +axis, +nadgrids, +geoidgrids) and silently dropping it
+# would return coordinates that are wrong by up to degrees.
+_CONSUMED_KEYS = frozenset(
+    {
+        "proj", "a", "rf", "f", "b", "ellps", "datum", "towgs84", "to_meter",
+        "units", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0",
+        "x_0", "y_0", "zone", "south",
+    }
+)
+# no-op decorations PROJ strings routinely carry
+_BENIGN_KEYS = frozenset({"no_defs", "wktext", "type", "over", "approx"})
+
+
 def parse_proj4(s: str) -> ProjDef:
     params: dict[str, str] = {}
     for tok in s.split():
@@ -114,6 +128,16 @@ def parse_proj4(s: str) -> ProjDef:
     proj = params.get("proj")
     if proj is None:
         raise ValueError(f"proj4 string missing +proj: {s!r}")
+    for k, v in params.items():
+        if k in _CONSUMED_KEYS or k in _BENIGN_KEYS:
+            continue
+        if k == "nadgrids" and v == "@null":
+            continue  # explicit "no grid shift" is a no-op here
+        raise ValueError(
+            f"unsupported proj4 parameter +{k}={v} in {s!r}: this engine "
+            f"consumes {sorted(_CONSUMED_KEYS)}; +pm/+axis/+nadgrids/"
+            f"+geoidgrids change the result and cannot be ignored"
+        )
 
     if "a" in params:
         a = float(params["a"])

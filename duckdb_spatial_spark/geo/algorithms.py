@@ -840,6 +840,27 @@ def boundary(g: Geometry) -> Geometry:
     flat = []
     for p in parts:
         flat.extend(p.flatten())
+    if g.tag == G.MULTILINESTRING:
+        # SFS mod-2 rule (GEOS BoundaryOp): an endpoint shared by an even
+        # number of component curves is interior, not boundary.
+        from collections import Counter
+
+        counts = Counter((float(pt.data[0]), float(pt.data[1])) for pt in flat)
+        flat = [
+            pt
+            for pt in flat
+            if counts[(float(pt.data[0]), float(pt.data[1]))] % 2 == 1
+        ]
+        seen = set()
+        uniq = []
+        for pt in flat:
+            key = (float(pt.data[0]), float(pt.data[1]))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(pt)
+        if not uniq:
+            return G.empty(G.MULTIPOINT)
+        return G.Geometry(G.MULTIPOINT, uniq)
     return G.collect(flat)
 
 
@@ -1027,8 +1048,9 @@ def make_valid(g: Geometry) -> Geometry:
 
 
 def normalize(g: Geometry) -> Geometry:
-    """Canonical form: shells CCW / holes CW, rings rotated to start at their
-    lexicographically smallest vertex, multi-parts sorted by serialized form."""
+    """Canonical form matching JTS/GEOS ``normalize()``: shells CW / holes
+    CCW, rings rotated to start at their lexicographically smallest vertex,
+    multi-parts sorted by serialized form."""
     from .wkb import to_wkb
 
     def norm_ring(ring: np.ndarray, want_ccw: bool) -> np.ndarray:
@@ -1042,7 +1064,7 @@ def normalize(g: Geometry) -> Geometry:
         return np.vstack([r, r[:1]])
 
     if g.tag == G.POLYGON and g.data:
-        rings = [norm_ring(g.data[0], True)] + [norm_ring(h, False) for h in g.data[1:]]
+        rings = [norm_ring(g.data[0], False)] + [norm_ring(h, True) for h in g.data[1:]]
         return Geometry(G.POLYGON, rings, g.has_z, g.has_m)
     if g.tag == G.LINESTRING and len(g.data):
         a, b = g.data[0, :2], g.data[-1, :2]

@@ -443,13 +443,19 @@ def embedding_neardup_pairs(
     # spread block pairs across the cluster before the numpy stage
     bp = bp.repartition(max(nblocks, 32))
 
-    out_schema = "id_a long, id_b long, cosine double"
+    # id_a/id_b keep the input id column's type (string ids are as common as
+    # int ids in dedup pipelines); comparisons use numpy object arrays so
+    # Python ordering semantics apply to both.
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine double"
 
     def score(it):
         for pdf in it:
             for row in pdf.itertuples(index=False):
-                ia = np.asarray([x["_id"] for x in row.items_a], dtype=np.int64)
-                ib = np.asarray([x["_id"] for x in row.items_b], dtype=np.int64)
+                # natural dtype: int ids stay int64 (vectorized C compares),
+                # string ids become numpy unicode (also vectorized)
+                ia = np.asarray([x["_id"] for x in row.items_a])
+                ib = np.asarray([x["_id"] for x in row.items_b])
                 Ma = np.asarray([x["_v"] for x in row.items_a], dtype=np.float64)
                 Mb = np.asarray([x["_v"] for x in row.items_b], dtype=np.float64)
                 na = np.sqrt((Ma * Ma).sum(axis=1))
@@ -463,10 +469,12 @@ def embedding_neardup_pairs(
                 i, j = np.nonzero(mask)
                 if len(i) == 0:
                     continue
-                id_a = np.minimum(ia[i], ib[j])
-                id_b = np.maximum(ia[i], ib[j])
+                aa, bb = ia[i], ib[j]
+                lo = aa <= bb  # (np.minimum has no loop for <U dtypes)
+                id_a = np.where(lo, aa, bb)
+                id_b = np.where(lo, bb, aa)
                 yield pd.DataFrame(
-                    {"id_a": id_a, "id_b": id_b, "cosine": S[i, j]}
+                    {"id_a": id_a.tolist(), "id_b": id_b.tolist(), "cosine": S[i, j]}
                 )
 
     return bp.mapInPandas(score, out_schema)

@@ -63,14 +63,30 @@ def ann_brute_topk(
     vec_col: str = "embedding",
     q_id_col: str = None,
     q_vec_col: str = None,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
     Broadcast the query matrix; each base partition computes one
     (batch x queries) matmul; global per-query top-k via window over the
-    (base_rows x n_queries) candidate set pre-trimmed to local top-k."""
+    (base_rows x n_queries) candidate set pre-trimmed to local top-k.
+
+    Contract: the QUERY side is collected to the driver and broadcast —
+    it must be small (bounded by ``max_queries``; ~100k x 768 float64 is
+    ~600 MB broadcast, the practical ceiling). For query sets beyond the
+    cap (query-set == base-set all-pairs jobs), use
+    :func:`duckdb_spatial_spark.operators.dedup.embedding_neardup_pairs`
+    (blocked matmul) instead — that shape is a dedup, not a lookup."""
     q_id_col = q_id_col or id_col
     q_vec_col = q_vec_col or vec_col
+    qn = queries.count()
+    if qn > max_queries:
+        raise ValueError(
+            f"ann_brute_topk: {qn} query vectors exceeds max_queries="
+            f"{max_queries}; the query side is driver-collected + broadcast. "
+            "For huge query sets use dedup.embedding_neardup_pairs (blocked "
+            "matmul) or chunk the query set"
+        )
     qrows = queries.select(q_id_col, q_vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)

@@ -367,6 +367,43 @@ def read_geo_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _hadoop_list_parquet(spark: SparkSession, path: str) -> list[str]:
+    """List ``*.parquet`` members of ``path`` (dir | file | glob) via the
+    Hadoop FileSystem API — object-store-safe, unlike a local ``glob``."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    if fs.exists(jpath):
+        st = fs.getFileStatus(jpath)
+        if st.isDirectory():
+            stats = fs.listStatus(jpath)
+            return sorted(
+                s.getPath().toString()
+                for s in stats
+                if s.isFile() and s.getPath().getName().endswith(".parquet")
+            )
+        return [st.getPath().toString()]
+    stats = fs.globStatus(jpath)
+    if stats is None:
+        return []
+    return sorted(s.getPath().toString() for s in stats if s.isFile())
+
+
+def _pyarrow_openable(fp: str):
+    """Map a Hadoop path/URI to something pyarrow can open on an executor:
+    strip ``file:`` schemes to a local path; translate ``s3a://`` to the
+    ``s3://`` scheme pyarrow's native S3 filesystem expects."""
+    if fp.startswith("file:"):
+        rest = fp[len("file:"):]
+        if rest.startswith("///"):
+            rest = rest[2:]
+        return rest
+    if fp.startswith("s3a://"):
+        return "s3://" + fp[len("s3a://"):]
+    return fp
+
+
 def geo_parquet_stats(spark: SparkSession, path: str, level: str = "rowgroup") -> DataFrame:
     """R-tree introspection analog (``rtree_index_pragmas.cpp`` exposes
     ``rtree_index_dump`` with per-node bounding boxes; here the 'nodes' are
@@ -376,22 +413,20 @@ def geo_parquet_stats(spark: SparkSession, path: str, level: str = "rowgroup") -
     the bbox-column min/max from the parquet FOOTER statistics plus row
     counts — exactly the numbers the pruning rewrite skips on, so a slow
     windowed query can be debugged by eyeballing which row groups a window
-    overlaps. Footers are read on executors (one task per file): no data
-    pages are touched and no driver bottleneck at 100k files."""
-    import glob as _glob
+    overlaps. Listing goes through the Hadoop FileSystem API (so ``file:``,
+    ``hdfs:`` and ``s3a:`` dataset paths all work — no driver-side local
+    glob); footers are read on executors (one task per file): no data pages
+    are touched and no driver bottleneck at 100k files."""
     import os
 
-    if os.path.isdir(path):
-        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
-    else:
-        files = sorted(_glob.glob(path)) or [path]
+    files = _hadoop_list_parquet(spark, path)
 
     want_file_level = level == "file"
 
     def footer_stats(fp: str):
         import pyarrow.parquet as pq
 
-        md = pq.ParquetFile(fp).metadata
+        md = pq.ParquetFile(_pyarrow_openable(fp)).metadata
         names = [md.schema.column(i).name for i in range(md.num_columns)]
         idx = {c: names.index(c) for c in BBOX_COLS + ("hilbert",) if c in names}
         rows = []
@@ -577,10 +612,13 @@ def compact_geo_parquet(
     """Re-cluster the whole layout in place (OPTIMIZE analog; the reference
     instead maintains the R-tree online via its WAL — rtree.cpp:63-118 —
     which parquet files can't do). Skips when fragmentation <=
-    ``min_fragmentation``. Rewrites into a sibling temp dir and swaps, so
-    a concurrent reader sees either the old or the new layout, never a
-    half-written one (same move-based swap every filesystem commit
-    protocol in Spark relies on)."""
+    ``min_fragmentation``. Rewrites into a sibling temp dir then swaps via
+    two renames — readers already BOUND to the old files keep working, but
+    the swap is NOT atomic: between the two renames the dataset path
+    briefly does not exist, so a reader binding at that instant fails.
+    Single-writer / no-concurrent-bind semantics; a truly atomic swap
+    needs a symlink flip or a table-format commit protocol (Iceberg/Delta),
+    which is the recommended wrapper at production scale."""
     import os as _os
     import shutil as _shutil
 

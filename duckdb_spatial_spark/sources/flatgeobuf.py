@@ -469,7 +469,10 @@ class _FB:
     def vector(self, fmt, values):
         size = struct.calcsize(fmt)
         values = list(values)
-        self._prep(4, additional=size * len(values))
+        # element alignment (8 for f8/i8 vectors, per FlatBuffers rules —
+        # finish() makes the total length 8-aligned so end-based alignment
+        # here becomes start-based alignment in the emitted buffer)
+        self._prep(max(size, 4), additional=size * len(values))
         # the payload is prepended as one block, so it stays in forward order
         self.b[:0] = b"".join(struct.pack(fmt, v) for v in values)
         self.b[:0] = struct.pack("<I", len(values))
@@ -523,7 +526,11 @@ class _FB:
         return table_pos
 
     def finish(self, root):
-        self._prep(4, additional=4)
+        # pad so the finished buffer is 8-aligned overall: every end-based
+        # _prep alignment then holds measured from the buffer start too,
+        # which is what strict FlatBuffers verifiers (GDAL) check
+        while (len(self.b) + 4) % 8 != 0:
+            self._pad(1)
         self.b[:0] = struct.pack("<I", len(self.b) + 4 - root)
         return bytes(self.b)
 
@@ -611,6 +618,12 @@ def write_flatgeobuf(
         wkb = d.get(geom_col)
         g = WKB.from_wkb(bytes(wkb)) if wkb is not None else None
         if g is not None:
+            if g.has_z or g.has_m:
+                raise ValueError(
+                    "write_flatgeobuf: Z/M coordinates are not supported by "
+                    "this writer (xy fields only); ST_Force2D the geometry "
+                    "first, or use GeoParquet/GeoJSON which round-trip Z"
+                )
             gtypes.add(_FGB_TAG_OF[g.tag])
         prop_bytes = bytearray()
         for ci, (cname, ctype) in enumerate(props):

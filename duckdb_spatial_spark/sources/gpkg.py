@@ -227,10 +227,18 @@ _SPARK_TO_SQLITE = {
 }
 
 
-def write_gpkg(df, path: str, layer: str = "layer", geom_col: str = "geom", srs_id: int = 4326):
+def write_gpkg(
+    df,
+    path: str,
+    layer: str = "layer",
+    geom_col: str = "geom",
+    srs_id: int = 4326,
+    max_rows: int = 5_000_000,
+):
     """COPY TO (FORMAT GDAL, DRIVER 'GPKG') analog. A GeoPackage is one
     SQLite file, so the write is inherently serial (the reference's GDAL
-    write is too) — rows are collected via Arrow. Use parquet for big data;
+    write is too) — rows are collected via Arrow, bounded by ``max_rows``
+    so a big table cannot OOM the driver. Use GeoParquet for big data;
     this is the interchange path."""
     from ..geo import algorithms as A
     from ..geo import wkb as WKB
@@ -238,6 +246,13 @@ def write_gpkg(df, path: str, layer: str = "layer", geom_col: str = "geom", srs_
     names = df.columns
     if geom_col not in names:
         raise ValueError(f"geometry column {geom_col!r} not in {names}")
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_gpkg: {n} rows exceeds max_rows={max_rows}; a GeoPackage "
+            "is a single driver-materialized SQLite file — write GeoParquet "
+            "(plans.pruning.write_geo_parquet) for tables this size"
+        )
     pdf = df.toPandas()
     if os.path.exists(path):
         os.remove(path)

@@ -263,10 +263,18 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8"):
         return spark.createDataFrame(rows, schema)
 
 
-def write_shapefile(df, path: str, geom_col: str = "geom"):
+def write_shapefile(df, path: str, geom_col: str = "geom", max_rows: int = 5_000_000):
     """Minimal .shp/.shx/.dbf writer (point/line/polygon 2D) — enough for
-    round-trip tests and export; collects to the driver (shapefiles are a
-    legacy small-data interchange format; big data should use GeoParquet)."""
+    round-trip tests and export; collects to the driver, bounded by
+    ``max_rows`` (shapefiles are a legacy small-data interchange format and
+    capped at 2 GB anyway; big data should use GeoParquet)."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"write_shapefile: {n} rows exceeds max_rows={max_rows}; a "
+            "shapefile is a single driver-materialized file — write "
+            "GeoParquet (plans.pruning.write_geo_parquet) for tables this size"
+        )
     rows = df.collect()
     cols = [c for c in df.columns if c != geom_col]
     geoms = [WKB.from_wkb(bytes(r[geom_col])) if r[geom_col] is not None else None for r in rows]

@@ -68,22 +68,31 @@ def _fetch_remote(path: str) -> str:
     local = os.path.join(d, os.path.basename(path.rstrip("/")) or "download")
     if os.path.exists(local):
         return local
-    if path.startswith("s3://"):
-        try:
-            import boto3  # noqa: PLC0415
-        except ImportError as e:
-            raise NotImplementedError(
-                "s3:// ST_Read needs boto3, which is not installed in this "
-                "environment; stage the object locally or use s3a:// through "
-                "spark.read for parquet"
-            ) from e
-        bucket, _, key = path[len("s3://") :].partition("/")
-        boto3.client("s3").download_file(bucket, key, local)
-        return local
-    import urllib.request  # noqa: PLC0415
+    # download to a temp name and rename into place only once complete, so
+    # an interrupted transfer can never leave a truncated file that later
+    # reads silently reuse (os.rename is atomic within the cache dir)
+    tmp = local + f".part-{os.getpid()}"
+    try:
+        if path.startswith("s3://"):
+            try:
+                import boto3  # noqa: PLC0415
+            except ImportError as e:
+                raise NotImplementedError(
+                    "s3:// ST_Read needs boto3, which is not installed in this "
+                    "environment; stage the object locally or use s3a:// through "
+                    "spark.read for parquet"
+                ) from e
+            bucket, _, key = path[len("s3://") :].partition("/")
+            boto3.client("s3").download_file(bucket, key, tmp)
+        else:
+            import urllib.request  # noqa: PLC0415
 
-    with urllib.request.urlopen(path) as r, open(local, "wb") as f:  # noqa: S310
-        shutil.copyfileobj(r, f)
+            with urllib.request.urlopen(path) as r, open(tmp, "wb") as f:  # noqa: S310
+                shutil.copyfileobj(r, f)
+        os.rename(tmp, local)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
     return local
 
 

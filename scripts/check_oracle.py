@@ -17,12 +17,16 @@ sys.path.insert(0, "/root/repo")
 
 
 def norm_rows(cols, rows):
+    from decimal import Decimal
+
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in idx:
             v = r[i]
+            if isinstance(v, Decimal):
+                v = float(v)
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "nan"

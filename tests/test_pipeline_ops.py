@@ -116,6 +116,22 @@ def test_embedding_neardup_blocked_matches_exact(spark, emb):
     assert er == br and len(er) > 0
 
 
+def test_embedding_neardup_blocked_string_ids(spark, emb):
+    # string id columns must survive the blocked lane (schema + min/max pair
+    # ordering are derived from the input id type, not hardcoded long)
+    emb2 = emb.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("vec_id").cast("string"), 6, "0")).alias("sid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    out = D.embedding_neardup_pairs(
+        emb2, "sid", "embedding", threshold=0.35, strategy="blocked", block_size=64
+    )
+    assert dict(out.dtypes)["id_a"] == "string"
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r.id_a < r.id_b for r in rows)
+
+
 def test_embedding_neardup_lsh_default_no_cartesian(spark):
     # planted near-dup clusters: base vector + tiny noise => cosine > 0.99
     rng = np.random.RandomState(42)

@@ -100,3 +100,19 @@ def test_wkt_csv_roundtrip(spark, mixed, tmp_path):
     back = read_wkt_csv(spark, p + "/*.csv")
     assert back.count() == 30
     assert _wkts(back) == _wkts(mixed)
+
+
+def test_single_file_writer_guards(spark, mixed, tmp_path):
+    # driver-materializing single-file writers must refuse big inputs with
+    # an actionable error instead of OOMing the driver
+    from duckdb_spatial_spark.sources.gpkg import write_gpkg
+    from duckdb_spatial_spark.sources.shapefile import write_shapefile
+
+    pts = mixed.filter("id % 4 = 0")
+    with pytest.raises(ValueError, match="max_rows"):
+        write_gpkg(mixed, str(tmp_path / "g.gpkg"), max_rows=5)
+    with pytest.raises(ValueError, match="max_rows"):
+        write_shapefile(pts, str(tmp_path / "s.shp"), max_rows=2)
+    # under the cap both still write
+    write_gpkg(mixed, str(tmp_path / "ok.gpkg"), max_rows=100)
+    write_shapefile(pts, str(tmp_path / "ok.shp"), max_rows=100)
