@@ -1252,6 +1252,152 @@ def q_spatial_area_spheroid(spark, sf_dir):
     )
 
 
+def q_spatial_predicates2(spark, sf_dir):
+    """Boundary-sensitive predicate family over derived rectangles:
+    Covers/CoveredBy (boundary-inclusive), ContainsProperly (interior-only),
+    Contains, Disjoint, Intersects_Extent, plus ST_ShortestLine length
+    between disjoint rects (closed-form gap distance). A: base rect,
+    E: left half (shares A's boundary), B: strict interior rect,
+    C: edge-adjacent rect, D: disjoint rect offset by (rid%7+1, rid%5+2)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT rid,
+          ST_Covers(A, E) AS cov_ae,
+          ST_Contains(A, E) AS con_ae,
+          ST_ContainsProperly(A, E) AS cp_ae,
+          ST_ContainsProperly(A, B) AS cp_ab,
+          ST_CoveredBy(E, A) AS cb_ea,
+          ST_Covers(A, C) AS cov_ac,
+          ST_Disjoint(A, D) AS dis_ad,
+          ST_Disjoint(A, C) AS dis_ac,
+          ST_Intersects_Extent(A, C) AS ie_ac,
+          ST_Intersects_Extent(A, D) AS ie_ad,
+          round(ST_Length(ST_ShortestLine(A, D)), 6) AS gap
+        FROM (
+          SELECT rid,
+            ST_MakeEnvelope(mx, my, mx + w, my + h) AS A,
+            ST_MakeEnvelope(mx, my, mx + w/2, my + h) AS E,
+            ST_MakeEnvelope(mx + w/4, my + h/4, mx + 3*w/4, my + 3*h/4) AS B,
+            ST_MakeEnvelope(mx + w, my, mx + 2*w, my + h) AS C,
+            ST_MakeEnvelope(mx + w + (rid % 7 + 1), my + h + (rid % 5 + 2),
+                            mx + 2*w + (rid % 7 + 1), my + 2*h + (rid % 5 + 2)) AS D
+          FROM ({_RECTS}) WHERE rid <= 400
+        )
+        """
+    )
+
+
+_DUMMY_RING = "LINESTRING (0 0, 1 0, 0 1, 0 0)"
+_CONSTRUCT_WKTS = [
+    # (id, wkt, ring wkt for ST_MakePolygon — pandas UDFs evaluate the whole
+    # column regardless of CASE, so every row needs a valid closed ring)
+    (1, "LINESTRING (0 0, 1 0, 1 1, 0 0)", "LINESTRING (0 0, 1 0, 1 1, 0 0)"),
+    (2, "LINESTRING (0 0, 1 0, 1 1)", _DUMMY_RING),
+    (3, "POINT (3 4)", _DUMMY_RING),
+    (4, "POLYGON EMPTY", _DUMMY_RING),
+    (5, "LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)", "LINESTRING (0 0, 2 0, 2 2, 0 2, 0 0)"),
+    (6, "MULTIPOINT (1 1, 2 2)", _DUMMY_RING),
+    (7, "LINESTRING EMPTY", _DUMMY_RING),
+    (8, "LINESTRING (0 0, 1 1, 0 1, 1 0, 0 0)", "LINESTRING (0 0, 1 1, 0 1, 1 0, 0 0)"),
+]
+
+
+def q_spatial_construct_ops(spark, sf_dir):
+    """IsClosed/IsEmpty/IsRing semantics (SFS: ring = closed AND simple;
+    row 8 is closed but self-crossing, so not a ring), ST_MakePolygon from
+    closed rings, ST_Points vertex dump. Oracle = pinned literals."""
+    _prep(spark, sf_dir)
+    df = spark.createDataFrame(_CONSTRUCT_WKTS, "id long, wkt string, rw string")
+    df.createOrReplaceTempView("_cons_w")
+    return spark.sql(
+        """
+        SELECT id,
+          ST_IsClosed(ST_GeomFromText(wkt)) AS closed,
+          ST_IsEmpty(ST_GeomFromText(wkt)) AS empty,
+          ST_IsRing(ST_GeomFromText(wkt)) AS ring,
+          CASE WHEN id IN (1, 5, 8)
+               THEN ST_AsText(ST_MakePolygon(ST_GeomFromText(rw))) ELSE '-' END AS mkpoly,
+          ST_AsText(ST_Points(ST_GeomFromText(wkt))) AS pts
+        FROM _cons_w
+        """
+    )
+
+
+def q_spatial_refsys(spark, sf_dir):
+    """SPATIAL_REF_SYS / ST_List_Proj_CRS analog (proj/functions.cpp:416-422):
+    pinned well-known rows + the fixed UTM-zone count, robust to future
+    registry growth."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.functions import list_proj_crs_df
+
+    df = list_proj_crs_df(spark)
+    df.createOrReplaceTempView("_crs_reg")
+    return spark.sql(
+        """
+        SELECT auth_name AS auth, code, name FROM _crs_reg
+        WHERE code IN ('4326', '3857', '27700', '32633')
+        UNION ALL
+        SELECT 'EPSG' AS auth, 'utm_zones' AS code,
+               CAST(count(*) AS STRING) AS name
+        FROM _crs_reg WHERE name LIKE 'WGS 84 / UTM zone %'
+        """
+    )
+
+
+def q_st_drivers_meta(spark, sf_dir):
+    """ST_Drivers registry (st_drivers.cpp analog; pinned — the format list
+    is static) + ST_Read_Meta over a GeoJSON written from testdata
+    (st_read_meta.cpp:26-56: driver, feature count, geometry types, crs)."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources import st_drivers, st_read_meta
+    from duckdb_spatial_spark.sources.geojson import write_geojson
+
+    drv = st_drivers(spark).selectExpr(
+        "short_name AS name", "CAST(can_open AS STRING) AS a",
+        "CAST(can_create AS STRING) AS b"
+    )
+    df = (
+        spark.sql(_PTS).filter("id < 250")
+        .withColumn("geom", F.expr("ST_Point(x, y)"))
+        .select("id", "geom")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="meta_q_"), "m.geojson")
+    write_geojson(df, path, style="collection")
+    meta = st_read_meta(spark, path).selectExpr(
+        "concat(driver, '/', geometry_types, '/', crs) AS name",
+        "CAST(feature_count AS STRING) AS a", "'meta' AS b"
+    )
+    return drv.unionAll(meta)
+
+
+def q_shp_roundtrip(spark, sf_dir):
+    """Shapefile write -> read round trip (sources/shapefile.py): .shp/.shx
+    geometry records + .dbf attributes (ST_ReadSHP analog,
+    read_shapefile.cpp)."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources.shapefile import read_shapefile, write_shapefile
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 400")
+        .withColumn("geom", F.expr("ST_Point(x, y)"))
+        .select("id", "geom")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="shp_q_"), "rt.shp")
+    write_shapefile(df, path)
+    back = read_shapefile(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y"
+    )
+
+
 def q_spatial_distance_spheroid(spark, sf_dir):
     """Vectorized Vincenty geodesic distance (st_distance_spheroid.cpp);
     oracle = the same fixed-point Vincenty iteration unrolled in plain SQL
@@ -1311,9 +1457,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_zm_flags": q_spatial_zm_flags,
         "spatial_area_spheroid": q_spatial_area_spheroid,
         "spatial_distance_spheroid": q_spatial_distance_spheroid,
+        "spatial_predicates2": q_spatial_predicates2,
+        "spatial_construct_ops": q_spatial_construct_ops,
+        "shp_roundtrip": q_shp_roundtrip,
+        "spatial_refsys": q_spatial_refsys,
+        "st_drivers_meta": q_st_drivers_meta,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
-        "spatial_dwithin_join_count": q_spatial_dwithin_join_count,
         "spatial_extent_agg": q_spatial_extent_agg,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "spatial_overlay_rects": q_spatial_overlay_rects,
@@ -1329,18 +1479,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_buffer_area": q_spatial_buffer_area,
         "spatial_predicates": q_spatial_predicates,
         "spatial_hilbert": q_spatial_hilbert,
-        "gpkg_roundtrip": q_gpkg_roundtrip,
         "fgb_roundtrip": q_fgb_roundtrip,
         "spatial_generatepoints": q_spatial_generatepoints,
         "kml_roundtrip": q_kml_roundtrip,
         "spatial_dwithin_grouped": q_spatial_dwithin_grouped,
         "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
         "events_sessionization": q_events_sessionization,
-        "events_top_per_type": q_events_top_per_type,
         "window_running_total": q_window_running_total,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
@@ -1348,6 +1494,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_jaccard": q_text_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         # --- long-stable (green r2-r4, pytest + check_oracle.py coverage) ---
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "events_top_per_type": q_events_top_per_type,
+        "spatial_dwithin_join_count": q_spatial_dwithin_join_count,
+        "gpkg_roundtrip": q_gpkg_roundtrip,
         "spatial_distance": q_spatial_distance,
         "spatial_envelope_count": q_spatial_envelope_count,
         "spatial_envelope_count_native": q_spatial_envelope_count_native,
@@ -1850,6 +2001,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spatial_area_spheroid": _area_spheroid_oracle(),
         "spatial_distance_spheroid": _distance_spheroid_oracle(),
+        # rect-pair predicate truths are pure boundary arithmetic: E shares
+        # A's boundary (covers/contains true, containsproperly false), B is
+        # strictly interior, C edge-adjacent, D diagonally offset by
+        # (rid%7+1, rid%5+2) so the shortest line is corner-to-corner.
+        "spatial_predicates2": f"""
+            SELECT rid,
+              true AS cov_ae, true AS con_ae, false AS cp_ae, true AS cp_ab,
+              true AS cb_ea, false AS cov_ac, true AS dis_ad, false AS dis_ac,
+              true AS ie_ac, false AS ie_ad,
+              round(sqrt((rid % 7 + 1) * (rid % 7 + 1) + (rid % 5 + 2) * (rid % 5 + 2)), 6) AS gap
+            FROM ({_RECTS}) WHERE rid <= 400
+        """,
+        "spatial_construct_ops": """
+            SELECT CAST(id AS BIGINT) AS id, closed, empty, ring, mkpoly, pts
+            FROM (VALUES
+              (1, true,  false, true,  'POLYGON ((0 0, 1 0, 1 1, 0 0))', 'MULTIPOINT (0 0, 1 0, 1 1, 0 0)'),
+              (2, false, false, false, '-', 'MULTIPOINT (0 0, 1 0, 1 1)'),
+              (3, true,  false, false, '-', 'MULTIPOINT (3 4)'),
+              (4, true,  true,  false, '-', 'MULTIPOINT EMPTY'),
+              (5, true,  false, true,  'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'MULTIPOINT (0 0, 2 0, 2 2, 0 2, 0 0)'),
+              (6, true,  false, false, '-', 'MULTIPOINT (1 1, 2 2)'),
+              (7, false, true,  false, '-', 'MULTIPOINT EMPTY'),
+              (8, true,  false, false, 'POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))', 'MULTIPOINT (0 0, 1 1, 0 1, 1 0, 0 0)')
+            ) AS t(id, closed, empty, ring, mkpoly, pts)
+        """,
+        "shp_roundtrip": f"""
+            SELECT id, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 400
+        """,
+        "spatial_refsys": """
+            SELECT * FROM (VALUES
+              ('EPSG', '4326', 'WGS 84'),
+              ('EPSG', '3857', 'WGS 84 / Pseudo-Mercator'),
+              ('EPSG', '32633', 'WGS 84 / UTM zone 33N'),
+              ('EPSG', '27700', 'OSGB36 / British National Grid'),
+              ('EPSG', 'utm_zones', '120')
+            ) AS t(auth, code, name)
+        """,
+        "st_drivers_meta": f"""
+            SELECT * FROM (VALUES
+              ('GeoJSON', 'true', 'true'), ('GeoParquet', 'true', 'true'),
+              ('CSV', 'true', 'true'), ('ESRI Shapefile', 'true', 'true'),
+              ('FlatGeobuf', 'true', 'true'), ('GPKG', 'true', 'true'),
+              ('OSM', 'true', 'false'), ('KML', 'true', 'true'),
+              ('GPX', 'true', 'true'), ('GML', 'true', 'true'),
+              ('TopoJSON', 'true', 'false')
+            ) AS t(name, a, b)
+            UNION ALL
+            SELECT 'GeoJSON/Point/EPSG:4326' AS name,
+                   CAST(count(*) AS STRING) AS a, 'meta' AS b
+            FROM ({pts}) WHERE id < 250
+        """,
         "tpch_q1": """
             -- DuckDB widens sum(BIGINT) to HUGEINT (Arrow decimal128); the
             -- driver hash-compares Arrow values, so every aggregate-level sum

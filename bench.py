@@ -345,8 +345,11 @@ def main():
         # At sf0.1 DuckDB answers in tens of ms vs Spark's ~0.3-0.5 s per-job
         # floor, so small-tier ratios measure scheduling; the marginal rate —
         # the 100 TB-relevant number — only shows where compute dominates.
-        tpch_mult = int(os.environ.get("SPARK_GRAFT_BENCH_TPCH_MULT", "64"))
-        ev_mult = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS_MULT", "100"))
+        # 128x lineitem @ sf0.1 = 76.8M rows (~sf13-equivalent); 150x events
+        # = 15M rows. Compute-dominated tier where the 2x-of-DuckDB bar is
+        # meaningful (scheduling floor amortized away).
+        tpch_mult = int(os.environ.get("SPARK_GRAFT_BENCH_TPCH_MULT", "128"))
+        ev_mult = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS_MULT", "150"))
         try:
             if tpch_mult > 0:
                 li_big = f"{tmp}/lineitem_big"
