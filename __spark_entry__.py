@@ -1398,6 +1398,71 @@ def q_shp_roundtrip(spark, sf_dir):
     )
 
 
+def q_dxf_read(spark, sf_dir):
+    """DXF entity reader (sources/dxf.py; GDAL DXF driver analog reached by
+    the reference via st_read.cpp). A drawing with POINT entities derived
+    from the orders table plus a closed LWPOLYLINE and a TEXT entity is
+    parsed back; the oracle recomputes the same layer sums / polygon
+    measures in plain SQL."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources.dxf import read_dxf
+
+    rows = spark.sql(_PTS).filter("id < 300").collect()
+    parts = ["0\nSECTION\n2\nENTITIES\n"]
+    for r in rows:
+        parts.append(f"0\nPOINT\n8\nL{int(r.id) % 5}\n10\n{r.x!r}\n20\n{r.y!r}\n")
+    parts.append(
+        "0\nLWPOLYLINE\n8\nP\n70\n1\n90\n4\n"
+        "10\n0\n20\n0\n10\n4\n20\n0\n10\n4\n20\n4\n10\n0\n20\n4\n"
+    )
+    parts.append("0\nTEXT\n8\nT\n10\n7\n20\n8\n1\nhello\n")
+    parts.append("0\nENDSEC\n0\nEOF\n")
+    path = os.path.join(tempfile.mkdtemp(prefix="dxf_q_"), "q.dxf")
+    with open(path, "w") as f:
+        f.write("".join(parts))
+    df = read_dxf(spark, path)
+    df.createOrReplaceTempView("dxf_q")
+    return spark.sql(
+        """
+        SELECT layer AS name, CAST(count(*) AS BIGINT) AS n,
+               round(sum(ST_X(geom)), 6) AS a, round(sum(ST_Y(geom)), 6) AS b
+        FROM dxf_q WHERE entity = 'POINT' GROUP BY layer
+        UNION ALL
+        SELECT 'POLY' AS name, CAST(1 AS BIGINT) AS n,
+               round(ST_Area(geom), 6) AS a, round(ST_Perimeter(geom), 6) AS b
+        FROM dxf_q WHERE entity = 'LWPOLYLINE'
+        UNION ALL
+        SELECT concat('TEXT:', text) AS name, CAST(1 AS BIGINT) AS n,
+               ST_X(geom) AS a, ST_Y(geom) AS b
+        FROM dxf_q WHERE entity = 'TEXT'
+        """
+    )
+
+
+def q_xlsx_roundtrip(spark, sf_dir):
+    """XLSX write -> read round trip (sources/tabular.py; GDAL XLSX driver
+    analog — the reference's test/sql/gdal suite exercises spreadsheets).
+    score = x/4 is an exact binary division, so values survive the decimal
+    text round trip bit-exactly."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources.tabular import read_xlsx, write_xlsx
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name, x / 4 AS score"
+        f" FROM ({_PTS}) WHERE id < 300"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_q_"), "q.xlsx")
+    write_xlsx(df, path, sheet="pts")
+    back = read_xlsx(spark, path)
+    return back.selectExpr("CAST(id AS DOUBLE) AS id", "name", "CAST(score AS DOUBLE) AS score")
+
+
 def q_spatial_distance_spheroid(spark, sf_dir):
     """Vectorized Vincenty geodesic distance (st_distance_spheroid.cpp);
     oracle = the same fixed-point Vincenty iteration unrolled in plain SQL
@@ -1462,6 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shp_roundtrip": q_shp_roundtrip,
         "spatial_refsys": q_spatial_refsys,
         "st_drivers_meta": q_st_drivers_meta,
+        "dxf_read": q_dxf_read,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_extent_agg": q_spatial_extent_agg,
@@ -1491,9 +1558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_metrics": q_text_metrics,
-        "text_ngram_jaccard": q_text_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         # --- long-stable (green r2-r4, pytest + check_oracle.py coverage) ---
+        "text_ngram_jaccard": q_text_ngram_jaccard,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "events_top_per_type": q_events_top_per_type,
@@ -2030,6 +2097,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 400
         """,
+        "dxf_read": f"""
+            SELECT concat('L', CAST(id % 5 AS STRING)) AS name,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(x), 6) AS a, round(sum(y), 6) AS b
+            FROM ({pts}) WHERE id < 300 GROUP BY 1
+            UNION ALL SELECT 'POLY', 1, 16.0, 16.0
+            UNION ALL SELECT 'TEXT:hello', 1, 7.0, 8.0
+        """,
+        "xlsx_roundtrip": f"""
+            SELECT CAST(id AS DOUBLE) AS id,
+                   concat('n', CAST(id % 7 AS STRING)) AS name,
+                   x / 4 AS score
+            FROM ({pts}) WHERE id < 300
+        """,
         "spatial_refsys": """
             SELECT * FROM (VALUES
               ('EPSG', '4326', 'WGS 84'),
@@ -2046,7 +2127,8 @@ def oracle_sql() -> dict[str, str]:
               ('FlatGeobuf', 'true', 'true'), ('GPKG', 'true', 'true'),
               ('OSM', 'true', 'false'), ('KML', 'true', 'true'),
               ('GPX', 'true', 'true'), ('GML', 'true', 'true'),
-              ('TopoJSON', 'true', 'false')
+              ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'false'),
+              ('XLSX', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

@@ -1,4 +1,4 @@
-"""Vectorized WGS84 geodesic kernels: Vincenty inverse and *exact*
+r"""Vectorized WGS84 geodesic kernels: Vincenty inverse and *exact*
 ellipsoidal polygon area/perimeter.
 
 Reference semantics: the reference delegates to GeographicLib —

@@ -26,7 +26,7 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".geojson", "geojson"), (".ndjson", "geojson"), (".json", "geojson"),
             (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),
             (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
-            (".topojson", "topojson"),
+            (".topojson", "topojson"), (".dxf", "dxf"), (".xlsx", "xlsx"),
         ):
             if p.endswith(ext):
                 return f
@@ -75,6 +75,10 @@ def st_read(spark, path: str, format: str | None = None, **options):
         return read_gml(spark, path, **options)
     if fmt == "topojson":
         return read_topojson(spark, path, **options)
+    if fmt == "dxf":
+        return read_dxf(spark, path, **options)
+    if fmt == "xlsx":
+        return read_xlsx(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -106,3 +110,5 @@ from .osm import read_osm  # noqa: F401
 from .shapefile import read_shapefile, write_shapefile  # noqa: F401
 from .topojson import read_topojson  # noqa: F401
 from .xmlgeo import read_gml, read_gpx, read_kml, write_kml  # noqa: F401
+from .dxf import read_dxf  # noqa: F401
+from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401

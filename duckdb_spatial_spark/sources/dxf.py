@@ -93,8 +93,14 @@ def _entities(fp: str):
                 cur = {"_type": "_SECTION"}
                 continue
             if val == "ENDSEC":
+                if in_entities and cur is not None and cur is not pending_poly \
+                        and cur.get("_type") not in ("_SECTION", "VERTEX"):
+                    row = flush(cur)
+                    if row:
+                        yield row
                 in_entities = False
                 cur = None
+                pending_poly = None
                 continue
             if not in_entities and cur is not None and cur.get("_type") == "_SECTION":
                 cur = None
