@@ -1463,6 +1463,30 @@ def q_xlsx_roundtrip(spark, sf_dir):
     return back.selectExpr("CAST(id AS DOUBLE) AS id", "name", "CAST(score AS DOUBLE) AS score")
 
 
+def q_mif_roundtrip(spark, sf_dir):
+    """MapInfo MIF/MID write -> read round trip (sources/mapinfo.py; GDAL
+    'MapInfo File' driver analog reached by the reference via st_read.cpp).
+    score = x/4 is an exact binary division, so attribute values survive the
+    decimal text round trip bit-exactly."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources.mapinfo import read_mif, write_mif
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name, x / 4 AS score,"
+        f" x, y FROM ({_PTS}) WHERE id < 350"
+    ).withColumn("geom", F.expr("ST_Point(x, y)")).drop("x", "y")
+    path = os.path.join(tempfile.mkdtemp(prefix="mif_q_"), "rt.mif")
+    write_mif(df, path)
+    back = read_mif(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+    )
+
+
 def q_spatial_distance_spheroid(spark, sf_dir):
     """Vectorized Vincenty geodesic distance (st_distance_spheroid.cpp);
     oracle = the same fixed-point Vincenty iteration unrolled in plain SQL
@@ -1529,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_drivers_meta": q_st_drivers_meta,
         "dxf_read": q_dxf_read,
         "xlsx_roundtrip": q_xlsx_roundtrip,
+        "mif_roundtrip": q_mif_roundtrip,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_extent_agg": q_spatial_extent_agg,
@@ -2111,6 +2136,11 @@ def oracle_sql() -> dict[str, str]:
                    x / 4 AS score
             FROM ({pts}) WHERE id < 300
         """,
+        "mif_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   x / 4 AS score, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 350
+        """,
         "spatial_refsys": """
             SELECT * FROM (VALUES
               ('EPSG', '4326', 'WGS 84'),
@@ -2127,8 +2157,8 @@ def oracle_sql() -> dict[str, str]:
               ('FlatGeobuf', 'true', 'true'), ('GPKG', 'true', 'true'),
               ('OSM', 'true', 'false'), ('KML', 'true', 'true'),
               ('GPX', 'true', 'true'), ('GML', 'true', 'true'),
-              ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'false'),
-              ('XLSX', 'true', 'true')
+              ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'true'),
+              ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

@@ -27,6 +27,7 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),
             (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
             (".topojson", "topojson"), (".dxf", "dxf"), (".xlsx", "xlsx"),
+            (".mif", "mapinfo"),
         ):
             if p.endswith(ext):
                 return f
@@ -79,6 +80,8 @@ def st_read(spark, path: str, format: str | None = None, **options):
         return read_dxf(spark, path, **options)
     if fmt == "xlsx":
         return read_xlsx(spark, path, **options)
+    if fmt in ("mapinfo", "mif"):
+        return read_mif(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -110,5 +113,6 @@ from .osm import read_osm  # noqa: F401
 from .shapefile import read_shapefile, write_shapefile  # noqa: F401
 from .topojson import read_topojson  # noqa: F401
 from .xmlgeo import read_gml, read_gpx, read_kml, write_kml  # noqa: F401
-from .dxf import read_dxf  # noqa: F401
+from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
+from .mapinfo import read_mif, write_mif  # noqa: F401

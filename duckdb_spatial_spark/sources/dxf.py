@@ -151,6 +151,60 @@ def _entities(fp: str):
             yield row
 
 
+def _dxf_entity(g, layer: str, out: list):
+    if g is None or g.is_empty():
+        return
+    if g.tag == G.POINT:
+        out.append(f"0\nPOINT\n8\n{layer}\n10\n{g.data[0]!r}\n20\n{g.data[1]!r}\n")
+    elif g.tag == G.LINESTRING:
+        out.append(f"0\nLWPOLYLINE\n8\n{layer}\n70\n0\n90\n{len(g.data)}\n")
+        for p in g.data:
+            out.append(f"10\n{p[0]!r}\n20\n{p[1]!r}\n")
+    elif g.tag == G.POLYGON:
+        # DXF has no ring structure: each ring becomes its own closed
+        # LWPOLYLINE on the feature's layer (GDAL's DXF writer does the
+        # same for polygons without HATCH support)
+        for ring in g.data:
+            pts = ring[:-1] if len(ring) > 1 else ring
+            out.append(f"0\nLWPOLYLINE\n8\n{layer}\n70\n1\n90\n{len(pts)}\n")
+            for p in pts:
+                out.append(f"10\n{p[0]!r}\n20\n{p[1]!r}\n")
+    else:
+        for part in g.flatten():
+            _dxf_entity(part, layer, out)
+
+
+def write_dxf(
+    df: DataFrame,
+    path: str,
+    geom_col: str = "geom",
+    layer_col: str | None = None,
+    max_rows: int = 2_000_000,
+) -> None:
+    """COPY TO ... (FORMAT GDAL, DRIVER 'DXF') analog: writes the ENTITIES
+    section (POINT / open + closed LWPOLYLINE). DXF carries no attribute
+    table — only the layer name survives (``layer_col``, default layer 0).
+    Serial single-file interchange writer with the standard ``max_rows``
+    guard (use write_geo_parquet for large tables)."""
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"write_dxf: result exceeds max_rows={max_rows}; DXF is a serial "
+            "single-file interchange format — use write_geo_parquet for large tables"
+        )
+    gi = df.columns.index(geom_col)
+    li = df.columns.index(layer_col) if layer_col else None
+    out = ["0\nSECTION\n2\nENTITIES\n"]
+    for r in rows:
+        if r[gi] is None:
+            continue
+        layer = str(r[li]) if li is not None and r[li] is not None else "0"
+        _dxf_entity(WKB.from_wkb(r[gi]), layer, out)
+    out.append("0\nENDSEC\n0\nEOF\n")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("".join(out))
+
+
 def read_dxf(spark: SparkSession, path: str) -> DataFrame:
     """ST_Read for .dxf: every drawing entity becomes a row
     (layer, entity, text, WKB geom) — the feature model GDAL's DXF

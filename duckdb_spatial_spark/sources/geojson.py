@@ -368,8 +368,9 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("GPX", "Topografix GPX waypoints/routes/tracks (read/write)", True, True, True, ""),
         ("GML", "OGC GML 2/3.2 feature collections (read/write)", True, True, True, ""),
         ("TopoJSON", "TopoJSON topologies, shared-arc decode (read-only)", False, False, True, ""),
-        ("DXF", "AutoCAD ASCII DXF entities (read-only)", False, False, True, ""),
+        ("DXF", "AutoCAD ASCII DXF entities (read/write)", True, True, True, ""),
         ("XLSX", "OOXML spreadsheet, one sheet per layer (read/write)", True, True, True, ""),
+        ("MapInfo File", "MapInfo MIF/MID interchange pair (read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

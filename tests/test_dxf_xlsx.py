@@ -77,6 +77,40 @@ def test_dxf_entities(spark, dxf_file):
     assert st_read(spark, dxf_file).count() == df.count()
 
 
+def test_dxf_write_roundtrip(spark, tmp_path):
+    from duckdb_spatial_spark.sources.dxf import write_dxf
+    from pyspark.sql import functions as F
+
+    df = spark.sql(
+        """
+        SELECT id, concat('L', CAST(id % 3 AS STRING)) AS lyr,
+               CASE WHEN id % 3 = 0 THEN ST_Point(CAST(id AS DOUBLE), 1.0D)
+                    WHEN id % 3 = 1 THEN ST_MakeLine(array(
+                        ST_Point(0.0D, CAST(id AS DOUBLE)), ST_Point(1.0D, 0.0D),
+                        ST_Point(2.0D, CAST(id AS DOUBLE))))
+                    ELSE ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0D, CAST(id+2 AS DOUBLE), 3.0D)
+               END AS geom
+        FROM range(9)
+        """
+    )
+    p = str(tmp_path / "w.dxf")
+    write_dxf(df, p, layer_col="lyr")
+    back = read_dxf(spark, p)
+    back.createOrReplaceTempView("dxf_w")
+    got = spark.sql(
+        "SELECT layer, entity, count(*) AS n, round(sum(ST_Area(geom)), 6) AS a,"
+        " round(sum(ST_Length(geom)), 6) AS l FROM dxf_w GROUP BY 1, 2 ORDER BY 1, 2"
+    ).collect()
+    by = {(r.layer, r.entity): (r.n, r.a, r.l) for r in got}
+    assert by[("L0", "POINT")][0] == 3
+    # three open polylines, each length 2*sqrt(1+id^2)... just check count
+    assert by[("L1", "LWPOLYLINE")][0] == 3
+    # three closed rectangles, each area 2*3=6
+    assert by[("L2", "LWPOLYLINE")] == (3, 18.0, 0.0)
+    with pytest.raises(ValueError, match="max_rows"):
+        write_dxf(df, p, layer_col="lyr", max_rows=5)
+
+
 def test_xlsx_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, "alpha", 1.5), (2, "beta", -2.0), (3, None, 0.25)],
