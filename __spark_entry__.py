@@ -1487,6 +1487,83 @@ def q_mif_roundtrip(spark, sf_dir):
     )
 
 
+def q_osm_read(spark, sf_dir):
+    """ST_ReadOSM (sources/osm.py; fixed 8-column schema mirroring
+    st_read_osm.cpp:39-96). A deterministic .osm.pbf is generated from the
+    orders-derived point set (dense nodes with delta/zigzag coding + ways +
+    one relation), read back blob-parallel, and the oracle recomputes every
+    surfaced value in plain SQL. x,y are integer-valued doubles, so
+    lat/lon = v/100 - 40 carries exactly 2 decimals — within the PBF's 1e-7
+    granularity, making round(.,6) stable on both sides."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources.osm import read_osm, write_osm_fixture
+
+    rows = sorted(
+        (int(r.id), float(r.x), float(r.y))
+        for r in spark.sql(_PTS).filter("id < 400").collect()
+    )
+    nodes = [
+        (i + 1, y / 100 - 40, x / 100 - 40, {"name": f"n{i % 7}"}) for i, x, y in rows
+    ]
+    ways = [
+        (100000 + i, [i + 1, i + 2, i + 3], {"highway": "x"})
+        for i, _, _ in rows
+        if i % 50 == 0
+    ]
+    rels = [(999999, [(100000, "outer", "way"), (1, "admin_centre", "node")], {"type": "mp"})]
+    path = os.path.join(tempfile.mkdtemp(prefix="osm_q_"), "q.osm.pbf")
+    write_osm_fixture(path, nodes, ways, rels)
+    df = read_osm(spark, path)
+    df.createOrReplaceTempView("osm_q")
+    return spark.sql(
+        """
+        SELECT kind, id, element_at(tags, 'name') AS name,
+               CASE WHEN refs IS NULL THEN -1 ELSE size(refs) END AS nrefs,
+               round(lat, 6) AS lat, round(lon, 6) AS lon
+        FROM osm_q
+        """
+    )
+
+
+def q_streaming_geofence(spark, sf_dir):
+    """Structured Streaming geofence rollup (streaming/demo.py): a real
+    readStream over parquet -> native point-in-box filter -> watermarked
+    5-minute event-time windows -> availableNow trigger into a memory sink.
+    The whole pipeline is JVM-side (no Python in the streaming plan); the
+    oracle recomputes the window counts in plain SQL."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+    import uuid
+
+    from duckdb_spatial_spark.streaming.demo import streaming_envelope_counts
+
+    src = os.path.join(tempfile.mkdtemp(prefix="stream_q_"), "src")
+    spark.sql(
+        f"SELECT timestamp_seconds(1704067200 + id) AS ts, x, y"
+        f" FROM ({_PTS}) WHERE id < 2000"
+    ).repartition(4).write.parquet(src)
+    schema = "ts timestamp, x double, y double"
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_envelope_counts(stream, envelope=(450.0, 450.0, 5650.0, 5650.0))
+    name = "geofence_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).selectExpr(
+        "unix_micros(CAST(window_start AS TIMESTAMP)) div 1000000 AS ws",
+        "CAST(n_hits AS BIGINT) AS n_hits",
+    )
+
+
 def q_spatial_distance_spheroid(spark, sf_dir):
     """Vectorized Vincenty geodesic distance (st_distance_spheroid.cpp);
     oracle = the same fixed-point Vincenty iteration unrolled in plain SQL
@@ -1554,6 +1631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dxf_read": q_dxf_read,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
+        "osm_read": q_osm_read,
+        "streaming_geofence": q_streaming_geofence,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_extent_agg": q_spatial_extent_agg,
@@ -1564,28 +1643,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_makevalid_bowtie": q_spatial_makevalid_bowtie,
         "spatial_union_agg_chain": q_spatial_union_agg_chain,
         "spatial_intersection_agg": q_spatial_intersection_agg,
-        "spatial_transform_3857": q_spatial_transform_3857,
         "spatial_transform_longtail": q_spatial_transform_longtail,
         "spatial_format_ops": q_spatial_format_ops,
         "spatial_buffer_styles": q_spatial_buffer_styles,
-        "spatial_buffer_area": q_spatial_buffer_area,
         "spatial_predicates": q_spatial_predicates,
         "spatial_hilbert": q_spatial_hilbert,
         "fgb_roundtrip": q_fgb_roundtrip,
         "spatial_generatepoints": q_spatial_generatepoints,
-        "kml_roundtrip": q_kml_roundtrip,
-        "spatial_dwithin_grouped": q_spatial_dwithin_grouped,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
         "events_sessionization": q_events_sessionization,
-        "window_running_total": q_window_running_total,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_metrics": q_text_metrics,
         "dedup_clusters": q_dedup_clusters,
-        # --- long-stable (green r2-r4, pytest + check_oracle.py coverage) ---
         "text_ngram_jaccard": q_text_ngram_jaccard,
+        # --- long-stable (green r2-r4, pytest + check_oracle.py coverage) ---
+        "spatial_transform_3857": q_spatial_transform_3857,
+        "spatial_buffer_area": q_spatial_buffer_area,
+        "kml_roundtrip": q_kml_roundtrip,
+        "spatial_dwithin_grouped": q_spatial_dwithin_grouped,
+        "window_running_total": q_window_running_total,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "events_top_per_type": q_events_top_per_type,
@@ -2140,6 +2219,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
                    x / 4 AS score, round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 350
+        """,
+        "osm_read": f"""
+            SELECT 'node' AS kind, id + 1 AS id,
+                   concat('n', CAST(id % 7 AS STRING)) AS name,
+                   CAST(-1 AS INTEGER) AS nrefs,
+                   round(y / 100 - 40, 6) AS lat, round(x / 100 - 40, 6) AS lon
+            FROM ({pts}) WHERE id < 400
+            UNION ALL
+            SELECT 'way', 100000 + id, CAST(NULL AS VARCHAR),
+                   CAST(3 AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM ({pts}) WHERE id < 400 AND id % 50 = 0
+            UNION ALL
+            SELECT 'relation', 999999, CAST(NULL AS VARCHAR),
+                   CAST(2 AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        """,
+        "streaming_geofence": f"""
+            SELECT 1704067200 + (id // 300) * 300 AS ws,
+                   CAST(count(*) AS BIGINT) AS n_hits
+            FROM ({pts})
+            WHERE id < 2000 AND x >= 450 AND x <= 5650 AND y >= 450 AND y <= 5650
+            GROUP BY 1
         """,
         "spatial_refsys": """
             SELECT * FROM (VALUES
