@@ -137,7 +137,7 @@ def q_spatial_distance_sphere(spark, sf_dir):
     _prep(spark, sf_dir)
     return spark.sql(
         f"""
-        SELECT cid, round(ST_Distance_Sphere(ST_Point(lon, lat), ST_Point(0.0D, 0.0D)), 3) AS dist_m
+        SELECT cid, round(ST_Distance_Sphere(ST_Point(lat, lon), ST_Point(0.0D, 0.0D)), 3) AS dist_m
         FROM ({_LONLAT}) WHERE cid < 500
         """
     )
@@ -1219,6 +1219,8 @@ _SPHEROID_ZONES = [
 
 
 def _zone_wkt(lon0, width, lat_lo, lat_hi, step=0.0005):
+    # WKT emits the reference's [lat, lon] axis order for the geographiclib
+    # surface (x = latitude; st_area_spheroid.cpp:58, its .test file).
     n = max(int(round(width / step)), 1)
     if lat_lo == 0.0:
         bottom = [(lon0, lat_lo), (lon0 + width, lat_lo)]  # equator IS a geodesic
@@ -1226,7 +1228,7 @@ def _zone_wkt(lon0, width, lat_lo, lat_hi, step=0.0005):
         bottom = [(lon0 + width * i / n, lat_lo) for i in range(n + 1)]
     top = [(lon0 + width - width * i / n, lat_hi) for i in range(n + 1)]
     ring = bottom + top + [bottom[0]]
-    return "POLYGON ((" + ", ".join(f"{x:.10f} {y:.10f}" for x, y in ring) + "))"
+    return "POLYGON ((" + ", ".join(f"{y:.10f} {x:.10f}" for x, y in ring) + "))"
 
 
 def q_spatial_area_spheroid(spark, sf_dir):
@@ -1236,7 +1238,7 @@ def q_spatial_area_spheroid(spark, sf_dir):
     meridian-arc series). Reference: st_area_spheroid.cpp:151-156."""
     _prep(spark, sf_dir)
     rows = [
-        (i, _zone_wkt(lon0, w, lo, hi), f"LINESTRING ({lon0} {lo}, {lon0} {hi})")
+        (i, _zone_wkt(lon0, w, lo, hi), f"LINESTRING ({lo} {lon0}, {hi} {lon0})")
         for (i, lon0, w, lo, hi) in _SPHEROID_ZONES
     ]
     df = spark.createDataFrame(rows, "id long, wkt string, mer string")
@@ -1573,9 +1575,9 @@ def q_spatial_distance_spheroid(spark, sf_dir):
         f"""
         SELECT cid,
           round(ST_Distance_Spheroid(
-            ST_Point(lon, lat), ST_Point(lon / 2, lat / 2 + 10)), 2) AS dist_m,
+            ST_Point(lat, lon), ST_Point(lat / 2 + 10, lon / 2)), 2) AS dist_m,
           ST_DWithin_Spheroid(
-            ST_Point(lon, lat), ST_Point(lon / 2, lat / 2 + 10), 2000000.0D) AS within_2mm
+            ST_Point(lat, lon), ST_Point(lat / 2 + 10, lon / 2), 2000000.0D) AS within_2mm
         FROM ({_LONLAT}) WHERE cid < 300
         """
     )

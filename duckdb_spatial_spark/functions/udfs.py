@@ -827,7 +827,10 @@ WGS84_AUTHALIC_R = 6371007.1809184747  # radius of sphere with WGS84's area
 
 @F.pandas_udf(T.DoubleType())
 def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Haversine meters between two point GEOMETRYs (x=lon, y=lat)."""
+    """Haversine meters between two point GEOMETRYs. Axis order matches the
+    reference: **x = latitude, y = longitude** (st_distance_sphere.cpp doc:
+    "[latitude, longitude] axis order"; HaversineFunction(lat=a_val, ...),
+    pinned by test/sql/geometry/st_distance_sphere.test)."""
 
     def hav(x, y):
         if x is None or y is None:
@@ -835,7 +838,7 @@ def st_distance_sphere(a: pd.Series, b: pd.Series) -> pd.Series:
         ga, gb = _g(x), _g(y)
         if ga.tag != G.POINT or gb.tag != G.POINT:
             raise ValueError("ST_Distance_Sphere expects POINT geometries")
-        return haversine_m(float(ga.data[0]), float(ga.data[1]), float(gb.data[0]), float(gb.data[1]))
+        return haversine_m(float(ga.data[1]), float(ga.data[0]), float(gb.data[1]), float(gb.data[0]))
 
     return pd.Series([hav(x, y) for x, y in zip(a, b)])
 
@@ -888,7 +891,10 @@ def vincenty_m(lon1, lat1, lon2, lat2, tol=1e-12, max_iter=200):
 
 def _point_pairs_to_arrays(a: pd.Series, b: pd.Series):
     """Extract (lon1, lat1, lon2, lat2) arrays + validity mask from two
-    WKB point series (one parse pass, math fully vectorized after)."""
+    WKB point series (one parse pass, math fully vectorized after).
+    Reference axis order: x = latitude, y = longitude (the geographiclib
+    module passes a_val straight into geod.Inverse's lat slot,
+    st_distance_spheroid.cpp:30)."""
     n = len(a)
     out = np.full((n, 4), np.nan)
     for i, (x, y) in enumerate(zip(a, b)):
@@ -897,8 +903,8 @@ def _point_pairs_to_arrays(a: pd.Series, b: pd.Series):
         ga, gb = _g(x), _g(y)
         if ga.data is None or gb.data is None:
             continue
-        out[i, 0], out[i, 1] = float(ga.data[0]), float(ga.data[1])
-        out[i, 2], out[i, 3] = float(gb.data[0]), float(gb.data[1])
+        out[i, 0], out[i, 1] = float(ga.data[1]), float(ga.data[0])
+        out[i, 2], out[i, 3] = float(gb.data[1]), float(gb.data[0])
     valid = ~np.isnan(out[:, 0])
     return out, valid
 
@@ -933,14 +939,24 @@ def st_dwithin_spheroid(a: pd.Series, b: pd.Series, d: pd.Series) -> pd.Series:
     return pd.Series([None if not m else bool(r) for m, r in zip(valid, res)])
 
 
+def _latlon_to_lonlat(arr: np.ndarray) -> np.ndarray:
+    """Geometry coords use the reference's [lat, lon] axis order
+    (AddPoint(x=lat, y=lon), st_area_spheroid.cpp:58); geodesy.py kernels
+    take lon/lat columns — swap the first two columns."""
+    a = np.asarray(arr, dtype=np.float64)[:, :2]
+    return a[:, ::-1]
+
+
 def spheroid_area(g: G.Geometry) -> float:
     """Exact ellipsoidal polygon area (geodesic edges) — Karney's
     Gauss-Bonnet + boundary-integral decomposition, see geodesy.py.
     Matches GeographicLib semantics (st_area_spheroid.cpp:151-156) to
-    ~1e-9 relative (previous authalic-sphere approximation was ~1e-5)."""
+    ~1e-9 relative (previous authalic-sphere approximation was ~1e-5).
+    Axis order matches the reference: x = latitude, y = longitude."""
     from . import geodesy
 
-    return geodesy.geodesic_polygon_area(g)
+    g2 = g.map_coords(_latlon_to_lonlat)
+    return geodesy.geodesic_polygon_area(g2)
 
 
 def spheroid_length(g: G.Geometry) -> float:
@@ -948,7 +964,7 @@ def spheroid_length(g: G.Geometry) -> float:
 
     return float(
         sum(
-            geodesy.geodesic_segment_lengths(np.asarray(l.data)).sum()
+            geodesy.geodesic_segment_lengths(_latlon_to_lonlat(l.data)).sum()
             for l in g.flatten()
             if l.tag == G.LINESTRING
         )
@@ -963,7 +979,7 @@ def spheroid_perimeter(g: G.Geometry) -> float:
         if leaf.tag != G.POLYGON:
             continue
         for ring in leaf.data:
-            total += float(geodesy.geodesic_segment_lengths(np.asarray(ring)).sum())
+            total += float(geodesy.geodesic_segment_lengths(_latlon_to_lonlat(ring)).sum())
     return total
 
 

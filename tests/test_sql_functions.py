@@ -137,17 +137,39 @@ def test_transform_utm(spark):
 
 
 def test_sphere_spheroid(spark):
-    # Paris -> Amsterdam haversine ~ 430 km
+    # Paris -> Amsterdam haversine ~ 430 km. The sphere/spheroid surface
+    # uses the reference's [lat, lon] axis order: x = latitude
+    # (st_distance_sphere.cpp doc, st_distance_spheroid.cpp:30).
     d = one(
         spark,
-        "ST_Distance_Sphere(ST_Point(2.3522D, 48.8566D), ST_Point(4.9041D, 52.3676D))",
+        "ST_Distance_Sphere(ST_Point(48.8566D, 2.3522D), ST_Point(52.3676D, 4.9041D))",
     )
     assert abs(d - 430_000) < 5_000
     dv = one(
         spark,
-        "ST_Distance_Spheroid(ST_Point(2.3522D, 48.8566D), ST_Point(4.9041D, 52.3676D))",
+        "ST_Distance_Spheroid(ST_Point(48.8566D, 2.3522D), ST_Point(52.3676D, 4.9041D))",
     )
     assert abs(dv - d) < 2_000  # spheroid within 0.5% of sphere here
+    # the reference's own case: JFK -> AMS, [lat, lon] points
+    # (test/sql/geometry/st_distance_sphere.test). Its pinned "5847000" is
+    # hand-rounded to km and inconsistent with its own R=6371000 formula
+    # (st_distance_sphere.cpp:20-35 evaluates to 5847934.55); we pin the
+    # code-exact value.
+    jfk = one(
+        spark,
+        "ST_Distance_Sphere(ST_Point(40.639722D, -73.778889D), ST_Point(52.3D, 4.765D))",
+    )
+    assert abs(jfk - 5847934.55) < 0.01
+    # the reference's own st_area_spheroid.test belem box ([lat, lon] ring):
+    # pinned 73991730 m^2 (GeographicLib); our Karney-decomposition kernel
+    # agrees to ~1e-8 relative
+    belem = one(
+        spark,
+        "ST_Area_Spheroid(ST_GeomFromText('POLYGON ((-1.475781 -48.516655,"
+        " -1.475781 -48.433228, -1.403706 -48.433228, -1.403706 -48.516655,"
+        " -1.475781 -48.516655))'))",
+    )
+    assert abs(belem - 73991730) < 5
     # 1x1 degree box at equator ~ 12,300 km^2 ellipsoidal
     a = one(
         spark,
