@@ -159,6 +159,7 @@ def q_spatial_line_length(spark, sf_dir):
                    s -> s.pt))), 6) AS len
         FROM lineitem WHERE l_orderkey % 20 = 0
         GROUP BY l_orderkey
+        HAVING count(*) >= 2
         """
     )
 
@@ -187,6 +188,7 @@ def q_spatial_makeline_npoints(spark, sf_dir):
                    s -> s.pt))) AS np
         FROM lineitem WHERE l_orderkey % 25 = 0
         GROUP BY l_orderkey
+        HAVING count(*) >= 2
         """
     )
 
@@ -206,6 +208,7 @@ def q_spatial_makeline_astext(spark, sf_dir):
                    s -> s.pt))) AS wkt
         FROM lineitem WHERE l_orderkey % 50 = 0
         GROUP BY l_orderkey
+        HAVING count(*) >= 2
         """
     )
 
@@ -1094,6 +1097,7 @@ def q_spatial_line_endpoints(spark, sf_dir):
                  s -> s.pt)) AS line
           FROM lineitem WHERE l_orderkey % 25 = 0
           GROUP BY l_orderkey
+          HAVING count(*) >= 2
         )
         """
     )
@@ -1941,7 +1945,7 @@ def oracle_sql() -> dict[str, str]:
                            CAST(l_suppkey % 500 AS DOUBLE) AS y
                     FROM lineitem WHERE l_orderkey % 20 = 0)
               WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, x, y)
-            ) GROUP BY l_orderkey
+            ) GROUP BY l_orderkey HAVING count(*) >= 2
         """,
         "spatial_centroid": f"""
             SELECT rid, round(mx + w / 2, 6) AS cx, round(my + h / 2, 6) AS cy FROM ({rects})
@@ -1950,20 +1954,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT rid, round(2 * (w + h), 6) AS perim FROM ({rects})
         """,
         "spatial_makeline_npoints": """
-            SELECT l_orderkey AS id,
-                   CAST(CASE WHEN count(*) < 2 THEN 0 ELSE count(*) END AS INT) AS np
+            SELECT l_orderkey AS id, CAST(count(*) AS INT) AS np
             FROM lineitem WHERE l_orderkey % 25 = 0
-            GROUP BY l_orderkey
+            GROUP BY l_orderkey HAVING count(*) >= 2
         """,
         "spatial_makeline_astext": """
             SELECT l_orderkey AS id,
-                   CASE WHEN count(*) < 2 THEN 'LINESTRING EMPTY'
-                        ELSE 'LINESTRING (' || string_agg(
-                               CAST(l_partkey % 500 AS BIGINT) || ' ' || CAST(l_suppkey % 500 AS BIGINT),
-                               ', ' ORDER BY l_linenumber, l_partkey % 500, l_suppkey % 500) || ')'
-                   END AS wkt
+                   'LINESTRING (' || string_agg(
+                       CAST(l_partkey % 500 AS BIGINT) || ' ' || CAST(l_suppkey % 500 AS BIGINT),
+                       ', ' ORDER BY l_linenumber, l_partkey % 500, l_suppkey % 500) || ')' AS wkt
             FROM lineitem WHERE l_orderkey % 50 = 0
-            GROUP BY l_orderkey
+            GROUP BY l_orderkey HAVING count(*) >= 2
         """,
         "spatial_join_point_in_rect": f"""
             SELECT rid, count(*) AS n
@@ -2043,23 +2044,23 @@ def oracle_sql() -> dict[str, str]:
                'POINT Z (1 2 7)', 'POINT (2 1)', 'POINT', 0, 1),
               (2, '{"type":"LineString","coordinates":[[0.0,0.0],[3.0,0.0],[3.0,4.0]]}',
                '010200000003000000000000000000000000000000000000000000000000000840000000000000000000000000000008400000000000001040',
-               'M 0 0 L 3 0 L 3 -4',
+               'M 0 0 L 3 0 3 -4',
                'LINESTRING Z (0 0 7, 3 0 7, 3 4 7)', 'LINESTRING (0 0, 0 3, 4 3)', 'LINESTRING', 1, 3),
               (3, '{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]]]}',
                '010300000001000000050000000000000000000000000000000000000000000000000010400000000000000000000000000000104000000000000010400000000000000000000000000000104000000000000000000000000000000000',
-               'M 0 0 L 4 0 L 4 -4 L 0 -4 Z',
+               'M 0 0 L 4 0 4 -4 0 -4 Z',
                'POLYGON Z ((0 0 7, 4 0 7, 4 4 7, 0 4 7, 0 0 7))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON', 2, 5),
               (4, '{"type":"Polygon","coordinates":[[[0.0,0.0],[10.0,0.0],[10.0,10.0],[0.0,10.0],[0.0,0.0]],[[2.0,2.0],[4.0,2.0],[4.0,4.0],[2.0,4.0],[2.0,2.0]]]}',
                '010300000002000000050000000000000000000000000000000000000000000000000024400000000000000000000000000000244000000000000024400000000000000000000000000000244000000000000000000000000000000000050000000000000000000040000000000000004000000000000010400000000000000040000000000000104000000000000010400000000000000040000000000000104000000000000000400000000000000040',
-               'M 0 0 L 10 0 L 10 -10 L 0 -10 Z M 2 -2 L 4 -2 L 4 -4 L 2 -4 Z',
+               'M 0 0 L 10 0 10 -10 0 -10 ZM 2 -2 L 4 -2 4 -4 2 -4 Z',
                'POLYGON Z ((0 0 7, 10 0 7, 10 10 7, 0 10 7, 0 0 7), (2 2 7, 4 2 7, 4 4 7, 2 4 7, 2 2 7))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))', 'POLYGON', 2, 10),
               (5, '{"type":"MultiPoint","coordinates":[[1.0,1.0],[2.0,2.0]]}',
                '0104000000020000000101000000000000000000F03F000000000000F03F010100000000000000000000400000000000000040',
-               'cx="1" cy="-1" cx="2" cy="-2"',
+               'cx="1" cy="-1",cx="2" cy="-2"',
                'MULTIPOINT Z (1 1 7, 2 2 7)', 'MULTIPOINT (1 1, 2 2)', 'MULTIPOINT', 0, 2),
               (6, '{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":[5.0,6.0]},{"type":"LineString","coordinates":[[0.0,0.0],[1.0,1.0]]}]}',
                '01070000000200000001010000000000000000001440000000000000184001020000000200000000000000000000000000000000000000000000000000F03F000000000000F03F',
-               'cx="5" cy="-6" M 0 0 L 1 -1',
+               'cx="5" cy="-6";M 0 0 L 1 -1',
                'GEOMETRYCOLLECTION Z (POINT Z (5 6 7), LINESTRING Z (0 0 7, 1 1 7))', 'GEOMETRYCOLLECTION (POINT (6 5), LINESTRING (0 0, 1 1))', 'GEOMETRYCOLLECTION', 1, 3)
             ) AS t(id, gj, hex, svg, f3d, flip, gt, dim, np)
         """,
@@ -2110,12 +2111,10 @@ def oracle_sql() -> dict[str, str]:
                            CAST(l_suppkey % 500 AS DOUBLE) AS y
                     FROM lineitem WHERE l_orderkey % 25 = 0)
               GROUP BY l_orderkey
+              HAVING count(*) >= 2
             )
-            SELECT id,
-                   CASE WHEN len(xs) >= 2 THEN round(xs[1], 6) END AS sx,
-                   CASE WHEN len(xs) >= 2 THEN round(ys[len(ys)], 6) END AS ey,
-                   CASE WHEN len(xs) >= 2 THEN round(xs[2], 6) END AS p2x,
-                   CASE WHEN len(xs) >= 2 THEN round(xs[len(xs)], 6) END AS plx
+            SELECT id, round(xs[1], 6) AS sx, round(ys[len(ys)], 6) AS ey,
+                   round(xs[2], 6) AS p2x, round(xs[len(xs)], 6) AS plx
             FROM s
         """,
         "spatial_dwithin_grouped": f"""
@@ -2148,14 +2147,14 @@ def oracle_sql() -> dict[str, str]:
                    ext, CAST(ng AS INT) AS ng, CAST(nir AS INT) AS nir,
                    rrp, rev, nrm, mlt, ce
             FROM (VALUES
-              (1, 'LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (2 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'GEOMETRYCOLLECTION EMPTY', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', true, true, 'LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)', 1, 0, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)))', 'MULTILINESTRING EMPTY'),
-              (2, 'MULTIPOINT (0 0, 3 4)', 'POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))', 'POINT (3 0)', 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (0 0, 3 0, 3 4)', true, true, '-', 1, -1, 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (3 4, 3 0, 0 0)', 'LINESTRING (0 0, 3 0, 3 4)', 'MULTILINESTRING ((0 0, 3 0, 3 4))', 'MULTILINESTRING ((0 0, 3 0, 3 4))'),
-              (3, 'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', true, true, '-', 1, -1, 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'MULTIPOINT (1 2)', 'MULTILINESTRING EMPTY'),
+              (1, 'LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (2 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'GEOMETRYCOLLECTION EMPTY', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', true, true, 'LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)', 1, 0, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)))', 'LINESTRING EMPTY'),
+              (2, 'MULTIPOINT (0 0, 3 4)', 'POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))', 'POINT (3 0)', 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (0 0, 3 0, 3 4)', true, true, '-', 1, -1, 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (3 4, 3 0, 0 0)', 'LINESTRING (0 0, 3 0, 3 4)', 'MULTILINESTRING ((0 0, 3 0, 3 4))', 'LINESTRING (0 0, 3 0, 3 4)'),
+              (3, 'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', true, true, '-', 1, -1, 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'MULTIPOINT (1 2)', 'LINESTRING EMPTY'),
               (4, 'MULTIPOINT (0 0, 2 2)', 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (0 0)', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'LINESTRING (0 0, 1 1, 2 2)', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', true, true, '-', 2, -1, 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((1 1, 0 0), (2 2, 1 1))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))'),
-              (5, 'MULTIPOINT (0 0, 4 0)', 'POLYGON ((0 -0.1, 4 -0.1, 4 0.2, 0 0.2, 0 -0.1))', 'POINT (2 -0.1)', 'LINESTRING (0 0, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', true, true, '-', 1, -1, 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (4 0, 3 0.2, 2 -0.1, 1 0.1, 0 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'MULTILINESTRING ((0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0))', 'MULTILINESTRING ((0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0))'),
-              (6, 'MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', 'POINT (5 7)', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'GEOMETRYCOLLECTION EMPTY', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', true, true, 'LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)', 1, 1, 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)))', 'MULTILINESTRING EMPTY'),
-              (7, 'GEOMETRYCOLLECTION EMPTY', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'GEOMETRYCOLLECTION EMPTY', 'POINT (1.23 7.65)', true, true, '-', 1, -1, 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'MULTIPOINT (1.23456 7.65432)', 'MULTILINESTRING EMPTY'),
-              (8, 'MULTIPOINT (0 0, 2 2)', 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (1 1)', 'LINESTRING (0 0, 2 2)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', true, false, '-', 1, -1, 'LINESTRING (0 0, 1 1, 2 2)', 'LINESTRING (2 2, 1 1, 1 1, 0 0)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', 'MULTILINESTRING ((0 0, 1 1, 1 1, 2 2))', 'MULTILINESTRING ((0 0, 1 1, 1 1, 2 2))')
+              (5, 'MULTIPOINT (0 0, 4 0)', 'POLYGON ((0 -0.1, 4 -0.1, 4 0.2, 0 0.2, 0 -0.1))', 'POINT (2 -0.1)', 'LINESTRING (0 0, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', true, true, '-', 1, -1, 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (4 0, 3 0.2, 2 -0.1, 1 0.1, 0 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'MULTILINESTRING ((0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0))', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)'),
+              (6, 'MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', 'POINT (5 7)', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'GEOMETRYCOLLECTION EMPTY', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', true, true, 'LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)', 1, 1, 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)))', 'LINESTRING EMPTY'),
+              (7, 'GEOMETRYCOLLECTION EMPTY', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'GEOMETRYCOLLECTION EMPTY', 'POINT (1.23 7.65)', true, true, '-', 1, -1, 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'MULTIPOINT (1.23456 7.65432)', 'LINESTRING EMPTY'),
+              (8, 'MULTIPOINT (0 0, 2 2)', 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (1 1)', 'LINESTRING (0 0, 2 2)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', true, false, '-', 1, -1, 'LINESTRING (0 0, 1 1, 2 2)', 'LINESTRING (2 2, 1 1, 1 1, 0 0)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', 'MULTILINESTRING ((0 0, 1 1, 1 1, 2 2))', 'LINESTRING (0 0, 1 1, 1 1, 2 2)')
             ) AS t(id, bnd, env, pos, simp, lm, rp, isv, iss, ext, ng, nir, rrp, rev, nrm, mlt, ce)
         """,
         # ISO WKB type codes (Z=+1000, M=+2000, ZM=+3000) hand-decoded; flag

@@ -27,6 +27,7 @@ _REGISTRY = {
     "st_makeenvelope": udfs.st_makeenvelope,
     "st_makeline": udfs.st_makeline,
     "st_makeline2": udfs.st_makeline2,
+    "st_makepolygon_holes": udfs.st_makepolygon_holes,
     "st_makepolygon": udfs.st_makepolygon,
     "st_collect": udfs.st_collect,
     "st_multi": udfs.st_multi,
@@ -88,6 +89,8 @@ _REGISTRY = {
     "st_points": udfs.st_points,
     "st_dump": udfs.st_dump,
     "st_collectionextract": udfs.st_collectionextract,
+    "st_collectionextract1": udfs.st_collectionextract1,
+    "st_extent_text": udfs.st_extent_text,
     # transforms
     "st_flipcoordinates": udfs.st_flipcoordinates,
     "st_reverse": udfs.st_reverse,

@@ -160,8 +160,11 @@ def st_point4d(x: pd.Series, y: pd.Series, z: pd.Series, m: pd.Series) -> pd.Ser
 
 @F.pandas_udf(T.BinaryType())
 def st_makeenvelope(min_x: pd.Series, min_y: pd.Series, max_x: pd.Series, max_y: pd.Series) -> pd.Series:
-    """ST_MakeEnvelope -> 93-byte single-ring CCW box polygon WKB, assembled
-    in one numpy pass (same vectorized trick as st_point)."""
+    """ST_MakeEnvelope -> 93-byte single-ring box polygon WKB, assembled in
+    one numpy pass (same vectorized trick as st_point). Vertex order matches
+    the reference's Polygon::CreateFromBox (geometry.hpp:795-805):
+    (minx miny, minx maxy, maxx maxy, maxx miny, minx miny) — pinned by
+    test/sql/geometry/st_makeenvelope.test."""
     n = len(min_x)
     cols = [s.to_numpy(dtype=np.float64, na_value=np.nan) for s in (min_x, min_y, max_x, max_y)]
     a, b, c, d = cols
@@ -172,15 +175,48 @@ def st_makeenvelope(min_x: pd.Series, min_y: pd.Series, max_x: pd.Series, max_y:
     buf[:, 9] = 5  # five points (closed)
     ring = np.empty((n, 10), dtype=np.float64)
     ring[:, 0], ring[:, 1] = a, b
-    ring[:, 2], ring[:, 3] = c, b
+    ring[:, 2], ring[:, 3] = a, d
     ring[:, 4], ring[:, 5] = c, d
-    ring[:, 6], ring[:, 7] = a, d
+    ring[:, 6], ring[:, 7] = c, b
     ring[:, 8], ring[:, 9] = a, b
     buf[:, 13:93] = ring.astype("<f8").view(np.uint8).reshape(n, 80)
     nulls = min_x.isna() | min_y.isna() | max_x.isna() | max_y.isna()
     nulls = nulls.to_numpy()
     rows = buf.tobytes()
     return pd.Series([None if nulls[i] else rows[i * 93 : (i + 1) * 93] for i in range(n)])
+
+
+def _promote_zm(geoms):
+    """Promote a geometry list to the union of Z/M flags with zero fill
+    (reference list constructors: st_makeline.test mixed-dimension cases
+    produce e.g. LINESTRING ZM (1 1 1 0, 2 2 0 3))."""
+    hz = any(g.has_z for g in geoms)
+    hm = any(g.has_m for g in geoms)
+    if not (hz or hm):
+        return geoms
+    return [A.force_dims(g, hz, hm) if (g.has_z, g.has_m) != (hz, hm) else g for g in geoms]
+
+
+def _makeline_pts(geoms):
+    """Shared ST_MakeLine semantics (st_makeline.cpp + its .test): NULL and
+    EMPTY points are dropped; 0 points -> LINESTRING EMPTY; exactly 1 ->
+    error; mixed dims promote with zero fill."""
+    pts = []
+    for g in geoms:
+        if g is None:
+            continue
+        if g.tag != G.POINT:
+            raise ValueError("ST_MakeLine only accepts POINT geometries")
+        if g.is_empty():
+            continue
+        pts.append(g)
+    if len(pts) == 1:
+        raise ValueError("ST_MakeLine requires zero or two or more POINT geometries")
+    if not pts:
+        return G.empty(G.LINESTRING)
+    pts = _promote_zm(pts)
+    arr = np.vstack([p.data for p in pts])
+    return G.Geometry(G.LINESTRING, arr, pts[0].has_z, pts[0].has_m)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -190,17 +226,7 @@ def st_makeline(geoms: pd.Series) -> pd.Series:
     def mk(lst):
         if lst is None:
             return None
-        pts = []
-        for b in lst:
-            if b is None:
-                continue
-            g = _g(b)
-            if g.tag != G.POINT or g.is_empty():
-                continue
-            pts.append([float(g.data[0]), float(g.data[1])])
-        if len(pts) < 2:
-            return _wkb(G.empty(G.LINESTRING))
-        return _wkb(G.linestring(np.asarray(pts)))
+        return _wkb(_makeline_pts([_g(b) for b in lst if b is not None]))
 
     return geoms.map(mk)
 
@@ -212,13 +238,17 @@ def st_makeline2(a: pd.Series, b: pd.Series) -> pd.Series:
         if x is None or y is None:
             out.append(None)
             continue
-        ga, gb = _g(x), _g(y)
-        out.append(
-            _wkb(G.linestring(np.asarray([ga.data[:2], gb.data[:2]])))
-            if ga.tag == G.POINT and gb.tag == G.POINT
-            else None
-        )
+        out.append(_wkb(_makeline_pts([_g(x), _g(y)])))
     return pd.Series(out)
+
+
+def _check_ring(g, what):
+    if g.tag != G.LINESTRING:
+        raise ValueError(f"ST_MakePolygon only accepts LINESTRING geometries ({what})")
+    if len(g.data) < 4:
+        raise ValueError(f"ST_MakePolygon {what} requires at least 4 vertices")
+    if not np.array_equal(g.data[0], g.data[-1]):
+        raise ValueError(f"ST_MakePolygon {what} must be closed (first and last vertex must be equal)")
 
 
 @F.pandas_udf(T.BinaryType())
@@ -227,19 +257,54 @@ def st_makepolygon(shell: pd.Series) -> pd.Series:
         if b is None:
             return None
         g = _g(b)
-        if g.tag != G.LINESTRING or len(g.data) < 4 or not np.array_equal(g.data[0], g.data[-1]):
-            raise ValueError("ST_MakePolygon shell must be a closed ring with >= 4 points")
+        _check_ring(g, "shell")
         return _wkb(G.Geometry(G.POLYGON, [g.data.copy()], g.has_z, g.has_m))
 
     return shell.map(mk)
 
 
 @F.pandas_udf(T.BinaryType())
+def st_makepolygon_holes(shell: pd.Series, holes: pd.Series) -> pd.Series:
+    """2-arg ST_MakePolygon(shell, LIST(LINESTRING)): NULL list -> NULL,
+    NULL rings skipped, rings validated like the shell
+    (st_makepolygon.test)."""
+
+    def mk(b, lst):
+        if b is None or lst is None:
+            return None
+        g = _g(b)
+        _check_ring(g, "shell")
+        rings = [g.data.copy()]
+        k = 0
+        for hb in lst:
+            if hb is None:
+                continue
+            k += 1
+            h = _g(hb)
+            _check_ring(h, f"hole #{k}")
+            rings.append(h.data.copy())
+        return _wkb(G.Geometry(G.POLYGON, rings, g.has_z, g.has_m))
+
+    return pd.Series([mk(b, lst) for b, lst in zip(shell, holes)])
+
+
+@F.pandas_udf(T.BinaryType())
 def st_collect(geoms: pd.Series) -> pd.Series:
+    """ST_Collect(LIST): NULLs and EMPTY members are skipped; mixed Z/M
+    promote with zero fill (st_collect.cpp semantics, its .test)."""
+
     def mk(lst):
         if lst is None:
             return None
-        return _wkb(G.collect([_g(b) for b in lst if b is not None]))
+        gs = [_g(b) for b in lst if b is not None]
+        # Z/M flags promote from ALL non-null members (an EMPTY member still
+        # contributes its dimension before being dropped — st_collect.test
+        # 'LINESTRING M' + 'POINT Z EMPTY' -> MULTILINESTRING ZM)
+        hz = any(g.has_z for g in gs)
+        hm = any(g.has_m for g in gs)
+        gs = [g for g in gs if not g.is_empty()]
+        gs = [A.force_dims(g, hz, hm) if (g.has_z, g.has_m) != (hz, hm) else g for g in gs]
+        return _wkb(G.collect(gs))
 
     return geoms.map(mk)
 
@@ -298,26 +363,33 @@ def st_asgeojson(s: pd.Series) -> pd.Series:
     return s.map(lambda b: None if b is None else _to_geojson(_g(b)))
 
 
-def _coords_list(arr):
-    return [[float(v) for v in row] for row in arr]
+def _gj_width(g: G.Geometry) -> int:
+    # GeoJSON carries no M: emit x, y (+z when present) — the reference
+    # drops M the same way (st_asgeojson.test 'POINT M' -> 2-coordinate)
+    return 3 if g.has_z else 2
+
+
+def _coords_list(arr, w=4):
+    return [[float(v) for v in row[:w]] for row in arr]
 
 
 def _to_geojson(g: G.Geometry) -> str:
     t = g.tag
+    w = _gj_width(g)
     if t == G.POINT:
-        coords = [] if g.data is None else [float(v) for v in g.data]
+        coords = [] if g.data is None else [float(v) for v in g.data[:w]]
         return json.dumps({"type": "Point", "coordinates": coords}, separators=(",", ":"))
     if t == G.LINESTRING:
-        return json.dumps({"type": "LineString", "coordinates": _coords_list(g.data)}, separators=(",", ":"))
+        return json.dumps({"type": "LineString", "coordinates": _coords_list(g.data, w)}, separators=(",", ":"))
     if t == G.POLYGON:
-        return json.dumps({"type": "Polygon", "coordinates": [_coords_list(r) for r in g.data]}, separators=(",", ":"))
+        return json.dumps({"type": "Polygon", "coordinates": [_coords_list(r, w) for r in g.data]}, separators=(",", ":"))
     if t == G.MULTIPOINT:
-        return json.dumps({"type": "MultiPoint", "coordinates": [[float(v) for v in c.data] for c in g.data]}, separators=(",", ":"))
+        return json.dumps({"type": "MultiPoint", "coordinates": [[float(v) for v in c.data[:w]] for c in g.data]}, separators=(",", ":"))
     if t == G.MULTILINESTRING:
-        return json.dumps({"type": "MultiLineString", "coordinates": [_coords_list(c.data) for c in g.data]}, separators=(",", ":"))
+        return json.dumps({"type": "MultiLineString", "coordinates": [_coords_list(c.data, w) for c in g.data]}, separators=(",", ":"))
     if t == G.MULTIPOLYGON:
         return json.dumps(
-            {"type": "MultiPolygon", "coordinates": [[_coords_list(r) for r in c.data] for c in g.data]},
+            {"type": "MultiPolygon", "coordinates": [[_coords_list(r, w) for r in c.data] for c in g.data]},
             separators=(",", ":"),
         )
     return json.dumps(
@@ -365,25 +437,51 @@ def st_assvg(s: pd.Series, rel: pd.Series, precision: pd.Series) -> pd.Series:
             s = "0"
         return s
 
+    def verts(arr, r, p, close):
+        """Reference PrintVertices (st_assvg.cpp:21-65): one 'M', one 'L'/'l',
+        bare coordinate pairs after; a closed ring replaces the last vertex
+        with 'Z'/'z'; relative mode emits deltas from the previous vertex."""
+        n = len(arr)
+        if n == 0:
+            return ""
+        out = [f"M {fmt(arr[0][0], p)} {fmt(-arr[0][1], p)}"]
+        if n == 1:
+            return out[0]
+        out.append("l" if r else "L")
+        last = arr[0]
+        for i in range(1, n):
+            if close and i == n - 1:
+                out.append("z" if r else "Z")
+            elif r:
+                out.append(f"{fmt(arr[i][0] - last[0], p)} {fmt(-(arr[i][1] - last[1]), p)}")
+                last = arr[i]
+            else:
+                out.append(f"{fmt(arr[i][0], p)} {fmt(-arr[i][1], p)}")
+        return " ".join(out)
+
+    def render(g, r, p):
+        if g.tag == G.POINT:
+            if g.is_empty():
+                return ""
+            # SVG y axis points down: negate y (PostGIS/reference convention);
+            # absolute points are circles (cx/cy), relative ones x/y
+            if r:
+                return f'x="{fmt(g.data[0], p)}" y="{fmt(-g.data[1], p)}"'
+            return f'cx="{fmt(g.data[0], p)}" cy="{fmt(-g.data[1], p)}"'
+        if g.tag == G.LINESTRING:
+            return verts(g.data, r, p, False)
+        if g.tag == G.POLYGON:
+            return "".join(verts(ring, r, p, True) for ring in g.data)
+        delim = {G.MULTIPOINT: ",", G.GEOMETRYCOLLECTION: ";"}.get(g.tag, " ")
+        return delim.join(render(c, r, p) for c in g.data)
+
     def mk(b, r, p):
         if b is None:
             return None
-        g = _g(b)
         p = 15 if p is None else int(p)
-        parts = []
-        for leaf in g.flatten():
-            if leaf.tag == G.POINT:
-                # SVG y axis points down: negate y (PostGIS convention)
-                parts.append(f'cx="{fmt(leaf.data[0], p)}" cy="{fmt(-leaf.data[1], p)}"')
-            elif leaf.tag == G.LINESTRING:
-                arr = leaf.data
-                seg = "M " + " L ".join(f"{fmt(v[0], p)} {fmt(-v[1], p)}" for v in arr)
-                parts.append(seg)
-            else:
-                for ring in leaf.data:
-                    seg = "M " + " L ".join(f"{fmt(v[0], p)} {fmt(-v[1], p)}" for v in ring[:-1]) + " Z"
-                    parts.append(seg)
-        return " ".join(parts)
+        if p < 0 or p > 15:
+            raise ValueError("max_digits must be between 0 and 15")
+        return render(_g(b), bool(r), p)
 
     return pd.Series([mk(b, r, p) for b, r, p in zip(s, rel, precision)])
 
@@ -502,6 +600,24 @@ st_zmin = _unary(_zm_minmax("z", True), T.DoubleType())
 st_zmax = _unary(_zm_minmax("z", False), T.DoubleType())
 st_mmin = _unary(_zm_minmax("m", True), T.DoubleType())
 st_mmax = _unary(_zm_minmax("m", False), T.DoubleType())
+
+
+@F.pandas_udf(T.StringType())
+def st_extent_text(s: pd.Series) -> pd.Series:
+    """DuckDB's ST_AsText(BOX_2D) rendering of ST_Extent: 'BOX(minx miny,
+    maxx maxy)', NULL for empty input (st_extent.test). Spark UDFs can't
+    overload ST_AsText on a struct, so the composition gets its own name."""
+    def mk(b):
+        if b is None:
+            return None
+        bb = A.bounds(_g(b))
+        if bb is None:
+            return None
+        from ..geo.wkt import _fmt
+
+        return f"BOX({_fmt(bb[0])} {_fmt(bb[1])}, {_fmt(bb[2])} {_fmt(bb[3])})"
+
+    return s.map(mk)
 
 
 @F.pandas_udf(BOX_2D)
@@ -639,7 +755,11 @@ def st_dump(s: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.BinaryType())
 def st_collectionextract(s: pd.Series, ty: pd.Series) -> pd.Series:
-    """type: 1=point, 2=line, 3=polygon (docs/functions.md:455-463)."""
+    """type: 1=point, 2=line, 3=polygon. Matches the reference's shape rules
+    (st_collectionextract.test): a GEOMETRYCOLLECTION yields MULTI<type> of
+    the flattened matching leaves; a MULTI* input returns itself when it
+    matches, else MULTI<type> EMPTY; a singular input returns itself when it
+    matches, else <TYPE> EMPTY (singular)."""
 
     def mk(b, t):
         if b is None:
@@ -647,12 +767,41 @@ def st_collectionextract(s: pd.Series, ty: pd.Series) -> pd.Series:
         g = _g(b)
         t = int(t)
         want = {1: G.POINT, 2: G.LINESTRING, 3: G.POLYGON}[t]
-        parts = [l for l in g.flatten() if l.tag == want]
-        if not parts:
-            return _wkb(G.empty({1: G.MULTIPOINT, 2: G.MULTILINESTRING, 3: G.MULTIPOLYGON}[t]))
-        return _wkb(G.collect(parts))
+        multi_want = {1: G.MULTIPOINT, 2: G.MULTILINESTRING, 3: G.MULTIPOLYGON}[t]
+        if g.tag == G.GEOMETRYCOLLECTION:
+            parts = [l for l in g.flatten() if l.tag == want]
+            if not parts:
+                return _wkb(G.empty(multi_want))
+            return _wkb(G.collect(parts, force_collection=False))
+        if g.tag in (G.MULTIPOINT, G.MULTILINESTRING, G.MULTIPOLYGON):
+            return b if g.tag == multi_want else _wkb(G.empty(multi_want))
+        return b if g.tag == want else _wkb(G.empty(want, g.has_z, g.has_m))
 
     return pd.Series([mk(b, t) for b, t in zip(s, ty)])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_collectionextract1(s: pd.Series) -> pd.Series:
+    """1-arg ST_CollectionExtract: keep the highest-dimension non-empty
+    leaves of a collection (reference st_collectionextract.cpp /
+    test/sql/geometry/st_collectionextract.test); non-collection inputs
+    return themselves unchanged."""
+
+    def mk(b):
+        if b is None:
+            return None
+        g = _g(b)
+        if g.tag != G.GEOMETRYCOLLECTION:
+            return b
+        leaves = [l for l in g.flatten() if not l.is_empty()]
+        if not leaves:
+            return _wkb(G.empty(G.GEOMETRYCOLLECTION))
+        dim = {G.POINT: 0, G.LINESTRING: 1, G.POLYGON: 2}
+        best = max(dim[l.tag] for l in leaves)
+        want = {0: G.POINT, 1: G.LINESTRING, 2: G.POLYGON}[best]
+        return _wkb(G.collect([l for l in leaves if l.tag == want], force_collection=False))
+
+    return s.map(mk)
 
 
 # --------------------------------------------------------------------------
@@ -721,7 +870,18 @@ def st_reduceprecision(s: pd.Series, grid: pd.Series) -> pd.Series:
 
 st_normalize = _unary_geom(A.normalize)
 st_makevalid = _unary_geom(A.make_valid)
-st_boundary = _unary_geom(A.boundary)
+@F.pandas_udf(T.BinaryType())
+def st_boundary(s: pd.Series) -> pd.Series:
+    """NULL-returning variant of _unary_geom: boundary of a collection is
+    NULL (A.boundary returns None there)."""
+
+    def mk(b):
+        if b is None:
+            return None
+        r = A.boundary(_g(b))
+        return None if r is None else _wkb(r)
+
+    return s.map(mk)
 st_envelope = _unary_geom(A.envelope)
 st_convexhull = _unary_geom(A.convex_hull)
 st_pointonsurface = _unary_geom(A.point_on_surface)

@@ -46,8 +46,12 @@ def bounds(g: Geometry):
 
 
 def _ring_signed_area(ring: np.ndarray) -> float:
-    x = ring[:, 0]
-    y = ring[:, 1]
+    # shift to the first vertex before the cross products: at coordinate
+    # magnitudes ~1e2 a sliver area ~1e-9 loses ~6 digits unshifted
+    # (measured against exact rational arithmetic; the shifted form
+    # reproduces it to the last ulp)
+    x = ring[:, 0] - ring[0, 0]
+    y = ring[:, 1] - ring[0, 1]
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
@@ -586,7 +590,17 @@ def _dimension(g: Geometry) -> int:
 
 
 def dimension(g: Geometry) -> int:
-    return _dimension(g)
+    """ST_Dimension: topological dimension BY TYPE — an empty LINESTRING is
+    still dimension 1 (reference st_dimension.test); collections take the
+    max over children (empty collection -> 0). `_dimension` (content-based)
+    stays as the DE-9IM helper."""
+    if g.tag in (G.POLYGON, G.MULTIPOLYGON):
+        return 2
+    if g.tag in (G.LINESTRING, G.MULTILINESTRING):
+        return 1
+    if g.tag in (G.POINT, G.MULTIPOINT):
+        return 0
+    return max((dimension(c) for c in g.data), default=0)
 
 
 # ---------------------------------------------------------------------------
@@ -766,12 +780,47 @@ def remove_repeated_points(g: Geometry, tol: float = 0.0) -> Geometry:
     def dedupe(arr: np.ndarray) -> np.ndarray:
         if len(arr) < 2:
             return arr
-        d = np.sqrt(((np.diff(arr[:, :2], axis=0)) ** 2).sum(axis=1))
-        keep = np.concatenate([[True], d > tol])
-        out = arr[keep]
-        if len(out) == 1 and len(arr) > 1:
-            out = arr[[0, -1]]
-        return out
+        if tol <= 0.0:
+            d = np.sqrt(((np.diff(arr[:, :2], axis=0)) ** 2).sum(axis=1))
+            keep = np.concatenate([[True], d > tol])
+            out = arr[keep]
+            if len(out) == 1 and len(arr) > 1:
+                out = arr[[0, -1]]
+            return out
+        # tolerance variant mirrors the reference exactly
+        # (st_removerepeatedpoints.cpp tolerance path): greedy keep when the
+        # squared distance from the LAST KEPT point exceeds tol^2, counting
+        # over all vertices; then re-emit middles with the same rule and
+        # force the final kept slot to the input's last vertex.
+        n = len(arr)
+        if n < 3:
+            return arr
+        t2 = tol * tol
+
+        def d2(i, last):
+            dx = arr[i, 0] - last[0]
+            dy = arr[i, 1] - last[1]
+            return dx * dx + dy * dy
+
+        keep_n = 1
+        last = (arr[0, 0], arr[0, 1])
+        for i in range(1, n):
+            if d2(i, last) > t2:
+                keep_n += 1
+                last = (arr[i, 0], arr[i, 1])
+        if keep_n == 1:
+            return arr[[0, -1]]
+        idx = [0]
+        last = (arr[0, 0], arr[0, 1])
+        for i in range(1, n - 1):
+            if d2(i, last) > t2:
+                idx.append(i)
+                last = (arr[i, 0], arr[i, 1])
+        idx = idx[:keep_n]
+        while len(idx) < keep_n:
+            idx.append(n - 1)
+        idx[keep_n - 1] = n - 1
+        return arr[idx]
 
     if g.tag == G.POINT:
         return g
@@ -823,6 +872,10 @@ def force_dims(g: Geometry, has_z: bool, has_m: bool, z_default=0.0, m_default=0
 
 
 def boundary(g: Geometry) -> Geometry:
+    if g.tag == G.GEOMETRYCOLLECTION:
+        # the reference returns NULL for geometry collections
+        # (duckdb_spatial issue 204, pinned by st_disjoint.test)
+        return None
     if g.tag == G.POINT or g.tag == G.MULTIPOINT:
         return G.empty(G.GEOMETRYCOLLECTION)
     if g.tag == G.LINESTRING:
@@ -1078,34 +1131,70 @@ def normalize(g: Geometry) -> Geometry:
 
 
 def line_merge(g: Geometry, directed: bool = False) -> Geometry:
-    """Merge connected linestrings (reference ``st_linemerge.cpp``)."""
-    lines = [l for l in g.flatten() if l.tag == G.LINESTRING]
+    """Merge connected linestrings (reference ``st_linemerge.cpp`` -> GEOS
+    LineMerger semantics, pinned by test/sql/postgis/st_linemerge.test):
+    lines join only at nodes where EXACTLY two line endpoints meet (a 3-way
+    junction stops the merge); each merged chain keeps the orientation of
+    its earliest input line; components are emitted in lexicographic
+    coordinate-sequence order. ``directed=True`` additionally requires an
+    end-to-start match (no flipping)."""
+    from collections import defaultdict
+
+    lines = [l.data[:, :2].copy() for l in g.flatten() if l.tag == G.LINESTRING]
+    lines = [a for a in lines if len(a) >= 2]
     if not lines:
         return G.empty(G.GEOMETRYCOLLECTION)
-    chains = [l.data[:, :2].copy() for l in lines]
-    merged = True
-    while merged:
-        merged = False
-        for i in range(len(chains)):
-            if chains[i] is None:
-                continue
-            for j in range(len(chains)):
-                if i == j or chains[j] is None:
-                    continue
-                a, b = chains[i], chains[j]
-                if np.array_equal(a[-1], b[0]):
-                    chains[i] = np.vstack([a, b[1:]])
-                elif not directed and np.array_equal(a[-1], b[-1]):
-                    chains[i] = np.vstack([a, b[::-1][1:]])
-                elif not directed and np.array_equal(a[0], b[0]):
-                    chains[i] = np.vstack([a[::-1], b[1:]])
-                elif np.array_equal(b[-1], a[0]):
-                    chains[i] = np.vstack([b, a[1:]])
-                else:
-                    continue
-                chains[j] = None
-                merged = True
-    out = [G.linestring(c) for c in chains if c is not None]
+    nodes = defaultdict(list)  # coord -> [(line_idx, end)] end: 0=start 1=end
+    for i, arr in enumerate(lines):
+        nodes[tuple(arr[0])].append((i, 0))
+        nodes[tuple(arr[-1])].append((i, 1))
+    join = {}
+    for inc in nodes.values():
+        if len(inc) != 2:
+            continue
+        (i, ie), (j, je) = inc
+        if i == j:
+            continue  # closed ring touching itself
+        if directed and ie == je:
+            continue  # directed merge needs one end meeting one start
+        join[(i, ie)] = (j, je)
+        join[(j, je)] = (i, ie)
+    visited = [False] * len(lines)
+    chains = []
+    for i in range(len(lines)):
+        if visited[i]:
+            continue
+        visited[i] = True
+        chain = [(i, False)]  # (line_idx, flipped)
+        # extend forward from the tail
+        while True:
+            li, fl = chain[-1]
+            nxt = join.get((li, 0 if fl else 1))
+            if nxt is None or visited[nxt[0]]:
+                break
+            j, je = nxt
+            visited[j] = True
+            chain.append((j, je == 1))
+        # extend backward from the head
+        while True:
+            li, fl = chain[0]
+            nxt = join.get((li, 1 if fl else 0))
+            if nxt is None or visited[nxt[0]]:
+                break
+            j, je = nxt
+            visited[j] = True
+            chain.insert(0, (j, je == 0))
+        # orientation follows the earliest input line in the chain
+        first = min(range(len(chain)), key=lambda k: chain[k][0])
+        if chain[first][1]:
+            chain = [(li, not fl) for li, fl in reversed(chain)]
+        coords = []
+        for li, fl in chain:
+            a = lines[li][::-1] if fl else lines[li]
+            coords.append(a if not coords else a[1:])
+        chains.append(np.vstack(coords))
+    chains.sort(key=lambda a: tuple(map(tuple, a)))
+    out = [G.linestring(c) for c in chains]
     if len(out) == 1:
         return out[0]
     return Geometry(G.MULTILINESTRING, out)

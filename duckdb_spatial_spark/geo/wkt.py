@@ -132,31 +132,51 @@ class _Parser:
         if tag == G.POLYGON:
             return G.Geometry(G.POLYGON, self.rings(dim), has_z, has_m)
         if tag == G.MULTIPOINT:
-            # both MULTIPOINT(0 0, 1 1) and MULTIPOINT((0 0), (1 1)) are legal
+            # both MULTIPOINT(0 0, 1 1) and MULTIPOINT((0 0), (1 1)) are
+            # legal; EMPTY is accepted as a member (wkt_reader.cpp accepts
+            # empty children in multi-geometries)
             self.expect("(")
             pts = []
             while True:
-                if self.peek() == "(":
+                if self.try_word("EMPTY"):
+                    pts.append(G.empty(G.POINT, has_z, has_m))
+                elif self.peek() == "(":
                     self.expect("(")
                     vals = self.coords(dim)
                     self.expect(")")
+                    pts.append(G.Geometry(G.POINT, np.asarray(vals), has_z, has_m))
                 else:
                     vals = self.coords(dim)
-                pts.append(G.Geometry(G.POINT, np.asarray(vals), has_z, has_m))
+                    pts.append(G.Geometry(G.POINT, np.asarray(vals), has_z, has_m))
                 if self.peek() != ",":
                     break
                 self.expect(",")
             self.expect(")")
             return G.Geometry(G.MULTIPOINT, pts, has_z, has_m)
         if tag == G.MULTILINESTRING:
-            lines = [G.Geometry(G.LINESTRING, a, has_z, has_m) for a in self.rings(dim)]
+            self.expect("(")
+            lines = []
+            while True:
+                if self.try_word("EMPTY"):
+                    lines.append(G.empty(G.LINESTRING, has_z, has_m))
+                else:
+                    lines.append(G.Geometry(G.LINESTRING, self.coord_seq(dim), has_z, has_m))
+                if self.peek() != ",":
+                    break
+                self.expect(",")
+            self.expect(")")
             return G.Geometry(G.MULTILINESTRING, lines, has_z, has_m)
         if tag == G.MULTIPOLYGON:
             self.expect("(")
-            polys = [G.Geometry(G.POLYGON, self.rings(dim), has_z, has_m)]
-            while self.peek() == ",":
+            polys = []
+            while True:
+                if self.try_word("EMPTY"):
+                    polys.append(G.empty(G.POLYGON, has_z, has_m))
+                else:
+                    polys.append(G.Geometry(G.POLYGON, self.rings(dim), has_z, has_m))
+                if self.peek() != ",":
+                    break
                 self.expect(",")
-                polys.append(G.Geometry(G.POLYGON, self.rings(dim), has_z, has_m))
             self.expect(")")
             return G.Geometry(G.MULTIPOLYGON, polys, has_z, has_m)
         # GEOMETRYCOLLECTION
@@ -166,12 +186,27 @@ class _Parser:
             self.expect(",")
             children.append(self.geometry())
         self.expect(")")
+        if zm in ("Z", "M", "ZM"):
+            # a declared dimension must match every child (the reference's
+            # wkt reader errors on GEOMETRYCOLLECTION ZM (POINT Z ...))
+            for c in children:
+                if (c.has_z, c.has_m) != (has_z, has_m):
+                    self.err(
+                        f"GEOMETRYCOLLECTION {zm} child has mismatched dimensions"
+                    )
+            return G.Geometry(G.GEOMETRYCOLLECTION, children, has_z, has_m)
         hz = any(c.has_z for c in children)
         hm = any(c.has_m for c in children)
         return G.Geometry(G.GEOMETRYCOLLECTION, children, hz, hm)
 
 
+_SRID_PREFIX = re.compile(r"^\s*SRID\s*=\s*\d+\s*;", re.IGNORECASE)
+
+
 def from_wkt(s: str) -> G.Geometry:
+    # EWKT: accept and drop a leading "SRID=n;" (the reference's reader
+    # does the same; test/sql/geometry/st_geomfromtext.test)
+    s = _SRID_PREFIX.sub("", s, count=1)
     p = _Parser(s)
     g = p.geometry()
     p.skip_ws()
@@ -209,7 +244,13 @@ def _seq(arr) -> str:
 
 
 def _body(g: G.Geometry) -> str:
-    if g.is_empty():
+    # multi/collection emptiness is STRUCTURAL: a MULTIPOINT holding one
+    # empty point renders "MULTIPOINT (EMPTY)" (reference st_multi.test),
+    # while a memberless MULTIPOINT renders "MULTIPOINT EMPTY"
+    if g.tag in (G.MULTIPOINT, G.MULTILINESTRING, G.MULTIPOLYGON, G.GEOMETRYCOLLECTION):
+        if not g.data:
+            return "EMPTY"
+    elif g.is_empty():
         return "EMPTY"
     if g.tag == G.POINT:
         return "(" + _fmt_coords(g.data) + ")"
@@ -218,11 +259,15 @@ def _body(g: G.Geometry) -> str:
     if g.tag == G.POLYGON:
         return "(" + ", ".join(_seq(r) for r in g.data) + ")"
     if g.tag == G.MULTIPOINT:
-        return "(" + ", ".join(_fmt_coords(c.data) for c in g.data) + ")"
+        return "(" + ", ".join(
+            "EMPTY" if c.is_empty() else _fmt_coords(c.data) for c in g.data) + ")"
     if g.tag == G.MULTILINESTRING:
-        return "(" + ", ".join(_seq(c.data) for c in g.data) + ")"
+        return "(" + ", ".join(
+            "EMPTY" if c.is_empty() else _seq(c.data) for c in g.data) + ")"
     if g.tag == G.MULTIPOLYGON:
-        return "(" + ", ".join("(" + ", ".join(_seq(r) for r in c.data) + ")" for c in g.data) + ")"
+        return "(" + ", ".join(
+            "EMPTY" if c.is_empty() else "(" + ", ".join(_seq(r) for r in c.data) + ")"
+            for c in g.data) + ")"
     return "(" + ", ".join(to_wkt(c) for c in g.data) + ")"
 
 
