@@ -526,31 +526,38 @@ def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, ri
     csr_rects = np.fromiter((p[1] for p in csr_pairs), dtype=np.int64, count=len(csr_pairs))
     cell_uniq, cell_starts = np.unique(csr_cells, return_index=True)
     cell_ends = np.r_[cell_starts[1:], len(csr_cells)]
-    # axis-aligned-box detection: a rect whose WKB equals the canonical
-    # envelope of its own bbox needs no geometry test at all
-    from ..functions.udfs import st_makeenvelope as _mkenv  # noqa: F401 (doc link)
-
+    # axis-aligned-box detection: a rect that IS the rectangle of its own
+    # bbox needs no geometry test at all. Detected structurally — closed
+    # 5-vertex single-ring polygon, every edge axis-parallel, vertex
+    # extremes equal to the declared bbox — so ANY vertex order / winding /
+    # starting corner qualifies. (A previous byte-compare against one
+    # canonical vertex order silently disabled this lane when
+    # st_makeenvelope switched to the reference's CreateFromBox order:
+    # every probe fell back to per-geometry point-in-polygon, ~3x slower.)
     is_box = np.zeros(len(wkbs), dtype=bool)
     cand93 = [i for i, w in enumerate(wkbs) if len(w) == 93]
     if cand93:
         sub = boxes_np[cand93]
         n93 = len(cand93)
-        buf = np.zeros((n93, 93), dtype=np.uint8)
-        buf[:, 0] = 1
-        buf[:, 1] = 3
-        buf[:, 5] = 1
-        buf[:, 9] = 5
-        ring = np.empty((n93, 10), dtype=np.float64)
-        a_, b_, c_, d_ = sub[:, 0], sub[:, 1], sub[:, 2], sub[:, 3]
-        ring[:, 0], ring[:, 1] = a_, b_
-        ring[:, 2], ring[:, 3] = c_, b_
-        ring[:, 4], ring[:, 5] = c_, d_
-        ring[:, 6], ring[:, 7] = a_, d_
-        ring[:, 8], ring[:, 9] = a_, b_
-        buf[:, 13:93] = ring.astype("<f8").view(np.uint8).reshape(n93, 80)
         joined = b"".join(wkbs[i] for i in cand93)
         got = np.frombuffer(joined, dtype=np.uint8).reshape(n93, 93)
-        is_box[np.asarray(cand93)[(got == buf).all(axis=1)]] = True
+        hdr = np.zeros(13, dtype=np.uint8)
+        hdr[0] = 1  # little-endian
+        hdr[1] = 3  # wkbPolygon
+        hdr[5] = 1  # one ring
+        hdr[9] = 5  # five points (closed)
+        hdr_ok = (got[:, :13] == hdr).all(axis=1)
+        ring = got[:, 13:93].copy().view("<f8").reshape(n93, 10)
+        xs_, ys_ = ring[:, 0::2], ring[:, 1::2]
+        closed = (xs_[:, 0] == xs_[:, 4]) & (ys_[:, 0] == ys_[:, 4])
+        edge_ax = ((xs_[:, :4] == xs_[:, 1:]) | (ys_[:, :4] == ys_[:, 1:])).all(axis=1)
+        ext_ok = (
+            (xs_[:, :4].min(axis=1) == sub[:, 0])
+            & (ys_[:, :4].min(axis=1) == sub[:, 1])
+            & (xs_[:, :4].max(axis=1) == sub[:, 2])
+            & (ys_[:, :4].max(axis=1) == sub[:, 3])
+        )
+        is_box[np.asarray(cand93)[hdr_ok & closed & edge_ax & ext_ok]] = True
 
     spark = lb.sparkSession
     bc = spark.sparkContext.broadcast(
