@@ -1404,6 +1404,35 @@ def q_shp_roundtrip(spark, sf_dir):
     )
 
 
+def q_gdb_roundtrip(spark, sf_dir):
+    """FileGDB write -> read round trip (sources/filegdb.py): OpenFileGDB
+    driver analog with the reference's mandatory GEOMETRY_TYPE contract
+    (test/sql/gdal/st_read_gdb.test; reached there via st_read.cpp GDAL
+    dispatch). Points + typed attributes survive the .gdbtable/.gdbtablx
+    encoding; coordinates quantize on a 1e-9 grid, far below the 1e-6
+    rounding here."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+
+    from duckdb_spatial_spark.sources.filegdb import read_gdb, write_gdb
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 400")
+        .withColumn("geom", F.expr("ST_Point(x, y)"))
+        .selectExpr("id", "geom", "concat('n', CAST(id % 7 AS STRING)) AS name",
+                    "CAST(id AS DOUBLE) / 8 AS score")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="gdb_q_"), "rt.gdb")
+    write_gdb(df, path, layer="pts", geometry_type="POINT")
+    back = read_gdb(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "round(ST_X(geom), 6) AS x",
+        "round(ST_Y(geom), 6) AS y", "name", "round(score, 6) AS score"
+    )
+
+
 def q_dxf_read(spark, sf_dir):
     """DXF entity reader (sources/dxf.py; GDAL DXF driver analog reached by
     the reference via st_read.cpp). A drawing with POINT entities derived
@@ -1637,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dxf_read": q_dxf_read,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
+        "gdb_roundtrip": q_gdb_roundtrip,
         "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
         # --- remaining driver-checked surface ---
@@ -2202,6 +2232,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 400
         """,
+        "gdb_roundtrip": f"""
+            SELECT id, round(x, 6) AS x, round(y, 6) AS y,
+                   concat('n', CAST(id % 7 AS STRING)) AS name,
+                   round(CAST(id AS DOUBLE) / 8, 6) AS score
+            FROM ({pts}) WHERE id < 400
+        """,
         "dxf_read": f"""
             SELECT concat('L', CAST(id % 5 AS STRING)) AS name,
                    CAST(count(*) AS BIGINT) AS n,
@@ -2259,7 +2295,8 @@ def oracle_sql() -> dict[str, str]:
               ('OSM', 'true', 'false'), ('KML', 'true', 'true'),
               ('GPX', 'true', 'true'), ('GML', 'true', 'true'),
               ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'true'),
-              ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true')
+              ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true'),
+              ('OpenFileGDB', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

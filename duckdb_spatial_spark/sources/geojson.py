@@ -371,6 +371,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("DXF", "AutoCAD ASCII DXF entities (read/write)", True, True, True, ""),
         ("XLSX", "OOXML spreadsheet, one sheet per layer (read/write)", True, True, True, ""),
         ("MapInfo File", "MapInfo MIF/MID interchange pair (read/write)", True, True, True, ""),
+        ("OpenFileGDB", "Esri FileGDB v10 subset (.gdbtable/.gdbtablx, read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,
