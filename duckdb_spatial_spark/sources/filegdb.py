@@ -680,11 +680,18 @@ def gdb_layers(path: str) -> list[str]:
 
 
 def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
-             rows_per_partition: int = 50_000) -> DataFrame:
+             rows_per_partition: int = 50_000,
+             fid_column: str | None = None) -> DataFrame:
     """ST_Read for FileGDB datasets. Finds the layer via GDB_SystemCatalog
     (or takes a direct ``.gdbtable`` path), then scans row ranges in
     parallel: each partition seeks into its ``.gdbtablx`` slice on the
-    executor, so a big table fans out without a driver bottleneck."""
+    executor, so a big table fans out without a driver bottleneck.
+
+    Column order matches GDAL's st_read surface (attributes first, ``geom``
+    last) and the ObjectID is hidden like GDAL's FID — pass
+    ``fid_column="OBJECTID"`` to expose it as the first column
+    (reference parity: ``FROM st_read('test.gdb')`` yields the attribute +
+    geometry columns only, test/sql/gdal/st_read_gdb.test)."""
     if path.endswith(".gdbtable"):
         table = path
     else:
@@ -710,10 +717,16 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
             raise ValueError(f"layer {layer!r} not found in {path!r}")
 
     nrows, fields, geom_type = _read_gdbtable_header(table)
+    # output order: [fid?] attributes..., geom last (GDAL st_read surface)
+    ordered = []
+    if fid_column is not None:
+        ordered += [f for f in fields if f[1] == FT_OBJECTID]
+    ordered += [f for f in fields if f[1] not in (FT_OBJECTID, FT_GEOMETRY)]
+    ordered += [f for f in fields if f[1] == FT_GEOMETRY]
     schema_fields = []
-    for name, code, _null in fields:
+    for name, code, _null in ordered:
         if code == FT_OBJECTID:
-            schema_fields.append(T.StructField(name, T.LongType(), False))
+            schema_fields.append(T.StructField(fid_column, T.LongType(), False))
         elif code == FT_GEOMETRY:
             schema_fields.append(T.StructField("geom", T.BinaryType()))
         else:
@@ -722,6 +735,9 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
     tablx = os.path.splitext(table)[0] + ".gdbtablx"
     ranges = [(start, min(start + rows_per_partition, nrows))
               for start in range(0, max(nrows, 1), rows_per_partition)]
+
+    src_pos = {id(f): i for i, f in enumerate(fields)}
+    emit_pos = [src_pos[id(f)] for f in ordered]
 
     def iter_range(bounds):
         start, end = bounds
@@ -734,7 +750,9 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
                 ln = struct.unpack("<i", f.read(4))[0]
                 vals = _decode_row(f.read(ln), fields)
                 out = []
-                for (name, code, _nl), v in zip(fields, vals):
+                for i in emit_pos:
+                    name, code, _nl = fields[i]
+                    v = vals[i]
                     if code == FT_OBJECTID:
                         out.append(start + k + 1)
                     elif code == FT_GEOMETRY:

@@ -338,6 +338,8 @@ def translate(sql: str, workdir: str, testdir: str) -> str:
             raise Unsupported(why)
     if re.match(r"\s*use\s+\w+\s*;?\s*$", s, re.I):
         raise Unsupported("USE database")
+    # DuckDB tolerates a trailing comma in the select list
+    s = re.sub(r",\s*(FROM\b)", r" \1", s, flags=re.I)
     # st_astext over a BOX_2D-returning ST_Extent: DuckDB renders the box
     # text form via an implicit cast; our struct needs the named composition
     s = re.sub(r"st_astext\s*\(\s*st_extent\s*\(", "ST_Extent_Text((", s, flags=re.I)
@@ -476,8 +478,38 @@ def compare(expected_lines, rows, sortmode: str, types: str = ""):
 
 # --------------------------------------------------------------- executor
 
+_ST_READ_CALL = re.compile(
+    r"\b(st_read|st_readshp|st_readosm)\s*\(\s*'([^']+)'\s*(?:,\s*([^()]*))?\)", re.I
+)
+_COPY_GDAL = re.compile(
+    r"^\s*COPY\s*\((.+)\)\s*TO\s*'([^']+)'\s*(?:WITH\s*)?\(([^()]*)\)\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _parse_copy_opts(raw: str) -> dict:
+    """``FORMAT GDAL, DRIVER 'GeoJSONSeq', GEOMETRY_TYPE 'POINT'`` -> dict."""
+    out = {}
+    for tok in _split_top(raw, ","):
+        tok = tok.strip()
+        if not tok:
+            continue
+        parts = tok.split(None, 1)
+        key = parts[0].lower()
+        val = parts[1].strip() if len(parts) > 1 else ""
+        out[key] = val.strip("'\"")
+    return out
+
+
 def run_file(spark, path: str, workdir: str | None = None):
-    """Run one .test file. Returns dict with counts and details."""
+    """Run one .test file. Returns dict with counts and details.
+
+    GDAL call sites run for real: ``st_read('p')`` / ``st_readshp`` in FROM
+    position are lifted into temp views backed by ``sources.st_read`` (with
+    DuckDB's implicit ``rowid`` pseudo-column exposed), and ``COPY ... TO
+    ... (FORMAT GDAL, DRIVER 'X')`` dispatches to the matching ``write_*``
+    sink. Writes aimed under the read-only reference checkout land in a
+    shadow directory that later reads resolve first."""
     # __WORKING_DIRECTORY__ is the reference repo root (tests reference
     # fixtures as __WORKING_DIRECTORY__/test/data/...)
     workdir = workdir or os.path.dirname(os.path.dirname(REF_SQL.rstrip("/")))
@@ -486,6 +518,117 @@ def run_file(spark, path: str, workdir: str | None = None):
     res = {"file": os.path.relpath(path, REF_SQL), "pass": 0, "fail": 0,
            "skip": 0, "failures": [], "skips": []}
     created = []
+    views: dict = {}
+
+    def _subst_paths(s: str) -> str:
+        return s.replace("__WORKING_DIRECTORY__", workdir).replace("__TEST_DIR__", testdir)
+
+    def _opaque(p: str) -> bool:
+        return p.startswith("/vsi") or "://" in p or "!" in p
+
+    def _resolve(p: str, for_write: bool = False) -> str:
+        if _opaque(p):
+            return p
+        if p.startswith(workdir):
+            sp = os.path.join(testdir, "shadow", os.path.relpath(p, workdir))
+            if for_write:
+                os.makedirs(os.path.dirname(sp), exist_ok=True)
+                return sp
+            return sp if os.path.exists(sp) else p
+        return p
+
+    def _lift_reads(s: str) -> str:
+        from pyspark.sql import functions as F
+
+        def repl(m):
+            fn, p, extra = m.group(1).lower(), m.group(2), (m.group(3) or "").strip()
+            rp = _resolve(p)
+            if not _opaque(rp) and not os.path.exists(rp):
+                raise Unsupported(f"missing fixture {os.path.basename(p)}")
+            key = (fn, rp, extra.lower())
+            if key not in views:
+                from duckdb_spatial_spark.sources import st_read as _st_read
+                from duckdb_spatial_spark.sources.shapefile import read_shapefile
+
+                if fn == "st_readshp":
+                    df = read_shapefile(spark, rp)
+                elif fn == "st_readosm":
+                    from duckdb_spatial_spark.sources.osm import read_osm
+
+                    df = read_osm(spark, rp)
+                else:
+                    df = _st_read(spark, rp)
+                if re.search(r"keep_wkb\s*=\s*true", extra, re.I):
+                    df = df.withColumnRenamed("geom", "wkb_geometry")
+                elif extra:
+                    raise Unsupported(f"st_read option {extra!r}")
+                # DuckDB's implicit rowid pseudo-column: only materialized
+                # when the test references it (it must not surface in
+                # SELECT * column lists, which pin exact output columns)
+                if ("rowid" in text.lower()
+                        and "rowid" not in [c.lower() for c in df.columns]):
+                    df = df.withColumn("rowid", F.monotonically_increasing_id())
+                name = f"_slt_read_{len(views)}"
+                df.createOrReplaceTempView(name)
+                views[key] = name
+            return views[key]
+
+        return _ST_READ_CALL.sub(repl, s)
+
+    def _prep_copy(cm):
+        """Validate a GDAL COPY and return a thunk that executes it (writer
+        errors must surface at execution time for statement-error blocks)."""
+        inner, target, raw_opts = cm.group(1), cm.group(2), cm.group(3)
+        opts = _parse_copy_opts(raw_opts)
+        if opts.get("format", "").upper() != "GDAL":
+            raise Unsupported(f"COPY format {opts.get('format')!r}")
+        drv = opts.get("driver", "").lower().replace(" ", "")
+        tsql = translate(_lift_reads(inner), workdir, testdir)
+
+        def run():
+            from pyspark.sql import types as ST
+
+            from duckdb_spatial_spark.sources import (
+                write_gdb,
+                write_geojson,
+                write_gpkg,
+                write_kml,
+                write_mif,
+                write_shapefile,
+                write_xlsx,
+            )
+            from duckdb_spatial_spark.sources.flatgeobuf import write_flatgeobuf
+
+            df = spark.sql(tsql)
+            bincols = [f.name for f in df.schema.fields if isinstance(f.dataType, ST.BinaryType)]
+            if bincols and "geom" not in df.columns:
+                df = df.withColumnRenamed(bincols[0], "geom")
+            tgt = _resolve(target, for_write=True)
+            if drv == "geojson":
+                write_geojson(df, tgt, style="collection")
+            elif drv == "geojsonseq":
+                write_geojson(df, tgt, style="lines")
+            elif drv in ("esrishapefile",):
+                write_shapefile(df, tgt)
+            elif drv == "openfilegdb":
+                write_gdb(df, tgt, geometry_type=opts.get("geometry_type"))
+            elif drv == "xlsx":
+                write_xlsx(df, tgt)
+            elif drv == "gpkg":
+                write_gpkg(df, tgt)
+            elif drv == "kml":
+                write_kml(df, tgt)
+            elif drv in ("mapinfofile",):
+                write_mif(df, tgt)
+            elif drv == "flatgeobuf":
+                write_flatgeobuf(df, tgt)
+            else:
+                raise Unsupported(f"GDAL driver {opts.get('driver')!r}")
+
+        if drv not in ("geojson", "geojsonseq", "esrishapefile", "openfilegdb",
+                       "xlsx", "gpkg", "kml", "mapinfofile", "flatgeobuf"):
+            raise Unsupported(f"GDAL driver {opts.get('driver')!r}")
+        return run
     try:
         records = expand_loops(list(parse_records(text)))
     except Unsupported as e:
@@ -508,7 +651,14 @@ def run_file(spark, path: str, workdir: str | None = None):
                 _, ok, sql, _exp = rec
                 try:
                     parts = [p for p in _split_top(sql, ";") if p.strip()]
-                    tparts = [translate(p, workdir, testdir) for p in parts]
+                    tparts = []
+                    for p in parts:
+                        p = _subst_paths(p)
+                        cm = _COPY_GDAL.match(p)
+                        if cm:
+                            tparts.append(_prep_copy(cm))
+                        else:
+                            tparts.append(translate(_lift_reads(p), workdir, testdir))
                 except Unsupported as e:
                     res["skip"] += 1
                     res["skips"].append(str(e))
@@ -517,6 +667,9 @@ def run_file(spark, path: str, workdir: str | None = None):
                     continue
                 try:
                     for tsql in tparts:
+                        if callable(tsql):  # prepared GDAL COPY
+                            tsql()
+                            continue
                         m = re.match(r"\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(\w+)", tsql, re.I)
                         if m:
                             name = m.group(2)
@@ -547,7 +700,7 @@ def run_file(spark, path: str, workdir: str | None = None):
             if rec[0] == "query":
                 _, sortmode, sql, expected, types = rec
                 try:
-                    tsql = translate(sql, workdir, testdir)
+                    tsql = translate(_lift_reads(_subst_paths(sql)), workdir, testdir)
                 except Unsupported as e:
                     res["skip"] += 1
                     res["skips"].append(str(e))

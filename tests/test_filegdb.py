@@ -81,7 +81,8 @@ def test_attrs_nulls_and_types(spark, tmp_path):
     )
     write_gdb(df, p, layer="attrs", geometry_type="POINT")
     assert gdb_layers(p) == ["attrs"]
-    back = read_gdb(spark, p).orderBy("OBJECTID")
+    back = read_gdb(spark, p, fid_column="OBJECTID").orderBy("OBJECTID")
+    assert back.columns[0] == "OBJECTID" and back.columns[-1] == "geom"
     rows = back.selectExpr(
         "id", "ST_AsText(geom) AS wkt", "name", "score",
         "CAST(ts AS STRING) AS ts", "CAST(blob AS STRING) AS blob"

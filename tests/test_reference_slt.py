@@ -21,9 +21,6 @@ import slt
 STRUCTURAL = {
     "index/": "rtree physical index: analog is plans/pruning.py "
               "(Hilbert-clustered parquet + bbox row-group pruning; benched A/B)",
-    "gdal/": "GDAL COPY/ST_Read SQL call sites: analog is sources/ "
-             "(st_read dispatch + write_* writers, tested in tests/test_*)",
-    "shapefile/": "ST_Read call site: analog is sources/shapefile.py",
     "geometry/geometry_version.test": "ATTACH of a pinned DuckDB .db file",
     "export_import_csv.test": "EXPORT DATABASE is DuckDB-catalog-specific",
 }
@@ -92,6 +89,8 @@ def test_reference_corpus(registered, tmp_path):
     with open(os.path.join(os.path.dirname(__file__), "..", "docs", "SLT_REPORT.json"), "w") as f:
         json.dump(report, f, indent=1)
     assert not failures, "\n".join(failures[:20])
-    # regression floor: the corpus currently passes 342 query/statement
-    # blocks — never silently lose coverage
-    assert total_pass >= 330, f"corpus pass count dropped to {total_pass}"
+    # regression floor: the corpus currently passes 370 query/statement
+    # blocks (incl. the gdal/ + shapefile/ call-site files, which now run
+    # for real through sources.st_read / write_*) — never silently lose
+    # coverage
+    assert total_pass >= 360, f"corpus pass count dropped to {total_pass}"
