@@ -121,8 +121,8 @@ def _subst(rec, var, val):
 # ------------------------------------------------------------ translation
 
 _BOX_LIT = re.compile(
-    r"\{\s*'min_x'\s*:\s*([^,]+?)\s*,\s*'min_y'\s*:\s*([^,]+?)\s*,"
-    r"\s*'max_x'\s*:\s*([^,]+?)\s*,\s*'max_y'\s*:\s*([^}]+?)\s*\}\s*::\s*BOX_2D",
+    r"\{\s*'?min_x'?\s*:\s*([^,]+?)\s*,\s*'?min_y'?\s*:\s*([^,]+?)\s*,"
+    r"\s*'?max_x'?\s*:\s*([^,]+?)\s*,\s*'?max_y'?\s*:\s*([^}]+?)\s*\}\s*::\s*BOX_2D",
     re.I,
 )
 _STR_GEOM = re.compile(r"('(?:[^']|'')*')\s*::\s*GEOMETRY", re.I)
@@ -315,6 +315,13 @@ def translate(sql: str, workdir: str, testdir: str) -> str:
         s = s.replace("__WORKING_DIRECTORY__", workdir)
     if "__TEST_DIR__" in s:
         s = s.replace("__TEST_DIR__", testdir)
+    # UNNEST(expr, recursive := true) over a list<struct> -> inline(expr):
+    # the struct fields become the output columns; an inner list column
+    # (ST_Dump's path) stays a list, matching DuckDB's rendering
+    s = re.sub(r"UNNEST\s*\(\s*(.*?)\s*,\s*recursive\s*:=\s*true\s*\)",
+               r"inline(\1)", s, flags=re.I | re.S)
+    # ::BLOB on an already-binary expression is an identity cast
+    s = re.sub(r"\)\s*::\s*BLOB\b", ")", s, flags=re.I)
     low = s.lower()
     for kw, why in (
         ("pragma", "DuckDB pragma"),
