@@ -454,6 +454,92 @@ def q_spatial_transform_longtail(spark, sf_dir):
     return out
 
 
+_WKT_CRS_DEFS = {
+    "osgb_geog": ('GEOGCS["OSGB36",DATUM["OSGB_1936",SPHEROID["Airy 1830",'
+                  '6377563.396,299.3249646]],PRIMEM["Greenwich",0],'
+                  'UNIT["degree",0.0174532925199433]]'),
+    "osgb_wkt2": (
+        'PROJCRS["OSGB36 / British National Grid",BASEGEOGCRS["OSGB36",'
+        'DATUM["Ordnance Survey of Great Britain 1936",ELLIPSOID["Airy 1830",'
+        '6377563.396,299.3249646,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],'
+        'CONVERSION["British National Grid",METHOD["Transverse Mercator",'
+        'ID["EPSG",9807]],PARAMETER["Latitude of natural origin",49],'
+        'PARAMETER["Longitude of natural origin",-2],'
+        'PARAMETER["Scale factor at natural origin",0.9996012717],'
+        'PARAMETER["False easting",400000],PARAMETER["False northing",-100000]],'
+        'CS[Cartesian,2],AXIS["(E)",east],AXIS["(N)",north],'
+        'LENGTHUNIT["metre",1],ID["EPSG",27700]]'
+    ),
+    "osgb_wkt1": (
+        'PROJCS["OSGB36 / British National Grid",GEOGCS["OSGB36",'
+        'DATUM["Ordnance_Survey_of_Great_Britain_1936",SPHEROID["Airy 1830",'
+        '6377563.396,299.3249646],'
+        'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],'
+        'PARAMETER["scale_factor",0.9996012717],'
+        'PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],'
+        'UNIT["metre",1],AUTHORITY["EPSG","27700"]]'
+    ),
+    "esri_webmerc": (
+        'PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984",'
+        'DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_Auxiliary_Sphere"],PARAMETER["False_Easting",0.0],'
+        'PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",0.0],'
+        'PARAMETER["Standard_Parallel_1",0.0],'
+        'PARAMETER["Auxiliary_Sphere_Type",0.0],UNIT["Meter",1.0]]'
+    ),
+    "ca_wkt1": (
+        'PROJCS["NAD83 / California zone 5 (ftUS)",GEOGCS["NAD83",'
+        'DATUM["North_American_Datum_1983",SPHEROID["GRS 1980",6378137,'
+        '298.257222101]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Lambert_Conformal_Conic_2SP"],'
+        'PARAMETER["standard_parallel_1",35.46666666666667],'
+        'PARAMETER["standard_parallel_2",34.03333333333333],'
+        'PARAMETER["latitude_of_origin",33.5],PARAMETER["central_meridian",-118],'
+        'PARAMETER["false_easting",6561666.667],'
+        'PARAMETER["false_northing",1640416.667],'
+        'UNIT["US survey foot",0.3048006096012192],AUTHORITY["EPSG","2229"]]'
+    ),
+}
+
+
+def q_spatial_transform_wkt(spark, sf_dir):
+    """ST_Transform fed WKT CRS definitions (functions/wktcrs.py: OGC WKT1,
+    ESRI WKT1, WKT2) — the reference accepts the same via PROJ
+    (proj_create_crs_to_crs, proj/functions.cpp:103). Row 1 reproduces the
+    Ordnance Survey worked example through the WKT2 grammar; rows 2-3 pin
+    the same grid coordinates as the EPSG-code route in
+    spatial_transform_longtail; row 5's ftUS false origins differ from the
+    published metre values by <0.4 mm, hence the 2-decimal rounding."""
+    _prep(spark, sf_dir)
+    d = _WKT_CRS_DEFS
+    cases = [
+        (1, 1.7179215833333334, 52.65757030555555, d["osgb_geog"], d["osgb_wkt2"], 3),
+        (2, -2.0, 54.0, "OGC:CRS84", d["osgb_wkt1"], 3),
+        (3, -0.1276, 51.5072, "OGC:CRS84", d["osgb_wkt1"], 3),
+        (4, 12.4924, 41.8902, "OGC:CRS84", d["esri_webmerc"], 3),
+        (5, -118.2437, 34.0522, "OGC:CRS84", d["ca_wkt1"], 2),
+    ]
+    df = spark.createDataFrame(
+        cases, "id long, lon double, lat double, src string, dst string, digits int"
+    )
+    return df.selectExpr(
+        "id",
+        "CASE WHEN digits = 3"
+        " THEN round(ST_X(ST_Transform(ST_Point(lon, lat), src, dst, true)), 3)"
+        " ELSE round(ST_X(ST_Transform(ST_Point(lon, lat), src, dst, true)), 2)"
+        " END AS e",
+        "CASE WHEN digits = 3"
+        " THEN round(ST_Y(ST_Transform(ST_Point(lon, lat), src, dst, true)), 3)"
+        " ELSE round(ST_Y(ST_Transform(ST_Point(lon, lat), src, dst, true)), 2)"
+        " END AS n",
+    )
+
+
 _FORMAT_WKTS = [
     (1, "POINT (1 2)"),
     (2, "LINESTRING (0 0, 3 0, 3 4)"),
@@ -1680,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_union_agg_chain": q_spatial_union_agg_chain,
         "spatial_intersection_agg": q_spatial_intersection_agg,
         "spatial_transform_longtail": q_spatial_transform_longtail,
+        "spatial_transform_wkt": q_spatial_transform_wkt,
         "spatial_format_ops": q_spatial_format_ops,
         "spatial_buffer_styles": q_spatial_buffer_styles,
         "spatial_predicates": q_spatial_predicates,
@@ -2064,6 +2151,15 @@ def oracle_sql() -> dict[str, str]:
               (6, 1757311.331, 5920214.564),
               (7, 148799.17, 171100.155),
               (8, 6487847.003, 1841468.252)
+            ) AS t(id, e, n)
+        """,
+        "spatial_transform_wkt": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 651409.903, 313177.27),
+              (2, 400097.646, 455996.503),
+              (3, 530043.195, 180358.209),
+              (4, 1390647.607, 5144546.1),
+              (5, 6487847.0, 1841468.25)
             ) AS t(id, e, n)
         """,
         "spatial_format_ops": """

@@ -249,6 +249,19 @@ def main():
             )
             st_join(pts, rects, predicate="within").count()
 
+        @bench("spatial_join_grid_shuffle")
+        def _():
+            # the big x big lane: force the partitioned grid join (auto picks
+            # broadcast here because the 20k-rect build side is small; at
+            # 100 TB neither side broadcasts and THIS is the plan that runs)
+            pts = spark.sql(pts_sql).withColumn("geom", udfs.st_point("x", "y")).select("id", "geom")
+            rects = spark.sql(rects_sql)
+            rects = rects.select(
+                "rid",
+                udfs.st_makeenvelope("mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")).alias("geom"),
+            )
+            st_join(pts, rects, predicate="within", strategy="grid").count()
+
         @bench("spatial_join_native")
         def _():
             # native lane: whole join JVM-side (PLANS.md) — the ingested-data path
@@ -268,6 +281,8 @@ def main():
             f"SELECT count(*) FROM ({pts_sql}) p JOIN ({rects_sql}) r"
             " ON p.x > r.mx AND p.x < r.mx + r.w AND p.y > r.my AND p.y < r.my + r.h",
         )
+        if "spatial_join_grid" in duck:
+            duck["spatial_join_grid_shuffle"] = duck["spatial_join_grid"]
         duck_bench(
             "spatial_join_native",
             f"SELECT count(*) FROM ({pts_sql}) p JOIN"

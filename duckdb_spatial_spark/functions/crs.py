@@ -34,10 +34,21 @@ _E2 = WGS84_F * (2 - WGS84_F)
 _E = math.sqrt(_E2)
 
 
+_WKT_CACHE: dict = {}
+
+
 def _norm_crs(name: str) -> str:
     s = name.strip()
     if s.startswith("+"):
         return s  # raw proj4 string: case-sensitive, pass through
+    from .wktcrs import is_wkt_crs, wkt_to_proj4
+
+    if is_wkt_crs(s):
+        # WKT1/WKT2 CRS definition -> proj4 (the reference feeds WKT to
+        # proj_create_crs_to_crs the same way, proj/functions.cpp:103)
+        if s not in _WKT_CACHE:
+            _WKT_CACHE[s] = wkt_to_proj4(s)
+        return _WKT_CACHE[s]
     s = s.upper()
     if s in ("WGS84", "CRS84", "OGC:CRS84", "EPSG:CRS84"):
         return "EPSG:4326" if s == "WGS84" else "CRS84"
