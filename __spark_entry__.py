@@ -1685,6 +1685,49 @@ def q_streaming_geofence(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Stateful streaming dedup (streaming/demo.py streaming_session_dedup):
+    readStream over the documents parquet -> content fingerprint ->
+    applyInPandasWithState keyed by fingerprint (first micro-batch to see a
+    fingerprint wins; GroupState suppresses later duplicates). The
+    engine-specific xxhash fingerprint is projected away and the survivor
+    re-joined to the source, so the oracle is plain SQL: min(doc_id) +
+    normalized-text length per distinct normalized text."""
+    _prep(spark, sf_dir)
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from duckdb_spatial_spark.streaming.demo import streaming_session_dedup
+
+    src = f"{sf_dir}/documents.parquet"
+    # the file stream source needs a directory of files
+    stream_dir = os.path.join(tempfile.mkdtemp(prefix="stream_dedup_"), "in")
+    os.makedirs(stream_dir)
+    shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    out = streaming_session_dedup(stream, id_col="doc_id", text_col="text")
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    docs = spark.read.parquet(src)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        spark.table(name)
+        .select("doc_id")
+        .join(docs.withColumn("nlen", F.length(norm)), "doc_id")
+        .selectExpr("CAST(doc_id AS BIGINT) AS doc_id", "CAST(nlen AS BIGINT) AS nlen")
+    )
+
+
 def q_spatial_distance_spheroid(spark, sf_dir):
     """Vectorized Vincenty geodesic distance (st_distance_spheroid.cpp);
     oracle = the same fixed-point Vincenty iteration unrolled in plain SQL
@@ -1755,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdb_roundtrip": q_gdb_roundtrip,
         "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
+        "streaming_dedup": q_streaming_dedup,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_extent_agg": q_spatial_extent_agg,
@@ -2373,6 +2417,14 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts})
             WHERE id < 2000 AND x >= 450 AND x <= 5650 AND y >= 450 AND y <= 5650
             GROUP BY 1
+        """,
+        "streaming_dedup": r"""
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(length(norm) AS BIGINT) AS nlen
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                  FROM documents)
+            GROUP BY norm
         """,
         "spatial_refsys": """
             SELECT * FROM (VALUES
