@@ -119,3 +119,91 @@ from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
 from .filegdb import gdb_layers, read_gdb, write_gdb  # noqa: F401
+
+
+_FGB_GTYPE = {0: "Unknown", 1: "Point", 2: "LineString", 3: "Polygon",
+              4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon",
+              7: "GeometryCollection"}
+_GDB_GTYPE = {0: "None", 1: "Point", 2: "MultiPoint", 3: "LineString", 4: "Polygon"}
+_SHP_GTYPE = {0: "Null", 1: "Point", 3: "LineString", 5: "Polygon", 8: "MultiPoint",
+              11: "Point Z", 13: "LineString Z", 15: "Polygon Z", 18: "MultiPoint Z",
+              21: "Point M", 23: "LineString M", 25: "Polygon M", 28: "MultiPoint M"}
+
+
+def st_read_meta(spark, path: str, format: str | None = None):
+    """Dataset metadata for any readable format (ST_Read_Meta analog,
+    ``st_read_meta.cpp:26-56``; the reference's nested layers-list schema
+    is flattened to one row per file/layer here). Formats with metadata in
+    their headers answer WITHOUT scanning features: FlatGeobuf (header
+    feature count + geometry type), GeoPackage (gpkg_contents), Shapefile
+    (.shp header type + .shx record count), FileGDB (.gdbtable header).
+    Everything else falls back to one distributed scan via st_read."""
+    import os as _os
+    import struct as _struct
+
+    p = path.lower()
+    rows = []
+    if format == "flatgeobuf" or p.endswith(".fgb"):
+        from .flatgeobuf import read_header
+
+        h = read_header(path)
+        rows.append((path, "FlatGeobuf", int(h["features_count"]),
+                     _FGB_GTYPE.get(h["geometry_type"] & 0xFF, "Unknown"), "EPSG:4326"))
+    elif format in ("geopackage", "gpkg") or p.endswith(".gpkg"):
+        from .gpkg import _ro_connect, gpkg_layers
+
+        con = _ro_connect(path)
+        try:
+            for lay in gpkg_layers(path):
+                n = con.execute(f'SELECT count(*) FROM "{lay["table"]}"').fetchone()[0]
+                rows.append((f"{path}:{lay['table']}", "GPKG", int(n),
+                             lay["geometry_type"].title().replace(" ", ""),
+                             f"EPSG:{lay['srs_id']}"))
+        finally:
+            con.close()
+    elif format in ("shapefile", "shp") or p.endswith(".shp"):
+        with open(path, "rb") as f:
+            head = f.read(100)
+        gtype = _struct.unpack_from("<i", head, 32)[0]
+        shx = _os.path.splitext(path)[0] + ".shx"
+        n = (_os.path.getsize(shx) - 100) // 8 if _os.path.exists(shx) else -1
+        rows.append((path, "ESRI Shapefile", int(n),
+                     _SHP_GTYPE.get(gtype, str(gtype)), ""))
+    elif format in ("filegdb", "gdb") or p.endswith(".gdb") or p.endswith(".gdbtable"):
+        from .filegdb import _read_gdbtable_header
+
+        if p.endswith(".gdbtable"):
+            tables = [("", path)]
+        else:
+            from .filegdb import gdb_layers as _layers
+
+            tables = []
+            for i, nm in enumerate(_layers(path)):
+                tables.append((nm, _os.path.join(path, f"a{9 + i:08x}.gdbtable")))
+        for nm, t in tables:
+            nrows, _fields, gt = _read_gdbtable_header(t)
+            rows.append((f"{path}:{nm}" if nm else path, "OpenFileGDB",
+                         int(nrows), _GDB_GTYPE.get(gt, str(gt)), ""))
+    else:
+        from .geojson import st_read_meta as _gj_meta
+
+        if format in (None, "geojson") and (p.endswith(".geojson") or p.endswith(".json")
+                                            or p.endswith(".ndjson")):
+            return _gj_meta(spark, path)
+        # generic fallback: one distributed scan
+        from pyspark.sql import functions as F
+
+        df = st_read(spark, path, format)
+        gcol = "geom" if "geom" in df.columns else None
+        if gcol:
+            agg = df.agg(
+                F.count("*").alias("n"),
+                F.array_sort(F.collect_set(F.expr(f"ST_GeometryType({gcol})"))).alias("t"),
+            ).collect()[0]
+            gtypes = ",".join(x.title().replace("_", "") for x in (agg["t"] or []))
+            rows.append((path, (format or "").upper() or "AUTO", int(agg["n"]), gtypes, ""))
+        else:
+            rows.append((path, (format or "").upper() or "AUTO", df.count(), "", ""))
+    return spark.createDataFrame(
+        rows, "file string, driver string, feature_count long, geometry_types string, crs string"
+    )

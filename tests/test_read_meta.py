@@ -1,0 +1,54 @@
+"""Generalized ST_Read_Meta (sources/__init__.py): header-only metadata
+for FGB/GPKG/SHP/GDB, GeoJSON feature scan, generic st_read fallback
+(reference st_read_meta.cpp:26-56, flattened schema)."""
+
+import os
+
+import pytest
+
+from duckdb_spatial_spark.sources import st_read_meta, write_gdb, write_gpkg, write_shapefile
+from duckdb_spatial_spark.sources.flatgeobuf import write_flatgeobuf
+from duckdb_spatial_spark.sources.xmlgeo import write_kml
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return spark.sql(
+        "SELECT id, ST_Point(CAST(id AS DOUBLE), 1.0D) AS geom FROM range(42)"
+    ).cache()
+
+
+def _one(spark, path, **kw):
+    rows = st_read_meta(spark, path, **kw).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+def test_meta_header_only_formats(spark, pts, tmp_path):
+    p = str(tmp_path / "t.fgb")
+    write_flatgeobuf(pts, p)
+    r = _one(spark, p)
+    assert (r.driver, r.feature_count, r.geometry_types) == ("FlatGeobuf", 42, "Point")
+
+    p = str(tmp_path / "t.gpkg")
+    write_gpkg(pts, p)
+    r = _one(spark, p)
+    assert r.driver == "GPKG" and r.feature_count == 42 and r.crs.startswith("EPSG:")
+
+    p = str(tmp_path / "t.shp")
+    write_shapefile(pts, p)
+    r = _one(spark, p)
+    assert (r.driver, r.feature_count, r.geometry_types) == ("ESRI Shapefile", 42, "Point")
+
+    p = str(tmp_path / "t.gdb")
+    write_gdb(pts, p, geometry_type="POINT")
+    r = _one(spark, p)
+    assert (r.driver, r.feature_count, r.geometry_types) == ("OpenFileGDB", 42, "Point")
+
+
+def test_meta_generic_fallback_scans(spark, pts, tmp_path):
+    p = str(tmp_path / "t.kml")
+    write_kml(pts, p)
+    r = _one(spark, p, format="kml")
+    assert r.feature_count == 42
+    assert "Point" in r.geometry_types
