@@ -181,7 +181,7 @@ def st_read_meta(spark, path: str, format: str | None = None):
             for i, nm in enumerate(_layers(path)):
                 tables.append((nm, _os.path.join(path, f"a{9 + i:08x}.gdbtable")))
         for nm, t in tables:
-            nrows, _fields, gt = _read_gdbtable_header(t)
+            nrows, _fields, gt, _grid = _read_gdbtable_header(t)
             rows.append((f"{path}:{nm}" if nm else path, "OpenFileGDB",
                          int(nrows), _GDB_GTYPE.get(gt, str(gt)), ""))
     else:

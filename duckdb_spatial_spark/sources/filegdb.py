@@ -86,6 +86,23 @@ _XY_ORIGIN = -400.0
 _XY_SCALE = 1e9  # ArcGIS default degree-grid resolution (1e-9)
 _Z_ORIGIN = -100000.0
 _Z_SCALE = 1e9
+# default quantization grid: (origin_x, origin_y, origin_z, xy_scale, z_scale)
+_DEFAULT_GRID = (_XY_ORIGIN, _XY_ORIGIN, _Z_ORIGIN, _XY_SCALE, _Z_SCALE)
+
+
+def _grid_for(ext, zmin=0.0):
+    """Per-dataset quantization grid: origin just below the data minimum
+    (scaled values must be unsigned, as in the real format), scale the
+    largest power of 10 whose products stay exactly representable in
+    float64 (<= 2^53), capped at ArcGIS's 1e-9 grid."""
+    ox = min(math.floor(ext[0]) - 1.0, _XY_ORIGIN)
+    oy = min(math.floor(ext[1]) - 1.0, _XY_ORIGIN)
+    oz = min(math.floor(zmin) - 1.0, _Z_ORIGIN)
+    span = max(ext[2] - ox, ext[3] - oy, 1.0)
+    scale = min(_XY_SCALE, 10.0 ** math.floor(math.log10((2.0 ** 53) / span)))
+    zspan = max(abs(zmin) * 2, 1.0)
+    zscale = min(_Z_SCALE, 10.0 ** math.floor(math.log10((2.0 ** 53) / max(zspan, -oz))))
+    return (ox, oy, oz, scale, zscale)
 
 
 # ------------------------------------------------------------------ varints
@@ -170,7 +187,8 @@ def _wind_rings(rings):
     return out
 
 
-def _encode_shape(g: G.Geometry) -> bytes:
+def _encode_shape(g: G.Geometry, grid=_DEFAULT_GRID) -> bytes:
+    ox, oy, oz, sc, zsc = grid
     out = bytearray()
     code = _SHP_OF_TAG[g.tag]
     if g.has_z:
@@ -184,11 +202,15 @@ def _encode_shape(g: G.Geometry) -> bytes:
             _wvaruint(out, 0)
             return bytes(out)
         x, y = g.data[0], g.data[1]
-        _wvaruint(out, int(_quant([x], _XY_ORIGIN, _XY_SCALE)[0]) + 1)
-        _wvaruint(out, int(_quant([y], _XY_ORIGIN, _XY_SCALE)[0]) + 1)
-        extra = list(g.data[2:])
-        for v in extra:
-            _wvaruint(out, int(_quant([v], _Z_ORIGIN, _Z_SCALE)[0]) + 1)
+        qvals = [int(_quant([x], ox, sc)[0]), int(_quant([y], oy, sc)[0])]
+        qvals += [int(_quant([v], oz, zsc)[0]) for v in g.data[2:]]
+        if min(qvals) < 0:
+            raise ValueError(
+                f"filegdb: coordinate below the dataset quantization origin "
+                f"({ox}, {oy}, {oz}) — scaled values must be unsigned"
+            )
+        for q in qvals:
+            _wvaruint(out, q + 1)
         return bytes(out)
 
     # flatten parts: multipoint -> 1 implicit part; (multi)linestring ->
@@ -210,8 +232,13 @@ def _encode_shape(g: G.Geometry) -> bytes:
     if g.tag != G.MULTIPOINT:
         _wvaruint(out, len(parts))
     all_xy = np.vstack([np.asarray(p, dtype=np.float64) for p in parts])
-    qx = _quant(all_xy[:, 0], _XY_ORIGIN, _XY_SCALE)
-    qy = _quant(all_xy[:, 1], _XY_ORIGIN, _XY_SCALE)
+    qx = _quant(all_xy[:, 0], ox, sc)
+    qy = _quant(all_xy[:, 1], oy, sc)
+    if qx.min() < 0 or qy.min() < 0:
+        raise ValueError(
+            "filegdb: coordinate below the dataset quantization origin "
+            f"({ox}, {oy}) — scaled values must be unsigned"
+        )
     _wvaruint(out, int(qx.min()))
     _wvaruint(out, int(qy.min()))
     _wvaruint(out, int(qx.max() - qx.min()))
@@ -222,14 +249,14 @@ def _encode_shape(g: G.Geometry) -> bytes:
     _delta_write(out, qx, qy)
     col = 2
     if g.has_z:
-        qz = _quant(all_xy[:, col], _Z_ORIGIN, _Z_SCALE)
+        qz = _quant(all_xy[:, col], oz, zsc)
         col += 1
         pz = 0
         for z in qz.tolist():
             _wvarint(out, z - pz)
             pz = z
     if g.has_m:
-        qm = _quant(all_xy[:, col], _Z_ORIGIN, _Z_SCALE)
+        qm = _quant(all_xy[:, col], oz, zsc)
         pm = 0
         for m in qm.tolist():
             _wvarint(out, m - pm)
@@ -237,7 +264,8 @@ def _encode_shape(g: G.Geometry) -> bytes:
     return bytes(out)
 
 
-def _decode_shape(buf: bytes) -> G.Geometry | None:
+def _decode_shape(buf: bytes, grid=_DEFAULT_GRID) -> G.Geometry | None:
+    ox, oy, oz, sc, zsc = grid
     code, pos = _rvaruint(buf, 0)
     base = code % 10 if code in (11, 13, 15, 18, 21, 23, 25, 28) else code
     if code in (18, 28):
@@ -249,10 +277,10 @@ def _decode_shape(buf: bytes) -> G.Geometry | None:
         qy, pos = _rvaruint(buf, pos)
         if qx == 0:
             return G.Geometry(G.POINT, None, has_z, has_m)
-        coords = [(qx - 1) / _XY_SCALE + _XY_ORIGIN, (qy - 1) / _XY_SCALE + _XY_ORIGIN]
+        coords = [(qx - 1) / sc + ox, (qy - 1) / sc + oy]
         for _ in range(has_z + has_m):
             qe, pos = _rvaruint(buf, pos)
-            coords.append((qe - 1) / _Z_SCALE + _Z_ORIGIN)
+            coords.append((qe - 1) / zsc + oz)
         return G.Geometry(G.POINT, np.asarray(coords), has_z, has_m)
 
     tag = _TAG_OF_SHP[base]
@@ -280,7 +308,7 @@ def _decode_shape(buf: bytes) -> G.Geometry | None:
         py += dy
         qx[i] = px
         qy[i] = py
-    cols = [qx / _XY_SCALE + _XY_ORIGIN, qy / _XY_SCALE + _XY_ORIGIN]
+    cols = [qx / sc + ox, qy / sc + oy]
     for _ in range(has_z + has_m):
         qe = np.empty(npoints, dtype=np.int64)
         pe = 0
@@ -288,7 +316,7 @@ def _decode_shape(buf: bytes) -> G.Geometry | None:
             de, pos = _rvarint(buf, pos)
             pe += de
             qe[i] = pe
-        cols.append(qe / _Z_SCALE + _Z_ORIGIN)
+        cols.append(qe / zsc + oz)
     xy = np.column_stack(cols)
     parts = []
     at = 0
@@ -352,9 +380,10 @@ def _utf16_name(out: bytearray, s: str):
     out += enc
 
 
-def _write_field_descs(fields, geom_type_byte: int, extent) -> bytes:
+def _write_field_descs(fields, geom_type_byte: int, extent, grid=_DEFAULT_GRID) -> bytes:
     """fields: [(name, type_code)]; ObjectID first, geometry (if any) holds
     the quantization grid + extent."""
+    ox, oy, _oz, sc, _zsc = grid
     body = bytearray()
     body += struct.pack("<i", 4)  # version 4 = FGDB 10
     body += struct.pack("<i", geom_type_byte)
@@ -370,8 +399,8 @@ def _write_field_descs(fields, geom_type_byte: int, extent) -> bytes:
             body.append(7)  # nullable + spec-observed flag bits
             body += struct.pack("<H", 0)  # empty SRS WKT
             body.append(0)  # zm flag byte: bit0 z, bit1 m (subset: 2D tables)
-            body += struct.pack("<3d", _XY_ORIGIN, _XY_ORIGIN, _XY_SCALE)
-            body += struct.pack("<d", 1.0 / _XY_SCALE)  # xy tolerance
+            body += struct.pack("<3d", ox, oy, sc)
+            body += struct.pack("<d", 1.0 / sc)  # xy tolerance
             body += struct.pack("<4d", *extent)
             body.append(1)  # grid count
             body += struct.pack("<d", 1000.0)  # spatial-index grid size
@@ -395,6 +424,7 @@ def _read_field_descs(buf: bytes, pos: int):
     pos += 8
     nfields = struct.unpack_from("<H", buf, pos)[0]
     pos += 2
+    grid = _DEFAULT_GRID
     fields = []
     for _ in range(nfields):
         nlen = buf[pos]
@@ -417,6 +447,8 @@ def _read_field_descs(buf: bytes, pos: int):
             srs_len = struct.unpack_from("<H", buf, pos)[0]
             pos += 2 + srs_len
             pos += 1  # zm flag byte
+            gox, goy, gsc = struct.unpack_from("<3d", buf, pos)
+            grid = (gox, goy, _Z_ORIGIN, gsc, _Z_SCALE)
             pos += 8 * 3 + 8  # origins/scale + tolerance
             pos += 8 * 4  # extent
             ngrids = buf[pos]
@@ -430,7 +462,7 @@ def _read_field_descs(buf: bytes, pos: int):
             nullable = bool(buf[pos] & 1)
             pos += 1
         fields.append((name, code, nullable))
-    return fields, geom_type & 0xFF, end
+    return fields, geom_type & 0xFF, end, grid
 
 
 # --------------------------------------------------------------- table io
@@ -537,7 +569,8 @@ def _decode_row(buf: bytes, fields) -> list:
     return out
 
 
-def _write_gdbtable(path: str, fields, rows, geom_type_byte: int, extent):
+def _write_gdbtable(path: str, fields, rows, geom_type_byte: int, extent,
+                    grid=_DEFAULT_GRID):
     """fields: [(name, code)]; rows: iterable of value tuples aligned with
     fields. Writes path(.gdbtable) + sibling .gdbtablx."""
     offsets = []
@@ -547,7 +580,7 @@ def _write_gdbtable(path: str, fields, rows, geom_type_byte: int, extent):
         blob = _encode_row(fields, vals)
         blobs.append(blob)
         max_size = max(max_size, len(blob))
-    desc = _write_field_descs(fields, geom_type_byte, extent)
+    desc = _write_field_descs(fields, geom_type_byte, extent, grid)
     with open(path, "wb") as f:
         f.write(b"\x00" * 40)
         f.write(desc)
@@ -572,8 +605,8 @@ def _read_gdbtable_header(path: str):
         f.seek(desc_off)
         size = struct.unpack("<i", f.read(4))[0]
         f.seek(desc_off)
-        fields, geom_type, _ = _read_field_descs(f.read(4 + size), 0)
-    return nrows, fields, geom_type
+        fields, geom_type, _, grid = _read_field_descs(f.read(4 + size), 0)
+    return nrows, fields, geom_type, grid
 
 
 # ------------------------------------------------------------- public API
@@ -610,8 +643,11 @@ def write_gdb(
         fields.append(("SHAPE", FT_GEOMETRY))
     fields += [_field_of_spark(f.name, f.dataType) for f in attr_cols]
 
-    rows = []
+    # pass 1: decode + bounds (the quantization grid must cover the data
+    # before any shape is encoded — scaled values are unsigned)
+    staged = []
     ext = [math.inf, math.inf, -math.inf, -math.inf]
+    zmin = 0.0
     n = 0
     cols = ([geom_col] if has_geom else []) + [f.name for f in attr_cols]
     for r in df.select(*cols).toLocalIterator():
@@ -622,12 +658,10 @@ def write_gdb(
                 "single-file-per-table interchange format — use GeoParquet "
                 "(write_geo_parquet) for large outputs"
             )
-        vals = [n]  # OBJECTID
+        g = None
         if has_geom:
             wkb = r[geom_col]
-            if wkb is None:
-                vals.append(None)
-            else:
+            if wkb is not None:
                 g = WKB.from_wkb(bytes(wkb))
                 if g.tag not in _ALLOWED_TAGS.get(geom_byte, set()):
                     raise ValueError(
@@ -640,11 +674,21 @@ def write_gdb(
                         ext[1] = min(ext[1], float(arr[:, 1].min()))
                         ext[2] = max(ext[2], float(arr[:, 0].max()))
                         ext[3] = max(ext[3], float(arr[:, 1].max()))
-                vals.append(_encode_shape(g))
-        vals += [r[f.name] for f in attr_cols]
-        rows.append(tuple(vals))
+                        if arr.shape[1] > 2:
+                            zmin = min(zmin, float(arr[:, 2:].min()))
+        staged.append((n, g, [r[f.name] for f in attr_cols]))
     if not math.isfinite(ext[0]):
         ext = [0.0, 0.0, 0.0, 0.0]
+    grid = _grid_for(ext, zmin)
+
+    # pass 2: encode with the dataset grid
+    rows = []
+    for oid, g, attrs in staged:
+        vals = [oid]
+        if has_geom:
+            vals.append(_encode_shape(g, grid) if g is not None else None)
+        vals += attrs
+        rows.append(tuple(vals))
 
     os.makedirs(path, exist_ok=True)
     open(os.path.join(path, "gdb"), "wb").close()  # dataset marker file
@@ -657,13 +701,13 @@ def write_gdb(
     _write_gdbtable(os.path.join(path, "a00000001.gdbtable"), cat_fields,
                     cat_rows, 0, [0.0, 0.0, 0.0, 0.0])
     _write_gdbtable(os.path.join(path, "a00000009.gdbtable"), fields, rows,
-                    geom_byte, ext)
+                    geom_byte, ext, grid)
 
 
 def gdb_layers(path: str) -> list[str]:
     """Layer names in a .gdb directory (non-system catalog entries)."""
     cat = os.path.join(path, "a00000001.gdbtable")
-    _, fields, _ = _read_gdbtable_header(cat)
+    _, fields, _, _ = _read_gdbtable_header(cat)
     offsets = _read_tablx(os.path.join(path, "a00000001.gdbtablx"))
     names = []
     with open(cat, "rb") as f:
@@ -697,7 +741,7 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
     else:
         want = layer
         cat = os.path.join(path, "a00000001.gdbtable")
-        _, cfields, _ = _read_gdbtable_header(cat)
+        _, cfields, _, _ = _read_gdbtable_header(cat)
         offsets = _read_tablx(os.path.join(path, "a00000001.gdbtablx"))
         table = None
         with open(cat, "rb") as f:
@@ -716,7 +760,7 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
         if table is None:
             raise ValueError(f"layer {layer!r} not found in {path!r}")
 
-    nrows, fields, geom_type = _read_gdbtable_header(table)
+    nrows, fields, geom_type, grid = _read_gdbtable_header(table)
     # output order: [fid?] attributes..., geom last (GDAL st_read surface)
     ordered = []
     if fid_column is not None:
@@ -741,7 +785,16 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
 
     def iter_range(bounds):
         start, end = bounds
-        offsets = _read_tablx(tablx)[start:end]
+        # seek straight to this partition's offset slice — a big table's
+        # partitions must not each re-read the whole .gdbtablx
+        with open(tablx, "rb") as xf:
+            magic, _nb, _n, width = struct.unpack("<4i", xf.read(16))
+            if magic != _MAGIC:
+                raise ValueError(f"{tablx}: not a .gdbtablx (magic {magic})")
+            xf.seek(16 + start * width)
+            raw = xf.read((end - start) * width)
+        offsets = [int.from_bytes(raw[i * width:(i + 1) * width], "little")
+                   for i in range(end - start)]
         with open(table, "rb") as f:
             for k, off in enumerate(offsets):
                 if off == 0:
@@ -759,7 +812,7 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
                         if v is None:
                             out.append(None)
                         else:
-                            g = _decode_shape(bytes(v))
+                            g = _decode_shape(bytes(v), grid)
                             out.append(WKB.to_wkb(g) if g is not None else None)
                     elif code in (FT_INT16, FT_INT32):
                         out.append(int(v) if v is not None else None)

@@ -185,3 +185,95 @@ def test_parallel_range_read(spark, tmp_path):
     assert back.count() == 100
     s = back.agg(F.sum("id")).collect()[0][0]
     assert s == 4950
+
+
+# ------------------------------------------------------------ fuzz (codec)
+
+from hypothesis import given, settings, strategies as hst  # noqa: E402
+
+from duckdb_spatial_spark.geo import geom as G  # noqa: E402
+
+_c = hst.floats(-1000, 1000, allow_nan=False, allow_infinity=False).map(
+    lambda v: round(v, 6)
+)
+
+
+@hst.composite
+def _lines(draw):
+    n = draw(hst.integers(2, 10))
+    import numpy as np
+
+    return G.Geometry(G.LINESTRING, np.asarray([[draw(_c), draw(_c)] for _ in range(n)]))
+
+
+@hst.composite
+def _multilines(draw):
+    k = draw(hst.integers(1, 4))
+    return G.Geometry(G.MULTILINESTRING, [draw(_lines()) for _ in range(k)])
+
+
+_FUZZ_GRID = None  # computed lazily (covers the +-1000 fuzz range)
+
+
+def _fuzz_grid():
+    global _FUZZ_GRID
+    if _FUZZ_GRID is None:
+        from duckdb_spatial_spark.sources.filegdb import _grid_for
+
+        _FUZZ_GRID = _grid_for([-1000.0, -1000.0, 1000.0, 1000.0])
+    return _FUZZ_GRID
+
+
+@settings(max_examples=120, deadline=None)
+@given(hst.one_of(_lines(), _multilines()))
+def test_fuzz_shape_codec_roundtrip(g):
+    """Quantize-aware shape-buffer roundtrip: coordinates survive to the
+    1e-9 grid, structure exactly."""
+    import numpy as np
+
+    back = _decode_shape(_encode_shape(g, _fuzz_grid()), _fuzz_grid())
+    orig = list(g.flatten())
+    got = list(back.flatten())
+    assert len(orig) == len(got)
+    for a, b in zip(orig, got):
+        assert a.tag == b.tag
+        xa = np.vstack(list(a.coord_arrays()))
+        xb = np.vstack(list(b.coord_arrays()))
+        assert xa.shape == xb.shape
+        assert np.abs(xa - xb).max() < 2e-9
+
+
+@settings(max_examples=120, deadline=None)
+@given(_c, _c)
+def test_fuzz_point_codec(x, y):
+    import numpy as np
+
+    g = G.Geometry(G.POINT, np.asarray([x, y]))
+    back = _decode_shape(_encode_shape(g, _fuzz_grid()), _fuzz_grid())
+    assert abs(back.data[0] - x) < 2e-9 and abs(back.data[1] - y) < 2e-9
+
+
+def test_below_origin_raises_not_hangs():
+    import numpy as np
+
+    g = G.Geometry(G.POINT, np.asarray([-999.0, -999.0]))
+    with pytest.raises(ValueError, match="quantization origin"):
+        _encode_shape(g)  # default grid's origin is -400
+    line = G.Geometry(G.LINESTRING, np.asarray([[-999.0, 0.0], [0.0, 1.0]]))
+    with pytest.raises(ValueError, match="quantization origin"):
+        _encode_shape(line)
+
+
+def test_negative_coordinates_roundtrip_via_writer(spark, tmp_path):
+    # the dataset grid is derived from the data extent, so coordinates far
+    # below the ArcGIS default origin round-trip fine through write/read
+    p = str(tmp_path / "neg.gdb")
+    df = spark.sql(
+        "SELECT id, ST_Point(CAST(id AS DOUBLE) - 500000.0D, -123456.789D) AS geom"
+        " FROM range(5)"
+    )
+    write_gdb(df, p, geometry_type="POINT")
+    rows = read_gdb(spark, p).selectExpr(
+        "id", "ST_X(geom) AS x", "ST_Y(geom) AS y").orderBy("id").collect()
+    assert rows[0].x == pytest.approx(-500000.0, abs=1e-6)
+    assert rows[0].y == pytest.approx(-123456.789, abs=1e-6)
