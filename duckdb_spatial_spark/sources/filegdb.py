@@ -91,18 +91,21 @@ _DEFAULT_GRID = (_XY_ORIGIN, _XY_ORIGIN, _Z_ORIGIN, _XY_SCALE, _Z_SCALE)
 
 
 def _grid_for(ext, zmin=0.0):
-    """Per-dataset quantization grid: origin just below the data minimum
+    """Per-dataset XY quantization grid: origin just below the data minimum
     (scaled values must be unsigned, as in the real format), scale the
     largest power of 10 whose products stay exactly representable in
-    float64 (<= 2^53), capped at ArcGIS's 1e-9 grid."""
+    float64 (<= 2^53), capped at ArcGIS's 1e-9 grid.
+
+    The Z grid stays at the module defaults: this subset's field
+    descriptor stores only the XY origin/scale, so an adapted Z grid on
+    the writer could not be recovered by the reader. Z below the default
+    origin still round-trips through the signed per-vertex deltas of
+    multi-part shapes; the point-Z path rejects it loudly."""
     ox = min(math.floor(ext[0]) - 1.0, _XY_ORIGIN)
     oy = min(math.floor(ext[1]) - 1.0, _XY_ORIGIN)
-    oz = min(math.floor(zmin) - 1.0, _Z_ORIGIN)
     span = max(ext[2] - ox, ext[3] - oy, 1.0)
     scale = min(_XY_SCALE, 10.0 ** math.floor(math.log10((2.0 ** 53) / span)))
-    zspan = max(abs(zmin) * 2, 1.0)
-    zscale = min(_Z_SCALE, 10.0 ** math.floor(math.log10((2.0 ** 53) / max(zspan, -oz))))
-    return (ox, oy, oz, scale, zscale)
+    return (ox, oy, _Z_ORIGIN, scale, _Z_SCALE)
 
 
 # ------------------------------------------------------------------ varints

@@ -277,3 +277,24 @@ def test_negative_coordinates_roundtrip_via_writer(spark, tmp_path):
         "id", "ST_X(geom) AS x", "ST_Y(geom) AS y").orderBy("id").collect()
     assert rows[0].x == pytest.approx(-500000.0, abs=1e-6)
     assert rows[0].y == pytest.approx(-123456.789, abs=1e-6)
+
+
+def test_deep_negative_z_roundtrip_multiline():
+    # Z below the default origin still round-trips: multi-part shapes carry
+    # Z as signed deltas and both codec sides use the same default Z grid
+    import numpy as np
+
+    g = G.Geometry(G.LINESTRING,
+                   np.asarray([[0.0, 0.0, -250000.0], [1.0, 1.0, -249999.5]]),
+                   has_z=True)
+    back = _decode_shape(_encode_shape(g))
+    arr = np.vstack(list(back.coord_arrays()))
+    assert abs(arr[0, 2] + 250000.0) < 1e-6 and abs(arr[1, 2] + 249999.5) < 1e-6
+
+
+def test_deep_negative_z_point_raises():
+    import numpy as np
+
+    g = G.Geometry(G.POINT, np.asarray([0.0, 0.0, -250000.0]), has_z=True)
+    with pytest.raises(ValueError, match="quantization origin"):
+        _encode_shape(g)
