@@ -82,26 +82,40 @@ def _parse(s: str) -> _Node:
                 break
             raise ValueError(f"WKT CRS parse error at {s[pos:pos+30]!r}")
         pos = m.end()
-        if m.group(1) is not None:
-            stack[-1].args.append(m.group(1).replace('""', '"'))
-        elif m.group(2) is not None:
+        if m.group(2) is not None:
             node = _Node(m.group(2).strip().upper().replace(" ", "_"), [])
             if stack:
                 stack[-1].args.append(node)
             else:
                 root = node
             stack.append(node)
-        elif m.group(4) is not None:
-            stack[-1].args.append(float(m.group(4)))
-        elif m.group(5) is not None:
+            continue
+        if m.group(6) is not None:  # comma separator
+            continue
+        if m.group(5) is not None:  # close bracket
+            if not stack:
+                raise ValueError("WKT CRS parse error: unbalanced close bracket")
             stack.pop()
             if not stack:
+                if s[pos:].strip():
+                    raise ValueError(
+                        f"WKT CRS parse error: trailing content {s[pos:pos+30]!r}"
+                    )
                 break
+            continue
+        # scalar tokens (string / number / bare identifier) need a parent
+        if not stack:
+            raise ValueError(f"WKT CRS parse error: value outside any node at {s[:30]!r}")
+        if m.group(1) is not None:
+            stack[-1].args.append(m.group(1).replace('""', '"'))
+        elif m.group(4) is not None:
+            stack[-1].args.append(float(m.group(4)))
         elif m.group(7) is not None:
             stack[-1].args.append(m.group(7))
-        # commas are separators — nothing to do
     if root is None:
         raise ValueError("empty WKT CRS string")
+    if stack:
+        raise ValueError("WKT CRS parse error: unterminated node")
     return root
 
 
@@ -165,9 +179,9 @@ _PARAMS = {
     "false_northing": "y_0",
     "northing_at_false_origin": "y_0",
     "northing_at_projection_centre": "y_0",
-    "azimuth": None,  # somerc: implied 90deg; validated below
-    "angle_from_rectified_to_skew_grid": None,
-    "rectified_grid_angle": None,
+    "azimuth": "__azimuth",  # somerc: must be the implied 90deg (validated)
+    "angle_from_rectified_to_skew_grid": "__azimuth",
+    "rectified_grid_angle": "__azimuth",
     "auxiliary_sphere_type": None,  # webmerc marker (value 0)
 }
 
@@ -276,13 +290,17 @@ def wkt_to_proj4(s: str) -> str:
         pk = _PARAMS[key]
         if pk is not None:
             params[pk] = pnum[0]
-    if proj == "somerc" and abs(params.get("lat_1", 90.0)) != 90.0:
-        # azimuth/rectified-grid-angle mapped to None above: the somerc
-        # kernel implies the 90deg azimuth of the Swiss system
+    if proj == "somerc" and abs(params.pop("__azimuth", 90.0)) != 90.0:
+        # the somerc kernel implies the 90deg azimuth of the Swiss system
         raise ValueError("WKT CRS: oblique Mercator with non-Swiss azimuth")
+    params.pop("__azimuth", None)
     if proj == "lcc1":
         proj = "lcc"
         params.setdefault("lat_1", params.get("lat_0", 0.0))
+    if proj == "merc" and "lat_1" in params:
+        # Mercator 2SP / variant B: the standard parallel drives the scale
+        # through lat_ts in the merc kernel (k_0 form is variant A)
+        params["lat_ts"] = params.pop("lat_1")
 
     # angular parameters are in the GEOGCS angular unit — only degrees are
     # supported (grad-based systems pair with the Paris meridian, which is

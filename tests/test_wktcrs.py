@@ -151,3 +151,40 @@ def test_udf_accepts_wkt(spark):
         + "', true)) AS w"
     ).collect()[0]
     assert row.w == "POINT (-2 49)"
+
+
+def test_mercator_2sp_maps_standard_parallel_to_lat_ts():
+    wkt = ('PROJCS["World Mercator 2SP",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],PROJECTION["Mercator_2SP"],'
+           'PARAMETER["standard_parallel_1",41.0],'
+           'PARAMETER["central_meridian",0],PARAMETER["false_easting",0],'
+           'PARAMETER["false_northing",0],UNIT["metre",1]]')
+    p = wkt_to_proj4(wkt)
+    assert "+lat_ts=41" in p and "+lat_1" not in p
+    # scale must actually shrink vs the equatorial form
+    x1, _ = transform_xy(np.array([10.0]), np.array([0.0]),
+                         "EPSG:4326", wkt, always_xy=True)
+    x2, _ = transform_xy(np.array([10.0]), np.array([0.0]),
+                         "EPSG:4326", "+proj=merc +lat_ts=41 +ellps=WGS84",
+                         always_xy=True)
+    assert abs(float(x1[0] - x2[0])) < 1e-9
+
+
+def test_oblique_mercator_non_swiss_azimuth_raises():
+    wkt = ('PROJCS["HOM",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+           'UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Hotine_Oblique_Mercator_Azimuth_Center"],'
+           'PARAMETER["latitude_of_center",4],PARAMETER["longitude_of_center",115],'
+           'PARAMETER["azimuth",53.31582047908],'
+           'PARAMETER["scale_factor",0.99984],UNIT["metre",1]]')
+    with pytest.raises(ValueError, match="azimuth"):
+        wkt_to_proj4(wkt)
+
+
+def test_parser_rejects_malformed_input():
+    with pytest.raises(ValueError, match="parse error|empty"):
+        wkt_to_proj4('PROJCS["x"] garbage after')
+    with pytest.raises(ValueError):
+        wkt_to_proj4("PROJCS")  # no bracket -> no node
