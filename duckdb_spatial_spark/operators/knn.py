@@ -45,8 +45,16 @@ def _cosine_batch(a: pd.Series, b: pd.Series) -> pd.Series:
         Y = np.asarray([p[2] for p in pairs], dtype=np.float64)
         num = (X * Y).sum(axis=1)
         den = np.sqrt((X * X).sum(axis=1)) * np.sqrt((Y * Y).sum(axis=1))
-        out[idx] = num / den
-    return pd.Series(out)
+        res = np.full(len(idx), np.nan)
+        ok = den > 0
+        res[ok] = num[ok] / den[ok]
+        out[np.asarray(idx)] = res
+    # NULL (not NaN) for null inputs and zero-norm vectors — the Column
+    # fold this replaces yields NULL there, and Spark orders NaN as the
+    # LARGEST double, which would rank zero vectors first in top-k desc
+    ser = pd.Series(out).astype(object)
+    ser[np.isnan(out)] = None
+    return ser
 
 
 def cosine_similarity(a, b):

@@ -339,7 +339,9 @@ def write_geo_parquet(
             r = df.agg(
                 F.min(point_xy[0]), F.min(point_xy[1]), F.max(point_xy[0]), F.max(point_xy[1])
             ).collect()[0]
-            bounds = (r[0], r[1], r[2], r[3])
+            # empty input (or all-null coordinates) aggregates to NULLs —
+            # degenerate bounds keep the downstream arithmetic well-defined
+            bounds = (r[0], r[1], r[2], r[3]) if r[0] is not None else (0.0, 0.0, 0.0, 0.0)
         clustered = hilbert_cluster_points(
             df, point_xy[0], point_xy[1], geom_col, bounds, num_partitions,
             sample_fraction if sample_fraction else 0.01,
@@ -387,7 +389,13 @@ def _hadoop_list_parquet(spark: SparkSession, path: str) -> list[str]:
     stats = fs.globStatus(jpath)
     if stats is None:
         return []
-    return sorted(s.getPath().toString() for s in stats if s.isFile())
+    # same .parquet name filter as the directory branch: a glob like dir/*
+    # also matches _SUCCESS / .crc sidecars, which are not parquet footers
+    return sorted(
+        s.getPath().toString()
+        for s in stats
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    )
 
 
 def _pyarrow_openable(fp: str):
