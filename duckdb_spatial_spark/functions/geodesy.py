@@ -32,8 +32,10 @@ Gauss-Legendre panels along each edge, parametrized on the auxiliary sphere
 up to ~0.5 rad of arc).  Net accuracy: ~1e-9 relative — equivalent to the
 reference for any double-rounded output.
 
-Orientation/winding: per-ring signed excess; ``|E_raw| > 2*pi`` wraps by
-4*pi (clockwise rings come out negative).  Polygons larger than a
+Orientation/winding: per-ring signed excess; only ``E_raw < -2*pi`` wraps
+by +4*pi (a clockwise ring's raw sum lands there; positive excess above
+2*pi is a legitimate larger-than-hemisphere ring and must NOT wrap —
+verified against antimeridian-crossing rings).  Polygons larger than a
 hemisphere and pole-enclosing rings follow the same smaller-of-the-two
 convention GeographicLib defaults to.
 """
