@@ -1746,6 +1746,79 @@ def q_spatial_distance_spheroid(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-6 training-data pipeline operators (operators/pipeline.py)
+# --------------------------------------------------------------------------
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher repetition-quality signals (Rae et al. 2021 A1.1) — exact
+    engine-neutral definitions, verified value-for-value by the oracle."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import gopher_repetition
+
+    return gopher_repetition(spark.table("documents"))
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any lowercase 5-gram with
+    the 'benchmark' subset (doc_id % 97 == 0). Broadcast n-gram join."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import decontaminate
+
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic MINSTD-LCG train/val/test split — plain integer
+    arithmetic, reproduced exactly by the oracle SQL."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import hash_split
+
+    return hash_split(
+        spark.table("documents"), "doc_id", weights=(0.9, 0.05, 0.05)
+    ).select("doc_id", "split")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing (budget 4000 chars, 8 groups); oracle is a
+    recursive-CTE replay of the same greedy scan."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(
+        spark.table("documents"), "doc_id", "n_chars", budget=4000, num_groups=8
+    )
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroid in long (label, pos, centroid, n) form;
+    shuffle volume O(labels x dim) regardless of row count."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import embedding_centroids
+
+    return embedding_centroids(spark.table("embeddings"))
+
+
+def q_arrow_roundtrip(spark, sf_dir):
+    """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
+    import tempfile
+
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.sources import st_read, write_arrow_ipc
+
+    rects = spark.sql(_RECTS).filter(F.col("rid") % 7 == 0).selectExpr(
+        "rid", "ST_MakeEnvelope(mx, my, mx + w, my + h) AS geom", "w * h AS area"
+    )
+    path = tempfile.mktemp(suffix=".arrow", prefix="entry_arrow_")
+    write_arrow_ipc(rects, path)
+    back = st_read(spark, path)
+    return back.selectExpr(
+        "rid", "round(ST_Area(geom), 6) AS area_geom", "round(area, 6) AS area"
+    )
+
+
+# --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
 
@@ -1799,6 +1872,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
+        # --- round-6 pipeline operators ---
+        "gopher_quality": q_gopher_quality,
+        "decontaminate": q_decontaminate,
+        "hash_split": q_hash_split,
+        "pack_sequences": q_pack_sequences,
+        "embedding_centroids": q_embedding_centroids,
+        "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_extent_agg": q_spatial_extent_agg,
@@ -2444,7 +2524,7 @@ def oracle_sql() -> dict[str, str]:
               ('GPX', 'true', 'true'), ('GML', 'true', 'true'),
               ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'true'),
               ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true'),
-              ('OpenFileGDB', 'true', 'true')
+              ('OpenFileGDB', 'true', 'true'), ('Arrow', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
@@ -2656,6 +2736,147 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle(),
         "minhash_lsh_spec": _minhash_spec_oracle(),
         "simhash_spec": _simhash_spec_oracle(),
+        # --- round-6 pipeline operators (operators/pipeline.py) ---
+        # gopher_quality: identical metric definitions replayed in SQL;
+        # fractions are a single division of exact integers (bit-identical
+        # doubles), pass computed from the ROUNDED values on both sides.
+        "gopher_quality": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                         x -> trim(x, chr(32) || chr(9) || chr(13) || chr(11) || chr(12))),
+                         x -> x <> '') AS lines,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), lw AS (
+              SELECT doc_id, lines, words, len(lines) AS nl, len(words) AS nw,
+                     CASE WHEN len(words) = 0 THEN 0
+                          ELSE CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+                               + len(words) - 1 END AS total_chars
+              FROM base
+            ), linem AS (
+              SELECT doc_id, CAST(nl AS INT) AS n_lines,
+                     CASE WHEN nl = 0 THEN 0.0
+                          ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / nl END AS dlf,
+                     CASE WHEN nl = 0 OR list_sum(list_transform(lines, x -> length(x))) = 0 THEN 0.0
+                          ELSE 1.0 - CAST(list_sum(list_transform(list_distinct(lines), x -> length(x))) AS DOUBLE)
+                                   / list_sum(list_transform(lines, x -> length(x))) END AS dlcf
+              FROM lw
+            ), g AS (
+              SELECT doc_id, k, gram, count(*) AS cnt, length(gram) AS glen,
+                     any_value(total_chars) AS total_chars
+              FROM (
+                SELECT doc_id, total_chars, 2 AS k,
+                       unnest(list_transform(range(1, nw), i -> words[i] || ' ' || words[i+1])) AS gram
+                FROM lw
+                UNION ALL
+                SELECT doc_id, total_chars, 3 AS k,
+                       unnest(list_transform(range(1, nw - 1),
+                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS gram
+                FROM lw
+                UNION ALL
+                SELECT doc_id, total_chars, 5 AS k,
+                       unnest(list_transform(range(1, nw - 3),
+                           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                             || ' ' || words[i+3] || ' ' || words[i+4])) AS gram
+                FROM lw
+              )
+              GROUP BY doc_id, k, gram
+            ), tops AS (
+              -- integer char masses first, ONE division at the end: matches
+              -- the Python lane's sum(int)/total bit-for-bit
+              SELECT doc_id,
+                     CAST(max(CASE WHEN k = 2 AND cnt >= 2 THEN cnt * glen END) AS DOUBLE)
+                         / max(total_chars) AS top2,
+                     CAST(max(CASE WHEN k = 3 AND cnt >= 2 THEN cnt * glen END) AS DOUBLE)
+                         / max(total_chars) AS top3,
+                     least(1.0, coalesce(
+                         CAST(sum(CASE WHEN k = 5 AND cnt >= 2 THEN cnt * glen END) AS DOUBLE)
+                             / max(total_chars), 0.0)) AS dup5
+              FROM g GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.n_lines,
+                   round(l.dlf, 6) AS dup_line_frac,
+                   round(l.dlcf, 6) AS dup_line_char_frac,
+                   round(coalesce(t.top2, 0.0), 6) AS top_2gram_char_frac,
+                   round(coalesce(t.top3, 0.0), 6) AS top_3gram_char_frac,
+                   round(coalesce(t.dup5, 0.0), 6) AS dup_5gram_char_frac,
+                   (round(l.dlf, 6) <= 0.30 AND round(l.dlcf, 6) <= 0.20
+                    AND round(coalesce(t.top2, 0.0), 6) <= 0.20
+                    AND round(coalesce(t.top3, 0.0), 6) <= 0.18
+                    AND round(coalesce(t.dup5, 0.0), 6) <= 0.15) AS gopher_pass
+            FROM linem l LEFT JOIN tops t USING (doc_id)
+        """,
+        "decontaminate": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), dg AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(words) - 3),
+                         i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                           || ' ' || words[i+3] || ' ' || words[i+4])) AS grams
+              FROM w
+            ), doc_grams AS (
+              SELECT doc_id, unnest(grams) AS gram FROM dg
+            ), bench AS (
+              SELECT DISTINCT gram FROM doc_grams WHERE doc_id % 97 = 0
+            ), hits AS (
+              SELECT d.doc_id, count(*) AS n_hits
+              FROM doc_grams d JOIN bench USING (gram) GROUP BY d.doc_id
+            )
+            SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        # hash_split: the MINSTD LCG is plain 64-bit arithmetic; the bound
+        # 0.9 + 0.05 is the same IEEE sum the operator accumulates.
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.9 THEN 'train'
+                        WHEN u < 0.9 + 0.05 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((((doc_id % 2147483647) + 2147483647) % 2147483647)
+                          * 48271 % 2147483647) * 48271 % 2147483647
+                         / 2147483647.0 AS u
+                  FROM documents)
+        """,
+        "pack_sequences": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, ((doc_id % 8) + 8) % 8 AS pack_group, n_chars,
+                     row_number() OVER (PARTITION BY ((doc_id % 8) + 8) % 8
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), s AS (
+              SELECT doc_id, pack_group, n_chars, rn,
+                     CAST(0 AS BIGINT) AS pack_bin, n_chars AS acc
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.doc_id, d.pack_group, d.n_chars, d.rn,
+                     CASE WHEN s.acc + d.n_chars > 4000 THEN s.pack_bin + 1
+                          ELSE s.pack_bin END,
+                     CASE WHEN s.acc + d.n_chars > 4000 THEN d.n_chars
+                          ELSE s.acc + d.n_chars END
+              FROM d JOIN s ON d.pack_group = s.pack_group AND d.rn = s.rn + 1
+            )
+            SELECT doc_id, CAST(pack_group AS BIGINT) AS pack_group, pack_bin FROM s
+        """,
+        "embedding_centroids": """
+            SELECT label, CAST(pos - 1 AS INT) AS pos,
+                   round(avg(CAST(val AS DOUBLE)), 6) AS centroid,
+                   count(*) AS n
+            FROM (SELECT label,
+                         unnest(range(1, len(embedding) + 1)) AS pos,
+                         unnest(embedding) AS val
+                  FROM embeddings)
+            GROUP BY 1, 2
+        """,
+        "arrow_roundtrip": f"""
+            SELECT rid, round(w * h, 6) AS area_geom, round(w * h, 6) AS area
+            FROM ({rects}) WHERE rid % 7 = 0
+        """,
         # minhash_lsh_pairs / simhash / winnowing: intentionally omitted ->
         # driver records rows-only checks (xxhash64-based signatures are
         # engine-specific; see docstrings)

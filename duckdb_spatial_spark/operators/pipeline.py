@@ -1,0 +1,379 @@
+"""Training-data pipeline operators beyond the reference's surface.
+
+These are the operations a 100 TB pretraining-data pipeline runs between
+raw crawl and tokenized shards: repetition-based quality filtering
+(Gopher rules), benchmark decontamination, deterministic train/val/test
+splitting, greedy sequence packing, and per-label embedding centroids.
+
+Every operator here has an exact, engine-neutral definition so a DuckDB
+oracle can verify it value-for-value (the driver's correctness gate):
+no engine-specific hash appears in any output column.
+
+Scale notes (100 TB):
+  * gopher_repetition  - one mapInPandas projection, zero shuffles.
+  * decontaminate      - benchmark n-gram set is broadcast; the only
+                         shuffle is the per-doc hit count (hits only).
+  * hash_split         - pure Column arithmetic (MINSTD LCG), zero
+                         shuffles, no UDF.
+  * pack_sequences     - one hash shuffle on the pack group; packing is
+                         sequential *within* a group by definition, so
+                         parallelism = num_groups (pick >= cluster cores).
+  * embedding_centroids - posexplode + map-side-combined avg; shuffle
+                         volume is O(labels x dim), independent of rows.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "gopher_repetition",
+    "decontaminate",
+    "hash_split",
+    "pack_sequences",
+    "embedding_centroids",
+]
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+#: Gopher paper thresholds (doc is kept when every signal is at or below).
+GOPHER_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "dup_5gram_char_frac": 0.15,
+}
+
+
+def _repetition_metrics(text: str) -> tuple:
+    """Exact shared definition (mirrored by the DuckDB oracle SQL in
+    __spark_entry__):
+
+    lines      = non-empty stripped '\\n'-split lines of the raw text
+    words      = non-empty whitespace-split tokens (original case)
+    total      = len(" ".join(words))  (whitespace-normalized char count)
+    k-gram     = k consecutive words joined by one space
+    dup_line_frac       = 1 - distinct_lines / lines
+    dup_line_char_frac  = 1 - sum(len(distinct lines)) / sum(len(lines))
+    top_kgram_char_frac = max over k-grams occurring >= 2 times of
+                          count*len(gram) / total (the maximum character
+                          mass any single REPEATED k-gram covers -
+                          tie-free variant of Gopher's "most frequent
+                          n-gram" rule; grams seen once are not
+                          repetition, so short clean docs score 0)
+    dup_5gram_char_frac = min(1, sum over 5-grams with count>=2 of
+                          count*len(gram) / total)
+    """
+    if text is None:
+        return (0, 0.0, 0.0, 0.0, 0.0, 0.0, False)
+    raw_lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in raw_lines if ln]
+    n_lines = len(lines)
+    if n_lines:
+        distinct = set(lines)
+        dup_line_frac = 1.0 - len(distinct) / n_lines
+        tot_lc = sum(len(ln) for ln in lines)
+        dup_line_char_frac = 1.0 - (sum(len(ln) for ln in distinct) / tot_lc) if tot_lc else 0.0
+    else:
+        dup_line_frac = dup_line_char_frac = 0.0
+
+    words = text.split()
+    total = len(" ".join(words))
+    tops = {}
+    dup5 = 0.0
+    for k in (2, 3, 5):
+        if len(words) < k or total == 0:
+            tops[k] = 0.0
+            continue
+        cnt = Counter(" ".join(words[i : i + k]) for i in range(len(words) - k + 1))
+        if k in (2, 3):
+            rep = [c * len(g) for g, c in cnt.items() if c >= 2]
+            tops[k] = (max(rep) / total) if rep else 0.0
+        else:
+            dup5 = min(1.0, sum(c * len(g) for g, c in cnt.items() if c >= 2) / total)
+    vals = tuple(
+        _round6(v)
+        for v in (
+            dup_line_frac,
+            dup_line_char_frac,
+            tops.get(2, 0.0),
+            tops.get(3, 0.0),
+            dup5,
+        )
+    )
+    # pass is decided on the ROUNDED values (the oracle does the same), so
+    # summation-order float noise can never flip it at a threshold
+    ok = all(
+        v <= t
+        for v, t in zip(
+            vals,
+            (
+                GOPHER_THRESHOLDS["dup_line_frac"],
+                GOPHER_THRESHOLDS["dup_line_char_frac"],
+                GOPHER_THRESHOLDS["top_2gram_char_frac"],
+                GOPHER_THRESHOLDS["top_3gram_char_frac"],
+                GOPHER_THRESHOLDS["dup_5gram_char_frac"],
+            ),
+        )
+    )
+    return (n_lines,) + vals + (ok,)
+
+
+def _round6(v: float) -> float:
+    """Round half AWAY from zero (SQL round semantics — DuckDB/Spark both
+    do this); python's built-in round() is half-to-even and disagrees at
+    exact halves like 10/256."""
+    return math.floor(v * 1e6 + 0.5) / 1e6
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher repetition-quality signals per document.
+
+    Returns (id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac,
+    gopher_pass). One Arrow-batched mapInPandas projection - zero
+    shuffles; at 100 TB this runs at scan bandwidth with per-doc Counter
+    work (C-level dict ops) as the only CPU cost.
+    """
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("n_lines", T.IntegerType()),
+            T.StructField("dup_line_frac", T.DoubleType()),
+            T.StructField("dup_line_char_frac", T.DoubleType()),
+            T.StructField("top_2gram_char_frac", T.DoubleType()),
+            T.StructField("top_3gram_char_frac", T.DoubleType()),
+            T.StructField("dup_5gram_char_frac", T.DoubleType()),
+            T.StructField("gopher_pass", T.BooleanType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = [_repetition_metrics(t) for t in pdf["_t"]]
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "n_lines",
+                    "dup_line_frac",
+                    "dup_line_char_frac",
+                    "top_2gram_char_frac",
+                    "top_3gram_char_frac",
+                    "dup_5gram_char_frac",
+                    "gopher_pass",
+                ],
+            )
+            out.insert(0, id_col, pdf["_id"].values)
+            yield out
+
+    return df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).mapInPandas(
+        run, out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _gram_array(text_col, n: int):
+    """Column of distinct lowercase word n-grams (n words joined by one
+    space). Empty array when the doc has fewer than n words."""
+    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Flag documents sharing any lowercase word ``n``-gram with a
+    benchmark/eval set (train-test contamination check).
+
+    Returns (id, n_hits, contaminated) for every input doc, where n_hits
+    counts the *distinct* overlapping n-grams.
+
+    Scale: the benchmark n-gram set (eval suites are small - millions of
+    grams at most) is broadcast; the doc side explodes its per-row
+    deduplicated gram array map-side, hits survive the broadcast join,
+    and only hits are shuffled for the per-doc count. The final left
+    join restores clean docs with n_hits=0.
+    """
+    bench_text_col = bench_text_col or text_col
+    bench_grams = (
+        benchmark.select(F.explode(_gram_array(F.col(bench_text_col), n)).alias("gram"))
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_gram_array(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic split
+# ---------------------------------------------------------------------------
+
+_MINSTD_A = 48271
+_MINSTD_M = 2147483647  # 2^31 - 1 (prime)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights=(0.9, 0.05, 0.05),
+    labels=("train", "val", "test"),
+    salt: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment from an integer id.
+
+    Uses two rounds of the MINSTD LCG (x -> 48271*x mod 2^31-1) - plain
+    64-bit integer arithmetic, so ANY engine reproduces the exact same
+    assignment (the DuckDB oracle runs the identical formula). Pure
+    Column projection: zero shuffles, no UDF, stable under repartition.
+    """
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must have the same length")
+    tot = float(sum(weights))
+    # keep bounds bit-exact replicable in plain SQL: when the weights
+    # already sum to ~1, skip normalization so the k-th bound is the plain
+    # IEEE sum w1 + ... + wk of the user's literals
+    if abs(tot - 1.0) < 1e-9:
+        tot = 1.0
+    c = F.col(id_col).cast("long")
+    x = F.pmod(c + F.lit(int(salt)), F.lit(_MINSTD_M))
+    h = F.pmod(x * _MINSTD_A, F.lit(_MINSTD_M))
+    h = F.pmod(h * _MINSTD_A, F.lit(_MINSTD_M))
+    u = h / float(_MINSTD_M)
+    expr = F.lit(labels[-1])
+    acc = 0.0
+    bounds = []
+    for w in weights[:-1]:
+        acc += w / tot
+        bounds.append(acc)
+    for lbl, b in zip(reversed(labels[:-1]), reversed(bounds)):
+        expr = F.when(u < b, F.lit(lbl)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    num_groups: int = 64,
+) -> DataFrame:
+    """Greedy sequential packing of documents into fixed-budget bins.
+
+    Docs are assigned to ``num_groups`` deterministic groups
+    (``id % num_groups``); within each group, docs are taken in id order
+    and appended to the current bin until adding one would exceed
+    ``budget``, which starts a new bin (a doc larger than the budget
+    gets a bin of its own). Returns (id, pack_group, pack_bin).
+
+    The within-group scan is sequential *by definition* (each bin
+    boundary depends on every prior size), so the parallelism knob is
+    ``num_groups`` - set it to at least the cluster's core count; each
+    task is a single O(rows/num_groups) pass.
+    """
+    gid = F.pmod(F.col(id_col).cast("long"), F.lit(int(num_groups)))
+    src = df.select(
+        F.col(id_col).alias("_id"), F.col(size_col).cast("long").alias("_sz"), gid.alias("pack_group")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("pack_group", T.LongType()),
+            T.StructField("pack_bin", T.LongType()),
+        ]
+    )
+    b = int(budget)
+
+    def pack(key, pdf):
+        pdf = pdf.sort_values("_id")
+        bins = []
+        cur_bin, acc = 0, 0
+        first = True
+        for sz in pdf["_sz"]:
+            sz = int(sz) if sz is not None else 0
+            if first:
+                cur_bin, acc, first = 0, sz, False
+            elif acc + sz > b:
+                cur_bin += 1
+                acc = sz
+            else:
+                acc += sz
+            bins.append(cur_bin)
+        return pd.DataFrame(
+            {id_col: pdf["_id"].values, "pack_group": key[0], "pack_bin": bins}
+        )
+
+    return src.groupBy("pack_group").applyInPandas(pack, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-label mean vector, as (label, pos, centroid, n) rows (pos is
+    0-based). The long format keeps the output oracle-comparable and the
+    shuffle tiny: posexplode is map-side, the avg is map-side combined,
+    and the exchange carries O(labels x dim) partial sums regardless of
+    row count. Collect back to arrays with collect_list over a
+    pos-ordered window if an array form is needed downstream.
+    """
+    e = df.select(
+        F.col(label_col).alias("label"), F.posexplode(F.col(vec_col)).alias("pos", "value")
+    )
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.round(F.avg(F.col("value").cast("double")), ndigits).alias("centroid"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -28,6 +28,7 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
             (".topojson", "topojson"), (".dxf", "dxf"), (".xlsx", "xlsx"),
             (".mif", "mapinfo"), (".gdb", "filegdb"), (".gdbtable", "filegdb"),
+            (".arrow", "arrow"), (".feather", "arrow"), (".arrows", "arrow"),
         ):
             if p.endswith(ext):
                 return f
@@ -84,6 +85,8 @@ def st_read(spark, path: str, format: str | None = None, **options):
         return read_mif(spark, path, **options)
     if fmt in ("filegdb", "gdb", "openfilegdb"):
         return read_gdb(spark, path, **options)
+    if fmt in ("arrow", "feather", "ipc"):
+        return read_arrow_ipc(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -119,6 +122,7 @@ from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
 from .filegdb import gdb_layers, read_gdb, write_gdb  # noqa: F401
+from .arrowipc import read_arrow_ipc, write_arrow_ipc  # noqa: F401
 
 
 _FGB_GTYPE = {0: "Unknown", 1: "Point", 2: "LineString", 3: "Polygon",

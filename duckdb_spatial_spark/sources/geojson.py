@@ -372,6 +372,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("XLSX", "OOXML spreadsheet, one sheet per layer (read/write)", True, True, True, ""),
         ("MapInfo File", "MapInfo MIF/MID interchange pair (read/write)", True, True, True, ""),
         ("OpenFileGDB", "Esri FileGDB v10 subset (.gdbtable/.gdbtablx, read/write)", True, True, True, ""),
+        ("Arrow", "Arrow IPC / Feather v2, batch-parallel read (read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

@@ -1,0 +1,160 @@
+"""Round-6 pipeline operators: gopher filters, decontamination, splits,
+packing, centroids, and the Arrow IPC source."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.operators.pipeline import (
+    decontaminate,
+    embedding_centroids,
+    gopher_repetition,
+    hash_split,
+    pack_sequences,
+)
+
+
+def test_gopher_repetition_exact(spark):
+    # 4 lines, one duplicated: dup_line_frac = 1 - 3/4; char frac over
+    # line chars; "a b" bigram repeats 3x in the words stream
+    text = "a b\nc d\na b\ne f g"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_repetition(df).collect()[0]
+    assert r["n_lines"] == 4
+    assert r["dup_line_frac"] == pytest.approx(1 - 3 / 4, abs=1e-9)
+    tot_lc = 3 + 3 + 3 + 5
+    assert r["dup_line_char_frac"] == pytest.approx(1 - (3 + 3 + 5) / tot_lc, abs=1e-6)
+    # words = a b c d a b e f g -> norm length 17; top bigram "a b" count 2,
+    # len 3 -> 6/17;  but "b c"/"d a" etc count 1 (mass 3) -> max is 6/17
+    assert r["top_2gram_char_frac"] == pytest.approx(round(6 / 17, 6), abs=1e-9)
+    assert r["gopher_pass"] is not None
+
+
+def test_gopher_repetition_empty_and_clean(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "all unique words here today friend")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+    assert rows[1]["n_lines"] == 0 and rows[1]["dup_line_frac"] == 0.0
+    assert rows[2]["gopher_pass"] is False or rows[2]["n_lines"] == 0
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[3]["gopher_pass"]
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely unrelated text"),
+            (3, "QUICK BROWN FOX jumps high"),  # case-insensitive hit
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox jumps away")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=4).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] == 1  # "quick brown fox jumps"
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert out[3]["contaminated"]
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    a = hash_split(df, "k", weights=(0.8, 0.1, 0.1)).groupBy("split").count()
+    counts = {r["split"]: r["count"] for r in a.collect()}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    assert abs(counts["test"] / 20000 - 0.1) < 0.01
+    # stable under repartition (pure function of the id)
+    b = hash_split(df.repartition(13), "k", weights=(0.8, 0.1, 0.1))
+    joined = a  # noqa: F841 - determinism check below
+    diff = (
+        hash_split(df, "k", weights=(0.8, 0.1, 0.1))
+        .join(b.withColumnRenamed("split", "split2"), "k")
+        .filter("split <> split2")
+        .count()
+    )
+    assert diff == 0
+
+
+def test_pack_sequences_greedy(spark):
+    # one group; sizes 60, 50, 30, 120, 10 with budget 100:
+    # bin0: 60 (acc 60) -> +50 exceeds -> bin1: 50+30 (80) -> +120 exceeds
+    # -> bin2: 120 (oversized alone) -> +10 exceeds -> bin3: 10
+    rows = [(0, 60), (1, 50), (2, 30), (3, 120), (4, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, sz long")
+    out = {
+        r["doc_id"]: r["pack_bin"]
+        for r in pack_sequences(df, "doc_id", "sz", budget=100, num_groups=1).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_pack_sequences_groups_partition_by_id(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit(10).alias("sz"))
+    out = pack_sequences(df, "doc_id", "sz", budget=1000, num_groups=4)
+    assert out.count() == 100
+    grp = out.select((F.col("doc_id") % 4 == F.col("pack_group")).alias("ok"))
+    assert grp.filter("NOT ok").count() == 0
+
+
+def test_embedding_centroids_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0], "a"),
+            (2, [3.0, 4.0], "a"),
+            (3, [10.0, 20.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = {(r["label"], r["pos"]): (r["centroid"], r["n"]) for r in
+           embedding_centroids(df, "label", "embedding").collect()}
+    assert out[("a", 0)] == (2.0, 2)
+    assert out[("a", 1)] == (3.0, 2)
+    assert out[("b", 0)] == (10.0, 1)
+
+
+def test_arrow_ipc_roundtrip(spark):
+    from duckdb_spatial_spark.sources import st_read, write_arrow_ipc
+
+    df = spark.range(1000).selectExpr(
+        "id", "ST_AsWKB(ST_Point(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE))) AS geom",
+        "CAST(id AS DOUBLE) / 7 AS v", "concat('r', id) AS name",
+    )
+    path = tempfile.mktemp(suffix=".arrow")
+    try:
+        write_arrow_ipc(df, path, batch_rows=100)
+        back = st_read(spark, path)
+        assert back.count() == 1000
+        assert set(back.columns) == {"id", "geom", "v", "name"}
+        # geometry survives byte-exact; batch-parallel read covers all rows
+        chk = back.selectExpr("id", "ST_X(ST_GeomFromWKB(geom)) AS x").filter(
+            "x <> CAST(id AS DOUBLE)"
+        )
+        assert chk.count() == 0
+        # column pruning path
+        pruned = st_read(spark, path, columns=["id", "v"])
+        assert pruned.columns == ["id", "v"]
+        import pyarrow as pa
+
+        with pa.OSFile(path, "rb") as f:
+            r = pa.ipc.open_file(f)
+            # upstream partition chunks may split batches further; the
+            # point is the file is multi-batch (=> parallel read)
+            assert r.num_record_batches >= 10
+            assert b"geo" in (r.schema.metadata or {})
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+
+
+def test_arrow_ipc_max_rows_guard(spark):
+    from duckdb_spatial_spark.sources import write_arrow_ipc
+
+    df = spark.range(100)
+    with pytest.raises(ValueError, match="max_rows"):
+        write_arrow_ipc(df, tempfile.mktemp(suffix=".arrow"), max_rows=50)
