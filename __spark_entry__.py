@@ -1800,6 +1800,27 @@ def q_embedding_centroids(spark, sf_dir):
     return embedding_centroids(spark.table("embeddings"))
 
 
+def q_embedding_assign(spark, sf_dir):
+    """Nearest-centroid assignment (k-means assignment step / semantic
+    bucketing): per-label centroids -> broadcast matmul argmax. Oracle
+    replays centroids + cosine + argmax in plain SQL."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.knn import assign_nearest_centroid
+
+    emb = spark.table("embeddings")
+    cent_long = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "value"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("value").cast("double")).alias("c"))
+    )
+    cent = (
+        cent_long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.transform("pc", lambda x: x["c"]).alias("centroid"))
+    )
+    return assign_nearest_centroid(emb, cent)
+
+
 def q_arrow_roundtrip(spark, sf_dir):
     """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
     import tempfile
@@ -1878,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_assign": q_embedding_assign,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
@@ -2876,6 +2898,31 @@ def oracle_sql() -> dict[str, str]:
         "arrow_roundtrip": f"""
             SELECT rid, round(w * h, 6) AS area_geom, round(w * h, 6) AS area
             FROM ({rects}) WHERE rid % 7 = 0
+        """,
+        "embedding_assign": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     unnest(range(0, len(embedding))) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings
+            ), cent AS (
+              SELECT label AS clabel, pos, avg(val) AS cv FROM e GROUP BY 1, 2
+            ), cnorm AS (
+              SELECT clabel, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1
+            ), vnorm AS (
+              SELECT vec_id, sqrt(sum(val * val)) AS vn FROM e GROUP BY 1
+            ), dots AS (
+              SELECT e.vec_id, c.clabel, sum(e.val * c.cv) AS dot
+              FROM e JOIN cent c ON e.pos = c.pos
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT d.vec_id, d.clabel, d.dot / (v.vn * c.cn) AS cos,
+                     row_number() OVER (PARTITION BY d.vec_id
+                                        ORDER BY d.dot / (v.vn * c.cn) DESC, d.clabel ASC) AS rk
+              FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm c USING (clabel)
+            )
+            SELECT vec_id, clabel AS assigned, round(cos, 5) AS cosine
+            FROM ranked WHERE rk = 1
         """,
         # minhash_lsh_pairs / simhash / winnowing: intentionally omitted ->
         # driver records rows-only checks (xxhash64-based signatures are

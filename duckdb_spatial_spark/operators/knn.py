@@ -294,3 +294,71 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select(F.col("q_id").alias("query_id"), F.col("b_id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_label_col: str = "label",
+    c_vec_col: str = "centroid",
+    ndigits: int = 5,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (the
+    assignment step of Lloyd's k-means; the semantic-dedup / data-mix
+    bucketing primitive).
+
+    ``centroids`` is (label, vector) — small by construction (classes x
+    dim), so it is driver-collected and broadcast; each Arrow batch scores
+    with ONE numpy matmul and takes a row-wise argmax. Ties break toward
+    the smaller label. Returns (id, assigned, cosine) with the cosine
+    rounded to ``ndigits``.
+
+    Scale: pure map-side projection (no shuffle, no join); the only
+    driver-side data is the centroid matrix.
+    """
+    crows = centroids.select(c_label_col, c_vec_col).collect()
+    # sort by label so argmax tie-break (first index wins) = smallest label
+    crows.sort(key=lambda r: r[0])
+    labels = [r[0] for r in crows]
+    C = np.asarray([r[1] for r in crows], dtype=np.float64)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((labels, Cn))
+
+    label_type = centroids.schema[c_label_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("assigned", label_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        labels_, Cn_ = bc.value
+        for pdf in batches:
+            keep = pdf[pdf["_v"].notna()]
+            if not len(keep):
+                yield pd.DataFrame({id_col: [], "assigned": [], "cosine": []})
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in keep["_v"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = Vn @ Cn_.T
+            best = S.argmax(axis=1)
+            cos = S[np.arange(len(S)), best]
+            yield pd.DataFrame(
+                {
+                    id_col: keep["_id"].values,
+                    "assigned": [labels_[i] for i in best],
+                    # SQL round semantics: half away from zero, sign-aware
+                    "cosine": np.copysign(
+                        np.floor(np.abs(cos) * 10.0**ndigits + 0.5) / 10.0**ndigits, cos
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).mapInPandas(
+        run, out_schema
+    )

@@ -333,7 +333,8 @@ def pack_sequences(
         cur_bin, acc = 0, 0
         first = True
         for sz in pdf["_sz"]:
-            sz = int(sz) if sz is not None else 0
+            # nullable long arrives as float NaN in pandas; treat null as 0
+            sz = 0 if pd.isna(sz) else int(sz)
             if first:
                 cur_bin, acc, first = 0, sz, False
             elif acc + sz > b:

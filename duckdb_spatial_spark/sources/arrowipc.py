@@ -91,7 +91,9 @@ def read_arrow_ipc(spark: SparkSession, path: str, columns=None) -> DataFrame:
                     batch = pa.ipc.open_file(f).get_batch(partition.value)
                 if cols:
                     batch = batch.select([c for c in batch.schema.names if c in set(cols)])
-                yield from (tuple(r.values()) for r in batch.to_pylist())
+                # yielding the RecordBatch itself keeps the whole read
+                # Arrow-native — no per-row Python conversion
+                yield batch
 
         class ArrowIPCSource(DataSource):
             @classmethod

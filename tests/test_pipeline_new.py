@@ -158,3 +158,26 @@ def test_arrow_ipc_max_rows_guard(spark):
     df = spark.range(100)
     with pytest.raises(ValueError, match="max_rows"):
         write_arrow_ipc(df, tempfile.mktemp(suffix=".arrow"), max_rows=50)
+
+
+def test_assign_nearest_centroid(spark):
+    from duckdb_spatial_spark.operators.knn import assign_nearest_centroid
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 2.0]),
+            (4, None),  # null vector dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "label int, centroid array<double>"
+    )
+    out = {r["vec_id"]: (r["assigned"], r["cosine"]) for r in
+           assign_nearest_centroid(df, cent, c_label_col="label").collect()}
+    assert out[1] == (10, 1.0)
+    assert out[3] == (20, 1.0)
+    assert out[2][0] == 10 and out[2][1] > 0.99
+    assert 4 not in out
