@@ -372,7 +372,9 @@ def main():
         # = 15M rows. Compute-dominated tier where the 2x-of-DuckDB bar is
         # meaningful (scheduling floor amortized away).
         tpch_mult = int(os.environ.get("SPARK_GRAFT_BENCH_TPCH_MULT", "128"))
-        ev_mult = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS_MULT", "150"))
+        # 600x events @ sf0.1 = 60M rows: far enough above the ~0.3 s job
+        # floor that the hash-agg marginal rate is what's measured
+        ev_mult = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS_MULT", "600"))
         try:
             if tpch_mult > 0:
                 li_big = f"{tmp}/lineitem_big"
@@ -450,6 +452,41 @@ def main():
         def _():
             docs = spark.table("documents")
             minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5).count()
+
+        # ---- doc-pipeline operators with plain-SQL DuckDB comparables:
+        # the oracle SQL from the driver contract IS the DuckDB baseline
+        # (same metric definitions, same inputs). A sum over computed
+        # metrics forces both engines to actually evaluate them.
+        import __spark_entry__ as E
+
+        from duckdb_spatial_spark.operators.pipeline import (
+            decontaminate as _decon,
+            gopher_repetition as _gopher,
+        )
+
+        @bench("gopher_quality_docs")
+        def _():
+            _gopher(spark.table("documents")).agg(
+                F.sum(F.col("dup_line_frac") + F.col("top_2gram_char_frac"))
+            ).collect()
+
+        duck_bench(
+            "gopher_quality_docs",
+            "SELECT sum(dup_line_frac + top_2gram_char_frac) FROM ("
+            + E.oracle_sql()["gopher_quality"] + ")",
+        )
+
+        @bench("decontaminate_docs")
+        def _():
+            docs = spark.table("documents")
+            _decon(docs, docs.filter(F.col("doc_id") % 97 == 0), n=5).agg(
+                F.sum("n_hits")
+            ).collect()
+
+        duck_bench(
+            "decontaminate_docs",
+            "SELECT sum(n_hits) FROM (" + E.oracle_sql()["decontaminate"] + ")",
+        )
 
         @bench("ann_brute_topk")
         def _():

@@ -188,14 +188,14 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
 
 
 def _gram_array(text_col, n: int):
-    """Column of distinct lowercase word n-grams (n words joined by one
-    space). Empty array when the doc has fewer than n words."""
-    words = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i, n), " "),
-    )
-    return F.array_distinct(grams)
+    """Array of distinct lowercase word n-grams (n words joined by one
+    space); empty when the doc has fewer than n words. Arrow-batched
+    Python builder (dedup._shingles_py) — the pure-Column spelling
+    (transform+slice+array_join) is CodegenFallback, interpreted per
+    element, and measured ~8x slower at 5k docs."""
+    from .dedup import _shingles_py
+
+    return F.coalesce(_shingles_py(text_col, n), F.array())
 
 
 def decontaminate(

@@ -8,3 +8,11 @@ from .pruning import (  # noqa: F401
     read_geo_parquet,
     write_geo_parquet,
 )
+from .snapshot import (  # noqa: F401
+    append_geo_snapshot,
+    compact_geo_snapshot,
+    read_geo_snapshot,
+    snapshot_version,
+    vacuum_geo_snapshot,
+    write_geo_snapshot,
+)

@@ -412,7 +412,9 @@ def _pyarrow_openable(fp: str):
     return fp
 
 
-def geo_parquet_stats(spark: SparkSession, path: str, level: str = "rowgroup") -> DataFrame:
+def geo_parquet_stats(
+    spark: SparkSession, path: str, level: str = "rowgroup", files: list | None = None
+) -> DataFrame:
     """R-tree introspection analog (``rtree_index_pragmas.cpp`` exposes
     ``rtree_index_dump`` with per-node bounding boxes; here the 'nodes' are
     parquet row groups of a :func:`write_geo_parquet` dataset).
@@ -427,7 +429,8 @@ def geo_parquet_stats(spark: SparkSession, path: str, level: str = "rowgroup") -
     are touched and no driver bottleneck at 100k files."""
     import os
 
-    files = _hadoop_list_parquet(spark, path)
+    if files is None:
+        files = _hadoop_list_parquet(spark, path)
 
     want_file_level = level == "file"
 
@@ -590,12 +593,16 @@ def append_geo_parquet(
                               "generation": gen})
 
 
-def layout_fragmentation(spark: SparkSession, path: str) -> float:
+def layout_fragmentation(
+    spark: SparkSession, path: str, files: list | None = None
+) -> float:
     """Mean number of OTHER files each file overlaps in hilbert range,
     normalized by file count (0 = perfectly disjoint ranges, -> 1 = every
     file overlaps every other). Freshly-clustered layouts sit near 0;
-    appends push it up — the driver-side signal for when to compact."""
-    rows = geo_parquet_stats(spark, path, level="file").select(
+    appends push it up — the driver-side signal for when to compact.
+    ``files`` restricts the computation to an explicit list (snapshot
+    manifests) instead of listing the directory."""
+    rows = geo_parquet_stats(spark, path, level="file", files=files).select(
         "hilbert_min", "hilbert_max"
     ).collect()
     rng = [(r.hilbert_min, r.hilbert_max) for r in rows if r.hilbert_min is not None]

@@ -1,0 +1,247 @@
+"""Snapshot (manifest) commit protocol for clustered geo-parquet layouts.
+
+``compact_geo_parquet`` swaps directories with two renames, which is not
+atomic: a reader binding between them fails, and appended files become
+visible mid-write. This module adds the table-format-style fix the
+compact docstring defers to — an Iceberg-lite, single-writer /
+many-reader protocol:
+
+  * data files are immutable and live in per-commit subdirectories
+    ``data-{version:08d}/`` — a file, once published, is never rewritten
+  * each commit publishes ``_manifest-v{version:08d}.json`` listing the
+    exact data files of that snapshot (plus layout metadata: clustering
+    bounds, geometry column)
+  * the manifest is written to a temp name and os.rename'd into place —
+    on a POSIX filesystem the rename is atomic, so every reader sees
+    either the previous snapshot or the new one, never a torn state
+  * readers bind to the HIGHEST manifest version and read only its file
+    list; a compact that commits underneath them does not disturb an
+    already-bound DataFrame because the old files still exist
+  * ``vacuum_geo_snapshot`` deletes files unreferenced by the newest
+    ``keep_last`` manifests — the only destructive operation, run it
+    only when no reader can still be bound to the dropped versions
+
+Object-store caveat (documented, same stance as the reference's
+DB-local R-tree): rename-as-commit requires POSIX/HDFS semantics. On
+S3-style stores an atomic pointer needs conditional PUT — use a real
+table format (Iceberg/Delta) as the wrapper there; the layout produced
+here (Hilbert-clustered files + bbox columns) drops into either
+unchanged.
+
+Spark ignores underscore-prefixed files, and data subdirs are addressed
+explicitly by path, so manifests never pollute reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .pruning import BBOX_COLS, _hadoop_list_parquet, write_geo_parquet
+
+_MANIFEST_RE = re.compile(r"_manifest-v(\d{8})\.json$")
+
+
+def _manifest_name(version: int) -> str:
+    return f"_manifest-v{version:08d}.json"
+
+
+def _list_manifest_versions(path: str) -> list[int]:
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for n in os.listdir(path):
+        m = _MANIFEST_RE.match(n)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def snapshot_version(path: str) -> int | None:
+    """Newest committed snapshot version (None: no snapshot layout)."""
+    vs = _list_manifest_versions(path)
+    return vs[-1] if vs else None
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(path, _manifest_name(version)), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _commit(path: str, version: int, manifest: dict) -> None:
+    """Atomically publish a manifest: temp write + fsync + rename."""
+    final = os.path.join(path, _manifest_name(version))
+    tmp = final + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+
+
+def _data_files(spark: SparkSession, data_dir: str) -> list[str]:
+    """Relative (to the layout root) paths of the parquet files just
+    written into one data subdir."""
+    files = _hadoop_list_parquet(spark, data_dir)
+    sub = os.path.basename(data_dir.rstrip("/"))
+    return [f"{sub}/{os.path.basename(f)}" for f in files]
+
+
+def write_geo_snapshot(
+    df: DataFrame,
+    path: str,
+    geom_col: str = "geom",
+    bounds: tuple | None = None,
+    num_partitions: int | None = None,
+    sample_fraction: float | None = None,
+    point_xy: tuple | None = None,
+) -> int:
+    """Create snapshot v1 of a clustered layout (or start over on an empty
+    dir). Returns the committed version."""
+    os.makedirs(path, exist_ok=True)
+    if _list_manifest_versions(path):
+        raise ValueError(
+            f"{path}: snapshot layout already exists; use append_geo_snapshot "
+            "or compact_geo_snapshot (data files are immutable)"
+        )
+    version = 1
+    data_dir = os.path.join(path, f"data-{version:08d}")
+    write_geo_parquet(
+        df, data_dir, geom_col=geom_col, mode="overwrite", bounds=bounds,
+        num_partitions=num_partitions, sample_fraction=sample_fraction,
+        point_xy=point_xy,
+    )
+    from .pruning import read_layout_meta
+
+    meta = read_layout_meta(data_dir) or {}
+    _commit(
+        path,
+        version,
+        {
+            "version": version,
+            "files": _data_files(df.sparkSession, data_dir),
+            "bounds": meta.get("bounds") or (list(bounds) if bounds else None),
+            "geom_col": geom_col,
+        },
+    )
+    return version
+
+
+def read_geo_snapshot(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Bind a DataFrame to one snapshot's exact file list. The returned
+    plan keeps reading those files even if later commits (or a compact)
+    land underneath — old files are immutable until vacuumed."""
+    v = version if version is not None else snapshot_version(path)
+    if v is None:
+        raise FileNotFoundError(f"{path}: no snapshot manifest")
+    man = _read_manifest(path, v)
+    files = [os.path.join(path, f) for f in man["files"]]
+    if not files:
+        # empty snapshot: preserve schema-less behavior explicitly
+        raise ValueError(f"{path} v{v}: snapshot has no data files")
+    return spark.read.parquet(*files)
+
+
+def append_geo_snapshot(
+    df: DataFrame,
+    path: str,
+    num_partitions: int | None = None,
+    sample_fraction: float | None = None,
+    point_xy: tuple | None = None,
+) -> int:
+    """Commit an appended batch as a new snapshot. The batch is clustered
+    against the layout's ORIGINAL bounds (hilbert values stay comparable);
+    new files land in a fresh data subdir, and the new manifest = previous
+    file list + the new files. Readers never see a partial append."""
+    cur = snapshot_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"{path}: no snapshot manifest (use write_geo_snapshot)")
+    man = _read_manifest(path, cur)
+    bounds = tuple(man["bounds"]) if man.get("bounds") else None
+    geom_col = man.get("geom_col", "geom")
+    version = cur + 1
+    data_dir = os.path.join(path, f"data-{version:08d}")
+    write_geo_parquet(
+        df, data_dir, geom_col=geom_col, mode="overwrite", bounds=bounds,
+        num_partitions=num_partitions, sample_fraction=sample_fraction,
+        point_xy=point_xy,
+    )
+    _commit(
+        path,
+        version,
+        {**man, "version": version,
+         "files": man["files"] + _data_files(df.sparkSession, data_dir)},
+    )
+    return version
+
+
+def compact_geo_snapshot(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int | None = None,
+    min_fragmentation: float = 0.0,
+) -> int | None:
+    """Re-cluster the current snapshot into a single fresh generation and
+    commit it atomically (OPTIMIZE analog). Unlike
+    :func:`~duckdb_spatial_spark.plans.pruning.compact_geo_parquet`, a
+    concurrently-binding reader always succeeds: it sees either the
+    fragmented snapshot or the compacted one. Returns the new version, or
+    None when fragmentation is at or below the threshold."""
+    from .pruning import layout_fragmentation
+
+    cur = snapshot_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"{path}: no snapshot manifest")
+    man = _read_manifest(path, cur)
+    files = [os.path.join(path, f) for f in man["files"]]
+    if layout_fragmentation(spark, path, files=files) <= min_fragmentation:
+        return None
+    df = spark.read.parquet(*files).drop(*BBOX_COLS, "hilbert")
+    bounds = tuple(man["bounds"]) if man.get("bounds") else None
+    version = cur + 1
+    data_dir = os.path.join(path, f"data-{version:08d}")
+    write_geo_parquet(
+        df, data_dir, geom_col=man.get("geom_col", "geom"), mode="overwrite",
+        bounds=bounds, num_partitions=num_partitions,
+    )
+    _commit(
+        path,
+        version,
+        {**man, "version": version, "files": _data_files(spark, data_dir)},
+    )
+    return version
+
+
+def vacuum_geo_snapshot(spark: SparkSession, path: str, keep_last: int = 1) -> int:
+    """Delete data files referenced ONLY by snapshots older than the
+    newest ``keep_last`` manifests (and those manifests). Destructive:
+    run only when no reader can still be bound to the dropped versions.
+    Returns the number of data files removed."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = _list_manifest_versions(path)
+    if len(versions) <= keep_last:
+        return 0
+    keep_v, drop_v = versions[-keep_last:], versions[:-keep_last]
+    keep_files = set()
+    for v in keep_v:
+        keep_files.update(_read_manifest(path, v)["files"])
+    removed = 0
+    for v in drop_v:
+        for f in _read_manifest(path, v)["files"]:
+            if f not in keep_files:
+                fp = os.path.join(path, f)
+                if os.path.exists(fp):
+                    os.unlink(fp)
+                    removed += 1
+        os.unlink(os.path.join(path, _manifest_name(v)))
+    # drop now-empty data dirs (best-effort)
+    for n in os.listdir(path):
+        d = os.path.join(path, n)
+        if n.startswith("data-") and os.path.isdir(d) and not _hadoop_list_parquet(spark, d):
+            shutil.rmtree(d, ignore_errors=True)
+    return removed

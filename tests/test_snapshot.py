@@ -1,0 +1,95 @@
+"""Snapshot (manifest) commit protocol over the clustered geo-parquet
+layout: atomic visibility, reader isolation across compact, vacuum."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.plans import filter_bbox
+from duckdb_spatial_spark.plans.snapshot import (
+    append_geo_snapshot,
+    compact_geo_snapshot,
+    read_geo_snapshot,
+    snapshot_version,
+    vacuum_geo_snapshot,
+    write_geo_snapshot,
+)
+
+
+@pytest.fixture()
+def layout(spark, tmp_path):
+    path = str(tmp_path / "snap")
+
+    def pts(lo, n):
+        return spark.range(lo, lo + n).selectExpr(
+            "id",
+            "CAST(id * 7919 % 1000 AS DOUBLE) AS x",
+            "CAST(id * 104729 % 1000 AS DOUBLE) AS y",
+        )
+
+    v = write_geo_snapshot(
+        pts(0, 5000), path, bounds=(0, 0, 1000, 1000),
+        num_partitions=4, point_xy=("x", "y"),
+    )
+    assert v == 1
+    return path, pts
+
+
+def test_write_read_and_prune(spark, layout):
+    path, _ = layout
+    df = read_geo_snapshot(spark, path)
+    assert df.count() == 5000
+    assert snapshot_version(path) == 1
+    pruned = filter_bbox(df, 100, 100, 300, 300, exact="within")
+    full = df.filter(
+        "bbox_min_x > 100 AND bbox_min_x < 300 AND bbox_min_y > 100 AND bbox_min_y < 300"
+    )
+    assert pruned.count() == full.count()
+
+
+def test_append_commits_new_version(spark, layout):
+    path, pts = layout
+    old = read_geo_snapshot(spark, path)  # bind BEFORE the append
+    v = append_geo_snapshot(pts(5000, 2000), path, num_partitions=2, point_xy=("x", "y"))
+    assert v == 2
+    assert read_geo_snapshot(spark, path).count() == 7000
+    # bound reader still sees the v1 snapshot
+    assert old.count() == 5000
+    assert read_geo_snapshot(spark, path, version=1).count() == 5000
+
+
+def test_compact_does_not_disturb_bound_reader(spark, layout):
+    path, pts = layout
+    append_geo_snapshot(pts(5000, 2000), path, num_partitions=2, point_xy=("x", "y"))
+    bound = read_geo_snapshot(spark, path)  # v2, fragmented
+    v = compact_geo_snapshot(spark, path, num_partitions=4)
+    assert v == 3
+    # old files are immutable: the bound plan still collects fine
+    assert bound.count() == 7000
+    assert read_geo_snapshot(spark, path).count() == 7000
+    # compacted layout is defragmented enough that a re-compact is a no-op
+    assert compact_geo_snapshot(spark, path, min_fragmentation=0.5) is None
+
+
+def test_vacuum_drops_only_unreferenced(spark, layout):
+    path, pts = layout
+    append_geo_snapshot(pts(5000, 2000), path, num_partitions=2, point_xy=("x", "y"))
+    compact_geo_snapshot(spark, path, num_partitions=4)
+    removed = vacuum_geo_snapshot(spark, path, keep_last=1)
+    assert removed > 0
+    assert read_geo_snapshot(spark, path).count() == 7000
+    with pytest.raises(FileNotFoundError):
+        _ = read_geo_snapshot(spark, path, version=1).count()
+    # manifests for dropped versions are gone
+    assert snapshot_version(path) == 3
+    names = os.listdir(path)
+    assert not any(n.startswith("_manifest-v000000001") for n in names)
+
+
+def test_write_refuses_existing_layout(spark, layout):
+    path, pts = layout
+    with pytest.raises(ValueError, match="already exists"):
+        write_geo_snapshot(pts(0, 10), path, point_xy=("x", "y"))
