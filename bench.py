@@ -215,7 +215,11 @@ def main():
 
             @bench(f"points_pruned_count{suffix}")
             def _():
-                filter_bbox(clustered, 450, 450, 650, 650, exact="within").count()
+                # points=True: the layout is declared all-POINT, so the exact
+                # within recheck is plain Column compares on the bbox columns
+                # (the reference's native st_contains POINT fast path) — the
+                # whole query is JVM-side scan + skip, zero Python
+                filter_bbox(clustered, 450, 450, 650, 650, exact="within", points=True).count()
 
             # DuckDB has no R-tree without the spatial extension (offline);
             # its x/y full-scan number doubles as the baseline for both — the

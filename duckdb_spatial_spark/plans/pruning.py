@@ -491,13 +491,22 @@ def filter_bbox(
     max_y: float,
     geom_col: str = "geom",
     exact: str | None = "intersects",
+    points: bool = False,
 ) -> DataFrame:
     """Windowed query with data skipping.
 
     Emits bbox conjuncts on the plain numeric bbox columns (pushed to the
     parquet scan -> row-group skipping), then optionally re-checks the exact
     predicate against the query envelope — the same filter pull-up split as
-    the reference (``rtree_index_plan_scan.cpp:207-231``)."""
+    the reference (``rtree_index_plan_scan.cpp:207-231``).
+
+    ``points=True`` declares every geometry a POINT (e.g. a layout written
+    with ``write_geo_parquet(point_xy=...)``): a point's bbox IS the point,
+    so within/intersects against the envelope are decided by plain Column
+    compares on the bbox columns — no geometry decode, no Python. This is
+    the native POINT fast path of the reference's ``st_contains.cpp``
+    (POLYGON_2D x POINT_2D) re-expressed on the layout's sidecar columns;
+    within excludes the envelope boundary, matching ST_Within."""
     if all(c in df.columns for c in BBOX_COLS):
         pre = (
             (F.col(BBOX_COLS[0]) <= max_x)
@@ -506,6 +515,15 @@ def filter_bbox(
             & (F.col(BBOX_COLS[3]) >= min_y)
         )
         df = df.filter(pre)
+    if exact and points and exact in ("within", "intersects") and all(
+        c in df.columns for c in BBOX_COLS
+    ):
+        if exact == "within":
+            return df.filter(
+                (F.col(BBOX_COLS[0]) > min_x) & (F.col(BBOX_COLS[0]) < max_x)
+                & (F.col(BBOX_COLS[1]) > min_y) & (F.col(BBOX_COLS[1]) < max_y)
+            )
+        return df  # intersects: the inclusive prefilter above IS exact for points
     if exact:
         # envelope WKB built ONCE driver-side and shipped as a binary
         # literal: chaining st_makeenvelope(lit,...) as a pandas UDF makes

@@ -93,3 +93,25 @@ def test_write_refuses_existing_layout(spark, layout):
     path, pts = layout
     with pytest.raises(ValueError, match="already exists"):
         write_geo_snapshot(pts(0, 10), path, point_xy=("x", "y"))
+
+
+def test_filter_bbox_points_fast_path_matches_udf(spark, tmp_path):
+    """points=True must agree with the UDF exact path, including boundary
+    points (within excludes the envelope boundary)."""
+    from duckdb_spatial_spark.plans import filter_bbox, write_geo_parquet
+
+    # integer grid 0..10 x 0..10 -> plenty of points ON the query boundary
+    df = spark.range(121).selectExpr(
+        "id", "CAST(id % 11 AS DOUBLE) AS x", "CAST(id DIV 11 AS DOUBLE) AS y"
+    )
+    path = str(tmp_path / "grid")
+    write_geo_parquet(df, path, point_xy=("x", "y"), num_partitions=2)
+    clustered = spark.read.parquet(path)
+    for exact in ("within", "intersects"):
+        fast = filter_bbox(clustered, 2, 2, 8, 8, exact=exact, points=True)
+        slow = filter_bbox(clustered, 2, 2, 8, 8, exact=exact, points=False)
+        assert fast.count() == slow.count(), exact
+        assert sorted(r.id for r in fast.collect()) == sorted(r.id for r in slow.collect())
+    # sanity: within excludes boundary (5x5 interior), intersects includes it
+    assert filter_bbox(clustered, 2, 2, 8, 8, exact="within", points=True).count() == 25
+    assert filter_bbox(clustered, 2, 2, 8, 8, exact="intersects", points=True).count() == 49
