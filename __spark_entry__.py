@@ -1821,6 +1821,35 @@ def q_embedding_assign(spark, sf_dir):
     return assign_nearest_centroid(emb, cent)
 
 
+_PII_DOCS = (
+    "SELECT doc_id, concat(text, ' contact user', doc_id, '@example.com or +1 (555) 010-',"
+    " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' at 10.0.', doc_id % 256, '.7') AS text"
+    " FROM documents"
+)
+
+
+def q_pii_scrub(spark, sf_dir):
+    """C4-style PII redaction (email/IPv4/phone placeholders) over docs
+    salted with deterministic PII built from doc_id — byte-exact replay
+    in the oracle (patterns restricted to the Java-regex/RE2-identical
+    subset)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import pii_scrub
+
+    docs = spark.sql(_PII_DOCS.replace("AS STRING", "AS STRING"))
+    return pii_scrub(docs).select("doc_id", "clean_text", "n_redactions")
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-wide duplicate-line removal (RefinedWeb-style boilerplate
+    strip), first occurrence kept in (doc_id, pos) order; reassembled text
+    compared byte-for-byte against the window-function oracle."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import dedup_lines
+
+    return dedup_lines(spark.table("documents"))
+
+
 def q_arrow_roundtrip(spark, sf_dir):
     """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
     import tempfile
@@ -1900,6 +1929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
+        "pii_scrub": q_pii_scrub,
+        "dedup_lines": q_dedup_lines,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
@@ -2898,6 +2929,41 @@ def oracle_sql() -> dict[str, str]:
         "arrow_roundtrip": f"""
             SELECT rid, round(w * h, 6) AS area_geom, round(w * h, 6) AS area
             FROM ({rects}) WHERE rid % 7 = 0
+        """,
+        "pii_scrub": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                      + len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                      + len(regexp_extract_all(t, '\+[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_redactions
+            FROM (SELECT doc_id,
+                         text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
+                              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                              || ' at 10.0.' || (doc_id % 256) || '.7' AS t
+                  FROM documents)
+        """,
+        "dedup_lines": """
+            WITH l AS (
+              SELECT doc_id,
+                     unnest(range(0, len(string_split(text, chr(10))))) AS pos,
+                     unnest(string_split(text, chr(10))) AS line
+              FROM documents
+            ), r AS (
+              SELECT doc_id, pos, line,
+                     (trim(line) = ''
+                      OR row_number() OVER (PARTITION BY trim(line)
+                                            ORDER BY doc_id, pos) = 1) AS keep
+              FROM l
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep), '') AS clean_text,
+                   CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
+                   CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_removed
+            FROM r GROUP BY doc_id
         """,
         "embedding_assign": """
             WITH e AS (

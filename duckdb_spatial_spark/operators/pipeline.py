@@ -28,7 +28,7 @@ import math
 from collections import Counter
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -38,6 +38,8 @@ __all__ = [
     "hash_split",
     "pack_sequences",
     "embedding_centroids",
+    "pii_scrub",
+    "dedup_lines",
 ]
 
 
@@ -377,4 +379,93 @@ def embedding_centroids(
             F.round(F.avg(F.col("value").cast("double")), ndigits).alias("centroid"),
             F.count("*").alias("n"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (C4-style cleanup)
+# ---------------------------------------------------------------------------
+
+#: kind -> (pattern, replacement). Patterns are restricted to the regex
+#: subset Java regex and RE2 interpret identically (no backrefs, no
+#: lookaround), so a plain-SQL oracle reproduces the scrub byte-for-byte.
+PII_PATTERNS = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+}
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds=("email", "ipv4", "phone"),
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Redact PII-shaped substrings (emails, IPv4 addresses, international
+    phone numbers) with typed placeholder tokens. Pure Column
+    regexp_replace chain - zero shuffles, whole-stage codegen, runs at
+    scan bandwidth; ``n_redactions`` counts replaced spans."""
+    c = F.col(text_col)
+    n = F.lit(0)
+    for k in kinds:
+        pat, _ = PII_PATTERNS[k]
+        n = n + F.coalesce(F.regexp_count(c, F.lit(pat)), F.lit(0))
+    out = c
+    for k in kinds:
+        pat, repl = PII_PATTERNS[k]
+        out = F.regexp_replace(out, pat, repl)
+    return df.withColumn(out_col, out).withColumn("n_redactions", n.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Global line-level dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove corpus-wide duplicate LINES, keeping each distinct
+    (whitespace-trimmed) line's first occurrence in (id, line-position)
+    order - the RefinedWeb/C4-style boilerplate strip (nav bars, cookie
+    banners) done globally rather than per-document.
+
+    Returns (id, clean_text, n_kept, n_removed). Blank lines are never
+    deduplicated (they are structure, not content).
+
+    Scale: posexplode is map-side; the only shuffle keys on the trimmed
+    line text to find each line's global first occurrence (per-key work
+    is a single min - AQE handles hot boilerplate keys), plus the
+    reassembly shuffle on id. Volume is O(total lines), never quadratic.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("norm", F.trim(F.col("line")))
+    w = Window.partitionBy("norm").orderBy(F.col("_id").asc(), F.col("pos").asc())
+    ranked = lines.withColumn(
+        "keep",
+        (F.col("norm") == "") | (F.row_number().over(w) == 1),
+    )
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line")).otherwise(None)
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("int").alias("n_kept"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("int").alias("n_removed"),
+        )
+        .withColumnRenamed("_id", id_col)
     )

@@ -181,3 +181,42 @@ def test_assign_nearest_centroid(spark):
     assert out[3] == (20, 1.0)
     assert out[2][0] == 10 and out[2][1] > 0.99
     assert 4 not in out
+
+
+def test_pii_scrub(spark):
+    from duckdb_spatial_spark.operators.pipeline import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@sub.example.co.uk thanks"),
+            (2, "server 192.168.001.5 and phone +44 (0)20 7946-0958 ok"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert out[1]["clean_text"] == "mail me at <EMAIL> thanks"
+    assert out[1]["n_redactions"] == 1
+    assert out[2]["clean_text"] == "server <IP> and phone <PHONE> ok"
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["clean_text"] == "nothing sensitive here"
+    assert out[3]["n_redactions"] == 0
+
+
+def test_dedup_lines_global_first_occurrence(spark):
+    from duckdb_spatial_spark.operators.pipeline import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "keep me\ncookie banner\nunique one"),
+            (2, "cookie banner\nother text\n\ncookie banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    # doc 1 holds the first occurrence of "cookie banner" -> untouched
+    assert out[1]["clean_text"] == "keep me\ncookie banner\nunique one"
+    assert out[1]["n_removed"] == 0
+    # doc 2 loses both copies; the blank line survives (structure)
+    assert out[2]["clean_text"] == "other text\n"
+    assert out[2]["n_kept"] == 2 and out[2]["n_removed"] == 2
