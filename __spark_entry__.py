@@ -1850,6 +1850,18 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(spark.table("documents"))
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language sample (20 docs/stratum, MINSTD hash
+    order) — selection is a pure function of (doc_id, salt), replayed
+    exactly by the oracle window query."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import sample_stratified
+
+    return sample_stratified(
+        spark.table("documents"), "lang", "doc_id", k=20, salt=7
+    ).select("doc_id", "lang")
+
+
 def q_arrow_roundtrip(spark, sf_dir):
     """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
     import tempfile
@@ -1931,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_assign": q_embedding_assign,
         "pii_scrub": q_pii_scrub,
         "dedup_lines": q_dedup_lines,
+        "sample_stratified": q_sample_stratified,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
@@ -2964,6 +2977,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
                    CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_removed
             FROM r GROUP BY doc_id
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY u ASC, doc_id ASC) AS rk
+              FROM (SELECT doc_id, lang,
+                           (((((doc_id + 7) % 2147483647) + 2147483647) % 2147483647)
+                            * 48271 % 2147483647) * 48271 % 2147483647
+                           / 2147483647.0 AS u
+                    FROM documents)
+            ) WHERE rk <= 20
         """,
         "embedding_assign": """
             WITH e AS (

@@ -40,6 +40,7 @@ __all__ = [
     "embedding_centroids",
     "pii_scrub",
     "dedup_lines",
+    "sample_stratified",
 ]
 
 
@@ -252,6 +253,16 @@ _MINSTD_A = 48271
 _MINSTD_M = 2147483647  # 2^31 - 1 (prime)
 
 
+def _minstd_u(id_col, salt: int = 0):
+    """Uniform-ish [0,1) from an integer id: two MINSTD LCG rounds in
+    plain 64-bit arithmetic — bit-reproducible in any SQL engine."""
+    c = (F.col(id_col) if isinstance(id_col, str) else id_col).cast("long")
+    x = F.pmod(c + F.lit(int(salt)), F.lit(_MINSTD_M))
+    h = F.pmod(x * _MINSTD_A, F.lit(_MINSTD_M))
+    h = F.pmod(h * _MINSTD_A, F.lit(_MINSTD_M))
+    return h / float(_MINSTD_M)
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -275,11 +286,7 @@ def hash_split(
     # IEEE sum w1 + ... + wk of the user's literals
     if abs(tot - 1.0) < 1e-9:
         tot = 1.0
-    c = F.col(id_col).cast("long")
-    x = F.pmod(c + F.lit(int(salt)), F.lit(_MINSTD_M))
-    h = F.pmod(x * _MINSTD_A, F.lit(_MINSTD_M))
-    h = F.pmod(h * _MINSTD_A, F.lit(_MINSTD_M))
-    u = h / float(_MINSTD_M)
+    u = _minstd_u(id_col, salt)
     expr = F.lit(labels[-1])
     acc = 0.0
     bounds = []
@@ -468,4 +475,33 @@ def dedup_lines(
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("int").alias("n_removed"),
         )
         .withColumnRenamed("_id", id_col)
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep the k rows of each stratum
+    with the smallest MINSTD hash of their id (ties impossible for
+    distinct ids below 2^31-1 gaps; broken by id). The data-mixing
+    primitive: unlike ``df.sampleBy``, the selection is a pure function
+    of (id, salt) - stable across runs, partitionings, and engines, and
+    exactly replayable in SQL.
+
+    Scale: one shuffle keyed on the stratum for the windowed top-k. A
+    pathologically hot stratum serializes its own sort; pre-aggregate
+    with a coarser composite stratum if a single stratum exceeds a
+    task's comfortable sort size.
+    """
+    u = _minstd_u(id_col, salt).alias("_u")
+    w = Window.partitionBy(strata_col).orderBy(F.col("_u").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_u", u)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .drop("_u", "_rk")
     )

@@ -220,3 +220,16 @@ def test_dedup_lines_global_first_occurrence(spark):
     # doc 2 loses both copies; the blank line survives (structure)
     assert out[2]["clean_text"] == "other text\n"
     assert out[2]["n_kept"] == 2 and out[2]["n_removed"] == 2
+
+
+def test_sample_stratified_deterministic(spark):
+    from duckdb_spatial_spark.operators.pipeline import sample_stratified
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 3 AS STRING) AS s")
+    a = sorted(r.id for r in sample_stratified(df, "s", "id", k=10, salt=1).collect())
+    b = sorted(
+        r.id for r in sample_stratified(df.repartition(17), "s", "id", k=10, salt=1).collect()
+    )
+    assert a == b and len(a) == 30
+    c = sorted(r.id for r in sample_stratified(df, "s", "id", k=10, salt=2).collect())
+    assert a != c  # salt changes the sample
