@@ -1862,6 +1862,16 @@ def q_sample_stratified(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-25 for a fixed keyword query — the lexical-search
+    complement to the ANN lanes; oracle replays idf/tf/length
+    normalization in plain SQL (identical float expression shapes)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import bm25_topk
+
+    return bm25_topk(spark.table("documents"), "hash join filter vector", k=25)
+
+
 def q_arrow_roundtrip(spark, sf_dir):
     """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
     import tempfile
@@ -1944,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "dedup_lines": q_dedup_lines,
         "sample_stratified": q_sample_stratified,
+        "bm25": q_bm25,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
@@ -2977,6 +2988,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
                    CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_removed
             FROM r GROUP BY doc_id
+        """,
+        "bm25": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 t -> t IN ('hash', 'join', 'filter', 'vector')) AS qt
+              FROM documents
+            ), stats AS (
+              SELECT count(*) AS n, avg(dl) AS avgdl FROM d
+            ), tf AS (
+              SELECT doc_id, dl, term, count(*) AS tf
+              FROM (SELECT doc_id, dl, unnest(qt) AS term FROM d)
+              GROUP BY 1, 2, 3
+            ), dfq AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+            ), sc AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                         ln(1.0 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                         * ((tf.tf * 2.2)
+                            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))
+                     ), 4) AS score
+              FROM tf JOIN dfq USING (term) CROSS JOIN stats s
+              GROUP BY 1
+            )
+            SELECT doc_id, score, CAST(rk AS INT) AS rank FROM (
+              SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+              FROM sc
+            ) WHERE rk <= 25
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM (

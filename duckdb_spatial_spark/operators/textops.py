@@ -176,3 +176,68 @@ def winnowing_fingerprints(
     return df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).mapInPandas(
         winnow, out_schema
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 4,
+) -> DataFrame:
+    """Okapi BM25 keyword scoring, top-k documents for a query string.
+
+    The lexical-search complement to the ANN/cosine lanes: terms are
+    lowercase whitespace tokens; idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+    Returns (id, score, rank), score rounded to ``ndigits``.
+
+    Scale shape: one map-side explode to (doc, term, tf) for QUERY TERMS
+    ONLY (the per-row filter keeps the exploded volume at
+    O(rows x query_terms), not O(total tokens)); df/N/avgdl are tiny
+    aggregates; the scoring join is a broadcast on the term stats; one
+    final top-k window. No all-token inverted index is materialized.
+    """
+    terms = [t for t in dict.fromkeys(query.lower().split()) if t]
+    if not terms:
+        raise ValueError("bm25_topk: empty query")
+    qarr = F.array(*[F.lit(t) for t in terms])
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("_qt"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("_dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"] or 0.0)
+    tf = (
+        base.select("_id", "_dl", F.explode("_qt").alias("term"))
+        .groupBy("_id", "_dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("_dl") / F.lit(avgdl or 1.0)))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("_c", contrib)
+        .groupBy("_id")
+        .agg(F.round(F.sum("_c"), ndigits).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition top-k,
+    # then a k-row merge on the driver) — no single-task global sort; the
+    # rank window then runs over at most k rows
+    top = scored.orderBy(F.col("score").desc(), F.col("_id").asc()).limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), F.col("_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        F.col("_id").alias(id_col), "score", "rank"
+    )

@@ -233,3 +233,21 @@ def test_sample_stratified_deterministic(spark):
     assert a == b and len(a) == 30
     c = sorted(r.id for r in sample_stratified(df, "s", "id", k=10, salt=2).collect())
     assert a != c  # salt changes the sample
+
+
+def test_bm25_topk_ranks_relevant_docs(spark):
+    from duckdb_spatial_spark.operators.textops import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark is great"),
+            (2, "spark is a word here once"),
+            (3, "nothing relevant at all in this one"),
+            (4, "totally different content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = bm25_topk(df, "spark", k=3).collect()
+    ids = [r.doc_id for r in rows]
+    assert ids[0] == 1 and 2 in ids and 3 not in ids and 4 not in ids
+    assert rows[0].rank == 1 and rows[0].score > rows[1].score > 0
