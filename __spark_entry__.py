@@ -1836,7 +1836,7 @@ def q_pii_scrub(spark, sf_dir):
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.pipeline import pii_scrub
 
-    docs = spark.sql(_PII_DOCS.replace("AS STRING", "AS STRING"))
+    docs = spark.sql(_PII_DOCS)
     return pii_scrub(docs).select("doc_id", "clean_text", "n_redactions")
 
 
@@ -1874,6 +1874,7 @@ def q_bm25(spark, sf_dir):
 
 def q_arrow_roundtrip(spark, sf_dir):
     """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
+    import os
     import tempfile
 
     _prep(spark, sf_dir)
@@ -1882,7 +1883,10 @@ def q_arrow_roundtrip(spark, sf_dir):
     rects = spark.sql(_RECTS).filter(F.col("rid") % 7 == 0).selectExpr(
         "rid", "ST_MakeEnvelope(mx, my, mx + w, my + h) AS geom", "w * h AS area"
     )
-    path = tempfile.mktemp(suffix=".arrow", prefix="entry_arrow_")
+    # fixed name, overwritten per run: the returned plan reads the file
+    # lazily, so it cannot be unlinked here — a stable path at least
+    # keeps repeated contract sweeps from accumulating temp files
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_arrow_roundtrip.arrow")
     write_arrow_ipc(rects, path)
     back = st_read(spark, path)
     return back.selectExpr(
@@ -2819,11 +2823,12 @@ def oracle_sql() -> dict[str, str]:
         # doubles), pass computed from the ROUNDED values on both sides.
         "gopher_quality": r"""
             WITH base AS (
-              SELECT doc_id, text,
-                     list_filter(list_transform(string_split(text, chr(10)),
+              -- NULL text = empty string (matches the kernel)
+              SELECT doc_id, coalesce(text, '') AS text,
+                     list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
                          x -> trim(x, chr(32) || chr(9) || chr(13) || chr(11) || chr(12))),
                          x -> x <> '') AS lines,
-                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+                     list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS words
               FROM documents
             ), lw AS (
               SELECT doc_id, lines, words, len(lines) AS nl, len(words) AS nw,
@@ -2862,6 +2867,8 @@ def oracle_sql() -> dict[str, str]:
             ), tops AS (
               -- integer char masses first, ONE division at the end: matches
               -- the Python lane's sum(int)/total bit-for-bit
+              -- NB: DuckDB least() SKIPS nulls (least(1.0, NULL) = 1.0),
+              -- so the clamp lives in the final SELECT after coalesce
               SELECT doc_id,
                      CAST(max(CASE WHEN k = 2 AND cnt >= 2 THEN cnt * glen END) AS DOUBLE)
                          / max(total_chars) AS top2,
@@ -2875,12 +2882,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.doc_id, l.n_lines,
                    round(l.dlf, 6) AS dup_line_frac,
                    round(l.dlcf, 6) AS dup_line_char_frac,
-                   round(coalesce(t.top2, 0.0), 6) AS top_2gram_char_frac,
-                   round(coalesce(t.top3, 0.0), 6) AS top_3gram_char_frac,
+                   round(least(1.0, coalesce(t.top2, 0.0)), 6) AS top_2gram_char_frac,
+                   round(least(1.0, coalesce(t.top3, 0.0)), 6) AS top_3gram_char_frac,
                    round(coalesce(t.dup5, 0.0), 6) AS dup_5gram_char_frac,
                    (round(l.dlf, 6) <= 0.30 AND round(l.dlcf, 6) <= 0.20
-                    AND round(coalesce(t.top2, 0.0), 6) <= 0.20
-                    AND round(coalesce(t.top3, 0.0), 6) <= 0.18
+                    AND round(least(1.0, coalesce(t.top2, 0.0)), 6) <= 0.20
+                    AND round(least(1.0, coalesce(t.top3, 0.0)), 6) <= 0.18
                     AND round(coalesce(t.dup5, 0.0), 6) <= 0.15) AS gopher_pass
             FROM linem l LEFT JOIN tops t USING (doc_id)
         """,
@@ -2922,7 +2929,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_sequences": """
             WITH RECURSIVE d AS (
-              SELECT doc_id, ((doc_id % 8) + 8) % 8 AS pack_group, n_chars,
+              SELECT doc_id, ((doc_id % 8) + 8) % 8 AS pack_group,
+                     coalesce(n_chars, 0) AS n_chars,
                      row_number() OVER (PARTITION BY ((doc_id % 8) + 8) % 8
                                         ORDER BY doc_id) AS rn
               FROM documents

@@ -323,9 +323,9 @@ def assign_nearest_centroid(
     crows.sort(key=lambda r: r[0])
     labels = [r[0] for r in crows]
     C = np.asarray([r[1] for r in crows], dtype=np.float64)
-    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    cn = np.maximum(np.sqrt((C * C).sum(axis=1)), 1e-300)
     sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((labels, Cn))
+    bc = sc.broadcast((labels, C, cn))
 
     label_type = centroids.schema[c_label_col].dataType
     out_schema = T.StructType(
@@ -337,15 +337,18 @@ def assign_nearest_centroid(
     )
 
     def run(batches):
-        labels_, Cn_ = bc.value
+        labels_, C_, cn_ = bc.value
         for pdf in batches:
             keep = pdf[pdf["_v"].notna()]
             if not len(keep):
                 yield pd.DataFrame({id_col: [], "assigned": [], "cosine": []})
                 continue
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in keep["_v"]])
-            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
-            S = Vn @ Cn_.T
+            vn = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
+            # dot / (|v| * |c|), the same float shape the SQL oracle uses
+            # (normalize-then-dot differs in final-ulp rounding, which
+            # could flip an argmax on a near-tie between engines)
+            S = (V @ C_.T) / (vn[:, None] * cn_[None, :])
             best = S.argmax(axis=1)
             cos = S[np.arange(len(S)), best]
             yield pd.DataFrame(

@@ -68,17 +68,23 @@ def _repetition_metrics(text: str) -> tuple:
     k-gram     = k consecutive words joined by one space
     dup_line_frac       = 1 - distinct_lines / lines
     dup_line_char_frac  = 1 - sum(len(distinct lines)) / sum(len(lines))
-    top_kgram_char_frac = max over k-grams occurring >= 2 times of
-                          count*len(gram) / total (the maximum character
-                          mass any single REPEATED k-gram covers -
-                          tie-free variant of Gopher's "most frequent
-                          n-gram" rule; grams seen once are not
-                          repetition, so short clean docs score 0)
+    top_kgram_char_frac = min(1, max over k-grams occurring >= 2 times
+                          of count*len(gram) / total) (the maximum
+                          character mass any single REPEATED k-gram
+                          covers - tie-free variant of Gopher's "most
+                          frequent n-gram" rule; grams seen once are not
+                          repetition, so short clean docs score 0; the
+                          clamp matters because overlapping occurrences
+                          double-count characters, e.g. ". . ." whose
+                          ". ." bigram has mass 2*3 > 5 chars)
     dup_5gram_char_frac = min(1, sum over 5-grams with count>=2 of
                           count*len(gram) / total)
+
+    NULL text behaves exactly like the empty string (all zeros, pass) -
+    the oracle coalesces to '' for the same reason.
     """
     if text is None:
-        return (0, 0.0, 0.0, 0.0, 0.0, 0.0, False)
+        text = ""
     raw_lines = [ln.strip() for ln in text.split("\n")]
     lines = [ln for ln in raw_lines if ln]
     n_lines = len(lines)
@@ -101,7 +107,7 @@ def _repetition_metrics(text: str) -> tuple:
         cnt = Counter(" ".join(words[i : i + k]) for i in range(len(words) - k + 1))
         if k in (2, 3):
             rep = [c * len(g) for g, c in cnt.items() if c >= 2]
-            tops[k] = (max(rep) / total) if rep else 0.0
+            tops[k] = min(1.0, max(rep) / total) if rep else 0.0
         else:
             dup5 = min(1.0, sum(c * len(g) for g, c in cnt.items() if c >= 2) / total)
     vals = tuple(
@@ -412,7 +418,13 @@ def pii_scrub(
     """Redact PII-shaped substrings (emails, IPv4 addresses, international
     phone numbers) with typed placeholder tokens. Pure Column
     regexp_replace chain - zero shuffles, whole-stage codegen, runs at
-    scan bandwidth; ``n_redactions`` counts replaced spans."""
+    scan bandwidth.
+
+    ``n_redactions`` counts pattern MATCHES IN THE ORIGINAL text, summed
+    per kind; when spans overlap across kinds (an IP-looking run inside
+    an email, say) it can differ from the number of replacements the
+    sequential replace chain performs. The count is defined this way so
+    a plain-SQL oracle reproduces it exactly."""
     c = F.col(text_col)
     n = F.lit(0)
     for k in kinds:

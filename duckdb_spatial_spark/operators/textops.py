@@ -210,23 +210,26 @@ def bm25_topk(
         F.size(toks).alias("_dl"),
         F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("_qt"),
     )
+    # corpus stats stay a lazy 1-row aggregate broadcast into the scoring
+    # join (no eager collect; one plan end-to-end). avg over exact long
+    # sums -> bit-identical to the oracle's avg(dl).
     stats = base.agg(
-        F.count("*").alias("n_docs"), F.avg("_dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], float(stats["avgdl"] or 0.0)
+        F.count("*").cast("double").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
     tf = (
         base.select("_id", "_dl", F.explode("_qt").alias("term"))
         .groupBy("_id", "_dl", "term")
         .agg(F.count("*").alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    idf = F.log(F.lit(1.0) + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     contrib = idf * (
         F.col("tf") * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("_dl") / F.lit(avgdl or 1.0)))
+        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("_dl") / F.col("_avgdl")))
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
         .withColumn("_c", contrib)
         .groupBy("_id")
         .agg(F.round(F.sum("_c"), ndigits).alias("score"))

@@ -217,16 +217,25 @@ def compact_geo_snapshot(
 
 
 def vacuum_geo_snapshot(spark: SparkSession, path: str, keep_last: int = 1) -> int:
-    """Delete data files referenced ONLY by snapshots older than the
-    newest ``keep_last`` manifests (and those manifests). Destructive:
-    run only when no reader can still be bound to the dropped versions.
-    Returns the number of data files removed."""
+    """Delete data files no kept snapshot references: files of dropped
+    manifests (older than the newest ``keep_last``), plus ORPHANS from
+    crashed writes — an append/compact that died between writing its
+    data subdir and publishing its manifest leaves files referenced by
+    nothing. Orphan cleanup only touches data dirs at or below the
+    newest COMMITTED version: a dir numbered above it may be a
+    single-writer commit in flight, and under the single-writer
+    protocol the writer runs vacuum, so that case means a crash we can
+    still not distinguish from a concurrent self — it is skipped and
+    reclaimed by the next vacuum after a later commit supersedes it.
+    Destructive: run only when no reader can still be bound to the
+    dropped versions. Returns the number of data files removed."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = _list_manifest_versions(path)
-    if len(versions) <= keep_last:
+    if not versions:
         return 0
-    keep_v, drop_v = versions[-keep_last:], versions[:-keep_last]
+    keep_v = versions[-keep_last:]
+    drop_v = versions[:-keep_last]
     keep_files = set()
     for v in keep_v:
         keep_files.update(_read_manifest(path, v)["files"])
@@ -239,6 +248,26 @@ def vacuum_geo_snapshot(spark: SparkSession, path: str, keep_last: int = 1) -> i
                     os.unlink(fp)
                     removed += 1
         os.unlink(os.path.join(path, _manifest_name(v)))
+    # orphans: parquet under data-<=currentVersion> that no kept manifest
+    # lists (crash between data write and manifest publish)
+    cur = versions[-1]
+    for n in sorted(os.listdir(path)):
+        d = os.path.join(path, n)
+        if not (n.startswith("data-") and os.path.isdir(d)):
+            continue
+        try:
+            dv = int(n.split("-", 1)[1])
+        except ValueError:
+            continue
+        if dv > cur:
+            continue  # possible in-flight commit — never touch
+        for fp in _hadoop_list_parquet(spark, d):
+            rel = f"{n}/{os.path.basename(fp)}"
+            if rel not in keep_files:
+                lp = os.path.join(path, rel)
+                if os.path.exists(lp):
+                    os.unlink(lp)
+                    removed += 1
     # drop now-empty data dirs (best-effort)
     for n in os.listdir(path):
         d = os.path.join(path, n)

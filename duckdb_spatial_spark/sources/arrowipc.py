@@ -66,10 +66,21 @@ def read_arrow_ipc(spark: SparkSession, path: str, columns=None) -> DataFrame:
     import pyarrow as pa
     from pyspark.sql.pandas.types import from_arrow_schema
 
-    with pa.OSFile(path, "rb") as f:
-        reader = pa.ipc.open_file(f)
-        schema = reader.schema
-        n_batches = reader.num_record_batches
+    try:
+        with pa.OSFile(path, "rb") as f:
+            reader = pa.ipc.open_file(f)
+            schema = reader.schema
+            n_batches = reader.num_record_batches
+    except pa.ArrowInvalid:
+        # Arrow IPC STREAM format (.arrows convention): no footer, no
+        # random access -> materialize once and hand Spark the table
+        # (streams are unbounded pipes by design; the parallel path is
+        # the file format)
+        with pa.OSFile(path, "rb") as f:
+            table = pa.ipc.open_stream(f).read_all()
+        if columns:
+            table = table.select([c for c in table.schema.names if c in set(columns)])
+        return spark.createDataFrame(table.to_pandas(), from_arrow_schema(table.schema))
     if columns:
         keep = [c for c in schema.names if c in set(columns)]
         schema = pa.schema([schema.field(c) for c in keep], metadata=schema.metadata)

@@ -115,3 +115,25 @@ def test_filter_bbox_points_fast_path_matches_udf(spark, tmp_path):
     # sanity: within excludes boundary (5x5 interior), intersects includes it
     assert filter_bbox(clustered, 2, 2, 8, 8, exact="within", points=True).count() == 25
     assert filter_bbox(clustered, 2, 2, 8, 8, exact="intersects", points=True).count() == 49
+
+
+def test_vacuum_reclaims_crash_orphans(spark, layout):
+    """Files written by a commit that crashed before publishing its
+    manifest are reclaimed; dirs numbered above the current version
+    (possible in-flight commit) are never touched."""
+    import shutil
+
+    path, pts = layout  # v1 committed
+    # simulate a crashed append: data dir exists, no manifest
+    src = os.path.join(path, "data-00000001")
+    orphan = os.path.join(path, "data-00000000")
+    shutil.copytree(src, orphan)
+    inflight = os.path.join(path, "data-00000009")
+    shutil.copytree(src, inflight)
+    removed = vacuum_geo_snapshot(spark, path, keep_last=1)
+    assert removed > 0
+    assert not os.path.isdir(orphan) or not any(
+        f.endswith(".parquet") for f in os.listdir(orphan)
+    )
+    assert any(f.endswith(".parquet") for f in os.listdir(inflight))
+    assert read_geo_snapshot(spark, path).count() == 5000
