@@ -620,6 +620,8 @@ def layout_fragmentation(
     appends push it up — the driver-side signal for when to compact.
     ``files`` restricts the computation to an explicit list (snapshot
     manifests) instead of listing the directory."""
+    import heapq
+
     rows = geo_parquet_stats(spark, path, level="file", files=files).select(
         "hilbert_min", "hilbert_max"
     ).collect()
@@ -627,11 +629,16 @@ def layout_fragmentation(
     k = len(rng)
     if k <= 1:
         return 0.0
+    # O(k log k) sweep (100k-file layouts would make the naive pairwise
+    # loop a 10^10-op driver stall): process intervals by start; every
+    # interval still active (end >= this start) overlaps this one
     overlaps = 0
-    for i in range(k):
-        for j in range(i + 1, k):
-            if rng[i][0] <= rng[j][1] and rng[j][0] <= rng[i][1]:
-                overlaps += 2
+    active: list = []  # min-heap of ends
+    for lo, hi in sorted(rng):
+        while active and active[0] < lo:
+            heapq.heappop(active)
+        overlaps += 2 * len(active)
+        heapq.heappush(active, hi)
     return overlaps / (k * (k - 1))
 
 
