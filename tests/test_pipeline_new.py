@@ -251,3 +251,20 @@ def test_bm25_topk_ranks_relevant_docs(spark):
     ids = [r.doc_id for r in rows]
     assert ids[0] == 1 and 2 in ids and 3 not in ids and 4 not in ids
     assert rows[0].rank == 1 and rows[0].score > rows[1].score > 0
+
+
+def test_arrow_ipc_stream_format(spark, tmp_path):
+    """.arrows (IPC STREAM format, no footer) reads via the streaming
+    reader fallback."""
+    import pyarrow as pa
+
+    from duckdb_spatial_spark.sources import st_read
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = str(tmp_path / "s.arrows")
+    with pa.OSFile(p, "wb") as f:
+        with pa.ipc.new_stream(f, t.schema) as w:
+            w.write_table(t)
+    df = st_read(spark, p)
+    assert df.count() == 3 and df.columns == ["a", "b"]
+    assert sorted(r.a for r in df.collect()) == [1, 2, 3]
