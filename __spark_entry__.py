@@ -1685,6 +1685,64 @@ def q_streaming_geofence(spark, sf_dir):
     )
 
 
+def q_streaming_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/demo.py
+    streaming_interval_join): two real readStreams joined on a key
+    within +/-2 minutes of event time, watermarked state, availableNow
+    into a memory sink. Source written as ONE file so a single
+    micro-batch processes everything (no watermark-order drops) and the
+    result equals the batch join the oracle runs."""
+    _prep(spark, sf_dir)
+    import os
+    import tempfile
+    import uuid
+
+    from duckdb_spatial_spark.streaming.demo import streaming_interval_join
+
+    base = tempfile.mkdtemp(prefix="stream_j_")
+    rows = spark.sql(
+        f"SELECT id, CAST(id % 97 AS BIGINT) AS uid,"
+        f" timestamp_seconds(1704067200 + id % 3600) AS ts"
+        f" FROM ({_PTS}) WHERE id < 4000"
+    )
+    src_a, src_b = os.path.join(base, "a"), os.path.join(base, "b")
+    rows.filter("id % 2 = 0").repartition(1).write.parquet(src_a)
+    rows.filter("id % 2 = 1").repartition(1).write.parquet(src_b)
+    schema = "id bigint, uid bigint, ts timestamp"
+    sa = spark.readStream.schema(schema).parquet(src_a)
+    sb = spark.readStream.schema(schema).parquet(src_b)
+    joined = streaming_interval_join(sa, sb, "uid").selectExpr(
+        "l.id AS a_id", "r.id AS b_id"
+    )
+    name = "sjoin_" + uuid.uuid4().hex[:8]
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def q_events_percentiles(spark, sf_dir):
+    """Exact linear-interpolation percentiles per event type (host-engine
+    ordered-aggregate capability; Spark percentile == DuckDB
+    quantile_cont)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               round(percentile(value, 0.5), 6) AS p50,
+               round(percentile(value, 0.9), 6) AS p90,
+               round(percentile(value, 0.99), 6) AS p99,
+               count(*) AS n
+        FROM events GROUP BY event_type
+        """
+    )
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Stateful streaming dedup (streaming/demo.py streaming_session_dedup):
     readStream over the documents parquet -> content fingerprint ->
@@ -1948,6 +2006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_join": q_streaming_join,
+        "events_percentiles": q_events_percentiles,
         # --- round-6 pipeline operators ---
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
@@ -2961,6 +3021,25 @@ def oracle_sql() -> dict[str, str]:
         "arrow_roundtrip": f"""
             SELECT rid, round(w * h, 6) AS area_geom, round(w * h, 6) AS area
             FROM ({rects}) WHERE rid % 7 = 0
+        """,
+        "streaming_join": f"""
+            WITH r AS (
+              SELECT id, CAST(id % 97 AS BIGINT) AS uid,
+                     1704067200 + id % 3600 AS ts
+              FROM ({_PTS}) WHERE id < 4000
+            )
+            SELECT a.id AS a_id, b.id AS b_id
+            FROM (SELECT * FROM r WHERE id % 2 = 0) a
+            JOIN (SELECT * FROM r WHERE id % 2 = 1) b
+              ON a.uid = b.uid AND b.ts BETWEEN a.ts - 120 AND a.ts + 120
+        """,
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(*) AS n
+            FROM events GROUP BY event_type
         """,
         "pii_scrub": r"""
             SELECT doc_id,

@@ -83,3 +83,30 @@ def streaming_session_dedup(
     from ..operators.dedup import dedup_exact
 
     return dedup_exact(fp, "fp", id_col=id_col).select("fp", id_col)
+
+
+def streaming_interval_join(
+    left,
+    right,
+    key_col: str,
+    ts_col: str = "ts",
+    tolerance: str = "2 minutes",
+    watermark: str = "2 hours",
+):
+    """Stream-stream inner join on a key within an event-time tolerance
+    (|ts_l - ts_r| <= tolerance) — the Structured Streaming two-stream
+    correlation primitive (enrichment, funnel stitching). Both sides are
+    watermarked so the join state is bounded: rows older than
+    watermark + tolerance are evicted. Fully JVM-side (no Python in the
+    streaming plan)."""
+    from pyspark.sql import functions as F
+
+    a = left.withWatermark(ts_col, watermark).alias("l")
+    b = right.withWatermark(ts_col, watermark).alias("r")
+    tol = F.expr(f"INTERVAL {tolerance}")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - tol)
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + tol)
+    )
+    return a.join(b, cond, "inner")
