@@ -2030,8 +2030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_makevalid_bowtie": q_spatial_makevalid_bowtie,
         "spatial_union_agg_chain": q_spatial_union_agg_chain,
         "spatial_intersection_agg": q_spatial_intersection_agg,
-        "spatial_transform_longtail": q_spatial_transform_longtail,
+        # transform_wkt is r5 code with no driver row yet (r5 CORRECTNESS
+        # never recorded) -> inside the 50-window; longtail is r4-green
         "spatial_transform_wkt": q_spatial_transform_wkt,
+        "spatial_transform_longtail": q_spatial_transform_longtail,
         "spatial_format_ops": q_spatial_format_ops,
         "spatial_buffer_styles": q_spatial_buffer_styles,
         "spatial_predicates": q_spatial_predicates,
