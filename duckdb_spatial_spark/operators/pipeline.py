@@ -455,19 +455,27 @@ def dedup_lines(
     Returns (id, clean_text, n_kept, n_removed). Blank lines are never
     deduplicated (they are structure, not content).
 
-    Scale: posexplode is map-side; the only shuffle keys on the trimmed
-    line text to find each line's global first occurrence (per-key work
-    is a single min - AQE handles hot boilerplate keys), plus the
+    Scale: posexplode is map-side. The global first occurrence per line
+    is a min(struct(id, pos)) AGGREGATION (map-side combined - a
+    boilerplate line occurring 10M times partial-aggregates to one row
+    per map task) joined back on the line text; a windowed row_number
+    would instead sort every occurrence of a hot line in one task, and
+    AQE can split a skewed join but not a skewed window. Then one
     reassembly shuffle on id. Volume is O(total lines), never quadratic.
     """
     lines = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
     ).withColumn("norm", F.trim(F.col("line")))
-    w = Window.partitionBy("norm").orderBy(F.col("_id").asc(), F.col("pos").asc())
-    ranked = lines.withColumn(
+    winners = (
+        lines.filter(F.col("norm") != "")
+        .groupBy("norm")
+        .agg(F.min(F.struct("_id", "pos")).alias("_first"))
+    )
+    ranked = lines.join(winners, "norm", "left").withColumn(
         "keep",
-        (F.col("norm") == "") | (F.row_number().over(w) == 1),
+        (F.col("norm") == "")
+        | ((F.col("_first._id") == F.col("_id")) & (F.col("_first.pos") == F.col("pos"))),
     )
     return (
         ranked.groupBy("_id")
