@@ -3,7 +3,8 @@
 These are the operations a 100 TB pretraining-data pipeline runs between
 raw crawl and tokenized shards: repetition-based quality filtering
 (Gopher rules), benchmark decontamination, deterministic train/val/test
-splitting, greedy sequence packing, and per-label embedding centroids.
+splitting and stratified sampling, greedy sequence packing, PII
+scrubbing, corpus-wide line dedup, and per-label embedding centroids.
 
 Every operator here has an exact, engine-neutral definition so a DuckDB
 oracle can verify it value-for-value (the driver's correctness gate):
@@ -15,9 +16,13 @@ Scale notes (100 TB):
                          shuffle is the per-doc hit count (hits only).
   * hash_split         - pure Column arithmetic (MINSTD LCG), zero
                          shuffles, no UDF.
+  * sample_stratified  - one windowed shuffle on the stratum key.
   * pack_sequences     - one hash shuffle on the pack group; packing is
                          sequential *within* a group by definition, so
                          parallelism = num_groups (pick >= cluster cores).
+  * pii_scrub          - pure Column regexp chain, zero shuffles.
+  * dedup_lines        - map-side-combined min per line + skew-splittable
+                         join, then one reassembly shuffle on the id.
   * embedding_centroids - posexplode + map-side-combined avg; shuffle
                          volume is O(labels x dim), independent of rows.
 """
