@@ -268,3 +268,38 @@ def test_arrow_ipc_stream_format(spark, tmp_path):
     df = st_read(spark, p)
     assert df.count() == 3 and df.columns == ["a", "b"]
     assert sorted(r.a for r in df.collect()) == [1, 2, 3]
+
+
+def test_pipeline_end_to_end_composition(spark):
+    """The full pretraining-prep chain composes: quality filter -> PII
+    scrub -> corpus line dedup -> deterministic split -> packing."""
+    from duckdb_spatial_spark.operators.pipeline import (
+        dedup_lines,
+        gopher_repetition,
+        hash_split,
+        pack_sequences,
+        pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"doc {i} body text line\nshared boilerplate footer\n"
+                f"contact admin{i}@site.org for info " + ("word " * (i % 7)))
+            for i in range(40)
+        ],
+        "doc_id long, text string",
+    )
+    keep = gopher_repetition(docs).filter("gopher_pass").select("doc_id")
+    n_keep = keep.count()
+    assert 2 < n_keep < 40  # the repetition filter drops the word-spam docs
+    clean = pii_scrub(docs.join(keep, "doc_id"), "text")
+    deduped = dedup_lines(clean.select("doc_id", F.col("clean_text").alias("text")))
+    # the shared footer survives only in its first-occurrence doc
+    assert deduped.filter("n_removed > 0").count() == n_keep - 1
+    assert deduped.filter(F.col("clean_text").contains("@site.org")).count() == 0
+    split = hash_split(deduped.withColumn("n_chars", F.length("clean_text")), "doc_id")
+    assert set(r.split for r in split.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    packed = pack_sequences(split, "doc_id", "n_chars", budget=200, num_groups=2)
+    assert packed.count() == split.count()
