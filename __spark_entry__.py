@@ -1930,6 +1930,22 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(spark.table("documents"), "hash join filter vector", k=25)
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode NFC + control-strip + whitespace-squish over docs salted
+    with a combining accent (e + U+0301), a BEL control char, and double
+    spaces — byte-exact against DuckDB's nfc_normalize oracle."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import text_normalize
+
+    docs = spark.sql(
+        "SELECT doc_id, concat(text, '  x', decode(unhex('07'), 'UTF-8'), 'y ',"
+        " decode(unhex('63616665CC81'), 'UTF-8'), '  end') AS text FROM documents"
+    )
+    return text_normalize(docs).selectExpr(
+        "doc_id", "norm_text", "length(norm_text) AS n"
+    )
+
+
 def q_arrow_roundtrip(spark, sf_dir):
     """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
     import os
@@ -2019,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
+        "text_normalize": q_text_normalize,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
@@ -3077,6 +3094,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
                    CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_removed
             FROM r GROUP BY doc_id
+        """,
+        "text_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                       '[ \t]+', ' ', 'g'), ' ') AS norm_text,
+                   length(trim(regexp_replace(regexp_replace(nfc_normalize(t),
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                       '[ \t]+', ' ', 'g'), ' ')) AS n
+            FROM (SELECT doc_id,
+                         text || '  x' || decode(from_hex('07')) || 'y '
+                              || decode(from_hex('63616665CC81')) || '  end' AS t
+                  FROM documents)
         """,
         "bm25": r"""
             WITH d AS (

@@ -244,3 +244,43 @@ def bm25_topk(
     return top.withColumn("rank", F.row_number().over(w)).select(
         F.col("_id").alias(id_col), "score", "rank"
     )
+
+
+def text_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+    strip_control: bool = True,
+    squish_whitespace: bool = True,
+) -> DataFrame:
+    """Unicode normalization + cleanup for ingestion pipelines:
+    canonical composition (NFC by default - 'e' + U+0301 becomes the
+    single codepoint), C0 control characters stripped (tab/newline/CR
+    kept), horizontal whitespace runs squished to one space and the
+    string trimmed. Each step is defined by an ASCII-exact regex or the
+    Unicode standard itself, so a plain-SQL oracle (DuckDB
+    nfc_normalize + regexp_replace) reproduces the output
+    byte-for-byte. Arrow-batched pandas UDF, zero shuffles."""
+    import re as _re
+    import unicodedata
+
+    ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = _re.compile(r"[ \t]+")
+
+    @F.pandas_udf(T.StringType())
+    def norm(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            t = unicodedata.normalize(form, str(t))
+            if strip_control:
+                t = ctrl.sub("", t)
+            if squish_whitespace:
+                t = ws.sub(" ", t).strip(" ")
+            out.append(t)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, norm(F.col(text_col)))

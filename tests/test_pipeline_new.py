@@ -303,3 +303,22 @@ def test_pipeline_end_to_end_composition(spark):
     }
     packed = pack_sequences(split, "doc_id", "n_chars", budget=200, num_groups=2)
     assert packed.count() == split.count()
+
+
+def test_text_normalize_unicode(spark):
+    from duckdb_spatial_spark.operators.textops import text_normalize
+
+    df = spark.createDataFrame(
+        [
+            (1, "café  and   more"),      # combining accent + runs
+            (2, "a\x07b\x00c"),                  # control chars stripped
+            (3, " tabs\t\tand  spaces "),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["norm_text"] for r in text_normalize(df).collect()}
+    assert out[1] == "café and more" and "́" not in out[1]
+    assert out[2] == "abc"
+    assert out[3] == "tabs and spaces"
+    assert out[4] is None
