@@ -235,3 +235,118 @@ def decode_wav(buf: bytes):
         raise NotImplementedError(f"WAV format code {audio_fmt} (need PCM or float)")
     n = (len(x) // n_ch) * n_ch
     return x[:n].reshape(-1, n_ch), rate
+
+
+# --------------------------------------------------------------------------
+# AVI (RIFF) — uncompressed 24-bit DIB video. Public spec: the Microsoft
+# RIFF/AVI container (also OpenDML); frames are BMP-style bottom-up BGR
+# rows, 4-byte-aligned, in '00db'/'00dc' chunks under the 'movi' LIST.
+# Compressed codecs (MJPG/H264/...) raise honestly — no codec libs here.
+# --------------------------------------------------------------------------
+
+
+def _riff_chunks(buf: bytes, start: int, end: int):
+    """Yield (tag, list_type_or_None, body_start, body_len) over a RIFF
+    chunk run."""
+    i = start
+    while i + 8 <= end:
+        tag = buf[i : i + 4]
+        (ln,) = struct.unpack_from("<I", buf, i + 4)
+        if tag in (b"RIFF", b"LIST"):
+            yield tag, buf[i + 8 : i + 12], i + 12, ln - 4
+        else:
+            yield tag, None, i + 8, ln
+        i += 8 + ln + (ln & 1)
+
+
+def decode_avi(buf: bytes):
+    """Decode an uncompressed (BI_RGB 24-bit) AVI.
+
+    Returns (frames, fps) where frames is a list of (H, W, 3) uint8 RGB
+    arrays. Raises NotImplementedError for compressed streams and
+    ValueError for malformed containers."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    width = height = None
+    us_per_frame = None
+    compression = None
+    bits = None
+    frames_raw: list[bytes] = []
+
+    def walk(start, end):
+        nonlocal width, height, us_per_frame, compression, bits
+        for tag, ltype, bs, bl in _riff_chunks(buf, start, end):
+            if tag in (b"RIFF", b"LIST"):
+                if ltype in (b"hdrl", b"strl", b"movi", b"AVI "):
+                    walk(bs, bs + bl)
+            elif tag == b"avih" and bl >= 40:
+                us_per_frame = struct.unpack_from("<I", buf, bs)[0]
+                width = struct.unpack_from("<I", buf, bs + 32)[0]
+                height = struct.unpack_from("<I", buf, bs + 36)[0]
+            elif tag == b"strf" and bl >= 40 and compression is None:
+                # BITMAPINFOHEADER: biCompression @16, biBitCount @14
+                bits = struct.unpack_from("<H", buf, bs + 14)[0]
+                compression = struct.unpack_from("<I", buf, bs + 16)[0]
+            elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
+                frames_raw.append(buf[bs : bs + bl])
+
+    walk(12, len(buf))
+    if width is None or not frames_raw:
+        raise ValueError("AVI missing avih header or frames")
+    if compression not in (0, None) or (bits not in (24, None)):
+        name = struct.pack("<I", compression or 0)
+        raise NotImplementedError(
+            f"AVI compression {name!r} bits={bits} (only uncompressed BI_RGB 24-bit)"
+        )
+    stride = (width * 3 + 3) & ~3
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+    frames = []
+    for raw in frames_raw:
+        if len(raw) < stride * height:
+            raise ValueError("AVI frame chunk shorter than stride*height")
+        rows = np.frombuffer(raw[: stride * height], dtype=np.uint8).reshape(height, stride)
+        bgr = rows[:, : width * 3].reshape(height, width, 3)[::-1]  # bottom-up
+        frames.append(bgr[:, :, ::-1].copy())  # BGR -> RGB
+    return frames, fps
+
+
+def encode_avi(frames, fps: float = 10.0) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames as an uncompressed 24-bit AVI
+    (the writer counterpart used by tests and COPY-style sinks)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("encode_avi: no frames")
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    us_per_frame = int(round(1e6 / fps)) if fps else 0
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    frame_bytes = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("encode_avi: all frames must share one size")
+        bgr = f[:, :, ::-1][::-1]  # RGB -> BGR, top-down -> bottom-up
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        frame_bytes.append(rows.tobytes())
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, stride * h * int(fps or 1), 0, 0x10, len(frames), 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        int(round(fps or 1)), 0, len(frames),
+                                        stride * h, 0xFFFFFFFF, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

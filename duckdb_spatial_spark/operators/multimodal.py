@@ -2,11 +2,12 @@
 
 Decode is REAL for the codec-free formats (operators/codecs.py): PNG
 (stdlib zlib inflate + scanline unfiltering per RFC 2083), uncompressed
-BMP, and WAV PCM/float — features, resize, and audio sample extraction run
-on actual pixels/samples for those. JPEG/GIF entropy decoding genuinely
-needs an external codec: those paths fall back per the operator's
-``fallback`` policy (deterministic fake or NULL) and say so. Video frame
-sampling still needs ffmpeg and stays an explicit stub.
+BMP, WAV PCM/float, and uncompressed RIFF/AVI video — features, resize,
+audio sample extraction, and frame sampling run on actual pixels/samples
+for those. JPEG/GIF entropy decoding and compressed video codecs
+(MJPG/H.264/...) genuinely need an external codec: those paths fall back
+per the operator's ``fallback`` policy (deterministic fake or NULL) and
+say so.
 
 Conventions (GeoParquet-style sidecar metadata):
 
@@ -219,13 +220,113 @@ def audio_samples(
     return df.mapInPandas(conv, schema)
 
 
-def video_frame_sample(df: DataFrame, bin_col: str = "video", every_s: float = 1.0) -> DataFrame:
-    """Frame-sampling plumbing — ffmpeg absent; explode contract documented."""
-    raise NotImplementedError(
-        "video_frame_sample requires ffmpeg (absent); contract: mapInPandas "
-        "binary -> exploded rows (frame_idx int, frame binary), one output "
-        "row per sampled frame"
+def video_metadata(df: DataFrame, bin_col: str = "video") -> DataFrame:
+    """Parse fps / frame count / duration from video containers. REAL for
+    RIFF/AVI (header walk, no frame decode); other containers yield NULLs
+    with the detected format magic."""
+    schema = T.StructType(
+        [
+            T.StructField("fps", T.DoubleType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("duration_s", T.DoubleType()),
+            T.StructField("format", T.StringType()),
+        ]
     )
+
+    @F.pandas_udf(schema)
+    def meta(s: pd.Series) -> pd.DataFrame:
+        import struct
+
+        rows = []
+        for b in s:
+            if b is None:
+                rows.append({"fps": None, "n_frames": None, "duration_s": None, "format": None})
+                continue
+            b = bytes(b)
+            if b[:4] == b"RIFF" and b[8:12] == b"AVI " and len(b) >= 76:
+                # avih is the first chunk of the first hdrl LIST
+                try:
+                    i = b.index(b"avih")
+                    us = struct.unpack_from("<I", b, i + 8)[0]
+                    n = struct.unpack_from("<I", b, i + 8 + 16)[0]
+                    fps = 1e6 / us if us else None
+                    rows.append(
+                        {
+                            "fps": fps,
+                            "n_frames": int(n),
+                            "duration_s": (n / fps) if fps else None,
+                            "format": "avi",
+                        }
+                    )
+                    continue
+                except (ValueError, struct.error):
+                    pass
+            fmt = "mp4" if len(b) > 11 and b[4:8] == b"ftyp" else None
+            rows.append({"fps": None, "n_frames": None, "duration_s": None, "format": fmt})
+        return pd.DataFrame(rows)
+
+    return df.withColumn("video_meta", meta(F.col(bin_col)))
+
+
+def video_frame_sample(
+    df: DataFrame,
+    bin_col: str = "video",
+    every_s: float = 1.0,
+    fallback: str = "null",
+) -> DataFrame:
+    """Sample frames from video columns: one output row per sampled frame
+    (``frame_idx``, ``ts_s``, ``frame`` as PNG bytes, ``width``,
+    ``height``), exploded via mapInPandas.
+
+    REAL decode for uncompressed RIFF/AVI (operators/codecs.decode_avi);
+    compressed codecs (MJPG/H.264/...) genuinely need an external codec
+    and follow ``fallback``: "null" drops the row set for that video,
+    "error" raises. Frames re-encode through the real PNG writer, so the
+    output column is standard PNG bytes."""
+    from . import codecs
+
+    step_of = lambda fps: max(1, int(round(every_s * fps))) if fps else 1  # noqa: E731
+    in_fields = list(df.schema.fields)
+    out_schema = T.StructType(
+        in_fields
+        + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("ts_s", T.DoubleType()),
+            T.StructField("frame", T.BinaryType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+    bidx = df.columns.index(bin_col)
+
+    def sample(batches):
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                b = row.iloc[bidx]
+                if b is None:
+                    continue
+                try:
+                    frames, fps = codecs.decode_avi(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if fallback == "error":
+                        raise
+                    continue
+                step = step_of(fps)
+                for i in range(0, len(frames), step):
+                    f = frames[i]
+                    rec = dict(row)
+                    rec.update(
+                        frame_idx=i,
+                        ts_s=(i / fps) if fps else float(i),
+                        frame=codecs.encode_png(f),
+                        width=int(f.shape[1]),
+                        height=int(f.shape[0]),
+                    )
+                    out_rows.append(rec)
+            yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(sample, out_schema)
 
 
 def audio_metadata(df: DataFrame, bin_col: str = "audio") -> DataFrame:

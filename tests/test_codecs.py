@@ -148,3 +148,49 @@ def test_multimodal_operators_real_decode(spark):
     adf = spark.createDataFrame([(1, bio.getvalue())], "id long, audio binary")
     row = M.audio_samples(adf).collect()[0]
     assert row.sample_rate == 16000 and len(row.samples) == 160
+
+
+def test_avi_roundtrip_and_compressed_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from duckdb_spatial_spark.operators.codecs import decode_avi, encode_avi
+
+    frames = [np.full((6, 9, 3), i * 30, dtype=np.uint8) for i in range(5)]
+    frames[1][2, 3] = [10, 200, 40]
+    buf = encode_avi(frames, fps=12.5)
+    out, fps = decode_avi(buf)
+    assert len(out) == 5 and fps == _pytest.approx(12.5, rel=1e-4)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+    with _pytest.raises(ValueError):
+        decode_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    # compressed stream: flip biCompression to 'MJPG'
+    i = buf.index(b"strf")
+    bad = bytearray(buf)
+    bad[i + 8 + 16 : i + 8 + 20] = b"MJPG"
+    with _pytest.raises(NotImplementedError):
+        decode_avi(bytes(bad))
+
+
+def test_video_frame_sample_spark(spark):
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.codecs import decode_png, encode_avi
+    from duckdb_spatial_spark.operators.multimodal import (
+        video_frame_sample,
+        video_metadata,
+    )
+
+    frames = [np.full((4, 4, 3), i * 10, dtype=np.uint8) for i in range(10)]
+    avi = encode_avi(frames, fps=5.0)  # 2 s of video
+    df = spark.createDataFrame([(1, bytearray(avi)), (2, None)], "vid long, video binary")
+    meta = video_metadata(df).select("vid", "video_meta.*").collect()
+    m = {r["vid"]: r for r in meta}
+    assert m[1]["fps"] == 5.0 and m[1]["n_frames"] == 10 and m[1]["format"] == "avi"
+    assert m[2]["fps"] is None
+    out = video_frame_sample(df, every_s=1.0).select("vid", "frame_idx", "ts_s", "frame").collect()
+    # every_s=1.0 at 5 fps -> frames 0 and 5
+    assert sorted((r["vid"], r["frame_idx"]) for r in out) == [(1, 0), (1, 5)]
+    px = decode_png(bytes(out[0]["frame"]))
+    assert px.shape == (4, 4, 3)
