@@ -517,16 +517,37 @@ def sample_stratified(
     of (id, salt) - stable across runs, partitionings, and engines, and
     exactly replayable in SQL.
 
-    Scale: one shuffle keyed on the stratum for the windowed top-k. A
-    pathologically hot stratum serializes its own sort; pre-aggregate
-    with a coarser composite stratum if a single stratum exceeds a
-    task's comfortable sort size.
+    Scale: a map-side LOCAL top-k prune runs first (each input partition
+    keeps at most k rows per stratum it sees - the global winners are
+    necessarily among them), so the stratum-keyed shuffle for the final
+    window carries at most k x input_partitions rows per stratum, no
+    matter how hot the stratum is.
     """
+    kk = int(k)
     u = _minstd_u(id_col, salt).alias("_u")
+    staged = df.withColumn("_u", u)
+    cols = staged.columns
+
+    def local_topk(batches):
+        import pandas as _pd
+
+        # incremental fold: memory stays O(strata x k) + one Arrow batch
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else _pd.concat([best, pdf], ignore_index=True)
+            best = (
+                cur.sort_values(["_u", id_col], kind="mergesort")
+                .groupby(strata_col, sort=False)
+                .head(kk)
+            )
+        if best is not None and len(best):
+            yield best
+
+    pruned = staged.mapInPandas(local_topk, staged.schema)
     w = Window.partitionBy(strata_col).orderBy(F.col("_u").asc(), F.col(id_col).asc())
     return (
-        df.withColumn("_u", u)
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= int(k))
+        pruned.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= kk)
         .drop("_u", "_rk")
+        .select(*[c for c in cols if c != "_u"])
     )
