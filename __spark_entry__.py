@@ -1678,7 +1678,9 @@ def q_streaming_geofence(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 120s - failing loudly instead of reading a half-filled sink")
     return spark.table(name).selectExpr(
         "unix_micros(CAST(window_start AS TIMESTAMP)) div 1000000 AS ws",
         "CAST(n_hits AS BIGINT) AS n_hits",
@@ -1722,7 +1724,9 @@ def q_streaming_join(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 180s - failing loudly instead of reading a half-filled sink")
     return spark.table(name)
 
 
@@ -1775,7 +1779,9 @@ def q_streaming_dedup(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 120s - failing loudly instead of reading a half-filled sink")
     docs = spark.read.parquet(src)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return (
