@@ -2044,6 +2044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
+        # (transform_wkt leads: r5 code with no driver row yet)
+        "spatial_transform_wkt": q_spatial_transform_wkt,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_extent_agg": q_spatial_extent_agg,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
@@ -2053,9 +2055,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_makevalid_bowtie": q_spatial_makevalid_bowtie,
         "spatial_union_agg_chain": q_spatial_union_agg_chain,
         "spatial_intersection_agg": q_spatial_intersection_agg,
-        # transform_wkt is r5 code with no driver row yet (r5 CORRECTNESS
-        # never recorded) -> inside the 50-window; longtail is r4-green
-        "spatial_transform_wkt": q_spatial_transform_wkt,
         "spatial_transform_longtail": q_spatial_transform_longtail,
         "spatial_format_ops": q_spatial_format_ops,
         "spatial_buffer_styles": q_spatial_buffer_styles,
