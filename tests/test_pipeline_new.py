@@ -322,3 +322,15 @@ def test_text_normalize_unicode(spark):
     assert out[2] == "abc"
     assert out[3] == "tabs and spaces"
     assert out[4] is None
+
+
+def test_pii_scrub_ssn_kind(spark):
+    from duckdb_spatial_spark.operators.pipeline import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "ssn 078-05-1120 and id 1234-56-789 stay-part")],
+        "doc_id long, text string",
+    )
+    r = pii_scrub(df, kinds=("ssn",)).collect()[0]
+    assert r["clean_text"] == "ssn <SSN> and id 1234-56-789 stay-part"
+    assert r["n_redactions"] == 1
