@@ -227,7 +227,10 @@ def test_multimodal_plumbing(spark):
     # see test_codecs.py for the real-decode coverage)
     resized = M.image_resize(df).collect()
     assert all(r.resized is None for r in resized)
-    with pytest.raises(NotImplementedError):
+    # video sampling is REAL for uncompressed AVI since round 6 (see
+    # test_codecs.py::test_video_frame_sample_spark); a frame with no
+    # matching column still fails loudly
+    with pytest.raises(ValueError):
         M.video_frame_sample(df)
 
 
