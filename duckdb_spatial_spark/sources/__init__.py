@@ -188,6 +188,20 @@ def st_read_meta(spark, path: str, format: str | None = None):
             nrows, _fields, gt, _grid = _read_gdbtable_header(t)
             rows.append((f"{path}:{nm}" if nm else path, "OpenFileGDB",
                          int(nrows), _GDB_GTYPE.get(gt, str(gt)), ""))
+    elif format in ("arrow", "feather", "ipc") or p.endswith((".arrow", ".feather")):
+        import json as _json
+
+        import pyarrow as pa
+
+        # memory-map + footer walk: row counts come from the batch headers
+        # without materializing data buffers in heap
+        with pa.memory_map(path, "rb") as f:
+            r = pa.ipc.open_file(f)
+            n = sum(r.get_batch(i).num_rows for i in range(r.num_record_batches))
+            meta = r.schema.metadata or {}
+        geo = _json.loads(meta.get(b"geo", b"{}") or b"{}")
+        gcol = geo.get("primary_column")
+        rows.append((path, "Arrow", int(n), "WKB" if gcol else "", ""))
     else:
         from .geojson import st_read_meta as _gj_meta
 

@@ -52,3 +52,16 @@ def test_meta_generic_fallback_scans(spark, pts, tmp_path):
     r = _one(spark, p, format="kml")
     assert r.feature_count == 42
     assert "Point" in r.geometry_types
+
+
+def test_read_meta_arrow(spark, tmp_path):
+    from duckdb_spatial_spark.sources import st_read_meta, write_arrow_ipc
+
+    df = spark.range(250).selectExpr(
+        "id", "ST_AsWKB(ST_Point(CAST(id AS DOUBLE), 1.0D)) AS geom"
+    )
+    p = str(tmp_path / "m.arrow")
+    write_arrow_ipc(df, p)
+    r = st_read_meta(spark, p).collect()[0]
+    assert r.driver == "Arrow" and r.feature_count == 250
+    assert r.geometry_types == "WKB"
