@@ -1952,6 +1952,15 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+def q_ngram_counts(spark, sf_dir):
+    """Corpus bigram frequency table (count + doc_freq, min_count 10) —
+    map-side-combined counts; oracle replays via unnest + group by."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import ngram_counts
+
+    return ngram_counts(spark.table("documents"), n=2, min_count=10)
+
+
 def q_arrow_roundtrip(spark, sf_dir):
     """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
     import os
@@ -2042,6 +2051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
         "text_normalize": q_text_normalize,
+        "ngram_counts": q_ngram_counts,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
@@ -3099,6 +3109,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE keep) AS INT) AS n_kept,
                    CAST(count(*) FILTER (WHERE NOT keep) AS INT) AS n_removed
             FROM r GROUP BY doc_id
+        """,
+        "ngram_counts": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+              FROM documents
+            ), occ AS (
+              SELECT unnest(list_transform(range(1, len(words)),
+                     i -> words[i] || ' ' || words[i+1])) AS gram
+              FROM w
+            ), dd AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(words)),
+                     i -> words[i] || ' ' || words[i+1]))) AS gram
+              FROM w
+            ), c AS (
+              SELECT gram, count(*) AS count FROM occ GROUP BY 1
+            ), d AS (
+              SELECT gram, count(*) AS doc_freq FROM dd GROUP BY 1
+            )
+            SELECT c.gram, c.count, d.doc_freq
+            FROM c JOIN d USING (gram) WHERE c.count >= 10
         """,
         "text_normalize": r"""
             SELECT doc_id,

@@ -284,3 +284,50 @@ def text_normalize(
         return pd.Series(out)
 
     return df.withColumn(out_col, norm(F.col(text_col)))
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide lowercase word n-gram frequencies (vocabulary
+    building, boilerplate discovery): (gram, count, doc_freq) for grams
+    appearing at least ``min_count`` times in total.
+
+    Scale: the gram build is Arrow-batched per row; the single shuffle
+    keys on the gram with MAP-SIDE-COMBINED counts, so a boilerplate
+    gram occurring 100M times ships one partial row per map task, not
+    100M rows. doc_freq counts distinct docs via a per-row distinct
+    gram array (no second shuffle over occurrences)."""
+    from .dedup import _shingles_py
+
+    nn = int(n)
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def all_grams(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append([])
+                continue
+            w = str(t).lower().split()
+            if nn <= 1:
+                out.append(w)
+            elif len(w) < nn:
+                out.append([])
+            else:
+                out.append([" ".join(w[i : i + nn]) for i in range(len(w) - nn + 1)])
+        return pd.Series(out)
+
+    occ = df.select(F.explode(all_grams(F.col(text_col))).alias("gram"))
+    distinct_per_doc = df.select(
+        F.explode(F.coalesce(_shingles_py(text_col, n), F.array())).alias("gram")
+    )
+    counts = occ.groupBy("gram").agg(F.count("*").alias("count"))
+    dfreq = distinct_per_doc.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+    return (
+        counts.join(dfreq, "gram")
+        .filter(F.col("count") >= int(min_count))
+    )

@@ -334,3 +334,18 @@ def test_pii_scrub_ssn_kind(spark):
     r = pii_scrub(df, kinds=("ssn",)).collect()[0]
     assert r["clean_text"] == "ssn <SSN> and id 1234-56-789 stay-part"
     assert r["n_redactions"] == 1
+
+
+def test_ngram_counts(spark):
+    from duckdb_spatial_spark.operators.textops import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["gram"]: (r["count"], r["doc_freq"]) for r in
+           ngram_counts(df, n=2, min_count=2).collect()}
+    # "a b" occurs twice in doc1 + once in doc2 = 3 total, 2 docs
+    assert out == {"a b": (3, 2)}
+    uni = {r["gram"]: r["count"] for r in ngram_counts(df, n=1, min_count=3).collect()}
+    assert uni == {"a": 3, "b": 3}
