@@ -1952,6 +1952,34 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+def q_minhash_index(spark, sf_dir):
+    """Incremental MinHash index lifecycle (rows-only: xxhash64 signature
+    space is engine-specific): build over even-id docs, query odd-id docs
+    + 40 exact copies of indexed docs; the copies must hit their source
+    with est_jaccard 1.0."""
+    import tempfile
+
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dedup import (
+        minhash_index_build,
+        minhash_index_query,
+    )
+
+    import os
+
+    docs = spark.table("documents")
+    # fixed name, overwritten per run (the returned plan reads it lazily)
+    idx = os.path.join(tempfile.gettempdir(), "spark_graft_mhidx")
+    minhash_index_build(docs.filter("doc_id % 2 = 0"), idx)
+    copies = docs.filter("doc_id % 2 = 0 AND doc_id < 80").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text"
+    )
+    probe = docs.filter("doc_id % 2 = 1").select("doc_id", "text").unionByName(copies)
+    return minhash_index_query(probe, idx, threshold=0.99).selectExpr(
+        "query_id", "index_id", "round(est_jaccard, 6) AS est_jaccard"
+    )
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus bigram frequency table (count + doc_freq, min_count 10) —
     map-side-combined counts; oracle replays via unnest + group by."""
@@ -2052,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "text_normalize": q_text_normalize,
         "ngram_counts": q_ngram_counts,
+        "minhash_index": q_minhash_index,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)

@@ -571,3 +571,128 @@ def duplicate_clusters(
         F.col(id_col),
         F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index: dedup NEW batches against an existing corpus
+# without recomputing the corpus (the "is this crawl already in my 10T
+# tokens" shape). The index is two parquet datasets + a params sidecar:
+#   path/sigs   (_id, _sig)          full signatures, for jaccard estimates
+#   path/bands  (_id, band, bhash)   banded LSH keys, the join surface
+# ---------------------------------------------------------------------------
+
+_MINHASH_META = "_minhash_index.json"
+
+
+def _band_explode(bands: int, r: int):
+    return F.posexplode(
+        F.array(
+            *[
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[F.element_at(F.col("_sig"), i * r + k + 1).cast("string") for k in range(r)],
+                    )
+                )
+                for i in range(bands)
+            ]
+        )
+    ).alias("band", "bhash")
+
+
+def minhash_index_build(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Build (overwrite) a persistent MinHash index over a corpus.
+
+    Signatures are computed ONCE (written, then re-read to derive the
+    band keys — no double shingle pass); the band dataset is the only
+    thing future queries shuffle against."""
+    import json as _json
+    import os as _os
+
+    assert num_hashes % bands == 0
+    spark = df.sparkSession
+    sigs = minhash_signature(df, id_col, text_col, n, num_hashes)
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    stored = spark.read.parquet(f"{path}/sigs")
+    stored.select("_id", _band_explode(bands, num_hashes // bands)).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bands")
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, _MINHASH_META), "w", encoding="utf-8") as f:
+        _json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, f)
+
+
+def _minhash_index_meta(path: str) -> dict:
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, _MINHASH_META), encoding="utf-8") as f:
+        return _json.load(f)
+
+
+def minhash_index_append(
+    df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Add a new batch to an existing index (same params as the build —
+    read from the sidecar, so appends can never mix signature spaces)."""
+    meta = _minhash_index_meta(path)
+    spark = df.sparkSession
+    sigs = minhash_signature(df, id_col, text_col, meta["n"], meta["num_hashes"])
+    sigs.write.mode("append").parquet(f"{path}/sigs")
+    # derive band keys from exactly the rows just appended (recompute via
+    # the written signatures would re-read ALL sigs; the batch is in hand)
+    sigs.select("_id", _band_explode(meta["bands"], meta["num_hashes"] // meta["bands"])).write.mode(
+        "append"
+    ).parquet(f"{path}/bands")
+
+
+def minhash_index_query(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against the indexed corpus:
+    (query_id, index_id, est_jaccard) for candidates whose estimated
+    Jaccard (fraction of agreeing minhashes) reaches ``threshold``.
+
+    Scale: the query batch's band keys equi-join the stored band
+    dataset (partition pruning/bucketing ready); signatures join back
+    only for the candidates. Nothing about the corpus is recomputed."""
+    meta = _minhash_index_meta(path)
+    spark = df.sparkSession
+    nh = meta["num_hashes"]
+    qsigs = minhash_signature(df, id_col, text_col, meta["n"], nh)
+    qb = qsigs.select(
+        F.col("_id").alias("query_id"), _band_explode(meta["bands"], nh // meta["bands"])
+    )
+    ib = spark.read.parquet(f"{path}/bands").select(
+        F.col("_id").alias("index_id"), "band", "bhash"
+    )
+    cand = (
+        qb.join(ib, ["band", "bhash"])
+        .select("query_id", "index_id")
+        .dropDuplicates(["query_id", "index_id"])
+    )
+    isigs = spark.read.parquet(f"{path}/sigs").select(
+        F.col("_id").alias("index_id"), F.col("_sig").alias("_isig")
+    )
+    est = F.size(
+        F.filter(F.zip_with(F.col("_qsig"), F.col("_isig"), lambda a, b: a == b), lambda x: x)
+    ) / F.lit(float(nh))
+    return (
+        cand.join(qsigs.select(F.col("_id").alias("query_id"), F.col("_sig").alias("_qsig")), "query_id")
+        .join(isigs, "index_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= float(threshold))
+        .select("query_id", "index_id", "est_jaccard")
+    )

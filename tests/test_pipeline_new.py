@@ -349,3 +349,42 @@ def test_ngram_counts(spark):
     assert out == {"a b": (3, 2)}
     uni = {r["gram"]: r["count"] for r in ngram_counts(df, n=1, min_count=3).collect()}
     assert uni == {"a": 3, "b": 3}
+
+
+def test_minhash_index_build_query_append(spark, tmp_path):
+    from duckdb_spatial_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_query,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different content about spark sql execution engines"),
+            (3, "numbers one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhidx")
+    minhash_index_build(corpus, idx, bands=16, num_hashes=64)
+
+    batch = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog again and again today"),
+            (102, "entirely novel text with no overlap whatsoever in this corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = minhash_index_query(batch, idx, threshold=0.7).collect()
+    assert [(h.query_id, h.index_id) for h in hits] == [(101, 1)]
+    assert hits[0].est_jaccard == 1.0  # identical text -> identical signature
+
+    # append the novel doc, then a near-copy of it must hit
+    minhash_index_append(batch.filter("doc_id = 102"), idx)
+    batch2 = spark.createDataFrame(
+        [(201, "entirely novel text with no overlap whatsoever in this corpus")],
+        "doc_id long, text string",
+    )
+    hits2 = minhash_index_query(batch2, idx, threshold=0.7).collect()
+    assert [(h.query_id, h.index_id) for h in hits2] == [(201, 102)]
