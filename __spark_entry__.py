@@ -1966,10 +1966,12 @@ def q_minhash_index(spark, sf_dir):
     )
 
     import os
+    import uuid
 
     docs = spark.table("documents")
-    # fixed name, overwritten per run (the returned plan reads it lazily)
-    idx = os.path.join(tempfile.gettempdir(), "spark_graft_mhidx")
+    # per-run dir: the returned plan reads the index lazily, so a shared
+    # fixed path would let a concurrent run's overwrite race this scan
+    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_mhidx_{uuid.uuid4().hex[:8]}")
     minhash_index_build(docs.filter("doc_id % 2 = 0"), idx)
     copies = docs.filter("doc_id % 2 = 0 AND doc_id < 80").selectExpr(
         "doc_id + 1000000 AS doc_id", "text"

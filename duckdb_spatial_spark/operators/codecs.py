@@ -259,6 +259,30 @@ def _riff_chunks(buf: bytes, start: int, end: int):
         i += 8 + ln + (ln & 1)
 
 
+def avi_header_info(buf: bytes):
+    """Header-only AVI metadata via the proper RIFF walk (no frame
+    decode): (fps, n_frames). Raises ValueError on a non-AVI buffer."""
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    out = {}
+
+    def walk(start, end):
+        for tag, ltype, bs, bl in _riff_chunks(buf, start, end):
+            if tag in (b"RIFF", b"LIST"):
+                if ltype in (b"hdrl", b"AVI "):
+                    walk(bs, bs + bl)
+            elif tag == b"avih" and bl >= 40:
+                us = struct.unpack_from("<I", buf, bs)[0]
+                out["fps"] = (1e6 / us) if us else None
+                out["n_frames"] = struct.unpack_from("<I", buf, bs + 16)[0]
+                return
+
+    walk(12, len(buf))
+    if "n_frames" not in out:
+        raise ValueError("AVI missing avih header")
+    return out["fps"], out["n_frames"]
+
+
 def decode_avi(buf: bytes):
     """Decode an uncompressed (BI_RGB 24-bit) AVI.
 
@@ -271,6 +295,7 @@ def decode_avi(buf: bytes):
     us_per_frame = None
     compression = None
     bits = None
+    cur_stream = [None]  # fccType of the most recent strh
     frames_raw: list[bytes] = []
 
     def walk(start, end):
@@ -283,8 +308,12 @@ def decode_avi(buf: bytes):
                 us_per_frame = struct.unpack_from("<I", buf, bs)[0]
                 width = struct.unpack_from("<I", buf, bs + 32)[0]
                 height = struct.unpack_from("<I", buf, bs + 36)[0]
-            elif tag == b"strf" and bl >= 40 and compression is None:
-                # BITMAPINFOHEADER: biCompression @16, biBitCount @14
+            elif tag == b"strh" and bl >= 4:
+                cur_stream[0] = buf[bs : bs + 4]
+            elif tag == b"strf" and bl >= 40 and compression is None and cur_stream[0] == b"vids":
+                # bind ONLY the video stream's BITMAPINFOHEADER — an audio
+                # strl listed first would otherwise be misread as a codec
+                # (biCompression @16, biBitCount @14)
                 bits = struct.unpack_from("<H", buf, bs + 14)[0]
                 compression = struct.unpack_from("<I", buf, bs + 16)[0]
             elif tag[2:4] in (b"db", b"dc") and tag[:2].isdigit():
@@ -340,10 +369,13 @@ def encode_avi(frames, fps: float = 10.0) -> bytes:
         us_per_frame, stride * h * int(fps or 1), 0, 0x10, len(frames), 0, 1,
         stride * h, w, h, 0, 0, 0, 0,
     )
+    # AVISTREAMHEADER is 56 bytes: fccType/fccHandler + 11 DWORD/WORD
+    # fields + an 8-byte rcFrame (4 WORDs)
     strh = (
-        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0, 1,
                                         int(round(fps or 1)), 0, len(frames),
-                                        stride * h, 0xFFFFFFFF, 0, 0)
+                                        stride * h, 0xFFFFFFFF, 0,
+                                        0, 0, w, h)
     )
     strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))

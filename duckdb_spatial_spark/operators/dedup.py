@@ -642,16 +642,30 @@ def minhash_index_append(
     df: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> None:
     """Add a new batch to an existing index (same params as the build —
-    read from the sidecar, so appends can never mix signature spaces)."""
+    read from the sidecar, so appends can never mix signature spaces).
+
+    The batch's signatures are materialized ONCE into a staging dir and
+    both datasets derive from that materialization — re-executing the
+    signature plan for the band write would let a non-deterministic
+    input (sample(), changing files) produce bands that disagree with
+    the stored signatures, silently corrupting the index."""
+    import shutil as _shutil
+    import uuid as _uuid
+
     meta = _minhash_index_meta(path)
     spark = df.sparkSession
-    sigs = minhash_signature(df, id_col, text_col, meta["n"], meta["num_hashes"])
-    sigs.write.mode("append").parquet(f"{path}/sigs")
-    # derive band keys from exactly the rows just appended (recompute via
-    # the written signatures would re-read ALL sigs; the batch is in hand)
-    sigs.select("_id", _band_explode(meta["bands"], meta["num_hashes"] // meta["bands"])).write.mode(
-        "append"
-    ).parquet(f"{path}/bands")
+    stage = f"{path}/_stage_{_uuid.uuid4().hex[:8]}"
+    try:
+        minhash_signature(df, id_col, text_col, meta["n"], meta["num_hashes"]).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        staged = spark.read.parquet(stage)
+        staged.write.mode("append").parquet(f"{path}/sigs")
+        staged.select(
+            "_id", _band_explode(meta["bands"], meta["num_hashes"] // meta["bands"])
+        ).write.mode("append").parquet(f"{path}/bands")
+    finally:
+        _shutil.rmtree(stage, ignore_errors=True)
 
 
 def minhash_index_query(

@@ -235,7 +235,7 @@ def video_metadata(df: DataFrame, bin_col: str = "video") -> DataFrame:
 
     @F.pandas_udf(schema)
     def meta(s: pd.Series) -> pd.DataFrame:
-        import struct
+        from . import codecs
 
         rows = []
         for b in s:
@@ -243,24 +243,19 @@ def video_metadata(df: DataFrame, bin_col: str = "video") -> DataFrame:
                 rows.append({"fps": None, "n_frames": None, "duration_s": None, "format": None})
                 continue
             b = bytes(b)
-            if b[:4] == b"RIFF" and b[8:12] == b"AVI " and len(b) >= 76:
-                # avih is the first chunk of the first hdrl LIST
-                try:
-                    i = b.index(b"avih")
-                    us = struct.unpack_from("<I", b, i + 8)[0]
-                    n = struct.unpack_from("<I", b, i + 8 + 16)[0]
-                    fps = 1e6 / us if us else None
-                    rows.append(
-                        {
-                            "fps": fps,
-                            "n_frames": int(n),
-                            "duration_s": (n / fps) if fps else None,
-                            "format": "avi",
-                        }
-                    )
-                    continue
-                except (ValueError, struct.error):
-                    pass
+            try:
+                fps, n = codecs.avi_header_info(b)
+                rows.append(
+                    {
+                        "fps": fps,
+                        "n_frames": int(n),
+                        "duration_s": (n / fps) if fps else None,
+                        "format": "avi",
+                    }
+                )
+                continue
+            except ValueError:
+                pass
             fmt = "mp4" if len(b) > 11 and b[4:8] == b"ftyp" else None
             rows.append({"fps": None, "n_frames": None, "duration_s": None, "format": fmt})
         return pd.DataFrame(rows)

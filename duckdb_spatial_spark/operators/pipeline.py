@@ -516,7 +516,9 @@ def sample_stratified(
     distinct ids below 2^31-1 gaps; broken by id). The data-mixing
     primitive: unlike ``df.sampleBy``, the selection is a pure function
     of (id, salt) - stable across runs, partitionings, and engines, and
-    exactly replayable in SQL.
+    exactly replayable in SQL. Rows with a null id are excluded (no
+    hash, no deterministic selection); a null STRATUM is a real group
+    and samples like any other.
 
     Scale: a map-side LOCAL top-k prune runs first (each input partition
     keeps at most k rows per stratum it sees - the global winners are
@@ -526,7 +528,10 @@ def sample_stratified(
     """
     kk = int(k)
     u = _minstd_u(id_col, salt).alias("_u")
-    staged = df.withColumn("_u", u)
+    # rows with a null id have no hash -> excluded from the sample by
+    # definition (they cannot be selected deterministically); null STRATA
+    # are a real group and must survive the local prune (dropna=False)
+    staged = df.withColumn("_u", u).filter(F.col("_u").isNotNull())
     cols = staged.columns
 
     def local_topk(batches):
@@ -538,7 +543,7 @@ def sample_stratified(
             cur = pdf if best is None else _pd.concat([best, pdf], ignore_index=True)
             best = (
                 cur.sort_values(["_u", id_col], kind="mergesort")
-                .groupby(strata_col, sort=False)
+                .groupby(strata_col, sort=False, dropna=False)
                 .head(kk)
             )
         if best is not None and len(best):

@@ -296,38 +296,41 @@ def ngram_counts(
     building, boilerplate discovery): (gram, count, doc_freq) for grams
     appearing at least ``min_count`` times in total.
 
-    Scale: the gram build is Arrow-batched per row; the single shuffle
-    keys on the gram with MAP-SIDE-COMBINED counts, so a boilerplate
+    Scale: ONE Arrow-batched pass tokenizes each doc and emits
+    (gram, first-occurrence-in-doc) rows; ONE shuffle keys on the gram
+    with MAP-SIDE-COMBINED count + doc_freq partials, so a boilerplate
     gram occurring 100M times ships one partial row per map task, not
-    100M rows. doc_freq counts distinct docs via a per-row distinct
-    gram array (no second shuffle over occurrences)."""
-    from .dedup import _shingles_py
-
+    100M rows."""
     nn = int(n)
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def all_grams(s: pd.Series) -> pd.Series:
-        out = []
-        for t in s:
-            if t is None:
-                out.append([])
-                continue
-            w = str(t).lower().split()
-            if nn <= 1:
-                out.append(w)
-            elif len(w) < nn:
-                out.append([])
-            else:
-                out.append([" ".join(w[i : i + nn]) for i in range(len(w) - nn + 1)])
-        return pd.Series(out)
-
-    occ = df.select(F.explode(all_grams(F.col(text_col))).alias("gram"))
-    distinct_per_doc = df.select(
-        F.explode(F.coalesce(_shingles_py(text_col, n), F.array())).alias("gram")
+    out_schema = T.StructType(
+        [T.StructField("gram", T.StringType()), T.StructField("first", T.BooleanType())]
     )
-    counts = occ.groupBy("gram").agg(F.count("*").alias("count"))
-    dfreq = distinct_per_doc.groupBy("gram").agg(F.count("*").alias("doc_freq"))
+
+    def emit(batches):
+        for pdf in batches:
+            grams, firsts = [], []
+            for t in pdf["_t"]:
+                if t is None:
+                    continue
+                w = str(t).lower().split()
+                gs = w if nn <= 1 else (
+                    [" ".join(w[i : i + nn]) for i in range(len(w) - nn + 1)]
+                    if len(w) >= nn
+                    else []
+                )
+                seen = set()
+                for g in gs:
+                    grams.append(g)
+                    firsts.append(g not in seen)
+                    seen.add(g)
+            yield pd.DataFrame({"gram": grams, "first": firsts})
+
+    occ = df.select(F.col(text_col).alias("_t")).mapInPandas(emit, out_schema)
     return (
-        counts.join(dfreq, "gram")
+        occ.groupBy("gram")
+        .agg(
+            F.count("*").alias("count"),
+            F.sum(F.when(F.col("first"), 1).otherwise(0)).alias("doc_freq"),
+        )
         .filter(F.col("count") >= int(min_count))
     )

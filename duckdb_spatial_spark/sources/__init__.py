@@ -195,10 +195,17 @@ def st_read_meta(spark, path: str, format: str | None = None):
 
         # memory-map + footer walk: row counts come from the batch headers
         # without materializing data buffers in heap
-        with pa.memory_map(path, "rb") as f:
-            r = pa.ipc.open_file(f)
-            n = sum(r.get_batch(i).num_rows for i in range(r.num_record_batches))
-            meta = r.schema.metadata or {}
+        try:
+            with pa.memory_map(path, "rb") as f:
+                r = pa.ipc.open_file(f)
+                n = sum(r.get_batch(i).num_rows for i in range(r.num_record_batches))
+                meta = r.schema.metadata or {}
+        except pa.ArrowInvalid:
+            # stream-format IPC (no footer) — same fallback as read_arrow_ipc
+            with pa.OSFile(path, "rb") as f:
+                t = pa.ipc.open_stream(f).read_all()
+            n = t.num_rows
+            meta = t.schema.metadata or {}
         geo = _json.loads(meta.get(b"geo", b"{}") or b"{}")
         gcol = geo.get("primary_column")
         rows.append((path, "Arrow", int(n), "WKB" if gcol else "", ""))
