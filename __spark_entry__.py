@@ -3110,10 +3110,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    regexp_replace(regexp_replace(regexp_replace(t,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+                       '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
                        '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
                    CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                      + len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                      + len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
                       + len(regexp_extract_all(t, '\+[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_redactions
             FROM (SELECT doc_id,
                          text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'

@@ -405,13 +405,17 @@ def embedding_centroids(
 # ---------------------------------------------------------------------------
 
 #: kind -> (pattern, replacement). Patterns are restricted to the regex
-#: subset Java regex and RE2 interpret identically (no backrefs, no
-#: lookaround), so a plain-SQL oracle reproduces the scrub byte-for-byte.
+#: subset Java regex and RE2 interpret identically: no backrefs, no
+#: lookaround, and NO \b — Java's \b is Unicode-word-aware while RE2's
+#: is ASCII (an IP glued to an accented letter matches in one engine
+#: only; found by tests/test_cross_engine_fuzz.py). Dropping \b makes
+#: digit-glued candidates match too — over-redaction, the safe
+#: direction for a scrubber — identically in both engines.
 PII_PATTERNS = {
     "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "ipv4": (r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
     "phone": (r"\+[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
-    "ssn": (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    "ssn": (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
 }
 
 
