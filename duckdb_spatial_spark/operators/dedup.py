@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._ascii import ws_split as _ascii_ws_split
+
 
 def _tokens(text_col, lowercase=True):
     c = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -56,7 +58,7 @@ def _shingles_py(text_col, n: int):
             if t is None:
                 out.append(None)
                 continue
-            toks = str(t).lower().split()
+            toks = _ascii_ws_split(str(t).lower())
             if n <= 1:
                 out.append(list(dict.fromkeys(toks)))
             elif len(toks) < n:

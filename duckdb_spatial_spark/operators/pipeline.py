@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._ascii import ws_split as _ws_split, ws_strip as _ws_strip
+
 __all__ = [
     "gopher_repetition",
     "decontaminate",
@@ -90,7 +92,7 @@ def _repetition_metrics(text: str) -> tuple:
     """
     if text is None:
         text = ""
-    raw_lines = [ln.strip() for ln in text.split("\n")]
+    raw_lines = [_ws_strip(ln) for ln in text.split("\n")]
     lines = [ln for ln in raw_lines if ln]
     n_lines = len(lines)
     if n_lines:
@@ -101,7 +103,7 @@ def _repetition_metrics(text: str) -> tuple:
     else:
         dup_line_frac = dup_line_char_frac = 0.0
 
-    words = text.split()
+    words = _ws_split(text)
     total = len(" ".join(words))
     tops = {}
     dup5 = 0.0

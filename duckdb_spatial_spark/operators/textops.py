@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._ascii import ws_split as _ascii_ws_split
+
 _STOPWORDS = {
     "en": "the of and to in a is that it was for on are with as be at by this have from or had not but what all were when we there can an your which their".split(),
     "de": "der die das und zu in den von ist des sich mit dem dass er es ein ich auf so eine auch als an nach wie im für".split(),
@@ -142,7 +144,7 @@ def winnowing_fingerprints(
                 if text is None:
                     continue
                 data = np.frombuffer(
-                    " ".join(str(text).lower().split()).encode("utf-8", "ignore"), dtype=np.uint8
+                    " ".join(_ascii_ws_split(str(text).lower())).encode("utf-8", "ignore"), dtype=np.uint8
                 ).astype(np.uint64)
                 n = len(data)
                 if n < kk:
@@ -200,7 +202,7 @@ def bm25_topk(
     aggregates; the scoring join is a broadcast on the term stats; one
     final top-k window. No all-token inverted index is materialized.
     """
-    terms = [t for t in dict.fromkeys(query.lower().split()) if t]
+    terms = [t for t in dict.fromkeys(_ascii_ws_split(query.lower())) if t]
     if not terms:
         raise ValueError("bm25_topk: empty query")
     qarr = F.array(*[F.lit(t) for t in terms])
@@ -312,7 +314,7 @@ def ngram_counts(
             for t in pdf["_t"]:
                 if t is None:
                     continue
-                w = str(t).lower().split()
+                w = _ascii_ws_split(str(t).lower())
                 gs = w if nn <= 1 else (
                     [" ".join(w[i : i + nn]) for i in range(len(w) - nn + 1)]
                     if len(w) >= nn
