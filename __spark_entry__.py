@@ -2164,7 +2164,7 @@ def _minhash_spec_oracle() -> str:
                    generate_series(1, greatest(len(toks) - 2, 0)),
                    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
           FROM (SELECT doc_id,
-                       list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+                       list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks
                 FROM documents WHERE doc_id < 150)
         ), s AS (
           SELECT doc_id, sh, [{mins}] AS sig FROM t WHERE len(sh) > 0
@@ -2187,7 +2187,7 @@ def _simhash_spec_oracle() -> str:
     fp = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(30))
     return f"""
         WITH tok AS (
-          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+          SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '')) AS t
           FROM documents WHERE doc_id < 150
         ), h AS (
           SELECT doc_id, {_poly_sql('t', 0)} AS h FROM tok
@@ -2222,7 +2222,7 @@ def _lang_id_oracle() -> str:
     )
     return f"""
         WITH tok AS (
-          SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+          SELECT list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), t -> t != '') AS toks
           FROM documents
         ), sc AS (
           SELECT {', '.join(score_cols)} FROM tok
@@ -2826,7 +2826,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "text_token_count": r"""
-            SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_tok
+            SELECT doc_id, len(list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'), x -> x != '')) AS n_tok
             FROM documents
         """,
         "text_metrics": r"""
@@ -2843,7 +2843,7 @@ def oracle_sql() -> dict[str, str]:
                        generate_series(1, greatest(len(toks) - 2, 0)),
                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
               FROM (SELECT doc_id,
-                           list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                           list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks
                     FROM documents WHERE doc_id < 200)
             ), p AS (
               SELECT id_a, id_b FROM (
@@ -2867,7 +2867,7 @@ def oracle_sql() -> dict[str, str]:
                        generate_series(1, greatest(len(toks) - 2, 0)),
                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
               FROM (SELECT doc_id,
-                           list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks
+                           list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks
                     FROM documents WHERE doc_id < 200)
             )
             SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
@@ -2953,7 +2953,7 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(list_transform(string_split(coalesce(text, ''), chr(10)),
                          x -> trim(x, chr(32) || chr(9) || chr(13) || chr(11) || chr(12))),
                          x -> x <> '') AS lines,
-                     list_filter(string_split_regex(coalesce(text, ''), '\s+'), x -> x <> '') AS words
+                     list_filter(string_split_regex(coalesce(text, ''), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS words
               FROM documents
             ), lw AS (
               SELECT doc_id, lines, words, len(lines) AS nl, len(words) AS nw,
@@ -3019,7 +3019,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": r"""
             WITH w AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+                     list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS words
               FROM documents
             ), dg AS (
               SELECT doc_id,
@@ -3144,7 +3144,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_counts": r"""
             WITH w AS (
               SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS words
+                     list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS words
               FROM documents
             ), occ AS (
               SELECT unnest(list_transform(range(1, len(words)),
@@ -3178,8 +3178,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25": r"""
             WITH d AS (
               SELECT doc_id,
-                     len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS dl,
-                     list_filter(string_split_regex(lower(text), '\s+'),
+                     len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS dl,
+                     list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                                  t -> t IN ('hash', 'join', 'filter', 'vector')) AS qt
               FROM documents
             ), stats AS (

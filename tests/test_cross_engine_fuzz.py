@@ -77,3 +77,63 @@ def test_text_normalize_matches_duckdb_on_fuzz(spark, corpus):
     )
     mismatches = [(i, repr(got[i]), repr(want[i])) for i in want if got[i] != want[i]]
     assert not mismatches, mismatches[:5]
+
+
+TEXT_FRAGMENTS = [
+    "a b", "a b a b", "c", "word word word", "x\xa0y", "line one",
+    "\t", " ", "\x0b", "tab\there", ". . .", "dup dup dup dup dup",
+    "the quick fox", "é é é", "",
+]
+
+
+def _random_doc(rng):
+    return "\n".join(
+        rng.choice(TEXT_FRAGMENTS) for _ in range(rng.randint(0, 8))
+    )
+
+
+@pytest.fixture(scope="module")
+def doc_corpus():
+    rng = random.Random(99)
+    return [(i, _random_doc(rng)) for i in range(200)]
+
+
+def _oracle_rows(sql, corpus):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", corpus)
+    return con.execute(sql.replace("FROM documents", "FROM t")).fetchall()
+
+
+def test_gopher_matches_duckdb_on_fuzz(spark, doc_corpus):
+    import __spark_entry__ as E
+
+    from duckdb_spatial_spark.operators.pipeline import gopher_repetition
+
+    df = spark.createDataFrame(doc_corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["dup_line_frac"], r["dup_line_char_frac"],
+            r["top_2gram_char_frac"], r["top_3gram_char_frac"],
+            r["dup_5gram_char_frac"], r["gopher_pass"],
+        )
+        for r in gopher_repetition(df).collect()
+    }
+    want = {r[0]: tuple(r[1:]) for r in _oracle_rows(E.oracle_sql()["gopher_quality"], doc_corpus)}
+    mismatches = [(i, got[i], want[i]) for i in want if got[i] != want[i]]
+    assert not mismatches, mismatches[:5]
+
+
+def test_dedup_lines_matches_duckdb_on_fuzz(spark, doc_corpus):
+    import __spark_entry__ as E
+
+    from duckdb_spatial_spark.operators.pipeline import dedup_lines
+
+    df = spark.createDataFrame(doc_corpus, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in dedup_lines(df).collect()
+    }
+    want = {r[0]: tuple(r[1:]) for r in _oracle_rows(E.oracle_sql()["dedup_lines"], doc_corpus)}
+    mismatches = [(i, got[i], want[i]) for i in want if got[i] != want[i]]
+    assert not mismatches, mismatches[:3]
