@@ -42,6 +42,25 @@ def _prep(spark: SparkSession, sf_dir: str):
     return spark
 
 
+def _fresh_tmp(name: str) -> str:
+    """Stable per-query scratch dir, wiped at the start of each run.
+
+    Queries that materialize side files (stream sources, on-disk indexes)
+    use a FIXED path derived from the query name so repeated contract
+    sweeps overwrite instead of accumulating uuid-named dirs in /tmp.
+    The driver and check_oracle run queries sequentially, so wiping at
+    invocation start cannot race a concurrent reader; the returned plan
+    of the PREVIOUS run is already materialized by then."""
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_q", name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def _pts_sql_spark() -> str:
     return (
         "SELECT o_orderkey AS id,"
@@ -664,7 +683,6 @@ def q_gpkg_roundtrip(spark, sf_dir):
     binary header + SQLite layer plumbing preserve geometry and keys."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources import read_gpkg, write_gpkg
 
@@ -674,7 +692,7 @@ def q_gpkg_roundtrip(spark, sf_dir):
         .withColumn("geom", F.expr("ST_Point(x, y)"))
         .select("id", "geom")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="gpkg_q_"), "rt.gpkg")
+    path = os.path.join(_fresh_tmp("gpkg_q"), "rt.gpkg")
     write_gpkg(df, path, layer="pts")
     back = read_gpkg(spark, path, num_partitions=4)
     return back.selectExpr(
@@ -704,7 +722,6 @@ def q_fgb_roundtrip(spark, sf_dir):
     preserve rect geometry and typed attributes exactly."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources.flatgeobuf import read_flatgeobuf, write_flatgeobuf
 
@@ -714,7 +731,7 @@ def q_fgb_roundtrip(spark, sf_dir):
         .withColumn("geom", F.expr("ST_MakeEnvelope(mx, my, mx + w, my + h)"))
         .select("rid", F.col("w").alias("width"), "geom")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="fgb_q_"), "rt.fgb")
+    path = os.path.join(_fresh_tmp("fgb_q"), "rt.fgb")
     write_flatgeobuf(df, path, name="rects")
     back = read_flatgeobuf(spark, path, num_partitions=4)
     return back.selectExpr(
@@ -730,7 +747,6 @@ def q_kml_roundtrip(spark, sf_dir):
     reference covers KML through the GDAL driver matrix (st_read.cpp)."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources import read_kml, write_kml
 
@@ -740,7 +756,7 @@ def q_kml_roundtrip(spark, sf_dir):
         .withColumn("geom", F.expr("ST_Point(x, y)"))
         .selectExpr("CAST(id AS STRING) AS id", "geom")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="kml_q_"), "rt.kml")
+    path = os.path.join(_fresh_tmp("kml_q"), "rt.kml")
     write_kml(df, path)
     back = read_kml(spark, path)
     return back.selectExpr(
@@ -1443,7 +1459,6 @@ def q_st_drivers_meta(spark, sf_dir):
     (st_read_meta.cpp:26-56: driver, feature count, geometry types, crs)."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources import st_drivers, st_read_meta
     from duckdb_spatial_spark.sources.geojson import write_geojson
@@ -1457,7 +1472,7 @@ def q_st_drivers_meta(spark, sf_dir):
         .withColumn("geom", F.expr("ST_Point(x, y)"))
         .select("id", "geom")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="meta_q_"), "m.geojson")
+    path = os.path.join(_fresh_tmp("meta_q"), "m.geojson")
     write_geojson(df, path, style="collection")
     meta = st_read_meta(spark, path).selectExpr(
         "concat(driver, '/', geometry_types, '/', crs) AS name",
@@ -1472,7 +1487,6 @@ def q_shp_roundtrip(spark, sf_dir):
     read_shapefile.cpp)."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources.shapefile import read_shapefile, write_shapefile
 
@@ -1482,7 +1496,7 @@ def q_shp_roundtrip(spark, sf_dir):
         .withColumn("geom", F.expr("ST_Point(x, y)"))
         .select("id", "geom")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="shp_q_"), "rt.shp")
+    path = os.path.join(_fresh_tmp("shp_q"), "rt.shp")
     write_shapefile(df, path)
     back = read_shapefile(spark, path)
     return back.selectExpr(
@@ -1499,7 +1513,6 @@ def q_gdb_roundtrip(spark, sf_dir):
     rounding here."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources.filegdb import read_gdb, write_gdb
 
@@ -1510,7 +1523,7 @@ def q_gdb_roundtrip(spark, sf_dir):
         .selectExpr("id", "geom", "concat('n', CAST(id % 7 AS STRING)) AS name",
                     "CAST(id AS DOUBLE) / 8 AS score")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="gdb_q_"), "rt.gdb")
+    path = os.path.join(_fresh_tmp("gdb_q"), "rt.gdb")
     write_gdb(df, path, layer="pts", geometry_type="POINT")
     back = read_gdb(spark, path)
     return back.selectExpr(
@@ -1527,7 +1540,6 @@ def q_dxf_read(spark, sf_dir):
     measures in plain SQL."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources.dxf import read_dxf
 
@@ -1541,7 +1553,7 @@ def q_dxf_read(spark, sf_dir):
     )
     parts.append("0\nTEXT\n8\nT\n10\n7\n20\n8\n1\nhello\n")
     parts.append("0\nENDSEC\n0\nEOF\n")
-    path = os.path.join(tempfile.mkdtemp(prefix="dxf_q_"), "q.dxf")
+    path = os.path.join(_fresh_tmp("dxf_q"), "q.dxf")
     with open(path, "w") as f:
         f.write("".join(parts))
     df = read_dxf(spark, path)
@@ -1570,7 +1582,6 @@ def q_xlsx_roundtrip(spark, sf_dir):
     text round trip bit-exactly."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources.tabular import read_xlsx, write_xlsx
 
@@ -1578,7 +1589,7 @@ def q_xlsx_roundtrip(spark, sf_dir):
         f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name, x / 4 AS score"
         f" FROM ({_PTS}) WHERE id < 300"
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="xlsx_q_"), "q.xlsx")
+    path = os.path.join(_fresh_tmp("xlsx_q"), "q.xlsx")
     write_xlsx(df, path, sheet="pts")
     back = read_xlsx(spark, path)
     return back.selectExpr("CAST(id AS DOUBLE) AS id", "name", "CAST(score AS DOUBLE) AS score")
@@ -1591,7 +1602,6 @@ def q_mif_roundtrip(spark, sf_dir):
     decimal text round trip bit-exactly."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources.mapinfo import read_mif, write_mif
 
@@ -1599,7 +1609,7 @@ def q_mif_roundtrip(spark, sf_dir):
         f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name, x / 4 AS score,"
         f" x, y FROM ({_PTS}) WHERE id < 350"
     ).withColumn("geom", F.expr("ST_Point(x, y)")).drop("x", "y")
-    path = os.path.join(tempfile.mkdtemp(prefix="mif_q_"), "rt.mif")
+    path = os.path.join(_fresh_tmp("mif_q"), "rt.mif")
     write_mif(df, path)
     back = read_mif(spark, path)
     return back.selectExpr(
@@ -1618,7 +1628,6 @@ def q_osm_read(spark, sf_dir):
     granularity, making round(.,6) stable on both sides."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
 
     from duckdb_spatial_spark.sources.osm import read_osm, write_osm_fixture
 
@@ -1635,7 +1644,7 @@ def q_osm_read(spark, sf_dir):
         if i % 50 == 0
     ]
     rels = [(999999, [(100000, "outer", "way"), (1, "admin_centre", "node")], {"type": "mp"})]
-    path = os.path.join(tempfile.mkdtemp(prefix="osm_q_"), "q.osm.pbf")
+    path = os.path.join(_fresh_tmp("osm_q"), "q.osm.pbf")
     write_osm_fixture(path, nodes, ways, rels)
     df = read_osm(spark, path)
     df.createOrReplaceTempView("osm_q")
@@ -1657,12 +1666,11 @@ def q_streaming_geofence(spark, sf_dir):
     oracle recomputes the window counts in plain SQL."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
     import uuid
 
     from duckdb_spatial_spark.streaming.demo import streaming_envelope_counts
 
-    src = os.path.join(tempfile.mkdtemp(prefix="stream_q_"), "src")
+    src = os.path.join(_fresh_tmp("stream_geofence"), "src")
     spark.sql(
         f"SELECT timestamp_seconds(1704067200 + id) AS ts, x, y"
         f" FROM ({_PTS}) WHERE id < 2000"
@@ -1696,12 +1704,11 @@ def q_streaming_join(spark, sf_dir):
     result equals the batch join the oracle runs."""
     _prep(spark, sf_dir)
     import os
-    import tempfile
     import uuid
 
     from duckdb_spatial_spark.streaming.demo import streaming_interval_join
 
-    base = tempfile.mkdtemp(prefix="stream_j_")
+    base = _fresh_tmp("stream_join")
     rows = spark.sql(
         f"SELECT id, CAST(id % 97 AS BIGINT) AS uid,"
         f" timestamp_seconds(1704067200 + id % 3600) AS ts"
@@ -1758,15 +1765,14 @@ def q_streaming_dedup(spark, sf_dir):
     _prep(spark, sf_dir)
     import os
     import shutil
-    import tempfile
     import uuid
 
     from duckdb_spatial_spark.streaming.demo import streaming_session_dedup
 
     src = f"{sf_dir}/documents.parquet"
     # the file stream source needs a directory of files
-    stream_dir = os.path.join(tempfile.mkdtemp(prefix="stream_dedup_"), "in")
-    os.makedirs(stream_dir)
+    stream_dir = os.path.join(_fresh_tmp("stream_dedup"), "in")
+    os.makedirs(stream_dir, exist_ok=True)
     shutil.copy(src, os.path.join(stream_dir, "part-0.parquet"))
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(stream_dir)
@@ -1957,7 +1963,6 @@ def q_minhash_index(spark, sf_dir):
     space is engine-specific): build over even-id docs, query odd-id docs
     + 40 exact copies of indexed docs; the copies must hit their source
     with est_jaccard 1.0."""
-    import tempfile
 
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.dedup import (
@@ -1966,12 +1971,11 @@ def q_minhash_index(spark, sf_dir):
     )
 
     import os
-    import uuid
 
     docs = spark.table("documents")
-    # per-run dir: the returned plan reads the index lazily, so a shared
-    # fixed path would let a concurrent run's overwrite race this scan
-    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_mhidx_{uuid.uuid4().hex[:8]}")
+    # stable per-query path (wiped per run): sweeps are sequential, so the
+    # lazily-read plan of the previous run is materialized before the wipe
+    idx = os.path.join(_fresh_tmp("mhidx"), "index")
     minhash_index_build(docs.filter("doc_id % 2 = 0"), idx)
     copies = docs.filter("doc_id % 2 = 0 AND doc_id < 80").selectExpr(
         "doc_id + 1000000 AS doc_id", "text"
@@ -1994,7 +1998,6 @@ def q_ngram_counts(spark, sf_dir):
 def q_arrow_roundtrip(spark, sf_dir):
     """Arrow IPC (Feather v2) sink -> source roundtrip through st_read."""
     import os
-    import tempfile
 
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.sources import st_read, write_arrow_ipc
@@ -3112,9 +3115,10 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                        '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
                        '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS clean_text,
-                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   CAST(coalesce(
+                        len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                       + len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}'))
-                      + len(regexp_extract_all(t, '\+[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_redactions
+                      + len(regexp_extract_all(t, '\+[0-9][0-9 ()-]{6,}[0-9]')), 0) AS INT) AS n_redactions
             FROM (SELECT doc_id,
                          text || ' contact user' || doc_id || '@example.com or +1 (555) 010-'
                               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
@@ -3234,12 +3238,13 @@ def oracle_sql() -> dict[str, str]:
               FROM e JOIN cent c ON e.pos = c.pos
               GROUP BY 1, 2
             ), ranked AS (
-              SELECT d.vec_id, d.clabel, d.dot / (v.vn * c.cn) AS cos,
+              SELECT d.vec_id, d.clabel, round(d.dot / (v.vn * c.cn), 5) AS cos,
                      row_number() OVER (PARTITION BY d.vec_id
-                                        ORDER BY d.dot / (v.vn * c.cn) DESC, d.clabel ASC) AS rk
+                                        ORDER BY round(d.dot / (v.vn * c.cn), 5) DESC,
+                                                 d.clabel ASC) AS rk
               FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm c USING (clabel)
             )
-            SELECT vec_id, clabel AS assigned, round(cos, 5) AS cosine
+            SELECT vec_id, clabel AS assigned, cos AS cosine
             FROM ranked WHERE rk = 1
         """,
         # minhash_lsh_pairs / simhash / winnowing: intentionally omitted ->

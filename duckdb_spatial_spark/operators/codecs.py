@@ -302,7 +302,8 @@ def decode_avi(buf: bytes):
         nonlocal width, height, us_per_frame, compression, bits
         for tag, ltype, bs, bl in _riff_chunks(buf, start, end):
             if tag in (b"RIFF", b"LIST"):
-                if ltype in (b"hdrl", b"strl", b"movi", b"AVI "):
+                # 'rec ' groups interleave frame chunks inside 'movi'
+                if ltype in (b"hdrl", b"strl", b"movi", b"rec ", b"AVI "):
                     walk(bs, bs + bl)
             elif tag == b"avih" and bl >= 40:
                 us_per_frame = struct.unpack_from("<I", buf, bs)[0]

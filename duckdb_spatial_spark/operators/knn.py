@@ -346,19 +346,23 @@ def assign_nearest_centroid(
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in keep["_v"]])
             vn = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
             # dot / (|v| * |c|), the same float shape the SQL oracle uses
-            # (normalize-then-dot differs in final-ulp rounding, which
-            # could flip an argmax on a near-tie between engines)
+            # (normalize-then-dot differs in final-ulp rounding).
             S = (V @ C_.T) / (vn[:, None] * cn_[None, :])
+            # Decide the argmax on ROUNDED cosines (repo float-parity rule):
+            # last-ulp summation-order differences between numpy matmul and
+            # the oracle's sequential sum must not flip a near-tie.  Ties on
+            # the rounded value break toward the smaller label (labels are
+            # sorted, argmax takes the first index).
+            S = np.copysign(
+                np.floor(np.abs(S) * 10.0**ndigits + 0.5) / 10.0**ndigits, S
+            )
             best = S.argmax(axis=1)
             cos = S[np.arange(len(S)), best]
             yield pd.DataFrame(
                 {
                     id_col: keep["_id"].values,
                     "assigned": [labels_[i] for i in best],
-                    # SQL round semantics: half away from zero, sign-aware
-                    "cosine": np.copysign(
-                        np.floor(np.abs(cos) * 10.0**ndigits + 0.5) / 10.0**ndigits, cos
-                    ),
+                    "cosine": cos,
                 }
             )
 

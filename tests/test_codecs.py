@@ -173,6 +173,43 @@ def test_avi_roundtrip_and_compressed_raises():
         decode_avi(bytes(bad))
 
 
+def test_avi_rec_list_frames_decoded():
+    """Interleaved AVIs wrap frame chunks in 'rec ' LISTs inside 'movi';
+    the walker must recurse into them (ADVICE r6)."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.codecs import decode_avi, encode_avi
+
+    frames = [np.full((4, 5, 3), i * 40, dtype=np.uint8) for i in range(3)]
+    buf = encode_avi(frames, fps=10.0)
+
+    # rewrap every 00db chunk inside movi in its own 'rec ' LIST
+    def chunk(tag, payload):
+        pad = b"\0" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    i = buf.index(b"movi")
+    movi_len = struct.unpack_from("<I", buf, i - 4)[0]
+    body = buf[i + 4 : i - 4 + 8 + movi_len]
+    out, pos = [], 0
+    while pos + 8 <= len(body):
+        tag = body[pos : pos + 4]
+        ln = struct.unpack_from("<I", body, pos + 4)[0]
+        payload = body[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)
+        out.append(chunk(b"LIST", b"rec " + chunk(tag, payload)))
+    new_movi = chunk(b"LIST", b"movi" + b"".join(out))
+    rebuilt = bytearray(buf[: i - 8] + new_movi + buf[i - 4 + 8 + movi_len :])
+    struct.pack_into("<I", rebuilt, 4, len(rebuilt) - 8)
+
+    decoded, fps = decode_avi(bytes(rebuilt))
+    assert len(decoded) == 3 and abs(fps - 10.0) < 1e-6
+    for a, b in zip(frames, decoded):
+        assert (a == b).all()
+
+
 def test_video_frame_sample_spark(spark):
     import numpy as np
 
