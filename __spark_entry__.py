@@ -2008,7 +2008,7 @@ def q_arrow_roundtrip(spark, sf_dir):
     # fixed name, overwritten per run: the returned plan reads the file
     # lazily, so it cannot be unlinked here — a stable path at least
     # keeps repeated contract sweeps from accumulating temp files
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_arrow_roundtrip.arrow")
+    path = os.path.join(_fresh_tmp("arrow_roundtrip"), "rt.arrow")
     write_arrow_ipc(rects, path)
     back = st_read(spark, path)
     return back.selectExpr(
