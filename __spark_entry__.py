@@ -1259,6 +1259,7 @@ def q_spatial_unary_ops(spark, sf_dir):
           ST_AsText(ST_Envelope(ST_GeomFromText(wkt))) AS env,
           ST_AsText(ST_PointOnSurface(ST_GeomFromText(wkt))) AS pos,
           ST_AsText(ST_Simplify(ST_GeomFromText(wkt), 0.15D)) AS simp,
+          ST_AsText(ST_SimplifyPreserveTopology(ST_GeomFromText(wkt), 5.0D)) AS spt,
           ST_AsText(ST_LineMerge(ST_GeomFromText(wkt))) AS lm,
           ST_AsText(ST_ReducePrecision(ST_GeomFromText(wkt), 0.01D)) AS rp,
           ST_IsValid(ST_GeomFromText(wkt)) AS isv,
@@ -2016,6 +2017,129 @@ def q_arrow_roundtrip(spark, sf_dir):
     )
 
 
+# mixed-dimension overlay pairs: L x L and L x A cases (reference
+# geos/functions/scalar/st_intersection.cpp via GEOS OverlayNG dimension
+# rules). Expected WKTs hand-derived; pytest pins both argument orders.
+_LINE_IX_WKTS = [
+    (1, "LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)"),
+    (2, "LINESTRING (0 0, 2 2)", "LINESTRING (2 2, 4 0)"),
+    (3, "LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)"),
+    (4, "LINESTRING (0 0, 1 0)", "LINESTRING (0 2, 1 2)"),
+    (5, "LINESTRING (0 0, 4 0, 4 4)", "LINESTRING (2 0, 6 0, 6 2, 2 2)"),
+    (6, "LINESTRING (-1 1, 5 1)", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"),
+    (7, "LINESTRING (-1 2.5, 5 2.5)", "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))"),
+    (8, "LINESTRING (-1 5, 11 5)",
+     "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"),
+    (9, "LINESTRING (-1 1, 7 1)",
+     "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((4 0, 6 0, 6 2, 4 2, 4 0)))"),
+    (10, "LINESTRING (1 5, 3 5)", "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 2 5, 0 4, 0 0))"),
+]
+
+
+def q_spatial_intersection_lines(spark, sf_dir):
+    """Mixed-dimension ST_Intersection: crossing/touching/collinear line
+    pairs and lines against concave / holed / multi polygons — the result
+    drops to the correct dimension (point, clipped line, collection)."""
+    _prep(spark, sf_dir)
+    df = spark.createDataFrame(_LINE_IX_WKTS, "id long, wa string, wb string")
+    df.createOrReplaceTempView("_lineix_w")
+    return spark.sql(
+        """
+        SELECT id,
+          ST_AsText(ST_Intersection(ST_GeomFromText(wa), ST_GeomFromText(wb))) AS ix,
+          ST_AsText(ST_Intersection(ST_GeomFromText(wb), ST_GeomFromText(wa))) AS xi,
+          CAST(ST_Dimension(ST_Intersection(ST_GeomFromText(wa), ST_GeomFromText(wb))) AS INT) AS dim,
+          round(ST_Length(ST_Intersection(ST_GeomFromText(wa), ST_GeomFromText(wb))), 6) AS len
+        FROM _lineix_w
+        """
+    )
+
+
+# (box_id, x0, y0, x1, y1, exact-semantic) windows for the R-tree-analog
+# windowed-count query. Mixed within/intersects pins both point fast paths
+# of filter_bbox (reference rtree_index_plan_scan.cpp:207-231 filter split).
+_LAYOUT_BOXES = [
+    (1, 1000.0, 1000.0, 3000.0, 2500.0, "within"),
+    (2, 0.0, 0.0, 500.0, 9999.0, "intersects"),
+    (3, 7000.0, 4000.0, 9000.0, 6000.0, "within"),
+    (4, 2500.0, 7500.0, 6500.0, 9000.0, "intersects"),
+]
+
+
+def q_layout_pruned_count(spark, sf_dir):
+    """R-tree analog end-to-end: Hilbert-cluster the point table into a
+    bbox-sidecar parquet layout (reference index/rtree build), then answer
+    windowed queries through filter_bbox — bbox conjuncts land in
+    PushedFilters (row-group skipping), the exact predicate is decided
+    all-JVM on the sidecar columns (points=True fast path). Oracle = the
+    same window predicates in plain SQL over the raw points."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.plans.pruning import filter_bbox, write_geo_parquet
+
+    path = _fresh_tmp("layout_pruned")
+    write_geo_parquet(spark.sql(_PTS), path, point_xy=("x", "y"), num_partitions=8)
+    base = spark.read.parquet(path)
+    outs = []
+    for bid, x0, y0, x1, y1, sem in _LAYOUT_BOXES:
+        w = filter_bbox(base, x0, y0, x1, y1, exact=sem, points=True)
+        outs.append(
+            w.groupBy().agg(
+                F.count("*").alias("_n"),
+                F.coalesce(F.sum("id"), F.lit(0)).alias("_s"),
+            ).select(
+                F.lit(bid).cast("int").alias("box_id"),
+                F.col("_n").cast("long").alias("n"),
+                F.col("_s").cast("long").alias("id_sum"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def q_layout_snapshot(spark, sf_dir):
+    """Snapshot-manifest lifecycle (reference rtree.cpp WAL-maintained
+    index -> lakehouse analog): write v1, append a batch (v2), compact
+    (v3), then time-travel-read ALL THREE versions after the compact —
+    v1 must still return exactly the original subset (immutable data
+    files), v2 and v3 the full set (compaction preserves data)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.plans.snapshot import (
+        compact_geo_snapshot,
+        read_geo_snapshot,
+        write_geo_snapshot,
+        append_geo_snapshot,
+    )
+
+    path = _fresh_tmp("layout_snapshot")
+    pts = spark.sql(_PTS)
+    write_geo_snapshot(pts.filter("id % 3 != 0"), path, point_xy=("x", "y"), num_partitions=4)
+    append_geo_snapshot(pts.filter("id % 3 = 0"), path, num_partitions=2, point_xy=("x", "y"))
+    v3 = compact_geo_snapshot(spark, path, num_partitions=4) or 2
+    outs = []
+    for label, ver in ((1, 1), (2, 2), (3, v3)):
+        d = read_geo_snapshot(spark, path, version=ver)
+        outs.append(
+            d.groupBy().agg(
+                F.count("*").alias("_n"),
+                F.sum("id").alias("_s"),
+                F.min("bbox_min_x").alias("_x0"),
+                F.max("bbox_max_y").alias("_y1"),
+            ).select(
+                F.lit(label).cast("int").alias("version"),
+                F.col("_n").cast("long").alias("n"),
+                F.col("_s").cast("long").alias("id_sum"),
+                F.round("_x0", 6).alias("xmin"),
+                F.round("_y1", 6).alias("ymax"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
 # --------------------------------------------------------------------------
 # contract
 # --------------------------------------------------------------------------
@@ -2053,7 +2177,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
         "winnowing": q_winnowing,
-        # --- new this round ---
+        # --- new in r8: R-tree/layout analog + mixed-dim overlay rows ---
+        "layout_pruned_count": q_layout_pruned_count,
+        "layout_snapshot": q_layout_snapshot,
+        "spatial_intersection_lines": q_spatial_intersection_lines,
+        # --- new in r5 ---
         "spatial_unary_ops": q_spatial_unary_ops,
         "spatial_zm_flags": q_spatial_zm_flags,
         "spatial_area_spheroid": q_spatial_area_spheroid,
@@ -2360,7 +2488,49 @@ def oracle_sql() -> dict[str, str]:
     pts = _PTS
     rects = _RECTS
     lonlat = _LONLAT
+    # same window predicates as _LAYOUT_BOXES: within = strict, intersects
+    # = inclusive (a point's bbox IS the point)
+    layout_boxes_sql = " UNION ALL ".join(
+        f"SELECT CAST({bid} AS INTEGER) AS box_id,"
+        f" CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(coalesce(sum(id), 0) AS BIGINT) AS id_sum"
+        f" FROM ({_PTS}) WHERE "
+        + (
+            f"x > {x0} AND x < {x1} AND y > {y0} AND y < {y1}"
+            if sem == "within"
+            else f"x >= {x0} AND x <= {x1} AND y >= {y0} AND y <= {y1}"
+        )
+        for bid, x0, y0, x1, y1, sem in _LAYOUT_BOXES
+    )
+    snapshot_vers_sql = " UNION ALL ".join(
+        f"SELECT CAST({label} AS INTEGER) AS version,"
+        f" CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum,"
+        f" round(min(x), 6) AS xmin, round(max(y), 6) AS ymax"
+        f" FROM ({_PTS}){where}"
+        for label, where in ((1, " WHERE id % 3 <> 0"), (2, ""), (3, ""))
+    )
     return {
+        "layout_pruned_count": layout_boxes_sql,
+        "layout_snapshot": snapshot_vers_sql,
+        "spatial_intersection_lines": """
+            SELECT CAST(id AS BIGINT) AS id, ix, xi, CAST(dim AS INT) AS dim,
+                   CAST(len AS DOUBLE) AS len
+            FROM (VALUES
+              (1, 'POINT (2 2)', 'POINT (2 2)', 0, 0.0),
+              (2, 'POINT (2 2)', 'POINT (2 2)', 0, 0.0),
+              (3, 'LINESTRING (2 0, 4 0)', 'LINESTRING (2 0, 4 0)', 1, 2.0),
+              (4, 'GEOMETRYCOLLECTION EMPTY', 'GEOMETRYCOLLECTION EMPTY', 0, 0.0),
+              (5, 'GEOMETRYCOLLECTION (LINESTRING (2 0, 4 0), POINT (4 2))',
+                  'GEOMETRYCOLLECTION (LINESTRING (2 0, 4 0), POINT (4 2))', 1, 2.0),
+              (6, 'LINESTRING (0 1, 4 1)', 'LINESTRING (0 1, 4 1)', 1, 4.0),
+              (7, 'LINESTRING (0 2.5, 1 2.5)', 'LINESTRING (0 2.5, 1 2.5)', 1, 1.0),
+              (8, 'MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))',
+                  'MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))', 1, 8.0),
+              (9, 'MULTILINESTRING ((0 1, 2 1), (4 1, 6 1))',
+                  'MULTILINESTRING ((0 1, 2 1), (4 1, 6 1))', 1, 4.0),
+              (10, 'POINT (2 5)', 'POINT (2 5)', 0, 0.0)
+            ) AS t(id, ix, xi, dim, len)
+        """,
         "spatial_envelope_count": f"""
             SELECT count(*) AS n FROM ({pts})
             WHERE x > 450 AND x < 2650 AND y > 450 AND y < 2650
@@ -2602,19 +2772,19 @@ def oracle_sql() -> dict[str, str]:
         # conventions). PointOnSurface values additionally asserted on-surface
         # in pytest.
         "spatial_unary_ops": """
-            SELECT CAST(id AS BIGINT) AS id, bnd, env, pos, simp, lm, rp, isv, iss,
+            SELECT CAST(id AS BIGINT) AS id, bnd, env, pos, simp, spt, lm, rp, isv, iss,
                    ext, CAST(ng AS INT) AS ng, CAST(nir AS INT) AS nir,
                    rrp, rev, nrm, mlt, ce
             FROM (VALUES
-              (1, 'LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (2 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'GEOMETRYCOLLECTION EMPTY', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', true, true, 'LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)', 1, 0, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)))', 'LINESTRING EMPTY'),
-              (2, 'MULTIPOINT (0 0, 3 4)', 'POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))', 'POINT (3 0)', 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (0 0, 3 0, 3 4)', true, true, '-', 1, -1, 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (3 4, 3 0, 0 0)', 'LINESTRING (0 0, 3 0, 3 4)', 'MULTILINESTRING ((0 0, 3 0, 3 4))', 'LINESTRING (0 0, 3 0, 3 4)'),
-              (3, 'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', true, true, '-', 1, -1, 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'MULTIPOINT (1 2)', 'LINESTRING EMPTY'),
-              (4, 'MULTIPOINT (0 0, 2 2)', 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (0 0)', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'LINESTRING (0 0, 1 1, 2 2)', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', true, true, '-', 2, -1, 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((1 1, 0 0), (2 2, 1 1))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))'),
-              (5, 'MULTIPOINT (0 0, 4 0)', 'POLYGON ((0 -0.1, 4 -0.1, 4 0.2, 0 0.2, 0 -0.1))', 'POINT (2 -0.1)', 'LINESTRING (0 0, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', true, true, '-', 1, -1, 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (4 0, 3 0.2, 2 -0.1, 1 0.1, 0 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'MULTILINESTRING ((0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0))', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)'),
-              (6, 'MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', 'POINT (5 7)', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'GEOMETRYCOLLECTION EMPTY', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', true, true, 'LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)', 1, 1, 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)))', 'LINESTRING EMPTY'),
-              (7, 'GEOMETRYCOLLECTION EMPTY', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'GEOMETRYCOLLECTION EMPTY', 'POINT (1.23 7.65)', true, true, '-', 1, -1, 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'MULTIPOINT (1.23456 7.65432)', 'LINESTRING EMPTY'),
-              (8, 'MULTIPOINT (0 0, 2 2)', 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (1 1)', 'LINESTRING (0 0, 2 2)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', true, false, '-', 1, -1, 'LINESTRING (0 0, 1 1, 2 2)', 'LINESTRING (2 2, 1 1, 1 1, 0 0)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', 'MULTILINESTRING ((0 0, 1 1, 1 1, 2 2))', 'LINESTRING (0 0, 1 1, 1 1, 2 2)')
-            ) AS t(id, bnd, env, pos, simp, lm, rp, isv, iss, ext, ng, nir, rrp, rev, nrm, mlt, ce)
+              (1, 'LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POINT (2 2)', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'GEOMETRYCOLLECTION EMPTY', 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', true, true, 'LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)', 1, 0, 'POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))', 'MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)))', 'LINESTRING EMPTY'),
+              (2, 'MULTIPOINT (0 0, 3 4)', 'POLYGON ((0 0, 3 0, 3 4, 0 4, 0 0))', 'POINT (3 0)', 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (0 0, 3 4)', 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (0 0, 3 0, 3 4)', true, true, '-', 1, -1, 'LINESTRING (0 0, 3 0, 3 4)', 'LINESTRING (3 4, 3 0, 0 0)', 'LINESTRING (0 0, 3 0, 3 4)', 'MULTILINESTRING ((0 0, 3 0, 3 4))', 'LINESTRING (0 0, 3 0, 3 4)'),
+              (3, 'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'GEOMETRYCOLLECTION EMPTY', 'POINT (1 2)', true, true, '-', 1, -1, 'POINT (1 2)', 'POINT (1 2)', 'POINT (1 2)', 'MULTIPOINT (1 2)', 'LINESTRING EMPTY'),
+              (4, 'MULTIPOINT (0 0, 2 2)', 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (0 0)', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'LINESTRING (0 0, 1 1, 2 2)', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', true, true, '-', 2, -1, 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((1 1, 0 0), (2 2, 1 1))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))', 'MULTILINESTRING ((0 0, 1 1), (1 1, 2 2))'),
+              (5, 'MULTIPOINT (0 0, 4 0)', 'POLYGON ((0 -0.1, 4 -0.1, 4 0.2, 0 0.2, 0 -0.1))', 'POINT (2 -0.1)', 'LINESTRING (0 0, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (0 0, 4 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', true, true, '-', 1, -1, 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'LINESTRING (4 0, 3 0.2, 2 -0.1, 1 0.1, 0 0)', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)', 'MULTILINESTRING ((0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0))', 'LINESTRING (0 0, 1 0.1, 2 -0.1, 3 0.2, 4 0)'),
+              (6, 'MULTILINESTRING ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))', 'POINT (5 7)', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'GEOMETRYCOLLECTION EMPTY', 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', true, true, 'LINESTRING (0 0, 10 0, 10 10, 0 10, 0 0)', 1, 1, 'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))', 'POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))', 'MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)))', 'LINESTRING EMPTY'),
+              (7, 'GEOMETRYCOLLECTION EMPTY', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'GEOMETRYCOLLECTION EMPTY', 'POINT (1.23 7.65)', true, true, '-', 1, -1, 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'POINT (1.23456 7.65432)', 'MULTIPOINT (1.23456 7.65432)', 'LINESTRING EMPTY'),
+              (8, 'MULTIPOINT (0 0, 2 2)', 'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))', 'POINT (1 1)', 'LINESTRING (0 0, 2 2)', 'LINESTRING (0 0, 2 2)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', true, false, '-', 1, -1, 'LINESTRING (0 0, 1 1, 2 2)', 'LINESTRING (2 2, 1 1, 1 1, 0 0)', 'LINESTRING (0 0, 1 1, 1 1, 2 2)', 'MULTILINESTRING ((0 0, 1 1, 1 1, 2 2))', 'LINESTRING (0 0, 1 1, 1 1, 2 2)')
+            ) AS t(id, bnd, env, pos, simp, spt, lm, rp, isv, iss, ext, ng, nir, rrp, rev, nrm, mlt, ce)
         """,
         # ISO WKB type codes (Z=+1000, M=+2000, ZM=+3000) hand-decoded; flag
         # codes 0/1/2/3 per st_has.cpp ZMFlag.

@@ -1385,6 +1385,199 @@ def _clip_line_convex(line: Geometry, planes) -> Geometry:
     return Geometry(G.MULTILINESTRING, [mk(p) for p in pieces], line.has_z, line.has_m)
 
 
+def _line_line_pieces(a_lines, b_lines):
+    """Pairwise segment intersection of two linework sets: returns
+    (points, segments) — 0D proper crossings / endpoint touches and 1D
+    collinear-overlap pieces. Exact rational-free arithmetic on the
+    cross-product signs; parameters only for the located coordinates."""
+    pts: list = []
+    segs: list = []
+    for la in a_lines:
+        aa = la.data
+        for i in range(len(aa) - 1):
+            p = aa[i, :2].astype(float)
+            q = aa[i + 1, :2].astype(float)
+            d1 = q - p
+            L2 = float(d1 @ d1)
+            if L2 == 0.0:
+                continue
+            for lb in b_lines:
+                bb = lb.data
+                for j in range(len(bb) - 1):
+                    r = bb[j, :2].astype(float)
+                    s = bb[j + 1, :2].astype(float)
+                    d2 = s - r
+                    if float(d2 @ d2) == 0.0:
+                        continue
+                    denom = float(d1[0] * d2[1] - d1[1] * d2[0])
+                    if denom == 0.0:
+                        if _cross(p[0], p[1], q[0], q[1], r[0], r[1]) != 0:
+                            continue  # parallel, not collinear
+                        t0 = float((r - p) @ d1) / L2
+                        t1 = float((s - p) @ d1) / L2
+                        lo = max(0.0, min(t0, t1))
+                        hi = min(1.0, max(t0, t1))
+                        if hi > lo:
+                            segs.append((tuple(p + lo * d1), tuple(p + hi * d1)))
+                        elif hi == lo:
+                            pt = p + lo * d1
+                            pts.append((float(pt[0]), float(pt[1])))
+                        continue
+                    rp = r - p
+                    t = float(rp[0] * d2[1] - rp[1] * d2[0]) / denom
+                    u = float(rp[0] * d1[1] - rp[1] * d1[0]) / denom
+                    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                        pt = p + t * d1
+                        pts.append((float(pt[0]), float(pt[1])))
+    return pts, segs
+
+
+def _intersection_lines(a: Geometry, b: Geometry) -> Geometry:
+    """Intersection when neither input has an areal component: 1D
+    collinear overlaps merged into maximal polylines (line_merge), plus
+    0D crossing/touch points not already covered by the 1D part; stray
+    POINT leaves in collections contribute point hits. Mirrors GEOS
+    OverlayNG's L x L result dimension rules (reference
+    geos/functions/scalar/st_intersection.cpp delegates there)."""
+    a_pts = [l for l in a.flatten() if l.tag == G.POINT]
+    b_pts = [l for l in b.flatten() if l.tag == G.POINT]
+    a_lines = [l for l in a.flatten() if l.tag == G.LINESTRING]
+    b_lines = [l for l in b.flatten() if l.tag == G.LINESTRING]
+    pts, segs = _line_line_pieces(a_lines, b_lines)
+    for p in a_pts:
+        if not p.is_empty() and intersects(p, b):
+            pts.append((float(p.data[0]), float(p.data[1])))
+    for p in b_pts:
+        if not p.is_empty() and intersects(p, a):
+            pts.append((float(p.data[0]), float(p.data[1])))
+    lines: Geometry | None = None
+    if segs:
+        two_pt = [
+            Geometry(G.LINESTRING, np.asarray([s0, s1], dtype=np.float64))
+            for s0, s1 in segs
+        ]
+        merged = line_merge(
+            Geometry(G.MULTILINESTRING, two_pt) if len(two_pt) > 1 else two_pt[0]
+        )
+        lines = normalize(merged)
+        line_leaves = [l for l in lines.flatten() if l.tag == G.LINESTRING]
+        # drop 0D hits interior to the 1D result (GEOS reports the higher
+        # dimension only)
+        pts = [
+            (x, y)
+            for x, y in pts
+            if not any(point_on_seq(x, y, l.data) for l in line_leaves)
+        ]
+    uniq = sorted(set(pts))
+    point_geoms = [G.point(x, y) for x, y in uniq]
+    if lines is None and not point_geoms:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    if lines is None:
+        return point_geoms[0] if len(point_geoms) == 1 else G.collect(point_geoms)
+    if not point_geoms:
+        return lines
+    parts = [l for l in lines.flatten()] + point_geoms
+    return Geometry(G.GEOMETRYCOLLECTION, parts)
+
+
+def _intersection_line_areal(a: Geometry, b: Geometry) -> Geometry:
+    """Lineal/puntal ``a`` ∩ arbitrary polygonal ``b`` (concave, holes,
+    multipolygon) via triangle decomposition with per-segment interval
+    union: each line segment collects its inside-parameter intervals
+    across all triangles, merges them (adjacent triangles produce exactly
+    adjoining intervals — the shared-edge plane yields identical split
+    parameters), and emits the surviving sub-segments; line_merge chains
+    them back into maximal polylines. Touch points (zero-width intervals)
+    surface as POINTs unless covered by a 1D piece, matching GEOS
+    OverlayNG's dimension rules."""
+    from .triangulate import triangulate
+
+    tris = triangulate(b)
+    if not tris:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    tri_data = []
+    for tri in tris:
+        planes = _convex_edges(np.vstack([tri, tri[:1]]))
+        tb = (
+            float(tri[:, 0].min()),
+            float(tri[:, 1].min()),
+            float(tri[:, 0].max()),
+            float(tri[:, 1].max()),
+        )
+        tri_data.append((tb, planes))
+    segs: list = []
+    pts: list = []
+    for line in (l for l in a.flatten() if l.tag == G.LINESTRING):
+        aa = line.data
+        for i in range(len(aa) - 1):
+            p = aa[i, :2].astype(float)
+            q = aa[i + 1, :2].astype(float)
+            sx0, sx1 = min(p[0], q[0]), max(p[0], q[0])
+            sy0, sy1 = min(p[1], q[1]), max(p[1], q[1])
+            if np.array_equal(p, q):
+                continue
+            ivs: list = []
+            for (bx0, by0, bx1, by1), planes in tri_data:
+                if sx0 > bx1 or sx1 < bx0 or sy0 > by1 or sy1 < by0:
+                    continue
+                t0, t1 = 0.0, 1.0
+                ok = True
+                for (pa, pb, pc) in planes:
+                    dp = pa * p[0] + pb * p[1] + pc
+                    dq = pa * q[0] + pb * q[1] + pc
+                    if dp < 0 and dq < 0:
+                        ok = False
+                        break
+                    if dp < 0:
+                        t0 = max(t0, dp / (dp - dq))
+                    elif dq < 0:
+                        t1 = min(t1, dp / (dp - dq))
+                if not ok or t0 > t1:
+                    continue
+                ivs.append((t0, t1))
+            if not ivs:
+                continue
+            ivs.sort()
+            merged = [list(ivs[0])]
+            for lo, hi in ivs[1:]:
+                if lo <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], hi)
+                else:
+                    merged.append([lo, hi])
+            for lo, hi in merged:
+                if hi > lo:
+                    segs.append((tuple(p + lo * (q - p)), tuple(p + hi * (q - p))))
+                else:
+                    pt = p + lo * (q - p)
+                    pts.append((float(pt[0]), float(pt[1])))
+    for leaf in (l for l in a.flatten() if l.tag == G.POINT):
+        if not leaf.is_empty() and intersects(leaf, b):
+            pts.append((float(leaf.data[0]), float(leaf.data[1])))
+    lines: Geometry | None = None
+    if segs:
+        two_pt = [
+            Geometry(G.LINESTRING, np.asarray([s0, s1], dtype=np.float64))
+            for s0, s1 in segs
+        ]
+        lines = normalize(line_merge(
+            Geometry(G.MULTILINESTRING, two_pt) if len(two_pt) > 1 else two_pt[0]
+        ))
+        line_leaves = [l for l in lines.flatten() if l.tag == G.LINESTRING]
+        pts = [
+            (x, y)
+            for x, y in pts
+            if not any(point_on_seq(x, y, l.data) for l in line_leaves)
+        ]
+    point_geoms = [G.point(x, y) for x, y in sorted(set(pts))]
+    if lines is None and not point_geoms:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    if lines is None:
+        return point_geoms[0] if len(point_geoms) == 1 else G.collect(point_geoms)
+    if not point_geoms:
+        return lines
+    return Geometry(G.GEOMETRYCOLLECTION, list(lines.flatten()) + point_geoms)
+
+
 def intersection(a: Geometry, b: Geometry) -> Geometry:
     if a.is_empty() or b.is_empty() or _bbox_disjoint(a, b):
         return G.empty(G.GEOMETRYCOLLECTION)
@@ -1396,6 +1589,11 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
     b_leaves = list(b.flatten())
     if all(l.tag == G.POINT for l in b_leaves):
         return intersection(b, a)
+    # no areal component on either side: dedicated linework overlay
+    if all(l.tag in (G.POINT, G.LINESTRING) for l in a_leaves) and all(
+        l.tag in (G.POINT, G.LINESTRING) for l in b_leaves
+    ):
+        return _intersection_lines(a, b)
     # convex clip region?
     clip = None
     if is_convex_polygon(b):
@@ -1417,6 +1615,15 @@ def intersection(a: Geometry, b: Geometry) -> Geometry:
         if not out:
             return G.empty(G.GEOMETRYCOLLECTION)
         return _maybe_dissolve(out[0] if len(out) == 1 else G.collect(out))
+    # lineal x general areal (concave / holes / multipolygon): the convex
+    # fast path above could not apply, but the triangle-decomposition line
+    # clip can
+    a_tags = {l.tag for l in a_leaves}
+    b_tags = {l.tag for l in b_leaves}
+    if a_tags <= {G.POINT, G.LINESTRING} and b_tags == {G.POLYGON}:
+        return _intersection_line_areal(a, b)
+    if b_tags <= {G.POINT, G.LINESTRING} and a_tags == {G.POLYGON}:
+        return _intersection_line_areal(b, a)
     if covers(b, a):
         return a
     if covers(a, b):

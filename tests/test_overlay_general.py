@@ -196,3 +196,94 @@ def test_buffer_style_sql(spark):
         " 2.0D, 16, 'flat', 'round')), 6) AS a"
     ).collect()
     assert rows[0].a == 40.0
+
+
+# ---------------------------------------------------------------------------
+# mixed-dimension intersection (line x line, line x areal) — reference
+# geos/functions/scalar/st_intersection.cpp delegates to GEOS OverlayNG;
+# these pin the L x L and L x A dimension rules
+# ---------------------------------------------------------------------------
+
+from duckdb_spatial_spark.geo import to_wkt
+
+
+@pytest.mark.parametrize(
+    "a, b, expected",
+    [
+        # proper crossing -> point
+        ("LINESTRING (0 0, 4 4)", "LINESTRING (0 4, 4 0)", "POINT (2 2)"),
+        # endpoint touch -> point
+        ("LINESTRING (0 0, 2 2)", "LINESTRING (2 2, 4 0)", "POINT (2 2)"),
+        # collinear overlap -> line
+        ("LINESTRING (0 0, 4 0)", "LINESTRING (2 0, 6 0)", "LINESTRING (2 0, 4 0)"),
+        # disjoint -> empty
+        ("LINESTRING (0 0, 1 0)", "LINESTRING (0 2, 1 2)", "GEOMETRYCOLLECTION EMPTY"),
+        # identical -> self
+        ("LINESTRING (0 0, 1 1)", "LINESTRING (0 0, 1 1)", "LINESTRING (0 0, 1 1)"),
+        # crossing + collinear mix -> collection, 0D hit not covered by 1D
+        (
+            "LINESTRING (0 0, 4 0, 4 4)",
+            "LINESTRING (2 0, 6 0, 6 2, 2 2)",
+            "GEOMETRYCOLLECTION (LINESTRING (2 0, 4 0), POINT (4 2))",
+        ),
+        # two branches crossing at one coordinate -> deduped single point
+        (
+            "MULTILINESTRING ((0 0, 2 2), (0 2, 2 0))",
+            "LINESTRING (1 0, 1 4)",
+            "POINT (1 1)",
+        ),
+        # collection with stray point leaf
+        (
+            "GEOMETRYCOLLECTION (POINT (3 3), LINESTRING (0 0, 2 0))",
+            "LINESTRING (1 -1, 1 5)",
+            "POINT (1 0)",
+        ),
+    ],
+)
+def test_line_line_intersection(a, b, expected):
+    assert to_wkt(A.intersection(from_wkt(a), from_wkt(b))) == expected
+    # symmetric
+    assert to_wkt(A.intersection(from_wkt(b), from_wkt(a))) == expected
+
+
+L_BIG = "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))"
+
+
+@pytest.mark.parametrize(
+    "a, b, expected",
+    [
+        # convex square, line across -> clipped line (convex fast path)
+        (
+            "LINESTRING (-1 1, 5 1)",
+            "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+            "LINESTRING (0 1, 4 1)",
+        ),
+        # concave L, line through the left column only
+        ("LINESTRING (-1 2.5, 5 2.5)", L_BIG, "LINESTRING (0 2.5, 1 2.5)"),
+        # concave L, line through the bottom bar spanning both arms
+        ("LINESTRING (-1 0.5, 5 0.5)", L_BIG, "LINESTRING (0 0.5, 4 0.5)"),
+        # holed polygon, line across the hole -> split into two pieces
+        (
+            "LINESTRING (-1 5, 11 5)",
+            "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+            "MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))",
+        ),
+        # multipolygon, line across both parts
+        (
+            "LINESTRING (-1 1, 7 1)",
+            "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((4 0, 6 0, 6 2, 4 2, 4 0)))",
+            "MULTILINESTRING ((0 1, 2 1), (4 1, 6 1))",
+        ),
+        # line along a boundary edge of the concave polygon (closed set)
+        ("LINESTRING (-1 0, 5 0)", L_BIG, "LINESTRING (0 0, 4 0)"),
+        # vertex-only touch -> point
+        (
+            "LINESTRING (1 5, 3 5)",
+            "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 2 5, 0 4, 0 0))",
+            "POINT (2 5)",
+        ),
+    ],
+)
+def test_line_areal_intersection(a, b, expected):
+    assert to_wkt(A.intersection(from_wkt(a), from_wkt(b))) == expected
+    assert to_wkt(A.intersection(from_wkt(b), from_wkt(a))) == expected
