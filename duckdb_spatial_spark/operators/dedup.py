@@ -16,6 +16,7 @@ LSH instead of all-pairs, map-side combines on every groupBy.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -702,13 +703,25 @@ def minhash_index_query(
     isigs = spark.read.parquet(f"{path}/sigs").select(
         F.col("_id").alias("index_id"), F.col("_sig").alias("_isig")
     )
-    est = F.size(
-        F.filter(F.zip_with(F.col("_qsig"), F.col("_isig"), lambda a, b: a == b), lambda x: x)
-    ) / F.lit(float(nh))
+    # Arrow-batched agreement count: zip_with/filter/size are
+    # CodegenFallback (interpreted per signature element); one vectorized
+    # numpy compare per candidate pair instead
+    nhf = float(nh)
+
+    @F.pandas_udf("double")
+    def _agree(qs: pd.Series, ws: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                float(np.sum(np.asarray(a) == np.asarray(b))) / nhf
+                for a, b in zip(qs, ws)
+            ],
+            dtype="float64",
+        )
+
     return (
         cand.join(qsigs.select(F.col("_id").alias("query_id"), F.col("_sig").alias("_qsig")), "query_id")
         .join(isigs, "index_id")
-        .withColumn("est_jaccard", est)
+        .withColumn("est_jaccard", _agree(F.col("_qsig"), F.col("_isig")))
         .filter(F.col("est_jaccard") >= float(threshold))
         .select("query_id", "index_id", "est_jaccard")
     )

@@ -137,7 +137,13 @@ def winnowing_fingerprints(
 
     def winnow(batches):
         B = np.uint64(1000003)
-        Bk = B ** np.uint64(kk - 1)
+        # B^(k-1-t) weights for the closed-form k-term Horner sum; uint64
+        # wraparound IS the modulus, so build the powers under wraparound too
+        with np.errstate(over="ignore"):
+            pows = np.ones(kk, dtype=np.uint64)
+            for i in range(1, kk):
+                pows[i] = pows[i - 1] * B
+            weights = pows[::-1].copy()  # weights[t] = B^(k-1-t)
         for pdf in batches:
             ids_out, fps_out = [], []
             for did, text in zip(pdf["_id"], pdf["_t"]):
@@ -149,22 +155,15 @@ def winnowing_fingerprints(
                 n = len(data)
                 if n < kk:
                     continue
-                # rolling polynomial hash over all k-grams (vectorized
-                # horner); uint64 wraparound IS the modulus — silence the
-                # expected overflow warnings
-                h = np.zeros(n - kk + 1, dtype=np.uint64)
+                # polynomial hash of every k-gram as the closed-form sum
+                # h[j] = Σ_t data[j+t]·B^(k-1-t): k fully-vectorized
+                # multiply-adds instead of a per-byte Python recurrence;
+                # identical values mod 2^64 (wraparound commutes)
+                m = n - kk + 1
+                h = np.zeros(m, dtype=np.uint64)
                 with np.errstate(over="ignore"):
-                    acc = np.uint64(0)
-                    for i in range(kk):
-                        acc = acc * B + data[i]
-                    h[0] = acc
-                    if n > kk:
-                        lead = data[: n - kk] * Bk
-                        rest = data[kk:]
-                        cur = acc
-                        for i in range(1, n - kk + 1):
-                            cur = (cur - lead[i - 1]) * B + rest[i - 1]
-                            h[i] = cur
+                    for t in range(kk):
+                        h += data[t : t + m] * weights[t]
                 m = len(h)
                 if m <= ww:
                     sel = {int(h.min())}
@@ -205,12 +204,23 @@ def bm25_topk(
     terms = [t for t in dict.fromkeys(_ascii_ws_split(query.lower())) if t]
     if not terms:
         raise ValueError("bm25_topk: empty query")
-    qarr = F.array(*[F.lit(t) for t in terms])
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.size(toks).alias("_dl"),
-        F.filter(toks, lambda t: F.array_contains(qarr, t)).alias("_qt"),
+    term_set = frozenset(terms)
+
+    # Arrow-batched tokenizer: the HOF spelling (F.split + F.filter +
+    # F.array_contains) is CodegenFallback — interpreted per TOKEN; one
+    # pandas UDF crossing per row replaces it (same ASCII-\s semantics as
+    # the oracle's string_split_regex)
+    @F.pandas_udf("struct<dl: bigint, qt: array<string>>")
+    def _tok(s: pd.Series) -> pd.DataFrame:
+        dls, qts = [], []
+        for text in s:
+            toks = _ascii_ws_split(str(text).lower()) if text is not None else []
+            dls.append(len(toks))
+            qts.append([t for t in toks if t in term_set])
+        return pd.DataFrame({"dl": pd.Series(dls, dtype="int64"), "qt": qts})
+
+    base = df.select(F.col(id_col).alias("_id"), _tok(F.col(text_col)).alias("_s")).select(
+        "_id", F.col("_s.dl").alias("_dl"), F.col("_s.qt").alias("_qt")
     )
     # corpus stats stay a lazy 1-row aggregate broadcast into the scoring
     # join (no eager collect; one plan end-to-end). avg over exact long

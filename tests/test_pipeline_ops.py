@@ -200,6 +200,23 @@ def test_fingerprints(spark, docs):
     wf = X.winnowing_fingerprints(docs.limit(20), "doc_id", "text")
     assert wf.count() > 20  # several fingerprints per doc
     assert wf.groupBy("id").count().count() == 20
+    # pinned values: regression guard for the vectorized k-term Horner hash
+    # (must stay identical to the original rolling recurrence mod 2^64)
+    pin = spark.createDataFrame(
+        [(7, "The quick brown fox jumps over the lazy dog. " * 4)],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r.fingerprint
+        for r in X.winnowing_fingerprints(pin, "doc_id", "text", k=9, window=20).collect()
+    )
+    assert got == [
+        531064283153794076,
+        1033030311172948038,
+        1432738009729813356,
+        1817948233958924258,
+        2361024517637207965,
+    ]
 
 
 def test_multimodal_plumbing(spark):
