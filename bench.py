@@ -512,6 +512,7 @@ def main():
     ratio = {
         k: round(timings[k] / duck[k], 2) for k in timings if k in duck and duck[k] > 0
     }
+    # full record first (humans / logs)...
     print(
         json.dumps(
             {
@@ -527,6 +528,23 @@ def main():
                 "config": {"cpus": cpus, "warmup": True, "points_large": large,
                            "timing": "best-of-N (see repeats)"},
             }
+        )
+    )
+    # ...then a compact record as the FINAL stdout line: the driver keeps
+    # only the last ~2000 chars, and the full record (repeats + duckdb
+    # maps) overflows that window, truncating the head of the JSON
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "sf": sf,
+                "ratio": ratio,
+                "n_errors": len(errors),
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

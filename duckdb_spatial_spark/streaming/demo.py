@@ -43,10 +43,18 @@ def streaming_session_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: first occurrence of each content fingerprint
     wins; later duplicates are dropped across micro-batches via
-    applyInPandasWithState (GroupState keyed by fingerprint)."""
+    applyInPandasWithState (GroupState keyed by fingerprint).
+
+    ``state_ttl_ms``: optional ProcessingTimeTimeout TTL — a fingerprint
+    not seen for this long is evicted, so a duplicate arriving later than
+    the TTL is re-emitted. Without it the fingerprint state grows with the
+    number of DISTINCT documents forever (unbounded at 100 TB/day unless
+    the keyspace is bounded); dedup-within-retention is the standard
+    trade (same contract as Kafka Streams' windowed dedup)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -61,9 +69,18 @@ def streaming_session_dedup(
         ]
     )
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    ttl = int(state_ttl_ms) if state_ttl_ms else 0
 
     def dedupe(key, pdfs, state: GroupState):
-        if state.exists:
+        if state.hasTimedOut:
+            # TTL expiry tick: drop the fingerprint; a future duplicate
+            # re-enters as first-seen
+            state.remove()
+            return iter([])
+        seen = state.exists
+        if ttl:
+            state.setTimeoutDuration(ttl)
+        if seen:
             return iter([])
         first_id = None
         for pdf in pdfs:
@@ -76,8 +93,11 @@ def streaming_session_dedup(
         return iter([pd.DataFrame({"fp": [key[0]], id_col: [first_id]})])
 
     if fp.isStreaming:
+        timeout = (
+            GroupStateTimeout.ProcessingTimeTimeout if ttl else GroupStateTimeout.NoTimeout
+        )
         return fp.groupBy("fp").applyInPandasWithState(
-            dedupe, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+            dedupe, out_schema, state_schema, "append", timeout
         )
     # batch parity path
     from ..operators.dedup import dedup_exact

@@ -113,3 +113,57 @@ def test_streaming_spatial_join(spark, tmp_path):
         ).select("pid", "rid").collect()
     }
     assert got == expected and len(expected) > 20
+
+
+def test_streaming_session_dedup_ttl(spark, tmp_path):
+    """ProcessingTimeTimeout TTL: an expired fingerprint is evicted, so a
+    duplicate arriving after the TTL is re-emitted as first-seen (the
+    bounded-state contract for a 100 TB/day stream). One continuous query;
+    timeout batches fire between file arrivals. TTL 5s >> the file-source
+    discovery latency so in-window suppression is observable."""
+    import time
+
+    src = str(tmp_path / "ttl_src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(1, "dup"), (2, "uniq")], schema).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    docs = spark.readStream.schema(schema).parquet(src)
+    out = streaming_session_dedup(docs, state_ttl_ms=5000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_out")
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+
+    def rows():
+        return {(r.fp, r.doc_id) for r in spark.sql("SELECT * FROM ttl_out").collect()}
+
+    def wait_for(n, deadline=60.0):
+        t0 = time.time()
+        while time.time() - t0 < deadline:
+            got = rows()
+            if len(got) >= n:
+                return got
+            time.sleep(0.2)
+        raise AssertionError(f"timed out waiting for {n} rows; have {rows()}")
+
+    try:
+        got1 = wait_for(2)
+        assert {d for _, d in got1} == {1, 2}
+        fp_dup = next(fp for fp, d in got1 if d == 1)
+        # duplicate content within the TTL window is suppressed
+        spark.createDataFrame([(3, "dup")], schema).write.mode("append").parquet(src)
+        time.sleep(2.5)  # well under the 5s TTL; id=3 is processed by now
+        assert {d for _, d in rows()} == {1, 2}
+        # idle past the TTL -> the timeout tick evicts the fingerprints;
+        # the same content arrives again and is re-emitted as first-seen
+        time.sleep(8.0)
+        spark.createDataFrame([(9, "dup")], schema).write.mode("append").parquet(src)
+        got3 = wait_for(3)
+        assert (fp_dup, 9) in got3
+    finally:
+        q.stop()
