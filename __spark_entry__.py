@@ -1619,6 +1619,32 @@ def q_mif_roundtrip(spark, sf_dir):
     )
 
 
+def q_tab_roundtrip(spark, sf_dir):
+    """MapInfo TAB binary write -> read round trip (sources/mapinfo_tab.py;
+    the binary half of GDAL's 'MapInfo File' driver — .dat xBASE attributes,
+    .id offsets, 512-byte-block .map geometry per the public MITAB format
+    description). Ints survive as N(dec 0), doubles as repr text (exact),
+    coordinates quantize to the layout's int32 grid (resolution ~5e-6 over
+    a 10^4-unit extent) — round(5) absorbs the half-grid error."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources.mapinfo_tab import read_tab, write_tab
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name, x / 4 AS score,"
+        f" id % 2 = 0 AS flag, x, y FROM ({_PTS}) WHERE id < 350"
+    ).withColumn("geom", F.expr("ST_Point(x, y)")).drop("x", "y")
+    path = os.path.join(_fresh_tmp("tab_q"), "rt.tab")
+    write_tab(df, path)
+    back = read_tab(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "flag",
+        "round(ST_X(geom), 5) AS x", "round(ST_Y(geom), 5) AS y",
+    )
+
+
 def q_osm_read(spark, sf_dir):
     """ST_ReadOSM (sources/osm.py; fixed 8-column schema mirroring
     st_read_osm.cpp:39-96). A deterministic .osm.pbf is generated from the
@@ -2194,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dxf_read": q_dxf_read,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
+        "tab_roundtrip": q_tab_roundtrip,
         "gdb_roundtrip": q_gdb_roundtrip,
         "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
@@ -2854,6 +2881,12 @@ def oracle_sql() -> dict[str, str]:
         "mif_roundtrip": f"""
             SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
                    x / 4 AS score, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 350
+        """,
+        "tab_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   x / 4 AS score, id % 2 = 0 AS flag,
+                   round(x, 5) AS x, round(y, 5) AS y
             FROM ({pts}) WHERE id < 350
         """,
         "osm_read": f"""

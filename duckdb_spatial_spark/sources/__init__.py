@@ -27,7 +27,8 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),
             (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
             (".topojson", "topojson"), (".dxf", "dxf"), (".xlsx", "xlsx"),
-            (".mif", "mapinfo"), (".gdb", "filegdb"), (".gdbtable", "filegdb"),
+            (".mif", "mapinfo"), (".tab", "mapinfo_tab"), (".gdb", "filegdb"),
+            (".gdbtable", "filegdb"),
             (".arrow", "arrow"), (".feather", "arrow"), (".arrows", "arrow"),
         ):
             if p.endswith(ext):
@@ -83,6 +84,8 @@ def st_read(spark, path: str, format: str | None = None, **options):
         return read_xlsx(spark, path, **options)
     if fmt in ("mapinfo", "mif"):
         return read_mif(spark, path, **options)
+    if fmt in ("mapinfo_tab", "tab"):
+        return read_tab(spark, path, **options)
     if fmt in ("filegdb", "gdb", "openfilegdb"):
         return read_gdb(spark, path, **options)
     if fmt in ("arrow", "feather", "ipc"):
@@ -121,6 +124,7 @@ from .xmlgeo import read_gml, read_gpx, read_kml, write_kml  # noqa: F401
 from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
+from .mapinfo_tab import read_tab, write_tab  # noqa: F401
 from .filegdb import gdb_layers, read_gdb, write_gdb  # noqa: F401
 from .arrowipc import read_arrow_ipc, write_arrow_ipc  # noqa: F401
 

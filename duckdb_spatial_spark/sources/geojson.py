@@ -370,7 +370,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("TopoJSON", "TopoJSON topologies, shared-arc decode (read-only)", False, False, True, ""),
         ("DXF", "AutoCAD ASCII DXF entities (read/write)", True, True, True, ""),
         ("XLSX", "OOXML spreadsheet, one sheet per layer (read/write)", True, True, True, ""),
-        ("MapInfo File", "MapInfo MIF/MID interchange pair (read/write)", True, True, True, ""),
+        ("MapInfo File", "MapInfo MIF/MID interchange pair + TAB binary dataset (read/write)", True, True, True, ""),
         ("OpenFileGDB", "Esri FileGDB v10 subset (.gdbtable/.gdbtablx, read/write)", True, True, True, ""),
         ("Arrow", "Arrow IPC / Feather v2, batch-parallel read (read/write)", True, True, True, ""),
     ]

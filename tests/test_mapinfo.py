@@ -123,3 +123,115 @@ def test_mif_max_rows_guard(spark, tmp_path):
     df = spark.range(5).withColumn("geom", F.expr("ST_Point(CAST(id AS DOUBLE), 0.0D)"))
     with pytest.raises(ValueError, match="max_rows"):
         write_mif(df, str(tmp_path / "g.mif"), max_rows=3)
+
+
+# ---------------------------------------------------------------------------
+# TAB binary (sources/mapinfo_tab.py — MITAB-documented block layout)
+# ---------------------------------------------------------------------------
+
+from duckdb_spatial_spark.sources.mapinfo_tab import read_tab, write_tab
+
+
+def test_tab_roundtrip_all_types(spark, tmp_path):
+    rows = [
+        (1, "pt", 1.5, "POINT (10.25 -3.5)"),
+        (2, "ln2", 2.5, "LINESTRING (0 0, 5 5)"),
+        (3, "pl", None, "LINESTRING (0 0, 1 2, 3 1, 4 4, 2 5)"),
+        (4, "ml", 4.0, "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))"),
+        (5, "poly", 5.25,
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2))"),
+        (6, "none", 0.0, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, score double, wkt string")
+    df = df.withColumn("geom", F.expr("ST_GeomFromText(wkt)")).drop("wkt")
+    path = str(tmp_path / "rt.tab")
+    write_tab(df, path)
+    for ext in (".tab", ".dat", ".map", ".id"):
+        assert (tmp_path / ("rt" + ext)).exists()
+    back = read_tab(spark, path)
+    back.createOrReplaceTempView("_tab_rt")
+    got = {
+        int(r.id): r
+        for r in spark.sql(
+            """SELECT id, name, score, ST_AsText(geom) AS wkt,
+                      ST_GeometryType(geom) AS gt,
+                      round(coalesce(ST_Area(geom), 0), 5) AS area,
+                      round(coalesce(ST_Length(geom), 0), 5) AS length
+               FROM _tab_rt"""
+        ).collect()
+    }
+    assert got[1].gt == "POINT" and got[1].wkt.startswith("POINT")
+    # int32 grid quantization <= half-resolution (~2.5e-6 here)
+    import re
+
+    x, y = map(float, re.findall(r"-?[\d.]+(?:e-?\d+)?", got[1].wkt))
+    assert abs(x - 10.25) < 1e-4 and abs(y - -3.5) < 1e-4
+    assert got[2].gt == "LINESTRING" and abs(got[2].length - 7.07107) < 1e-3
+    assert got[3].gt == "LINESTRING" and got[3].score is None
+    assert got[4].gt == "MULTILINESTRING"
+    assert got[5].gt == "POLYGON" and abs(got[5].area - 96.0) < 1e-3
+    assert got[6].wkt is None
+    # attributes exact (typed .dat round trip)
+    assert got[5].name == "poly" and got[5].score == 5.25
+
+
+def test_tab_st_read_dispatch(spark, tmp_path):
+    df = spark.sql("SELECT 1 AS id, ST_Point(3.0D, 4.0D) AS geom")
+    path = str(tmp_path / "disp.tab")
+    write_tab(df, path)
+    assert st_read(spark, path).count() == 1
+
+
+def test_tab_compressed_symbol_read(spark, tmp_path):
+    """Hand-craft a .map with a compressed SYMBOL_C object (int16 deltas
+    vs the object block center) — read-side support for MITAB's
+    compressed point records."""
+    import struct
+
+    import numpy as np
+
+    from duckdb_spatial_spark.sources.mapinfo_tab import (
+        BLOCK, MAGIC, SYMBOL_C,
+    )
+
+    scale, displ = 1000.0, 0.0
+    cx, cy = 5000, 7000  # block center in int coords = (5.0, 7.0) world
+    rec = struct.pack("<Bi2hB", SYMBOL_C, 1, 250, -500, 1)  # +0.25, -0.5
+    blk = bytearray(struct.pack("<BxH2i2i", 2, len(rec), cx, cy, 0, 0)) + rec
+    hdr = bytearray(BLOCK)
+    struct.pack_into("<i", hdr, 0x100, MAGIC)
+    struct.pack_into("<2h", hdr, 0x104, 300, BLOCK)
+    struct.pack_into("<4d", hdr, 0x140, scale, scale, displ, displ)
+    idx = struct.pack("<Bxh", 1, 1) + struct.pack("<5i", 0, 0, 0, 0, 2 * BLOCK)
+    with open(tmp_path / "c.map", "wb") as f:
+        f.write(bytes(hdr) + idx.ljust(BLOCK, b"\0") + bytes(blk).ljust(BLOCK, b"\0"))
+    with open(tmp_path / "c.id", "wb") as f:
+        f.write(np.asarray([2 * BLOCK + 20], dtype="<i4").tobytes())
+    # minimal one-column .dat (id N)
+    fd = b"id".ljust(11, b"\0") + b"N" + b"\0" * 4 + bytes([10, 0]) + b"\0" * 14
+    with open(tmp_path / "c.dat", "wb") as f:
+        f.write(struct.pack("<4BI2H20x", 3, 24, 1, 1, 1, 32 + 32 + 1, 11))
+        f.write(fd + b"\r" + b" " + b"1".rjust(10) + b"\x1a")
+    with open(tmp_path / "c.tab", "w") as f:
+        f.write("!table\n!version 300\nDefinition Table\n  Fields 1\n    id Integer ;\n")
+    row = read_tab(spark, str(tmp_path / "c.tab")).collect()[0]
+    from duckdb_spatial_spark.geo import wkb as WKB
+
+    g = WKB.from_wkb(row.geom)
+    assert abs(g.data[0] - 5.25) < 1e-9 and abs(g.data[1] - 6.5) < 1e-9
+
+
+def test_tab_big_coord_payload_straddles_blocks(spark, tmp_path):
+    """A polyline long enough that its coord payload spans several chained
+    coord blocks — pins the header-skipping stream reader."""
+    n = 400  # 400 pairs = 3200 bytes > 6 coord blocks
+    pts = ", ".join(f"{i}.0 {(i * 3) % 97}.0" for i in range(n))
+    df = spark.sql(f"SELECT 1 AS id, ST_GeomFromText('LINESTRING ({pts})') AS geom")
+    path = str(tmp_path / "long.tab")
+    write_tab(df, path)
+    back = read_tab(spark, path).collect()[0]
+    from duckdb_spatial_spark.geo import wkb as WKB
+
+    g = WKB.from_wkb(back.geom)
+    assert g.tag == 2 and len(g.data) == n
+    assert abs(g.data[n - 1][0] - (n - 1)) < 1e-3
