@@ -525,6 +525,22 @@ _WKT_CRS_DEFS = {
     ),
 }
 
+# compound CRS (horizontal + vertical): the engine transforms the
+# horizontal member, vertical passes through — PROJ's 2D behavior
+_WKT_CRS_DEFS["osgb_compound"] = (
+    'COMPD_CS["OSGB36 / British National Grid + ODN height",'
+    + _WKT_CRS_DEFS["osgb_wkt1"]
+    + ',VERT_CS["Newlyn",VERT_DATUM["Ordnance Datum Newlyn",2005,'
+    'AUTHORITY["EPSG","5101"]],UNIT["metre",1],AXIS["Gravity-related height",UP],'
+    'AUTHORITY["EPSG","5701"]]]'
+)
+_WKT_CRS_DEFS["esri_compound"] = (
+    'COMPOUNDCRS["WebMercator + height",'
+    + _WKT_CRS_DEFS["esri_webmerc"]
+    + ',VERTCRS["EGM96 height",VDATUM["EGM96 geoid"],CS[vertical,1],'
+    'AXIS["up",up],LENGTHUNIT["metre",1]]]'
+)
+
 
 def q_spatial_transform_wkt(spark, sf_dir):
     """ST_Transform fed WKT CRS definitions (functions/wktcrs.py: OGC WKT1,
@@ -533,7 +549,10 @@ def q_spatial_transform_wkt(spark, sf_dir):
     Ordnance Survey worked example through the WKT2 grammar; rows 2-3 pin
     the same grid coordinates as the EPSG-code route in
     spatial_transform_longtail; row 5's ftUS false origins differ from the
-    published metre values by <0.4 mm, hence the 2-decimal rounding."""
+    published metre values by <0.4 mm, hence the 2-decimal rounding; rows
+    6-7 wrap rows 2/4 in compound (horizontal+vertical) CRS — WKT1
+    COMPD_CS and WKT2 COMPOUNDCRS — and must land on identical grid
+    coordinates."""
     _prep(spark, sf_dir)
     d = _WKT_CRS_DEFS
     cases = [
@@ -542,6 +561,10 @@ def q_spatial_transform_wkt(spark, sf_dir):
         (3, -0.1276, 51.5072, "OGC:CRS84", d["osgb_wkt1"], 3),
         (4, 12.4924, 41.8902, "OGC:CRS84", d["esri_webmerc"], 3),
         (5, -118.2437, 34.0522, "OGC:CRS84", d["ca_wkt1"], 2),
+        # compound CRS: horizontal component drives the transform (rows 6-7
+        # must reproduce rows 2 and 4 exactly)
+        (6, -2.0, 54.0, "OGC:CRS84", d["osgb_compound"], 3),
+        (7, 12.4924, 41.8902, "OGC:CRS84", d["esri_compound"], 3),
     ]
     df = spark.createDataFrame(
         cases, "id long, lon double, lat double, src string, dst string, digits int"
@@ -2689,7 +2712,9 @@ def oracle_sql() -> dict[str, str]:
               (2, 400097.646, 455996.503),
               (3, 530043.195, 180358.209),
               (4, 1390647.607, 5144546.1),
-              (5, 6487847.0, 1841468.25)
+              (5, 6487847.0, 1841468.25),
+              (6, 400097.646, 455996.503),
+              (7, 1390647.607, 5144546.1)
             ) AS t(id, e, n)
         """,
         "spatial_format_ops": """

@@ -10,9 +10,12 @@ engine supports (tmerc, utm, merc, webmerc, lcc 1&2SP, aea, polar stere,
 somerc, longlat) also works from its WKT spelling. Grammar per the public
 specs: OGC 01-009 (WKT1), ISO 19162 / OGC 18-010r7 (WKT2).
 
-Unsupported constructs fail loudly (same policy as parse_proj4): an
-unknown projection method, a non-Greenwich prime meridian, or a vertical/
-compound CRS raises with the construct named, never a silent drop.
+Compound CRS (``COMPD_CS``/``COMPOUNDCRS``) lowers to its horizontal
+component — the vertical axis passes through unchanged, matching PROJ's
+2D behavior. Unsupported constructs fail loudly (same policy as
+parse_proj4): an unknown projection method, a non-Greenwich prime
+meridian, or a bare vertical CRS raises with the construct named, never
+a silent drop.
 """
 
 from __future__ import annotations
@@ -253,7 +256,18 @@ def wkt_to_proj4(s: str) -> str:
         if len(strs) >= 2 and strs[0].upper() == "PROJ4":
             return strs[1].strip()
     if root.kw in ("COMPD_CS", "COMPOUNDCRS"):
-        raise ValueError("WKT CRS: compound CRS (horizontal+vertical) is not supported")
+        # compound (horizontal + vertical): the 2D engine transforms the
+        # horizontal component; the vertical axis passes through unchanged
+        # (PROJ does the same for 2D operations on compound CRS)
+        horiz = root.first("PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS", "GEODCRS")
+        if horiz is None:
+            raise ValueError("WKT CRS: compound CRS without a horizontal component")
+        root = horiz
+        ext = root.first("EXTENSION")
+        if ext is not None:
+            strs = ext.strings()
+            if len(strs) >= 2 and strs[0].upper() == "PROJ4":
+                return strs[1].strip()
     if root.kw in ("VERT_CS", "VERTCRS"):
         raise ValueError("WKT CRS: vertical CRS has no horizontal transform")
     if root.kw in ("GEOGCS", "GEOGCRS", "GEODCRS"):

@@ -136,8 +136,10 @@ def test_unsupported_constructs_raise():
              'PARAMETER["latitude_of_origin",46.8],UNIT["metre",1]]')
     with pytest.raises(ValueError, match="prime meridian|angular unit"):
         wkt_to_proj4(paris)
+    # compound now lowers to its horizontal member; one WITHOUT a
+    # horizontal component still raises
     with pytest.raises(ValueError, match="compound"):
-        wkt_to_proj4('COMPD_CS["c",PROJCS["p"],VERT_CS["v"]]')
+        wkt_to_proj4('COMPD_CS["c",VERT_CS["v"]]')
     with pytest.raises(ValueError, match="unsupported projection method"):
         wkt_to_proj4(OSGB_WKT1.replace("Transverse_Mercator", "Krovak"))
     with pytest.raises(ValueError, match="unsupported parameter"):
@@ -188,3 +190,22 @@ def test_parser_rejects_malformed_input():
         wkt_to_proj4('PROJCS["x"] garbage after')
     with pytest.raises(ValueError):
         wkt_to_proj4("PROJCS")  # no bracket -> no node
+
+
+def test_compound_crs_uses_horizontal_component():
+    compd = (
+        'COMPD_CS["OSGB + ODN",' + OSGB_WKT1 + ',VERT_CS["Newlyn",'
+        'VERT_DATUM["Ordnance Datum Newlyn",2005],UNIT["metre",1],'
+        'AXIS["Up",UP]]]'
+    )
+    assert wkt_to_proj4(compd) == wkt_to_proj4(OSGB_WKT1)
+    w2 = (
+        'COMPOUNDCRS["WGS 84 + EGM96",GEOGCRS["WGS 84",'
+        'DATUM["World Geodetic System 1984",'
+        'ELLIPSOID["WGS 84",6378137,298.257223563]],CS[ellipsoidal,2],'
+        'AXIS["latitude",north],AXIS["longitude",east],'
+        'ANGLEUNIT["degree",0.0174532925199433]],'
+        'VERTCRS["EGM96 height",VDATUM["EGM96 geoid"],CS[vertical,1],'
+        'AXIS["up",up],LENGTHUNIT["metre",1]]]'
+    )
+    assert wkt_to_proj4(w2) == "+proj=longlat +ellps=WGS84"
