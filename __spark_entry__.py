@@ -1668,6 +1668,31 @@ def q_tab_roundtrip(spark, sf_dir):
     )
 
 
+def q_georss_roundtrip(spark, sf_dir):
+    """GeoRSS feed write -> read round trip (sources/xmlgeo.py read_georss /
+    write_georss; GDAL GeoRSS driver analog): RSS 2.0 items with
+    GeoRSS-Simple point geometry (lat-lon wire order), repr-exact doubles."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources.xmlgeo import read_georss, write_georss
+
+    df = spark.sql(
+        f"SELECT concat('t', CAST(id AS STRING)) AS title,"
+        f" concat('http://example/', CAST(id AS STRING)) AS link,"
+        f" x, y FROM ({_PTS}) WHERE id < 300"
+    ).withColumn(
+        "geom", F.expr("ST_Point(x / 100 - 40, y / 200 - 20)")
+    ).drop("x", "y")
+    path = os.path.join(_fresh_tmp("georss_q"), "feed.rss")
+    write_georss(df, path)
+    back = read_georss(spark, path)
+    return back.selectExpr(
+        "title", "link",
+        "round(ST_X(geom), 6) AS lon", "round(ST_Y(geom), 6) AS lat",
+    )
+
+
 def q_osm_read(spark, sf_dir):
     """ST_ReadOSM (sources/osm.py; fixed 8-column schema mirroring
     st_read_osm.cpp:39-96). A deterministic .osm.pbf is generated from the
@@ -2244,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
+        "georss_roundtrip": q_georss_roundtrip,
         "gdb_roundtrip": q_gdb_roundtrip,
         "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
@@ -2914,6 +2940,12 @@ def oracle_sql() -> dict[str, str]:
                    round(x, 5) AS x, round(y, 5) AS y
             FROM ({pts}) WHERE id < 350
         """,
+        "georss_roundtrip": f"""
+            SELECT concat('t', CAST(id AS STRING)) AS title,
+                   concat('http://example/', CAST(id AS STRING)) AS link,
+                   round(x / 100 - 40, 6) AS lon, round(y / 200 - 20, 6) AS lat
+            FROM ({pts}) WHERE id < 300
+        """,
         "osm_read": f"""
             SELECT 'node' AS kind, id + 1 AS id,
                    concat('n', CAST(id % 7 AS STRING)) AS name,
@@ -2961,7 +2993,8 @@ def oracle_sql() -> dict[str, str]:
               ('GPX', 'true', 'true'), ('GML', 'true', 'true'),
               ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'true'),
               ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true'),
-              ('OpenFileGDB', 'true', 'true'), ('Arrow', 'true', 'true')
+              ('OpenFileGDB', 'true', 'true'), ('Arrow', 'true', 'true'),
+              ('GeoRSS', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

@@ -242,6 +242,7 @@ def st_join(
     cell_size: float | None = None,
     distance: float | None = None,
     left_point: tuple | None = None,
+    left_bbox: tuple | None = None,
     right_bbox: tuple | None = None,
     right_is_box: bool = False,
 ) -> DataFrame:
@@ -250,12 +251,16 @@ def st_join(
     how: inner | left_semi | left_anti | left. Column name clashes on the
     right side get a ``_right`` suffix (geometry columns included).
 
-    Native fast lane (the 100-TB path): pass ``left_point=("x", "y")``
-    and/or ``right_bbox=("mnx", "mny", "mxx", "mxy")`` to build the bbox
-    sidecars from plain columns (no Python). With ``right_is_box=True``
-    and a point left side, within/intersects/covered_by/dwithin joins
-    skip the exact-recheck UDF entirely — the whole join is JVM-side
-    (bbox test IS the exact test for point×box)."""
+    Native fast lane (the 100-TB path): pass ``left_point=("x", "y")``,
+    ``left_bbox=(...)`` and/or ``right_bbox=("mnx", "mny", "mxx", "mxy")``
+    to build the bbox sidecars from plain columns (no Python). A layout
+    written by ``write_geo_parquet`` already persists
+    ``bbox_min_x..bbox_max_y`` sidecars — pass those as ``left_bbox`` /
+    ``right_bbox`` and the grid phase never decodes WKB (the reference's
+    cached-RTree-bbox analog). With ``right_is_box=True`` and a point left
+    side, within/intersects/covered_by/dwithin joins skip the
+    exact-recheck UDF entirely — the whole join is JVM-side (bbox test IS
+    the exact test for point×box)."""
     if predicate not in _PREDICATES:
         raise ValueError(f"unsupported predicate {predicate!r}; supported: {sorted(_PREDICATES)}")
     if predicate == "dwithin" and distance is None:
@@ -287,6 +292,12 @@ def st_join(
             "l_bbox",
             F.struct(px.alias("min_x"), py.alias("min_y"), px.alias("max_x"), py.alias("max_y")),
         ).filter(px.isNotNull() & py.isNotNull())
+    elif left_bbox is not None:
+        b0, b1, b2, b3 = (F.col(c) for c in left_bbox)
+        lb = left.withColumn(
+            "l_bbox",
+            F.struct(b0.alias("min_x"), b1.alias("min_y"), b2.alias("max_x"), b3.alias("max_y")),
+        ).filter(b0.isNotNull() & b2.isNotNull())
     else:
         lb = _with_bbox(left, left_geom, "l")
     if right_bbox is not None:

@@ -30,6 +30,7 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".mif", "mapinfo"), (".tab", "mapinfo_tab"), (".gdb", "filegdb"),
             (".gdbtable", "filegdb"),
             (".arrow", "arrow"), (".feather", "arrow"), (".arrows", "arrow"),
+            (".rss", "georss"), (".georss", "georss"), (".atom", "georss"),
         ):
             if p.endswith(ext):
                 return f
@@ -90,6 +91,8 @@ def st_read(spark, path: str, format: str | None = None, **options):
         return read_gdb(spark, path, **options)
     if fmt in ("arrow", "feather", "ipc"):
         return read_arrow_ipc(spark, path, **options)
+    if fmt == "georss":
+        return read_georss(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -120,7 +123,14 @@ from .gpkg import gpkg_layers, read_gpkg, write_gpkg  # noqa: F401
 from .osm import read_osm  # noqa: F401
 from .shapefile import read_shapefile, write_shapefile  # noqa: F401
 from .topojson import read_topojson  # noqa: F401
-from .xmlgeo import read_gml, read_gpx, read_kml, write_kml  # noqa: F401
+from .xmlgeo import (  # noqa: F401
+    read_georss,
+    read_gml,
+    read_gpx,
+    read_kml,
+    write_georss,
+    write_kml,
+)
 from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401

@@ -373,6 +373,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("MapInfo File", "MapInfo MIF/MID interchange pair + TAB binary dataset (read/write)", True, True, True, ""),
         ("OpenFileGDB", "Esri FileGDB v10 subset (.gdbtable/.gdbtablx, read/write)", True, True, True, ""),
         ("Arrow", "Arrow IPC / Feather v2, batch-parallel read (read/write)", True, True, True, ""),
+        ("GeoRSS", "RSS/Atom feeds with GeoRSS-Simple / W3C geo / GML where (read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

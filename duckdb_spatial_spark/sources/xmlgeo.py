@@ -683,3 +683,163 @@ def write_gpx(
     parts.append("</gpx>")
     with open(path, "w", encoding="utf-8") as f:
         f.write("".join(parts))
+
+
+# --------------------------------------------------------------------------
+# GeoRSS (GDAL's GeoRSS driver analog — reference reaches it via st_read.cpp
+# GDAL dispatch). RSS 2.0 <item> / Atom <entry> rows; geometry from
+# GeoRSS-Simple (<georss:point/line/polygon/box>, lat-lon order), GML inside
+# <georss:where>, or W3C <geo:lat>/<geo:long>.
+# --------------------------------------------------------------------------
+
+_GEORSS_FIELDS = ("title", "link", "description", "author", "pubDate", "updated")
+
+
+def _georss_simple_coords(text: str):
+    """GeoRSS-Simple coordinate lists are 'lat lon lat lon ...'."""
+    vals = [float(v) for v in (text or "").split()]
+    return [[vals[i + 1], vals[i]] for i in range(0, len(vals) - 1, 2)]
+
+
+def _swap_xy_geojson(gj):
+    def sw(c):
+        if isinstance(c[0], (int, float)):
+            return [c[1], c[0]] + list(c[2:])
+        return [sw(x) for x in c]
+
+    out = dict(gj)
+    if "coordinates" in out:
+        out["coordinates"] = sw(out["coordinates"])
+    elif out.get("type") == "GeometryCollection":
+        out["geometries"] = [_swap_xy_geojson(g) for g in out.get("geometries", [])]
+    return out
+
+
+def _georss_geom(el):
+    """First GeoRSS geometry found among an item's children -> geojson."""
+    lat = lon = None
+    for c in el:
+        t = _local(c.tag).lower()
+        if t == "point":
+            pts = _georss_simple_coords(c.text)
+            if pts:
+                return {"type": "Point", "coordinates": pts[0]}
+        elif t == "line":
+            return {"type": "LineString", "coordinates": _georss_simple_coords(c.text)}
+        elif t == "polygon":
+            ring = _georss_simple_coords(c.text)
+            if ring and ring[0] != ring[-1]:
+                ring.append(ring[0])
+            return {"type": "Polygon", "coordinates": [ring]}
+        elif t == "box":
+            pts = _georss_simple_coords(c.text)
+            if len(pts) == 2:
+                (x0, y0), (x1, y1) = pts
+                return {
+                    "type": "Polygon",
+                    "coordinates": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+                }
+        elif t == "where":
+            for g in c:
+                gj = _gml_geom(g)
+                if gj is not None:
+                    # GML inside georss:where is in EPSG:4326 axis order
+                    # (lat lon) — swap to x=lon like GDAL's GeoRSS driver
+                    return _swap_xy_geojson(gj)
+        elif t == "lat":
+            lat = float(c.text)
+        elif t in ("long", "lon"):
+            lon = float(c.text)
+    if lat is not None and lon is not None:
+        return {"type": "Point", "coordinates": [lon, lat]}
+    return None
+
+
+def read_georss(spark: SparkSession, path: str) -> DataFrame:
+    """ST_Read for GeoRSS feeds: one row per RSS ``<item>`` / Atom
+    ``<entry>`` with the common feed fields as strings and WKB ``geom``."""
+    files = _expand(path, (".xml", ".rss", ".georss", ".atom"))
+    schema = T.StructType(
+        [T.StructField(n, T.StringType()) for n in _GEORSS_FIELDS]
+        + [T.StructField("geom", T.BinaryType())]
+    )
+
+    def iter_rows(fp):
+        for _, el in ET.iterparse(fp):
+            if _local(el.tag) not in ("item", "entry"):
+                continue
+            vals = {}
+            for c in el:
+                t = _local(c.tag)
+                if t in _GEORSS_FIELDS and c.text and c.text.strip():
+                    vals[t] = c.text.strip()
+                elif t == "link" and not c.text and c.get("href"):
+                    vals["link"] = c.get("href")  # Atom <link href="..."/>
+                elif t == "author" and len(c):  # Atom <author><name>..
+                    for a in c:
+                        if _local(a.tag) == "name" and a.text:
+                            vals["author"] = a.text.strip()
+            gj = _georss_geom(el)
+            yield tuple(vals.get(n) for n in _GEORSS_FIELDS) + (
+                WKB.to_wkb(_from_geojson(gj)) if gj else None,
+            )
+            el.clear()
+
+    return _make_df(spark, files, schema, iter_rows, "georss")
+
+
+def write_georss(
+    df: DataFrame,
+    path: str,
+    geom_col: str = "geom",
+    title_col: str | None = None,
+    max_rows: int = 1_000_000,
+) -> None:
+    """COPY TO (FORMAT GDAL, DRIVER GeoRSS) analog: RSS 2.0 feed with
+    GeoRSS-Simple geometry (lat-lon order). Single-document writer with
+    the standard driver-collect cap."""
+    from ..geo import wkb as _WKB
+
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(f"write_georss: more than max_rows={max_rows} rows")
+    props = [c for c in df.columns if c != geom_col]
+    gi = df.columns.index(geom_col)
+
+    def esc(s):
+        return str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+    def simple(g) -> str:
+        def ll(arr):
+            return " ".join(f"{p[1]!r} {p[0]!r}" for p in arr)
+
+        if g.tag == 1:  # point
+            return f"<georss:point>{g.data[1]!r} {g.data[0]!r}</georss:point>"
+        if g.tag == 2:  # linestring
+            return f"<georss:line>{ll(g.data)}</georss:line>"
+        if g.tag == 3 and g.data:  # polygon: shell only (GeoRSS-Simple limit)
+            return f"<georss:polygon>{ll(g.data[0])}</georss:polygon>"
+        raise ValueError(
+            f"write_georss: GeoRSS-Simple supports point/line/polygon; got tag {g.tag}"
+        )
+
+    out = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<rss version="2.0" xmlns:georss="http://www.georss.org/georss">',
+        "<channel><title>export</title>",
+    ]
+    for r in rows:
+        out.append("<item>")
+        tcol = title_col or ("title" if "title" in props else None)
+        for c in props:
+            v = r[c]
+            if v is None:
+                continue
+            tag = "title" if c == tcol else c
+            out.append(f"<{esc(tag)}>{esc(v)}</{esc(tag)}>")
+        if r[gi] is not None:
+            out.append(simple(_WKB.from_wkb(r[gi])))
+        out.append("</item>")
+    out += ["</channel>", "</rss>"]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(out))

@@ -273,3 +273,39 @@ def test_grid_join_skewed_hot_cell(spark):
     rb = _with_bbox(rects, "geom", "r")
     _ox, _oy, _cs, hot = _grid_params(lb, rb, "l", "r", None, 0.0)
     assert hot, "expected at least one hot cell for a 90%-clustered probe side"
+
+
+def test_left_bbox_persisted_sidecars(spark):
+    """left_bbox: a layout with persisted bbox sidecar columns joins
+    without the left-side WKB decode pass (the ingest-time-bbox lever).
+    Geometry stays available for the exact recheck; only the bbox build
+    is native. Pairs must equal the full geometry path."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        x, y = rng.uniform(0, 100), rng.uniform(0, 100)
+        rows.append((i, x, y))
+    pts = spark.createDataFrame(rows, "pid long, x double, y double")
+    # simulate a write_geo_parquet layout: WKB geom + bbox sidecars
+    lay = (
+        pts.withColumn("geom", udfs.st_point("x", "y"))
+        .selectExpr(
+            "pid", "geom",
+            "x AS bbox_min_x", "y AS bbox_min_y", "x AS bbox_max_x", "y AS bbox_max_y",
+        )
+    )
+    rects = _mk_rects(spark, m=40, seed=8)
+    via_bbox = st_join(
+        lay, rects, predicate="within",
+        left_bbox=("bbox_min_x", "bbox_min_y", "bbox_max_x", "bbox_max_y"),
+    )
+    got = {(r.pid, r.rid) for r in via_bbox.select("pid", "rid").collect()}
+    gp = lay.select("pid", "geom")
+    want = {(r.pid, r.rid) for r in st_join(gp, rects, predicate="within").select("pid", "rid").collect()}
+    assert got == want and len(got) > 20
+    # no mapInPandas bbox pass on the left: the only Python eval left is
+    # the recheck UDF itself
+    plan = via_bbox._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") <= 1  # right side only

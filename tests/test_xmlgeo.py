@@ -190,3 +190,66 @@ def test_kml_write_roundtrip(spark, files, tmp_path):
     assert sorted(_wkt_map(back, "name").items()) == sorted(_wkt_map(df, "name").items())
     pops = {r["name"]: r["pop"] for r in back.collect()}
     assert pops["alpha"] == "1200"
+
+
+# ---------------------------------------------------------------------------
+# GeoRSS
+# ---------------------------------------------------------------------------
+
+def test_georss_roundtrip(spark, tmp_path):
+    from duckdb_spatial_spark.sources.xmlgeo import read_georss, write_georss
+
+    df = spark.sql(
+        """
+        SELECT concat('t', CAST(id AS STRING)) AS title,
+               concat('http://x/', CAST(id AS STRING)) AS link,
+               ST_Point(CAST(id AS DOUBLE) / 10 - 5, CAST(id * 3 AS DOUBLE) / 10 - 8) AS geom
+        FROM range(40) 
+        """
+    )
+    p = str(tmp_path / "feed.xml")
+    write_georss(df, p)
+    back = read_georss(spark, p)
+    back.createOrReplaceTempView("_rss")
+    rows = spark.sql(
+        "SELECT title, link, round(ST_X(geom), 9) AS x, round(ST_Y(geom), 9) AS y FROM _rss"
+    ).collect()
+    assert len(rows) == 40
+    got = {r.title: (r.link, r.x, r.y) for r in rows}
+    assert got["t7"] == ("http://x/7", -4.3, -5.9)
+
+
+def test_georss_simple_and_w3c_and_where(spark, tmp_path):
+    from duckdb_spatial_spark.sources.xmlgeo import read_georss
+
+    feed = """<?xml version="1.0"?>
+<rss version="2.0" xmlns:georss="http://www.georss.org/georss"
+     xmlns:geo="http://www.w3.org/2003/01/geo/wgs84_pos#"
+     xmlns:gml="http://www.opengis.net/gml">
+<channel><title>t</title>
+<item><title>pt</title><georss:point>45.5 -122.6</georss:point></item>
+<item><title>ln</title><georss:line>45 -122 46 -121</georss:line></item>
+<item><title>pg</title><georss:polygon>45 -122 46 -122 46 -121 45 -122</georss:polygon></item>
+<item><title>bx</title><georss:box>42 -71 43 -70</georss:box></item>
+<item><title>w3c</title><geo:lat>12.5</geo:lat><geo:long>99.25</geo:long></item>
+<item><title>where</title><georss:where><gml:Point><gml:pos>45.256 -71.92</gml:pos></gml:Point></georss:where></item>
+<item><title>none</title><description>no geom</description></item>
+</channel></rss>"""
+    p = tmp_path / "mixed.rss"
+    p.write_text(feed)
+    back = read_georss(spark, str(p))
+    back.createOrReplaceTempView("_rss2")
+    rows = {
+        r.title: r
+        for r in spark.sql(
+            "SELECT title, ST_AsText(geom) AS wkt, ST_GeometryType(geom) AS gt FROM _rss2"
+        ).collect()
+    }
+    assert rows["pt"].wkt == "POINT (-122.6 45.5)"  # lat-lon -> x=lon
+    assert rows["ln"].gt == "LINESTRING"
+    assert rows["pg"].gt == "POLYGON"
+    assert rows["bx"].wkt == "POLYGON ((-71 42, -70 42, -70 43, -71 43, -71 42))"
+    assert rows["w3c"].wkt == "POINT (99.25 12.5)"
+    # GML inside georss:where is lat-lon order; driver swaps like GDAL
+    assert rows["where"].wkt == "POINT (-71.92 45.256)"
+    assert rows["none"].wkt is None
