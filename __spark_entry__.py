@@ -1693,6 +1693,29 @@ def q_georss_roundtrip(spark, sf_dir):
     )
 
 
+def q_pgdump_roundtrip(spark, sf_dir):
+    """PGDump SQL sink -> reader round trip (sources/pgdump.py; GDAL's
+    write-only PGDump driver analog + a COPY-block reader for pg_dump-style
+    text): typed CREATE TABLE, COPY text escaping, hex EWKB with SRID."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources.pgdump import read_pgdump, write_pgdump
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,"
+        f" x / 4 AS score, id % 2 = 0 AS flag, x, y"
+        f" FROM ({_PTS}) WHERE id < 300"
+    ).withColumn("geom", F.expr("ST_Point(x, y)")).drop("x", "y")
+    path = os.path.join(_fresh_tmp("pgdump_q"), "dump.sql")
+    write_pgdump(df, path, table="pts", srid=4326)
+    back = read_pgdump(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "flag", "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+    )
+
+
 def q_osm_read(spark, sf_dir):
     """ST_ReadOSM (sources/osm.py; fixed 8-column schema mirroring
     st_read_osm.cpp:39-96). A deterministic .osm.pbf is generated from the
@@ -2265,11 +2288,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shp_roundtrip": q_shp_roundtrip,
         "spatial_refsys": q_spatial_refsys,
         "st_drivers_meta": q_st_drivers_meta,
-        "dxf_read": q_dxf_read,
-        "xlsx_roundtrip": q_xlsx_roundtrip,
         "mif_roundtrip": q_mif_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
+        "pgdump_roundtrip": q_pgdump_roundtrip,
         "gdb_roundtrip": q_gdb_roundtrip,
         "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
@@ -2319,7 +2341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics": q_text_metrics,
         "dedup_clusters": q_dedup_clusters,
         "text_ngram_jaccard": q_text_ngram_jaccard,
-        # --- long-stable (green r2-r4, pytest + check_oracle.py coverage) ---
+        # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
+        "dxf_read": q_dxf_read,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
         "spatial_transform_3857": q_spatial_transform_3857,
         "spatial_buffer_area": q_spatial_buffer_area,
         "kml_roundtrip": q_kml_roundtrip,
@@ -2946,6 +2970,12 @@ def oracle_sql() -> dict[str, str]:
                    round(x / 100 - 40, 6) AS lon, round(y / 200 - 20, 6) AS lat
             FROM ({pts}) WHERE id < 300
         """,
+        "pgdump_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   x / 4 AS score, id % 2 = 0 AS flag,
+                   round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+        """,
         "osm_read": f"""
             SELECT 'node' AS kind, id + 1 AS id,
                    concat('n', CAST(id % 7 AS STRING)) AS name,
@@ -2994,7 +3024,7 @@ def oracle_sql() -> dict[str, str]:
               ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'true'),
               ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true'),
               ('OpenFileGDB', 'true', 'true'), ('Arrow', 'true', 'true'),
-              ('GeoRSS', 'true', 'true')
+              ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

@@ -499,6 +499,25 @@ def main():
             "SELECT sum(n_hits) FROM (" + E.oracle_sql()["decontaminate"] + ")",
         )
 
+        @bench("bm25_docs")
+        def _():
+            from duckdb_spatial_spark.operators.textops import bm25_topk
+
+            bm25_topk(
+                spark.table("documents"), "hash join filter vector", k=25
+            ).collect()
+
+        duck_bench(
+            "bm25_docs",
+            "SELECT sum(score) FROM (" + E.oracle_sql()["bm25"] + ")",
+        )
+
+        @bench("winnowing_docs")
+        def _():
+            from duckdb_spatial_spark.operators.textops import winnowing_fingerprints
+
+            winnowing_fingerprints(spark.table("documents"), "doc_id", "text").count()
+
         @bench("ann_brute_topk")
         def _():
             emb = spark.table("embeddings")

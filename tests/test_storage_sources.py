@@ -260,3 +260,67 @@ def test_point_ingest_cluster_matches_generic(spark, tmp_path):
         da.selectExpr("bit_xor(xxhash64(geom)) s").collect()[0]["s"]
         == db.selectExpr("bit_xor(xxhash64(geom)) s").collect()[0]["s"]
     )
+
+
+# ---------------------------------------------------------------------------
+# PGDump (GDAL write-only driver analog + reader for pg_dump-style text)
+# ---------------------------------------------------------------------------
+
+def test_pgdump_roundtrip(spark, tmp_path):
+    from duckdb_spatial_spark.sources.pgdump import read_pgdump, write_pgdump
+
+    df = spark.sql(
+        """
+        SELECT id, concat('s', CAST(id AS STRING)) AS name,
+               CAST(id AS DOUBLE) / 8 AS score, id % 2 = 0 AS flag,
+               CASE WHEN id = 3 THEN NULL
+                    ELSE concat('tab\\there\\nnl', CAST(id AS STRING)) END AS tricky,
+               CASE WHEN id = 5 THEN NULL
+                    ELSE ST_Point(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE)) END AS geom
+        FROM range(10)
+        """
+    )
+    p = str(tmp_path / "dump.sql")
+    write_pgdump(df, p, table="t_exp", srid=4326)
+    text = open(p).read()
+    assert 'CREATE TABLE "public"."t_exp"' in text
+    assert 'COPY "public"."t_exp"' in text and text.rstrip().endswith('USING GIST ("geom");')
+    assert "USING GIST" in text
+    back = read_pgdump(spark, p)
+    back.createOrReplaceTempView("_pg")
+    rows = {
+        r.id: r
+        for r in spark.sql(
+            "SELECT id, name, score, flag, tricky, ST_AsText(geom) AS wkt FROM _pg"
+        ).collect()
+    }
+    assert len(rows) == 10
+    assert rows[2].wkt == "POINT (2 4)" and rows[2].score == 0.25 and rows[2].flag
+    assert rows[3].tricky is None
+    assert rows[5].wkt is None
+    assert rows[4].tricky == "tab\there\nnl4"  # COPY escaping round trip
+
+
+def test_pgdump_ewkb_srid_word(tmp_path):
+    import struct
+
+    from duckdb_spatial_spark.geo import geom as G, wkb as WKB
+    from duckdb_spatial_spark.sources.pgdump import _ewkb_hex
+
+    wkb = WKB.to_wkb(G.point(1.0, 2.0))
+    h = _ewkb_hex(wkb, 4326)
+    raw = bytes.fromhex(h)
+    (code,) = struct.unpack_from("<I", raw, 1)
+    (srid,) = struct.unpack_from("<I", raw, 5)
+    assert code & 0x20000000 and (code & 0xFF) == 1 and srid == 4326
+    assert _ewkb_hex(wkb, 0) == wkb.hex().upper()
+
+
+def test_pgdump_identifier_guard(spark, tmp_path):
+    import pytest as _pytest
+
+    from duckdb_spatial_spark.sources.pgdump import write_pgdump
+
+    df = spark.sql("SELECT 1 AS id, ST_Point(0.0D, 0.0D) AS geom")
+    with _pytest.raises(ValueError, match="identifier"):
+        write_pgdump(df, str(tmp_path / "x.sql"), table='t"; DROP TABLE users;--')
