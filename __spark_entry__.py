@@ -1716,6 +1716,28 @@ def q_pgdump_roundtrip(spark, sf_dir):
     )
 
 
+def q_spatialite_roundtrip(spark, sf_dir):
+    """SpatiaLite database write -> read round trip (sources/spatialite.py;
+    GDAL SQLite/Spatialite driver analog — public BLOB-Geometry format via
+    stdlib sqlite3: START/MBR_END/ENTITY/END markers, class codes, srid)."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources.spatialite import read_spatialite, write_spatialite
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name, x / 4 AS score,"
+        f" x, y FROM ({_PTS}) WHERE id < 300"
+    ).withColumn("geom", F.expr("ST_Point(x, y)")).drop("x", "y")
+    path = os.path.join(_fresh_tmp("spatialite_q"), "db.sqlite")
+    write_spatialite(df, path, layer="pts", srid=4326)
+    back = read_spatialite(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+    )
+
+
 def q_osm_read(spark, sf_dir):
     """ST_ReadOSM (sources/osm.py; fixed 8-column schema mirroring
     st_read_osm.cpp:39-96). A deterministic .osm.pbf is generated from the
@@ -2292,7 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tab_roundtrip": q_tab_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
         "pgdump_roundtrip": q_pgdump_roundtrip,
-        "gdb_roundtrip": q_gdb_roundtrip,
+        "spatialite_roundtrip": q_spatialite_roundtrip,
         "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
@@ -2344,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
         "dxf_read": q_dxf_read,
         "xlsx_roundtrip": q_xlsx_roundtrip,
+        "gdb_roundtrip": q_gdb_roundtrip,
         "spatial_transform_3857": q_spatial_transform_3857,
         "spatial_buffer_area": q_spatial_buffer_area,
         "kml_roundtrip": q_kml_roundtrip,
@@ -2976,6 +2999,11 @@ def oracle_sql() -> dict[str, str]:
                    round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 300
         """,
+        "spatialite_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   x / 4 AS score, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+        """,
         "osm_read": f"""
             SELECT 'node' AS kind, id + 1 AS id,
                    concat('n', CAST(id % 7 AS STRING)) AS name,
@@ -3024,7 +3052,7 @@ def oracle_sql() -> dict[str, str]:
               ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'true'),
               ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true'),
               ('OpenFileGDB', 'true', 'true'), ('Arrow', 'true', 'true'),
-              ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true')
+              ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true'), ('SQLite', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

@@ -31,7 +31,7 @@ def st_read(spark, path: str, format: str | None = None, **options):
             (".gdbtable", "filegdb"),
             (".arrow", "arrow"), (".feather", "arrow"), (".arrows", "arrow"),
             (".rss", "georss"), (".georss", "georss"), (".atom", "georss"),
-            (".sql", "pgdump"),
+            (".sql", "pgdump"), (".sqlite", "spatialite"), (".splite", "spatialite"),
         ):
             if p.endswith(ext):
                 return f
@@ -96,6 +96,8 @@ def st_read(spark, path: str, format: str | None = None, **options):
         return read_georss(spark, path, **options)
     if fmt == "pgdump":
         return read_pgdump(spark, path, **options)
+    if fmt in ("spatialite", "sqlite"):
+        return read_spatialite(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -139,6 +141,7 @@ from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
 from .mapinfo_tab import read_tab, write_tab  # noqa: F401
 from .pgdump import read_pgdump, write_pgdump  # noqa: F401
+from .spatialite import read_spatialite, spatialite_layers, write_spatialite  # noqa: F401
 from .filegdb import gdb_layers, read_gdb, write_gdb  # noqa: F401
 from .arrowipc import read_arrow_ipc, write_arrow_ipc  # noqa: F401
 

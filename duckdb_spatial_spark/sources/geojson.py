@@ -375,6 +375,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("Arrow", "Arrow IPC / Feather v2, batch-parallel read (read/write)", True, True, True, ""),
         ("GeoRSS", "RSS/Atom feeds with GeoRSS-Simple / W3C geo / GML where (read/write)", True, True, True, ""),
         ("PGDump", "PostgreSQL/PostGIS SQL dump, COPY + hex EWKB (read/write)", True, True, True, ""),
+        ("SQLite", "SpatiaLite BLOB-geometry database, stdlib sqlite3 (read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

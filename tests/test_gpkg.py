@@ -125,3 +125,64 @@ def test_missing_layer_raises(spark, tmp_path):
     write_gpkg(df, path, layer="pts")
     with pytest.raises(ValueError):
         read_gpkg(spark, path, layer="nope")
+
+
+# ---------------------------------------------------------------------------
+# SpatiaLite (sources/spatialite.py — BLOB-Geometry format, stdlib sqlite3)
+# ---------------------------------------------------------------------------
+
+def test_spatialite_roundtrip(spark, tmp_path):
+    from duckdb_spatial_spark.sources import st_read
+    from duckdb_spatial_spark.sources.spatialite import (
+        read_spatialite,
+        spatialite_layers,
+        write_spatialite,
+    )
+
+    df = spark.sql(
+        """
+        SELECT id, concat('nm', CAST(id AS STRING)) AS name,
+               CAST(id AS DOUBLE) / 4 AS score,
+               CASE WHEN id % 4 = 0 THEN ST_Point(CAST(id AS DOUBLE), 1.5D)
+                    WHEN id % 4 = 1 THEN ST_GeomFromText('LINESTRING (0 0, 2 2, 4 0)')
+                    WHEN id % 4 = 2 THEN ST_MakeEnvelope(0.0D, 0.0D, CAST(id AS DOUBLE), 2.0D)
+                    ELSE NULL END AS geom
+        FROM range(20)
+        """
+    )
+    p = str(tmp_path / "db.sqlite")
+    write_spatialite(df, p, layer="feats", srid=4326)
+    assert spatialite_layers(p) == [{"table": "feats", "geom_col": "geom", "srid": 4326}]
+    back = read_spatialite(spark, p)
+    back.createOrReplaceTempView("_sl")
+    rows = {
+        r.id: r
+        for r in spark.sql(
+            "SELECT id, name, score, ST_AsText(geom) AS wkt FROM _sl"
+        ).collect()
+    }
+    assert len(rows) == 20
+    assert rows[4].wkt == "POINT (4 1.5)" and rows[4].score == 1.0
+    assert rows[1].wkt == "LINESTRING (0 0, 2 2, 4 0)"
+    assert rows[2].wkt == "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))"
+    assert rows[3].wkt is None
+    # extension dispatch
+    assert st_read(spark, p).count() == 20
+
+
+def test_spatialite_blob_big_endian_and_markers(tmp_path):
+    import struct
+
+    from duckdb_spatial_spark.geo import wkb as WKB, wkt as W
+    from duckdb_spatial_spark.sources.spatialite import splite_to_wkb
+
+    # hand-build a big-endian BLOB: POINT (3 4), srid 31370
+    blob = bytes([0x00, 0x00]) + struct.pack(">i", 31370)
+    blob += struct.pack(">4d", 3, 4, 3, 4) + bytes([0x7C])
+    blob += struct.pack(">i", 1) + struct.pack(">2d", 3, 4) + bytes([0xFE])
+    assert W.to_wkt(WKB.from_wkb(splite_to_wkb(blob))) == "POINT (3 4)"
+    # corrupt END marker -> loud failure
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="END marker"):
+        splite_to_wkb(blob[:-1] + b"\x00")
