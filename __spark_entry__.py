@@ -2226,6 +2226,7 @@ def q_layout_snapshot(spark, sf_dir):
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.plans.snapshot import (
         compact_geo_snapshot,
+        delete_geo_snapshot,
         read_geo_snapshot,
         write_geo_snapshot,
         append_geo_snapshot,
@@ -2236,8 +2237,9 @@ def q_layout_snapshot(spark, sf_dir):
     write_geo_snapshot(pts.filter("id % 3 != 0"), path, point_xy=("x", "y"), num_partitions=4)
     append_geo_snapshot(pts.filter("id % 3 = 0"), path, num_partitions=2, point_xy=("x", "y"))
     v3 = compact_geo_snapshot(spark, path, num_partitions=4) or 2
+    v4 = delete_geo_snapshot(spark, path, "id % 5 = 0") or v3
     outs = []
-    for label, ver in ((1, 1), (2, 2), (3, v3)):
+    for label, ver in ((1, 1), (2, 2), (3, v3), (4, v4)):
         d = read_geo_snapshot(spark, path, version=ver)
         outs.append(
             d.groupBy().agg(
@@ -2630,7 +2632,9 @@ def oracle_sql() -> dict[str, str]:
         f" CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum,"
         f" round(min(x), 6) AS xmin, round(max(y), 6) AS ymax"
         f" FROM ({_PTS}){where}"
-        for label, where in ((1, " WHERE id % 3 <> 0"), (2, ""), (3, ""))
+        for label, where in (
+            (1, " WHERE id % 3 <> 0"), (2, ""), (3, ""), (4, " WHERE id % 5 <> 0"),
+        )
     )
     return {
         "layout_pruned_count": layout_boxes_sql,

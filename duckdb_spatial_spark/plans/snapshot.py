@@ -274,3 +274,76 @@ def vacuum_geo_snapshot(spark: SparkSession, path: str, keep_last: int = 1) -> i
         if n.startswith("data-") and os.path.isdir(d) and not _hadoop_list_parquet(spark, d):
             shutil.rmtree(d, ignore_errors=True)
     return removed
+
+
+def delete_geo_snapshot(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    num_partitions: int | None = None,
+) -> int | None:
+    """Row-level DELETE as a copy-on-write commit (the snapshot answer to
+    the reference R-tree's WAL-maintained row deletes, ``rtree.cpp`` —
+    and the same mechanism as Delta/Iceberg COW deletes):
+
+      1. one scan finds the data files that contain matching rows —
+         bbox/hilbert sidecar columns participate in the predicate, so a
+         windowed delete prunes to the touched region's files via
+         row-group stats before any row is read
+      2. ONLY those files are rewritten (surviving rows, columns
+         untouched — clustering and sidecars are preserved, no
+         re-cluster needed); untouched files carry over by reference
+      3. the new manifest (untouched + rewritten files) commits
+         atomically; prior snapshots still time-travel to the
+         pre-delete data until vacuumed
+
+    Returns the new version, or None when nothing matched."""
+    cur = snapshot_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"{path}: no snapshot manifest")
+    man = _read_manifest(path, cur)
+    rel_files = man["files"]
+    abs_files = [os.path.join(path, f) for f in rel_files]
+
+    from pyspark.sql import functions as F
+    from urllib.parse import unquote, urlparse
+
+    def _norm(uri: str) -> str:
+        return os.path.normpath(unquote(urlparse(uri).path))
+
+    df = spark.read.parquet(*abs_files)
+    hit_rows = (
+        df.filter(predicate)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    affected = {_norm(r._f) for r in hit_rows}
+    if not affected:
+        return None
+    keep_rel = [
+        rel for rel, ab in zip(rel_files, abs_files)
+        if os.path.normpath(ab) not in affected
+    ]
+    rewrite_abs = [
+        ab for ab in abs_files if os.path.normpath(ab) in affected
+    ]
+    version = cur + 1
+    data_dir = os.path.join(path, f"data-{version:08d}")
+    survivors = spark.read.parquet(*rewrite_abs).filter(f"NOT ({predicate})")
+    if num_partitions:
+        survivors = survivors.repartition(num_partitions)
+    if "hilbert" in survivors.columns:
+        survivors = survivors.sortWithinPartitions("hilbert")
+    (
+        survivors.write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(data_dir)
+    )
+    _commit(
+        path,
+        version,
+        {**man, "version": version,
+         "files": keep_rel + _data_files(spark, data_dir)},
+    )
+    return version

@@ -137,3 +137,45 @@ def test_vacuum_reclaims_crash_orphans(spark, layout):
     )
     assert any(f.endswith(".parquet") for f in os.listdir(inflight))
     assert read_geo_snapshot(spark, path).count() == 5000
+
+
+def test_delete_rewrites_only_affected_files(spark, layout):
+    from duckdb_spatial_spark.plans.snapshot import delete_geo_snapshot
+
+    path, _ = layout
+    man1 = read_geo_snapshot(spark, path)
+    n0 = man1.count()
+    # windowed delete: only files overlapping the bbox window get rewritten
+    v = delete_geo_snapshot(
+        spark, path,
+        "bbox_min_x > 100 AND bbox_min_x < 300 AND bbox_min_y > 100 AND bbox_min_y < 300",
+    )
+    assert v == 2
+    after = read_geo_snapshot(spark, path)
+    n_del = man1.filter(
+        "bbox_min_x > 100 AND bbox_min_x < 300 AND bbox_min_y > 100 AND bbox_min_y < 300"
+    ).count()
+    assert n_del > 0
+    assert after.count() == n0 - n_del
+    assert after.filter(
+        "bbox_min_x > 100 AND bbox_min_x < 300 AND bbox_min_y > 100 AND bbox_min_y < 300"
+    ).count() == 0
+    # time travel: v1 still reads the pre-delete rows
+    assert read_geo_snapshot(spark, path, version=1).count() == n0
+    # untouched files carried over BY REFERENCE (not rewritten): the new
+    # manifest shares file entries with v1
+    import json, os
+
+    m1 = json.load(open(os.path.join(path, "_manifest-v00000001.json")))
+    m2 = json.load(open(os.path.join(path, "_manifest-v00000002.json")))
+    shared = set(m1["files"]) & set(m2["files"])
+    assert shared, "expected at least one untouched file to carry over"
+    assert set(m2["files"]) - set(m1["files"]), "expected rewritten files in a new data dir"
+
+
+def test_delete_no_match_returns_none(spark, layout):
+    from duckdb_spatial_spark.plans.snapshot import delete_geo_snapshot
+
+    path, _ = layout
+    assert delete_geo_snapshot(spark, path, "bbox_min_x > 1e9") is None
+    assert snapshot_version(path) == 1
