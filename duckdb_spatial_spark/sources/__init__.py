@@ -122,6 +122,7 @@ from .geojson import (  # noqa: F401
     st_generatepoints,
     st_read_meta,
     write_geojson,
+    write_wkt_csv,
 )
 from .flatgeobuf import read_flatgeobuf  # noqa: F401
 from .gpkg import gpkg_layers, read_gpkg, write_gpkg  # noqa: F401
@@ -134,6 +135,7 @@ from .xmlgeo import (  # noqa: F401
     read_gpx,
     read_kml,
     write_georss,
+    write_gml,
     write_kml,
 )
 from .dxf import read_dxf, write_dxf  # noqa: F401
@@ -253,3 +255,55 @@ def st_read_meta(spark, path: str, format: str | None = None):
     return spark.createDataFrame(
         rows, "file string, driver string, feature_count long, geometry_types string, crs string"
     )
+
+
+def st_write(df, path: str, format: str | None = None, **options):
+    """Generic COPY TO sink: dispatch on format (or sniff the target
+    extension) to the per-format writer — the reference's ``COPY ... TO
+    'file.x' (FORMAT GDAL, DRIVER ...)`` surface (``st_write.cpp:58-170``)
+    re-expressed as one entry point over the pure-Python writers. Options
+    pass through to the writer (``geom_col``, ``max_rows``, ``srid``/
+    ``srs_id``, ``layer``/``table``, ...)."""
+    ext_map = {
+        ".geojson": "geojson", ".ndjson": "geojson", ".json": "geojson",
+        ".csv": "wkt_csv", ".shp": "shapefile", ".gpkg": "geopackage",
+        ".kml": "kml", ".gml": "gml", ".dxf": "dxf", ".xlsx": "xlsx",
+        ".mif": "mapinfo", ".tab": "mapinfo_tab", ".gdbtable": "filegdb",
+        ".arrow": "arrow", ".feather": "arrow", ".rss": "georss",
+        ".georss": "georss", ".sql": "pgdump", ".sqlite": "spatialite",
+        ".splite": "spatialite", ".parquet": "geoparquet",
+    }
+    fmt = (format or "").lower()
+    if not fmt:
+        low = path.lower()
+        for ext, f in ext_map.items():
+            if low.endswith(ext):
+                fmt = f
+                break
+        if not fmt:
+            raise ValueError(f"cannot sniff sink format from {path!r}; pass format=")
+    writers = {
+        "geojson": write_geojson,
+        "wkt_csv": write_wkt_csv, "csv": write_wkt_csv,
+        "shapefile": write_shapefile, "shp": write_shapefile,
+        "geopackage": write_gpkg, "gpkg": write_gpkg,
+        "kml": write_kml, "gml": write_gml, "dxf": write_dxf,
+        "xlsx": write_xlsx, "mapinfo": write_mif, "mif": write_mif,
+        "mapinfo_tab": write_tab, "tab": write_tab,
+        "filegdb": write_gdb, "gdb": write_gdb,
+        "arrow": write_arrow_ipc, "feather": write_arrow_ipc,
+        "georss": write_georss, "pgdump": write_pgdump,
+        "spatialite": write_spatialite, "sqlite": write_spatialite,
+    }
+    if fmt in ("geoparquet", "parquet"):
+        from ..plans.pruning import write_geo_parquet
+
+        return write_geo_parquet(df, path, **options)
+    if fmt == "geojson":
+        # every other st_write target is ONE file at `path`; match that
+        # here (write_geojson's own default is the sharded "lines" style)
+        options.setdefault("style", "collection")
+    w = writers.get(fmt)
+    if w is None:
+        raise ValueError(f"unsupported sink format {format!r}")
+    return w(df, path, **options)

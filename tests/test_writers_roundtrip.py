@@ -116,3 +116,23 @@ def test_single_file_writer_guards(spark, mixed, tmp_path):
     # under the cap both still write
     write_gpkg(mixed, str(tmp_path / "ok.gpkg"), max_rows=100)
     write_shapefile(pts, str(tmp_path / "ok.shp"), max_rows=100)
+
+
+def test_st_write_dispatch(spark, tmp_path):
+    """One entry point for every sink format (COPY TO analog)."""
+    import pytest as _pytest
+
+    from duckdb_spatial_spark.sources import st_read, st_write
+
+    df = spark.sql(
+        "SELECT id, concat('n', CAST(id AS STRING)) AS name,"
+        " ST_Point(CAST(id AS DOUBLE), CAST(id * 2 AS DOUBLE)) AS geom FROM range(25)"
+    )
+    for fname in ("d.geojson", "d.shp", "d.gpkg", "d.kml", "d.mif", "d.tab",
+                  "d.sqlite", "d.sql", "d.rss", "d.arrow"):
+        p = str(tmp_path / fname)
+        st_write(df, p)
+        back = st_read(spark, p)
+        assert back.count() == 25, fname
+    with _pytest.raises(ValueError, match="sniff"):
+        st_write(df, str(tmp_path / "d.unknown"))
