@@ -270,6 +270,25 @@ def main():
             )
             st_join(pts, rects, predicate="within", strategy="grid", cell_size=250.0).count()
 
+        @bench("spatial_join_layout")
+        def _():
+            # ingested-layout lane: the left side is a clustered layout whose
+            # bbox sidecars were PERSISTED at write time (write_geo_parquet)
+            # — st_join(left_bbox=...) skips the WKB-decode pass entirely;
+            # only the right side and the exact recheck cross into Python
+            lay = spark.read.parquet(f"{tmp}/pts").select(
+                "id", "geom", "bbox_min_x", "bbox_min_y", "bbox_max_x", "bbox_max_y"
+            ).filter("bbox_min_x < 2500 AND bbox_min_y < 2500")
+            rects = spark.sql(rects_sql).filter("mx < 2400 AND my < 2400")
+            rects = rects.select(
+                "rid",
+                udfs.st_makeenvelope("mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")).alias("geom"),
+            )
+            st_join(
+                lay, rects, predicate="within", strategy="grid", cell_size=250.0,
+                left_bbox=("bbox_min_x", "bbox_min_y", "bbox_max_x", "bbox_max_y"),
+            ).count()
+
         @bench("spatial_join_native")
         def _():
             # native lane: whole join JVM-side (PLANS.md) — the ingested-data path
@@ -291,6 +310,14 @@ def main():
         )
         if "spatial_join_grid" in duck:
             duck["spatial_join_grid_shuffle"] = duck["spatial_join_grid"]
+        duck_bench(
+            "spatial_join_layout",
+            f"SELECT count(*) FROM"
+            f" (SELECT bbox_min_x AS x, bbox_min_y AS y FROM parquet_scan('{tmp}/pts/*.parquet')"
+            f"  WHERE bbox_min_x < 2500 AND bbox_min_y < 2500) p"
+            f" JOIN (SELECT * FROM ({rects_sql}) WHERE mx < 2400 AND my < 2400) r"
+            f" ON p.x > r.mx AND p.x < r.mx + r.w AND p.y > r.my AND p.y < r.my + r.h",
+        )
         duck_bench(
             "spatial_join_native",
             f"SELECT count(*) FROM ({pts_sql}) p JOIN"
