@@ -232,6 +232,41 @@ def st_read_meta(spark, path: str, format: str | None = None):
         geo = _json.loads(meta.get(b"geo", b"{}") or b"{}")
         gcol = geo.get("primary_column")
         rows.append((path, "Arrow", int(n), "WKB" if gcol else "", ""))
+    elif format in ("mapinfo_tab", "tab") or p.endswith(".tab"):
+        # the .map header carries per-class object counts (no scan)
+        from .mapinfo_tab import _sibling
+
+        base = _os.path.splitext(path)[0]
+        mp = _sibling(base, ".map")
+        n = -1
+        kinds = []
+        if mp is not None:
+            with open(mp, "rb") as f:
+                hdr = f.read(512)
+            counts = _struct.unpack_from("<4i", hdr, 0x12C)
+            n = _struct.unpack_from("<i", hdr, 0x13C)[0]
+            for nm, c in zip(("Point", "Line", "Polygon", "Text"), counts):
+                if c:
+                    kinds.append(nm)
+        dat = _sibling(base, ".dat")
+        if dat is not None:
+            with open(dat, "rb") as f:
+                n_dat = _struct.unpack_from("<I", f.read(8), 4)[0]
+            n = max(n, 0) if n >= 0 else n_dat
+            n = n_dat  # .dat record count includes geometry-less rows
+        rows.append((path, "MapInfo File", int(n), ",".join(kinds), ""))
+    elif format in ("spatialite", "sqlite") or p.endswith((".sqlite", ".splite")):
+        from .gpkg import _ro_connect as _sl_connect
+        from .spatialite import spatialite_layers
+
+        con = _sl_connect(path)
+        try:
+            for lay in spatialite_layers(path):
+                n = con.execute(f'SELECT count(*) FROM "{lay["table"]}"').fetchone()[0]
+                rows.append((f"{path}:{lay['table']}", "SQLite", int(n), "",
+                             f"EPSG:{lay['srid']}"))
+        finally:
+            con.close()
     else:
         from .geojson import st_read_meta as _gj_meta
 

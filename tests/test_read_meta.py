@@ -65,3 +65,22 @@ def test_read_meta_arrow(spark, tmp_path):
     r = st_read_meta(spark, p).collect()[0]
     assert r.driver == "Arrow" and r.feature_count == 250
     assert r.geometry_types == "WKB"
+
+
+def test_read_meta_tab_and_spatialite(spark, tmp_path):
+    from duckdb_spatial_spark.sources import st_read_meta, st_write
+
+    df = spark.sql(
+        "SELECT id, ST_Point(CAST(id AS DOUBLE), 2.0D) AS geom FROM range(30)"
+    )
+    tab = str(tmp_path / "m.tab")
+    st_write(df, tab)
+    r = st_read_meta(spark, tab).collect()[0]
+    assert r.driver == "MapInfo File" and r.feature_count == 30
+    assert "Point" in r.geometry_types
+
+    sl = str(tmp_path / "m.sqlite")
+    st_write(df, sl)
+    r2 = st_read_meta(spark, sl).collect()[0]
+    assert r2.driver == "SQLite" and r2.feature_count == 30
+    assert r2.crs == "EPSG:4326"
