@@ -2168,7 +2168,8 @@ def q_spatial_intersection_lines(spark, sf_dir):
           ST_AsText(ST_Intersection(ST_GeomFromText(wa), ST_GeomFromText(wb))) AS ix,
           ST_AsText(ST_Intersection(ST_GeomFromText(wb), ST_GeomFromText(wa))) AS xi,
           CAST(ST_Dimension(ST_Intersection(ST_GeomFromText(wa), ST_GeomFromText(wb))) AS INT) AS dim,
-          round(ST_Length(ST_Intersection(ST_GeomFromText(wa), ST_GeomFromText(wb))), 6) AS len
+          round(ST_Length(ST_Intersection(ST_GeomFromText(wa), ST_GeomFromText(wb))), 6) AS len,
+          ST_AsText(ST_Difference(ST_GeomFromText(wa), ST_GeomFromText(wb))) AS dif
         FROM _lineix_w
         """
     )
@@ -2641,22 +2642,32 @@ def oracle_sql() -> dict[str, str]:
         "layout_snapshot": snapshot_vers_sql,
         "spatial_intersection_lines": """
             SELECT CAST(id AS BIGINT) AS id, ix, xi, CAST(dim AS INT) AS dim,
-                   CAST(len AS DOUBLE) AS len
+                   CAST(len AS DOUBLE) AS len, dif
             FROM (VALUES
-              (1, 'POINT (2 2)', 'POINT (2 2)', 0, 0.0),
-              (2, 'POINT (2 2)', 'POINT (2 2)', 0, 0.0),
-              (3, 'LINESTRING (2 0, 4 0)', 'LINESTRING (2 0, 4 0)', 1, 2.0),
-              (4, 'GEOMETRYCOLLECTION EMPTY', 'GEOMETRYCOLLECTION EMPTY', 0, 0.0),
+              (1, 'POINT (2 2)', 'POINT (2 2)', 0, 0.0,
+                  'LINESTRING (0 0, 4 4)'),
+              (2, 'POINT (2 2)', 'POINT (2 2)', 0, 0.0,
+                  'LINESTRING (0 0, 2 2)'),
+              (3, 'LINESTRING (2 0, 4 0)', 'LINESTRING (2 0, 4 0)', 1, 2.0,
+                  'LINESTRING (0 0, 2 0)'),
+              (4, 'GEOMETRYCOLLECTION EMPTY', 'GEOMETRYCOLLECTION EMPTY', 0, 0.0,
+                  'LINESTRING (0 0, 1 0)'),
               (5, 'GEOMETRYCOLLECTION (LINESTRING (2 0, 4 0), POINT (4 2))',
-                  'GEOMETRYCOLLECTION (LINESTRING (2 0, 4 0), POINT (4 2))', 1, 2.0),
-              (6, 'LINESTRING (0 1, 4 1)', 'LINESTRING (0 1, 4 1)', 1, 4.0),
-              (7, 'LINESTRING (0 2.5, 1 2.5)', 'LINESTRING (0 2.5, 1 2.5)', 1, 1.0),
+                  'GEOMETRYCOLLECTION (LINESTRING (2 0, 4 0), POINT (4 2))', 1, 2.0,
+                  'MULTILINESTRING ((0 0, 2 0), (4 0, 4 4))'),
+              (6, 'LINESTRING (0 1, 4 1)', 'LINESTRING (0 1, 4 1)', 1, 4.0,
+                  'MULTILINESTRING ((-1 1, 0 1), (4 1, 5 1))'),
+              (7, 'LINESTRING (0 2.5, 1 2.5)', 'LINESTRING (0 2.5, 1 2.5)', 1, 1.0,
+                  'MULTILINESTRING ((-1 2.5, 0 2.5), (1 2.5, 2.5 2.5, 4 2.5, 5 2.5))'),
               (8, 'MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))',
-                  'MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))', 1, 8.0),
+                  'MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))', 1, 8.0,
+                  'MULTILINESTRING ((-1 5, 0 5), (4 5, 5 5, 6 5), (10 5, 11 5))'),
               (9, 'MULTILINESTRING ((0 1, 2 1), (4 1, 6 1))',
-                  'MULTILINESTRING ((0 1, 2 1), (4 1, 6 1))', 1, 4.0),
-              (10, 'POINT (2 5)', 'POINT (2 5)', 0, 0.0)
-            ) AS t(id, ix, xi, dim, len)
+                  'MULTILINESTRING ((0 1, 2 1), (4 1, 6 1))', 1, 4.0,
+                  'MULTILINESTRING ((-1 1, 0 1), (2 1, 4 1), (6 1, 7 1))'),
+              (10, 'POINT (2 5)', 'POINT (2 5)', 0, 0.0,
+                  'LINESTRING (1 5, 2 5, 3 5)')
+            ) AS t(id, ix, xi, dim, len, dif)
         """,
         "spatial_envelope_count": f"""
             SELECT count(*) AS n FROM ({pts})

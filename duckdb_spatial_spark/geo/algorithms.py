@@ -1742,9 +1742,33 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
 
             nxt = []
             for part in result_parts:
-                if part.tag != G.POLYGON:
+                if part.tag == G.POINT:
                     if not covers(bp, part):
                         nxt.append(part)
+                    continue
+                if part.tag != G.POLYGON:
+                    # lineal \ concave area: subtract each triangle of the
+                    # decomposition in turn (each is convex, so the
+                    # progressive half-plane complement applies; a line
+                    # PARTIALLY inside survives as its outside pieces —
+                    # the old covers() test dropped all-or-nothing)
+                    from .triangulate import triangulate
+
+                    cur = [part]
+                    for tri in triangulate(bp):
+                        tri_planes = _convex_edges(np.vstack([tri, tri[:1]]))
+                        stepped = []
+                        for ln in cur:
+                            prefix = []
+                            for (tpa, tpb, tpc) in tri_planes:
+                                piece = _clip_line_convex(
+                                    ln, prefix + [(-tpa, -tpb, -tpc)]
+                                )
+                                if not piece.is_empty():
+                                    stepped.extend(piece.flatten())
+                                prefix.append((tpa, tpb, tpc))
+                        cur = stepped
+                    nxt.extend(cur)
                     continue
                 d = difference_tri(part, bp)
                 nxt.extend(d.flatten())
@@ -1774,6 +1798,14 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
     result_parts = [p for p in result_parts if not p.is_empty()]
     if not result_parts:
         return G.empty(G.GEOMETRYCOLLECTION)
+    # lineal survivors fragment at clip boundaries (triangle edges of a
+    # concave subtrahend, half-plane seams of a convex one) — chain them
+    # back into maximal polylines like GEOS does
+    line_parts = [p for p in result_parts if p.tag == G.LINESTRING]
+    if len(line_parts) > 1:
+        other = [p for p in result_parts if p.tag != G.LINESTRING]
+        merged = line_merge(Geometry(G.MULTILINESTRING, line_parts))
+        result_parts = other + [l for l in merged.flatten() if not l.is_empty()]
     return _maybe_dissolve(
         result_parts[0] if len(result_parts) == 1 else G.collect(result_parts)
     )

@@ -287,3 +287,28 @@ L_BIG = "POLYGON ((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))"
 def test_line_areal_intersection(a, b, expected):
     assert to_wkt(A.intersection(from_wkt(a), from_wkt(b))) == expected
     assert to_wkt(A.intersection(from_wkt(b), from_wkt(a))) == expected
+
+
+@pytest.mark.parametrize(
+    "a, b, expected",
+    [
+        # line minus concave polygon: partial survivors, chained maximal
+        ("LINESTRING (-1 2.5, 5 2.5)", L_BIG,
+         "MULTILINESTRING ((-1 2.5, 0 2.5), (1 2.5, 2.5 2.5, 4 2.5, 5 2.5))"),
+        # line across a hole: the in-hole piece SURVIVES the difference
+        ("LINESTRING (-1 5, 11 5)",
+         "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
+         "MULTILINESTRING ((-1 5, 0 5), (4 5, 5 5, 6 5), (10 5, 11 5))"),
+        # multipolygon subtrahend
+        ("LINESTRING (-1 1, 7 1)",
+         "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((4 0, 6 0, 6 2, 4 2, 4 0)))",
+         "MULTILINESTRING ((-1 1, 0 1), (2 1, 4 1), (6 1, 7 1))"),
+        # point minus concave polygon: inside -> empty, outside notch -> kept
+        ("POINT (0.5 0.5)", L_BIG, "GEOMETRYCOLLECTION EMPTY"),
+        ("POINT (3 3)", L_BIG, "POINT (3 3)"),
+    ],
+)
+def test_line_concave_difference(a, b, expected):
+    from duckdb_spatial_spark.geo import to_wkt
+
+    assert to_wkt(A.difference(from_wkt(a), from_wkt(b))) == expected
