@@ -1825,6 +1825,14 @@ def union(a: Geometry, b: Geometry) -> Geometry:
         return a
     if covers(b, a):
         return b
+    if dimension(a) != dimension(b):
+        # mixed dimensions: the higher-dimension side absorbs the overlap
+        # (GEOS: polygon ∪ line keeps only the line's OUTSIDE pieces,
+        # regardless of argument order)
+        hi, lo = (a, b) if dimension(a) > dimension(b) else (b, a)
+        rest = difference(lo, hi)
+        parts = list(hi.flatten()) + [p for p in rest.flatten() if not p.is_empty()]
+        return _maybe_dissolve(parts[0] if len(parts) == 1 else G.collect(parts))
     diff = difference(a, b)
     parts = list(b.flatten()) + list(diff.flatten())
     return _maybe_dissolve(parts[0] if len(parts) == 1 else G.collect(parts))

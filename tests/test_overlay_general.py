@@ -312,3 +312,16 @@ def test_line_concave_difference(a, b, expected):
     from duckdb_spatial_spark.geo import to_wkt
 
     assert to_wkt(A.difference(from_wkt(a), from_wkt(b))) == expected
+
+
+def test_mixed_dim_union_absorbs_overlap():
+    from duckdb_spatial_spark.geo import to_wkt
+
+    sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    ln = "LINESTRING (-1 1, 5 1)"
+    want = ("GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "LINESTRING (-1 1, 0 1), LINESTRING (4 1, 5 1))")
+    assert to_wkt(A.union(from_wkt(sq), from_wkt(ln))) == want
+    assert to_wkt(A.union(from_wkt(ln), from_wkt(sq))) == want
+    # point on line absorbed either way
+    assert to_wkt(A.union(from_wkt("POINT (1 1)"), from_wkt("LINESTRING (0 0, 2 2)"))) == "LINESTRING (0 0, 2 2)"
