@@ -2658,10 +2658,10 @@ def oracle_sql() -> dict[str, str]:
               (6, 'LINESTRING (0 1, 4 1)', 'LINESTRING (0 1, 4 1)', 1, 4.0,
                   'MULTILINESTRING ((-1 1, 0 1), (4 1, 5 1))'),
               (7, 'LINESTRING (0 2.5, 1 2.5)', 'LINESTRING (0 2.5, 1 2.5)', 1, 1.0,
-                  'MULTILINESTRING ((-1 2.5, 0 2.5), (1 2.5, 2.5 2.5, 4 2.5, 5 2.5))'),
+                  'MULTILINESTRING ((-1 2.5, 0 2.5), (1 2.5, 5 2.5))'),
               (8, 'MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))',
                   'MULTILINESTRING ((0 5, 4 5), (6 5, 10 5))', 1, 8.0,
-                  'MULTILINESTRING ((-1 5, 0 5), (4 5, 5 5, 6 5), (10 5, 11 5))'),
+                  'MULTILINESTRING ((-1 5, 0 5), (4 5, 6 5), (10 5, 11 5))'),
               (9, 'MULTILINESTRING ((0 1, 2 1), (4 1, 6 1))',
                   'MULTILINESTRING ((0 1, 2 1), (4 1, 6 1))', 1, 4.0,
                   'MULTILINESTRING ((-1 1, 0 1), (2 1, 4 1), (6 1, 7 1))'),

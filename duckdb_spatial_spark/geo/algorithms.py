@@ -1480,6 +1480,93 @@ def _intersection_lines(a: Geometry, b: Geometry) -> Geometry:
     return Geometry(G.GEOMETRYCOLLECTION, parts)
 
 
+def _tri_clip_data(b: Geometry):
+    """Triangle decomposition of ``b``'s polygonal parts with per-triangle
+    (bbox, half-plane) clip data."""
+    from .triangulate import triangulate
+
+    tri_data = []
+    for tri in triangulate(b):
+        planes = _convex_edges(np.vstack([tri, tri[:1]]))
+        tb = (
+            float(tri[:, 0].min()),
+            float(tri[:, 1].min()),
+            float(tri[:, 0].max()),
+            float(tri[:, 1].max()),
+        )
+        tri_data.append((tb, planes))
+    return tri_data
+
+
+def _segment_inside_intervals(p, q, tri_data):
+    """Merged parameter intervals of segment p->q inside the (closed)
+    triangle union. Zero-width entries are touch points. Adjacent
+    triangles produce exactly adjoining intervals (the shared-edge plane
+    yields identical split parameters), so the merge is watertight."""
+    sx0, sx1 = min(p[0], q[0]), max(p[0], q[0])
+    sy0, sy1 = min(p[1], q[1]), max(p[1], q[1])
+    ivs: list = []
+    for (bx0, by0, bx1, by1), planes in tri_data:
+        if sx0 > bx1 or sx1 < bx0 or sy0 > by1 or sy1 < by0:
+            continue
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for (pa, pb, pc) in planes:
+            dp = pa * p[0] + pb * p[1] + pc
+            dq = pa * q[0] + pb * q[1] + pc
+            if dp < 0 and dq < 0:
+                ok = False
+                break
+            if dp < 0:
+                t0 = max(t0, dp / (dp - dq))
+            elif dq < 0:
+                t1 = min(t1, dp / (dp - dq))
+        if not ok or t0 > t1:
+            continue
+        ivs.append((t0, t1))
+    if not ivs:
+        return []
+    ivs.sort()
+    merged = [list(ivs[0])]
+    for lo, hi in ivs[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return merged
+
+
+def _difference_line_areal(part: Geometry, b: Geometry) -> list:
+    """Lineal ``part`` minus polygonal ``b``: the complement (gap)
+    intervals of the inside-interval union per segment — duplication-free
+    by construction (the progressive half-plane complement double-counts
+    boundary-running pieces), closed-set (a boundary run is INSIDE, so it
+    leaves the difference). Returns a list of LINESTRING pieces; the
+    caller chains them (line_merge)."""
+    tri_data = _tri_clip_data(b)
+    out = []
+    aa = part.data
+    for i in range(len(aa) - 1):
+        p = aa[i, :2].astype(float)
+        q = aa[i + 1, :2].astype(float)
+        if np.array_equal(p, q):
+            continue
+        prev = 0.0
+        for lo, hi in _segment_inside_intervals(p, q, tri_data):
+            if lo > prev:
+                out.append(Geometry(
+                    G.LINESTRING,
+                    np.asarray([p + prev * (q - p), p + lo * (q - p)], dtype=np.float64),
+                ))
+            prev = max(prev, hi)
+        if prev < 1.0:
+            out.append(Geometry(
+                G.LINESTRING,
+                np.asarray([p + prev * (q - p), q], dtype=np.float64),
+            ))
+    return out
+
+
 def _intersection_line_areal(a: Geometry, b: Geometry) -> Geometry:
     """Lineal/puntal ``a`` ∩ arbitrary polygonal ``b`` (concave, holes,
     multipolygon) via triangle decomposition with per-segment interval
@@ -1492,19 +1579,9 @@ def _intersection_line_areal(a: Geometry, b: Geometry) -> Geometry:
     OverlayNG's dimension rules."""
     from .triangulate import triangulate
 
-    tris = triangulate(b)
-    if not tris:
+    tri_data = _tri_clip_data(b)
+    if not tri_data:
         return G.empty(G.GEOMETRYCOLLECTION)
-    tri_data = []
-    for tri in tris:
-        planes = _convex_edges(np.vstack([tri, tri[:1]]))
-        tb = (
-            float(tri[:, 0].min()),
-            float(tri[:, 1].min()),
-            float(tri[:, 0].max()),
-            float(tri[:, 1].max()),
-        )
-        tri_data.append((tb, planes))
     segs: list = []
     pts: list = []
     for line in (l for l in a.flatten() if l.tag == G.LINESTRING):
@@ -1512,39 +1589,9 @@ def _intersection_line_areal(a: Geometry, b: Geometry) -> Geometry:
         for i in range(len(aa) - 1):
             p = aa[i, :2].astype(float)
             q = aa[i + 1, :2].astype(float)
-            sx0, sx1 = min(p[0], q[0]), max(p[0], q[0])
-            sy0, sy1 = min(p[1], q[1]), max(p[1], q[1])
             if np.array_equal(p, q):
                 continue
-            ivs: list = []
-            for (bx0, by0, bx1, by1), planes in tri_data:
-                if sx0 > bx1 or sx1 < bx0 or sy0 > by1 or sy1 < by0:
-                    continue
-                t0, t1 = 0.0, 1.0
-                ok = True
-                for (pa, pb, pc) in planes:
-                    dp = pa * p[0] + pb * p[1] + pc
-                    dq = pa * q[0] + pb * q[1] + pc
-                    if dp < 0 and dq < 0:
-                        ok = False
-                        break
-                    if dp < 0:
-                        t0 = max(t0, dp / (dp - dq))
-                    elif dq < 0:
-                        t1 = min(t1, dp / (dp - dq))
-                if not ok or t0 > t1:
-                    continue
-                ivs.append((t0, t1))
-            if not ivs:
-                continue
-            ivs.sort()
-            merged = [list(ivs[0])]
-            for lo, hi in ivs[1:]:
-                if lo <= merged[-1][1]:
-                    merged[-1][1] = max(merged[-1][1], hi)
-                else:
-                    merged.append([lo, hi])
-            for lo, hi in merged:
+            for lo, hi in _segment_inside_intervals(p, q, tri_data):
                 if hi > lo:
                     segs.append((tuple(p + lo * (q - p)), tuple(p + hi * (q - p))))
                 else:
@@ -1747,28 +1794,11 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
                         nxt.append(part)
                     continue
                 if part.tag != G.POLYGON:
-                    # lineal \ concave area: subtract each triangle of the
-                    # decomposition in turn (each is convex, so the
-                    # progressive half-plane complement applies; a line
+                    # lineal \ concave area: gap intervals of the
+                    # triangle-union clip (duplication-free; a line
                     # PARTIALLY inside survives as its outside pieces —
                     # the old covers() test dropped all-or-nothing)
-                    from .triangulate import triangulate
-
-                    cur = [part]
-                    for tri in triangulate(bp):
-                        tri_planes = _convex_edges(np.vstack([tri, tri[:1]]))
-                        stepped = []
-                        for ln in cur:
-                            prefix = []
-                            for (tpa, tpb, tpc) in tri_planes:
-                                piece = _clip_line_convex(
-                                    ln, prefix + [(-tpa, -tpb, -tpc)]
-                                )
-                                if not piece.is_empty():
-                                    stepped.extend(piece.flatten())
-                                prefix.append((tpa, tpb, tpc))
-                        cur = stepped
-                    nxt.extend(cur)
+                    nxt.extend(_difference_line_areal(part, bp))
                     continue
                 d = difference_tri(part, bp)
                 nxt.extend(d.flatten())
@@ -1784,13 +1814,16 @@ def difference(a: Geometry, b: Geometry) -> Geometry:
             if not intersects(part, bp):
                 next_parts.append(part)
                 continue
+            if part.tag != G.POLYGON:
+                # lineal: gap-interval clip (the half-plane complement
+                # double-counts boundary-running pieces; closed-set, so a
+                # boundary run leaves the difference)
+                next_parts.extend(_difference_line_areal(part, bp))
+                continue
             prefix = []  # half-planes already inside
             for (pa, pb_, pc) in planes:
                 piece_planes = prefix + [(-pa, -pb_, -pc)]
-                if part.tag == G.POLYGON:
-                    piece = _clip_polygon_convex(part, piece_planes)
-                else:
-                    piece = _clip_line_convex(part, piece_planes)
+                piece = _clip_polygon_convex(part, piece_planes)
                 if not piece.is_empty():
                     next_parts.extend(piece.flatten())
                 prefix.append((pa, pb_, pc))

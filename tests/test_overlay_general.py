@@ -294,11 +294,11 @@ def test_line_areal_intersection(a, b, expected):
     [
         # line minus concave polygon: partial survivors, chained maximal
         ("LINESTRING (-1 2.5, 5 2.5)", L_BIG,
-         "MULTILINESTRING ((-1 2.5, 0 2.5), (1 2.5, 2.5 2.5, 4 2.5, 5 2.5))"),
+         "MULTILINESTRING ((-1 2.5, 0 2.5), (1 2.5, 5 2.5))"),
         # line across a hole: the in-hole piece SURVIVES the difference
         ("LINESTRING (-1 5, 11 5)",
          "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))",
-         "MULTILINESTRING ((-1 5, 0 5), (4 5, 5 5, 6 5), (10 5, 11 5))"),
+         "MULTILINESTRING ((-1 5, 0 5), (4 5, 6 5), (10 5, 11 5))"),
         # multipolygon subtrahend
         ("LINESTRING (-1 1, 7 1)",
          "MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)), ((4 0, 6 0, 6 2, 4 2, 4 0)))",

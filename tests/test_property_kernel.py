@@ -116,3 +116,42 @@ def test_hull_contains_all_points(pts):
     hull = A.convex_hull(mp)
     for p in pts:
         assert A.covers(hull, p) or A.distance(hull, p) < 1e-9
+
+
+@st.composite
+def l_polygons(draw):
+    """Concave L-shaped polygon at a random offset/scale."""
+    ox, oy = draw(coord), draw(coord)
+    s = draw(st.floats(0.5, 50).map(lambda v: round(v, 4)))
+    return G.Geometry(G.POLYGON, [np.asarray([
+        [ox, oy], [ox + 4 * s, oy], [ox + 4 * s, oy + s],
+        [ox + s, oy + s], [ox + s, oy + 4 * s], [ox, oy + 4 * s], [ox, oy],
+    ])])
+
+
+@given(linestrings(), l_polygons())
+@settings(max_examples=60, deadline=None)
+def test_line_areal_overlay_length_conservation(ln, poly):
+    """len(ln ∩ poly) + len(ln \\ poly) == len(ln) — the mixed-dimension
+    overlay must partition the line exactly (triangle interval-union
+    intersection + progressive half-plane difference agree)."""
+    inter = A.intersection(ln, poly)
+    diff = A.difference(ln, poly)
+    total = A.length(ln)
+    got = A.length(inter) + A.length(diff)
+    assert math.isclose(got, total, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(linestrings(), linestrings())
+@settings(max_examples=60, deadline=None)
+def test_line_line_intersection_symmetry_and_containment(la, lb):
+    """L x L intersection is symmetric and its 1D part is covered by both
+    inputs (0D points lie on both lines)."""
+    ab = A.intersection(la, lb)
+    ba = A.intersection(lb, la)
+    assert math.isclose(A.length(ab), A.length(ba), rel_tol=1e-9, abs_tol=1e-9)
+    for leaf in ab.flatten():
+        if leaf.tag == G.POINT and not leaf.is_empty():
+            # the located point is a float computation: within ulp-scale
+            # distance of both inputs (GEOS has the same contract)
+            assert A.distance(leaf, la) < 1e-6 and A.distance(leaf, lb) < 1e-6
