@@ -155,3 +155,24 @@ def test_line_line_intersection_symmetry_and_containment(la, lb):
             # the located point is a float computation: within ulp-scale
             # distance of both inputs (GEOS has the same contract)
             assert A.distance(leaf, la) < 1e-6 and A.distance(leaf, lb) < 1e-6
+
+
+@given(l_polygons(), l_polygons())
+@settings(max_examples=40, deadline=None)
+def test_areal_overlay_area_conservation(pa, pb):
+    """area(a ∩ b) + area(a \\ b) == area(a) — the triangle-decomposition
+    overlay must partition a's area exactly, concave x concave included."""
+    inter = A.intersection(pa, pb)
+    diff = A.difference(pa, pb)
+    total = A.area(pa)
+    got = A.area(inter) + A.area(diff)
+    assert math.isclose(got, total, rel_tol=1e-7, abs_tol=1e-6)
+
+
+@given(l_polygons(), boxes())
+@settings(max_examples=40, deadline=None)
+def test_union_area_inclusion_exclusion(pa, pb):
+    """area(a ∪ b) == area(a) + area(b) - area(a ∩ b)."""
+    u = A.area(A.union(pa, pb))
+    want = A.area(pa) + A.area(pb) - A.area(A.intersection(pa, pb))
+    assert math.isclose(u, want, rel_tol=1e-7, abs_tol=1e-6)
