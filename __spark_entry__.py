@@ -1815,6 +1815,43 @@ def q_streaming_geofence(spark, sf_dir):
     )
 
 
+def q_streaming_extent(spark, sf_dir):
+    """Streaming windowed ST_Extent_Agg (streaming/demo.py
+    streaming_extent_agg): per-5-minute-window bounding box + count over a
+    real readStream — the continuous-aggregate rollup; state per window is
+    four doubles and a long. Oracle recomputes the windows in plain SQL."""
+    _prep(spark, sf_dir)
+    import os
+    import uuid
+
+    from duckdb_spatial_spark.streaming import streaming_extent_agg
+
+    src = os.path.join(_fresh_tmp("stream_extent"), "src")
+    spark.sql(
+        f"SELECT timestamp_seconds(1704067200 + id) AS ts, x, y"
+        f" FROM ({_PTS}) WHERE id < 2000"
+    ).repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, x double, y double").parquet(src)
+    out = streaming_extent_agg(stream)
+    name = "extent_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 120s - failing loudly instead of reading a half-filled sink")
+    return spark.table(name).selectExpr(
+        "unix_micros(CAST(window_start AS TIMESTAMP)) div 1000000 AS ws",
+        "round(min_x, 6) AS min_x", "round(min_y, 6) AS min_y",
+        "round(max_x, 6) AS max_x", "round(max_y, 6) AS max_y",
+        "CAST(n AS BIGINT) AS n",
+    )
+
+
 def q_streaming_join(spark, sf_dir):
     """Stream-stream interval join (streaming/demo.py
     streaming_interval_join): two real readStreams joined on a key
@@ -2322,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
         "streaming_join": q_streaming_join,
+        "streaming_extent": q_streaming_extent,
         "events_percentiles": q_events_percentiles,
         # --- round-6 pipeline operators ---
         "gopher_quality": q_gopher_quality,
@@ -3434,6 +3472,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM r WHERE id % 2 = 0) a
             JOIN (SELECT * FROM r WHERE id % 2 = 1) b
               ON a.uid = b.uid AND b.ts BETWEEN a.ts - 120 AND a.ts + 120
+        """,
+        "streaming_extent": f"""
+            SELECT (1704067200 + id) // 300 * 300 AS ws,
+                   round(min(x), 6) AS min_x, round(min(y), 6) AS min_y,
+                   round(max(x), 6) AS max_x, round(max(y), 6) AS max_y,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ({pts}) WHERE id < 2000
+            GROUP BY 1
         """,
         "events_percentiles": """
             SELECT event_type,

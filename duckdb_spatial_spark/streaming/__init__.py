@@ -10,4 +10,8 @@ unchanged; this module packages the canonical streaming shapes:
     fingerprint (applyInPandasWithState)
 """
 
-from .demo import streaming_envelope_counts, streaming_session_dedup  # noqa: F401
+from .demo import (  # noqa: F401
+    streaming_envelope_counts,
+    streaming_extent_agg,
+    streaming_session_dedup,
+)

@@ -130,3 +130,32 @@ def streaming_interval_join(
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}") + tol)
     )
     return a.join(b, cond, "inner")
+
+
+def streaming_extent_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed ST_Extent_Agg on a stream: per event-time window, the
+    bounding box (+ count) of the points that arrived in it — the
+    continuous-aggregate (hypertable-rollup) shape. min/max are
+    map-side-combinable, so the streaming state per window is four doubles
+    and a long regardless of input volume; watermarking bounds the number
+    of open windows. Pure Column plan (no Python), batch/stream unified."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"))
+        .agg(
+            F.min(x_col).alias("min_x"),
+            F.min(y_col).alias("min_y"),
+            F.max(x_col).alias("max_x"),
+            F.max(y_col).alias("max_y"),
+            F.count("*").alias("n"),
+        )
+        .select(F.col("w.start").alias("window_start"), "min_x", "min_y", "max_x", "max_y", "n")
+    )

@@ -167,3 +167,42 @@ def test_streaming_session_dedup_ttl(spark, tmp_path):
         assert (fp_dup, 9) in got3
     finally:
         q.stop()
+
+
+def test_streaming_extent_agg(spark, tmp_path):
+    import datetime as dt
+
+    from duckdb_spatial_spark.streaming import streaming_extent_agg
+
+    src = str(tmp_path / "ext_src")
+    schema = "ts timestamp, x double, y double"
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (base + dt.timedelta(seconds=30 * i), float(i % 400), float((i * 7) % 400))
+        for i in range(600)
+    ]
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        streaming_extent_agg(stream)
+        .writeStream.format("memory")
+        .queryName("ext_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.window_start: r for r in spark.sql("SELECT * FROM ext_out").collect()
+    }
+    # batch parity
+    want = {
+        r.window_start: r
+        for r in streaming_extent_agg(spark.read.parquet(src)).collect()
+    }
+    assert set(got) == set(want) and len(got) > 1
+    for k in want:
+        assert (got[k].min_x, got[k].max_y, got[k].n) == (
+            want[k].min_x, want[k].max_y, want[k].n
+        )
