@@ -2143,6 +2143,26 @@ def q_minhash_index(spark, sf_dir):
     )
 
 
+def q_ivf_index(spark, sf_dir):
+    """Persistent IVF index build -> query (operators/knn.py
+    build_ivf_index / ivf_index_query): coarse quantizer trained once,
+    base vectors laid out partitioned by cell, probe prunes partitions.
+    Values are engine-specific (k-means + float argmax) -> rows-only, but
+    pytest pins exact parity with the per-call ann_ivf_topk path."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.operators.knn import build_ivf_index, ivf_index_query
+
+    emb = spark.table("embeddings")
+    path = os.path.join(_fresh_tmp("ivf_index"), "idx")
+    build_ivf_index(emb, path, nlist=16)
+    q = emb.limit(30)
+    return ivf_index_query(q, path, k=5, nprobe=3).selectExpr(
+        "query_id", "neighbor_id", "round(cosine, 6) AS cosine", "rank"
+    )
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus bigram frequency table (count + doc_freq, min_count 10) —
     map-side-combined counts; oracle replays via unnest + group by."""
@@ -2375,6 +2395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "ngram_counts": q_ngram_counts,
         "minhash_index": q_minhash_index,
+        "ivf_index": q_ivf_index,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)

@@ -369,3 +369,121 @@ def assign_nearest_centroid(
     return df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")).mapInPandas(
         run, out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index (the scale path: ann_ivf_topk re-trains per call;
+# at 100 TB the coarse quantizer is trained once and the base vectors are
+# laid out PARTITIONED BY cell, so a query's nprobe cells prune to
+# nprobe/nlist of the data at the parquet-partition level — the same
+# build/query split as the minhash persistent index, dedup.py)
+# ---------------------------------------------------------------------------
+
+def _train_coarse_centroids(base, vec_col, nlist, seed, sample_rows, iters):
+    sample = np.array(
+        [r[0] for r in base.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-30)
+    return cent
+
+
+def build_ivf_index(
+    base: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 11,
+    sample_rows: int = 10_000,
+    iters: int = 8,
+) -> int:
+    """Train the coarse quantizer once (driver-sample Lloyd) and write the
+    base vectors partitioned by their cell: ``path/vectors/cell=N/`` +
+    ``path/centroids.json``. Returns nlist actually used."""
+    import json as _json
+    import os as _os
+
+    cent = _train_coarse_centroids(base, vec_col, nlist, seed, sample_rows, iters)
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast(cent)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign_cell(v: pd.Series) -> pd.Series:
+        C = bc.value
+        mat = np.array(list(v), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        return pd.Series((mat @ C.T).argmax(axis=1).astype(np.int32))
+
+    (
+        base.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+        .withColumn("cell", assign_cell(F.col("b_vec")))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "centroids.json"), "w", encoding="utf-8") as f:
+        _json.dump({"centroids": cent.tolist(), "nlist": len(cent)}, f)
+    return len(cent)
+
+
+def ivf_index_query(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probe a persistent IVF index: nprobe nearest cells per query, exact
+    cosine re-rank inside. The cell equi-join hits the layout's partition
+    column, so parquet partition pruning applies when the probed cell set
+    is selective (and the shuffle is keyed by cell either way)."""
+    import json as _json
+    import os as _os
+
+    spark = queries.sparkSession
+    with open(_os.path.join(path, "centroids.json"), encoding="utf-8") as f:
+        meta = _json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    nprobe = min(int(nprobe), len(cent))
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        C = bc.value
+        mat = np.array(list(v), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(-(mat @ C.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    b = spark.read.parquet(f"{path}/vectors")
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
+    )
+    cand = b.join(q, "cell").withColumn(
+        "cosine", _cosine_batch(F.col("q_vec"), F.col("b_vec"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("b_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("b_id").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

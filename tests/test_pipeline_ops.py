@@ -174,6 +174,19 @@ def test_ann_lsh_and_ivf_recall(spark, emb):
     ivf_pairs = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
     recall_ivf = len(exact_pairs & ivf_pairs) / len(exact_pairs)
     assert recall_ivf >= 0.6, f"IVF recall too low: {recall_ivf}"
+    # persistent IVF index: build once, query = identical results to the
+    # per-call path (same seed/params => same quantizer and rerank)
+    import tempfile
+
+    idx = tempfile.mkdtemp() + "/ivf"
+    n = K.build_ivf_index(emb2, idx, nlist=8)
+    assert n == 8
+    via_idx = K.ivf_index_query(queries, idx, k=5, nprobe=3)
+    idx_pairs = {(r.query_id, r.neighbor_id) for r in via_idx.collect()}
+    assert idx_pairs == ivf_pairs
+    # probed-cell partition filter reaches the scan
+    plan = via_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "cell" in plan
 
 
 def test_text_metrics_quality_langid(spark, docs):
