@@ -2163,6 +2163,34 @@ def q_ivf_index(spark, sf_dir):
     )
 
 
+_URL_TEMPLATE_SQL = (
+    "SELECT id, CASE CAST(id % 6 AS INTEGER)"
+    " WHEN 0 THEN concat('HTTP://WWW.Site', CAST(id % 50 AS STRING), '.COM:80/a/',"
+    "  CAST(id AS STRING), '/?utm_source=x&b=', CAST(id % 9 AS STRING), '&a=',"
+    "  CAST(id % 7 AS STRING), '#frag')"
+    " WHEN 1 THEN concat('https://Example', CAST(id % 50 AS STRING), '.com:443')"
+    " WHEN 2 THEN concat('https://cdn', CAST(id % 50 AS STRING), '.example.org/path/')"
+    " WHEN 3 THEN concat('ftp://host', CAST(id % 50 AS STRING), '/data')"
+    " WHEN 4 THEN concat('  http://h', CAST(id % 50 AS STRING),"
+    "  '.net/x?z=1&y=2&utm_campaign=c  ')"
+    " ELSE concat('http://plain', CAST(id % 50 AS STRING), '.io') END AS url"
+)
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (operators/textops.py url_canonicalize) — the
+    URL-level dedup pass of a web-crawl pipeline. The oracle CONSTRUCTS the
+    expected canonical form per template directly from id (independent
+    derivation, no SQL URL parser), so scheme/host lowering, www/default-
+    port stripping, fragment/tracking-param drops, trailing-slash and
+    param-sort rules are all value-pinned."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import url_canonicalize
+
+    urls = spark.sql(f"{_URL_TEMPLATE_SQL} FROM ({_PTS}) WHERE id < 600")
+    return url_canonicalize(urls, "url").select("id", "canonical_url")
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus bigram frequency table (count + doc_freq, min_count 10) —
     map-side-combined counts; oracle replays via unnest + group by."""
@@ -2367,7 +2395,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_distance_spheroid": q_spatial_distance_spheroid,
         "spatial_predicates2": q_spatial_predicates2,
         "spatial_construct_ops": q_spatial_construct_ops,
-        "shp_roundtrip": q_shp_roundtrip,
         "spatial_refsys": q_spatial_refsys,
         "st_drivers_meta": q_st_drivers_meta,
         "mif_roundtrip": q_mif_roundtrip,
@@ -2396,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": q_ngram_counts,
         "minhash_index": q_minhash_index,
         "ivf_index": q_ivf_index,
+        "url_canonicalize": q_url_canonicalize,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
@@ -2426,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_ngram_jaccard": q_text_ngram_jaccard,
         # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
+        "shp_roundtrip": q_shp_roundtrip,
         "dxf_read": q_dxf_read,
         "xlsx_roundtrip": q_xlsx_roundtrip,
         "gdb_roundtrip": q_gdb_roundtrip,
@@ -3072,6 +3101,18 @@ def oracle_sql() -> dict[str, str]:
                    x / 4 AS score, id % 2 = 0 AS flag,
                    round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 300
+        """,
+        "url_canonicalize": f"""
+            SELECT id, CASE CAST(id % 6 AS INTEGER)
+              WHEN 0 THEN concat('http://site', CAST(id % 50 AS STRING), '.com/a/',
+                CAST(id AS STRING), '?a=', CAST(id % 7 AS STRING), '&b=',
+                CAST(id % 9 AS STRING))
+              WHEN 1 THEN concat('https://example', CAST(id % 50 AS STRING), '.com')
+              WHEN 2 THEN concat('https://cdn', CAST(id % 50 AS STRING), '.example.org/path')
+              WHEN 3 THEN concat('ftp://host', CAST(id % 50 AS STRING), '/data')
+              WHEN 4 THEN concat('http://h', CAST(id % 50 AS STRING), '.net/x?y=2&z=1')
+              ELSE concat('http://plain', CAST(id % 50 AS STRING), '.io') END AS canonical_url
+            FROM ({pts}) WHERE id < 600
         """,
         "spatialite_roundtrip": f"""
             SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,

@@ -346,3 +346,68 @@ def ngram_counts(
         )
         .filter(F.col("count") >= int(min_count))
     )
+
+
+def url_canonicalize(
+    df: DataFrame, url_col: str = "url", out_col: str = "canonical_url"
+) -> DataFrame:
+    """Canonical URL form for web-scale dedup (the URL-level pass that
+    precedes content dedup in CommonCrawl-style pipelines). Exact spec —
+    deliberately regular so a SQL oracle can replicate it verbatim:
+
+      1. trim ASCII whitespace
+      2. only http/https URLs are canonicalized; anything else passes
+         through trimmed
+      3. scheme and host lowercase; leading ``www.`` stripped; default
+         port stripped (``:80`` for http, ``:443`` for https)
+      4. fragment dropped
+      5. path: trailing slashes removed (so ``/a/`` == ``/a``, and a
+         bare host equals host + ``/``)
+      6. query: parameters split on ``&``; empties and ``utm_*`` tracking
+         params dropped; the rest sorted lexicographically and rejoined
+
+    Arrow-batched plain string ops (no urllib — its quirks are not
+    SQL-replicable)."""
+
+    @F.pandas_udf(T.StringType())
+    def canon(s: pd.Series) -> pd.Series:
+        out = []
+        for u in s:
+            if u is None:
+                out.append(None)
+                continue
+            u = str(u).strip(" \t\n\r\f\x0b")
+            low = u.lower()
+            if low.startswith("http://"):
+                scheme, rest = "http", u[7:]
+            elif low.startswith("https://"):
+                scheme, rest = "https", u[8:]
+            else:
+                out.append(u)
+                continue
+            cut = len(rest)
+            for ch in "/?#":
+                p = rest.find(ch)
+                if p != -1:
+                    cut = min(cut, p)
+            host, tail = rest[:cut].lower(), rest[cut:]
+            if host.startswith("www."):
+                host = host[4:]
+            if scheme == "http" and host.endswith(":80"):
+                host = host[:-3]
+            elif scheme == "https" and host.endswith(":443"):
+                host = host[:-4]
+            tail = tail.split("#", 1)[0]
+            if "?" in tail:
+                path, query = tail.split("?", 1)
+            else:
+                path, query = tail, ""
+            path = path.rstrip("/")
+            params = sorted(
+                t for t in query.split("&") if t and not t.startswith("utm_")
+            )
+            q = "&".join(params)
+            out.append(scheme + "://" + host + path + ("?" + q if q else ""))
+        return pd.Series(out)
+
+    return df.withColumn(out_col, canon(F.col(url_col)))

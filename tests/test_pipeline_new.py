@@ -388,3 +388,26 @@ def test_minhash_index_build_query_append(spark, tmp_path):
     )
     hits2 = minhash_index_query(batch2, idx, threshold=0.7).collect()
     assert [(h.query_id, h.index_id) for h in hits2] == [(201, 102)]
+
+
+def test_url_canonicalize(spark):
+    from duckdb_spatial_spark.operators.textops import url_canonicalize
+
+    rows = [
+        (1, " HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag "),
+        (2, "https://Example.com:443"),
+        (3, "https://example.com/"),
+        (4, "ftp://x/y"),
+        (5, "http://example.com/path?"),
+        (6, "http://example.com/?utm_campaign=z"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.canonical_url for r in url_canonicalize(df, "url").collect()}
+    assert got[1] == "http://example.com/a/b?a=1&b=2"
+    assert got[2] == "https://example.com"
+    assert got[3] == "https://example.com"
+    assert got[4] == "ftp://x/y"
+    assert got[5] == "http://example.com/path"
+    assert got[6] == "http://example.com"
+    assert got[7] is None
