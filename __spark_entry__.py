@@ -2191,6 +2191,37 @@ def q_url_canonicalize(spark, sf_dir):
     return url_canonicalize(urls, "url").select("id", "canonical_url")
 
 
+_BPE_MERGES = [
+    ("e", "s"), ("es", "t</w>"), ("l", "o"), ("lo", "w</w>"),
+    ("lo", "w"), ("n", "e"), ("ne", "w"), ("new", "est</w>"),
+    ("w", "i"), ("wi", "d"), ("wid", "est</w>"), ("low", "e"),
+    ("lowe", "r</w>"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """BPE merge-table application (operators/textops.py bpe_encode):
+    greedy lowest-rank merges over a fixed merges.txt-style table. The
+    oracle pins the known encoding of each template word (independent
+    hand derivation), joined per doc."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import bpe_encode
+
+    docs = spark.sql(
+        f"SELECT id, CASE CAST(id % 5 AS INTEGER)"
+        f" WHEN 0 THEN 'low lower' WHEN 1 THEN 'newest widest'"
+        f" WHEN 2 THEN 'lowest' WHEN 3 THEN 'new news'"
+        f" ELSE 'low low newest' END AS text"
+        f" FROM ({_PTS}) WHERE id < 500"
+    )
+    out = bpe_encode(docs, _BPE_MERGES)
+    return out.selectExpr(
+        "id",
+        "array_join(bpe_tokens, ' ') AS toks",
+        "CAST(size(bpe_tokens) AS INT) AS n",
+    )
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus bigram frequency table (count + doc_freq, min_count 10) —
     map-side-combined counts; oracle replays via unnest + group by."""
@@ -2402,7 +2433,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "georss_roundtrip": q_georss_roundtrip,
         "pgdump_roundtrip": q_pgdump_roundtrip,
         "spatialite_roundtrip": q_spatialite_roundtrip,
-        "osm_read": q_osm_read,
         "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
         "streaming_join": q_streaming_join,
@@ -2424,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index": q_minhash_index,
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
+        "bpe_encode": q_bpe_encode,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
@@ -2454,6 +2485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_ngram_jaccard": q_text_ngram_jaccard,
         # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
+        "osm_read": q_osm_read,
         "shp_roundtrip": q_shp_roundtrip,
         "dxf_read": q_dxf_read,
         "xlsx_roundtrip": q_xlsx_roundtrip,
@@ -3113,6 +3145,18 @@ def oracle_sql() -> dict[str, str]:
               WHEN 4 THEN concat('http://h', CAST(id % 50 AS STRING), '.net/x?y=2&z=1')
               ELSE concat('http://plain', CAST(id % 50 AS STRING), '.io') END AS canonical_url
             FROM ({pts}) WHERE id < 600
+        """,
+        "bpe_encode": f"""
+            SELECT id, CASE CAST(id % 5 AS INTEGER)
+              WHEN 0 THEN 'low</w> lower</w>'
+              WHEN 1 THEN 'newest</w> widest</w>'
+              WHEN 2 THEN 'low est</w>'
+              WHEN 3 THEN 'ne w</w> new s</w>'
+              ELSE 'low</w> low</w> newest</w>' END AS toks,
+            CAST(CASE CAST(id % 5 AS INTEGER)
+              WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 4
+              ELSE 3 END AS INTEGER) AS n
+            FROM ({pts}) WHERE id < 500
         """,
         "spatialite_roundtrip": f"""
             SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,

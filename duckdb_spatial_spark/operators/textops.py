@@ -411,3 +411,80 @@ def url_canonicalize(
         return pd.Series(out)
 
     return df.withColumn(out_col, canon(F.col(url_col)))
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    lowercase: bool = False,
+    end_of_word: str = "</w>",
+) -> DataFrame:
+    """Apply a byte-pair-encoding merge table (the standard subword
+    tokenization of LLM training data; Sennrich et al. 2016, the GPT-2
+    greedy variant): words are ASCII-whitespace tokens, each starts as its
+    character sequence + ``end_of_word``, then the lowest-rank applicable
+    merge is applied repeatedly. ``merges`` is an ordered list of
+    ``(left, right)`` pairs — earlier = higher priority, exactly a
+    ``merges.txt``. Returns an array<string> token column.
+
+    Scale shape: the merge table broadcasts (it is vocab-sized); encoding
+    is one Arrow-batched projection, no shuffle. Per-word results are
+    memoized per batch (Zipf makes the hit rate high)."""
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(ranks)
+    eow = end_of_word
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def encode(s: pd.Series) -> pd.Series:
+        R = bc.value
+        cache: dict = {}
+
+        def enc_word(w: str):
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            parts = list(w)
+            if not parts:
+                return []
+            parts[-1] = parts[-1] + eow
+            while len(parts) > 1:
+                best, best_i = None, -1
+                for i in range(len(parts) - 1):
+                    r = R.get((parts[i], parts[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, best_i = r, i
+                if best is None:
+                    break
+                parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+            cache[w] = parts
+            return parts
+
+        out = []
+        for text in s:
+            if text is None:
+                out.append(None)
+                continue
+            t = str(text).lower() if lowercase else str(text)
+            toks: list = []
+            for w in _ascii_ws_split(t):
+                toks.extend(enc_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(out_col, encode(F.col(text_col)))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "n_bpe_tokens",
+    **kw,
+) -> DataFrame:
+    """Token-budget accounting: exact BPE token count per document."""
+    tmp = "_bpe_seq_"
+    out = bpe_encode(df, merges, text_col=text_col, out_col=tmp, **kw)
+    return out.withColumn(out_col, F.size(F.col(tmp))).drop(tmp)

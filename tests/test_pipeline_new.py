@@ -411,3 +411,33 @@ def test_url_canonicalize(spark):
     assert got[5] == "http://example.com/path"
     assert got[6] == "http://example.com"
     assert got[7] is None
+
+
+def test_bpe_encode_and_count(spark):
+    from duckdb_spatial_spark.operators.textops import bpe_encode, bpe_token_count
+
+    # classic worked example: merges learned from {low, lower, newest, widest}
+    merges = [
+        ("e", "s"), ("es", "t</w>"), ("l", "o"), ("lo", "w</w>"),
+        ("lo", "w"), ("n", "e"), ("ne", "w"), ("new", "est</w>"),
+        ("w", "i"), ("wi", "d"), ("wid", "est</w>"), ("low", "e"),
+        ("lowe", "r</w>"),
+    ]
+    df = spark.createDataFrame(
+        [(1, "low lower newest widest"), (2, "lowest"), (3, None)],
+        "id long, text string",
+    )
+    got = {r.id: r.bpe_tokens for r in bpe_encode(df, merges).collect()}
+    assert got[1] == ["low</w>", "lower</w>", "newest</w>", "widest</w>"]
+    # 'lowest': low + est</w> via (e,s)+(es,t</w>) then no (low, est</w>) merge
+    assert got[2] == ["low", "est</w>"]
+    assert got[3] is None
+    counts = {r.id: r.n_bpe_tokens for r in bpe_token_count(df, merges).collect()}
+    assert counts[1] == 4 and counts[2] == 2
+    # merge priority: earlier rank wins over a later, longer merge
+    m2 = [("a", "b"), ("b", "c</w>"), ("ab", "c</w>")]
+    one = bpe_encode(
+        spark.createDataFrame([(1, "abc")], "id long, text string"), m2
+    ).collect()[0].bpe_tokens
+    # (a,b) rank 0 fires first -> ab, c</w>; then (ab, c</w>) rank 2 -> abc</w>
+    assert one == ["abc</w>"]
