@@ -2222,6 +2222,18 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (operators/sketch.py distinct_count_kmv):
+    bottom-k of the PORTABLE poly hash per group, so the DuckDB oracle
+    recomputes the sketch VALUE (not an engine-specific HLL): est =
+    (k-1)/U_(k), exact below k. k=16 so the estimator path is exercised
+    on the documents corpus."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.sketch import distinct_count_kmv
+
+    return distinct_count_kmv(spark.table("documents"), "lang", "text", k=16)
+
+
 def q_ngram_counts(spark, sf_dir):
     """Corpus bigram frequency table (count + doc_freq, min_count 10) —
     map-side-combined counts; oracle replays via unnest + group by."""
@@ -2426,7 +2438,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_distance_spheroid": q_spatial_distance_spheroid,
         "spatial_predicates2": q_spatial_predicates2,
         "spatial_construct_ops": q_spatial_construct_ops,
-        "spatial_refsys": q_spatial_refsys,
         "st_drivers_meta": q_st_drivers_meta,
         "mif_roundtrip": q_mif_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
@@ -2455,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
         "bpe_encode": q_bpe_encode,
+        "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
@@ -2485,6 +2497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_ngram_jaccard": q_text_ngram_jaccard,
         # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
+        "spatial_refsys": q_spatial_refsys,
         "osm_read": q_osm_read,
         "shp_roundtrip": q_shp_roundtrip,
         "dxf_read": q_dxf_read,
@@ -3157,6 +3170,22 @@ def oracle_sql() -> dict[str, str]:
               WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 2 WHEN 3 THEN 4
               ELSE 3 END AS INTEGER) AS n
             FROM ({pts}) WHERE id < 500
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT lang AS g, (ph * ph + ph) % 1000000007 AS hv FROM (SELECT lang, list_reduce(list_prepend(CAST(2 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, ch) -> (acc * 131 + ch) % 1000000007) AS ph
+              FROM documents WHERE text IS NOT NULL)
+            ), r AS (
+              SELECT g, hv,
+                     row_number() OVER (PARTITION BY g ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n
+              FROM h
+            )
+            SELECT g AS lang,
+                   round(CASE WHEN max(n) < 16 THEN CAST(max(n) AS DOUBLE)
+                         ELSE 15.0 / (max(CASE WHEN rn = 16 THEN hv END) / 1000000007.0)
+                         END, 4) AS est_distinct
+            FROM r GROUP BY g
         """,
         "spatialite_roundtrip": f"""
             SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,

@@ -441,3 +441,20 @@ def test_bpe_encode_and_count(spark):
     ).collect()[0].bpe_tokens
     # (a,b) rank 0 fires first -> ab, c</w>; then (ab, c</w>) rank 2 -> abc</w>
     assert one == ["abc</w>"]
+
+
+def test_kmv_distinct_sketch(spark):
+    from duckdb_spatial_spark.operators.sketch import distinct_count_kmv
+
+    # group A: 500 distinct values (estimator path); group B: 5 (exact path)
+    rows = [(("A", f"value-{i}")) for i in range(500)]
+    rows += [("A", f"value-{i}") for i in range(100)]  # duplicates, no effect
+    rows += [("B", f"v{i}") for i in range(5)] * 3
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = {r.g: r.est_distinct for r in distinct_count_kmv(df, "g", "v", k=64).collect()}
+    assert got["B"] == 5.0  # below k -> exact
+    # KMV with k=64 on 500 distinct: relative error ~ 1/sqrt(k-2) ~ 13%
+    assert 300 <= got["A"] <= 750, got["A"]
+    # deterministic: same input -> identical estimate
+    again = {r.g: r.est_distinct for r in distinct_count_kmv(df, "g", "v", k=64).collect()}
+    assert again == got
