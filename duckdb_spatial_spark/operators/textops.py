@@ -206,21 +206,42 @@ def bm25_topk(
         raise ValueError("bm25_topk: empty query")
     term_set = frozenset(terms)
 
-    # Arrow-batched tokenizer: the HOF spelling (F.split + F.filter +
-    # F.array_contains) is CodegenFallback — interpreted per TOKEN; one
-    # pandas UDF crossing per row replaces it (same ASCII-\s semantics as
-    # the oracle's string_split_regex)
-    @F.pandas_udf("struct<dl: bigint, qt: array<string>>")
-    def _tok(s: pd.Series) -> pd.DataFrame:
-        dls, qts = [], []
-        for text in s:
-            toks = _ascii_ws_split(str(text).lower()) if text is not None else []
-            dls.append(len(toks))
-            qts.append([t for t in toks if t in term_set])
-        return pd.DataFrame({"dl": pd.Series(dls, dtype="int64"), "qt": qts})
+    # Arrow-batched tokenizer as a mapInPandas BARRIER (same rationale as
+    # join._with_bbox): a struct-returning pandas UDF gets re-expanded by
+    # Catalyst once per referenced field — measured TWO ArrowEvalPython
+    # per scan for _s.dl/_s.qt — and the plan's stats/tf/dfreq branches
+    # each re-derive the lineage, for six tokenizer passes total. The
+    # barrier makes _dl/_qt materialized attributes: one Python crossing
+    # per branch scan (the remaining multi-branch scans are the same
+    # shape DuckDB's CTE materialization pays once; at 100 TB persist the
+    # tokenized projection explicitly if the corpus is re-queried).
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("_dl", T.LongType()),
+            T.StructField("_qt", T.ArrayType(T.StringType())),
+        ]
+    )
+    ti = df.columns.index(text_col)
+    ii = df.columns.index(id_col)
 
-    base = df.select(F.col(id_col).alias("_id"), _tok(F.col(text_col)).alias("_s")).select(
-        "_id", F.col("_s.dl").alias("_dl"), F.col("_s.qt").alias("_qt")
+    def gen(batches):
+        for pdf in batches:
+            dls, qts = [], []
+            for text in pdf.iloc[:, ti]:
+                toks = _ascii_ws_split(str(text).lower()) if text is not None else []
+                dls.append(len(toks))
+                qts.append([t for t in toks if t in term_set])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf.iloc[:, ii],
+                    "_dl": pd.Series(dls, dtype="int64"),
+                    "_qt": qts,
+                }
+            )
+
+    base = df.mapInPandas(gen, out_schema).select(
+        F.col(id_col).alias("_id"), "_dl", "_qt"
     )
     # corpus stats stay a lazy 1-row aggregate broadcast into the scoring
     # join (no eager collect; one plan end-to-end). avg over exact long
