@@ -176,3 +176,39 @@ def test_union_area_inclusion_exclusion(pa, pb):
     u = A.area(A.union(pa, pb))
     want = A.area(pa) + A.area(pb) - A.area(A.intersection(pa, pb))
     assert math.isclose(u, want, rel_tol=1e-7, abs_tol=1e-6)
+
+
+@given(
+    st.floats(-179.9, 179.9).map(lambda v: round(v, 5)),
+    st.floats(-84.9, 84.9).map(lambda v: round(v, 5)),
+)
+@settings(max_examples=60, deadline=None)
+def test_webmerc_transform_roundtrip(lon, lat):
+    """4326 -> 3857 -> 4326 returns to the input within 1e-9 deg."""
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    x, y = transform_xy(np.array([lon]), np.array([lat]), "EPSG:4326", "EPSG:3857", always_xy=True)
+    lon2, lat2 = transform_xy(x, y, "EPSG:3857", "EPSG:4326", always_xy=True)
+    assert abs(float(lon2[0]) - lon) < 1e-9
+    assert abs(float(lat2[0]) - lat) < 1e-9
+
+
+@given(boxes(), st.floats(0.05, 5.0).map(lambda v: round(v, 3)))
+@settings(max_examples=30, deadline=None)
+def test_buffer_area_bounds(poly, r):
+    """area(buffer(P, r)) lies within the exact Minkowski bounds for a
+    rectangle: A + perimeter*r + pi*r^2 is the exact value (circular
+    corners); the polygonal approximation is <= exact and >= the
+    inscribed (nseg-gon corner) value."""
+    A = A_mod.area(poly)
+    per = A_mod.perimeter(poly)
+    buf = A_mod.buffer(poly, r)
+    got = A_mod.area(buf)
+    exact = A + per * r + math.pi * r * r
+    assert got <= exact + 1e-6
+    # 8-segment default quarter-corners: inscribed polygon of the corner
+    # circle has area >= pi*r^2 * (nseg/pi)*sin(pi/nseg) with nseg*4 sides
+    assert got >= A + per * r + math.pi * r * r * 0.97 - 1e-6
+
+
+A_mod = A
