@@ -137,3 +137,77 @@ def test_dedup_lines_matches_duckdb_on_fuzz(spark, doc_corpus):
     want = {r[0]: tuple(r[1:]) for r in _oracle_rows(E.oracle_sql()["dedup_lines"], doc_corpus)}
     mismatches = [(i, got[i], want[i]) for i in want if got[i] != want[i]]
     assert not mismatches, mismatches[:3]
+
+
+def test_url_canonicalize_matches_duckdb_on_fuzz(spark):
+    """Fuzz the URL canonicalizer against an INDEPENDENT DuckDB SQL
+    implementation of the same documented spec (trim / scheme+host
+    lowering / www + default-port strip / fragment + utm_* drop /
+    trailing-slash removal / param sort)."""
+    from duckdb_spatial_spark.operators.textops import url_canonicalize
+
+    rng = random.Random(77)
+    schemes = ["http://", "HTTP://", "https://", "HtTpS://", "ftp://", ""]
+    hosts = ["Example.COM", "www.Site.org", "WWW.X.NET", "a.b.c.io", "h0st"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/b/", "/a//", "/p.q"]
+    queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x&a=1", "?z=9&y=8&utm_c=1&"]
+    frags = ["", "#f", "#a/b?c"]
+    pads = ["", " ", "\t", "  \n"]
+    urls = []
+    for _ in range(300):
+        urls.append(
+            rng.choice(pads) + rng.choice(schemes) + rng.choice(hosts)
+            + rng.choice(ports) + rng.choice(paths) + rng.choice(queries)
+            + rng.choice(frags) + rng.choice(pads)
+        )
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "id long, url string")
+    got = {r.id: r.canonical_url for r in url_canonicalize(df, "url").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u (id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", list(enumerate(urls)))
+    sql = r"""
+    WITH t AS (
+      SELECT id, trim(url, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS s
+      FROM u
+    ), p AS (
+      SELECT id, s,
+        CASE WHEN lower(s) LIKE 'https://%' THEN 'https'
+             WHEN lower(s) LIKE 'http://%' THEN 'http' END AS scheme,
+        CASE WHEN lower(s) LIKE 'https://%' THEN s[9:]
+             WHEN lower(s) LIKE 'http://%' THEN s[8:] END AS rest
+      FROM t
+    ), q AS (
+      SELECT id, s, scheme,
+        lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+        rest[len(regexp_extract(rest, '^([^/?#]*)', 1)) + 1:] AS tail
+      FROM p
+    ), r AS (
+      SELECT id, s, scheme,
+        CASE WHEN scheme = 'http'
+             THEN regexp_replace(regexp_replace(hostport, '^www\.', ''), ':80$', '')
+             ELSE regexp_replace(regexp_replace(hostport, '^www\.', ''), ':443$', '')
+        END AS host,
+        regexp_extract(tail, '^([^#]*)', 1) AS tailnf
+      FROM q
+    ), w AS (
+      SELECT id, s, scheme, host,
+        rtrim(regexp_extract(tailnf, '^([^?]*)', 1), '/') AS path,
+        CASE WHEN tailnf LIKE '%?%'
+             THEN tailnf[len(regexp_extract(tailnf, '^([^?]*)', 1)) + 2:]
+             ELSE '' END AS query
+      FROM r
+    )
+    SELECT id, CASE WHEN scheme IS NULL THEN s ELSE
+      scheme || '://' || host || path ||
+      CASE WHEN array_to_string(list_sort(list_filter(string_split(query, '&'),
+                x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') <> ''
+           THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+                x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&')
+           ELSE '' END
+    END AS c FROM w
+    """
+    want = dict(con.execute(sql).fetchall())
+    mismatches = [(i, urls[i], got[i], want[i]) for i in got if got[i] != want[i]]
+    assert not mismatches, mismatches[:5]
