@@ -134,15 +134,23 @@ def localize(path: str, exts: tuple[str, ...] | None = None):
         else:
             wanted = names
         out = []
-        # a shapefile member needs its .shx/.dbf/.prj siblings on disk too
+        # multi-file datasets need their siblings on disk too: shapefile
+        # (.shx/.dbf/.prj/.cpg), MapInfo TAB (.dat/.map/.id/.ind), MIF (.mid)
+        _SIDECARS = {
+            ".shp": (".shx", ".dbf", ".prj", ".cpg"),
+            ".tab": (".dat", ".map", ".id", ".ind"),
+            ".mif": (".mid",),
+        }
         sidecars = set()
         for n in wanted:
-            if n.lower().endswith(".shp"):
-                stem = n[:-4]
-                sidecars.update(
-                    m for m in names
-                    if m.startswith(stem) and m.lower().endswith((".shx", ".dbf", ".prj", ".cpg"))
-                )
+            low = n.lower()
+            for lead, exts_ in _SIDECARS.items():
+                if low.endswith(lead):
+                    stem = n[: -len(lead)]
+                    sidecars.update(
+                        m for m in names
+                        if m.startswith(stem) and m.lower().endswith(exts_)
+                    )
         for n in list(wanted) + sorted(sidecars - set(wanted)):
             dest = os.path.join(d, n.replace("/", "__"))
             if not os.path.exists(dest):

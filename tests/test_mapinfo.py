@@ -235,3 +235,45 @@ def test_tab_big_coord_payload_straddles_blocks(spark, tmp_path):
     g = WKB.from_wkb(back.geom)
     assert g.tag == 2 and len(g.data) == n
     assert abs(g.data[n - 1][0] - (n - 1)) < 1e-3
+
+
+def test_tab_corrupt_files_fail_loudly(spark, tmp_path):
+    import struct
+
+    import pytest as _pytest
+
+    from duckdb_spatial_spark.sources.mapinfo_tab import _MapFile, read_tab
+
+    # bad magic
+    bad = bytearray(512)
+    struct.pack_into("<i", bad, 0x100, 123456)
+    p = tmp_path / "bad.map"
+    p.write_bytes(bytes(bad))
+    with _pytest.raises(ValueError, match="bad .map magic"):
+        _MapFile(str(p))
+    # truncated header
+    (tmp_path / "short.map").write_bytes(b"\x00" * 100)
+    with _pytest.raises(ValueError, match="truncated"):
+        _MapFile(str(tmp_path / "short.map"))
+    # dataset without .dat
+    (tmp_path / "lonely.tab").write_text("!table\n")
+    with _pytest.raises(FileNotFoundError, match="no sibling .dat"):
+        read_tab(spark, str(tmp_path / "lonely.tab"))
+
+
+def test_tab_zip_archive_read(spark, tmp_path):
+    """A zipped TAB dataset reads through the vfs localize path."""
+    import zipfile
+
+    from duckdb_spatial_spark.sources import st_read
+    from duckdb_spatial_spark.sources.mapinfo_tab import write_tab
+
+    df = spark.sql("SELECT id, ST_Point(CAST(id AS DOUBLE), 1.0D) AS geom FROM range(12)")
+    write_tab(df, str(tmp_path / "z.tab"))
+    zp = tmp_path / "bundle.zip"
+    with zipfile.ZipFile(zp, "w") as z:
+        for ext in (".tab", ".dat", ".map", ".id"):
+            z.write(tmp_path / ("z" + ext), "z" + ext)
+    # bang spelling addresses the member; bare archive sniffs members
+    assert st_read(spark, str(zp) + "!z.tab").count() == 12
+    assert st_read(spark, str(zp)).count() == 12
