@@ -237,6 +237,62 @@ def main():
             errors["points_workloads"] = f"{type(e).__name__}: {e}"[:500]
             print(f"[bench] points_workloads FAILED: {errors['points_workloads']}", file=sys.stderr)
 
+        # polygon-layout A/B — mirrors the reference's headline
+        # rtree_index.benchmark (NYC building POLYGONS, windowed
+        # ST_Within count through the R-tree vs a full scan); the points
+        # lanes above mirror rtree_points_*.benchmark
+        def polygon_workloads(n_polys):
+            # range()'s column is `id` in Spark but `range` in DuckDB —
+            # build each engine's SQL from the same template
+            def polys_src(idcol):
+                return (
+                    f"SELECT {idcol} AS id, CAST({idcol} * 7919 % 9900 AS DOUBLE) AS mx,"
+                    f" CAST({idcol} * 104729 % 9900 AS DOUBLE) AS my,"
+                    f" CAST({idcol} % 23 + 1 AS DOUBLE) AS w, CAST({idcol} % 19 + 1 AS DOUBLE) AS h"
+                    f" FROM range({n_polys})"
+                )
+
+            polys_sql = polys_src("id")
+
+            @bench("polys_cluster_build", repeats=2)
+            def _():
+                g = spark.sql(polys_sql).select(
+                    "id",
+                    udfs.st_makeenvelope(
+                        "mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")
+                    ).alias("geom"),
+                )
+                write_geo_parquet(g, f"{tmp}/polys", num_partitions=max(cpus, 16))
+
+            pclustered = spark.read.parquet(f"{tmp}/polys")
+
+            @bench("polys_fullscan_count")
+            def _():
+                filter_bbox(
+                    pclustered.drop(*[c for c in pclustered.columns if c.startswith("bbox_")]),
+                    450, 450, 1650, 1650, exact="within",
+                ).count()
+
+            @bench("polys_pruned_count")
+            def _():
+                # bbox conjuncts on the sidecars prune row groups; the
+                # exact ST_Within recheck runs only on survivors
+                filter_bbox(pclustered, 450, 450, 1650, 1650, exact="within").count()
+
+            duck_bench(
+                "polys_pruned_count",
+                f"SELECT count(*) FROM ({polys_src('range')})"
+                " WHERE mx >= 450 AND my >= 450 AND mx + w <= 1650 AND my + h <= 1650",
+            )
+            if "duckdb:polys_pruned_count" not in errors and "polys_pruned_count" in duck:
+                duck["polys_fullscan_count"] = duck["polys_pruned_count"]
+
+        try:
+            polygon_workloads(int(os.environ.get("SPARK_GRAFT_BENCH_POLYS", "1000000")))
+        except Exception as e:  # noqa: BLE001
+            errors["polys_workloads"] = f"{type(e).__name__}: {e}"[:500]
+            print(f"[bench] polys_workloads FAILED: {errors['polys_workloads']}", file=sys.stderr)
+
         rects_sql = (
             "SELECT p_partkey AS rid, CAST(p_partkey * 7919 % 9900 AS DOUBLE) AS mx,"
             " CAST(p_partkey * 104729 % 9900 AS DOUBLE) AS my,"
