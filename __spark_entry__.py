@@ -2099,6 +2099,20 @@ def q_bm25(spark, sf_dir):
     return bm25_topk(spark.table("documents"), "hash join filter vector", k=25)
 
 
+def q_ngram_lm(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring, self-trained on the
+    corpus (vocab_size=25 forces an <unk> tail); oracle replays the
+    tokenize -> vocab-cut -> add-k-smoothed scoring in plain SQL with the
+    same expression shapes, deciding lm_ppl from the ROUNDED logprob on
+    both sides."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.lm import ngram_lm_perplexity
+
+    return ngram_lm_perplexity(
+        spark.table("documents"), vocab_size=25, add_k=0.5
+    ).select("doc_id", "lm_bigrams", "lm_logprob", "lm_ppl")
+
+
 def q_text_normalize(spark, sf_dir):
     """Unicode NFC + control-strip + whitespace-squish over docs salted
     with a combining accent (e + U+0301), a BEL control char, and double
@@ -2416,7 +2430,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pytest + scripts/check_oracle.py) rotate to the back."""
     return {
         # --- LLM-pipeline lanes (rewritten in r4, driver-unchecked) first ---
-        "embedding_neardup": q_embedding_neardup,
         "minhash_lsh_spec": q_minhash_lsh_spec,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_spec": q_simhash_spec,
@@ -2460,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
+        "ngram_lm": q_ngram_lm,
         "text_normalize": q_text_normalize,
         "ngram_counts": q_ngram_counts,
         "minhash_index": q_minhash_index,
@@ -2497,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "text_ngram_jaccard": q_text_ngram_jaccard,
         # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
+        "embedding_neardup": q_embedding_neardup,
         "spatial_refsys": q_spatial_refsys,
         "osm_read": q_osm_read,
         "shp_roundtrip": q_shp_roundtrip,
@@ -3724,6 +3739,49 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
               FROM sc
             ) WHERE rk <= 25
+        """,
+        "ngram_lm": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                       x -> x <> '') AS l
+                    FROM documents)
+            ), pairs AS (
+              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+              FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              UNION ALL
+              SELECT doc_id, '<s>' AS w1, tok AS w2 FROM toks WHERE pos = 1
+            ), vocab AS (
+              SELECT w2 AS tok FROM (
+                SELECT w2, count(*) AS c FROM pairs GROUP BY 1
+                ORDER BY c DESC, w2 ASC LIMIT 25)
+            ), vs AS (SELECT count(*) AS v FROM vocab),
+            mapped AS (
+              SELECT doc_id,
+                CASE WHEN w1 = '<s>' OR w1 IN (SELECT tok FROM vocab)
+                     THEN w1 ELSE '<unk>' END AS m1,
+                CASE WHEN w2 IN (SELECT tok FROM vocab)
+                     THEN w2 ELSE '<unk>' END AS m2
+              FROM pairs
+            ), cu AS (SELECT m1, count(*) AS nc FROM mapped GROUP BY 1),
+            cb AS (SELECT m1, m2, count(*) AS nb FROM mapped GROUP BY 1, 2),
+            terms AS (
+              SELECT mapped.doc_id,
+                     ln((coalesce(cb.nb, 0) + 0.5)
+                        / (coalesce(cu.nc, 0) + 0.5 * (vs.v + 1))) AS term
+              FROM mapped
+              LEFT JOIN cu USING (m1)
+              LEFT JOIN cb USING (m1, m2)
+              CROSS JOIN vs
+            ), agg AS (
+              SELECT doc_id, count(*) AS lm_bigrams,
+                     round(sum(term), 6) AS lm_logprob
+              FROM terms GROUP BY 1
+            )
+            SELECT doc_id, lm_bigrams, lm_logprob,
+                   round(exp(-lm_logprob / lm_bigrams), 6) AS lm_ppl
+            FROM agg
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM (
