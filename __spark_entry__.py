@@ -2113,6 +2113,31 @@ def q_ngram_lm(spark, sf_dir):
     ).select("doc_id", "lm_bigrams", "lm_logprob", "lm_ppl")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (max_tokens=40, stride=32) — the
+    pre-tokenizer step before pack_sequences; oracle slices the DuckDB
+    token list with range(0, len, stride) and re-joins with single
+    spaces."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import chunk_documents
+
+    return chunk_documents(
+        spark.table("documents"), max_tokens=40, stride=32
+    ).select("doc_id", "chunk_id", "chunk_tokens", "chunk_text")
+
+
+def q_wordlist_filter(spark, sf_dir):
+    """C4-style blocklist filter: block_count / rounded block_ratio /
+    keep_doc over a fixed 3-term blocklist; both engines decide keep_doc
+    from the ROUNDED ratio."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import wordlist_filter
+
+    return wordlist_filter(
+        spark.table("documents"), ["slow", "bad", "error"], max_ratio=0.05
+    ).select("doc_id", "block_count", "block_ratio", "keep_doc")
+
+
 def q_text_normalize(spark, sf_dir):
     """Unicode NFC + control-strip + whitespace-squish over docs salted
     with a combining accent (e + U+0301), a BEL control char, and double
@@ -2431,9 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- LLM-pipeline lanes (rewritten in r4, driver-unchecked) first ---
         "minhash_lsh_spec": q_minhash_lsh_spec,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_spec": q_simhash_spec,
-        "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -2474,6 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
         "ngram_lm": q_ngram_lm,
+        "chunk_documents": q_chunk_documents,
+        "wordlist_filter": q_wordlist_filter,
         "text_normalize": q_text_normalize,
         "ngram_counts": q_ngram_counts,
         "minhash_index": q_minhash_index,
@@ -2512,6 +2537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_jaccard": q_text_ngram_jaccard,
         # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
         "embedding_neardup": q_embedding_neardup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
         "spatial_refsys": q_spatial_refsys,
         "osm_read": q_osm_read,
         "shp_roundtrip": q_shp_roundtrip,
@@ -3782,6 +3809,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lm_bigrams, lm_logprob,
                    round(exp(-lm_logprob / lm_bigrams), 6) AS lm_ppl
             FROM agg
+        """,
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ), starts AS (
+              SELECT doc_id, l, unnest(range(0, len(l), 32)) AS s FROM t
+            )
+            SELECT doc_id,
+                   CAST(s / 32 AS INT) AS chunk_id,
+                   CAST(least(40, len(l) - s) AS INT) AS chunk_tokens,
+                   array_to_string(l[s + 1 : s + 40], ' ') AS chunk_text
+            FROM starts
+        """,
+        "wordlist_filter": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(list_filter(l, x -> x IN ('bad', 'error', 'slow'))) AS block_count,
+                     round(len(list_filter(l, x -> x IN ('bad', 'error', 'slow')))
+                           / greatest(len(l), 1), 6) AS block_ratio
+              FROM t
+            )
+            SELECT doc_id, CAST(block_count AS INT) AS block_count, block_ratio,
+                   block_ratio <= 0.05 AS keep_doc
+            FROM m
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM (

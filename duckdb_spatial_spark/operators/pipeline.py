@@ -372,6 +372,69 @@ def pack_sequences(
     return src.groupBy("pack_group").applyInPandas(pack, out_schema)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split documents into overlapping token windows for training.
+
+    The pre-tokenizer complement to ``pack_sequences``: chunk ``c`` covers
+    tokens ``[c*stride, c*stride + max_tokens)`` (ASCII-whitespace tokens),
+    for every start ``< n_tokens`` — so consecutive chunks overlap by
+    ``max_tokens - stride`` tokens, and the final chunk may be short.
+    Chunk text re-joins tokens with single spaces (whitespace-normalized
+    by construction). Zero-token / NULL docs emit nothing.
+
+    Returns ``(id, chunk_id, chunk_tokens, chunk_text)``.
+
+    Scale shape: one Arrow-batched ``mapInPandas`` projection — zero
+    shuffle, output rows ~ ``n_tokens/stride`` per doc; the downstream
+    packer owns any re-partitioning.
+    """
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("chunk_documents: max_tokens and stride must be > 0")
+    if stride > max_tokens:
+        raise ValueError("chunk_documents: stride > max_tokens would skip tokens")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("chunk_id", T.IntegerType()),
+            T.StructField("chunk_tokens", T.IntegerType()),
+            T.StructField("chunk_text", T.StringType()),
+        ]
+    )
+    ii = df.columns.index(id_col)
+    ti = df.columns.index(text_col)
+    mt, st = int(max_tokens), int(stride)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, cids, cns, cts = [], [], [], []
+            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
+                if text is None:
+                    continue
+                toks = _ws_split(str(text))
+                for c, start in enumerate(range(0, len(toks), st)):
+                    piece = toks[start : start + mt]
+                    ids.append(did)
+                    cids.append(c)
+                    cns.append(len(piece))
+                    cts.append(" ".join(piece))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "chunk_id": pd.Series(cids, dtype="int32"),
+                    "chunk_tokens": pd.Series(cns, dtype="int32"),
+                    "chunk_text": cts,
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Embedding centroids
 # ---------------------------------------------------------------------------

@@ -113,6 +113,38 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return out.drop(*[f"_sc_{lang}" for lang in _STOPWORDS])
 
 
+def wordlist_filter(
+    df: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    max_ratio: float = 0.1,
+) -> DataFrame:
+    """Blocklist-based content filter (the C4 badwords pass).
+
+    Adds ``block_count`` (blocklisted-token occurrences), ``block_ratio``
+    (rounded to 6 — the keep decision is made from the ROUNDED value on
+    both engines, repo float-parity rule) and ``keep_doc``. Tokens are
+    lowercased whitespace words; the blocklist is compared lowercased.
+
+    Scale shape: a pure Column projection like ``text_metrics`` — no
+    shuffle, no UDF; the blocklist is a literal array (bounded — for
+    10k+-term lists, switch to a broadcast join on exploded tokens).
+    """
+    words = sorted({w.lower() for w in blocklist if w})
+    if not words:
+        raise ValueError("wordlist_filter: empty blocklist")
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    arr = F.array(*[F.lit(w) for w in words])
+    n_block = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    ratio = F.round(n_block / F.greatest(F.size(toks), F.lit(1)), 6)
+    return (
+        df.withColumn("block_count", n_block)
+        .withColumn("block_ratio", ratio)
+        .withColumn("keep_doc", F.col("block_ratio") <= F.lit(float(max_ratio)))
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Exact content fingerprint: xxhash64 of whitespace-normalized,
     lowercased text — the dedup_exact key at web scale."""

@@ -458,3 +458,54 @@ def test_kmv_distinct_sketch(spark):
     # deterministic: same input -> identical estimate
     again = {r.g: r.est_distinct for r in distinct_count_kmv(df, "g", "v", k=64).collect()}
     assert again == got
+
+
+def test_chunk_documents_windows(spark):
+    from duckdb_spatial_spark.operators.pipeline import chunk_documents
+
+    # 7 tokens, max=4, stride=2 -> starts 0,2,4,6:
+    # [t0..t3], [t2..t5], [t4..t6], [t6]
+    text = "t0 t1 t2 t3 t4 t5 t6"
+    df = spark.createDataFrame([(1, text), (2, ""), (3, None)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, max_tokens=4, stride=2).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    assert [r["doc_id"] for r in rows] == [1, 1, 1, 1]
+    assert [r["chunk_text"] for r in rows] == [
+        "t0 t1 t2 t3",
+        "t2 t3 t4 t5",
+        "t4 t5 t6",
+        "t6",
+    ]
+    assert [r["chunk_tokens"] for r in rows] == [4, 4, 3, 1]
+
+
+def test_chunk_documents_no_overlap_and_validation(spark):
+    import pytest as _pytest
+
+    from duckdb_spatial_spark.operators.pipeline import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, max_tokens=2, stride=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_text"] for r in rows] == ["a b", "c d", "e"]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=2, stride=3)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=0, stride=0)
+
+
+def test_wordlist_filter_counts_and_keep(spark):
+    from duckdb_spatial_spark.operators.textops import wordlist_filter
+
+    df = spark.createDataFrame(
+        [(1, "Bad dog bad cat"), (2, "all clean here"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in wordlist_filter(df, ["BAD"], max_ratio=0.25).collect()}
+    assert out[1]["block_count"] == 2 and out[1]["keep_doc"] is False
+    assert out[2]["block_count"] == 0 and out[2]["keep_doc"] is True
+    assert out[3]["block_count"] == 0 and out[3]["block_ratio"] == 0.0
