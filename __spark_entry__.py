@@ -55,7 +55,17 @@ def _fresh_tmp(name: str) -> str:
     import shutil
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_q", name)
+    # uid-namespaced + 0700 so another user on a shared host can neither
+    # pre-create nor symlink-squat the scratch root.
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_q-{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.lstat(root)
+    import stat as _stat
+
+    if _stat.S_ISLNK(st.st_mode) or st.st_uid != uid:
+        raise RuntimeError(f"refusing unsafe scratch root {root}")
+    path = os.path.join(root, name)
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     return path
@@ -2172,7 +2182,9 @@ def q_minhash_index(spark, sf_dir):
     # stable per-query path (wiped per run): sweeps are sequential, so the
     # lazily-read plan of the previous run is materialized before the wipe
     idx = os.path.join(_fresh_tmp("mhidx"), "index")
-    minhash_index_build(docs.filter("doc_id % 2 = 0"), idx)
+    # write-temp-then-rename: the index is never observable half-built
+    minhash_index_build(docs.filter("doc_id % 2 = 0"), idx + ".build")
+    os.rename(idx + ".build", idx)
     copies = docs.filter("doc_id % 2 = 0 AND doc_id < 80").selectExpr(
         "doc_id + 1000000 AS doc_id", "text"
     )
@@ -2385,6 +2397,90 @@ def q_layout_pruned_count(spark, sf_dir):
     return res
 
 
+def q_layout_pruned_polys(spark, sf_dir):
+    """Polygon windowed query through the layout (the reference's headline
+    rtree_index.benchmark shape: windowed ST_Within over POLYGONS): cluster
+    the rect polygons into a bbox-sidecar layout, then answer the same
+    windows as the point row via filter_bbox's sure-true short-circuit —
+    bbox strictly inside the open envelope decides within TRUE, bbox inside
+    the closed envelope decides intersects TRUE, and ONLY boundary-band
+    rows (bbox touching the envelope edge) decode WKB in the exact UDF
+    (reference geometry_type.hpp:100-146 cached-bbox prefilter, completed
+    into a decision). Oracle = closed/strict interval arithmetic over the
+    same rects."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.plans.pruning import filter_bbox, write_geo_parquet
+
+    path = _fresh_tmp("layout_pruned_polys")
+    g = spark.sql(_RECTS).selectExpr(
+        "rid", "ST_MakeEnvelope(mx, my, mx + w, my + h) AS geom"
+    )
+    write_geo_parquet(g, path, num_partitions=8)
+    base = spark.read.parquet(path)
+    outs = []
+    for bid, x0, y0, x1, y1, sem in _LAYOUT_BOXES:
+        w = filter_bbox(base, x0, y0, x1, y1, exact=sem)
+        outs.append(
+            w.groupBy().agg(
+                F.count("*").alias("_n"),
+                F.coalesce(F.sum("rid"), F.lit(0)).alias("_s"),
+            ).select(
+                F.lit(bid).cast("int").alias("box_id"),
+                F.col("_n").cast("long").alias("n"),
+                F.col("_s").cast("long").alias("rid_sum"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def q_geo_parquet_stats(spark, sf_dir):
+    """Layout introspection (reference rtree_index_pragmas.cpp
+    rtree_index_dump: per-node bounding boxes; here per-row-group parquet
+    FOOTER stats of a clustered layout). The row pins that the footer
+    stats agree with raw-data aggregates (total rows, global extent), that
+    the writer produced the requested number of files, and that per-file
+    hilbert ranges are pairwise DISJOINT (the clustering contract that
+    makes pruning work). Oracle = the same aggregates over the raw
+    points + literal file count / zero overlaps."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.plans.pruning import geo_parquet_stats, write_geo_parquet
+
+    path = _fresh_tmp("layout_stats")
+    write_geo_parquet(spark.sql(_PTS), path, point_xy=("x", "y"), num_partitions=4)
+    st = geo_parquet_stats(spark, path)  # one row per row group
+    per_file = st.groupBy("file").agg(
+        F.min("hilbert_min").alias("lo"),
+        F.max("hilbert_max").alias("hi"),
+        F.sum("n_rows").alias("rows"),
+    )
+    a, b = per_file.alias("a"), per_file.alias("b")
+    overlaps = a.join(
+        b,
+        (F.col("a.file") < F.col("b.file"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")),
+    ).count()
+    return st.groupBy().agg(
+        F.countDistinct("file").alias("_f"),
+        F.sum("n_rows").alias("_n"),
+        F.min("min_x").alias("_x0"),
+        F.min("min_y").alias("_y0"),
+        F.max("max_x").alias("_x1"),
+        F.max("max_y").alias("_y1"),
+    ).select(
+        F.col("_f").cast("int").alias("n_files"),
+        F.col("_n").cast("long").alias("total_rows"),
+        F.round("_x0", 6).alias("xmin"),
+        F.round("_y0", 6).alias("ymin"),
+        F.round("_x1", 6).alias("xmax"),
+        F.round("_y1", 6).alias("ymax"),
+        F.lit(overlaps).cast("long").alias("overlapping_pairs"),
+    )
+
+
 def q_layout_snapshot(spark, sf_dir):
     """Snapshot-manifest lifecycle (reference rtree.cpp WAL-maintained
     index -> lakehouse analog): write v1, append a batch (v2), compact
@@ -2463,6 +2559,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
         "winnowing": q_winnowing,
+        # --- new in r9: polygon short-circuit + layout introspection ---
+        "layout_pruned_polys": q_layout_pruned_polys,
+        "geo_parquet_stats": q_geo_parquet_stats,
         # --- new in r8: R-tree/layout analog + mixed-dim overlay rows ---
         "layout_pruned_count": q_layout_pruned_count,
         "layout_snapshot": q_layout_snapshot,
@@ -2812,7 +2911,30 @@ def oracle_sql() -> dict[str, str]:
             (1, " WHERE id % 3 <> 0"), (2, ""), (3, ""), (4, " WHERE id % 5 <> 0"),
         )
     )
+    # polygon windows: within = closed containment (a 2-D polygon touching
+    # the envelope edge from inside is still ST_Within), intersects =
+    # closed interval overlap (boundary contact intersects)
+    layout_polys_sql = " UNION ALL ".join(
+        f"SELECT CAST({bid} AS INTEGER) AS box_id,"
+        f" CAST(count(*) AS BIGINT) AS n,"
+        f" CAST(coalesce(sum(rid), 0) AS BIGINT) AS rid_sum"
+        f" FROM ({_RECTS}) WHERE "
+        + (
+            f"mx >= {x0} AND my >= {y0} AND mx + w <= {x1} AND my + h <= {y1}"
+            if sem == "within"
+            else f"mx <= {x1} AND mx + w >= {x0} AND my <= {y1} AND my + h >= {y0}"
+        )
+        for bid, x0, y0, x1, y1, sem in _LAYOUT_BOXES
+    )
     return {
+        "layout_pruned_polys": layout_polys_sql,
+        "geo_parquet_stats": (
+            f"SELECT CAST(4 AS INTEGER) AS n_files,"
+            f" CAST(count(*) AS BIGINT) AS total_rows,"
+            f" round(min(x), 6) AS xmin, round(min(y), 6) AS ymin,"
+            f" round(max(x), 6) AS xmax, round(max(y), 6) AS ymax,"
+            f" CAST(0 AS BIGINT) AS overlapping_pairs FROM ({_PTS})"
+        ),
         "layout_pruned_count": layout_boxes_sql,
         "layout_snapshot": snapshot_vers_sql,
         "spatial_intersection_lines": """

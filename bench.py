@@ -254,9 +254,17 @@ def main():
 
             polys_sql = polys_src("id")
 
+            # both engines read the SAME parquet (exactly like the points
+            # lanes): DuckDB evaluating arithmetic over range() in-memory
+            # never touches a file and made the r8 ratios structurally
+            # meaningless
+            praw = f"{tmp}/polys_raw"
+            spark.sql(polys_sql).write.mode("overwrite").parquet(praw)
+            praw_df = spark.read.parquet(praw)
+
             @bench("polys_cluster_build", repeats=2)
             def _():
-                g = spark.sql(polys_sql).select(
+                g = praw_df.select(
                     "id",
                     udfs.st_makeenvelope(
                         "mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")
@@ -281,7 +289,7 @@ def main():
 
             duck_bench(
                 "polys_pruned_count",
-                f"SELECT count(*) FROM ({polys_src('range')})"
+                f"SELECT count(*) FROM '{praw}/*.parquet'"
                 " WHERE mx >= 450 AND my >= 450 AND mx + w <= 1650 AND my + h <= 1650",
             )
             if "duckdb:polys_pruned_count" not in errors and "polys_pruned_count" in duck:

@@ -297,7 +297,9 @@ def st_join(
         lb = left.withColumn(
             "l_bbox",
             F.struct(b0.alias("min_x"), b1.alias("min_y"), b2.alias("max_x"), b3.alias("max_y")),
-        ).filter(b0.isNotNull() & b2.isNotNull())
+        ).filter(
+            b0.isNotNull() & b1.isNotNull() & b2.isNotNull() & b3.isNotNull()
+        )
     else:
         lb = _with_bbox(left, left_geom, "l")
     if right_bbox is not None:
@@ -305,7 +307,9 @@ def st_join(
         rb = right.withColumn(
             "r_bbox",
             F.struct(c0.alias("min_x"), c1.alias("min_y"), c2.alias("max_x"), c3.alias("max_y")),
-        ).filter(c0.isNotNull() & c2.isNotNull())
+        ).filter(
+            c0.isNotNull() & c1.isNotNull() & c2.isNotNull() & c3.isNotNull()
+        )
     else:
         rb = _with_bbox(right, right_geom, "r")
 

@@ -539,6 +539,36 @@ def filter_bbox(
         pred = {"intersects": udfs.st_intersects, "within": udfs.st_within, "contains": udfs.st_contains}[
             exact
         ]
+        if exact in ("within", "intersects") and all(c in df.columns for c in BBOX_COLS):
+            # Sure-true short-circuit on the TIGHT sidecar bbox (the
+            # reference's cached-bbox prefilter, geometry_type.hpp:100-146,
+            # completed into a decision): geom ⊆ bbox always, and the bbox
+            # is the exact extent written at cluster time, so
+            #   * bbox strictly inside the OPEN envelope  ⇒ within  TRUE
+            #     (geom can't touch the envelope boundary at all)
+            #   * bbox inside the CLOSED envelope         ⇒ intersects TRUE
+            #     (every geom point is in bbox ⊆ envelope)
+            #   * within + bbox poking OUTSIDE the closed envelope ⇒ FALSE
+            #     (tight bbox ⇒ some geom vertex is outside)
+            # Only the boundary band (bbox touching/straddling the envelope
+            # edge) decodes WKB in the exact UDF — interior rows stay
+            # all-JVM. The plan is a union of a pure-Column branch and a
+            # UDF branch, both reading the same pruned scan.
+            bx0, by0, bx1, by1 = (F.col(c) for c in BBOX_COLS)
+            inside_closed = (
+                (bx0 >= min_x) & (by0 >= min_y) & (bx1 <= max_x) & (by1 <= max_y)
+            )
+            if exact == "within":
+                sure_true = (
+                    (bx0 > min_x) & (by0 > min_y) & (bx1 < max_x) & (by1 < max_y)
+                )
+                band = inside_closed & ~sure_true
+            else:
+                sure_true = inside_closed
+                band = ~inside_closed
+            return df.filter(sure_true).unionByName(
+                df.filter(band).filter(pred(F.col(geom_col), env))
+            )
         df = df.filter(pred(F.col(geom_col), env))
     return df
 

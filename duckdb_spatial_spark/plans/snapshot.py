@@ -330,7 +330,11 @@ def delete_geo_snapshot(
     ]
     version = cur + 1
     data_dir = os.path.join(path, f"data-{version:08d}")
-    survivors = spark.read.parquet(*rewrite_abs).filter(f"NOT ({predicate})")
+    # NULL-predicate rows never MATCHED the delete, so they must survive
+    # (Delta/Iceberg COW semantics): NOT (NULL) is NULL and would drop them.
+    survivors = spark.read.parquet(*rewrite_abs).filter(
+        f"NOT coalesce(({predicate}), false)"
+    )
     if num_partitions:
         survivors = survivors.repartition(num_partitions)
     if "hilbert" in survivors.columns:

@@ -252,8 +252,11 @@ def st_read_meta(spark, path: str, format: str | None = None):
         if dat is not None:
             with open(dat, "rb") as f:
                 n_dat = _struct.unpack_from("<I", f.read(8), 4)[0]
-            n = max(n, 0) if n >= 0 else n_dat
             n = n_dat  # .dat record count includes geometry-less rows
+        elif mp is None:
+            raise FileNotFoundError(
+                f"{path}: neither .dat nor .map sibling found"
+            )
         rows.append((path, "MapInfo File", int(n), ",".join(kinds), ""))
     elif format in ("spatialite", "sqlite") or p.endswith((".sqlite", ".splite")):
         from .gpkg import _ro_connect as _sl_connect

@@ -810,11 +810,15 @@ def write_georss(
         return str(s).replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
     def simple(g) -> str:
+        # float() first: numpy>=2 scalar repr is "np.float64(1.5)" — unparseable
         def ll(arr):
-            return " ".join(f"{p[1]!r} {p[0]!r}" for p in arr)
+            return " ".join(f"{float(p[1])!r} {float(p[0])!r}" for p in arr)
 
         if g.tag == 1:  # point
-            return f"<georss:point>{g.data[1]!r} {g.data[0]!r}</georss:point>"
+            return (
+                f"<georss:point>{float(g.data[1])!r} "
+                f"{float(g.data[0])!r}</georss:point>"
+            )
         if g.tag == 2:  # linestring
             return f"<georss:line>{ll(g.data)}</georss:line>"
         if g.tag == 3 and g.data:  # polygon: shell only (GeoRSS-Simple limit)

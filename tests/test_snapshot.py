@@ -117,6 +117,43 @@ def test_filter_bbox_points_fast_path_matches_udf(spark, tmp_path):
     assert filter_bbox(clustered, 2, 2, 8, 8, exact="intersects", points=True).count() == 49
 
 
+def test_filter_bbox_sure_true_short_circuit_matches_udf(spark, tmp_path):
+    """Non-point geometries: the sidecar-bbox sure-true/sure-false split
+    must agree with the pure-UDF path, including the boundary band — a
+    polygon touching the envelope edge from inside (within TRUE), a line
+    lying ON the edge (within FALSE, intersects TRUE), a point ON the edge
+    (within FALSE, intersects TRUE). Envelope = (10,10)-(20,20)."""
+    from duckdb_spatial_spark.plans import filter_bbox, write_geo_parquet
+
+    wkts = [
+        (0, "POLYGON((12 12,14 12,14 14,12 14,12 12))"),   # strictly inside
+        (1, "POLYGON((10 12,12 12,12 14,10 14,10 12))"),   # touches edge inside
+        (2, "POLYGON((8 12,12 12,12 14,8 14,8 12))"),      # straddles edge
+        (3, "POLYGON((30 30,32 30,32 32,30 32,30 30))"),   # fully outside
+        (4, "LINESTRING(10 12,10 18)"),                    # ON the boundary
+        (5, "POINT(20 15)"),                               # point on edge
+        (6, "POINT(15 15)"),                               # point inside
+        (7, "POLYGON((5 5,25 5,25 25,5 25,5 5))"),         # contains envelope
+        (8, "LINESTRING(12 12,18 18)"),                    # line inside
+    ]
+    df = spark.createDataFrame(wkts, "id long, wkt string").selectExpr(
+        "id", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom"
+    )
+    path = str(tmp_path / "mixed")
+    write_geo_parquet(df, path, num_partitions=1)
+    clustered = spark.read.parquet(path)
+    plain = df  # no bbox sidecars -> pure-UDF exact path (ground truth)
+    expected = {"within": {0, 1, 6, 8}, "intersects": {0, 1, 2, 4, 5, 6, 7, 8}}
+    for exact in ("within", "intersects"):
+        fast = {r.id for r in filter_bbox(clustered, 10, 10, 20, 20, exact=exact).collect()}
+        slow = {r.id for r in filter_bbox(plain, 10, 10, 20, 20, exact=exact).collect()}
+        assert fast == slow == expected[exact], exact
+    # the within plan short-circuits: a union with exactly one UDF branch
+    plan = filter_bbox(clustered, 10, 10, 20, 20, exact="within")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Union" in plan
+
+
 def test_vacuum_reclaims_crash_orphans(spark, layout):
     """Files written by a commit that crashed before publishing its
     manifest are reclaimed; dirs numbered above the current version
@@ -171,6 +208,33 @@ def test_delete_rewrites_only_affected_files(spark, layout):
     shared = set(m1["files"]) & set(m2["files"])
     assert shared, "expected at least one untouched file to carry over"
     assert set(m2["files"]) - set(m1["files"]), "expected rewritten files in a new data dir"
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """Rows where the delete predicate evaluates to NULL never MATCHED the
+    delete and must survive the COW rewrite (Delta/Iceberg semantics)."""
+    from duckdb_spatial_spark.plans.snapshot import (
+        delete_geo_snapshot,
+        write_geo_snapshot,
+    )
+
+    path = str(tmp_path / "snapnull")
+    df = spark.range(300).selectExpr(
+        "id",
+        "CAST(id % 100 AS DOUBLE) AS x",
+        "CAST(id DIV 100 AS DOUBLE) AS y",
+        "CASE WHEN id % 3 = 0 THEN NULL"
+        " WHEN id % 3 = 1 THEN 'del' ELSE 'keep' END AS tag",
+    )
+    write_geo_snapshot(df, path, bounds=(0, 0, 100, 3),
+                       num_partitions=2, point_xy=("x", "y"))
+    v = delete_geo_snapshot(spark, path, "tag = 'del'")
+    assert v == 2
+    after = read_geo_snapshot(spark, path)
+    assert after.filter("tag = 'del'").count() == 0
+    # NULL-tag rows did not match the predicate -> retained
+    assert after.filter("tag IS NULL").count() == 100
+    assert after.count() == 200
 
 
 def test_delete_no_match_returns_none(spark, layout):
