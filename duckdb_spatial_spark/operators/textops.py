@@ -31,38 +31,98 @@ _STOPWORDS = {
 }
 
 
+def _trimmed(c) -> "F.Column":
+    """ASCII-\\s-trimmed text (F.trim only strips spaces)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def token_count(text_col) -> "F.Column":
-    """Whitespace token count — pure Column."""
+    """Whitespace token count — pure codegen Column (split + size; the
+    F.filter HOF this used to carry is CodegenFallback, interpreted per
+    element — repo perf rule)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.size(F.filter(F.split(c, r"\s+"), lambda t: t != ""))
+    t = _trimmed(c)
+    # split of a trimmed non-empty string on \s+ yields no empty tokens;
+    # the empty string is the one case where split returns [""]
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def _token_regex(words) -> str:
+    """Whole-token alternation: matches any of ``words`` exactly where a
+    \\s+ tokenizer would produce it as a full token (string edges or ASCII
+    whitespace on both sides, via zero-width lookarounds so adjacent
+    matches like 'of the' both count). Entries containing whitespace can
+    never equal a single token — dropped, preserving set-membership
+    semantics."""
+    import re as _re
+
+    alts = "|".join(
+        _re.escape(w) for w in words if w and not _WS_ANY.search(w)
+    )
+    if not alts:
+        return r"(?!)"  # never matches (all entries contained whitespace)
+    return r"(?:^|(?<=\s))(?:" + alts + r")(?=\s|$)"
+
+
+import re as _re_mod
+
+_WS_ANY = _re_mod.compile(r"[ \t\n\r\f\x0b]")
+
+
+def _token_hits(lowered, words) -> "F.Column":
+    """Count of tokens ∈ ``words`` — ONE codegen'd regexp pass over the
+    string instead of tokenize + per-element array_contains (the
+    CodegenFallback HOF shape this family used to share)."""
+    return F.size(F.regexp_extract_all(lowered, F.lit(_token_regex(words)), 0))
+
+
+_SUBWORD_SPLIT = _re_mod.compile(
+    r"\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\d)|(?<=\d)(?=[A-Za-z])|[^A-Za-z0-9]+"
+)
+
+
+@F.pandas_udf(T.IntegerType())
+def _subword_count_udf(s: pd.Series) -> pd.Series:
+    out = []
+    for t in s:
+        if t is None:
+            out.append(None)
+            continue
+        out.append(
+            sum(-(-len(w) // 6) for w in _SUBWORD_SPLIT.split(str(t)) if w)
+        )
+    return pd.Series(out, dtype="object")
 
 
 def subword_count(text_col) -> "F.Column":
     """BPE-ish subword estimate: split on whitespace AND on common subword
-    boundaries (non-alnum, case changes, digit runs) — a cheap proxy for a
-    tokenizer's token count."""
+    boundaries (non-alnum, case changes, digit runs); long words count as
+    ceil(len/6) subwords (empirical BPE density). Arrow-batched pandas UDF
+    — the F.aggregate HOF this used to carry is CodegenFallback,
+    interpreted per array element (repo perf rule)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    pieces = F.split(c, r"(\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=\d)|(?<=\d)(?=[A-Za-z])|[^A-Za-z0-9]+)")
-    words = F.filter(pieces, lambda t: t != "")
-    # long words count as ceil(len/6) subwords (empirical BPE density)
-    return F.aggregate(
-        words, F.lit(0), lambda acc, wrd: acc + F.ceil(F.length(wrd) / 6.0).cast("int")
-    )
+    return _subword_count_udf(c)
 
 
 def text_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """One projection adding the standard quality-signal columns."""
+    """One projection adding the standard quality-signal columns.
+
+    All codegen Columns: token counts via split+size, stopword hits via a
+    single whole-token regexp_extract_all (no CodegenFallback HOFs in the
+    plan — this family used to tokenize with F.filter per metric)."""
     c = F.col(text_col)
-    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
-    n_tok = F.size(toks)
+    low = F.lower(c)
+    n_tok = token_count(c)
     n_chars = F.length(c)
     alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     digits = F.length(F.regexp_replace(c, r"[^0-9]", ""))
     punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
     spaces = F.length(F.regexp_replace(c, r"[^\s]", ""))
-    en_sw = F.array(*[F.lit(w) for w in _STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_sw, t)))
-    uniq = F.size(F.array_distinct(toks))
+    n_stop = _token_hits(low, _STOPWORDS["en"])
+    lt = _trimmed(low)
+    uniq = F.when(lt == "", F.lit(0)).otherwise(
+        F.size(F.array_distinct(F.split(lt, r"\s+")))
+    )
     return (
         df.withColumn("n_tokens", n_tok)
         .withColumn("avg_word_len", F.when(n_tok > 0, (n_chars - spaces) / n_tok))
@@ -92,16 +152,15 @@ def quality_score(df: DataFrame, text_col: str = "text", out_col: str = "quality
 
 
 def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
-    """Language ID by stopword-profile hit rate — one Column expression per
-    language, argmax via greatest(); no UDF, no shuffle."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    n = F.greatest(F.size(toks), F.lit(1))
+    """Language ID by stopword-profile hit rate — one whole-token
+    regexp_extract_all per language (codegen'd; the tokenize +
+    array_contains HOF chain this carried was CodegenFallback), argmax
+    via greatest(); no UDF, no shuffle."""
+    low = F.lower(F.col(text_col))
+    n = F.greatest(token_count(F.col(text_col)), F.lit(1))
     scores = {}
     for lang, words in _STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        scores[lang] = (F.size(F.filter(toks, lambda t: F.array_contains(arr, t))) / n).alias(
-            f"_sc_{lang}"
-        )
+        scores[lang] = (_token_hits(low, words) / n).alias(f"_sc_{lang}")
     out = df
     for lang in scores:
         out = out.withColumn(f"_sc_{lang}", scores[lang])
@@ -127,17 +186,18 @@ def wordlist_filter(
     lowercased whitespace words; the blocklist is compared lowercased.
 
     Scale shape: a pure Column projection like ``text_metrics`` — no
-    shuffle, no UDF; the blocklist is a literal array (bounded — for
+    shuffle, no UDF, no CodegenFallback HOF: blocklist hits are ONE
+    codegen'd whole-token regexp_extract_all pass (the old tokenize +
+    per-token array_contains chain was interpreted per element). The
+    blocklist compiles into the regex alternation (bounded — for
     10k+-term lists, switch to a broadcast join on exploded tokens).
     """
     words = sorted({w.lower() for w in blocklist if w})
     if not words:
         raise ValueError("wordlist_filter: empty blocklist")
     c = F.col(text_col)
-    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
-    arr = F.array(*[F.lit(w) for w in words])
-    n_block = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-    ratio = F.round(n_block / F.greatest(F.size(toks), F.lit(1)), 6)
+    n_block = _token_hits(F.lower(c), words)
+    ratio = F.round(n_block / F.greatest(token_count(c), F.lit(1)), 6)
     return (
         df.withColumn("block_count", n_block)
         .withColumn("block_ratio", ratio)

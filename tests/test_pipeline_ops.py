@@ -201,6 +201,35 @@ def test_text_metrics_quality_langid(spark, docs):
     assert tc.n > 0
 
 
+def test_tokenizer_family_no_codegen_fallback_hof(spark, docs):
+    """token_count / text_metrics / lang_id / wordlist_filter are pure
+    codegen Columns: no higher-order function (lambdafunction in the plan,
+    interpreted per element) and no Python crossing (ArrowEvalPython)."""
+    lanes = {
+        "token_count": docs.select(X.token_count("text").alias("n")),
+        "text_metrics": X.text_metrics(docs),
+        "lang_id": X.lang_id(docs),
+        "wordlist_filter": X.wordlist_filter(docs, ["bad", "evil"]),
+    }
+    for name, df in lanes.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "lambdafunction" not in plan.lower(), name
+        assert "ArrowEvalPython" not in plan, name
+    # semantics spot-check: whole-token match, punctuation-adjacent tokens
+    # do NOT count, adjacent stopwords both count
+    d = spark.createDataFrame(
+        [(1, "the dog of the. house"), (2, "of the cat"), (3, "  "), (4, None)],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in X.wordlist_filter(d, ["the", "of"], max_ratio=0.5).collect()}
+    assert rows[1].block_count == 2 and rows[1].block_ratio == 0.4
+    assert rows[2].block_count == 2
+    assert rows[3].block_count == 0
+    assert rows[4].block_count is None
+    tc = {r.id: r.n for r in d.select("id", X.token_count("text").alias("n")).collect()}
+    assert tc == {1: 5, 2: 3, 3: 0, 4: None}
+
+
 def test_fingerprints(spark, docs):
     fp = X.fingerprint(docs).select("doc_id", "fingerprint")
     assert fp.filter(F.col("fingerprint").isNull()).count() == 0
