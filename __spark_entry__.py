@@ -2484,14 +2484,16 @@ def q_geo_parquet_stats(spark, sf_dir):
 def q_layout_snapshot(spark, sf_dir):
     """Snapshot-manifest lifecycle (reference rtree.cpp WAL-maintained
     index -> lakehouse analog): write v1, append a batch (v2), compact
-    (v3), then time-travel-read ALL THREE versions after the compact —
+    (v3), COW-delete (v4), MERGE/upsert (v5: update-else-insert, the
+    rtree.cpp insert-path analog), then time-travel-read ALL versions —
     v1 must still return exactly the original subset (immutable data
-    files), v2 and v3 the full set (compaction preserves data)."""
+    files), each later version its own committed state."""
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.plans.snapshot import (
         compact_geo_snapshot,
         delete_geo_snapshot,
         read_geo_snapshot,
+        upsert_geo_snapshot,
         write_geo_snapshot,
         append_geo_snapshot,
     )
@@ -2502,8 +2504,18 @@ def q_layout_snapshot(spark, sf_dir):
     append_geo_snapshot(pts.filter("id % 3 = 0"), path, num_partitions=2, point_xy=("x", "y"))
     v3 = compact_geo_snapshot(spark, path, num_partitions=4) or 2
     v4 = delete_geo_snapshot(spark, path, "id % 5 = 0") or v3
+    merge_src = spark.sql(
+        f"SELECT id, CAST(0.5 AS DOUBLE) AS x, CAST(9999.5 AS DOUBLE) AS y"
+        f" FROM ({_PTS}) WHERE id % 5 <> 0 AND id % 101 = 0"
+        f" UNION ALL"
+        f" SELECT id + 20000000 AS id, CAST(123.25 AS DOUBLE) AS x,"
+        f" CAST(456.75 AS DOUBLE) AS y FROM ({_PTS}) WHERE id % 997 = 0"
+    )
+    v5 = upsert_geo_snapshot(
+        spark, path, merge_src, "id", num_partitions=2, point_xy=("x", "y")
+    )
     outs = []
-    for label, ver in ((1, 1), (2, 2), (3, v3), (4, v4)):
+    for label, ver in ((1, 1), (2, 2), (3, v3), (4, v4), (5, v5)):
         d = read_geo_snapshot(spark, path, version=ver)
         outs.append(
             d.groupBy().agg(
@@ -2902,13 +2914,23 @@ def oracle_sql() -> dict[str, str]:
         )
         for bid, x0, y0, x1, y1, sem in _LAYOUT_BOXES
     )
+    # v5 = MERGE on the v4 state: rows with id%101=0 take the source
+    # coordinates, inserts land at id+20000000
+    merged_rows = (
+        f"SELECT id, x, y FROM ({_PTS}) WHERE id % 5 <> 0 AND id % 101 <> 0"
+        f" UNION ALL SELECT id, CAST(0.5 AS DOUBLE), CAST(9999.5 AS DOUBLE)"
+        f" FROM ({_PTS}) WHERE id % 5 <> 0 AND id % 101 = 0"
+        f" UNION ALL SELECT id + 20000000, CAST(123.25 AS DOUBLE),"
+        f" CAST(456.75 AS DOUBLE) FROM ({_PTS}) WHERE id % 997 = 0"
+    )
     snapshot_vers_sql = " UNION ALL ".join(
         f"SELECT CAST({label} AS INTEGER) AS version,"
         f" CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum,"
         f" round(min(x), 6) AS xmin, round(max(y), 6) AS ymax"
-        f" FROM ({_PTS}){where}"
-        for label, where in (
-            (1, " WHERE id % 3 <> 0"), (2, ""), (3, ""), (4, " WHERE id % 5 <> 0"),
+        f" FROM ({src}){where}"
+        for label, src, where in (
+            (1, _PTS, " WHERE id % 3 <> 0"), (2, _PTS, ""), (3, _PTS, ""),
+            (4, _PTS, " WHERE id % 5 <> 0"), (5, merged_rows, ""),
         )
     )
     # polygon windows: within = closed containment (a 2-D polygon touching

@@ -276,6 +276,12 @@ def vacuum_geo_snapshot(spark: SparkSession, path: str, keep_last: int = 1) -> i
     return removed
 
 
+def _norm_uri(uri: str) -> str:
+    from urllib.parse import unquote, urlparse
+
+    return os.path.normpath(unquote(urlparse(uri).path))
+
+
 def delete_geo_snapshot(
     spark: SparkSession,
     path: str,
@@ -306,10 +312,6 @@ def delete_geo_snapshot(
     abs_files = [os.path.join(path, f) for f in rel_files]
 
     from pyspark.sql import functions as F
-    from urllib.parse import unquote, urlparse
-
-    def _norm(uri: str) -> str:
-        return os.path.normpath(unquote(urlparse(uri).path))
 
     df = spark.read.parquet(*abs_files)
     hit_rows = (
@@ -318,7 +320,7 @@ def delete_geo_snapshot(
         .distinct()
         .collect()
     )
-    affected = {_norm(r._f) for r in hit_rows}
+    affected = {_norm_uri(r._f) for r in hit_rows}
     if not affected:
         return None
     keep_rel = [
@@ -343,6 +345,109 @@ def delete_geo_snapshot(
         survivors.write.mode("overwrite")
         .option("parquet.enable.dictionary", "false")
         .parquet(data_dir)
+    )
+    _commit(
+        path,
+        version,
+        {**man, "version": version,
+         "files": keep_rel + _data_files(spark, data_dir)},
+    )
+    return version
+
+
+def upsert_geo_snapshot(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols,
+    num_partitions: int | None = None,
+    point_xy: tuple | None = None,
+) -> int:
+    """MERGE (update-else-insert) as a copy-on-write commit — the last
+    piece of the reference R-tree's WAL-maintained row maintenance
+    (``rtree.cpp`` insert path) the snapshot layout lacked:
+
+      1. one broadcast semi-join of the source keys against the current
+         snapshot finds the data files holding MATCHED rows (bbox/hilbert
+         sidecars still prune: a spatially-local source batch touches only
+         its region's files)
+      2. only those files rewrite: their matched rows are REPLACED by the
+         source versions, unmatched source rows are INSERTED, and the
+         combined batch re-clusters against the layout's ORIGINAL bounds
+         (hilbert values stay comparable across generations)
+      3. untouched files carry over by reference; the manifest commits
+         atomically; prior snapshots time-travel to the pre-merge data
+
+    ``key_cols``: column name or list of names forming the match key.
+    The source batch is broadcast for the key probe — it is the "small
+    side" of a MERGE by construction; for giant backfills run a full
+    compact instead. Source rows duplicated on the key are rejected (a
+    MERGE with two updates for one key is ambiguous — Delta raises too).
+
+    Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    cur = snapshot_version(path)
+    if cur is None:
+        raise FileNotFoundError(f"{path}: no snapshot manifest")
+    man = _read_manifest(path, cur)
+    rel_files = man["files"]
+    abs_files = [os.path.join(path, f) for f in rel_files]
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    geom_col = man.get("geom_col", "geom")
+    bounds = tuple(man["bounds"]) if man.get("bounds") else None
+
+    dup = source.groupBy(*keys).count().filter("count > 1").limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"upsert_geo_snapshot: source has duplicate keys (e.g. "
+            f"{tuple(dup[0][k] for k in keys)}) — ambiguous MERGE"
+        )
+    skeys = source.select(*keys)
+    df = spark.read.parquet(*abs_files)
+    # project input_file_name BEFORE the join: Spark's PreReadCheck
+    # rejects the expression once the plan holds two file sources
+    hit_rows = (
+        df.withColumn("_f", F.input_file_name())
+        .join(F.broadcast(skeys), keys, "left_semi")
+        .select("_f")
+        .distinct()
+        .collect()
+    )
+    affected = {_norm_uri(r._f) for r in hit_rows}
+    keep_rel = [
+        rel for rel, ab in zip(rel_files, abs_files)
+        if os.path.normpath(ab) not in affected
+    ]
+    rewrite_abs = [ab for ab in abs_files if os.path.normpath(ab) in affected]
+    version = cur + 1
+    data_dir = os.path.join(path, f"data-{version:08d}")
+    # sidecars (and, for point layouts, the assembled geometry) are
+    # recomputed by the clustering write — deterministic, so surviving
+    # rows keep identical values
+    side = [c for c in (*BBOX_COLS, "hilbert") if c in df.columns]
+    if point_xy is not None and geom_col in df.columns:
+        side.append(geom_col)
+    if rewrite_abs:
+        survivors = spark.read.parquet(*rewrite_abs).join(
+            F.broadcast(skeys), keys, "left_anti"
+        )
+        if point_xy is not None:
+            # the point-ingest lane stores coordinates only as the bbox
+            # sidecars (a point's bbox IS the point) — reconstruct the
+            # source-shaped x/y for the re-cluster
+            x_col, y_col = point_xy
+            if x_col not in survivors.columns:
+                survivors = survivors.withColumn(x_col, F.col(BBOX_COLS[0]))
+            if y_col not in survivors.columns:
+                survivors = survivors.withColumn(y_col, F.col(BBOX_COLS[1]))
+        survivors = survivors.drop(*side)
+        batch = survivors.unionByName(source.select(*survivors.columns))
+    else:
+        batch = source
+    write_geo_parquet(
+        batch, data_dir, geom_col=geom_col, mode="overwrite", bounds=bounds,
+        num_partitions=num_partitions, point_xy=point_xy,
     )
     _commit(
         path,

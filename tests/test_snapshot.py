@@ -237,6 +237,70 @@ def test_delete_keeps_null_predicate_rows(spark, tmp_path):
     assert after.count() == 200
 
 
+def test_upsert_updates_and_inserts(spark, layout):
+    """MERGE: matched keys take the source row, unmatched source rows are
+    inserted, untouched files carry over by reference, and prior versions
+    still time-travel to the pre-merge data."""
+    import json
+
+    from duckdb_spatial_spark.plans.snapshot import upsert_geo_snapshot
+
+    path, _ = layout  # ids 0..4999
+    # a single updated key lives in ONE hilbert file -> the other v1
+    # files must carry over by reference
+    upd = spark.range(15, 16).selectExpr(
+        "id", "CAST(1.5 AS DOUBLE) AS x", "CAST(2.5 AS DOUBLE) AS y"
+    )
+    ins = spark.range(10000, 10010).selectExpr(
+        "id", "CAST(3.5 AS DOUBLE) AS x", "CAST(4.5 AS DOUBLE) AS y"
+    )
+    v = upsert_geo_snapshot(
+        spark, path, upd.unionByName(ins), "id",
+        num_partitions=2, point_xy=("x", "y"),
+    )
+    assert v == 2
+    after = read_geo_snapshot(spark, path)
+    assert after.count() == 5010
+    assert after.filter("id = 15").count() == 1  # replaced, not duplicated
+    # the point lane stores coordinates as the bbox sidecars; recomputed
+    # sidecars must agree with the NEW source coordinates
+    assert after.filter(
+        "id = 15 AND bbox_min_x = 1.5 AND bbox_min_y = 2.5"
+    ).count() == 1
+    assert after.filter("id >= 10000").count() == 10
+    # time travel: v1 still has the original row and no inserts
+    old = read_geo_snapshot(spark, path, version=1)
+    assert old.filter("id = 15 AND bbox_min_x = 1.5").count() == 0
+    assert old.filter("id >= 10000").count() == 0
+    # untouched files carried by reference
+    m1 = json.load(open(os.path.join(path, "_manifest-v00000001.json")))
+    m2 = json.load(open(os.path.join(path, "_manifest-v00000002.json")))
+    assert set(m1["files"]) & set(m2["files"])
+    # duplicate source keys are ambiguous -> rejected
+    with pytest.raises(ValueError, match="duplicate"):
+        upsert_geo_snapshot(spark, path, upd.unionByName(upd), "id",
+                            point_xy=("x", "y"))
+
+
+def test_upsert_insert_only_touches_no_files(spark, layout):
+    """A source with no matched keys rewrites nothing: every v1 file
+    carries over and the new generation holds only the inserts."""
+    import json
+
+    from duckdb_spatial_spark.plans.snapshot import upsert_geo_snapshot
+
+    path, _ = layout
+    ins = spark.range(20000, 20005).selectExpr(
+        "id", "CAST(7.0 AS DOUBLE) AS x", "CAST(8.0 AS DOUBLE) AS y"
+    )
+    v = upsert_geo_snapshot(spark, path, ins, "id", point_xy=("x", "y"))
+    assert v == 2
+    m1 = json.load(open(os.path.join(path, "_manifest-v00000001.json")))
+    m2 = json.load(open(os.path.join(path, "_manifest-v00000002.json")))
+    assert set(m1["files"]) <= set(m2["files"])
+    assert read_geo_snapshot(spark, path).count() == 5005
+
+
 def test_delete_no_match_returns_none(spark, layout):
     from duckdb_spatial_spark.plans.snapshot import delete_geo_snapshot
 
