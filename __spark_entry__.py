@@ -2397,6 +2397,75 @@ def q_layout_pruned_count(spark, sf_dir):
     return res
 
 
+_NAD27_GRID = {  # synthetic NTv2 grid: affine shift field, dyadic coeffs
+    "s_lat": 88200.0, "n_lat": 145800.0,      # 24.5..40.5 deg N (arcsec)
+    "e_long": 286200.0, "w_long": 361800.0,   # 79.5..100.5 deg W (pos-west)
+    "inc": 1800.0,
+    # shift_lat_sec  = 2.5   + 0.0625*col + 0.03125*row
+    # shift_lonW_sec = -1.75 + 0.03125*col + 0.0625*row
+    "a_lat": 2.5, "b_lat": 0.0625, "c_lat": 0.03125,
+    "a_lon": -1.75, "b_lon": 0.03125, "c_lon": 0.0625,
+}
+
+
+def _write_nad27_grid(path: str) -> None:
+    """Synthetic NTv2 .gsb whose shift field is AFFINE with dyadic
+    coefficients: bilinear interpolation reproduces an affine field
+    exactly and dyadic node values are exact in float32, so a plain-SQL
+    oracle can compute the engine's answer in closed form."""
+    import numpy as np
+
+    from duckdb_spatial_spark.functions.ntv2 import SubGrid, write_gsb
+
+    g = _NAD27_GRID
+    nrows = int((g["n_lat"] - g["s_lat"]) / g["inc"]) + 1
+    ncols = int((g["w_long"] - g["e_long"]) / g["inc"]) + 1
+    rows = np.arange(nrows, dtype=np.float64)[:, None]
+    cols = np.arange(ncols, dtype=np.float64)[None, :]
+    la = (g["a_lat"] + g["b_lat"] * cols + g["c_lat"] * rows).astype(np.float32)
+    lo = (g["a_lon"] + g["b_lon"] * cols + g["c_lon"] * rows).astype(np.float32)
+    write_gsb(path, [SubGrid(
+        "SYNTH", "NONE", g["s_lat"], g["n_lat"], g["e_long"], g["w_long"],
+        g["inc"], g["inc"], la, lo,
+    )])
+
+
+_NAD27_PTS = (
+    "SELECT c_custkey AS cid,"
+    " CAST(c_custkey * 7919 % 2000 AS DOUBLE) / 100 - 100 AS lon,"
+    " CAST(c_custkey * 104729 % 1500 AS DOUBLE) / 100 + 25 AS lat"
+    " FROM customer WHERE c_custkey <= 300"
+)
+
+
+def q_spatial_transform_nad27(spark, sf_dir):
+    """NTv2 datum grid-shift through ST_Transform (reference vendors proj
+    9.x whose +nadgrids consumes these grids; test/sql/proj.test): a
+    synthetic NAD27-style .gsb with an affine shift field is written at
+    runtime, NAD27 lon/lat transforms to WGS84 through bilinear grid
+    interpolation (functions/ntv2.py), and the WGS84->NAD27 roundtrip
+    pins the iterative inverse. Oracle = the affine field in closed form
+    (bilinear interpolation of an affine field is exact)."""
+    _prep(spark, sf_dir)
+    import os
+
+    path = os.path.join(_fresh_tmp("nad27_grid"), "synth.gsb")
+    _write_nad27_grid(path)
+    src = f"+proj=longlat +datum=NAD27 +nadgrids={path}"
+    return spark.sql(
+        f"""
+        SELECT cid,
+          round(ST_X(w), 6) AS wlon, round(ST_Y(w), 6) AS wlat,
+          round(ST_X(ST_Transform(w, 'EPSG:4326', '{src}', true)), 6) AS rlon,
+          round(ST_Y(ST_Transform(w, 'EPSG:4326', '{src}', true)), 6) AS rlat
+        FROM (
+          SELECT cid, ST_Transform(ST_Point(lon, lat), '{src}', 'EPSG:4326', true) AS w
+          FROM (SELECT cid, lon, lat FROM ({_NAD27_PTS}))
+        )
+        """
+    )
+
+
 def q_layout_pruned_polys(spark, sf_dir):
     """Polygon windowed query through the layout (the reference's headline
     rtree_index.benchmark shape: windowed ST_Within over POLYGONS): cluster
@@ -2571,7 +2640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
         "winnowing": q_winnowing,
-        # --- new in r9: polygon short-circuit + layout introspection ---
+        # --- new in r9: NTv2 grids, polygon short-circuit, introspection ---
+        "spatial_transform_nad27": q_spatial_transform_nad27,
         "layout_pruned_polys": q_layout_pruned_polys,
         "geo_parquet_stats": q_geo_parquet_stats,
         # --- new in r8: R-tree/layout analog + mixed-dim overlay rows ---
@@ -2948,7 +3018,20 @@ def oracle_sql() -> dict[str, str]:
         )
         for bid, x0, y0, x1, y1, sem in _LAYOUT_BOXES
     )
+    g = _NAD27_GRID
+    col_expr = f"((-lon * 3600 - {g['e_long']}) / {g['inc']})"
+    row_expr = f"((lat * 3600 - {g['s_lat']}) / {g['inc']})"
+    dlat_expr = f"({g['a_lat']} + {g['b_lat']} * {col_expr} + {g['c_lat']} * {row_expr})"
+    dlon_expr = f"({g['a_lon']} + {g['b_lon']} * {col_expr} + {g['c_lon']} * {row_expr})"
+    nad27_sql = (
+        f"SELECT cid,"
+        f" round(lon - {dlon_expr} / 3600, 6) AS wlon,"
+        f" round(lat + {dlat_expr} / 3600, 6) AS wlat,"
+        f" round(lon, 6) AS rlon, round(lat, 6) AS rlat"
+        f" FROM ({_NAD27_PTS})"
+    )
     return {
+        "spatial_transform_nad27": nad27_sql,
         "layout_pruned_polys": layout_polys_sql,
         "geo_parquet_stats": (
             f"SELECT CAST(4 AS INTEGER) AS n_files,"

@@ -85,14 +85,18 @@ _WGS84 = Ellipsoid(*ELLIPSOIDS["WGS84"])
 # proj4 string parsing
 # ---------------------------------------------------------------------------
 class ProjDef:
-    __slots__ = ("proj", "ell", "params", "towgs84", "to_meter")
+    __slots__ = ("proj", "ell", "params", "towgs84", "to_meter", "nadgrids")
 
-    def __init__(self, proj, ell, params, towgs84, to_meter):
+    def __init__(self, proj, ell, params, towgs84, to_meter, nadgrids=None):
         self.proj = proj
         self.ell = ell
         self.params = params
         self.towgs84 = towgs84
         self.to_meter = to_meter
+        # +nadgrids= spec string (NTv2 .gsb path list); the grid loads
+        # lazily per process (functions/ntv2.py lru_cache) so ProjDef
+        # stays a picklable bag of primitives for executor shipping
+        self.nadgrids = nadgrids
 
 
 def _parse_angle(v: str) -> float:
@@ -107,9 +111,23 @@ _CONSUMED_KEYS = frozenset(
     {
         "proj", "a", "rf", "f", "b", "ellps", "datum", "towgs84", "to_meter",
         "units", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0",
-        "x_0", "y_0", "zone", "south",
+        "x_0", "y_0", "zone", "south", "nadgrids",
     }
 )
+# +datum= shorthand expansions (proj's datum table): ellipsoid + either a
+# Helmert or a REQUIRED grid file. Datums whose published transform is
+# grid-based raise loudly unless +nadgrids= is given — silently treating
+# NAD27 as WGS84 would be wrong by up to ~100 m.
+_DATUMS = {
+    "WGS84": ("WGS84", [0, 0, 0, 0, 0, 0, 0], False),
+    "NAD83": ("GRS80", [0, 0, 0, 0, 0, 0, 0], False),
+    "ETRS89": ("GRS80", [0, 0, 0, 0, 0, 0, 0], False),
+    "NAD27": ("clrk66", None, True),   # NTv2/NADCON grids only
+    "nzgd49": ("intl", [59.47, -5.04, 187.44, 0.47, -0.1, 1.024, -4.5993], False),
+    "potsdam": ("bessel", [598.1, 73.7, 418.2, 0.202, 0.045, -2.455, 6.7], False),
+    "ire65": ("mod_airy", [482.530, -130.596, 564.557, -1.042, -0.214, -0.631, 8.15], False),
+    "OSGB36": ("airy", [446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894], False),
+}
 # no-op decorations PROJ strings routinely carry
 _BENIGN_KEYS = frozenset({"no_defs", "wktext", "type", "over", "approx"})
 
@@ -131,13 +149,31 @@ def parse_proj4(s: str) -> ProjDef:
     for k, v in params.items():
         if k in _CONSUMED_KEYS or k in _BENIGN_KEYS:
             continue
-        if k == "nadgrids" and v == "@null":
-            continue  # explicit "no grid shift" is a no-op here
         raise ValueError(
             f"unsupported proj4 parameter +{k}={v} in {s!r}: this engine "
-            f"consumes {sorted(_CONSUMED_KEYS)}; +pm/+axis/+nadgrids/"
-            f"+geoidgrids change the result and cannot be ignored"
+            f"consumes {sorted(_CONSUMED_KEYS)}; +pm/+axis/+geoidgrids "
+            f"change the result and cannot be ignored"
         )
+
+    nadgrids = params.get("nadgrids")
+    if nadgrids == "@null":
+        nadgrids = None
+
+    datum = params.get("datum")
+    datum_ellps, datum_towgs84 = None, None
+    if datum is not None:
+        if datum not in _DATUMS:
+            raise ValueError(
+                f"unknown +datum={datum} in {s!r} (known: {sorted(_DATUMS)}); "
+                f"spell out +ellps/+towgs84 or +nadgrids explicitly"
+            )
+        datum_ellps, datum_towgs84, needs_grid = _DATUMS[datum]
+        if needs_grid and nadgrids is None:
+            raise ValueError(
+                f"+datum={datum} is grid-shift based (NTv2); pass "
+                f"+nadgrids=<file.gsb> in {s!r} — treating it as WGS84 "
+                f"would be wrong by up to ~100 m"
+            )
 
     if "a" in params:
         a = float(params["a"])
@@ -153,9 +189,9 @@ def parse_proj4(s: str) -> ProjDef:
             rf = 0.0  # sphere
         ell = Ellipsoid(a, rf)
     else:
-        name = params.get("ellps", "WGS84")
-        if params.get("datum") == "WGS84":
-            name = "WGS84"
+        name = params.get("ellps", datum_ellps or "WGS84")
+        if datum_ellps is not None:
+            name = datum_ellps  # +datum wins (proj semantics)
         if name not in ELLIPSOIDS:
             raise ValueError(f"unknown +ellps={name} in {s!r}")
         ell = Ellipsoid(*ELLIPSOIDS[name])
@@ -169,6 +205,8 @@ def parse_proj4(s: str) -> ProjDef:
             raise ValueError(f"+towgs84 needs 3 or 7 values: {s!r}")
         if any(vals):
             towgs84 = vals
+    elif datum_towgs84 is not None and any(datum_towgs84):
+        towgs84 = list(datum_towgs84)
     to_meter = float(params["to_meter"]) if "to_meter" in params else _UNITS.get(
         params.get("units", "m")
     )
@@ -185,7 +223,7 @@ def parse_proj4(s: str) -> ProjDef:
     ):
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
                          f"webmerc, lcc, aea, stere, somerc)")
-    return ProjDef(proj, ell, num, towgs84, to_meter)
+    return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids)
 
 
 # ---------------------------------------------------------------------------
@@ -642,16 +680,42 @@ def _inv(d: ProjDef, x, y):
 
 
 def transform_proj4(x, y, src: ProjDef, dst: ProjDef):
-    """Full pipeline between two parsed proj4 defs (x/y in src CRS units)."""
+    """Full pipeline between two parsed proj4 defs (x/y in src CRS units).
+
+    Datum leg: [src NTv2 grid -> WGS84-frame geodetic] -> [Helmert via
+    geocentric XYZ when towgs84/ellipsoids require it] -> [dst NTv2 grid
+    inverse]. A grid shift REPLACES the Helmert+ellipsoid change for its
+    side (the grid's target is the WGS84-frame datum, e.g. NAD83), which
+    is exactly proj's +nadgrids pipeline."""
     lon, lat = _inv(src, x, y)
-    same_datum = (src.towgs84 == dst.towgs84) and (
-        abs(src.ell.a - dst.ell.a) < 1e-9 and abs(src.ell.f - dst.ell.f) < 1e-15
+    same_datum = (
+        src.towgs84 == dst.towgs84
+        and src.nadgrids == dst.nadgrids
+        and abs(src.ell.a - dst.ell.a) < 1e-9
+        and abs(src.ell.f - dst.ell.f) < 1e-15
     )
     if not same_datum:
-        xyz = _geodetic_to_xyz(src.ell, lon, lat)
-        if src.towgs84:
-            xyz = _helmert(xyz, src.towgs84)
-        if dst.towgs84:
-            xyz = _helmert(xyz, dst.towgs84, inverse=True)
-        lon, lat = _xyz_to_geodetic(dst.ell, *xyz)
+        src_ell, dst_ell = src.ell, dst.ell
+        if src.nadgrids:
+            from .ntv2 import load_grid
+
+            lon, lat = load_grid(src.nadgrids).forward(lon, lat)
+            src_ell = _WGS84  # grid output is WGS84-frame (NAD83~WGS84)
+        if dst.nadgrids:
+            dst_ell = _WGS84
+        if (
+            src.towgs84 or dst.towgs84
+            or abs(src_ell.a - dst_ell.a) >= 1e-9
+            or abs(src_ell.f - dst_ell.f) >= 1e-15
+        ):
+            xyz = _geodetic_to_xyz(src_ell, lon, lat)
+            if src.towgs84:
+                xyz = _helmert(xyz, src.towgs84)
+            if dst.towgs84:
+                xyz = _helmert(xyz, dst.towgs84, inverse=True)
+            lon, lat = _xyz_to_geodetic(dst_ell, *xyz)
+        if dst.nadgrids:
+            from .ntv2 import load_grid
+
+            lon, lat = load_grid(dst.nadgrids).inverse(lon, lat)
     return _fwd(dst, lon, lat)
