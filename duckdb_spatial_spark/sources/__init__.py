@@ -6,11 +6,78 @@ import os
 import re
 
 
+_GEOM_COL_NAMES = ("geom", "geometry", "wkb_geometry")
+
+
+def _geom_col(df):
+    return next((c for c in _GEOM_COL_NAMES if c in df.columns), None)
+
+
+def _apply_read_filters(df, bbox, columns):
+    """Uniform ST_Read option semantics across every format
+    (``st_read.cpp:681-682``: ``spatial_filter_box`` + ``columns``):
+
+      * ``bbox=(min_x, min_y, max_x, max_y)`` keeps rows whose geometry
+        EXTENT intersects the window (inclusive — GDAL's
+        SetSpatialFilterRect envelope test). Formats with native pruning
+        (FlatGeobuf packed R-tree, GeoParquet bbox sidecars) prune before
+        this recheck, so the recheck only normalizes semantics.
+      * ``columns=[...]`` projects the listed attribute columns; the
+        geometry column is always kept unless explicitly excluded by
+        naming no geometry and passing ``keep_geom=False``-style layout
+        (not part of the GDAL contract, so geometry always survives).
+    """
+    from pyspark.sql import functions as F
+
+    gcol = _geom_col(df)
+    if bbox is not None:
+        if gcol is None:
+            raise ValueError("bbox= filter needs a geometry column")
+        from ..functions import udfs
+        from ..geo import geom as G
+        from ..geo import wkb as WKB
+
+        x0, y0, x1, y1 = (float(v) for v in bbox)
+        env = F.lit(WKB.to_wkb(
+            G.polygon([[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]])
+        ))
+        df = df.filter(udfs.st_intersects_extent(F.col(gcol), env))
+    if columns is not None:
+        keep = [c for c in columns]
+        if gcol is not None and gcol not in keep:
+            keep.append(gcol)
+        missing = [c for c in keep if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"columns= names not in the source: {missing} "
+                f"(available: {df.columns})"
+            )
+        df = df.select(*keep)
+    return df
+
+
 def st_read(spark, path: str, format: str | None = None, **options):
     """Generic ST_Read: dispatch on format (or sniff the extension), return
     a DataFrame with a WKB ``geom``/``geometry`` column. The reference's
     ``ST_Read`` does the same via GDAL driver sniffing
-    (``spatial/src/spatial/gdal/functions/st_read.cpp``)."""
+    (``spatial/src/spatial/gdal/functions/st_read.cpp``).
+
+    Every format accepts the GDAL option contract uniformly:
+    ``bbox=(min_x, min_y, max_x, max_y)`` (alias ``spatial_filter_box``)
+    keeps features whose extent intersects the window — pushed into the
+    codec where the format carries an index (FlatGeobuf R-tree, GeoParquet
+    bbox-sidecar row-group stats), a JVM/Arrow filter elsewhere — and
+    ``columns=[...]`` projects attributes (geometry always kept)."""
+    bbox = options.pop("bbox", None)
+    sfb = options.pop("spatial_filter_box", None)
+    if bbox is None:
+        bbox = sfb
+    columns = options.pop("columns", None)
+    df = _st_read_dispatch(spark, path, format, bbox, **options)
+    return _apply_read_filters(df, bbox, columns)
+
+
+def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
     from .vfs import localize
 
     local = localize(path)
@@ -55,13 +122,15 @@ def st_read(spark, path: str, format: str | None = None, **options):
         if len(keep) > 1:
             from functools import reduce
 
-            dfs = [st_read(spark, p, fmt, **options) for p in keep]
+            dfs = [_st_read_dispatch(spark, p, fmt, bbox, **options) for p in keep]
             return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
         path = keep[0]
     if fmt in ("shapefile", "shp"):
         return read_shapefile(spark, path, **options)
     if fmt in ("flatgeobuf", "fgb"):
-        return read_flatgeobuf(spark, path, **options)
+        # native pushdown: the file's packed Hilbert R-tree prunes to
+        # bbox-overlap candidates before the uniform recheck
+        return read_flatgeobuf(spark, path, bbox=bbox, **options)
     if fmt in ("geopackage", "gpkg"):
         return read_gpkg(spark, path, **options)
     if fmt == "geojson":
@@ -69,7 +138,21 @@ def st_read(spark, path: str, format: str | None = None, **options):
     if fmt == "osm":
         return read_osm(spark, path, **options)
     if fmt in ("geoparquet", "parquet"):
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        if bbox is not None:
+            from pyspark.sql import functions as F
+
+            from ..plans.pruning import BBOX_COLS
+
+            if all(c in df.columns for c in BBOX_COLS):
+                # native pushdown: bbox-sidecar conjuncts reach the scan's
+                # PushedFilters -> row-group skipping before the recheck
+                x0, y0, x1, y1 = (float(v) for v in bbox)
+                df = df.filter(
+                    (F.col(BBOX_COLS[0]) <= x1) & (F.col(BBOX_COLS[2]) >= x0)
+                    & (F.col(BBOX_COLS[1]) <= y1) & (F.col(BBOX_COLS[3]) >= y0)
+                )
+        return df
     if fmt in ("wkt_csv", "csv"):
         return read_wkt_csv(spark, path, **options)
     if fmt == "kml":

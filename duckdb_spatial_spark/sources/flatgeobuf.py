@@ -415,10 +415,20 @@ def read_flatgeobuf(spark, path: str, num_partitions: int = 16, bbox: tuple | No
                     row.append(WKB.to_wkb(geom) if geom is not None else None)
                     yield tuple(row)
 
+        # UNIQUE datasource name per read: Spark resolves Python data
+        # sources BY NAME at action time, so registering a fixed name and
+        # reading the same file twice with different bbox/partition options
+        # would silently rebind the FIRST DataFrame's plan to the SECOND
+        # read's chunk list (a bound plan must stay bound — same contract
+        # as the snapshot reader)
+        import uuid
+
+        ds_name = f"flatgeobuf_{uuid.uuid4().hex[:12]}"
+
         class FGBSource(DataSource):
             @classmethod
             def name(cls):
-                return "flatgeobuf"
+                return ds_name
 
             def schema(self):
                 return schema
@@ -427,7 +437,7 @@ def read_flatgeobuf(spark, path: str, num_partitions: int = 16, bbox: tuple | No
                 return _Reader()
 
         spark.dataSource.register(FGBSource)
-        return spark.read.format("flatgeobuf").schema(schema).load(path)
+        return spark.read.format(ds_name).schema(schema).load(path)
     except ImportError:
         rows = []
         for props, geom in iter_features(path, header):
