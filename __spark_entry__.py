@@ -1726,6 +1726,29 @@ def q_pgdump_roundtrip(spark, sf_dir):
     )
 
 
+def q_esrijson_roundtrip(spark, sf_dir):
+    """Esri JSON FeatureSet sink -> reader round trip (sources/esrijson.py;
+    GDAL's ESRIJSON driver analog, reached by reference st_read.cpp
+    dispatch): typed fields table, ArcGIS REST payload shape, Esri ring
+    winding (clockwise exteriors — opposite of OGC)."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import st_read, st_write
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,"
+        f" x / 4 AS score, x, y FROM ({_PTS}) WHERE id < 300"
+    ).withColumn("geom", F.expr("ST_Point(x, y)")).drop("x", "y")
+    path = os.path.join(_fresh_tmp("esrijson_q"), "fs.esrijson")
+    st_write(df, path)
+    back = st_read(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+    )
+
+
 def q_spatialite_roundtrip(spark, sf_dir):
     """SpatiaLite database write -> read round trip (sources/spatialite.py;
     GDAL SQLite/Spatialite driver analog — public BLOB-Geometry format via
@@ -2656,11 +2679,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_predicates2": q_spatial_predicates2,
         "spatial_construct_ops": q_spatial_construct_ops,
         "st_drivers_meta": q_st_drivers_meta,
-        "mif_roundtrip": q_mif_roundtrip,
+        # changed in r9 (tokenizer rewrite / fgb datasource fix): in-window
+        "text_token_count": q_text_token_count,
+        "fgb_roundtrip": q_fgb_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
-        "pgdump_roundtrip": q_pgdump_roundtrip,
-        "spatialite_roundtrip": q_spatialite_roundtrip,
+        "esrijson_roundtrip": q_esrijson_roundtrip,
         "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
         "streaming_join": q_streaming_join,
@@ -2705,14 +2729,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_buffer_styles": q_spatial_buffer_styles,
         "spatial_predicates": q_spatial_predicates,
         "spatial_hilbert": q_spatial_hilbert,
-        "fgb_roundtrip": q_fgb_roundtrip,
+        "mif_roundtrip": q_mif_roundtrip,
+        "pgdump_roundtrip": q_pgdump_roundtrip,
+        "spatialite_roundtrip": q_spatialite_roundtrip,
         "spatial_generatepoints": q_spatial_generatepoints,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
         "events_sessionization": q_events_sessionization,
         "dedup_exact": q_dedup_exact,
-        "text_token_count": q_text_token_count,
         "text_metrics": q_text_metrics,
         "dedup_clusters": q_dedup_clusters,
         "text_ngram_jaccard": q_text_ngram_jaccard,
@@ -3416,6 +3441,12 @@ def oracle_sql() -> dict[str, str]:
                    round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 300
         """,
+        "esrijson_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   CAST(x / 4 AS DOUBLE) AS score,
+                   round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+        """,
         "url_canonicalize": f"""
             SELECT id, CASE CAST(id % 6 AS INTEGER)
               WHEN 0 THEN concat('http://site', CAST(id % 50 AS STRING), '.com/a/',
@@ -3509,7 +3540,8 @@ def oracle_sql() -> dict[str, str]:
               ('TopoJSON', 'true', 'false'), ('DXF', 'true', 'true'),
               ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true'),
               ('OpenFileGDB', 'true', 'true'), ('Arrow', 'true', 'true'),
-              ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true'), ('SQLite', 'true', 'true')
+              ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true'),
+              ('SQLite', 'true', 'true'), ('ESRIJSON', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

@@ -603,6 +603,43 @@ def main():
             "SELECT sum(score) FROM (" + E.oracle_sql()["bm25"] + ")",
         )
 
+        # bm25 at a corpus size where the ~0.15 s Spark job floor is <20%
+        # of wall (r8 finding: the small-tier ratio mostly measured the
+        # floor against a 0.08 s DuckDB denominator)
+        doc_mult = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS_MULT", "10"))
+        if doc_mult > 0:
+            try:
+                docs_big = f"{tmp}/docs_big"
+                (
+                    spark.table("documents")
+                    .select("doc_id", "text")
+                    .crossJoin(spark.range(doc_mult).select(F.col("id").alias("_rep")))
+                    .selectExpr("doc_id + _rep * 10000000 AS doc_id", "text")
+                    .repartition(cpus)
+                    .write.mode("overwrite")
+                    .parquet(docs_big)
+                )
+                spark.read.parquet(docs_big).createOrReplaceTempView("documents_big")
+                con.execute(f"CREATE VIEW documents_big AS FROM '{docs_big}/*.parquet'")
+
+                @bench("bm25_docs_large")
+                def _():
+                    from duckdb_spatial_spark.operators.textops import bm25_topk
+
+                    bm25_topk(
+                        spark.table("documents_big"), "hash join filter vector", k=25
+                    ).collect()
+
+                duck_bench(
+                    "bm25_docs_large",
+                    "SELECT sum(score) FROM ("
+                    + E.oracle_sql()["bm25"].replace("FROM documents", "FROM documents_big")
+                    + ")",
+                )
+            except Exception as e:  # noqa: BLE001 - large-docs glue failed
+                errors["bm25_large"] = f"{type(e).__name__}: {e}"[:500]
+                print(f"[bench] bm25_large FAILED: {errors['bm25_large']}", file=sys.stderr)
+
         @bench("winnowing_docs")
         def _():
             from duckdb_spatial_spark.operators.textops import winnowing_fingerprints

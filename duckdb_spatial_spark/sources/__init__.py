@@ -99,6 +99,7 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
             (".arrow", "arrow"), (".feather", "arrow"), (".arrows", "arrow"),
             (".rss", "georss"), (".georss", "georss"), (".atom", "georss"),
             (".sql", "pgdump"), (".sqlite", "spatialite"), (".splite", "spatialite"),
+            (".esrijson", "esrijson"),
         ):
             if p.endswith(ext):
                 return f
@@ -181,6 +182,8 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_pgdump(spark, path, **options)
     if fmt in ("spatialite", "sqlite"):
         return read_spatialite(spark, path, **options)
+    if fmt == "esrijson":
+        return read_esrijson(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -229,6 +232,7 @@ from .pgdump import read_pgdump, write_pgdump  # noqa: F401
 from .spatialite import read_spatialite, spatialite_layers, write_spatialite  # noqa: F401
 from .filegdb import gdb_layers, read_gdb, write_gdb  # noqa: F401
 from .arrowipc import read_arrow_ipc, write_arrow_ipc  # noqa: F401
+from .esrijson import read_esrijson, write_esrijson  # noqa: F401
 
 
 _FGB_GTYPE = {0: "Unknown", 1: "Point", 2: "LineString", 3: "Polygon",
@@ -393,6 +397,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         ".arrow": "arrow", ".feather": "arrow", ".rss": "georss",
         ".georss": "georss", ".sql": "pgdump", ".sqlite": "spatialite",
         ".splite": "spatialite", ".parquet": "geoparquet",
+        ".esrijson": "esrijson",
     }
     fmt = (format or "").lower()
     if not fmt:
@@ -415,6 +420,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         "arrow": write_arrow_ipc, "feather": write_arrow_ipc,
         "georss": write_georss, "pgdump": write_pgdump,
         "spatialite": write_spatialite, "sqlite": write_spatialite,
+        "esrijson": write_esrijson,
     }
     if fmt in ("geoparquet", "parquet"):
         from ..plans.pruning import write_geo_parquet

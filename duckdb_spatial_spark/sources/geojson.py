@@ -376,6 +376,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("GeoRSS", "RSS/Atom feeds with GeoRSS-Simple / W3C geo / GML where (read/write)", True, True, True, ""),
         ("PGDump", "PostgreSQL/PostGIS SQL dump, COPY + hex EWKB (read/write)", True, True, True, ""),
         ("SQLite", "SpatiaLite BLOB-geometry database, stdlib sqlite3 (read/write)", True, True, True, ""),
+        ("ESRIJSON", "ArcGIS REST FeatureSet JSON, Esri ring winding (read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

@@ -44,6 +44,7 @@ MATRIX = [
     ("spatialite", "d.sqlite", {}, "id"),
     ("geoparquet", "d.parquet", {}, "id"),
     ("dxf", "d.dxf", {}, "layer"),
+    ("esrijson", "d.esrijson", {}, "id"),
 ]
 
 
