@@ -2489,6 +2489,47 @@ def q_spatial_transform_nad27(spark, sf_dir):
     )
 
 
+_NTF_GREENWICH = (
+    "+proj=longlat +a=6378249.2 +b=6356515"
+    " +towgs84=-168,-60,320,0,0,0,0"
+)
+_NTF_PARIS = _NTF_GREENWICH + " +pm=paris"
+_PARIS_PM = 2.337229166666667
+
+
+def q_spatial_transform_paris(spark, sf_dir):
+    """Prime-meridian CRS support (+pm=, proj's pipeline; reference
+    vendors proj 9.x): the NTF (Paris) / Lambert zone family
+    (EPSG:27571-27573). Oracle rows are SPEC IDENTITIES, not
+    engine-derived values: the projection origin (Paris meridian,
+    lat_0) maps to exactly (x_0, y_0) by construction of the 1SP LCC,
+    the Paris->Greenwich rotation is the published meridian offset, and
+    the WGS84 roundtrip returns the input."""
+    _prep(spark, sf_dir)
+    rows = []
+    for zid, code, lat0, y0 in (
+        (1, "EPSG:27571", 49.5, 1200000.0),
+        (2, "EPSG:27572", 46.8, 2200000.0),
+        (3, "EPSG:27573", 44.1, 3200000.0),
+    ):
+        rows.append((zid, code, _PARIS_PM, lat0, y0))
+    df = spark.createDataFrame(
+        rows, "zid int, code string, lon double, lat0 double, y0 double"
+    )
+    df.createOrReplaceTempView("_paris_zones")
+    return spark.sql(
+        f"""
+        SELECT zid,
+          round(ST_X(ST_Transform(ST_Point(lon, lat0), '{_NTF_GREENWICH}', code, true)), 4) AS x,
+          round(ST_Y(ST_Transform(ST_Point(lon, lat0), '{_NTF_GREENWICH}', code, true)) - y0, 4) AS dy,
+          round(ST_X(ST_Transform(ST_Point(0.0D, lat0), '{_NTF_PARIS}', '{_NTF_GREENWICH}', true)), 9) AS glon,
+          round(ST_X(ST_Transform(ST_Transform(ST_Point(2.3522D, 48.8566D), 'EPSG:4326', code, true), code, 'EPSG:4326', true)), 6) AS rt_lon,
+          round(ST_Y(ST_Transform(ST_Transform(ST_Point(2.3522D, 48.8566D), 'EPSG:4326', code, true), code, 'EPSG:4326', true)), 6) AS rt_lat
+        FROM _paris_zones
+        """
+    )
+
+
 def q_layout_pruned_polys(spark, sf_dir):
     """Polygon windowed query through the layout (the reference's headline
     rtree_index.benchmark shape: windowed ST_Within over POLYGONS): cluster
@@ -2665,6 +2706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         # --- new in r9: NTv2 grids, polygon short-circuit, introspection ---
         "spatial_transform_nad27": q_spatial_transform_nad27,
+        "spatial_transform_paris": q_spatial_transform_paris,
         "layout_pruned_polys": q_layout_pruned_polys,
         "geo_parquet_stats": q_geo_parquet_stats,
         # --- new in r8: R-tree/layout analog + mixed-dim overlay rows ---
@@ -3057,6 +3099,12 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "spatial_transform_nad27": nad27_sql,
+        "spatial_transform_paris": f"""
+            SELECT zid, round(600000.0, 4) AS x, round(0.0, 4) AS dy,
+                   round({_PARIS_PM}, 9) AS glon,
+                   round(2.3522, 6) AS rt_lon, round(48.8566, 6) AS rt_lat
+            FROM (VALUES (1), (2), (3)) AS t(zid)
+        """,
         "layout_pruned_polys": layout_polys_sql,
         "geo_parquet_stats": (
             f"SELECT CAST(4 AS INTEGER) AS n_files,"

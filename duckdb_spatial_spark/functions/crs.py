@@ -152,6 +152,28 @@ _PROJ4_STRINGS = {
     ),
     # Finland TM35FIN
     "EPSG:3067": "+proj=utm +zone=35 +ellps=GRS80 +units=m +no_defs",
+    # France: NTF (Paris) / Lambert zones I-IV — Paris prime meridian
+    # (+pm=paris), Clarke 1880 IGN ellipsoid, 1SP LCC with scale factor
+    "EPSG:27571": (
+        "+proj=lcc +lat_1=49.5 +lat_0=49.5 +lon_0=0 +k_0=0.999877341 "
+        "+x_0=600000 +y_0=1200000 +a=6378249.2 +b=6356515 "
+        "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m +no_defs"
+    ),
+    "EPSG:27572": (
+        "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 "
+        "+x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515 "
+        "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m +no_defs"
+    ),
+    "EPSG:27573": (
+        "+proj=lcc +lat_1=44.1 +lat_0=44.1 +lon_0=0 +k_0=0.999877499 "
+        "+x_0=600000 +y_0=3200000 +a=6378249.2 +b=6356515 "
+        "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m +no_defs"
+    ),
+    "EPSG:27574": (
+        "+proj=lcc +lat_1=42.165 +lat_0=42.165 +lon_0=0 +k_0=0.99994471 "
+        "+x_0=234.358 +y_0=4185861.369 +a=6378249.2 +b=6356515 "
+        "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m +no_defs"
+    ),
 }
 # ETRS89 / UTM zones 28N-38N
 for _z in range(28, 39):

@@ -85,9 +85,9 @@ _WGS84 = Ellipsoid(*ELLIPSOIDS["WGS84"])
 # proj4 string parsing
 # ---------------------------------------------------------------------------
 class ProjDef:
-    __slots__ = ("proj", "ell", "params", "towgs84", "to_meter", "nadgrids")
+    __slots__ = ("proj", "ell", "params", "towgs84", "to_meter", "nadgrids", "pm")
 
-    def __init__(self, proj, ell, params, towgs84, to_meter, nadgrids=None):
+    def __init__(self, proj, ell, params, towgs84, to_meter, nadgrids=None, pm=0.0):
         self.proj = proj
         self.ell = ell
         self.params = params
@@ -97,6 +97,9 @@ class ProjDef:
         # lazily per process (functions/ntv2.py lru_cache) so ProjDef
         # stays a picklable bag of primitives for executor shipping
         self.nadgrids = nadgrids
+        # +pm= prime-meridian Greenwich offset in degrees: longitudes of
+        # this CRS are measured from there (NTF Paris, Bern, Ferro, ...)
+        self.pm = pm
 
 
 def _parse_angle(v: str) -> float:
@@ -111,9 +114,25 @@ _CONSUMED_KEYS = frozenset(
     {
         "proj", "a", "rf", "f", "b", "ellps", "datum", "towgs84", "to_meter",
         "units", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0",
-        "x_0", "y_0", "zone", "south", "nadgrids",
+        "x_0", "y_0", "zone", "south", "nadgrids", "pm",
     }
 )
+# +pm= named prime meridians (proj's `-lm` list, Greenwich offsets in deg)
+_PRIME_MERIDIANS = {
+    "greenwich": 0.0,
+    "lisbon": -9.131906111111112,
+    "paris": 2.337229166666667,
+    "bogota": -74.08091666666667,
+    "madrid": -3.687938888888889,
+    "rome": 12.45233333333333,
+    "bern": 7.439583333333333,
+    "jakarta": 106.8077194444444,
+    "ferro": -17.66666666666667,
+    "brussels": 4.367975,
+    "stockholm": 18.05827777777778,
+    "athens": 23.7163375,
+    "oslo": 10.72291666666667,
+}
 # +datum= shorthand expansions (proj's datum table): ellipsoid + either a
 # Helmert or a REQUIRED grid file. Datums whose published transform is
 # grid-based raise loudly unless +nadgrids= is given — silently treating
@@ -151,13 +170,26 @@ def parse_proj4(s: str) -> ProjDef:
             continue
         raise ValueError(
             f"unsupported proj4 parameter +{k}={v} in {s!r}: this engine "
-            f"consumes {sorted(_CONSUMED_KEYS)}; +pm/+axis/+geoidgrids "
+            f"consumes {sorted(_CONSUMED_KEYS)}; +axis/+geoidgrids "
             f"change the result and cannot be ignored"
         )
 
     nadgrids = params.get("nadgrids")
     if nadgrids == "@null":
         nadgrids = None
+
+    pm = 0.0
+    if "pm" in params:
+        v = params["pm"]
+        if v.lower() in _PRIME_MERIDIANS:
+            pm = _PRIME_MERIDIANS[v.lower()]
+        else:
+            try:
+                pm = float(v)
+            except ValueError:
+                raise ValueError(
+                    f"unknown +pm={v} in {s!r} (named: {sorted(_PRIME_MERIDIANS)})"
+                ) from None
 
     datum = params.get("datum")
     datum_ellps, datum_towgs84 = None, None
@@ -223,7 +255,7 @@ def parse_proj4(s: str) -> ProjDef:
     ):
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
                          f"webmerc, lcc, aea, stere, somerc)")
-    return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids)
+    return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm)
 
 
 # ---------------------------------------------------------------------------
@@ -686,8 +718,11 @@ def transform_proj4(x, y, src: ProjDef, dst: ProjDef):
     geocentric XYZ when towgs84/ellipsoids require it] -> [dst NTv2 grid
     inverse]. A grid shift REPLACES the Helmert+ellipsoid change for its
     side (the grid's target is the WGS84-frame datum, e.g. NAD83), which
-    is exactly proj's +nadgrids pipeline."""
+    is exactly proj's +nadgrids pipeline. +pm= rotates longitudes to/from
+    Greenwich around the datum leg (NTF Paris etc.)."""
     lon, lat = _inv(src, x, y)
+    if src.pm:
+        lon = np.asarray(lon, dtype=np.float64) + src.pm
     same_datum = (
         src.towgs84 == dst.towgs84
         and src.nadgrids == dst.nadgrids
@@ -718,4 +753,6 @@ def transform_proj4(x, y, src: ProjDef, dst: ProjDef):
             from .ntv2 import load_grid
 
             lon, lat = load_grid(dst.nadgrids).inverse(lon, lat)
+    if dst.pm:
+        lon = np.asarray(lon, dtype=np.float64) - dst.pm
     return _fwd(dst, lon, lat)
