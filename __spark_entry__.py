@@ -995,6 +995,27 @@ def q_text_metrics(spark, sf_dir):
     )
 
 
+def q_text_metrics_full(spark, sf_dir):
+    """The FULL text_metrics projection (operators/textops.py) — pins the
+    r9 whole-token-regex rewrite: token counts, stopword hits and
+    distinct-token counts must equal the tokenize-then-set-membership
+    definition the DuckDB oracle computes."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import text_metrics
+
+    m = text_metrics(spark.table("documents"))
+    return m.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("unique_ratio", 6).alias("unique_ratio"),
+    )
+
+
 def q_text_ngram_jaccard(spark, sf_dir):
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.dedup import ngram_jaccard_pairs
@@ -2723,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "st_drivers_meta": q_st_drivers_meta,
         # changed in r9 (tokenizer rewrite / fgb datasource fix): in-window
         "text_token_count": q_text_token_count,
+        "text_metrics_full": q_text_metrics_full,
         "fgb_roundtrip": q_fgb_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
@@ -2879,6 +2901,35 @@ def _simhash_spec_oracle() -> str:
         SELECT d.doc_id, f.simhash
         FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
         LEFT JOIN fp f USING (doc_id)
+    """
+
+
+def _text_metrics_oracle() -> str:
+    """DuckDB replica of textops.text_metrics: tokenize-then-set-membership
+    definitions of the counts the Spark side now computes with whole-token
+    regexes."""
+    from duckdb_spatial_spark.operators.textops import _STOPWORDS
+
+    arr = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS["en"]) + "]"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks,
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+            length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+            length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) AS punct,
+            length(regexp_replace(text, '[^ \t\n\x0b\f\r]', '', 'g')) AS spaces
+          FROM documents
+        )
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          CASE WHEN len(toks) > 0 THEN round((n_chars - spaces) / len(toks), 6) END AS avg_word_len,
+          CASE WHEN n_chars > 0 THEN round(alpha / n_chars, 6) END AS alpha_ratio,
+          CASE WHEN n_chars > 0 THEN round(digits / n_chars, 6) END AS digit_ratio,
+          CASE WHEN n_chars > 0 THEN round(punct / n_chars, 6) END AS punct_ratio,
+          CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, t -> list_contains({arr}, t))) / len(toks), 6) END AS stopword_ratio,
+          CASE WHEN len(toks) > 0 THEN round(len(list_distinct(toks)) / len(toks), 6) END AS unique_ratio
+        FROM t
     """
 
 
@@ -3799,6 +3850,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) WHERE id < 300
         """,
         "lang_id": _lang_id_oracle(),
+        "text_metrics_full": _text_metrics_oracle(),
         "minhash_lsh_spec": _minhash_spec_oracle(),
         "simhash_spec": _simhash_spec_oracle(),
         # --- round-6 pipeline operators (operators/pipeline.py) ---

@@ -501,13 +501,17 @@ def _tm_inverse(easting, northing, zone, south):
     return np.degrees(lon), np.degrees(lat)
 
 
-def transform_xy(x, y, src: str, dst: str, always_xy: bool = False):
+def transform_xy(x, y, src: str, dst: str, always_xy: bool = False, z=None):
     """Transform coordinate arrays between two CRS, honoring axis order.
 
     Analytic built-ins (all WGS84-datum) take the direct kernel path; any
     other pair — long-tail EPSG codes from _PROJ4_STRINGS or raw
     ``+proj=...`` strings — runs through the proj4 engine, including the
-    towgs84 Helmert datum step (functions/proj4.py)."""
+    towgs84 Helmert datum step (functions/proj4.py).
+
+    ``z``: optional heights. Sides carrying ``+geoidgrids=`` convert
+    orthometric <-> ellipsoidal (functions/gtx.py); otherwise z passes
+    through. With z given the return is (x, y, z)."""
     src, dst = _norm_crs(src), _norm_crs(dst)
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
@@ -522,7 +526,9 @@ def transform_xy(x, y, src: str, dst: str, always_xy: bool = False):
         if ox is not None:
             if not _lonlat_axis(dst, always_xy):
                 ox, oy = oy, ox
-            return ox, oy
+            if z is None:
+                return ox, oy
+            return ox, oy, np.asarray(z, dtype=np.float64)
     from . import proj4 as P
 
     sd, dd = _as_proj4_def(src), _as_proj4_def(dst)
@@ -530,10 +536,13 @@ def transform_xy(x, y, src: str, dst: str, always_xy: bool = False):
         raise ValueError(_UNSUPPORTED_MSG.format(crs=src))
     if dd is None:
         raise ValueError(_UNSUPPORTED_MSG.format(crs=dst))
-    ox, oy = P.transform_proj4(x, y, sd, dd)
+    res = P.transform_proj4(x, y, sd, dd, z=z)
+    ox, oy = res[0], res[1]
     if not _lonlat_axis(dst, always_xy):
         ox, oy = oy, ox
-    return ox, oy
+    if z is None:
+        return ox, oy
+    return ox, oy, res[2]
 
 
 def make_st_transform():
@@ -546,8 +555,17 @@ def make_st_transform():
                 continue
             g = _g(b)
             axy = bool(axy)
+            has_z = g.has_z
 
             def conv(arr):
+                if has_z and arr.shape[1] > 2:
+                    ox, oy, oz = transform_xy(
+                        arr[:, 0], arr[:, 1], f_, t_, axy, z=arr[:, 2]
+                    )
+                    rest = arr[:, 3:]
+                    return np.column_stack(
+                        [ox, oy, oz] + ([rest] if rest.shape[1] else [])
+                    )
                 ox, oy = transform_xy(arr[:, 0], arr[:, 1], f_, t_, axy)
                 rest = arr[:, 2:]
                 return np.column_stack([ox, oy] + ([rest] if rest.shape[1] else []))

@@ -85,9 +85,13 @@ _WGS84 = Ellipsoid(*ELLIPSOIDS["WGS84"])
 # proj4 string parsing
 # ---------------------------------------------------------------------------
 class ProjDef:
-    __slots__ = ("proj", "ell", "params", "towgs84", "to_meter", "nadgrids", "pm")
+    __slots__ = (
+        "proj", "ell", "params", "towgs84", "to_meter", "nadgrids", "pm",
+        "geoidgrids",
+    )
 
-    def __init__(self, proj, ell, params, towgs84, to_meter, nadgrids=None, pm=0.0):
+    def __init__(self, proj, ell, params, towgs84, to_meter, nadgrids=None,
+                 pm=0.0, geoidgrids=None):
         self.proj = proj
         self.ell = ell
         self.params = params
@@ -100,6 +104,9 @@ class ProjDef:
         # +pm= prime-meridian Greenwich offset in degrees: longitudes of
         # this CRS are measured from there (NTF Paris, Bern, Ferro, ...)
         self.pm = pm
+        # +geoidgrids= GTX vertical grid: this CRS's z is ORTHOMETRIC
+        # height above the geoid; lazily loaded (functions/gtx.py)
+        self.geoidgrids = geoidgrids
 
 
 def _parse_angle(v: str) -> float:
@@ -114,7 +121,7 @@ _CONSUMED_KEYS = frozenset(
     {
         "proj", "a", "rf", "f", "b", "ellps", "datum", "towgs84", "to_meter",
         "units", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0",
-        "x_0", "y_0", "zone", "south", "nadgrids", "pm",
+        "x_0", "y_0", "zone", "south", "nadgrids", "pm", "geoidgrids",
     }
 )
 # +pm= named prime meridians (proj's `-lm` list, Greenwich offsets in deg)
@@ -170,13 +177,17 @@ def parse_proj4(s: str) -> ProjDef:
             continue
         raise ValueError(
             f"unsupported proj4 parameter +{k}={v} in {s!r}: this engine "
-            f"consumes {sorted(_CONSUMED_KEYS)}; +axis/+geoidgrids "
-            f"change the result and cannot be ignored"
+            f"consumes {sorted(_CONSUMED_KEYS)}; +axis changes the "
+            f"result and cannot be ignored"
         )
 
     nadgrids = params.get("nadgrids")
     if nadgrids == "@null":
         nadgrids = None
+
+    geoidgrids = params.get("geoidgrids")
+    if geoidgrids == "@null":
+        geoidgrids = None
 
     pm = 0.0
     if "pm" in params:
@@ -255,7 +266,7 @@ def parse_proj4(s: str) -> ProjDef:
     ):
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
                          f"webmerc, lcc, aea, stere, somerc)")
-    return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm)
+    return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm, geoidgrids)
 
 
 # ---------------------------------------------------------------------------
@@ -711,7 +722,7 @@ def _inv(d: ProjDef, x, y):
     raise ValueError(f"unsupported +proj={d.proj}")  # pragma: no cover
 
 
-def transform_proj4(x, y, src: ProjDef, dst: ProjDef):
+def transform_proj4(x, y, src: ProjDef, dst: ProjDef, z=None):
     """Full pipeline between two parsed proj4 defs (x/y in src CRS units).
 
     Datum leg: [src NTv2 grid -> WGS84-frame geodetic] -> [Helmert via
@@ -719,10 +730,21 @@ def transform_proj4(x, y, src: ProjDef, dst: ProjDef):
     inverse]. A grid shift REPLACES the Helmert+ellipsoid change for its
     side (the grid's target is the WGS84-frame datum, e.g. NAD83), which
     is exactly proj's +nadgrids pipeline. +pm= rotates longitudes to/from
-    Greenwich around the datum leg (NTF Paris etc.)."""
+    Greenwich around the datum leg (NTF Paris etc.).
+
+    ``z``: optional height column. A side carrying +geoidgrids= treats
+    its z as ORTHOMETRIC: src converts up to ellipsoidal (h = H + N),
+    dst back down (H = h - N), N bilinear from the GTX grid at the
+    geographic position (proj's vgridshift; the lookup position is
+    datum-insensitive at geoid smoothness). Returns (x, y) without z,
+    (x, y, z) with it."""
     lon, lat = _inv(src, x, y)
     if src.pm:
         lon = np.asarray(lon, dtype=np.float64) + src.pm
+    if z is not None and src.geoidgrids:
+        from .gtx import load_gtx
+
+        z = load_gtx(src.geoidgrids).to_ellipsoidal(lon, lat, z)
     same_datum = (
         src.towgs84 == dst.towgs84
         and src.nadgrids == dst.nadgrids
@@ -753,6 +775,13 @@ def transform_proj4(x, y, src: ProjDef, dst: ProjDef):
             from .ntv2 import load_grid
 
             lon, lat = load_grid(dst.nadgrids).inverse(lon, lat)
+    if z is not None and dst.geoidgrids:
+        from .gtx import load_gtx
+
+        z = load_gtx(dst.geoidgrids).to_orthometric(lon, lat, z)
     if dst.pm:
         lon = np.asarray(lon, dtype=np.float64) - dst.pm
-    return _fwd(dst, lon, lat)
+    ox, oy = _fwd(dst, lon, lat)
+    if z is None:
+        return ox, oy
+    return ox, oy, np.asarray(z, dtype=np.float64)

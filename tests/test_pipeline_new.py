@@ -137,8 +137,10 @@ def test_arrow_ipc_roundtrip(spark):
         )
         assert chk.count() == 0
         # column pruning path
+        # uniform ST_Read contract: columns= restricts ATTRIBUTES, the
+        # geometry column is always kept (GDAL semantics)
         pruned = st_read(spark, path, columns=["id", "v"])
-        assert pruned.columns == ["id", "v"]
+        assert pruned.columns == ["id", "v", "geom"]
         import pyarrow as pa
 
         with pa.OSFile(path, "rb") as f:
