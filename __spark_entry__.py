@@ -1016,6 +1016,20 @@ def q_text_metrics_full(spark, sf_dir):
     )
 
 
+def q_quality_score(spark, sf_dir):
+    """Composite quality heuristic (Gopher/C4-style filters folded into
+    one [0,1] score, operators/textops.py quality_score) — the oracle
+    recomputes every sub-score from tokenize-then-set-membership
+    definitions and mirrors the exact blend expression."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import quality_score
+
+    m = quality_score(spark.table("documents"))
+    return m.select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "quality"
+    )
+
+
 def q_text_ngram_jaccard(spark, sf_dir):
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.dedup import ngram_jaccard_pairs
@@ -2745,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # changed in r9 (tokenizer rewrite / fgb datasource fix): in-window
         "text_token_count": q_text_token_count,
         "text_metrics_full": q_text_metrics_full,
+        "quality_score": q_quality_score,
         "fgb_roundtrip": q_fgb_roundtrip,
         "tab_roundtrip": q_tab_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
@@ -2930,6 +2945,39 @@ def _text_metrics_oracle() -> str:
           CASE WHEN len(toks) > 0 THEN round(len(list_filter(toks, t -> list_contains({arr}, t))) / len(toks), 6) END AS stopword_ratio,
           CASE WHEN len(toks) > 0 THEN round(len(list_distinct(toks)) / len(toks), 6) END AS unique_ratio
         FROM t
+    """
+
+
+def _quality_score_oracle() -> str:
+    """DuckDB replica of textops.quality_score: UNROUNDED ratios feed the
+    blend (rounding happens once at the score), the blend expression
+    mirrors the Spark Column tree term by term, and least/coalesce
+    placement matches (both engines' least() skip NULLs)."""
+    from duckdb_spatial_spark.operators.textops import _STOPWORDS
+
+    arr = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS["en"]) + "]"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks,
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+            CASE WHEN n_chars > 0 THEN alpha / n_chars END AS alpha_ratio,
+            CASE WHEN len(toks) > 0 THEN len(list_filter(toks, x -> list_contains({arr}, x))) / len(toks) END AS stopword_ratio,
+            CASE WHEN len(toks) > 0 THEN len(list_distinct(toks)) / len(toks) END AS unique_ratio
+          FROM t
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          round(
+            least(n_tokens / 50.0, 1.0)
+              * (CASE WHEN n_tokens > 100000 THEN 0.5 ELSE 1.0 END) * 0.25
+            + least(coalesce(alpha_ratio, 0.0) / 0.7, 1.0) * 0.25
+            + least(coalesce(stopword_ratio, 0.0) / 0.2, 1.0) * 0.25
+            + coalesce(unique_ratio, 0.0) * 0.25, 6) AS quality
+        FROM m
     """
 
 
@@ -3851,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": _lang_id_oracle(),
         "text_metrics_full": _text_metrics_oracle(),
+        "quality_score": _quality_score_oracle(),
         "minhash_lsh_spec": _minhash_spec_oracle(),
         "simhash_spec": _simhash_spec_oracle(),
         # --- round-6 pipeline operators (operators/pipeline.py) ---
