@@ -1962,6 +1962,81 @@ def q_streaming_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_streaming_upsert(spark, sf_dir):
+    """Streaming ingest that MAINTAINS the snapshot layout: readStream
+    over parquet batch files -> foreachBatch upsert_geo_snapshot (the
+    key-matched COW MERGE, rtree.cpp insert-path analog) -> read the
+    final snapshot. maxFilesPerTrigger=1 forces one upsert commit per
+    batch, exercising incremental maintenance; the streamed key sets are
+    DISJOINT (updates vs inserts), so the final state is independent of
+    batch boundaries and a plain-SQL oracle reproduces it."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.plans.snapshot import (
+        read_geo_snapshot,
+        upsert_geo_snapshot,
+        write_geo_snapshot,
+    )
+
+    base_dir = _fresh_tmp("stream_upsert")
+    layout = os.path.join(base_dir, "layout")
+    src_dir = os.path.join(base_dir, "in")
+    os.makedirs(src_dir, exist_ok=True)
+    write_geo_snapshot(spark.sql(_PTS), layout, point_xy=("x", "y"), num_partitions=4)
+    upd = spark.sql(
+        f"SELECT id, CAST(2.5 AS DOUBLE) AS x, CAST(7.25 AS DOUBLE) AS y"
+        f" FROM ({_PTS}) WHERE id % 11 = 0"
+    )
+    ins = spark.sql(
+        f"SELECT id + 40000000 AS id, CAST(11.5 AS DOUBLE) AS x,"
+        f" CAST(3.75 AS DOUBLE) AS y FROM ({_PTS}) WHERE id % 13 = 0"
+    )
+    for i, bdf in enumerate((upd, ins)):
+        tmpd = os.path.join(base_dir, f"w{i}")
+        bdf.coalesce(1).write.mode("overwrite").parquet(tmpd)
+        for f in os.listdir(tmpd):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmpd, f),
+                    os.path.join(src_dir, f"batch-{i}.parquet"),
+                )
+    stream = (
+        spark.readStream.schema(upd.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        upsert_geo_snapshot(
+            spark, layout, batch_df, "id", num_partitions=2, point_xy=("x", "y")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", os.path.join(base_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming upsert did not finish in 180s")
+    final = read_geo_snapshot(spark, layout)
+    return final.groupBy().agg(
+        F.count("*").alias("_n"),
+        F.sum("id").alias("_s"),
+        F.min("bbox_min_x").alias("_x0"),
+        F.max("bbox_max_y").alias("_y1"),
+    ).select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_s").cast("long").alias("id_sum"),
+        F.round("_x0", 6).alias("xmin"),
+        F.round("_y1", 6).alias("ymax"),
+    )
+
+
 def q_events_percentiles(spark, sf_dir):
     """Exact linear-interpolation percentiles per event type (host-engine
     ordered-aggregate capability; Spark percentile == DuckDB
@@ -2768,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": q_streaming_dedup,
         "streaming_join": q_streaming_join,
         "streaming_extent": q_streaming_extent,
+        "streaming_upsert": q_streaming_upsert,
         "events_percentiles": q_events_percentiles,
         # --- round-6 pipeline operators ---
         "gopher_quality": q_gopher_quality,
@@ -3214,6 +3290,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "layout_pruned_count": layout_boxes_sql,
         "layout_snapshot": snapshot_vers_sql,
+        "streaming_upsert": f"""
+            WITH merged AS (
+              SELECT id, x, y FROM ({_PTS}) WHERE id % 11 <> 0
+              UNION ALL SELECT id, CAST(2.5 AS DOUBLE), CAST(7.25 AS DOUBLE)
+                FROM ({_PTS}) WHERE id % 11 = 0
+              UNION ALL SELECT id + 40000000, CAST(11.5 AS DOUBLE),
+                CAST(3.75 AS DOUBLE) FROM ({_PTS}) WHERE id % 13 = 0
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum,
+                   round(min(x), 6) AS xmin, round(max(y), 6) AS ymax
+            FROM merged
+        """,
         "spatial_intersection_lines": """
             SELECT CAST(id AS BIGINT) AS id, ix, xi, CAST(dim AS INT) AS dim,
                    CAST(len AS DOUBLE) AS len, dif
