@@ -2856,8 +2856,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
-        "ngram_lm": q_ngram_lm,
-        "chunk_documents": q_chunk_documents,
         "wordlist_filter": q_wordlist_filter,
         "text_normalize": q_text_normalize,
         "ngram_counts": q_ngram_counts,
@@ -2867,6 +2865,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
+        # r8-green, unchanged in r9 — rotated behind the window
+        "ngram_lm": q_ngram_lm,
+        "chunk_documents": q_chunk_documents,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
         "spatial_transform_wkt": q_spatial_transform_wkt,
