@@ -2640,6 +2640,40 @@ def q_spatial_transform_paris(spark, sf_dir):
     )
 
 
+def q_spatial_native_casts(spark, sf_dir):
+    """WKB -> native columnar-type casts (reference cast kernels
+    ST_Point2DFromWKB / ST_LineString2DFromWKB / ST_Polygon2DFromWKB,
+    spatial/core/functions/cast/*): materialize POINT_2D /
+    LINESTRING_2D / POLYGON_2D struct columns from WKB, then evaluate
+    the all-JVM native kernels (shoelace area, segment length, 4-compare
+    point-in-box) on them. Oracle = closed-form arithmetic over the rect
+    parameters (areas are integer-valued, so shoelace float noise cannot
+    cross a rounding boundary)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.functions import native
+
+    df = spark.sql(
+        f"SELECT rid, mx, my, w, h FROM ({_RECTS}) WHERE rid <= 600"
+    ).selectExpr(
+        "rid", "mx", "my",
+        "ST_Polygon2DFromWKB(ST_MakeEnvelope(mx, my, mx + w, my + h)) AS poly",
+        "ST_LineString2DFromWKB(ST_MakeLine2(ST_Point(mx, my), ST_Point(mx + w, my + h))) AS line",
+        "ST_Point2DFromWKB(ST_Point(mx, my)) AS pt",
+    )
+    return df.select(
+        "rid",
+        F.round(native.polygon_2d_area("poly"), 6).alias("area"),
+        F.round(native.linestring_2d_length("line"), 6).alias("seg_len"),
+        native.point_in_box(
+            F.col("pt.x"), F.col("pt.y"), 2000.0, 2000.0, 7000.0, 7000.0
+        ).alias("in_box"),
+        F.round(F.col("pt.x"), 6).alias("px"),
+        F.size("poly").cast("int").alias("nrings"),
+        F.size(F.element_at(F.col("poly"), 1)).cast("int").alias("npts"),
+        native.linestring_2d_npoints("line").cast("int").alias("nlpts"),
+    )
+
+
 def q_layout_pruned_polys(spark, sf_dir):
     """Polygon windowed query through the layout (the reference's headline
     rtree_index.benchmark shape: windowed ST_Within over POLYGONS): cluster
@@ -2817,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r9: NTv2 grids, polygon short-circuit, introspection ---
         "spatial_transform_nad27": q_spatial_transform_nad27,
         "spatial_transform_paris": q_spatial_transform_paris,
+        "spatial_native_casts": q_spatial_native_casts,
         "layout_pruned_polys": q_layout_pruned_polys,
         "geo_parquet_stats": q_geo_parquet_stats,
         # --- new in r8: R-tree/layout analog + mixed-dim overlay rows ---
@@ -2857,7 +2892,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
         "wordlist_filter": q_wordlist_filter,
-        "text_normalize": q_text_normalize,
         "ngram_counts": q_ngram_counts,
         "minhash_index": q_minhash_index,
         "ivf_index": q_ivf_index,
@@ -2868,6 +2902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8-green, unchanged in r9 — rotated behind the window
         "ngram_lm": q_ngram_lm,
         "chunk_documents": q_chunk_documents,
+        "text_normalize": q_text_normalize,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
         "spatial_transform_wkt": q_spatial_transform_wkt,
@@ -3275,6 +3310,15 @@ def oracle_sql() -> dict[str, str]:
     )
     return {
         "spatial_transform_nad27": nad27_sql,
+        "spatial_native_casts": f"""
+            SELECT rid, round(w * h, 6) AS area,
+                   round(sqrt(w * w + h * h), 6) AS seg_len,
+                   (mx >= 2000 AND mx <= 7000 AND my >= 2000 AND my <= 7000) AS in_box,
+                   round(mx, 6) AS px,
+                   CAST(1 AS INTEGER) AS nrings, CAST(5 AS INTEGER) AS npts,
+                   CAST(2 AS INTEGER) AS nlpts
+            FROM ({_RECTS}) WHERE rid <= 600
+        """,
         "spatial_transform_paris": f"""
             SELECT zid, round(600000.0, 4) AS x, round(0.0, 4) AS dy,
                    round({_PARIS_PM}, 9) AS glon,

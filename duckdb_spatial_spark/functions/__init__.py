@@ -149,9 +149,12 @@ _REGISTRY = {
 
 def register_all(spark):
     """Register every ST_* function on the session; returns the name list."""
+    from . import native as _native
+
     st_transform = make_st_transform()
     registry = dict(_REGISTRY)
     registry["st_transform"] = st_transform
+    registry.update(_native._native_cast_udfs())
     for name, udf in registry.items():
         spark.udf.register(name, udf)
     return sorted(registry)

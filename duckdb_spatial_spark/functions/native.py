@@ -177,3 +177,78 @@ def extent_agg_exprs(min_x, min_y, max_x, max_y):
         F.max(max_x).alias("max_x"),
         F.max(max_y).alias("max_y"),
     ]
+
+
+# ------------------------------------------- WKB -> native-type casts
+# (reference registers ST_Point2DFromWKB / ST_LineString2DFromWKB /
+# ST_Polygon2DFromWKB as the internal cast kernels behind
+# `wkb::CAST(POINT_2D)` etc., spatial/src/spatial/core/functions/cast/*;
+# materializing a columnar layout from WKB is a one-time ingest cost that
+# buys the all-JVM kernels above for every later query)
+def _native_cast_udfs():
+    """Built lazily (pandas import only when used)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..geo import geom as G
+    from ..geo import wkb as WKB
+
+    p2d = T.StructType(
+        [T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())]
+    )
+    ls2d = T.ArrayType(p2d)
+    pg2d = T.ArrayType(ls2d)
+
+    def _pt(g):
+        return {"x": float(g[0]), "y": float(g[1])}
+
+    @F.pandas_udf(p2d)
+    def st_point2dfromwkb(s):
+        xs, ys = [], []
+        for b in s:
+            if b is None:
+                xs.append(None); ys.append(None); continue
+            g = WKB.from_wkb(bytes(b))
+            if g.tag != G.POINT:
+                raise ValueError(
+                    f"ST_Point2DFromWKB: expected POINT, got {g.type_name}"
+                )
+            if g.data is None:  # EMPTY
+                xs.append(None); ys.append(None)
+            else:
+                xs.append(float(g.data[0])); ys.append(float(g.data[1]))
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    @F.pandas_udf(ls2d)
+    def st_linestring2dfromwkb(s):
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None); continue
+            g = WKB.from_wkb(bytes(b))
+            if g.tag != G.LINESTRING:
+                raise ValueError(
+                    f"ST_LineString2DFromWKB: expected LINESTRING, got {g.type_name}"
+                )
+            out.append([_pt(p) for p in g.data])
+        return pd.Series(out)
+
+    @F.pandas_udf(pg2d)
+    def st_polygon2dfromwkb(s):
+        out = []
+        for b in s:
+            if b is None:
+                out.append(None); continue
+            g = WKB.from_wkb(bytes(b))
+            if g.tag != G.POLYGON:
+                raise ValueError(
+                    f"ST_Polygon2DFromWKB: expected POLYGON, got {g.type_name}"
+                )
+            out.append([[_pt(p) for p in ring] for ring in g.data])
+        return pd.Series(out)
+
+    return {
+        "st_point2dfromwkb": st_point2dfromwkb,
+        "st_linestring2dfromwkb": st_linestring2dfromwkb,
+        "st_polygon2dfromwkb": st_polygon2dfromwkb,
+    }
