@@ -2892,7 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
         "wordlist_filter": q_wordlist_filter,
-        "ngram_counts": q_ngram_counts,
+        "dedup_exact": q_dedup_exact,
         "minhash_index": q_minhash_index,
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
@@ -2928,7 +2928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
         "events_sessionization": q_events_sessionization,
-        "dedup_exact": q_dedup_exact,
+        "ngram_counts": q_ngram_counts,
         "text_metrics": q_text_metrics,
         "dedup_clusters": q_dedup_clusters,
         "text_ngram_jaccard": q_text_ngram_jaccard,

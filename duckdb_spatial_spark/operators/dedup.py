@@ -90,11 +90,20 @@ def poly_hash_expr(col, seed: int):
 
 def dedup_exact(df: DataFrame, cols, id_col: str = None) -> DataFrame:
     """Keep one row per distinct value of ``cols`` (lowest id wins when
-    ``id_col`` given, else arbitrary-but-deterministic first)."""
+    ``id_col`` given, else arbitrary-but-deterministic first).
+
+    min_by aggregation, NOT a window: at web scale the hottest key (an
+    empty doc, boilerplate) holds millions of rows, and a per-key window
+    sorts that entire mass in one task — AQE splits skewed joins, not
+    windows (repo perf rule). The aggregate combines map-side, so a hot
+    key ships one partial row per map task."""
     cols = [cols] if isinstance(cols, str) else list(cols)
-    order = F.col(id_col).asc() if id_col else F.monotonically_increasing_id().asc()
-    w = Window.partitionBy(*cols).orderBy(order)
-    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    order = F.col(id_col) if id_col else F.monotonically_increasing_id()
+    packed = df.select(order.alias("_ord"), F.struct(*df.columns).alias("_row"))
+    agg = packed.groupBy(
+        *[F.col(f"_row.{c}").alias(c) for c in cols]
+    ).agg(F.min_by("_row", "_ord").alias("_r"))
+    return agg.select("_r.*")
 
 
 def ngram_jaccard_pairs(
