@@ -357,6 +357,18 @@ def st_read_meta(spark, path: str, format: str | None = None):
                              f"EPSG:{lay['srid']}"))
         finally:
             con.close()
+    elif format == "esrijson" or p.endswith(".esrijson"):
+        # header-only: FeatureSet documents carry the type + srid up front
+        import json as _json
+
+        with open(path, encoding="utf-8") as f:
+            doc = _json.load(f)
+        gt = (doc.get("geometryType") or "").replace("esriGeometry", "")
+        wkid = (doc.get("spatialReference") or {}).get("wkid")
+        rows.append((
+            path, "ESRIJSON", len(doc.get("features", [])), gt,
+            f"EPSG:{wkid}" if wkid else "",
+        ))
     else:
         from .geojson import st_read_meta as _gj_meta
 

@@ -91,6 +91,19 @@ def test_roundtrip_all_kinds(spark, tmp_path):
             assert norm[i] == want[i][1], i
 
 
+def test_st_read_meta_header_only(spark, tmp_path):
+    from duckdb_spatial_spark.sources import st_read_meta
+
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double").selectExpr(
+        "id", "ST_Point(v, v) AS geom"
+    )
+    p = str(tmp_path / "m.esrijson")
+    st_write(df, p, format="esrijson")
+    r = st_read_meta(spark, p).collect()[0]
+    assert r.driver == "ESRIJSON" and r.feature_count == 1
+    assert r.geometry_types == "Point" and r.crs == "EPSG:4326"
+
+
 def test_typed_fields_and_st_read_options(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, f"n{i}", float(i) / 2, float(5 * (i - 1))) for i in range(1, 7)],
