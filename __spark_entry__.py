@@ -1016,6 +1016,31 @@ def q_text_metrics_full(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/dedup.py semantic_dedup):
+    per-label mean centroids -> nearest-centroid assignment -> exact
+    within-cluster pairwise cosine >= 0.3 (ROUNDED, float-parity rule) ->
+    connected components -> keep the min-id representative. Oracle
+    recomputes the whole chain in SQL (centroid means, rounded argmax
+    assignment, pairwise dots, recursive-CTE closure)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dedup import semantic_dedup
+
+    emb = spark.table("embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("s"))
+        .select("label", F.transform("s", lambda x: x["cv"]).alias("centroid"))
+    )
+    out = semantic_dedup(emb, cent, threshold=0.3)
+    return out.selectExpr(
+        "vec_id", "CAST(assigned AS INT) AS assigned", "rep_id", "keep"
+    )
+
+
 def q_quality_score(spark, sf_dir):
     """Composite quality heuristic (Gopher/C4-style filters folded into
     one [0,1] score, operators/textops.py quality_score) — the oracle
@@ -2879,7 +2904,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join": q_streaming_join,
         "streaming_extent": q_streaming_extent,
         "streaming_upsert": q_streaming_upsert,
-        "events_percentiles": q_events_percentiles,
         # --- round-6 pipeline operators ---
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
@@ -2887,12 +2911,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
-        "pii_scrub": q_pii_scrub,
         "dedup_lines": q_dedup_lines,
         "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
         "wordlist_filter": q_wordlist_filter,
         "dedup_exact": q_dedup_exact,
+        "semantic_dedup": q_semantic_dedup,
         "minhash_index": q_minhash_index,
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
@@ -2903,6 +2927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_lm": q_ngram_lm,
         "chunk_documents": q_chunk_documents,
         "text_normalize": q_text_normalize,
+        "events_percentiles": q_events_percentiles,
+        "pii_scrub": q_pii_scrub,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
         "spatial_transform_wkt": q_spatial_transform_wkt,
@@ -4419,6 +4445,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, clabel AS assigned, cos AS cosine
             FROM ranked WHERE rk = 1
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE e AS (
+              SELECT vec_id, label,
+                     unnest(range(0, len(embedding))) AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings
+            ), cent AS (
+              SELECT label AS clabel, pos, avg(val) AS cv FROM e GROUP BY 1, 2
+            ), cnorm AS (
+              SELECT clabel, sqrt(sum(cv * cv)) AS cn FROM cent GROUP BY 1
+            ), vnorm AS (
+              SELECT vec_id, sqrt(sum(val * val)) AS vn FROM e GROUP BY 1
+            ), dots AS (
+              SELECT e.vec_id, c.clabel, sum(e.val * c.cv) AS dot
+              FROM e JOIN cent c ON e.pos = c.pos
+              GROUP BY 1, 2
+            ), asg AS (
+              SELECT vec_id, clabel AS assigned FROM (
+                SELECT d.vec_id, d.clabel,
+                       row_number() OVER (PARTITION BY d.vec_id
+                                          ORDER BY round(d.dot / (v.vn * c.cn), 5) DESC,
+                                                   d.clabel ASC) AS rk
+                FROM dots d JOIN vnorm v USING (vec_id) JOIN cnorm c USING (clabel)
+              ) WHERE rk = 1
+            ), pairdots AS (
+              SELECT x.vec_id AS ia, y.vec_id AS ib, sum(x.val * y.val) AS dot
+              FROM e x
+              JOIN e y ON x.pos = y.pos AND x.vec_id < y.vec_id
+              JOIN asg sa ON sa.vec_id = x.vec_id
+              JOIN asg sb ON sb.vec_id = y.vec_id AND sa.assigned = sb.assigned
+              GROUP BY 1, 2
+            ), p AS (
+              SELECT ia, ib FROM pairdots d
+              JOIN vnorm va ON va.vec_id = d.ia
+              JOIN vnorm vb ON vb.vec_id = d.ib
+              WHERE round(d.dot / (va.vn * vb.vn), 5) >= 0.3
+            ), edges AS (
+              SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p
+            ), reach(a, b) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a
+            )
+            SELECT r.a AS vec_id, CAST(sa.assigned AS INTEGER) AS assigned,
+                   min(r.b) AS rep_id, r.a = min(r.b) AS keep
+            FROM reach r JOIN asg sa ON sa.vec_id = r.a
+            GROUP BY r.a, sa.assigned
         """,
         # minhash_lsh_pairs / simhash / winnowing: intentionally omitted ->
         # driver records rows-only checks (xxhash64-based signatures are

@@ -531,6 +531,75 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_label_col: str = "label",
+    c_vec_col: str = "centroid",
+    ndigits: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
+    arXiv:2303.09540): cluster assignment confines the pairwise cosine
+    search to WITHIN each cluster, so the quadratic term is per-cluster,
+    never corpus-wide.
+
+      1. broadcast-assign every vector to its nearest centroid
+         (knn.assign_nearest_centroid — one matmul per Arrow batch)
+      2. exact pairwise cosine within each cluster (self-join keyed on
+         the assigned label; the near-dup decision is made on the
+         ROUNDED cosine, repo float-parity rule)
+      3. connected components over the >= threshold pairs
+         (large-star/small-star), representative = min id
+
+    Returns ``(id, assigned, rep_id, keep)`` — ``keep`` marks each
+    component's representative (singletons keep themselves); dropping
+    ``keep = false`` rows IS the dedup.
+
+    Scale: the assigned label is the parallel unit — the self-join
+    shuffles on it and AQE splits oversized clusters; a cluster too hot
+    for exact pairs should be pre-thinned with embedding_neardup_pairs
+    (LSH) instead. No cross-cluster pair is ever generated."""
+    from .knn import _cosine_batch, assign_nearest_centroid
+
+    a = assign_nearest_centroid(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        c_label_col=c_label_col, c_vec_col=c_vec_col, ndigits=ndigits,
+    ).select(F.col(id_col).alias("_id"), "assigned")
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    av = a.join(v, "_id")
+    left = av.select(
+        F.col("_id").alias("id_a"), "assigned", F.col("_v").alias("_va")
+    )
+    right = av.select(
+        F.col("_id").alias("id_b"), "assigned", F.col("_v").alias("_vb")
+    )
+    pairs = (
+        left.join(right, "assigned")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", F.round(_cosine_batch(F.col("_va"), F.col("_vb")), ndigits))
+        .where(F.col("_cos") >= float(threshold))
+        .select("id_a", "id_b")
+    )
+    comp = duplicate_clusters(
+        pairs, nodes=df.select(F.col(id_col).alias("id")), id_col="id"
+    )
+    return (
+        a.join(
+            comp.select(F.col("id").alias("_id"), F.col("cluster_id").alias("rep_id")),
+            "_id",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "assigned",
+            "rep_id",
+            (F.col("_id") == F.col("rep_id")).alias("keep"),
+        )
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     left_col: str = "id_a",
