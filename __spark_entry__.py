@@ -1041,6 +1041,27 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_mix_sample(spark, sf_dir):
+    """Training-mix construction (operators/pipeline.py mix_sample):
+    per-domain deterministic keep rates over the MINSTD uniform (samples
+    nest across rate changes); domains derived from doc_id. Oracle = the
+    identical LCG arithmetic + CASE rates in plain SQL."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import mix_sample
+
+    docs = spark.table("documents").selectExpr(
+        "doc_id",
+        "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'web' WHEN 1 THEN 'code'"
+        " WHEN 2 THEN 'books' ELSE 'forums' END AS domain",
+    )
+    out = mix_sample(
+        docs, {"web": 0.25, "code": 1.0, "books": 0.75}, "domain", "doc_id",
+        salt=3, default_rate=0.5,
+    )
+    return out.groupBy("domain").agg(F.count("*").alias("n"),
+                                     F.sum("doc_id").alias("id_sum"))
+
+
 def q_quality_score(spark, sf_dir):
     """Composite quality heuristic (Gopher/C4-style filters folded into
     one [0,1] score, operators/textops.py quality_score) — the oracle
@@ -2912,11 +2933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
         "dedup_lines": q_dedup_lines,
-        "sample_stratified": q_sample_stratified,
         "bm25": q_bm25,
         "wordlist_filter": q_wordlist_filter,
         "dedup_exact": q_dedup_exact,
         "semantic_dedup": q_semantic_dedup,
+        "mix_sample": q_mix_sample,
         "minhash_index": q_minhash_index,
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
@@ -2929,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "events_percentiles": q_events_percentiles,
         "pii_scrub": q_pii_scrub,
+        "sample_stratified": q_sample_stratified,
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
         "spatial_transform_wkt": q_spatial_transform_wkt,
@@ -4445,6 +4467,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, clabel AS assigned, cos AS cosine
             FROM ranked WHERE rk = 1
+        """,
+        "mix_sample": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN 'web' WHEN 1 THEN 'code'
+                       WHEN 2 THEN 'books' ELSE 'forums' END AS domain,
+                     (((((doc_id + 3) % 2147483647) + 2147483647) % 2147483647)
+                      * 48271 % 2147483647) * 48271 % 2147483647
+                     / 2147483647.0 AS u
+              FROM documents
+            )
+            SELECT domain, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM d
+            WHERE u < CASE domain WHEN 'web' THEN 0.25 WHEN 'code' THEN 1.0
+                                  WHEN 'books' THEN 0.75 ELSE 0.5 END
+            GROUP BY domain
         """,
         "semantic_dedup": """
             WITH RECURSIVE e AS (

@@ -311,6 +311,46 @@ def hash_split(
     return df.withColumn(out_col, expr)
 
 
+def mix_sample(
+    df: DataFrame,
+    rates: dict,
+    label_col: str,
+    id_col: str,
+    salt: int = 0,
+    default_rate: float = 0.0,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Training-data mixing: per-domain deterministic sampling rates.
+
+    ``rates`` maps a label (domain / source / language) to its keep
+    probability — the standard way a pretraining mix up- or down-weights
+    sources (e.g. ``{"web": 0.3, "code": 1.0, "books": 0.8}``). A row is
+    kept iff its MINSTD uniform (the same bit-reproducible hash as
+    hash_split, so samples NEST: lowering a rate yields a subset) falls
+    below its label's rate; unknown labels use ``default_rate``. Rates
+    above 1.0 raise — up-sampling needs row replication, a different
+    operator, not a silent cap.
+
+    Pure Column projection: zero shuffles, no UDF, stable under
+    repartition; with ``keep_col`` set the decision is appended instead
+    of filtering (audit passes)."""
+    for lbl, r in rates.items():
+        if not (0.0 <= float(r) <= 1.0):
+            raise ValueError(
+                f"mix_sample: rate for {lbl!r} must be in [0, 1], got {r}"
+            )
+    if not (0.0 <= float(default_rate) <= 1.0):
+        raise ValueError("mix_sample: default_rate must be in [0, 1]")
+    u = _minstd_u(id_col, salt)
+    rate = F.lit(float(default_rate))
+    for lbl, r in rates.items():
+        rate = F.when(F.col(label_col) == F.lit(lbl), F.lit(float(r))).otherwise(rate)
+    keep = u < rate
+    if keep_col is not None:
+        return df.withColumn(keep_col, keep)
+    return df.filter(keep)
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
