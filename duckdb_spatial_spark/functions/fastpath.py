@@ -97,6 +97,50 @@ def bbox_arrays(s: pd.Series):
     return mnx, mny, mxx, mxy
 
 
+def box_flags(s: pd.Series, mnx, mny, mxx, mxy) -> np.ndarray:
+    """Per-row "solid axis-aligned rectangle" flag for a WKB series.
+
+    True when the geometry IS the (non-degenerate) rectangle of its own
+    bbox — a closed 5-vertex single-ring polygon, every edge
+    axis-parallel, vertex extremes equal to the given bounds. Any vertex
+    order / winding / starting corner qualifies. Such a geometry needs no
+    exact spatial test at all: containment/overlap of the OTHER side's
+    bbox in it decides within/intersects (the reference caches exactly
+    this through its bbox'd GEOMETRY header, ``geometry_type.hpp:100-146``).
+    One vectorized pass over the 93-byte candidates; everything else False.
+    """
+    vals = s.to_numpy(dtype=object)
+    n = len(vals)
+    flags = np.zeros(n, dtype=bool)
+    cand = [i for i, w in enumerate(vals) if w is not None and len(w) == 93]
+    if not cand:
+        return flags
+    n93 = len(cand)
+    joined = b"".join(bytes(vals[i]) for i in cand)
+    got = np.frombuffer(joined, dtype=np.uint8).reshape(n93, 93)
+    hdr = np.zeros(13, dtype=np.uint8)
+    hdr[0] = 1  # little-endian
+    hdr[1] = 3  # wkbPolygon
+    hdr[5] = 1  # one ring
+    hdr[9] = 5  # five points (closed)
+    hdr_ok = (got[:, :13] == hdr).all(axis=1)
+    ring = got[:, 13:93].copy().view("<f8").reshape(n93, 10)
+    xs_, ys_ = ring[:, 0::2], ring[:, 1::2]
+    closed = (xs_[:, 0] == xs_[:, 4]) & (ys_[:, 0] == ys_[:, 4])
+    edge_ax = ((xs_[:, :4] == xs_[:, 1:]) | (ys_[:, :4] == ys_[:, 1:])).all(axis=1)
+    ci = np.asarray(cand)
+    ext_ok = (
+        (xs_[:, :4].min(axis=1) == mnx[ci])
+        & (ys_[:, :4].min(axis=1) == mny[ci])
+        & (xs_[:, :4].max(axis=1) == mxx[ci])
+        & (ys_[:, :4].max(axis=1) == mxy[ci])
+        & (mnx[ci] < mxx[ci])
+        & (mny[ci] < mxy[ci])
+    )
+    flags[ci[hdr_ok & closed & edge_ax & ext_ok]] = True
+    return flags
+
+
 def const_geom(s: pd.Series):
     """Parsed geometry if the whole batch holds one constant value."""
     if len(s) == 0:

@@ -61,7 +61,7 @@ _CELL_SHIFT = 1 << 22  # pack (cx, cy) into one bigint cell id
 _SJ_ID = "__sj_left_id"  # surrogate key for left/semi/anti reconciliation
 
 
-def _with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
+def _with_bbox(df: DataFrame, geom_col: str, prefix: str, with_isbox: bool = False) -> DataFrame:
     """Attach a bbox struct computed in ONE Python pass per row.
 
     A plain ``withColumn(bb, st_extent(geom))`` gets re-expanded by Catalyst
@@ -69,15 +69,21 @@ def _with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
     Python evals per grid join in round 1). mapInPandas is a hard barrier —
     the bbox fields come out as materialized attributes, so the decode runs
     exactly once however many times the plan references them. Point WKB
-    decodes vectorized (fastpath.bbox_arrays)."""
+    decodes vectorized (fastpath.bbox_arrays).
+
+    ``with_isbox=True`` additionally emits ``{prefix}_is_box`` (the row's
+    geometry IS the solid rectangle of its bbox — detected in the same
+    pass, ``fastpath.box_flags``) so downstream predicates can decide
+    within/intersects from bboxes alone for rectangle rows."""
     from pyspark.sql import types as T
 
     from ..functions import fastpath
 
     flat = [f"{prefix}_bb_mnx", f"{prefix}_bb_mny", f"{prefix}_bb_mxx", f"{prefix}_bb_mxy"]
-    schema = T.StructType(
-        list(df.schema.fields) + [T.StructField(c, T.DoubleType()) for c in flat]
-    )
+    extra = [T.StructField(c, T.DoubleType()) for c in flat]
+    if with_isbox:
+        extra.append(T.StructField(f"{prefix}_is_box", T.BooleanType()))
+    schema = T.StructType(list(df.schema.fields) + extra)
     gi = df.columns.index(geom_col)
 
     def gen(batches):
@@ -85,8 +91,11 @@ def _with_bbox(df: DataFrame, geom_col: str, prefix: str) -> DataFrame:
             mnx, mny, mxx, mxy = fastpath.bbox_arrays(pdf.iloc[:, gi])
             keep = ~np.isnan(mnx)
             out = pdf[keep] if not keep.all() else pdf
-            out = out.assign(**dict(zip(flat, (mnx[keep], mny[keep], mxx[keep], mxy[keep]))))
-            yield out
+            cols = dict(zip(flat, (mnx[keep], mny[keep], mxx[keep], mxy[keep])))
+            if with_isbox:
+                ib = fastpath.box_flags(pdf.iloc[:, gi], mnx, mny, mxx, mxy)
+                cols[f"{prefix}_is_box"] = ib[keep]
+            yield out.assign(**cols)
 
     bb = f"{prefix}_bbox"
     out = df.mapInPandas(gen, schema=schema)
@@ -310,8 +319,19 @@ def st_join(
         ).filter(
             c0.isNotNull() & c1.isNotNull() & c2.isNotNull() & c3.isNotNull()
         )
+        if right_is_box:
+            # the caller vouches every right row is the solid rectangle of
+            # its bbox — the grid recheck can then decide rows JVM-side
+            # even when the LEFT side is general WKB (no left_point)
+            rb = rb.withColumn("r_is_box", F.lit(True))
     else:
-        rb = _with_bbox(right, right_geom, "r")
+        # detect rectangle rights in the same decode pass that builds the
+        # bbox: for predicates where a box right decides from bboxes alone,
+        # sure-true pairs never cross into the recheck UDF (_grid_join)
+        rb = _with_bbox(
+            right, right_geom, "r",
+            with_isbox=predicate in ("within", "intersects", "covered_by"),
+        )
 
     # point x box: the bbox comparison IS the exact predicate -> no UDF
     native_exact = None
@@ -435,7 +455,8 @@ def st_join_stream_static(
 def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance, native_exact=None):
     pad = float(distance or 0.0)
     params = _grid_params(lb, rb, "l", "r", cell_size, pad)
-    out_cols = [c for c in lb.columns if c != "l_bbox"] + [c for c in rb.columns if c != "r_bbox"]
+    aux = {"l_bbox", "r_bbox", "l_is_box", "r_is_box"}
+    out_cols = [c for c in lb.columns if c not in aux] + [c for c in rb.columns if c not in aux]
     if params is None:  # one side has no non-null geometry
         return lb.limit(0).crossJoin(rb.limit(0)).select(*out_cols)
     ox, oy, cs, hot = params
@@ -493,16 +514,61 @@ def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance, na
     if native_exact is not None:
         pairs = pairs.filter(native_exact)  # pure Column — whole join JVM-side
     else:
+        # JVM-side sure-false: within/covered_by REQUIRE bbox(l) ⊆ bbox(r)
+        # whatever the geometries are — cut those pairs before any Python
+        if predicate in ("within", "covered_by"):
+            pairs = pairs.filter(
+                (F.col("l_bbox.min_x") >= F.col("r_bbox.min_x"))
+                & (F.col("l_bbox.max_x") <= F.col("r_bbox.max_x"))
+                & (F.col("l_bbox.min_y") >= F.col("r_bbox.min_y"))
+                & (F.col("l_bbox.max_y") <= F.col("r_bbox.max_y"))
+            )
         recheck = _make_recheck_udf(predicate, distance)
-        pairs = pairs.filter(recheck(F.col(left_geom), F.col(right_geom)))
+        sure = None
+        if "r_is_box" in pairs.columns and predicate in ("within", "intersects", "covered_by"):
+            # sure-true against a solid-rectangle right: geom ⊆ bbox(geom),
+            # so bbox(l) inside the box decides. within needs the OPEN box
+            # (l entirely on the boundary is not within); intersects /
+            # covered_by are decided by the closed box. Only boundary-band
+            # and non-box pairs cross into Python — their inputs are masked
+            # to NULL for sure rows, so no WKB even transfers.
+            if predicate == "within":
+                inside = (
+                    (F.col("l_bbox.min_x") > F.col("r_bbox.min_x"))
+                    & (F.col("l_bbox.max_x") < F.col("r_bbox.max_x"))
+                    & (F.col("l_bbox.min_y") > F.col("r_bbox.min_y"))
+                    & (F.col("l_bbox.max_y") < F.col("r_bbox.max_y"))
+                )
+            else:
+                inside = (
+                    (F.col("l_bbox.min_x") >= F.col("r_bbox.min_x"))
+                    & (F.col("l_bbox.max_x") <= F.col("r_bbox.max_x"))
+                    & (F.col("l_bbox.min_y") >= F.col("r_bbox.min_y"))
+                    & (F.col("l_bbox.max_y") <= F.col("r_bbox.max_y"))
+                )
+            sure = F.coalesce(F.col("r_is_box") & inside, F.lit(False))
+        if sure is not None:
+            pairs = pairs.filter(
+                sure
+                | F.coalesce(
+                    recheck(
+                        F.when(~sure, F.col(left_geom)),
+                        F.when(~sure, F.col(right_geom)),
+                    ),
+                    F.lit(False),
+                )
+            )
+        else:
+            pairs = pairs.filter(recheck(F.col(left_geom), F.col(right_geom)))
     return pairs.select(*out_cols)
 
 
 def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, right):
     """Collect + broadcast the right side as an in-memory grid index; probe
     the left side per Arrow batch (no shuffle at all)."""
-    out_cols = [c for c in lb.columns if c != "l_bbox"] + [c for c in rb.columns if c != "r_bbox"]
-    r_cols = [c for c in rb.columns if c != "r_bbox"]
+    aux = {"l_bbox", "r_bbox", "l_is_box", "r_is_box"}
+    out_cols = [c for c in lb.columns if c not in aux] + [c for c in rb.columns if c not in aux]
+    r_cols = [c for c in rb.columns if c not in aux]
     # Arrow collect of the build side; r_bbox comes from the _with_bbox
     # barrier — no driver-side WKB parse, raw bytes broadcast as-is
     # (executors parse lazily, LRU-cached)
@@ -541,38 +607,20 @@ def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, ri
     csr_rects = np.fromiter((p[1] for p in csr_pairs), dtype=np.int64, count=len(csr_pairs))
     cell_uniq, cell_starts = np.unique(csr_cells, return_index=True)
     cell_ends = np.r_[cell_starts[1:], len(csr_cells)]
-    # axis-aligned-box detection: a rect that IS the rectangle of its own
-    # bbox needs no geometry test at all. Detected structurally — closed
-    # 5-vertex single-ring polygon, every edge axis-parallel, vertex
-    # extremes equal to the declared bbox — so ANY vertex order / winding /
-    # starting corner qualifies. (A previous byte-compare against one
-    # canonical vertex order silently disabled this lane when
-    # st_makeenvelope switched to the reference's CreateFromBox order:
-    # every probe fell back to per-geometry point-in-polygon, ~3x slower.)
-    is_box = np.zeros(len(wkbs), dtype=bool)
-    cand93 = [i for i, w in enumerate(wkbs) if len(w) == 93]
-    if cand93:
-        sub = boxes_np[cand93]
-        n93 = len(cand93)
-        joined = b"".join(wkbs[i] for i in cand93)
-        got = np.frombuffer(joined, dtype=np.uint8).reshape(n93, 93)
-        hdr = np.zeros(13, dtype=np.uint8)
-        hdr[0] = 1  # little-endian
-        hdr[1] = 3  # wkbPolygon
-        hdr[5] = 1  # one ring
-        hdr[9] = 5  # five points (closed)
-        hdr_ok = (got[:, :13] == hdr).all(axis=1)
-        ring = got[:, 13:93].copy().view("<f8").reshape(n93, 10)
-        xs_, ys_ = ring[:, 0::2], ring[:, 1::2]
-        closed = (xs_[:, 0] == xs_[:, 4]) & (ys_[:, 0] == ys_[:, 4])
-        edge_ax = ((xs_[:, :4] == xs_[:, 1:]) | (ys_[:, :4] == ys_[:, 1:])).all(axis=1)
-        ext_ok = (
-            (xs_[:, :4].min(axis=1) == sub[:, 0])
-            & (ys_[:, :4].min(axis=1) == sub[:, 1])
-            & (xs_[:, :4].max(axis=1) == sub[:, 2])
-            & (ys_[:, :4].max(axis=1) == sub[:, 3])
-        )
-        is_box[np.asarray(cand93)[hdr_ok & closed & edge_ax & ext_ok]] = True
+    # axis-aligned-box detection (shared fastpath.box_flags): a rect that
+    # IS the rectangle of its own bbox needs no geometry test at all — any
+    # vertex order / winding / starting corner qualifies. (A previous
+    # byte-compare against one canonical vertex order silently disabled
+    # this lane when st_makeenvelope switched to the reference's
+    # CreateFromBox order: every probe fell back to per-geometry
+    # point-in-polygon, ~3x slower.) Degenerate (zero-extent) rects route
+    # to the point-in-polygon fallback instead.
+    from ..functions import fastpath as _fp
+
+    is_box = _fp.box_flags(
+        pd.Series(wkbs, dtype=object),
+        boxes_np[:, 0], boxes_np[:, 1], boxes_np[:, 2], boxes_np[:, 3],
+    )
 
     spark = lb.sparkSession
     bc = spark.sparkContext.broadcast(
@@ -584,7 +632,7 @@ def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, ri
     l_schema = lb.drop("l_bbox").schema
     from pyspark.sql import types as T
 
-    out_schema = T.StructType(list(l_schema.fields) + [f for f in rb.schema.fields if f.name != "r_bbox"])
+    out_schema = T.StructType(list(l_schema.fields) + [f for f in rb.schema.fields if f.name not in aux])
     l_cols = [c for c in lb.columns if c != "l_bbox"]
     lg_idx = l_cols.index(left_geom)
 

@@ -42,7 +42,7 @@ def _naive_pairs(spark, pts, rects, predicate, distance=None):
     if predicate == "dwithin":
         cond = udfs.st_dwithin(F.col("geom"), F.col("rgeom"), F.lit(float(distance)))
     else:
-        cond = getattr(udfs, f"st_{predicate}")(F.col("geom"), F.col("rgeom"))
+        cond = getattr(udfs, f"st_{predicate.replace('_', '')}")(F.col("geom"), F.col("rgeom"))
     return {(r.pid, r.rid) for r in crossed.filter(cond).select("pid", "rid").collect()}
 
 
@@ -309,3 +309,72 @@ def test_left_bbox_persisted_sidecars(spark):
     # the recheck UDF itself
     plan = via_bbox._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") <= 1  # right side only
+
+
+def test_grid_box_shortcircuit_boundary_and_mixed_rights(spark):
+    """The grid lane's solid-rectangle short-circuit (r_is_box + bbox
+    containment decides within/intersects JVM-side; only boundary-band and
+    non-box pairs reach the recheck UDF) must not change ANY answer:
+    points exactly ON box edges/corners, rights mixed between axis-aligned
+    boxes, a concave polygon whose bbox over-approximates it, a rotated
+    (non-axis-aligned) quad, and a degenerate zero-height 'box'."""
+    pts_rows = [
+        (0, 5.0, 5.0),    # strictly inside box A
+        (1, 0.0, 5.0),    # on A's left edge: within=False, intersects=True
+        (2, 0.0, 0.0),    # A's corner
+        (3, 10.0, 10.0),  # A's opposite corner
+        (4, 28.0, 28.0),  # in concave C's notch: in bbox, NOT in C
+        (5, 25.0, 21.0),  # inside concave C
+        (6, 45.0, 45.0),  # centre of rotated quad R
+        (7, 41.0, 49.0),  # in R's bbox but outside the rotated quad
+        (8, 65.0, 60.0),  # on the degenerate box D (zero-height segment)
+        (9, 99.0, 99.0),  # far away
+    ]
+    pts = spark.createDataFrame(pts_rows, "pid long, x double, y double").withColumn(
+        "geom", udfs.st_point("x", "y")
+    ).select("pid", "geom")
+    rights = [
+        (0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),          # box A
+        (1, "POLYGON ((20 20, 30 20, 30 25, 26 25, 26 30, 20 30, 20 20))"),  # concave C
+        (2, "POLYGON ((45 40, 50 45, 45 50, 40 45, 45 40))"),    # rotated quad R
+        (3, "POLYGON ((60 60, 70 60, 70 60, 60 60, 60 60))"),    # degenerate D
+    ]
+    rects = spark.createDataFrame(rights, "rid long, wkt string").withColumn(
+        "geom", udfs.st_geomfromtext("wkt")
+    ).select("rid", "geom")
+
+    for predicate in ("within", "intersects", "covered_by"):
+        expected = _naive_pairs(spark, pts, rects, predicate)
+        got = st_join(pts, rects, predicate=predicate, strategy="grid", cell_size=8.0)
+        pairs = {(r.pid, r.rid) for r in got.select("pid", "rid").collect()}
+        assert pairs == expected, f"{predicate}: {pairs ^ expected}"
+    # sanity: the fixture exercises both sure-true and recheck lanes
+    w = _naive_pairs(spark, pts, rects, "within")
+    i = _naive_pairs(spark, pts, rects, "intersects")
+    assert (0, 0) in w and (1, 0) not in w and (1, 0) in i
+    assert (4, 1) not in i and (5, 1) in i and (7, 2) not in i
+
+
+def test_box_flags_detector():
+    import numpy as np
+    import pandas as pd
+
+    from duckdb_spatial_spark.functions import fastpath
+    from duckdb_spatial_spark.geo.wkt import from_wkt
+    from duckdb_spatial_spark.geo.wkb import to_wkb
+
+    wkts = [
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",       # ccw box
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))",       # cw box
+        "POLYGON ((10 10, 0 10, 0 0, 10 0, 10 10))",     # other start corner
+        "POLYGON ((45 40, 50 45, 45 50, 40 45, 45 40))", # rotated quad
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 5, 0 0))",  # 6-point box outline
+        "POLYGON ((0 0, 10 0, 10 0, 0 0, 0 0))",         # degenerate
+        "POINT (3 4)",
+        None,
+    ]
+    vals = [to_wkb(from_wkt(w)) if w else None for w in wkts]
+    s = pd.Series(vals, dtype=object)
+    mnx, mny, mxx, mxy = fastpath.bbox_arrays(s)
+    flags = fastpath.box_flags(s, mnx, mny, mxx, mxy)
+    assert flags.tolist() == [True, True, True, False, False, False, False, False]
