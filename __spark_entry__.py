@@ -2879,6 +2879,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return j.groupBy("rid").agg(F.count("*").alias("n"))
 
 
+def q_netcdf_roundtrip(spark, sf_dir):
+    """netCDF classic (CDF-1) sink -> reader round trip
+    (sources/netcdf3.py; GDAL netCDF driver analog, reference
+    st_read.cpp:684-692 format tail): pure-binary Unidata classic layout,
+    CF lat/lon coordinate variables from POINT geometries, char-matrix
+    strings, int/double columns."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import st_read, st_write
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,"
+        f" x / 4 AS score, x, y FROM ({_PTS}) WHERE id < 300"
+    ).withColumn("geom", F.expr("ST_Point(x, y)")).drop("x", "y")
+    path = os.path.join(_fresh_tmp("netcdf_q"), "pts.nc")
+    st_write(df, path)
+    back = st_read(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+    )
+
+
+def q_dsir(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, operators/dsir.py): every
+    document scored by the hashed-ngram log likelihood ratio against a
+    target sub-corpus (source = 'src18'). The oracle replays tokenize ->
+    131-poly square-mix bucket hash -> add-k bucket models -> per-gram
+    ln-ratio sum in plain SQL, rounding the sum to 6 decimals on both
+    sides and deriving the length-normalized rank from the ROUNDED sum."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dsir import dsir_log_weights
+
+    docs = spark.table("documents").select("doc_id", "text")
+    target = spark.table("documents").filter("source = 'src18'").select("doc_id", "text")
+    return dsir_log_weights(
+        docs, target, num_buckets=512, add_k=0.5, seed=7, lowercase=False
+    ).select("doc_id", "dsir_grams", "dsir_logw", "dsir_logw_norm")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver oracle-checks the FIRST 50
     entries only, so recently-changed / never-driver-checked operators go
@@ -2894,7 +2935,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
         "winnowing": q_winnowing,
-        # --- new in r9: NTv2 grids, polygon short-circuit, introspection ---
+        # --- new in r9: NTv2 grids, polygon short-circuit, introspection,
+        # netCDF codec, DSIR selection, grid-join box short-circuit ---
+        "netcdf_roundtrip": q_netcdf_roundtrip,
+        "dsir": q_dsir,
+        "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
+        "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "spatial_transform_nad27": q_spatial_transform_nad27,
         "spatial_transform_paris": q_spatial_transform_paris,
         "spatial_native_casts": q_spatial_native_casts,
@@ -2907,10 +2953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "spatial_unary_ops": q_spatial_unary_ops,
         "spatial_zm_flags": q_spatial_zm_flags,
-        "spatial_area_spheroid": q_spatial_area_spheroid,
-        "spatial_distance_spheroid": q_spatial_distance_spheroid,
-        "spatial_predicates2": q_spatial_predicates2,
-        "spatial_construct_ops": q_spatial_construct_ops,
         "st_drivers_meta": q_st_drivers_meta,
         # changed in r9 (tokenizer rewrite / fgb datasource fix): in-window
         "text_token_count": q_text_token_count,
@@ -2945,6 +2987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "spatial_area_spheroid": q_spatial_area_spheroid,
+        "spatial_distance_spheroid": q_spatial_distance_spheroid,
+        "spatial_predicates2": q_spatial_predicates2,
+        "spatial_construct_ops": q_spatial_construct_ops,
         "ngram_lm": q_ngram_lm,
         "chunk_documents": q_chunk_documents,
         "text_normalize": q_text_normalize,
@@ -2954,9 +3000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- remaining driver-checked surface ---
         # (transform_wkt leads: r5 code with no driver row yet)
         "spatial_transform_wkt": q_spatial_transform_wkt,
-        "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_extent_agg": q_spatial_extent_agg,
-        "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "spatial_overlay_rects": q_spatial_overlay_rects,
         "spatial_intersection_tri_rect": q_spatial_intersection_tri_rect,
         "spatial_convexhull_area": q_spatial_convexhull_area,
@@ -3774,6 +3818,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(x / 4 AS DOUBLE) AS score,
                    round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 300
+        """,
+        "netcdf_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   CAST(x / 4 AS DOUBLE) AS score,
+                   round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+        """,
+        "dsir": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                       x -> x <> '') AS l
+                    FROM documents)
+            ), ttoks AS (
+              SELECT doc_id, tok, pos FROM toks
+              WHERE doc_id IN (SELECT doc_id FROM documents WHERE source = 'src18')
+            ), gr AS (
+              SELECT doc_id, g FROM (
+                SELECT doc_id, tok AS g FROM toks
+                UNION ALL
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+            ), gt AS (
+              SELECT doc_id, g FROM (
+                SELECT doc_id, tok AS g FROM ttoks
+                UNION ALL
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+                FROM ttoks a JOIN ttoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+            ), grb AS (SELECT doc_id, ((h * h + h) % 1000000007) % 512 AS bucket
+                       FROM (SELECT doc_id, {_poly_sql('g', 7)} AS h FROM gr)),
+            gtb AS (SELECT doc_id, ((h * h + h) % 1000000007) % 512 AS bucket
+                    FROM (SELECT doc_id, {_poly_sql('g', 7)} AS h FROM gt)),
+            rc AS (SELECT bucket, count(*) AS r_cnt FROM grb GROUP BY 1),
+            tc AS (SELECT bucket, count(*) AS t_cnt FROM gtb GROUP BY 1),
+            tot AS (SELECT (SELECT count(*) FROM grb) AS rt,
+                           (SELECT count(*) FROM gtb) AS tt),
+            terms AS (
+              SELECT grb.doc_id,
+                     ln((coalesce(tc.t_cnt, 0) + 0.5) / (tot.tt + 0.5 * 512))
+                     - ln((coalesce(rc.r_cnt, 0) + 0.5) / (tot.rt + 0.5 * 512)) AS term
+              FROM grb
+              LEFT JOIN rc USING (bucket)
+              LEFT JOIN tc USING (bucket)
+              CROSS JOIN tot
+            ), agg AS (
+              SELECT doc_id, count(*) AS dsir_grams,
+                     floor(sum(term) * 1e6 + 0.5) / 1e6 AS dsir_logw
+              FROM terms GROUP BY 1
+            )
+            SELECT doc_id, dsir_grams, dsir_logw,
+                   floor(dsir_logw / dsir_grams * 1e6 + 0.5) / 1e6 AS dsir_logw_norm
+            FROM agg
         """,
         "url_canonicalize": f"""
             SELECT id, CASE CAST(id % 6 AS INTEGER)

@@ -1,0 +1,174 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., 2023).
+
+The published recipe for picking pretraining data that "looks like" a
+target corpus: featurize every document as a bag of hashed n-grams,
+fit two bag-of-words models — one on the raw pool, one on the target —
+and weight each raw document by its log likelihood ratio
+
+    log w(doc) = sum over grams g of  [ ln p_target(b(g)) - ln p_raw(b(g)) ]
+
+where ``b(g)`` hashes the gram into ``num_buckets`` feature buckets.
+Selection then keeps the top-k by ``log_w`` (or Gumbel-resamples, which
+is the same score plus per-doc noise the caller can add).
+
+Spark shape (mirrors :mod:`.lm`'s ngram scorer — the proven 100-TB
+layout):
+
+  1. ONE Arrow-batched ``mapInPandas`` pass per corpus tokenizes
+     (ASCII-whitespace, ``_ascii.ws_split``) and emits hashed gram rows
+     ``(id, bucket)`` for unigrams + bigrams — the hash is the repo's
+     portable 131-polynomial so a plain-SQL oracle replays it
+     value-for-value (``dedup.poly_hash_expr`` semantics, computed
+     vectorized in the kernel rather than as a CodegenFallback HOF);
+  2. the two bucket-count models are map-side-combinable
+     ``groupBy(bucket).count()`` aggregations — the ONLY shuffles that
+     scale with corpus size, both partial-aggregated;
+  3. per-gram log-ratio terms come from a BROADCAST join of the
+     ≤``num_buckets``-row model tables onto the raw gram rows;
+  4. ``log_w`` is one final map-side-combinable per-doc sum.
+
+Totals (corpus gram counts) ride along inside the broadcast model rows,
+so no driver-side collect anywhere. Smoothing is add-k over the bucket
+space: p(b) = (count_b + add_k) / (total + add_k * num_buckets).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ._ascii import ws_split as _ascii_ws_split
+
+_MOD = 1_000_000_007
+
+
+def _poly_bucket(s: str, num_buckets: int, seed: int) -> int:
+    # square mix after the 131-poly fold: the linear hash clusters
+    # shared-prefix grams (measured 3x bucket bias in the KMV sketch);
+    # (h² + h) mod p restores uniformity, stays < 2⁶³, stays
+    # SQL-replicable (same mix as operators/sketch.py)
+    h = seed + 1
+    for ch in s:
+        h = (h * 131 + ord(ch)) % _MOD
+    return ((h * h + h) % _MOD) % num_buckets
+
+
+def _gram_rows(
+    df: DataFrame, id_col: str, text_col: str, num_buckets: int,
+    seed: int, lowercase: bool,
+) -> DataFrame:
+    """One Arrow pass: (id, bucket) rows for unigrams + bigrams (bigram
+    string is ``w1 w2`` with a single joining space). Empty docs emit no
+    rows — they carry no evidence and drop from the scored output (the
+    oracle mirrors this)."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("bucket", T.IntegerType())]
+    )
+    ii = df.columns.index(id_col)
+    ti = df.columns.index(text_col)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, buckets = [], []
+            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
+                if text is None:
+                    continue
+                s = str(text).lower() if lowercase else str(text)
+                toks = _ascii_ws_split(s)
+                prev = None
+                for t in toks:
+                    ids.append(did)
+                    buckets.append(_poly_bucket(t, num_buckets, seed))
+                    if prev is not None:
+                        ids.append(did)
+                        buckets.append(
+                            _poly_bucket(prev + " " + t, num_buckets, seed)
+                        )
+                    prev = t
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids), "bucket": pd.Series(buckets, dtype="int32")}
+            )
+
+    return df.mapInPandas(gen, out_schema)
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 4099,
+    add_k: float = 1.0,
+    seed: int = 7,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight of every ``raw`` doc
+    against the ``target`` corpus distribution.
+
+    Returns ``(id_col, dsir_grams, dsir_logw)`` — ``dsir_logw`` rounded
+    to 6 decimals (the repo's dual-engine float-parity convention),
+    higher = more target-like. Docs with no tokens emit no row.
+
+    Note the raw gram projection feeds two plan branches (its bucket
+    counts AND the scoring join), so the tokenizer pass runs twice over
+    the raw corpus — the same accepted shape as :func:`.lm.
+    ngram_lm_perplexity` (DuckDB's CTE materialization pays it once); at
+    100 TB persist the gram projection between the two jobs.
+    """
+    from pyspark.sql import Window
+
+    raw_grams = _gram_rows(raw, id_col, text_col, num_buckets, seed, lowercase)
+    tgt_grams = _gram_rows(target, id_col, text_col, num_buckets, seed, lowercase)
+
+    raw_counts = raw_grams.groupBy("bucket").agg(F.count("*").alias("r_cnt"))
+    tgt_counts = tgt_grams.groupBy("bucket").agg(F.count("*").alias("t_cnt"))
+    # totals via one global window over the ≤num_buckets-row model table
+    # (post-aggregation, tiny): buckets absent from a corpus contribute 0,
+    # so sum(cnt) over () IS that corpus's gram total
+    w_all = Window.partitionBy(F.lit(1))
+    model = F.broadcast(
+        raw_counts.join(tgt_counts, "bucket", "full_outer")
+        .na.fill(0, ["r_cnt", "t_cnt"])
+        .withColumn("r_total", F.sum("r_cnt").over(w_all))
+        .withColumn("t_total", F.sum("t_cnt").over(w_all))
+    )
+
+    b = float(num_buckets)
+    term = (
+        F.log((F.col("t_cnt") + F.lit(add_k)) / (F.col("t_total") + F.lit(add_k) * b))
+        - F.log((F.col("r_cnt") + F.lit(add_k)) / (F.col("r_total") + F.lit(add_k) * b))
+    )
+    out = (
+        raw_grams.join(model, "bucket", "left")
+        .withColumn("_term", term)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("dsir_grams"),
+            (F.floor(F.sum("_term") * 1e6 + F.lit(0.5)) / 1e6).alias("dsir_logw"),
+        )
+    )
+    # the raw LLR is length-biased (each smoothed term carries a negative
+    # constant when the target corpus is much smaller than the raw pool),
+    # so selection ranks on the per-gram mean; derived from the ROUNDED
+    # sum so both engines divide identical numerators
+    return out.withColumn(
+        "dsir_logw_norm",
+        F.floor(F.col("dsir_logw") / F.col("dsir_grams") * 1e6 + F.lit(0.5)) / 1e6,
+    )
+
+
+def dsir_top_k(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The selection step: top-k raw docs by length-normalized DSIR
+    log-weight (ties broken by id for determinism) — a
+    TakeOrderedAndProject, never a global sort."""
+    w = dsir_log_weights(raw, target, id_col=id_col, text_col=text_col, **kwargs)
+    return w.orderBy(F.desc("dsir_logw_norm"), F.asc(id_col)).limit(int(k))

@@ -99,7 +99,7 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
             (".arrow", "arrow"), (".feather", "arrow"), (".arrows", "arrow"),
             (".rss", "georss"), (".georss", "georss"), (".atom", "georss"),
             (".sql", "pgdump"), (".sqlite", "spatialite"), (".splite", "spatialite"),
-            (".esrijson", "esrijson"),
+            (".esrijson", "esrijson"), (".nc", "netcdf"), (".cdf", "netcdf"),
         ):
             if p.endswith(ext):
                 return f
@@ -184,6 +184,10 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_spatialite(spark, path, **options)
     if fmt == "esrijson":
         return read_esrijson(spark, path, **options)
+    if fmt in ("netcdf", "nc", "cdf"):
+        from .netcdf3 import read_netcdf
+
+        return read_netcdf(spark, path, **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -369,6 +373,24 @@ def st_read_meta(spark, path: str, format: str | None = None):
             path, "ESRIJSON", len(doc.get("features", [])), gt,
             f"EPSG:{wkid}" if wkid else "",
         ))
+    elif format in ("netcdf", "nc") or p.endswith((".nc", ".cdf")):
+        # header-only: feature count from the coordinate-variable dims
+        # (point series -> shared dim length; grid -> nlat * nlon)
+        from .netcdf3 import _find_coords, parse_header
+
+        h = parse_header(path)
+        lat_v, lon_v = _find_coords(h)
+
+        def _dlen(v):
+            d = v["dimids"][0]
+            ln = h["dims"][d][1]
+            return h["numrecs"] if ln == 0 else ln
+
+        if lat_v["dimids"] == lon_v["dimids"]:
+            n = _dlen(lat_v)
+        else:
+            n = _dlen(lat_v) * _dlen(lon_v)
+        rows.append((path, "netCDF", int(n), "Point", "EPSG:4326"))
     else:
         from .geojson import st_read_meta as _gj_meta
 
@@ -409,7 +431,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         ".arrow": "arrow", ".feather": "arrow", ".rss": "georss",
         ".georss": "georss", ".sql": "pgdump", ".sqlite": "spatialite",
         ".splite": "spatialite", ".parquet": "geoparquet",
-        ".esrijson": "esrijson",
+        ".esrijson": "esrijson", ".nc": "netcdf", ".cdf": "netcdf",
     }
     fmt = (format or "").lower()
     if not fmt:
@@ -434,6 +456,10 @@ def st_write(df, path: str, format: str | None = None, **options):
         "spatialite": write_spatialite, "sqlite": write_spatialite,
         "esrijson": write_esrijson,
     }
+    if fmt in ("netcdf", "nc", "cdf"):
+        from .netcdf3 import write_netcdf
+
+        return write_netcdf(df, path, **options)
     if fmt in ("geoparquet", "parquet"):
         from ..plans.pruning import write_geo_parquet
 

@@ -1,0 +1,105 @@
+"""DSIR importance weights (Xie et al. 2023): brute-force value parity,
+broadcast-join plan shape, selection ordering."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+
+
+def _bucket(s, nb, seed=7):
+    h = seed + 1
+    for ch in s:
+        h = (h * 131 + ord(ch)) % MOD
+    return ((h * h + h) % MOD) % nb
+
+
+def _grams(text, nb):
+    toks = text.lower().split()
+    out = []
+    prev = None
+    for t in toks:
+        out.append(_bucket(t, nb))
+        if prev is not None:
+            out.append(_bucket(prev + " " + t, nb))
+        prev = t
+    return out
+
+
+def _expected(raw_docs, tgt_docs, nb, add_k):
+    raw_cnt, tgt_cnt = {}, {}
+    for _, txt in raw_docs:
+        for b in _grams(txt, nb):
+            raw_cnt[b] = raw_cnt.get(b, 0) + 1
+    for _, txt in tgt_docs:
+        for b in _grams(txt, nb):
+            tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    R, Tt = sum(raw_cnt.values()), sum(tgt_cnt.values())
+    out = {}
+    for did, txt in raw_docs:
+        gs = _grams(txt, nb)
+        if not gs:
+            continue
+        s = 0.0
+        for b in gs:
+            s += math.log((tgt_cnt.get(b, 0) + add_k) / (Tt + add_k * nb))
+            s -= math.log((raw_cnt.get(b, 0) + add_k) / (R + add_k * nb))
+        out[did] = (len(gs), math.floor(s * 1e6 + 0.5) / 1e6)
+    return out
+
+
+def test_dsir_values_and_plan(spark):
+    from duckdb_spatial_spark.operators.dsir import dsir_log_weights
+
+    raw_docs = [
+        (0, "the cat sat on the mat"),
+        (1, "quantum entanglement drives the experiment"),
+        (2, "the dog sat on the log"),
+        (3, "stock market rally extends gains"),
+        (4, ""),          # no tokens -> no row
+        (5, "Entanglement Experiment Results"),  # lowercased
+    ]
+    tgt_docs = [
+        (100, "quantum experiment measures entanglement"),
+        (101, "entanglement of photon pairs in the lab experiment"),
+    ]
+    nb, add_k = 512, 0.5
+    raw = spark.createDataFrame(raw_docs, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dsir_grams, r.dsir_logw)
+        for r in dsir_log_weights(raw, tgt, num_buckets=nb, add_k=add_k).collect()
+    }
+    want = _expected(raw_docs, tgt_docs, nb, add_k)
+    assert set(got) == set(want)  # doc 4 dropped
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6)
+    # physics docs must outrank prose/finance docs against the physics target
+    assert got[1][1] > got[0][1] and got[1][1] > got[3][1]
+    assert got[5][1] > got[0][1]
+
+    df = dsir_log_weights(raw, tgt, num_buckets=nb, add_k=add_k)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # model joins broadcast
+
+
+def test_dsir_top_k(spark):
+    from duckdb_spatial_spark.operators.dsir import dsir_top_k
+
+    raw = spark.createDataFrame(
+        [(i, "alpha beta " * (i % 3) + "gamma delta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame([(0, "alpha beta alpha beta")], "doc_id long, text string")
+    top = dsir_top_k(raw, tgt, k=5).collect()
+    assert len(top) == 5
+    ws = [r.dsir_logw_norm for r in top]
+    assert ws == sorted(ws, reverse=True)
+    # per-gram normalization: docs with the highest target-gram DENSITY
+    # rank first (the raw sum is length-biased by construction)
+    assert all(r.doc_id % 3 != 0 for r in top)
+    assert all(abs(r.dsir_logw_norm - r.dsir_logw / r.dsir_grams) < 2e-6 for r in top)
