@@ -2920,6 +2920,21 @@ def q_dsir(spark, sf_dir):
     ).select("doc_id", "dsir_grams", "dsir_logw", "dsir_logw_norm")
 
 
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr duplication signal (Lee et al. 2022,
+    operators/dedup.dup_span_stats): per document, the share of its
+    8-token spans whose square-mixed poly hash occurs >=2 times anywhere
+    in the corpus. The oracle replays tokenize -> window slice -> the
+    SAME hash in SQL, so a hash collision cannot diverge the engines;
+    dup_share is one IEEE division of identical integers on both sides."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dedup import dup_span_stats
+
+    return dup_span_stats(
+        spark.table("documents"), window=8, seed=5
+    ).select("doc_id", "span_windows", "dup_windows", "dup_share")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver oracle-checks the FIRST 50
     entries only, so recently-changed / never-driver-checked operators go
@@ -2939,6 +2954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # netCDF codec, DSIR selection, grid-join box short-circuit ---
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "dsir": q_dsir,
+        "dup_spans": q_dup_spans,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "spatial_transform_nad27": q_spatial_transform_nad27,
@@ -2949,7 +2965,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r8: R-tree/layout analog + mixed-dim overlay rows ---
         "layout_pruned_count": q_layout_pruned_count,
         "layout_snapshot": q_layout_snapshot,
-        "spatial_intersection_lines": q_spatial_intersection_lines,
         # --- new in r5 ---
         "spatial_unary_ops": q_spatial_unary_ops,
         "spatial_zm_flags": q_spatial_zm_flags,
@@ -2987,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "spatial_intersection_lines": q_spatial_intersection_lines,
         "spatial_area_spheroid": q_spatial_area_spheroid,
         "spatial_distance_spheroid": q_spatial_distance_spheroid,
         "spatial_predicates2": q_spatial_predicates2,
@@ -3871,6 +3887,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dsir_grams, dsir_logw,
                    floor(dsir_logw / dsir_grams * 1e6 + 0.5) / 1e6 AS dsir_logw_norm
             FROM agg
+        """,
+        "dup_spans": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ), wins AS (
+              SELECT doc_id,
+                     {_poly_sql("array_to_string(l[s + 1 : s + 8], ' ')", 5)} AS h0
+              FROM (SELECT doc_id, l,
+                           unnest(range(0, greatest(len(l) - 8 + 1, 0))) AS s
+                    FROM toks)
+            ), wh AS (
+              SELECT doc_id, (h0 * h0 + h0) % 1000000007 AS h FROM wins
+            ), cnt AS (SELECT h, count(*) AS c FROM wh GROUP BY 1)
+            SELECT doc_id, count(*) AS span_windows,
+                   sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_windows,
+                   CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*) AS dup_share
+            FROM wh JOIN cnt USING (h) GROUP BY 1
         """,
         "url_canonicalize": f"""
             SELECT id, CASE CAST(id % 6 AS INTEGER)

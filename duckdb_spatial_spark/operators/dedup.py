@@ -803,3 +803,65 @@ def minhash_index_query(
         .filter(F.col("est_jaccard") >= float(threshold))
         .select("query_id", "index_id", "est_jaccard")
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    seed: int = 5,
+) -> DataFrame:
+    """ExactSubstr duplication signal (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every document, how
+    many of its ``window``-token spans occur ANYWHERE else in the corpus
+    (other docs or repeats within the same doc).
+
+    Returns ``(id, span_windows, dup_windows, dup_share)``; docs shorter
+    than ``window`` tokens carry no spans and emit no row. The full
+    ExactSubstr pipeline *removes* the duplicated byte ranges with a
+    suffix array; at cluster scale the standard adaptation is this rolling
+    window-hash form — the flags drive either doc-level filtering
+    (dup_share threshold) or span excision downstream.
+
+    Scale shape: one Arrow pass emits ``tokens-per-doc`` hash rows
+    (square-mixed 131-poly over the window text, SQL-replicable — the
+    oracle compares on the SAME hash, so collisions cannot diverge the
+    engines); the corpus-wide occurrence count is one map-side-combinable
+    ``groupBy(h)``; the count joins back on the hash (AQE splits the
+    boilerplate-span skew) and one final per-doc aggregate."""
+    out_schema = T.StructType(
+        [df.schema[id_col], T.StructField("_h", T.LongType())]
+    )
+    ii = df.columns.index(id_col)
+    ti = df.columns.index(text_col)
+    w = int(window)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hs = [], []
+            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
+                if text is None:
+                    continue
+                toks = _ascii_ws_split(str(text))
+                for s in range(0, max(len(toks) - w + 1, 0)):
+                    p = seed + 1
+                    for ch in " ".join(toks[s : s + w]):
+                        p = (p * 131 + ord(ch)) % 1000000007
+                    ids.append(did)
+                    hs.append((p * p + p) % 1000000007)
+            yield pd.DataFrame({id_col: pd.Series(ids), "_h": pd.Series(hs, dtype="int64")})
+
+    spans = df.mapInPandas(gen, out_schema)
+    counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
+    return (
+        spans.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("span_windows"),
+            F.sum(F.when(F.col("_c") >= 2, 1).otherwise(0)).alias("dup_windows"),
+        )
+        .withColumn(
+            "dup_share", F.col("dup_windows").cast("double") / F.col("span_windows")
+        )
+    )

@@ -103,3 +103,41 @@ def test_dsir_top_k(spark):
     # rank first (the raw sum is length-biased by construction)
     assert all(r.doc_id % 3 != 0 for r in top)
     assert all(abs(r.dsir_logw_norm - r.dsir_logw / r.dsir_grams) < 2e-6 for r in top)
+
+
+def test_dup_span_stats(spark):
+    """ExactSubstr window-dup flags: brute-force parity on a corpus with
+    a known shared span + a within-doc repeat."""
+    from duckdb_spatial_spark.operators.dedup import dup_span_stats
+
+    shared = "the quick brown fox"
+    docs = [
+        (0, f"{shared} jumps over the lazy dog"),
+        (1, f"completely different text here about {shared} again"),
+        (2, "unique content with no overlap whatsoever in this document"),
+        (3, "rep rep rep rep rep rep rep rep"),  # within-doc repeats
+        (4, "shorty"),  # fewer tokens than window -> no row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in dup_span_stats(df, window=4, seed=5).collect()}
+
+    def wins(t):
+        toks = t.split()
+        return [" ".join(toks[s:s + 4]) for s in range(len(toks) - 3)]
+
+    from collections import Counter
+
+    corpus = Counter(w for _, t in docs for w in wins(t))
+    for did, t in docs:
+        ws = wins(t)
+        if not ws:
+            assert did not in got
+            continue
+        dup = sum(1 for w in ws if corpus[w] >= 2)
+        r = got[did]
+        assert r.span_windows == len(ws)
+        assert r.dup_windows == dup
+        assert r.dup_share == dup / len(ws)
+    assert got[2].dup_windows == 0
+    assert got[3].dup_windows == got[3].span_windows  # all repeats
+    assert got[0].dup_windows >= 1  # the shared fox span
