@@ -2920,6 +2920,32 @@ def q_dsir(spark, sf_dir):
     ).select("doc_id", "dsir_grams", "dsir_logw", "dsir_logw_norm")
 
 
+def q_mvt_roundtrip(spark, sf_dir):
+    """Mapbox Vector Tile sink -> reader round trip (sources/mvt.py; GDAL
+    MVT driver analog): hand-rolled protobuf wire format per the public
+    MVT 2.1 spec — command/zigzag geometry encoding, deduplicated
+    key/value tables, typed Value oneof. Integer world coordinates inside
+    the default (0,0,extent,extent) tile georeference quantize to
+    themselves, so the oracle is exact."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import st_read, st_write
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,"
+        f" x / 4 AS score, x % 4000 AS xi, y % 4000 AS yi"
+        f" FROM ({_PTS}) WHERE id < 300"
+    ).withColumn("geom", F.expr("ST_Point(xi, yi)")).drop("xi", "yi")
+    path = os.path.join(_fresh_tmp("mvt_q"), "tile.mvt")
+    st_write(df, path)
+    back = st_read(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+    )
+
+
 def q_dup_spans(spark, sf_dir):
     """ExactSubstr duplication signal (Lee et al. 2022,
     operators/dedup.dup_span_stats): per document, the share of its
@@ -2953,6 +2979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r9: NTv2 grids, polygon short-circuit, introspection,
         # netCDF codec, DSIR selection, grid-join box short-circuit ---
         "netcdf_roundtrip": q_netcdf_roundtrip,
+        "mvt_roundtrip": q_mvt_roundtrip,
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
@@ -2966,7 +2993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_pruned_count": q_layout_pruned_count,
         "layout_snapshot": q_layout_snapshot,
         # --- new in r5 ---
-        "spatial_unary_ops": q_spatial_unary_ops,
         "spatial_zm_flags": q_spatial_zm_flags,
         "st_drivers_meta": q_st_drivers_meta,
         # changed in r9 (tokenizer rewrite / fgb datasource fix): in-window
@@ -3002,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "spatial_unary_ops": q_spatial_unary_ops,
         "spatial_intersection_lines": q_spatial_intersection_lines,
         "spatial_area_spheroid": q_spatial_area_spheroid,
         "spatial_distance_spheroid": q_spatial_distance_spheroid,
@@ -3839,6 +3866,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
                    CAST(x / 4 AS DOUBLE) AS score,
                    round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+        """,
+        "mvt_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   CAST(x / 4 AS DOUBLE) AS score,
+                   round(x % 4000, 6) AS x, round(y % 4000, 6) AS y
             FROM ({pts}) WHERE id < 300
         """,
         "dsir": f"""

@@ -100,6 +100,7 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
             (".rss", "georss"), (".georss", "georss"), (".atom", "georss"),
             (".sql", "pgdump"), (".sqlite", "spatialite"), (".splite", "spatialite"),
             (".esrijson", "esrijson"), (".nc", "netcdf"), (".cdf", "netcdf"),
+            (".mvt", "mvt"),
         ):
             if p.endswith(ext):
                 return f
@@ -188,6 +189,12 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         from .netcdf3 import read_netcdf
 
         return read_netcdf(spark, path, **options)
+    if fmt == "mvt":
+        from .mvt import read_mvt
+
+        # tile georeference (world bounds) is `tile_bounds=`; the uniform
+        # `bbox=` option stays a FILTER like every other format
+        return read_mvt(spark, path, bbox=options.pop("tile_bounds", None), **options)
     raise ValueError(f"unsupported format {format!r}")
 
 
@@ -432,6 +439,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         ".georss": "georss", ".sql": "pgdump", ".sqlite": "spatialite",
         ".splite": "spatialite", ".parquet": "geoparquet",
         ".esrijson": "esrijson", ".nc": "netcdf", ".cdf": "netcdf",
+        ".mvt": "mvt",
     }
     fmt = (format or "").lower()
     if not fmt:
@@ -460,6 +468,10 @@ def st_write(df, path: str, format: str | None = None, **options):
         from .netcdf3 import write_netcdf
 
         return write_netcdf(df, path, **options)
+    if fmt == "mvt":
+        from .mvt import write_mvt
+
+        return write_mvt(df, path, bbox=options.pop("tile_bounds", None), **options)
     if fmt in ("geoparquet", "parquet"):
         from ..plans.pruning import write_geo_parquet
 
