@@ -4036,7 +4036,8 @@ def oracle_sql() -> dict[str, str]:
               ('XLSX', 'true', 'true'), ('MapInfo File', 'true', 'true'),
               ('OpenFileGDB', 'true', 'true'), ('Arrow', 'true', 'true'),
               ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true'),
-              ('SQLite', 'true', 'true'), ('ESRIJSON', 'true', 'true')
+              ('SQLite', 'true', 'true'), ('ESRIJSON', 'true', 'true'),
+              ('netCDF', 'true', 'true'), ('MVT', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

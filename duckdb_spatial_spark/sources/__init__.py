@@ -380,6 +380,23 @@ def st_read_meta(spark, path: str, format: str | None = None):
             path, "ESRIJSON", len(doc.get("features", [])), gt,
             f"EPSG:{wkid}" if wkid else "",
         ))
+    elif format == "mvt" or p.endswith(".mvt"):
+        # header-only: one protobuf parse, feature count per layer without
+        # decoding any geometry
+        from .mvt import _parse_layer, _read_uvarint
+
+        with open(path, "rb") as f:
+            buf = f.read()
+        pos = 0
+        while pos < len(buf):
+            key, pos = _read_uvarint(buf, pos)
+            if (key >> 3) != 3 or (key & 7) != 2:
+                raise ValueError(f"{path}: not an MVT tile")
+            n, pos = _read_uvarint(buf, pos)
+            lay = _parse_layer(buf[pos : pos + n])
+            pos += n
+            rows.append((f"{path}:{lay['name']}", "MVT",
+                         len(lay["features"]), "", ""))
     elif format in ("netcdf", "nc") or p.endswith((".nc", ".cdf")):
         # header-only: feature count from the coordinate-variable dims
         # (point series -> shared dim length; grid -> nlat * nlon)

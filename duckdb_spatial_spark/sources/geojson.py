@@ -377,6 +377,8 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("PGDump", "PostgreSQL/PostGIS SQL dump, COPY + hex EWKB (read/write)", True, True, True, ""),
         ("SQLite", "SpatiaLite BLOB-geometry database, stdlib sqlite3 (read/write)", True, True, True, ""),
         ("ESRIJSON", "ArcGIS REST FeatureSet JSON, Esri ring winding (read/write)", True, True, True, ""),
+        ("netCDF", "netCDF classic CDF-1/CDF-2, CF point series + grids (read/write)", True, True, True, ""),
+        ("MVT", "Mapbox Vector Tiles, protobuf wire format per spec 2.1 (read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

@@ -132,3 +132,17 @@ def test_mvt_value_dedup(tmp_path, spark):
     lay = _parse_layer(buf[pos : pos + n])
     assert lay["values"].count("same") == 1
     assert len(lay["features"]) == 10 and lay["extent"] == 4096
+
+
+def test_mvt_meta(spark, tmp_path):
+    from duckdb_spatial_spark.sources import st_read_meta
+    from duckdb_spatial_spark.sources.mvt import write_mvt
+
+    df = spark.createDataFrame(
+        [(i, WKB.to_wkb(from_wkt(f"POINT ({i} {i})"))) for i in range(7)],
+        "fid long, geom binary",
+    )
+    p = str(tmp_path / "m.mvt")
+    write_mvt(df, p, layer="pois")
+    r = st_read_meta(spark, p).collect()[0]
+    assert r.driver == "MVT" and r.feature_count == 7 and r.file.endswith(":pois")
