@@ -310,7 +310,12 @@ def st_join(
             b0.isNotNull() & b1.isNotNull() & b2.isNotNull() & b3.isNotNull()
         )
     else:
-        lb = _with_bbox(left, left_geom, "l")
+        # symmetric box detection for contains/covers: a solid-rectangle
+        # LEFT decides those predicates from bboxes alone in _grid_join
+        lb = _with_bbox(
+            left, left_geom, "l",
+            with_isbox=predicate in ("contains", "covers"),
+        )
     if right_bbox is not None:
         c0, c1, c2, c3 = (F.col(c) for c in right_bbox)
         rb = right.withColumn(
@@ -514,15 +519,28 @@ def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance, na
     if native_exact is not None:
         pairs = pairs.filter(native_exact)  # pure Column — whole join JVM-side
     else:
-        # JVM-side sure-false: within/covered_by REQUIRE bbox(l) ⊆ bbox(r)
-        # whatever the geometries are — cut those pairs before any Python
-        if predicate in ("within", "covered_by"):
-            pairs = pairs.filter(
-                (F.col("l_bbox.min_x") >= F.col("r_bbox.min_x"))
-                & (F.col("l_bbox.max_x") <= F.col("r_bbox.max_x"))
-                & (F.col("l_bbox.min_y") >= F.col("r_bbox.min_y"))
-                & (F.col("l_bbox.max_y") <= F.col("r_bbox.max_y"))
+        # JVM-side sure-false: containment predicates REQUIRE bbox
+        # containment whatever the geometries are — cut those pairs
+        # before any Python
+        def _bbox_inside(a, b, strict):  # bbox(a) inside bbox(b)
+            if strict:
+                return (
+                    (F.col(f"{a}_bbox.min_x") > F.col(f"{b}_bbox.min_x"))
+                    & (F.col(f"{a}_bbox.max_x") < F.col(f"{b}_bbox.max_x"))
+                    & (F.col(f"{a}_bbox.min_y") > F.col(f"{b}_bbox.min_y"))
+                    & (F.col(f"{a}_bbox.max_y") < F.col(f"{b}_bbox.max_y"))
+                )
+            return (
+                (F.col(f"{a}_bbox.min_x") >= F.col(f"{b}_bbox.min_x"))
+                & (F.col(f"{a}_bbox.max_x") <= F.col(f"{b}_bbox.max_x"))
+                & (F.col(f"{a}_bbox.min_y") >= F.col(f"{b}_bbox.min_y"))
+                & (F.col(f"{a}_bbox.max_y") <= F.col(f"{b}_bbox.max_y"))
             )
+
+        if predicate in ("within", "covered_by"):
+            pairs = pairs.filter(_bbox_inside("l", "r", strict=False))
+        elif predicate in ("contains", "contains_properly", "covers"):
+            pairs = pairs.filter(_bbox_inside("r", "l", strict=False))
         recheck = _make_recheck_udf(predicate, distance)
         sure = None
         if "r_is_box" in pairs.columns and predicate in ("within", "intersects", "covered_by"):
@@ -532,21 +550,13 @@ def _grid_join(lb, rb, predicate, left_geom, right_geom, cell_size, distance, na
             # covered_by are decided by the closed box. Only boundary-band
             # and non-box pairs cross into Python — their inputs are masked
             # to NULL for sure rows, so no WKB even transfers.
-            if predicate == "within":
-                inside = (
-                    (F.col("l_bbox.min_x") > F.col("r_bbox.min_x"))
-                    & (F.col("l_bbox.max_x") < F.col("r_bbox.max_x"))
-                    & (F.col("l_bbox.min_y") > F.col("r_bbox.min_y"))
-                    & (F.col("l_bbox.max_y") < F.col("r_bbox.max_y"))
-                )
-            else:
-                inside = (
-                    (F.col("l_bbox.min_x") >= F.col("r_bbox.min_x"))
-                    & (F.col("l_bbox.max_x") <= F.col("r_bbox.max_x"))
-                    & (F.col("l_bbox.min_y") >= F.col("r_bbox.min_y"))
-                    & (F.col("l_bbox.max_y") <= F.col("r_bbox.max_y"))
-                )
+            inside = _bbox_inside("l", "r", strict=predicate == "within")
             sure = F.coalesce(F.col("r_is_box") & inside, F.lit(False))
+        elif "l_is_box" in pairs.columns and predicate in ("contains", "covers"):
+            # symmetric: a solid-rectangle LEFT containing bbox(r) decides
+            # contains (open box) / covers (closed box)
+            inside = _bbox_inside("r", "l", strict=predicate == "contains")
+            sure = F.coalesce(F.col("l_is_box") & inside, F.lit(False))
         if sure is not None:
             pairs = pairs.filter(
                 sure

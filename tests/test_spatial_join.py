@@ -378,3 +378,35 @@ def test_box_flags_detector():
     mnx, mny, mxx, mxy = fastpath.bbox_arrays(s)
     flags = fastpath.box_flags(s, mnx, mny, mxx, mxy)
     assert flags.tolist() == [True, True, True, False, False, False, False, False]
+
+
+def test_grid_box_shortcircuit_contains_covers(spark):
+    """Symmetric lane: a solid-rectangle LEFT decides contains/covers
+    JVM-side; boundary-touching and non-box lefts still hit the UDF."""
+    lefts = [
+        (0, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),        # box
+        (1, "POLYGON ((20 20, 30 20, 30 25, 26 25, 26 30, 20 30, 20 20))"),  # concave
+        (2, "POLYGON ((40 40, 50 45, 45 50, 35 45, 40 40))"),  # non-box
+    ]
+    rights = [
+        (0, "POINT (5 5)"),      # strictly inside box 0
+        (1, "POINT (0 5)"),      # on box 0 boundary: contains F, covers T
+        (2, "LINESTRING (2 2, 8 8)"),
+        (3, "POINT (28 28)"),    # concave notch: in bbox, outside geom
+        (4, "POINT (22 22)"),    # inside concave
+        (5, "POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))"),  # polygon inside box
+        (6, "POINT (45 45)"),    # inside quad 2
+    ]
+    a = spark.createDataFrame(lefts, "pid long, wkt string").withColumn(
+        "geom", udfs.st_geomfromtext("wkt")).select("pid", "geom")
+    b = spark.createDataFrame(rights, "rid long, wkt string").withColumn(
+        "geom", udfs.st_geomfromtext("wkt")).select("rid", "geom")
+    for predicate in ("contains", "covers"):
+        expected = _naive_pairs(spark, a, b, predicate)
+        got = st_join(a, b, predicate=predicate, strategy="grid", cell_size=8.0)
+        pairs = {(r.pid, r.rid) for r in got.select("pid", "rid").collect()}
+        assert pairs == expected, f"{predicate}: {pairs ^ expected}"
+    cw = _naive_pairs(spark, a, b, "covers")
+    cn = _naive_pairs(spark, a, b, "contains")
+    assert (0, 1) in cw and (0, 1) not in cn  # boundary point
+    assert (0, 5) in cn and (1, 3) not in cw and (1, 4) in cn
