@@ -141,6 +141,16 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_osm(spark, path, **options)
     if fmt in ("geoparquet", "parquet"):
         df = spark.read.parquet(path)
+        from .geoparquet import read_geo_key
+
+        gk = read_geo_key(path)
+        if gk:
+            # spec GeoParquet: honor the footer's primary_column — a
+            # non-standard name gets aliased so the uniform geometry
+            # contract (geom/geometry) holds downstream
+            prim = gk.get("primary_column")
+            if prim and prim in df.columns and prim not in _GEOM_COL_NAMES:
+                df = df.withColumnRenamed(prim, "geom")
         if bbox is not None:
             from pyspark.sql import functions as F
 
@@ -380,6 +390,26 @@ def st_read_meta(spark, path: str, format: str | None = None):
             path, "ESRIJSON", len(doc.get("features", [])), gt,
             f"EPSG:{wkid}" if wkid else "",
         ))
+    elif (
+        (format in ("geoparquet", "parquet") or p.endswith(".parquet"))
+        and __import__("os").path.isfile(path)
+    ):
+        # header-only for single GeoParquet files: row count from the
+        # footer, geometry types/crs from the spec 'geo' key (directories
+        # fall through to the distributed-scan fallback below)
+        import pyarrow.parquet as _pq
+
+        from .geoparquet import read_geo_key
+
+        n = _pq.ParquetFile(path).metadata.num_rows
+        gk = read_geo_key(path) or {}
+        prim = gk.get("primary_column", "")
+        colm = (gk.get("columns") or {}).get(prim, {})
+        rows.append((
+            path, "GeoParquet", int(n),
+            ",".join(colm.get("geometry_types", [])),
+            str(colm.get("crs", "")),
+        ))
     elif format == "mvt" or p.endswith(".mvt"):
         # header-only: one protobuf parse, feature count per layer without
         # decoding any geometry
@@ -490,6 +520,12 @@ def st_write(df, path: str, format: str | None = None, **options):
 
         return write_mvt(df, path, bbox=options.pop("tile_bounds", None), **options)
     if fmt in ("geoparquet", "parquet"):
+        if options.pop("file", False):
+            # one spec-1.0 GeoParquet FILE with the 'geo' footer key
+            # (interop sink); the default stays the sharded layout
+            from .geoparquet import write_geoparquet_file
+
+            return write_geoparquet_file(df, path, **options)
         from ..plans.pruning import write_geo_parquet
 
         return write_geo_parquet(df, path, **options)
