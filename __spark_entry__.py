@@ -2920,6 +2920,30 @@ def q_dsir(spark, sf_dir):
     ).select("doc_id", "dsir_grams", "dsir_logw", "dsir_logw_norm")
 
 
+def q_geoparquet_file(spark, sf_dir):
+    """Spec-1.0 GeoParquet single file (sources/geoparquet.py): st_write
+    file=True emits the 'geo' footer key (the reference's parquet-lane
+    detection mechanism); st_read honors primary_column by aliasing the
+    non-standard geometry name back to 'geom'. The row also proves the
+    values survive the pyarrow write path bit-exact."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import st_read, st_write
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,"
+        f" x / 4 AS score, x, y FROM ({_PTS}) WHERE id < 300"
+    ).withColumn("the_geom", F.expr("ST_Point(x, y)")).drop("x", "y")
+    path = os.path.join(_fresh_tmp("gpqfile_q"), "pts.parquet")
+    st_write(df, path, format="geoparquet", file=True, geom_col="the_geom")
+    back = st_read(spark, path)  # primary column aliased to 'geom'
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+    )
+
+
 def q_mvt_roundtrip(spark, sf_dir):
     """Mapbox Vector Tile sink -> reader round trip (sources/mvt.py; GDAL
     MVT driver analog): hand-rolled protobuf wire format per the public
@@ -2980,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # netCDF codec, DSIR selection, grid-join box short-circuit ---
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "mvt_roundtrip": q_mvt_roundtrip,
+        "geoparquet_file": q_geoparquet_file,
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
@@ -2989,8 +3014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_native_casts": q_spatial_native_casts,
         "layout_pruned_polys": q_layout_pruned_polys,
         "geo_parquet_stats": q_geo_parquet_stats,
-        # --- new in r8: R-tree/layout analog + mixed-dim overlay rows ---
-        "layout_pruned_count": q_layout_pruned_count,
+        # --- new in r8: R-tree/layout analog rows ---
         "layout_snapshot": q_layout_snapshot,
         # --- new in r5 ---
         "spatial_zm_flags": q_spatial_zm_flags,
@@ -3028,6 +3052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "layout_pruned_count": q_layout_pruned_count,
         "spatial_unary_ops": q_spatial_unary_ops,
         "spatial_intersection_lines": q_spatial_intersection_lines,
         "spatial_area_spheroid": q_spatial_area_spheroid,
@@ -3863,6 +3888,12 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) WHERE id < 300
         """,
         "netcdf_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   CAST(x / 4 AS DOUBLE) AS score,
+                   round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+        """,
+        "geoparquet_file": f"""
             SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
                    CAST(x / 4 AS DOUBLE) AS score,
                    round(x, 6) AS x, round(y, 6) AS y
