@@ -2920,6 +2920,32 @@ def q_dsir(spark, sf_dir):
     ).select("doc_id", "dsir_grams", "dsir_logw", "dsir_logw_norm")
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (operators/join.zonal_stats): point 'cells' with a
+    value column aggregated per containing zone polygon — forced through
+    the PARTITIONED grid lane (strategy='grid') so the driver pins the
+    solid-rectangle short-circuit path end-to-end (rects are boxes: the
+    recheck UDF sees only boundary rows with NULL-masked inputs).
+    avg intentionally derived from the integer sum / count on both sides."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.join import zonal_stats
+
+    pts = spark.sql(
+        f"SELECT id, x, y, CAST(id % 13 AS BIGINT) AS v FROM ({_PTS})"
+    ).withColumn("geom", F.expr("ST_Point(x, y)")).select("id", "v", "geom")
+    zones = spark.sql(_RECTS).withColumn(
+        "geom", F.expr("ST_MakeEnvelope(mx, my, mx + w, my + h)")
+    ).select(F.col("rid").alias("zone_id"), "geom")
+    z = zonal_stats(
+        pts, zones, "v", zone_cols=("zone_id",),
+        predicate="within", strategy="grid", cell_size=250.0,
+    )
+    return z.selectExpr(
+        "zone_id", "n_cells", "sum_v",
+        "round(avg_v, 6) AS avg_v", "min_v", "max_v",
+    )
+
+
 def q_geoparquet_file(spark, sf_dir):
     """Spec-1.0 GeoParquet single file (sources/geoparquet.py): st_write
     file=True emits the 'geo' footer key (the reference's parquet-lane
@@ -3009,6 +3035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
+        "zonal_stats": q_zonal_stats,
         "spatial_transform_nad27": q_spatial_transform_nad27,
         "spatial_transform_paris": q_spatial_transform_paris,
         "spatial_native_casts": q_spatial_native_casts,
@@ -3027,7 +3054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tab_roundtrip": q_tab_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
         "esrijson_roundtrip": q_esrijson_roundtrip,
-        "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
         "streaming_join": q_streaming_join,
         "streaming_extent": q_streaming_extent,
@@ -3052,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "streaming_geofence": q_streaming_geofence,
         "layout_pruned_count": q_layout_pruned_count,
         "spatial_unary_ops": q_spatial_unary_ops,
         "spatial_intersection_lines": q_spatial_intersection_lines,
@@ -3596,6 +3623,17 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM ({pts}) WHERE id % 5 = 0) p, ({rects}) r
             WHERE p.x > r.mx AND p.x < r.mx + r.w AND p.y > r.my AND p.y < r.my + r.h
             GROUP BY rid
+        """,
+        "zonal_stats": f"""
+            SELECT r.rid AS zone_id, count(*) AS n_cells,
+                   CAST(sum(p.v) AS BIGINT) AS sum_v,
+                   round(CAST(sum(p.v) AS BIGINT) / CAST(count(*) AS DOUBLE), 6) AS avg_v,
+                   CAST(min(p.v) AS BIGINT) AS min_v,
+                   CAST(max(p.v) AS BIGINT) AS max_v
+            FROM (SELECT id, x, y, CAST(id % 13 AS BIGINT) AS v FROM ({pts})) p,
+                 ({rects}) r
+            WHERE p.x > r.mx AND p.x < r.mx + r.w AND p.y > r.my AND p.y < r.my + r.h
+            GROUP BY r.rid
         """,
         "spatial_dwithin_join_count": f"""
             SELECT count(*) AS n

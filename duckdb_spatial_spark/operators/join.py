@@ -751,3 +751,40 @@ def _broadcast_join(lb, rb, predicate, left_geom, right_geom, distance, left, ri
                 yield pd.DataFrame({f.name: pd.Series(dtype="object") for f in out_schema.fields})
 
     return lb.drop("l_bbox").mapInPandas(probe, schema=out_schema)
+
+
+def zonal_stats(
+    cells: DataFrame,
+    zones: DataFrame,
+    value_cols,
+    zone_cols=("zone_id",),
+    predicate: str = "within",
+    cell_geom: str = "geom",
+    zone_geom: str = "geom",
+    **join_kwargs,
+):
+    """Per-zone aggregates of cell/point values — the raster
+    zonal-statistics shape (GDAL's zonal workflows over netCDF/raster
+    grids) flattened onto the vector engine: grid cells arrive as POINT
+    rows (e.g. from ``sources.netcdf3.read_netcdf``), zones as polygons.
+
+    One spatial join (all st_join lanes apply — grid/broadcast/native,
+    box short-circuit included) followed by one map-side-combinable
+    aggregate: n_cells + sum/avg/min/max per value column. No other
+    shuffle; at 100 TB the join's grid exchange dominates and the agg
+    combines map-side."""
+    value_cols = [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    zone_cols = list(zone_cols)
+    j = st_join(
+        cells, zones, predicate=predicate,
+        left_geom=cell_geom, right_geom=zone_geom, **join_kwargs,
+    )
+    aggs = [F.count("*").alias("n_cells")]
+    for c in value_cols:
+        aggs += [
+            F.sum(c).alias(f"sum_{c}"),
+            F.avg(c).alias(f"avg_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return j.groupBy(*zone_cols).agg(*aggs)

@@ -410,3 +410,34 @@ def test_grid_box_shortcircuit_contains_covers(spark):
     cn = _naive_pairs(spark, a, b, "contains")
     assert (0, 1) in cw and (0, 1) not in cn  # boundary point
     assert (0, 5) in cn and (1, 3) not in cw and (1, 4) in cn
+
+
+def test_zonal_stats(spark):
+    """Zonal statistics composition: join + per-zone aggregates match a
+    brute-force groupBy over the naive join."""
+    from duckdb_spatial_spark.operators import st_join
+    from duckdb_spatial_spark.operators.join import zonal_stats
+
+    pts = _mk_points(spark, n=400, seed=21)
+    pts = pts.withColumn("v", (F.col("pid") % 13).cast("double"))
+    zones = _mk_rects(spark, m=25, seed=22).withColumnRenamed("rid", "zone_id")
+    got = {
+        r.zone_id: r
+        for r in zonal_stats(
+            pts, zones, "v", zone_cols=("zone_id",),
+            predicate="within", strategy="grid", cell_size=10.0,
+        ).collect()
+    }
+    naive = st_join(pts, zones.withColumnRenamed("zone_id", "zid"), predicate="within")
+    want = {
+        r.zid: r
+        for r in naive.groupBy("zid").agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.avg("v").alias("a"), F.min("v").alias("mn"), F.max("v").alias("mx"),
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) > 10
+    for z, w in want.items():
+        g = got[z]
+        assert g.n_cells == w.n and g.sum_v == w.s
+        assert g.min_v == w.mn and g.max_v == w.mx
