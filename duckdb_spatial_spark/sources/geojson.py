@@ -315,11 +315,48 @@ def write_geojson(
         f.write("]}\n")
 
 
-def read_wkt_csv(spark: SparkSession, path: str, wkt_col: str = "wkt", **csv_opts) -> DataFrame:
-    """ST_Read for CSV-with-WKT: csv scan (pushdown-capable) + parse."""
+_X_NAMES = ("lon", "longitude", "lng", "long", "x", "easting")
+_Y_NAMES = ("lat", "latitude", "y", "northing")
+
+
+def read_wkt_csv(
+    spark: SparkSession,
+    path: str,
+    wkt_col: str = "wkt",
+    x_col: str | None = None,
+    y_col: str | None = None,
+    **csv_opts,
+) -> DataFrame:
+    """ST_Read for CSV: csv scan (pushdown-capable) + geometry parse.
+
+    Geometry sources, in GDAL's CSV-driver order of precedence
+    (``X_POSSIBLE_NAMES``/``Y_POSSIBLE_NAMES`` analog):
+
+      1. explicit ``x_col=``/``y_col=`` numeric columns → POINT (all-JVM,
+         no WKT parse);
+      2. a ``wkt_col`` (default ``wkt``) column when present;
+      3. auto-detected lon/lat-style headers (lon/longitude/lng/x,
+         lat/latitude/y — case-insensitive) → POINT.
+    """
     from ..functions import udfs
 
     df = spark.read.csv(path, header=True, inferSchema=True, **csv_opts)
+    if x_col is None and y_col is None and wkt_col not in df.columns:
+        lower = {c.lower(): c for c in df.columns}
+        x_col = next((lower[n] for n in _X_NAMES if n in lower), None)
+        y_col = next((lower[n] for n in _Y_NAMES if n in lower), None)
+    if x_col is not None or y_col is not None:
+        if not (x_col and y_col):
+            raise ValueError("x_col= and y_col= must be given together")
+        return df.withColumn(
+            "geom",
+            udfs.st_point(F.col(x_col).cast("double"), F.col(y_col).cast("double")),
+        )
+    if wkt_col not in df.columns:
+        raise ValueError(
+            f"CSV has neither a {wkt_col!r} column nor recognizable "
+            f"lon/lat headers (columns: {df.columns}); pass wkt_col= or x_col=/y_col="
+        )
     return df.withColumn("geom", udfs.st_geomfromtext(F.col(wkt_col))).drop(wkt_col)
 
 

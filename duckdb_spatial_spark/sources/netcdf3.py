@@ -394,7 +394,9 @@ def write_netcdf(df, path: str, geom_col: str = "geom", max_rows: int = 1_000_00
             arr = s.to_numpy(np.float64)
             var_plans.append((c, NC_DOUBLE, [0], arr.astype(">f8").tobytes(), {}))
         else:
-            strs = ["" if v is None else str(v) for v in s]
+            # netCDF char matrices are C-style NUL-padded: embedded NULs
+            # are not representable and are stripped on write
+            strs = ["" if v is None else str(v).replace("\x00", "") for v in s]
             width = max(1, max((len(x.encode("utf-8")) for x in strs), default=1))
             dim_id = len(dims)
             dims.append((f"str_{c}", width))

@@ -324,3 +324,34 @@ def test_pgdump_identifier_guard(spark, tmp_path):
     df = spark.sql("SELECT 1 AS id, ST_Point(0.0D, 0.0D) AS geom")
     with _pytest.raises(ValueError, match="identifier"):
         write_pgdump(df, str(tmp_path / "x.sql"), table='t"; DROP TABLE users;--')
+
+
+def test_csv_lonlat_columns(spark, tmp_path):
+    """GDAL CSV-driver X_POSSIBLE_NAMES analog: lon/lat headers auto-detect,
+    explicit x_col/y_col override, WKT column keeps precedence."""
+    from duckdb_spatial_spark.functions import udfs
+    from duckdb_spatial_spark.sources import st_read
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "pts.csv")
+    with open(p, "w") as f:
+        f.write("id,Longitude,LATITUDE,name\n")
+        f.write("1,10.5,20.25,a\n2,-3.0,4.0,b\n3,,5.0,c\n")
+    df = st_read(spark, p)
+    rows = {r.id: r for r in df.withColumn("x", udfs.st_x("geom")).collect()}
+    assert rows[1].x == 10.5 and rows[2].x == -3.0
+    assert rows[3].geom is None  # NULL lon -> NULL point
+
+    # explicit numeric columns with non-standard names
+    p2 = str(tmp_path / "pts2.csv")
+    with open(p2, "w") as f:
+        f.write("id,a_e,b_n\n1,100.0,200.0\n")
+    df2 = st_read(spark, p2, x_col="a_e", y_col="b_n")
+    assert df2.select(udfs.st_astext("geom")).collect()[0][0] == "POINT (100 200)"
+
+    # a wkt column still wins when present
+    p3 = str(tmp_path / "pts3.csv")
+    with open(p3, "w") as f:
+        f.write("id,wkt,lon,lat\n1,\"LINESTRING (0 0, 1 1)\",9,9\n")
+    df3 = st_read(spark, p3)
+    assert df3.select(udfs.st_geometrytype("geom")).collect()[0][0] == "LINESTRING"
