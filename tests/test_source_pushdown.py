@@ -45,6 +45,9 @@ MATRIX = [
     ("geoparquet", "d.parquet", {}, "id"),
     ("dxf", "d.dxf", {}, "layer"),
     ("esrijson", "d.esrijson", {}, "id"),
+    ("netcdf", "d.nc", {}, "id"),
+    ("mvt", "d.mvt", {}, "id"),
+    ("geoparquet", "d_file.parquet", {"file": True}, "id"),
 ]
 
 
