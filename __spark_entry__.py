@@ -2996,6 +2996,33 @@ def q_mvt_roundtrip(spark, sf_dir):
     )
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (pipeline.html_extract_text, the
+    trafilatura-role web-crawl first pass). Template oracle: the query
+    CONSTRUCTS html from doc_id (four variants — plain blocks, entities,
+    script/style/comment junk, nested divs with no title) and the oracle
+    independently constructs the EXPECTED title/text per template, so
+    the whole rule chain is value-pinned without a SQL HTML parser."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import html_extract_text
+
+    docs = spark.table("documents").selectExpr(
+        "doc_id",
+        """CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN concat('<html><head><title>Doc ', doc_id,
+             '</title></head><body><h1>Heading ', doc_id % 7,
+             '</h1><p>alpha ', doc_id, ' beta</p></body></html>')
+           WHEN 1 THEN concat('<html><head><title>A &amp; B</title></head>',
+             '<body><p>sum &lt;', doc_id, '&gt; &amp; more</p></body></html>')
+           WHEN 2 THEN concat('<body><script>var x=', doc_id,
+             ';</script><style>p{color:red}</style><p>kept ', doc_id,
+             '</p><!-- gone --></body>')
+           ELSE concat('<div><div>x', doc_id, '</div>y</div>')
+           END AS html""",
+    )
+    return html_extract_text(docs).select("doc_id", "title", "text", "text_chars")
+
+
 def q_dup_spans(spark, sf_dir):
     """ExactSubstr duplication signal (Lee et al. 2022,
     operators/dedup.dup_span_stats): per document, the share of its
@@ -3033,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_file": q_geoparquet_file,
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
+        "html_extract": q_html_extract,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "zonal_stats": q_zonal_stats,
@@ -3054,7 +3082,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tab_roundtrip": q_tab_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
         "esrijson_roundtrip": q_esrijson_roundtrip,
-        "streaming_dedup": q_streaming_dedup,
         "streaming_join": q_streaming_join,
         "streaming_extent": q_streaming_extent,
         "streaming_upsert": q_streaming_upsert,
@@ -3079,6 +3106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
         "streaming_geofence": q_streaming_geofence,
+        "streaming_dedup": q_streaming_dedup,
         "layout_pruned_count": q_layout_pruned_count,
         "spatial_unary_ops": q_spatial_unary_ops,
         "spatial_intersection_lines": q_spatial_intersection_lines,
@@ -3989,6 +4017,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dsir_grams, dsir_logw,
                    floor(dsir_logw / dsir_grams * 1e6 + 0.5) / 1e6 AS dsir_logw_norm
             FROM agg
+        """,
+        "html_extract": """
+            WITH expect AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN concat('Doc ', doc_id)
+                  WHEN 1 THEN 'A & B'
+                  ELSE '' END AS title,
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN concat('Heading ', doc_id % 7, chr(10), chr(10),
+                                     'alpha ', doc_id, ' beta')
+                  WHEN 1 THEN concat('sum <', doc_id, '> & more')
+                  WHEN 2 THEN concat('kept ', doc_id)
+                  ELSE concat('x', doc_id, chr(10), 'y') END AS text
+              FROM documents
+            )
+            SELECT doc_id, title, text, length(text) AS text_chars FROM expect
         """,
         "dup_spans": f"""
             WITH toks AS (

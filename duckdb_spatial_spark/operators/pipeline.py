@@ -666,3 +666,100 @@ def sample_stratified(
         .drop("_u", "_rk")
         .select(*[c for c in cols if c != "_u"])
     )
+
+
+_HTML_DROP = None  # compiled lazily (keeps import time flat)
+
+
+def _html_patterns():
+    global _HTML_DROP
+    if _HTML_DROP is None:
+        import re
+
+        _HTML_DROP = (
+            re.compile(
+                r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>|<head\b[^>]*>.*?</head\s*>"
+            ),
+            re.compile(r"(?s)<!--.*?-->"),
+            re.compile(r"(?is)<title[^>]*>(.*?)</title>"),
+            re.compile(
+                r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article"
+                r"|header|footer|blockquote)\b[^>]*/?>"
+            ),
+            re.compile(r"(?s)<[^>]*>"),
+            re.compile(r"[ \t\r\f\v]+"),
+            re.compile(r"\n[ \t]*(?:\n[ \t]*)+"),
+        )
+    return _HTML_DROP
+
+
+def _html_to_text(raw: str) -> tuple:
+    """(title, text) per the fixed rule chain documented in
+    :func:`html_extract_text`."""
+    import html as _h
+
+    drop_se, drop_cmt, title_re, block_re, tag_re, sp_re, nl_re = _html_patterns()
+    m = title_re.search(raw)
+    title = _h.unescape(sp_re.sub(" ", m.group(1))).strip() if m else ""
+    s = drop_se.sub(" ", raw)
+    s = drop_cmt.sub(" ", s)
+    s = block_re.sub("\n", s)
+    s = tag_re.sub(" ", s)
+    s = _h.unescape(s)
+    s = sp_re.sub(" ", s)
+    s = "\n".join(line.strip() for line in s.split("\n"))
+    s = nl_re.sub("\n\n", s).strip()
+    return title, s
+
+
+def html_extract_text(
+    df: DataFrame, html_col: str = "html", keep_html: bool = False
+) -> DataFrame:
+    """HTML -> text extraction, the first pass of every web-crawl training
+    pipeline (the trafilatura/resiliparse role, rule-based subset):
+
+      1. drop ``<script>``/``<style>`` blocks and comments;
+      2. ``<title>`` captured into its own column;
+      3. block-level tags (p/div/br/h1-6/li/table rows, ...) become
+         newlines, every other tag becomes a space;
+      4. entities unescape (``&amp;`` -> ``&``);
+      5. horizontal whitespace collapses, lines strip, 2+ blank lines
+         collapse to one blank line.
+
+    One Arrow-batched pass per row (``mapInPandas`` barrier — title and
+    text come out as materialized columns); adds ``title``, ``text``,
+    ``text_chars``. Rows with NULL html yield NULL title/text."""
+    out_fields = list(df.schema.fields)
+    if not keep_html:
+        out_fields = [f for f in out_fields if f.name != html_col]
+    out_schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("title", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("text_chars", T.LongType()),
+        ]
+    )
+    hi = df.columns.index(html_col)
+    keep_cols = [f.name for f in out_fields]
+
+    def gen(batches):
+        for pdf in batches:
+            titles, texts, chars = [], [], []
+            for raw in pdf.iloc[:, hi]:
+                if raw is None:
+                    titles.append(None)
+                    texts.append(None)
+                    chars.append(None)
+                    continue
+                t, x = _html_to_text(str(raw))
+                titles.append(t)
+                texts.append(x)
+                chars.append(len(x))
+            out = pdf[keep_cols].copy()
+            out["title"] = titles
+            out["text"] = texts
+            out["text_chars"] = pd.Series(chars, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(gen, out_schema)

@@ -511,3 +511,25 @@ def test_wordlist_filter_counts_and_keep(spark):
     assert out[1]["block_count"] == 2 and out[1]["keep_doc"] is False
     assert out[2]["block_count"] == 0 and out[2]["keep_doc"] is True
     assert out[3]["block_count"] == 0 and out[3]["block_ratio"] == 0.0
+
+
+def test_html_extract_text(spark):
+    from duckdb_spatial_spark.operators.pipeline import html_extract_text
+
+    rows = [
+        (0, "<html><head><title>T &amp; U</title><style>p{}</style></head>"
+            "<body><h1>H</h1><p>a b</p><script>x=1</script><div>c &lt;3</div>"
+            "<!-- drop --><span>in</span> tail</body></html>"),
+        (1, "plain words only"),
+        (2, None),
+        (3, "<div><div>x</div>y</div>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.doc_id: r for r in html_extract_text(df).collect()}
+    assert got[0].title == "T & U"
+    assert got[0].text == "H\n\na b\n\nc <3\nin tail"
+    assert got[0].text_chars == len(got[0].text)
+    assert got[1].title == "" and got[1].text == "plain words only"
+    assert got[2].text is None and got[2].text_chars is None
+    assert got[3].text == "x\ny"
+    assert "html" not in got[0].asDict()
