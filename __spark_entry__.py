@@ -2996,6 +2996,40 @@ def q_mvt_roundtrip(spark, sf_dir):
     )
 
 
+def q_robots(spark, sf_dir):
+    """RFC 9309 robots.txt gate (pipeline.robots_allowed). Template
+    oracle: domains d0-d4 get fixed rule sets (d4 has NO robots row),
+    paths cycle six variants; the oracle CASE-constructs the expected
+    verdict per (domain, variant) — group selection, longest-match
+    precedence, allow-wins-ties, '*' and '$' all exercised."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import robots_allowed
+
+    robots = spark.createDataFrame(
+        [
+            ("d0.com", "User-agent: *\nDisallow: /private/\n"
+                       "Allow: /private/ok\nDisallow: /*.pdf$\n"),
+            ("d1.com", "User-agent: *\nDisallow: /\n"),
+            ("d2.com", "User-agent: *\nDisallow:\n"),
+            ("d3.com", "User-agent: *\nDisallow: /a*z$\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    urls = spark.sql(
+        f"""SELECT id, concat('d', CAST(id % 5 AS STRING), '.com') AS domain,
+              concat('http://d', CAST(id % 5 AS STRING), '.com',
+                CASE CAST(id % 6 AS INT)
+                  WHEN 0 THEN '/public/p'
+                  WHEN 1 THEN '/private/secret'
+                  WHEN 2 THEN '/private/ok/x'
+                  WHEN 3 THEN '/doc.pdf'
+                  WHEN 4 THEN '/doc.pdf?x=1'
+                  ELSE concat('/a', CAST(id AS STRING), 'z') END) AS url
+            FROM ({_PTS}) WHERE id < 600"""
+    )
+    return robots_allowed(urls, robots).select("id", "domain", "url", "allowed")
+
+
 def q_html_extract(spark, sf_dir):
     """HTML -> text extraction (pipeline.html_extract_text, the
     trafilatura-role web-crawl first pass). Template oracle: the query
@@ -3061,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
         "html_extract": q_html_extract,
+        "robots": q_robots,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "zonal_stats": q_zonal_stats,
@@ -3088,7 +3123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 pipeline operators ---
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
-        "hash_split": q_hash_split,
         "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
@@ -3105,6 +3139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "hash_split": q_hash_split,
         "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
         "layout_pruned_count": q_layout_pruned_count,
@@ -4017,6 +4052,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dsir_grams, dsir_logw,
                    floor(dsir_logw / dsir_grams * 1e6 + 0.5) / 1e6 AS dsir_logw_norm
             FROM agg
+        """,
+        "robots": f"""
+            SELECT id, concat('d', CAST(id % 5 AS STRING), '.com') AS domain,
+                   concat('http://d', CAST(id % 5 AS STRING), '.com',
+                     CASE CAST(id % 6 AS INT)
+                       WHEN 0 THEN '/public/p'
+                       WHEN 1 THEN '/private/secret'
+                       WHEN 2 THEN '/private/ok/x'
+                       WHEN 3 THEN '/doc.pdf'
+                       WHEN 4 THEN '/doc.pdf?x=1'
+                       ELSE concat('/a', CAST(id AS STRING), 'z') END) AS url,
+                   CASE
+                     WHEN id % 5 = 1 THEN false
+                     WHEN id % 5 = 0 THEN
+                       (CASE CAST(id % 6 AS INT) WHEN 1 THEN false
+                                                 WHEN 3 THEN false
+                                                 ELSE true END)
+                     WHEN id % 5 = 3 THEN id % 6 <> 5
+                     ELSE true END AS allowed
+            FROM ({pts}) WHERE id < 600
         """,
         "html_extract": """
             WITH expect AS (

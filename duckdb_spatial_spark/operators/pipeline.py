@@ -763,3 +763,161 @@ def html_extract_text(
             yield out
 
     return df.mapInPandas(gen, out_schema)
+
+
+def _robots_rules(txt: str, agent: str = "*"):
+    """Parse one robots.txt into [(allow: bool, pattern: str)] for the
+    given user-agent, RFC 9309 group selection: the most specific
+    matching user-agent line's group wins; '*' is the fallback."""
+    best_len = -1
+    rules: list = []
+    cur_agents: list = []
+    cur_rules: list = []
+    in_group_body = False
+
+    def flush():
+        nonlocal best_len, rules
+        for a in cur_agents:
+            a_l = a.lower()
+            if a_l == "*":
+                spec = 0
+            elif agent.lower().startswith(a_l):
+                spec = len(a_l)
+            else:
+                continue
+            if spec > best_len:
+                best_len = spec
+                rules = list(cur_rules)
+
+    for line in (txt or "").splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                flush()
+                cur_agents, cur_rules, in_group_body = [], [], False
+            cur_agents.append(val)
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            if val:
+                cur_rules.append((key == "allow", val))
+            elif key == "disallow":
+                pass  # empty Disallow = allow all (no rule)
+    flush()
+    return rules
+
+
+def _robots_match_len(pattern: str, path: str) -> int:
+    """RFC 9309 wildcard match: '*' spans any chars, '$' anchors the end.
+    Returns the pattern length for precedence (longest match wins) or -1.
+    The TAIL part of an anchored pattern matches at the END of the path
+    (a greedy leftmost find would wrongly reject '*ab$' vs 'abab')."""
+    anchored = pattern.endswith("$")
+    pat = pattern[:-1] if anchored else pattern
+    parts = pat.split("*")
+    if not path.startswith(parts[0]):
+        return -1
+    pos = len(parts[0])
+    if len(parts) == 1:
+        if anchored and pos != len(path):
+            return -1
+        return len(pattern)
+    for part in parts[1:-1]:
+        j = path.find(part, pos)
+        if j < 0:
+            return -1
+        pos = j + len(part)
+    last = parts[-1]
+    if anchored:
+        if not path.endswith(last) or len(path) - len(last) < pos:
+            return -1
+        return len(pattern)
+    if path.find(last, pos) < 0:
+        return -1
+    return len(pattern)
+
+
+def robots_allowed(
+    urls: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    robots_col: str = "robots_txt",
+    agent: str = "*",
+) -> DataFrame:
+    """RFC 9309 robots.txt evaluation for a URL table — the crawl-prep
+    gate between ``url_canonicalize`` and fetching (CommonCrawl-style
+    pipelines re-check robots before training-data inclusion).
+
+    ``robots`` holds one row per domain (``domain_col``,
+    ``robots_col``); group selection picks the most specific matching
+    user-agent (default fallback group '*'), rule precedence is the
+    RFC's longest-match with allow winning ties; '*' wildcards and '$'
+    anchors supported; no matching rule (or no robots row) = allowed.
+
+    Scale shape: robots parse once per domain inside a BROADCAST join
+    (the domain table is small next to the URL mass); one Arrow pass
+    evaluates rules per URL; zero extra shuffles. Adds ``allowed``."""
+    parsed_schema = T.StructType(
+        list(robots.schema.fields)
+        + [T.StructField("_rules_json", T.StringType())]
+    )
+    ri = robots.columns.index(robots_col)
+
+    def parse_gen(batches):
+        import json as _json
+
+        for pdf in batches:
+            out = pdf.copy()
+            out["_rules_json"] = [
+                _json.dumps(_robots_rules(txt, agent)) if txt is not None else "[]"
+                for txt in pdf.iloc[:, ri]
+            ]
+            yield out
+
+    parsed = robots.mapInPandas(parse_gen, parsed_schema).drop(robots_col)
+
+    joined = urls.join(F.broadcast(parsed), on=domain_col, how="left")
+    out_schema = T.StructType(
+        [f for f in joined.schema.fields if f.name != "_rules_json"]
+        + [T.StructField("allowed", T.BooleanType())]
+    )
+    ui = joined.columns.index(url_col)
+    ji = joined.columns.index("_rules_json")
+    keep = [f.name for f in out_schema.fields if f.name != "allowed"]
+
+    def eval_gen(batches):
+        import json as _json
+        from urllib.parse import urlparse
+
+        cache: dict = {}
+        for pdf in batches:
+            allowed = []
+            for u, rj in zip(pdf.iloc[:, ui], pdf.iloc[:, ji]):
+                if u is None:
+                    allowed.append(None)
+                    continue
+                rules = cache.get(rj)
+                if rules is None:
+                    rules = _json.loads(rj) if rj is not None else []
+                    cache[rj] = rules
+                pr = urlparse(str(u))
+                path = pr.path or "/"
+                if pr.query:
+                    path += "?" + pr.query
+                verdict, best = True, -1
+                for allow, pat in rules:
+                    m = _robots_match_len(pat, path)
+                    if m > best or (m == best and allow and not verdict):
+                        if m >= 0:
+                            verdict, best = allow, m
+                allowed.append(bool(verdict))
+            out = pdf[keep].copy()
+            out["allowed"] = pd.Series(allowed, dtype="object")
+            yield out
+
+    return joined.mapInPandas(eval_gen, out_schema)

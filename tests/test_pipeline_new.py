@@ -533,3 +533,57 @@ def test_html_extract_text(spark):
     assert got[2].text is None and got[2].text_chars is None
     assert got[3].text == "x\ny"
     assert "html" not in got[0].asDict()
+
+
+def test_robots_allowed(spark):
+    """RFC 9309 evaluation: group selection, longest-match precedence,
+    allow-wins-ties, '*' wildcards, '$' anchors, missing robots rows."""
+    from duckdb_spatial_spark.operators.pipeline import (
+        _robots_match_len,
+        robots_allowed,
+    )
+
+    # matcher unit cases (incl. the anchored-tail pitfall)
+    assert _robots_match_len("/p", "/page") == 2
+    assert _robots_match_len("/*.php$", "/index.php") == 7
+    assert _robots_match_len("/*.php$", "/index.php?x=1") == -1
+    assert _robots_match_len("*ab$", "/abab") == 4
+    assert _robots_match_len("/fish*", "/fishing") == 6
+    assert _robots_match_len("/fish", "/Fish") == -1
+
+    robots_txt = (
+        "# comment\n"
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Disallow: /*.pdf$\n"
+        "Allow: /private/ok\n"
+        "\n"
+        "User-agent: specialbot\n"
+        "Disallow: /\n"
+    )
+    robots = spark.createDataFrame(
+        [("a.com", robots_txt), ("b.com", "User-agent: *\nDisallow:\n")],
+        "domain string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "a.com", "http://a.com/public/x"),
+            (1, "a.com", "http://a.com/private/secret"),
+            (2, "a.com", "http://a.com/private/ok/page"),   # allow beats shorter disallow
+            (3, "a.com", "http://a.com/doc.pdf"),
+            (4, "a.com", "http://a.com/doc.pdf?download=1"),  # $ anchor: allowed
+            (5, "b.com", "http://b.com/anything"),           # empty Disallow = allow
+            (6, "c.com", "http://c.com/whatever"),           # no robots row
+        ],
+        "id long, domain string, url string",
+    )
+    got = {r.id: r.allowed for r in robots_allowed(urls, robots).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: False, 4: True, 5: True, 6: True}
+
+    # group selection: specialbot picks its own group (Disallow /)
+    got2 = {r.id: r.allowed for r in robots_allowed(urls, robots, agent="specialbot").collect()}
+    assert got2[0] is False and got2[5] is True and got2[6] is True
+
+    # plan: robots side broadcast, no cartesian
+    plan = robots_allowed(urls, robots)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
