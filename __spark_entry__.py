@@ -2996,6 +2996,35 @@ def q_mvt_roundtrip(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC/1.0 (ISO 28500) sink -> reader round trip (sources/warc.py;
+    the CommonCrawl container — per-record gzip members, HTTP response
+    framing split into status/content-type/payload). The .warc.gz lane
+    exercises the multi-member gunzip loop."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import st_read, st_write
+
+    df = spark.sql(
+        f"""SELECT id,
+              concat('http://w', CAST(id % 9 AS STRING), '.com/page/',
+                     CAST(id AS STRING)) AS url,
+              concat('<html><body>doc ', CAST(id AS STRING), '</body></html>')
+                AS payload
+            FROM ({_PTS}) WHERE id < 400"""
+    )
+    path = os.path.join(_fresh_tmp("warc_q"), "crawl.warc.gz")
+    st_write(df, path)
+    back = st_read(spark, path)
+    return back.selectExpr(
+        "target_uri AS url",
+        "CAST(http_status AS INT) AS http_status",
+        "content_type",
+        "CAST(payload AS STRING) AS payload_str",
+    )
+
+
 def q_robots(spark, sf_dir):
     """RFC 9309 robots.txt gate (pipeline.robots_allowed). Template
     oracle: domains d0-d4 get fixed rule sets (d4 has NO robots row),
@@ -3096,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "html_extract": q_html_extract,
         "robots": q_robots,
+        "warc_roundtrip": q_warc_roundtrip,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "zonal_stats": q_zonal_stats,
@@ -3123,7 +3153,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 pipeline operators ---
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
-        "pack_sequences": q_pack_sequences,
         "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
         "dedup_lines": q_dedup_lines,
@@ -3139,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
         "streaming_geofence": q_streaming_geofence,
         "streaming_dedup": q_streaming_dedup,
@@ -4053,6 +4083,15 @@ def oracle_sql() -> dict[str, str]:
                    floor(dsir_logw / dsir_grams * 1e6 + 0.5) / 1e6 AS dsir_logw_norm
             FROM agg
         """,
+        "warc_roundtrip": f"""
+            SELECT concat('http://w', CAST(id % 9 AS STRING), '.com/page/',
+                          CAST(id AS STRING)) AS url,
+                   CAST(200 AS INT) AS http_status,
+                   'text/html' AS content_type,
+                   concat('<html><body>doc ', CAST(id AS STRING),
+                          '</body></html>') AS payload_str
+            FROM ({pts}) WHERE id < 400
+        """,
         "robots": f"""
             SELECT id, concat('d', CAST(id % 5 AS STRING), '.com') AS domain,
                    concat('http://d', CAST(id % 5 AS STRING), '.com',
@@ -4206,7 +4245,8 @@ def oracle_sql() -> dict[str, str]:
               ('OpenFileGDB', 'true', 'true'), ('Arrow', 'true', 'true'),
               ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true'),
               ('SQLite', 'true', 'true'), ('ESRIJSON', 'true', 'true'),
-              ('netCDF', 'true', 'true'), ('MVT', 'true', 'true')
+              ('netCDF', 'true', 'true'), ('MVT', 'true', 'true'),
+              ('WARC', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
