@@ -2996,6 +2996,20 @@ def q_mvt_roundtrip(spark, sf_dir):
     )
 
 
+def q_text_entropy(spark, sf_dir):
+    """Character/token Shannon entropy (textops.text_entropy — the
+    low-entropy boilerplate signal). Oracle recomputes both entropies
+    from per-unit group counts in SQL (string_split('') codepoint parity
+    validated against python iteration incl. unicode); entropies rounded
+    to 6 on both sides, empty docs coalesce to zero."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import text_entropy
+
+    return text_entropy(spark.table("documents")).select(
+        "doc_id", "n_chars_e", "char_entropy", "n_tokens_e", "token_entropy"
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC/1.0 (ISO 28500) sink -> reader round trip (sources/warc.py;
     the CommonCrawl container — per-record gzip members, HTTP response
@@ -3126,6 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "robots": q_robots,
         "warc_roundtrip": q_warc_roundtrip,
+        "text_entropy": q_text_entropy,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "zonal_stats": q_zonal_stats,
@@ -3153,7 +3168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 pipeline operators ---
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
-        "embedding_centroids": q_embedding_centroids,
         "embedding_assign": q_embedding_assign,
         "dedup_lines": q_dedup_lines,
         "bm25": q_bm25,
@@ -3168,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "embedding_centroids": q_embedding_centroids,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
         "streaming_geofence": q_streaming_geofence,
@@ -4082,6 +4097,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dsir_grams, dsir_logw,
                    floor(dsir_logw / dsir_grams * 1e6 + 0.5) / 1e6 AS dsir_logw_norm
             FROM agg
+        """,
+        "text_entropy": r"""
+            WITH ch AS (
+              SELECT doc_id, unnest(list_filter(
+                       string_split(coalesce(text, ''), ''), x -> x <> '')) AS u
+              FROM documents
+            ), cc AS (SELECT doc_id, u, count(*) AS c FROM ch GROUP BY 1, 2),
+            ctot AS (SELECT doc_id, sum(c) AS n FROM cc GROUP BY 1),
+            cent AS (
+              SELECT cc.doc_id,
+                     floor(sum(-(c / CAST(n AS DOUBLE))
+                               * ln(c / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                       AS char_entropy,
+                     CAST(max(n) AS BIGINT) AS n_chars_e
+              FROM cc JOIN ctot USING (doc_id) GROUP BY 1
+            ), tk AS (
+              SELECT doc_id, unnest(list_filter(
+                string_split_regex(coalesce(text, ''), '[ \t\n\x0b\f\r]+'),
+                x -> x <> '')) AS u
+              FROM documents
+            ), tc AS (SELECT doc_id, u, count(*) AS c FROM tk GROUP BY 1, 2),
+            ttot AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+            tent AS (
+              SELECT tc.doc_id,
+                     floor(sum(-(c / CAST(n AS DOUBLE))
+                               * ln(c / CAST(n AS DOUBLE))) * 1e6 + 0.5) / 1e6
+                       AS token_entropy,
+                     CAST(max(n) AS BIGINT) AS n_tokens_e
+              FROM tc JOIN ttot USING (doc_id) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(cent.n_chars_e, 0) AS n_chars_e,
+                   coalesce(cent.char_entropy, 0.0) AS char_entropy,
+                   coalesce(tent.n_tokens_e, 0) AS n_tokens_e,
+                   coalesce(tent.token_entropy, 0.0) AS token_entropy
+            FROM documents d
+            LEFT JOIN cent ON d.doc_id = cent.doc_id
+            LEFT JOIN tent ON d.doc_id = tent.doc_id
         """,
         "warc_roundtrip": f"""
             SELECT concat('http://w', CAST(id % 9 AS STRING), '.com/page/',

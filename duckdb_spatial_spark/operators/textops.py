@@ -610,3 +610,70 @@ def bpe_token_count(
     tmp = "_bpe_seq_"
     out = bpe_encode(df, merges, text_col=text_col, out_col=tmp, **kw)
     return out.withColumn(out_col, F.size(F.col(tmp))).drop(tmp)
+
+
+def text_entropy(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Character- and token-level Shannon entropy per document (nats) —
+    the low-entropy signal quality pipelines use to flag boilerplate /
+    repeated-template pages (the compression-ratio heuristic's exact
+    cousin, but engine-neutral so a plain-SQL oracle can recompute it).
+
+    entropy = -sum over distinct units of p * ln(p), p = count/total;
+    units are Unicode codepoints (char_entropy) and ASCII-whitespace
+    tokens (token_entropy). Empty/NULL text scores 0 with zero counts.
+
+    One Arrow pass, zero shuffles (Counter work is C-level dict ops);
+    both entropies rounded to 6 decimals (dual-engine float rule — the
+    summation order over distinct units differs between engines)."""
+    import math as _math
+
+    from collections import Counter as _Counter
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_chars_e", T.LongType()),
+            T.StructField("char_entropy", T.DoubleType()),
+            T.StructField("n_tokens_e", T.LongType()),
+            T.StructField("token_entropy", T.DoubleType()),
+        ]
+    )
+    ii = df.columns.index(id_col)
+    ti = df.columns.index(text_col)
+
+    def _h(counts: dict, total: int) -> float:
+        if total == 0:
+            return 0.0
+        s = 0.0
+        for c in counts.values():
+            p = c / total
+            s -= p * _math.log(p)
+        return _math.floor(s * 1e6 + 0.5) / 1e6
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ncs, ces, nts, tes = [], [], [], [], []
+            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
+                s = "" if text is None else str(text)
+                chars = _Counter(s)
+                toks = _Counter(_ascii_ws_split(s))
+                n_c = len(s)
+                n_t = sum(toks.values())
+                ids.append(did)
+                ncs.append(n_c)
+                ces.append(_h(chars, n_c))
+                nts.append(n_t)
+                tes.append(_h(toks, n_t))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "n_chars_e": pd.Series(ncs, dtype="int64"),
+                    "char_entropy": pd.Series(ces, dtype="float64"),
+                    "n_tokens_e": pd.Series(nts, dtype="int64"),
+                    "token_entropy": pd.Series(tes, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)

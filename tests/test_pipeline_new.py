@@ -587,3 +587,36 @@ def test_robots_allowed(spark):
     # plan: robots side broadcast, no cartesian
     plan = robots_allowed(urls, robots)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+def test_text_entropy(spark):
+    import math
+    from collections import Counter
+
+    from duckdb_spatial_spark.operators.textops import text_entropy
+
+    docs = [
+        (0, "aaaa"),                      # zero entropy
+        (1, "ab ab ab"),
+        (2, ""),                          # zeros
+        (3, None),                        # NULL behaves like empty
+        (4, "the quick brown fox jumps"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in text_entropy(df).collect()}
+
+    def h(cnt):
+        n = sum(cnt.values())
+        if n == 0:
+            return 0.0
+        s = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        return math.floor(s * 1e6 + 0.5) / 1e6
+
+    for did, t in docs:
+        s = t or ""
+        r = got[did]
+        assert r.n_chars_e == len(s) and r.n_tokens_e == len(s.split())
+        assert r.char_entropy == h(Counter(s))
+        assert r.token_entropy == h(Counter(s.split()))
+    assert got[0].char_entropy == 0.0 and got[2].char_entropy == 0.0
+    assert got[4].token_entropy == math.floor(math.log(5) * 1e6 + 0.5) / 1e6
