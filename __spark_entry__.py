@@ -2996,6 +2996,24 @@ def q_mvt_roundtrip(spark, sf_dir):
     )
 
 
+def q_dedup_docs(spark, sf_dir):
+    """End-to-end near-duplicate REMOVAL — the deduped corpus a training
+    pipeline actually ships: n-gram Jaccard pairs -> connected components
+    (large-star/small-star) -> keep one canonical doc per cluster (the
+    min-id member). Oracle replays pairs + transitive closure with a
+    recursive CTE and keeps rows whose id IS the component minimum."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dedup import duplicate_clusters, ngram_jaccard_pairs
+
+    docs = spark.table("documents").filter("doc_id < 200")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    clusters = duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
+    keep = clusters.filter("doc_id = cluster_id").select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
 def q_text_entropy(spark, sf_dir):
     """Character/token Shannon entropy (textops.text_entropy — the
     low-entropy boilerplate signal). Oracle recomputes both entropies
@@ -3141,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "warc_roundtrip": q_warc_roundtrip,
         "text_entropy": q_text_entropy,
+        "dedup_docs": q_dedup_docs,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "zonal_stats": q_zonal_stats,
@@ -3169,7 +3188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "decontaminate": q_decontaminate,
         "embedding_assign": q_embedding_assign,
-        "dedup_lines": q_dedup_lines,
         "bm25": q_bm25,
         "wordlist_filter": q_wordlist_filter,
         "dedup_exact": q_dedup_exact,
@@ -3182,6 +3200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
         # r8-green, unchanged in r9 — rotated behind the window
+        "dedup_lines": q_dedup_lines,
         "embedding_centroids": q_embedding_centroids,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
@@ -4097,6 +4116,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dsir_grams, dsir_logw,
                    floor(dsir_logw / dsir_grams * 1e6 + 0.5) / 1e6 AS dsir_logw_norm
             FROM agg
+        """,
+        "dedup_docs": r"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks
+                    FROM documents WHERE doc_id < 200)
+            ), p AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+                FROM t a, t b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+              ) WHERE j >= 0.1
+            ), e AS (
+              SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+            ), reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+            ), canon AS (
+              SELECT a AS doc_id FROM reach GROUP BY a HAVING a = min(b)
+            )
+            SELECT d.doc_id, d.lang, d.source, d.n_chars
+            FROM documents d JOIN canon USING (doc_id)
         """,
         "text_entropy": r"""
             WITH ch AS (
