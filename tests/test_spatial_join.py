@@ -441,3 +441,28 @@ def test_zonal_stats(spark):
         g = got[z]
         assert g.n_cells == w.n and g.sum_v == w.s
         assert g.min_v == w.mn and g.max_v == w.mx
+
+
+def test_grid_box_shortcircuit_plan_shape(spark):
+    """Regression pin: the grid lane's recheck UDF inputs are MASKED for
+    sure pairs (Catalyst evaluates extracted Python UDFs unconditionally,
+    so the lever is NULL inputs — no WKB transfers for decided rows), and
+    the sure-true bbox decision appears as a pure-Column disjunct."""
+    pts = spark.range(100).select(
+        "id",
+        udfs.st_point(
+            (F.col("id") % 10).cast("double"), (F.col("id") % 7).cast("double")
+        ).alias("geom"),
+    )
+    rects = spark.range(20).select(
+        F.col("id").alias("rid"),
+        udfs.st_makeenvelope(
+            F.col("id").cast("double"), F.lit(0.0),
+            F.col("id").cast("double") + 5.0, F.lit(5.0),
+        ).alias("geom"),
+    )
+    j = st_join(pts, rects, predicate="within", strategy="grid", cell_size=4.0)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "recheck(CASE WHEN NOT coalesce((r_is_box" in plan
+    assert "OR coalesce(pythonUDF" in plan  # sure-true disjunct bypasses the UDF verdict
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
