@@ -4244,7 +4244,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, (h0 * h0 + h0) % 1000000007 AS h FROM wins
             ), cnt AS (SELECT h, count(*) AS c FROM wh GROUP BY 1)
             SELECT doc_id, count(*) AS span_windows,
-                   sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS dup_windows,
+                   CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_windows,
                    CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                      / count(*) AS dup_share
             FROM wh JOIN cnt USING (h) GROUP BY 1
