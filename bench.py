@@ -640,6 +640,20 @@ def main():
                 errors["bm25_large"] = f"{type(e).__name__}: {e}"[:500]
                 print(f"[bench] bm25_large FAILED: {errors['bm25_large']}", file=sys.stderr)
 
+        @bench("dup_spans_docs")
+        def _():
+            from duckdb_spatial_spark.operators.dedup import dup_span_stats
+
+            dup_span_stats(spark.table("documents")).agg(
+                F.sum("dup_windows"), F.sum("span_windows")
+            ).collect()
+
+        duck_bench(
+            "dup_spans_docs",
+            "SELECT sum(dup_windows), sum(span_windows) FROM ("
+            + E.oracle_sql()["dup_spans"] + ")",
+        )
+
         @bench("winnowing_docs")
         def _():
             from duckdb_spatial_spark.operators.textops import winnowing_fingerprints

@@ -829,28 +829,101 @@ def dup_span_stats(
     oracle compares on the SAME hash, so collisions cannot diverge the
     engines); the corpus-wide occurrence count is one map-side-combinable
     ``groupBy(h)``; the count joins back on the hash (AQE splits the
-    boilerplate-span skew) and one final per-doc aggregate."""
+    boilerplate-span skew) and one final per-doc aggregate.
+
+    Kernel: the batch's joined docs concatenate into ONE code-point
+    array (utf-32 decode — ``ord()`` semantics, matching the oracle's
+    per-character ``ascii()``), a single vectorized modular prefix-hash
+    pass makes every window hash O(1): with r = 131^-1 mod p, the
+    prefix P[i] = cumsum(c_j * r^(j+1)) * 131^i mod p satisfies
+    hash(a, b) = ((seed+1)*131^(b-a) + P[b] - P[a]*131^(b-a)) mod p.
+    Pow tables build by doubling (O(log n) vectorized steps); overlapping
+    windows share the one pass — the previous per-character Python
+    Horner re-hashed every token ~window times."""
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField("_h", T.LongType())]
     )
     ii = df.columns.index(id_col)
     ti = df.columns.index(text_col)
     w = int(window)
+    M = 1000000007
+    RINV = pow(131, M - 2, M)
+    id_is_int = isinstance(
+        df.schema[id_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
+
+    def _pow_table(base: int, n: int) -> np.ndarray:
+        # pows[i] = base^i mod M for i in [0, n]; doubling keeps every
+        # step a whole-array multiply (values < M, products < 2^63)
+        pows = np.ones(n + 1, dtype=np.int64)
+        k = 1
+        while k <= n:
+            step = min(k, n + 1 - k)
+            pows[k : k + step] = pows[:step] * (pows[k - 1] * base % M) % M
+            k *= 2
+        return pows
 
     def gen(batches):
         for pdf in batches:
             ids, hs = [], []
+            dids, texts, starts, ends, lens = [], [], [], [], []
+            pos = 0
             for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
                 if text is None:
                     continue
                 toks = _ascii_ws_split(str(text))
-                for s in range(0, max(len(toks) - w + 1, 0)):
-                    p = seed + 1
-                    for ch in " ".join(toks[s : s + w]):
-                        p = (p * 131 + ord(ch)) % 1000000007
-                    ids.append(did)
-                    hs.append((p * p + p) % 1000000007)
-            yield pd.DataFrame({id_col: pd.Series(ids), "_h": pd.Series(hs, dtype="int64")})
+                if len(toks) < w:
+                    continue
+                tl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+                # code-point offset of each token inside " ".join(toks)
+                off = np.zeros(len(toks) + 1, dtype=np.int64)
+                np.cumsum(tl + 1, out=off[1:])
+                nwin = len(toks) - w + 1
+                a = pos + off[:nwin]           # window starts
+                b = pos + off[w : w + nwin] - 1  # ends (strip joiner space)
+                dids.append(did)
+                texts.append(" ".join(toks))
+                starts.append(a)
+                ends.append(b)
+                lens.append(nwin)
+                pos += off[-1] - 1  # joined length in code points
+            if not dids:
+                yield pd.DataFrame(
+                    {id_col: pd.Series([]), "_h": pd.Series([], dtype="int64")}
+                )
+                continue
+            cp = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = len(cp)
+            pow131 = _pow_table(131, n)
+            rpow = _pow_table(RINV, n)
+            # P[i] = (Σ_{j<i} c_j r^(j+1)) · 131^i mod M = poly hash of
+            # cp[:i]; terms < M so int64 cumsum holds ~9e9 code points
+            terms = cp * rpow[1:] % M
+            P = np.empty(n + 1, dtype=np.int64)
+            P[0] = 0
+            np.cumsum(terms, out=P[1:])
+            P[1:] %= M
+            P[1:] = P[1:] * pow131[1:] % M
+            s0 = int(seed) + 1
+            for did, a, b, nw in zip(dids, starts, ends, lens):
+                wl = b - a
+                sub = (P[b] - P[a] * pow131[wl]) % M
+                h = (s0 * pow131[wl] + sub) % M
+                h = (h * h + h) % M
+                if id_is_int:
+                    ids.append(np.full(nw, did, dtype=np.int64))
+                else:
+                    ids.extend([did] * nw)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(np.concatenate(ids)) if id_is_int else pd.Series(ids),
+                    "_h": pd.Series(np.concatenate(hs), dtype="int64"),
+                }
+            )
 
     spans = df.mapInPandas(gen, out_schema)
     counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
