@@ -2686,6 +2686,65 @@ def q_spatial_transform_paris(spark, sf_dir):
     )
 
 
+_AMS_ROADS_3857 = [
+    (1, 554203.4169973677, 6859025.689313544),
+    (2, 554131.0036686066, 6858997.931783472),
+    (3, 554196.0031192809, 6859038.14744868),
+    (4, 554129.1446331105, 6859017.821027594),
+    (5, 553828.8380427975, 6860070.236052946),
+    (6, 553546.4650224512, 6859644.029476092),
+    (7, 553663.1723765989, 6859774.68695584),
+    (8, 553772.933394521, 6859923.853647543),
+]
+
+_RD_BESSEL = "+proj=longlat +ellps=bessel"
+_RD_STEREA = (
+    "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+    "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel"
+)
+
+
+def q_spatial_transform_rd(spark, sf_dir):
+    """Oblique stereographic (EPSG 9809, +proj=sterea — Dutch RD New
+    EPSG:28992) and Lambert azimuthal equal-area (EPSG 9820, +proj=laea
+    — ETRS89-LAEA EPSG:3035) projection families (proj4.py; reference
+    vendors proj 9.x, test/sql/proj.test). The per-row coordinates are
+    the first vertices of the reference's own test/data/
+    amsterdam_roads.fgb (stored in EPSG:3857), reprojected through the
+    full datum chain 3857 -> RD New -> 3857 (identity to 0.1 m; the 2D
+    pipeline drops heights, which bounds the roundtrip at ~1 mm exactly
+    like proj). Absolute pins are SPEC CONSTANTS, not engine-derived:
+    the EPSG Guidance Note 7-2 worked examples for both methods
+    (Amersfoort 53N 6E -> 196105.283, 557057.739; ETRS89 50N 5E ->
+    3962799.45, 2999718.85) and the projection-origin identity
+    (lat_0, lon_0) -> (x_0, y_0)."""
+    _prep(spark, sf_dir)
+    df = spark.createDataFrame(_AMS_ROADS_3857, "pid int, mx double, my double")
+    df.createOrReplaceTempView("_ams_roads")
+    return spark.sql(
+        f"""
+        SELECT pid,
+          round(ST_X(rt), 1) AS rt_x, round(ST_Y(rt), 1) AS rt_y,
+          round(ST_X(gn), 3) AS gn_e, round(ST_Y(gn), 3) AS gn_n,
+          round(ST_X(org), 4) AS org_e, round(ST_Y(org), 4) AS org_n,
+          round(ST_X(lv), 2) AS laea_e, round(ST_Y(lv), 2) AS laea_n,
+          round(ST_X(lrt), 6) AS laea_rt_lon, round(ST_Y(lrt), 6) AS laea_rt_lat
+        FROM (
+          SELECT pid,
+            ST_Transform(ST_Transform(ST_Point(mx, my), 'EPSG:3857', 'EPSG:28992', true),
+                         'EPSG:28992', 'EPSG:3857', true) AS rt,
+            ST_Transform(ST_Point(6.0D, 53.0D), '{_RD_BESSEL}', '{_RD_STEREA}', true) AS gn,
+            ST_Transform(ST_Point(5.38763888888889D, 52.15616055555555D),
+                         '{_RD_BESSEL}', '{_RD_STEREA}', true) AS org,
+            ST_Transform(ST_Point(5.0D, 50.0D), 'EPSG:4258', 'EPSG:3035', true) AS lv,
+            ST_Transform(ST_Transform(ST_Point(5.0D, 50.0D), 'EPSG:4258', 'EPSG:3035', true),
+                         'EPSG:3035', 'EPSG:4258', true) AS lrt
+          FROM _ams_roads
+        )
+        """
+    )
+
+
 def q_spatial_native_casts(spark, sf_dir):
     """WKB -> native columnar-type casts (reference cast kernels
     ST_Point2DFromWKB / ST_LineString2DFromWKB / ST_Polygon2DFromWKB,
@@ -3165,6 +3224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "spatial_transform_nad27": q_spatial_transform_nad27,
         "spatial_transform_paris": q_spatial_transform_paris,
+        # --- new in r10: sterea/laea projection families ---
+        "spatial_transform_rd": q_spatial_transform_rd,
         "spatial_native_casts": q_spatial_native_casts,
         "layout_pruned_polys": q_layout_pruned_polys,
         "geo_parquet_stats": q_geo_parquet_stats,
@@ -3638,6 +3699,20 @@ def oracle_sql() -> dict[str, str]:
                    round({_PARIS_PM}, 9) AS glon,
                    round(2.3522, 6) AS rt_lon, round(48.8566, 6) AS rt_lat
             FROM (VALUES (1), (2), (3)) AS t(zid)
+        """,
+        "spatial_transform_rd": f"""
+            -- roundtrip identity on the reference's amsterdam_roads.fgb
+            -- vertices + the published EPSG GN7-2 worked examples for
+            -- oblique stereographic (9809) and LAEA (9820): all values
+            -- are spec constants, independent of the engine under test
+            SELECT pid, round(mx, 1) AS rt_x, round(my, 1) AS rt_y,
+                   round(196105.283, 3) AS gn_e, round(557057.739, 3) AS gn_n,
+                   round(155000.0, 4) AS org_e, round(463000.0, 4) AS org_n,
+                   round(3962799.45, 2) AS laea_e, round(2999718.85, 2) AS laea_n,
+                   round(5.0, 6) AS laea_rt_lon, round(50.0, 6) AS laea_rt_lat
+            FROM (VALUES
+              {", ".join(f"({pid}, {mx!r}, {my!r})" for pid, mx, my in _AMS_ROADS_3857)}
+            ) AS t(pid, mx, my)
         """,
         "layout_pruned_polys": layout_polys_sql,
         "geo_parquet_stats": (

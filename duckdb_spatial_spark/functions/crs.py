@@ -96,8 +96,8 @@ _POLAR = {
 _UNSUPPORTED_MSG = (
     "unsupported CRS {crs!r} (built-ins: EPSG:4326/3857/3395, WGS84 UTM, polar "
     "stereographic, EPSG:5070/3347/2154 conics; registry long tail incl. "
-    "EPSG:27700/2056/21781/31370/2193/2229/258xx/269xx; or pass a raw "
-    "'+proj=...' proj4 string)"
+    "EPSG:27700/2056/21781/28992/3035/31370/2193/2229/258xx/269xx; or pass "
+    "a raw '+proj=...' proj4 string)"
 )
 
 # ---------------------------------------------------------------------------
@@ -173,6 +173,21 @@ _PROJ4_STRINGS = {
         "+proj=lcc +lat_1=42.165 +lat_0=42.165 +lon_0=0 +k_0=0.99994471 "
         "+x_0=234.358 +y_0=4185861.369 +a=6378249.2 +b=6356515 "
         "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m +no_defs"
+    ),
+    # Netherlands: Amersfoort / RD New — oblique stereographic (EPSG 9809),
+    # the CRS of the reference's own amsterdam_roads.fgb test data
+    # (test/data/amsterdam_roads.fgb)
+    "EPSG:28992": (
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+        "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel "
+        "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,4.0725 "
+        "+units=m +no_defs"
+    ),
+    # Europe: ETRS89-extended / LAEA Europe — the standard European
+    # equal-area statistical grid (EPSG 9820)
+    "EPSG:3035": (
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
+        "+ellps=GRS80 +units=m +no_defs"
     ),
 }
 # ETRS89 / UTM zones 28N-38N
@@ -613,6 +628,12 @@ def list_proj_crs_df(spark):
         "EPSG:2193": "NZGD2000 / New Zealand Transverse Mercator 2000",
         "EPSG:2229": "NAD83 / California zone 5 (ftUS)",
         "EPSG:3067": "ETRS89 / TM35FIN(E,N)",
+        "EPSG:27571": "NTF (Paris) / Lambert zone I",
+        "EPSG:27572": "NTF (Paris) / Lambert zone II",
+        "EPSG:27573": "NTF (Paris) / Lambert zone III",
+        "EPSG:27574": "NTF (Paris) / Lambert zone IV",
+        "EPSG:28992": "Amersfoort / RD New",
+        "EPSG:3035": "ETRS89-extended / LAEA Europe",
     }
     for code in sorted(_PROJ4_STRINGS):
         num = code.split(":")[1]

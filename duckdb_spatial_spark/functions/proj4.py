@@ -13,7 +13,9 @@ published oblique-mercator formulas):
         -> WGS84 geodetic -> dst geodetic (dst ellipsoid) -> dst projected
 
 Supported ``+proj`` kinds: longlat, tmerc, utm, merc, webmerc, lcc
-(1SP & 2SP), aea, stere (polar aspects), somerc. Ellipsoids: the common
+(1SP & 2SP), aea, stere (polar aspects), sterea (oblique stereographic,
+EPSG 9809 — Dutch RD), laea (EPSG 9820 — ETRS89-LAEA), somerc.
+Ellipsoids: the common
 ``+ellps`` names plus explicit ``+a``/``+b``/``+rf``/``+f``. Units via
 ``+units``/``+to_meter``. Anything else raises with the offending token so
 the error is actionable.
@@ -262,10 +264,11 @@ def parse_proj4(s: str) -> ProjDef:
             num[k] = _parse_angle(params[k])
     num["south"] = "south" in params
     if proj not in (
-        "longlat", "latlong", "tmerc", "utm", "merc", "webmerc", "lcc", "aea", "stere", "somerc"
+        "longlat", "latlong", "tmerc", "utm", "merc", "webmerc", "lcc", "aea",
+        "stere", "sterea", "laea", "somerc",
     ):
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
-                         f"webmerc, lcc, aea, stere, somerc)")
+                         f"webmerc, lcc, aea, stere, sterea, laea, somerc)")
     return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm, geoidgrids)
 
 
@@ -309,12 +312,19 @@ def _helmert(xyz, p, inverse=False):
             dy + m * (rz * x + y - rx * z),
             dz + m * (-ry * x + rx * y + z),
         )
-    # exact-enough inverse for cm-level params: invert the linearized form
+    # inverse of the linearized rotation (I+S): transposing S alone leaves
+    # an O(r^2)·X error (~2.5 mm at RD New's 4" rotations); adding the S^2
+    # Neumann term (S^2 v = r(r·v) − |r|^2 v) brings it to O(r^3) (~nm)
     x, y, z = (x - dx) / m, (y - dy) / m, (z - dz) / m
+    cx = x + rz * y - ry * z
+    cy = -rz * x + y + rx * z
+    cz = ry * x - rx * y + z
+    dot = rx * x + ry * y + rz * z
+    r2 = rx * rx + ry * ry + rz * rz
     return (
-        x + rz * y - ry * z,
-        -rz * x + y + rx * z,
-        ry * x - rx * y + z,
+        cx + rx * dot - r2 * x,
+        cy + ry * dot - r2 * y,
+        cz + rz * dot - r2 * z,
     )
 
 
@@ -540,6 +550,142 @@ def stere_inverse(ell, X, Y, lat_0, lat_ts, lon_0, k_0, x_0, y_0):
     return lon_deg, np.degrees(lat)
 
 
+# --- oblique stereographic (EPSG 9809 — double projection via the
+# conformal sphere; Dutch RD New / EPSG 28992 is the canonical user) -------
+def _sterea_setup(ell, lat_0, k_0):
+    p0 = math.radians(lat_0)
+    s0, c0 = math.sin(p0), math.cos(p0)
+    e, e2 = ell.e, ell.e2
+    rho0 = ell.a * (1 - e2) / (1 - e2 * s0 * s0) ** 1.5
+    nu0 = ell.a / math.sqrt(1 - e2 * s0 * s0)
+    R = math.sqrt(rho0 * nu0)
+    n = math.sqrt(1 + e2 * c0**4 / (1 - e2))
+    S1 = (1 + s0) / (1 - s0)
+    S2 = (1 - e * s0) / (1 + e * s0)
+    w1 = (S1 * S2**e) ** n
+    sin_chi00 = (w1 - 1) / (w1 + 1)
+    c = (n + s0) * (1 - sin_chi00) / ((n - s0) * (1 + sin_chi00))
+    w2 = c * w1
+    chi0 = math.asin((w2 - 1) / (w2 + 1))
+    return R, n, c, chi0
+
+
+def sterea_forward(ell, lon, lat, lat_0, lon_0, k_0, x_0, y_0):
+    R, n, c, chi0 = _sterea_setup(ell, lat_0, k_0)
+    k0 = k_0 or 1.0
+    lam0 = math.radians(lon_0)
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    s = np.sin(lat_r)
+    Lam = n * (lon_r - lam0) + lam0
+    Sa = (1 + s) / (1 - s)
+    Sb = (1 - ell.e * s) / (1 + ell.e * s)
+    w = c * (Sa * Sb**ell.e) ** n
+    chi = np.arcsin(np.clip((w - 1) / (w + 1), -1, 1))
+    dl = Lam - lam0
+    B = 1 + np.sin(chi) * math.sin(chi0) + np.cos(chi) * math.cos(chi0) * np.cos(dl)
+    E = x_0 + 2 * R * k0 * np.cos(chi) * np.sin(dl) / B
+    N = y_0 + 2 * R * k0 * (
+        np.sin(chi) * math.cos(chi0) - np.cos(chi) * math.sin(chi0) * np.cos(dl)
+    ) / B
+    return E, N
+
+
+def sterea_inverse(ell, X, Y, lat_0, lon_0, k_0, x_0, y_0):
+    R, n, c, chi0 = _sterea_setup(ell, lat_0, k_0)
+    k0 = k_0 or 1.0
+    lam0 = math.radians(lon_0)
+    Ep = np.asarray(X, dtype=np.float64) - x_0
+    Np = np.asarray(Y, dtype=np.float64) - y_0
+    g = 2 * R * k0 * math.tan(math.pi / 4 - chi0 / 2)
+    h = 4 * R * k0 * math.tan(chi0) + g
+    i = np.arctan2(Ep, h + Np)
+    j = np.arctan2(Ep, g - Np) - i
+    chi = chi0 + 2 * np.arctan2(Np - Ep * np.tan(j / 2), 2 * R * k0)
+    Lam = j + 2 * i + lam0
+    lon = (Lam - lam0) / n + lam0
+    # conformal-sphere latitude -> geodetic via isometric latitude
+    psi = 0.5 * np.log((1 + np.sin(chi)) / (c * (1 - np.sin(chi)))) / n
+    phi = 2 * np.arctan(np.exp(psi)) - math.pi / 2
+    e, e2 = ell.e, ell.e2
+    for _ in range(8):
+        sp = np.sin(phi)
+        psi_i = np.log(
+            np.tan(phi / 2 + math.pi / 4) * ((1 - e * sp) / (1 + e * sp)) ** (e / 2)
+        )
+        phi = phi - (psi_i - psi) * np.cos(phi) * (1 - e2 * sp * sp) / (1 - e2)
+    return np.degrees(lon), np.degrees(phi)
+
+
+# --- Lambert azimuthal equal area (EPSG 9820; ETRS89-LAEA / EPSG 3035) ----
+def _laea_q(ell, s):
+    e, e2 = ell.e, ell.e2
+    return (1 - e2) * (
+        s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+    )
+
+
+def _laea_setup(ell, lat_0):
+    p0 = math.radians(lat_0)
+    s0 = math.sin(p0)
+    qP = _laea_q(ell, 1.0)
+    q0 = _laea_q(ell, s0)
+    beta0 = math.asin(min(max(q0 / qP, -1.0), 1.0))
+    Rq = ell.a * math.sqrt(qP / 2)
+    D = ell.a * (math.cos(p0) / math.sqrt(1 - ell.e2 * s0 * s0)) / (Rq * math.cos(beta0))
+    return qP, beta0, Rq, D
+
+
+def laea_forward(ell, lon, lat, lat_0, lon_0, x_0, y_0):
+    qP, beta0, Rq, D = _laea_setup(ell, lat_0)
+    lam0 = math.radians(lon_0)
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    dl = np.radians(np.asarray(lon, dtype=np.float64)) - lam0
+    q = _laea_q(ell, np.sin(lat_r))
+    beta = np.arcsin(np.clip(q / qP, -1, 1))
+    B = Rq * np.sqrt(
+        2 / (1 + math.sin(beta0) * np.sin(beta) + math.cos(beta0) * np.cos(beta) * np.cos(dl))
+    )
+    E = x_0 + B * D * np.cos(beta) * np.sin(dl)
+    N = y_0 + (B / D) * (
+        math.cos(beta0) * np.sin(beta) - math.sin(beta0) * np.cos(beta) * np.cos(dl)
+    )
+    return E, N
+
+
+def laea_inverse(ell, X, Y, lat_0, lon_0, x_0, y_0):
+    qP, beta0, Rq, D = _laea_setup(ell, lat_0)
+    lam0 = math.radians(lon_0)
+    Ep = np.asarray(X, dtype=np.float64) - x_0
+    Np = np.asarray(Y, dtype=np.float64) - y_0
+    rho = np.hypot(Ep / D, D * Np)
+    at_center = rho == 0
+    rho_safe = np.where(at_center, 1.0, rho)
+    C = 2 * np.arcsin(np.clip(rho_safe / (2 * Rq), -1, 1))
+    beta_p = np.arcsin(
+        np.clip(
+            np.cos(C) * math.sin(beta0) + D * Np * np.sin(C) * math.cos(beta0) / rho_safe,
+            -1,
+            1,
+        )
+    )
+    lon = lam0 + np.arctan2(
+        Ep * np.sin(C),
+        D * rho_safe * math.cos(beta0) * np.cos(C) - D * D * Np * math.sin(beta0) * np.sin(C),
+    )
+    e2 = ell.e2
+    e4, e6 = e2 * e2, e2 * e2 * e2
+    phi = (
+        beta_p
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta_p)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta_p)
+        + (761 * e6 / 45360) * np.sin(6 * beta_p)
+    )
+    phi = np.where(at_center, math.radians(lat_0), phi)
+    lon = np.where(at_center, lam0, lon)
+    return np.degrees(lon), np.degrees(phi)
+
+
 # --- swiss oblique mercator (EPSG 9815 circular variant; swisstopo doc) ----
 def _somerc_setup(ell, lat_0, k_0):
     p0 = math.radians(lat_0)
@@ -661,6 +807,16 @@ def _fwd(d: ProjDef, lon, lat):
             d.ell, lon, lat, g("lat_0", 0.0), g("lon_0", 0.0),
             g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
         )
+    elif d.proj == "sterea":
+        x, y = sterea_forward(
+            d.ell, lon, lat, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    elif d.proj == "laea":
+        x, y = laea_forward(
+            d.ell, lon, lat, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("x_0", 0.0), g("y_0", 0.0),
+        )
     else:  # pragma: no cover - parse_proj4 already validated
         raise ValueError(f"unsupported +proj={d.proj}")
     if d.to_meter != 1.0:
@@ -718,6 +874,16 @@ def _inv(d: ProjDef, x, y):
         return somerc_inverse(
             d.ell, x, y, g("lat_0", 0.0), g("lon_0", 0.0),
             g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "sterea":
+        return sterea_inverse(
+            d.ell, x, y, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "laea":
+        return laea_inverse(
+            d.ell, x, y, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("x_0", 0.0), g("y_0", 0.0),
         )
     raise ValueError(f"unsupported +proj={d.proj}")  # pragma: no cover
 

@@ -356,3 +356,44 @@ def test_transform_proj4_long_tail():
     assert abs(xf[0] * ftUS - xm[0]) < 1e-6 and abs(yf[0] * ftUS - ym[0]) < 1e-6
     lonb, latb = transform_xy(xf, yf, "EPSG:2229", "OGC:CRS84", always_xy=True)
     assert abs(lonb[0] + 118.2437) < 1e-7 and abs(latb[0] - 34.0522) < 1e-7
+
+
+def test_transform_sterea_laea():
+    """Oblique stereographic (EPSG 9809) and Lambert azimuthal equal-area
+    (EPSG 9820): pinned against the EPSG Guidance Note 7-2 worked examples
+    (reference embeds full PROJ, proj/functions.cpp:487-508; the Dutch RD
+    New CRS is what the reference's own amsterdam_roads fixtures use)."""
+    import numpy as np
+
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    # GN7-2 9809 example (Amersfoort / RD New, projection only): the
+    # published vector is Bessel geodetic 53N 6E -> E 196105.283 N 557057.739
+    bessel = "+proj=longlat +ellps=bessel"
+    rd_raw = ("+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+              "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel")
+    e, n = transform_xy([6.0], [53.0], bessel, rd_raw, always_xy=True)
+    assert abs(e[0] - 196105.283) < 0.002 and abs(n[0] - 557057.739) < 0.002
+    # projection origin -> false origin by construction
+    e, n = transform_xy([5.38763888888889], [52.15616055555555], bessel, rd_raw, always_xy=True)
+    assert abs(e[0] - 155000.0) < 1e-6 and abs(n[0] - 463000.0) < 1e-6
+    # registry EPSG:28992 carries towgs84: the RD origin's published
+    # ETRS89 position (RDNAPTRANS) reproduces to the 7-param accuracy
+    lo, la = transform_xy([155000.0], [463000.0], "EPSG:28992", "EPSG:4326", always_xy=True)
+    assert abs(lo[0] - 5.38720621) < 1e-5 and abs(la[0] - 52.15517440) < 1e-5
+
+    # GN7-2 9820 example (ETRS89-LAEA / EPSG:3035): 50N 5E
+    e, n = transform_xy([5.0], [50.0], "EPSG:4258", "EPSG:3035", always_xy=True)
+    assert abs(e[0] - 3962799.45) < 0.01 and abs(n[0] - 2999718.85) < 0.01
+    # equal-area sanity: the qP cap normalizes the pole into range
+    e, n = transform_xy([10.0], [52.0], "EPSG:4258", "EPSG:3035", always_xy=True)
+    assert abs(e[0] - 4321000.0) < 1e-6 and abs(n[0] - 3210000.0) < 1e-6
+
+    # roundtrip sweeps, both families, incl. far-from-center points
+    rng = np.random.default_rng(5)
+    lons = rng.uniform(-10.0, 30.0, 200)
+    lats = rng.uniform(35.0, 70.0, 200)
+    for crs in ("EPSG:28992", "EPSG:3035"):
+        x, y = transform_xy(lons, lats, "EPSG:4326", crs, always_xy=True)
+        lo, la = transform_xy(x, y, crs, "EPSG:4326", always_xy=True)
+        assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-6, crs
