@@ -1266,13 +1266,20 @@ def q_lang_id(spark, sf_dir):
 
 
 def q_winnowing(spark, sf_dir):
-    """Winnowing fingerprint counts per doc (rows-only)."""
+    """Winnowing fingerprints per doc (Schleimer et al. SIGMOD'03),
+    value-pinned: the k-gram hash is a B=1000003 polynomial over the
+    joined lowercased token bytes under uint64 wraparound, which the
+    DuckDB oracle replays exactly with HUGEINT arithmetic mod 2^64 —
+    count, min and max of the selected (signed-int64) fingerprints are
+    compared value-for-value."""
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.textops import winnowing_fingerprints
 
     docs = spark.table("documents").filter("doc_id < 100")
     return winnowing_fingerprints(docs, "doc_id", "text").groupBy("id").agg(
-        F.count("*").alias("n_fp")
+        F.count("*").alias("n_fp"),
+        F.min("fingerprint").alias("min_fp"),
+        F.max("fingerprint").alias("max_fp"),
     )
 
 
@@ -2344,10 +2351,14 @@ def q_text_normalize(spark, sf_dir):
 
 
 def q_minhash_index(spark, sf_dir):
-    """Incremental MinHash index lifecycle (rows-only: xxhash64 signature
-    space is engine-specific): build over even-id docs, query odd-id docs
-    + 40 exact copies of indexed docs; the copies must hit their source
-    with est_jaccard 1.0."""
+    """Incremental MinHash index lifecycle on the portable poly131
+    signature space (the hash name lives in the index sidecar, so the
+    query side can never mix spaces): build over even-id docs, query
+    odd-id docs + 40 exact copies of indexed docs. Fully value-pinned —
+    the DuckDB oracle recomputes every 8-wide signature, replays the
+    banded candidate join as r-tuple equality, and filters on the same
+    agreement fraction. The production xxhash64 space keeps its pytest
+    lifecycle coverage (tests/test_pipeline_new.py)."""
 
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.dedup import (
@@ -2362,7 +2373,10 @@ def q_minhash_index(spark, sf_dir):
     # lazily-read plan of the previous run is materialized before the wipe
     idx = os.path.join(_fresh_tmp("mhidx"), "index")
     # write-temp-then-rename: the index is never observable half-built
-    minhash_index_build(docs.filter("doc_id % 2 = 0"), idx + ".build")
+    minhash_index_build(
+        docs.filter("doc_id % 2 = 0"), idx + ".build",
+        num_hashes=8, bands=4, hash="poly131",
+    )
     os.rename(idx + ".build", idx)
     copies = docs.filter("doc_id % 2 = 0 AND doc_id < 80").selectExpr(
         "doc_id + 1000000 AS doc_id", "text"
@@ -3381,6 +3395,97 @@ def _minhash_spec_oracle() -> str:
                  / (len(sha) + len(shb) - len(list_intersect(sha, shb))) AS j
           FROM cand
         ) WHERE j >= 0.2
+    """
+
+
+def _winnowing_oracle() -> str:
+    """Full-value replica of textops.winnowing_fingerprints (k=9, w=20,
+    B=1000003): the kernel's uint64-wraparound polynomial k-gram hash is
+    replayed with HUGEINT arithmetic mod 2^64 (documents at this tier are
+    pure ASCII, so per-character ascii() equals the kernel's utf-8
+    bytes), the window minima with list_slice/list_min, and the signed
+    int64 fingerprint view with an explicit two's-complement CASE."""
+    B, k, w = 1000003, 9, 20
+    two64 = 1 << 64
+    gram = " + ".join(
+        f"cs[j + {t}] * CAST('{pow(B, k - 1 - t, two64)}' AS HUGEINT)"
+        for t in range(k)
+    )
+    return f"""
+        WITH joined AS (
+          SELECT doc_id, array_to_string(list_filter(
+                   string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
+                   x -> x <> ''), ' ') AS s
+          FROM documents WHERE doc_id < 100
+        ), chars AS (
+          SELECT doc_id,
+                 list_transform(string_split(s, ''), c -> CAST(ascii(c) AS HUGEINT)) AS cs
+          FROM joined WHERE length(s) >= {k}
+        ), grams AS (
+          SELECT doc_id, list_transform(generate_series(1, len(cs) - {k - 1}),
+                   j -> ({gram}) % CAST('{two64}' AS HUGEINT)) AS hs
+          FROM chars
+        ), sel AS (
+          SELECT doc_id, list_distinct(
+            CASE WHEN len(hs) <= {w} THEN [list_min(hs)]
+                 ELSE list_transform(generate_series(1, len(hs) - {w - 1}),
+                                     x -> list_min(list_slice(hs, x, x + {w - 1})))
+            END) AS fps
+          FROM grams
+        ), signed AS (
+          SELECT doc_id, list_transform(fps,
+            v -> CAST(CASE WHEN v >= CAST('{1 << 63}' AS HUGEINT)
+                           THEN v - CAST('{two64}' AS HUGEINT) ELSE v
+                      END AS BIGINT)) AS sf
+          FROM sel
+        )
+        SELECT doc_id AS id, CAST(len(sf) AS BIGINT) AS n_fp,
+               list_min(sf) AS min_fp, list_max(sf) AS max_fp
+        FROM signed
+    """
+
+
+def _minhash_index_oracle() -> str:
+    """Full-value replica of the poly131 minhash index lifecycle
+    (q_minhash_index): recompute every 8-wide signature over distinct
+    3-gram word shingles, replay the 4-band candidate join as r-tuple
+    equality, and filter on the agreement fraction (>= 0.99 with 8
+    hashes means all 8 agree; the fraction is k/8, exact in binary on
+    both engines)."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, u -> {_poly_sql('u', k)}))" for k in range(8)
+    )
+    bands_or = " OR ".join(
+        f"(q.sig[{2 * i + 1}] = i.sig[{2 * i + 1}] AND q.sig[{2 * i + 2}] = i.sig[{2 * i + 2}])"
+        for i in range(4)
+    )
+    agree = " + ".join(
+        f"CASE WHEN qs[{j}] = isig[{j}] THEN 1 ELSE 0 END" for j in range(1, 9)
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, list_distinct(list_transform(
+                   generate_series(1, greatest(len(toks) - 2, 0)),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+          FROM (SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks
+                FROM documents)
+        ), s AS (
+          SELECT doc_id, [{mins}] AS sig FROM t WHERE len(sh) > 0
+        ), idx AS (
+          SELECT doc_id AS index_id, sig FROM s WHERE doc_id % 2 = 0
+        ), qs AS (
+          SELECT doc_id AS query_id, sig FROM s WHERE doc_id % 2 = 1
+          UNION ALL
+          SELECT doc_id + 1000000 AS query_id, sig FROM s
+          WHERE doc_id % 2 = 0 AND doc_id < 80
+        ), cand AS (
+          SELECT q.query_id, i.index_id, q.sig AS qs, i.sig AS isig
+          FROM qs q JOIN idx i ON ({bands_or})
+        )
+        SELECT query_id, index_id, round(est, 6) AS est_jaccard FROM (
+          SELECT query_id, index_id, CAST({agree} AS DOUBLE) / 8 AS est FROM cand
+        ) WHERE est >= 0.99
     """
 
 
@@ -4635,6 +4740,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _quality_score_oracle(),
         "minhash_lsh_spec": _minhash_spec_oracle(),
         "simhash_spec": _simhash_spec_oracle(),
+        "winnowing": _winnowing_oracle(),
+        "minhash_index": _minhash_index_oracle(),
         # --- round-6 pipeline operators (operators/pipeline.py) ---
         # gopher_quality: identical metric definitions replayed in SQL;
         # fractions are a single division of exact integers (bit-identical

@@ -681,6 +681,21 @@ def _band_explode(bands: int, r: int):
     ).alias("band", "bhash")
 
 
+_INDEX_HASHES = {
+    "xxhash64": None,  # minhash_signature's default
+    "poly131": lambda col, k: poly_hash_expr(col, k),
+}
+
+
+def _index_hash_fn(name: str):
+    try:
+        return _INDEX_HASHES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown minhash index hash {name!r} (known: {sorted(_INDEX_HASHES)})"
+        ) from None
+
+
 def minhash_index_build(
     df: DataFrame,
     path: str,
@@ -689,18 +704,25 @@ def minhash_index_build(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    hash: str = "xxhash64",
 ) -> None:
     """Build (overwrite) a persistent MinHash index over a corpus.
 
     Signatures are computed ONCE (written, then re-read to derive the
     band keys — no double shingle pass); the band dataset is the only
-    thing future queries shuffle against."""
+    thing future queries shuffle against.
+
+    ``hash`` names the signature space and is stored in the sidecar so
+    appends and queries can never mix spaces: ``xxhash64`` (production)
+    or ``poly131`` (the portable SQL-replicable spec hash — lower
+    entropy, exists for cross-engine verification)."""
     import json as _json
     import os as _os
 
     assert num_hashes % bands == 0
+    hf = _index_hash_fn(hash)
     spark = df.sparkSession
-    sigs = minhash_signature(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signature(df, id_col, text_col, n, num_hashes, hash_fn=hf)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs")
     stored = spark.read.parquet(f"{path}/sigs")
     stored.select("_id", _band_explode(bands, num_hashes // bands)).write.mode(
@@ -708,7 +730,9 @@ def minhash_index_build(
     ).parquet(f"{path}/bands")
     _os.makedirs(path, exist_ok=True)
     with open(_os.path.join(path, _MINHASH_META), "w", encoding="utf-8") as f:
-        _json.dump({"n": n, "num_hashes": num_hashes, "bands": bands}, f)
+        _json.dump(
+            {"n": n, "num_hashes": num_hashes, "bands": bands, "hash": hash}, f
+        )
 
 
 def _minhash_index_meta(path: str) -> dict:
@@ -737,9 +761,10 @@ def minhash_index_append(
     spark = df.sparkSession
     stage = f"{path}/_stage_{_uuid.uuid4().hex[:8]}"
     try:
-        minhash_signature(df, id_col, text_col, meta["n"], meta["num_hashes"]).write.mode(
-            "overwrite"
-        ).parquet(stage)
+        minhash_signature(
+            df, id_col, text_col, meta["n"], meta["num_hashes"],
+            hash_fn=_index_hash_fn(meta.get("hash", "xxhash64")),
+        ).write.mode("overwrite").parquet(stage)
         staged = spark.read.parquet(stage)
         staged.write.mode("append").parquet(f"{path}/sigs")
         staged.select(
@@ -766,7 +791,10 @@ def minhash_index_query(
     meta = _minhash_index_meta(path)
     spark = df.sparkSession
     nh = meta["num_hashes"]
-    qsigs = minhash_signature(df, id_col, text_col, meta["n"], nh)
+    qsigs = minhash_signature(
+        df, id_col, text_col, meta["n"], nh,
+        hash_fn=_index_hash_fn(meta.get("hash", "xxhash64")),
+    )
     qb = qsigs.select(
         F.col("_id").alias("query_id"), _band_explode(meta["bands"], nh // meta["bands"])
     )

@@ -258,7 +258,9 @@ def winnowing_fingerprints(
                         h += data[t : t + m] * weights[t]
                 m = len(h)
                 if m <= ww:
-                    sel = {int(h.min())}
+                    # .astype, not int(): a uint64 min >= 2^63 must wrap to
+                    # the signed fingerprint, not overflow the int64 Series
+                    sel = {int(h.min().astype(np.int64))}
                 else:
                     view = np.lib.stride_tricks.sliding_window_view(h, ww)
                     sel = set(view.min(axis=1).astype(np.int64).tolist())

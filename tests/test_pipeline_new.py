@@ -620,3 +620,70 @@ def test_text_entropy(spark):
         assert r.token_entropy == h(Counter(s.split()))
     assert got[0].char_entropy == 0.0 and got[2].char_entropy == 0.0
     assert got[4].token_entropy == math.floor(math.log(5) * 1e6 + 0.5) / 1e6
+
+
+def test_minhash_index_poly131_space(spark, tmp_path):
+    """The signature space is an index property: poly131 builds store the
+    hash name in the sidecar, queries and appends follow it, and exact
+    copies hit at est_jaccard 1.0 exactly as in the xxhash64 space."""
+    import json
+
+    from duckdb_spatial_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_query,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "completely different content about spark sql execution engines"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "mhidx_poly")
+    minhash_index_build(corpus, idx, num_hashes=8, bands=4, hash="poly131")
+    meta = json.loads((tmp_path / "mhidx_poly" / "_minhash_index.json").read_text())
+    assert meta["hash"] == "poly131"
+
+    batch = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog again and again today")],
+        "doc_id long, text string",
+    )
+    hits = minhash_index_query(batch, idx, threshold=0.99).collect()
+    assert [(h.query_id, h.index_id, h.est_jaccard) for h in hits] == [(101, 1, 1.0)]
+
+    # append uses the sidecar space too: a copy of an appended doc hits
+    nov = spark.createDataFrame(
+        [(102, "entirely novel text with no overlap whatsoever in this corpus")],
+        "doc_id long, text string",
+    )
+    minhash_index_append(nov, idx)
+    hits2 = minhash_index_query(
+        nov.selectExpr("doc_id + 100 AS doc_id", "text"), idx, threshold=0.99
+    ).collect()
+    assert [(h.query_id, h.index_id) for h in hits2] == [(202, 102)]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown minhash index hash"):
+        minhash_index_build(corpus, str(tmp_path / "bad"), hash="md5")
+
+
+def test_winnowing_short_doc_signed_fingerprint(spark):
+    """A doc with <= window k-grams emits exactly one fingerprint, and a
+    uint64 window min >= 2^63 must wrap into the signed int64 column
+    instead of overflowing the pandas Series (regression: int(h.min()))."""
+    from duckdb_spatial_spark.operators.textops import winnowing_fingerprints
+
+    # one 9-char token each -> exactly ONE k-gram, so the fingerprint is
+    # the raw (uniform) uint64 hash: ~half must wrap negative (window
+    # minima would bias low and mask the overflow)
+    rows = [(int(i), f"tok{i:06d}") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_fingerprints(df, "doc_id", "text", k=9, window=20).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.id, []).append(r.fingerprint)
+    assert len(by_id) == 64 and all(len(fps) == 1 for fps in by_id.values())
+    assert any(fp < 0 for fps in by_id.values() for fp in fps)
