@@ -540,6 +540,7 @@ def semantic_dedup(
     c_label_col: str = "label",
     c_vec_col: str = "centroid",
     ndigits: int = 5,
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate removal (Abbas et al. 2023,
     arXiv:2303.09540): cluster assignment confines the pairwise cosine
@@ -561,7 +562,12 @@ def semantic_dedup(
     Scale: the assigned label is the parallel unit — the self-join
     shuffles on it and AQE splits oversized clusters; a cluster too hot
     for exact pairs should be pre-thinned with embedding_neardup_pairs
-    (LSH) instead. No cross-cluster pair is ever generated."""
+    (LSH) instead. No cross-cluster pair is ever generated.
+    ``max_cluster_size`` enforces that routing: any cluster above it
+    fails LOUDLY before the quadratic self-join launches (one cheap
+    count aggregate) instead of hanging a stage on n^2 cosines —
+    at 100 TB one skewed centroid is otherwise a silent wedge. Pass
+    ``None`` to disable after pre-thinning."""
     from .knn import _cosine_batch, assign_nearest_centroid
 
     a = assign_nearest_centroid(
@@ -570,6 +576,24 @@ def semantic_dedup(
     ).select(F.col(id_col).alias("_id"), "assigned")
     v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     av = a.join(v, "_id")
+    if max_cluster_size is not None:
+        hot = (
+            av.groupBy("assigned")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > int(max_cluster_size))
+            .orderBy(F.col("_n").desc())
+            .limit(10)
+            .collect()
+        )
+        if hot:
+            listing = ", ".join(f"{r.assigned}={r._n}" for r in hot)
+            raise ValueError(
+                f"semantic_dedup: cluster(s) exceed max_cluster_size="
+                f"{max_cluster_size} ({listing}); exact within-cluster "
+                f"pairing is quadratic — pre-thin hot clusters with "
+                f"embedding_neardup_pairs (LSH) or split the centroid, "
+                f"then pass max_cluster_size=None to proceed"
+            )
     left = av.select(
         F.col("_id").alias("id_a"), "assigned", F.col("_v").alias("_va")
     )

@@ -687,3 +687,29 @@ def test_winnowing_short_doc_signed_fingerprint(spark):
         by_id.setdefault(r.id, []).append(r.fingerprint)
     assert len(by_id) == 64 and all(len(fps) == 1 for fps in by_id.values())
     assert any(fp < 0 for fps in by_id.values() for fp in fps)
+
+
+def test_semantic_dedup_hot_cluster_guard(spark):
+    """SemDeDup's quadratic stage is per-cluster: a cluster above
+    max_cluster_size must fail loudly BEFORE the self-join launches, and
+    the same corpus must pass with the guard raised/disabled."""
+    import pytest
+
+    from duckdb_spatial_spark.operators.dedup import semantic_dedup
+
+    # 40 vectors, all nearest to centroid "hot" (one is a genuine dup pair)
+    vecs = [(i, [1.0, 0.001 * i]) for i in range(40)]
+    vecs.append((100, [1.0, 0.0]))  # exact dup of vec 0
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [("hot", [1.0, 0.0]), ("cold", [-1.0, 0.0])],
+        "label string, centroid array<double>",
+    )
+
+    with pytest.raises(ValueError, match="max_cluster_size=10"):
+        semantic_dedup(df, cents, threshold=0.9999, max_cluster_size=10)
+
+    for kw in ({"max_cluster_size": 1000}, {"max_cluster_size": None}):
+        out = {r.vec_id: r for r in semantic_dedup(df, cents, threshold=0.9999, **kw).collect()}
+        assert len(out) == 41
+        assert out[100].rep_id == 0 and not out[100].keep and out[0].keep
