@@ -241,7 +241,7 @@ def main():
         # rtree_index.benchmark (NYC building POLYGONS, windowed
         # ST_Within count through the R-tree vs a full scan); the points
         # lanes above mirror rtree_points_*.benchmark
-        def polygon_workloads(n_polys):
+        def polygon_workloads(n_polys, suffix=""):
             # range()'s column is `id` in Spark but `range` in DuckDB —
             # build each engine's SQL from the same template
             def polys_src(idcol):
@@ -258,11 +258,11 @@ def main():
             # lanes): DuckDB evaluating arithmetic over range() in-memory
             # never touches a file and made the r8 ratios structurally
             # meaningless
-            praw = f"{tmp}/polys_raw"
+            praw = f"{tmp}/polys_raw{suffix}"
             spark.sql(polys_sql).write.mode("overwrite").parquet(praw)
             praw_df = spark.read.parquet(praw)
 
-            @bench("polys_cluster_build", repeats=2)
+            @bench(f"polys_cluster_build{suffix}", repeats=1 if suffix else 2)
             def _():
                 g = praw_df.select(
                     "id",
@@ -270,33 +270,42 @@ def main():
                         "mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")
                     ).alias("geom"),
                 )
-                write_geo_parquet(g, f"{tmp}/polys", num_partitions=max(cpus, 16))
+                write_geo_parquet(g, f"{tmp}/polys{suffix}", num_partitions=max(cpus, 16))
 
-            pclustered = spark.read.parquet(f"{tmp}/polys")
+            pclustered = spark.read.parquet(f"{tmp}/polys{suffix}")
 
-            @bench("polys_fullscan_count")
+            @bench(f"polys_fullscan_count{suffix}")
             def _():
                 filter_bbox(
                     pclustered.drop(*[c for c in pclustered.columns if c.startswith("bbox_")]),
                     450, 450, 1650, 1650, exact="within",
                 ).count()
 
-            @bench("polys_pruned_count")
+            @bench(f"polys_pruned_count{suffix}")
             def _():
                 # bbox conjuncts on the sidecars prune row groups; the
                 # exact ST_Within recheck runs only on survivors
                 filter_bbox(pclustered, 450, 450, 1650, 1650, exact="within").count()
 
             duck_bench(
-                "polys_pruned_count",
+                f"polys_pruned_count{suffix}",
                 f"SELECT count(*) FROM '{praw}/*.parquet'"
                 " WHERE mx >= 450 AND my >= 450 AND mx + w <= 1650 AND my + h <= 1650",
             )
-            if "duckdb:polys_pruned_count" not in errors and "polys_pruned_count" in duck:
-                duck["polys_fullscan_count"] = duck["polys_pruned_count"]
+            if (
+                f"duckdb:polys_pruned_count{suffix}" not in errors
+                and f"polys_pruned_count{suffix}" in duck
+            ):
+                duck[f"polys_fullscan_count{suffix}"] = duck[f"polys_pruned_count{suffix}"]
 
         try:
             polygon_workloads(int(os.environ.get("SPARK_GRAFT_BENCH_POLYS", "1000000")))
+            # large tier: the 1M tier gives DuckDB a ~13 ms denominator, so
+            # its ratio measures Spark's job floor; at 10M the sure-true
+            # bbox short-circuit is what's timed (r9 VERDICT #6)
+            polys_large = int(os.environ.get("SPARK_GRAFT_BENCH_POLYS_LARGE", "10000000"))
+            if polys_large > 0:
+                polygon_workloads(polys_large, suffix="_large")
         except Exception as e:  # noqa: BLE001
             errors["polys_workloads"] = f"{type(e).__name__}: {e}"[:500]
             print(f"[bench] polys_workloads FAILED: {errors['polys_workloads']}", file=sys.stderr)
