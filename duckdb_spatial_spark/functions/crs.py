@@ -189,6 +189,23 @@ _PROJ4_STRINGS = {
         "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 "
         "+ellps=GRS80 +units=m +no_defs"
     ),
+    # Borneo: Timbalai 1948 / RSO Borneo (m) — Hotine oblique Mercator
+    # variant B (EPSG 9815), the GN7-2 worked example CRS
+    "EPSG:29873": (
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 +y_0=442857.65 "
+        "+ellps=evrstSS +towgs84=-679,669,-48,0,0,0,0 +units=m +no_defs"
+    ),
+    # Trinidad 1903 / Trinidad Grid — Cassini-Soldner (EPSG 9806) in
+    # Clarke's links (the GN7-2 worked example CRS); ellipsoid and false
+    # origin expressed in meters, +to_meter yields link coordinates
+    "EPSG:30200": (
+        "+proj=cass +lat_0=10.441666666666666 +lon_0=-61.33333333333334 "
+        "+x_0=86501.46392052 +y_0=65379.0134283 "
+        "+a=6378293.645452597 +b=6356617.987679838 "
+        "+towgs84=-61.702,284.488,472.052,0,0,0,0 "
+        "+to_meter=0.201166195164 +no_defs"
+    ),
 }
 # ETRS89 / UTM zones 28N-38N
 for _z in range(28, 39):
@@ -634,6 +651,8 @@ def list_proj_crs_df(spark):
         "EPSG:27574": "NTF (Paris) / Lambert zone IV",
         "EPSG:28992": "Amersfoort / RD New",
         "EPSG:3035": "ETRS89-extended / LAEA Europe",
+        "EPSG:29873": "Timbalai 1948 / RSO Borneo (m)",
+        "EPSG:30200": "Trinidad 1903 / Trinidad Grid",
     }
     for code in sorted(_PROJ4_STRINGS):
         num = code.split(":")[1]

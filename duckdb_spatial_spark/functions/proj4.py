@@ -14,8 +14,10 @@ published oblique-mercator formulas):
 
 Supported ``+proj`` kinds: longlat, tmerc, utm, merc, webmerc, lcc
 (1SP & 2SP), aea, stere (polar aspects), sterea (oblique stereographic,
-EPSG 9809 — Dutch RD), laea (EPSG 9820 — ETRS89-LAEA), somerc.
-Ellipsoids: the common
+EPSG 9809 — Dutch RD), laea (EPSG 9820 — ETRS89-LAEA), somerc, cass
+(EPSG 9806 — cadastral long tail), omerc (Hotine oblique Mercator,
+EPSG 9812 variant A via +no_uoff / 9815 variant B — Borneo RSO, Alaska
+zone 1). Ellipsoids: the common
 ``+ellps`` names plus explicit ``+a``/``+b``/``+rf``/``+f``. Units via
 ``+units``/``+to_meter``. Anything else raises with the offending token so
 the error is actionable.
@@ -45,6 +47,7 @@ ELLIPSOIDS = {
     "clrk80ign": (6378249.2, 293.4660212936269),
     "krass": (6378245.0, 298.3),
     "evrst30": (6377276.345, 300.8017),
+    "evrstSS": (6377298.556, 300.8017),
     "GRS67": (6378160.0, 298.2471674270),
     "aust_SA": (6378160.0, 298.25),
     "helmert": (6378200.0, 298.3),
@@ -124,6 +127,7 @@ _CONSUMED_KEYS = frozenset(
         "proj", "a", "rf", "f", "b", "ellps", "datum", "towgs84", "to_meter",
         "units", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0",
         "x_0", "y_0", "zone", "south", "nadgrids", "pm", "geoidgrids",
+        "lonc", "alpha", "gamma", "no_uoff",
     }
 )
 # +pm= named prime meridians (proj's `-lm` list, Greenwich offsets in deg)
@@ -259,16 +263,20 @@ def parse_proj4(s: str) -> ProjDef:
         raise ValueError(f"unsupported +units={params.get('units')} in {s!r}")
 
     num = {}
-    for k in ("lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0", "x_0", "y_0", "zone"):
+    for k in (
+        "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0", "x_0", "y_0",
+        "zone", "lonc", "alpha", "gamma",
+    ):
         if k in params:
             num[k] = _parse_angle(params[k])
     num["south"] = "south" in params
+    num["no_uoff"] = "no_uoff" in params
     if proj not in (
         "longlat", "latlong", "tmerc", "utm", "merc", "webmerc", "lcc", "aea",
-        "stere", "sterea", "laea", "somerc",
+        "stere", "sterea", "laea", "somerc", "cass", "omerc",
     ):
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
-                         f"webmerc, lcc, aea, stere, sterea, laea, somerc)")
+                         f"webmerc, lcc, aea, stere, sterea, laea, somerc, cass, omerc)")
     return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm, geoidgrids)
 
 
@@ -550,6 +558,134 @@ def stere_inverse(ell, X, Y, lat_0, lat_ts, lon_0, k_0, x_0, y_0):
     return lon_deg, np.degrees(lat)
 
 
+# --- Cassini-Soldner (EPSG 9806; cadastral long tail — Trinidad Grid,
+# old Czech/Germany/Malaysia cadastres) ------------------------------------
+def _meridian_arc(ell, lat_r):
+    """Meridian distance M(lat) = A * rectifying-latitude (Krüger series
+    reused from the tmerc kernel), vectorized."""
+    lat_r = np.asarray(lat_r, dtype=np.float64)
+    t = np.sinh(np.arctanh(np.sin(lat_r)) - ell.e * np.arctanh(ell.e * np.sin(lat_r)))
+    xi = np.arctan2(t, np.ones_like(t))
+    y = xi.copy()
+    for j, a in enumerate(ell.alpha, start=1):
+        y += a * np.sin(2 * j * xi)
+    return ell.A * y
+
+
+def _footpoint(ell, M):
+    """Footpoint latitude for meridian distance M (inverse rectifying
+    series + conformal iteration — tmerc_inverse's eta=0 path)."""
+    xi = np.asarray(M, dtype=np.float64) / ell.A
+    xip = xi.copy()
+    for j, b in enumerate(ell.beta, start=1):
+        xip -= b * np.sin(2 * j * xi)
+    psi = np.arctanh(np.clip(np.sin(xip), -0.999999999999, 0.999999999999))
+    sinlat = np.sin(xip)
+    for _ in range(10):
+        sinlat = np.tanh(psi + ell.e * np.arctanh(ell.e * sinlat))
+    return np.arcsin(np.clip(sinlat, -1, 1))
+
+
+def cass_forward(ell, lon, lat, lat_0, lon_0, x_0, y_0):
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    dl = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    dl = (dl + math.pi) % (2 * math.pi) - math.pi
+    s, c = np.sin(lat_r), np.cos(lat_r)
+    A = dl * c
+    T = np.tan(lat_r) ** 2
+    C = ell.e2 * c * c / (1 - ell.e2)
+    nu = ell.a / np.sqrt(1 - ell.e2 * s * s)
+    M = _meridian_arc(ell, lat_r)
+    M0 = float(_meridian_arc(ell, np.array([math.radians(lat_0)]))[0])
+    x = nu * (A - T * A**3 / 6 - (8 - T + 8 * C) * T * A**5 / 120)
+    y = M - M0 + nu * np.tan(lat_r) * (A * A / 2 + (5 - T + 6 * C) * A**4 / 24)
+    return x_0 + x, y_0 + y
+
+
+def cass_inverse(ell, X, Y, lat_0, lon_0, x_0, y_0):
+    M0 = float(_meridian_arc(ell, np.array([math.radians(lat_0)]))[0])
+    M1 = M0 + (np.asarray(Y, dtype=np.float64) - y_0)
+    phi1 = _footpoint(ell, M1)
+    s1, c1 = np.sin(phi1), np.cos(phi1)
+    T1 = np.tan(phi1) ** 2
+    nu1 = ell.a / np.sqrt(1 - ell.e2 * s1 * s1)
+    rho1 = ell.a * (1 - ell.e2) / (1 - ell.e2 * s1 * s1) ** 1.5
+    D = (np.asarray(X, dtype=np.float64) - x_0) / nu1
+    phi = phi1 - (nu1 * np.tan(phi1) / rho1) * (D * D / 2 - (1 + 3 * T1) * D**4 / 24)
+    lam = np.radians(lon_0) + (D - T1 * D**3 / 3 + (1 + 3 * T1) * T1 * D**5 / 15) / c1
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- Hotine oblique Mercator (EPSG 9812 variant A / 9815 variant B;
+# Borneo RSO, Alaska zone 1, Swiss-adjacent obliques) -----------------------
+def _omerc_setup(ell, lat_c, lon_c, alpha_c, gamma_c, k_c):
+    e, e2 = ell.e, ell.e2
+    pc = math.radians(lat_c)
+    sc, cc = math.sin(pc), math.cos(pc)
+    B = math.sqrt(1 + e2 * cc**4 / (1 - e2))
+    A_ = ell.a * B * k_c * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    t0 = math.tan(math.pi / 4 - pc / 2) / ((1 - e * sc) / (1 + e * sc)) ** (e / 2)
+    D = B * math.sqrt(1 - e2) / (cc * math.sqrt(1 - e2 * sc * sc))
+    D2 = max(D * D, 1.0)
+    F = D + math.sqrt(D2 - 1) * (1 if pc >= 0 else -1)
+    H = F * t0**B
+    G = (F - 1 / F) / 2
+    g0 = math.asin(min(max(math.sin(math.radians(alpha_c)) / D, -1.0), 1.0))
+    lam0 = math.radians(lon_c) - math.asin(min(max(G * math.tan(g0), -1.0), 1.0)) / B
+    # variant B's u offset at the projection center (EPSG 9815)
+    uc = (
+        abs(A_ / B * math.atan2(math.sqrt(D2 - 1), math.cos(math.radians(alpha_c))))
+        * (1 if pc >= 0 else -1)
+    )
+    return B, A_, H, g0, lam0, uc
+
+
+def omerc_forward(ell, lon, lat, lat_c, lon_c, alpha_c, gamma_c, k_c,
+                  x_0, y_0, no_uoff):
+    B, A_, H, g0, lam0, uc = _omerc_setup(ell, lat_c, lon_c, alpha_c, gamma_c, k_c)
+    e = ell.e
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    dl = B * ((np.radians(np.asarray(lon, dtype=np.float64)) - lam0 + math.pi)
+              % (2 * math.pi) - math.pi)
+    s = np.sin(lat_r)
+    t = np.tan(math.pi / 4 - lat_r / 2) / ((1 - e * s) / (1 + e * s)) ** (e / 2)
+    Q = H / t**B
+    S = (Q - 1 / Q) / 2
+    Tf = (Q + 1 / Q) / 2
+    V = np.sin(dl)
+    U = (-V * math.cos(g0) + S * math.sin(g0)) / Tf
+    v = A_ * np.log((1 - U) / (1 + U)) / (2 * B)
+    u = A_ * np.arctan2(S * math.cos(g0) + V * math.sin(g0), np.cos(dl)) / B
+    if not no_uoff:
+        u = u - uc
+    gr = math.radians(gamma_c)
+    E = v * math.cos(gr) + u * math.sin(gr) + x_0
+    N = u * math.cos(gr) - v * math.sin(gr) + y_0
+    return E, N
+
+
+def omerc_inverse(ell, X, Y, lat_c, lon_c, alpha_c, gamma_c, k_c,
+                  x_0, y_0, no_uoff):
+    B, A_, H, g0, lam0, uc = _omerc_setup(ell, lat_c, lon_c, alpha_c, gamma_c, k_c)
+    gr = math.radians(gamma_c)
+    Ep = np.asarray(X, dtype=np.float64) - x_0
+    Np = np.asarray(Y, dtype=np.float64) - y_0
+    v = Ep * math.cos(gr) - Np * math.sin(gr)
+    u = Np * math.cos(gr) + Ep * math.sin(gr)
+    if not no_uoff:
+        u = u + uc
+    Q = np.exp(-B * v / A_)
+    S = (Q - 1 / Q) / 2
+    Tf = (Q + 1 / Q) / 2
+    V = np.sin(B * u / A_)
+    U = (V * math.cos(g0) + S * math.sin(g0)) / Tf
+    t = (H / np.sqrt((1 + U) / (1 - U))) ** (1 / B)
+    phi = _conformal_to_geodetic(ell, t)
+    lam = lam0 - np.arctan2(S * math.cos(g0) - V * math.sin(g0), np.cos(B * u / A_)) / B
+    lam = (lam + math.pi) % (2 * math.pi) - math.pi
+    return np.degrees(lam), np.degrees(phi)
+
+
 # --- oblique stereographic (EPSG 9809 — double projection via the
 # conformal sphere; Dutch RD New / EPSG 28992 is the canonical user) -------
 def _sterea_setup(ell, lat_0, k_0):
@@ -817,6 +953,18 @@ def _fwd(d: ProjDef, lon, lat):
             d.ell, lon, lat, g("lat_0", 0.0), g("lon_0", 0.0),
             g("x_0", 0.0), g("y_0", 0.0),
         )
+    elif d.proj == "cass":
+        x, y = cass_forward(
+            d.ell, lon, lat, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("x_0", 0.0), g("y_0", 0.0),
+        )
+    elif d.proj == "omerc":
+        x, y = omerc_forward(
+            d.ell, lon, lat, g("lat_0", 0.0), g("lonc", g("lon_0", 0.0)),
+            g("alpha", 90.0), g("gamma", g("alpha", 90.0)),
+            g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+            p.get("no_uoff", False),
+        )
     else:  # pragma: no cover - parse_proj4 already validated
         raise ValueError(f"unsupported +proj={d.proj}")
     if d.to_meter != 1.0:
@@ -884,6 +1032,18 @@ def _inv(d: ProjDef, x, y):
         return laea_inverse(
             d.ell, x, y, g("lat_0", 0.0), g("lon_0", 0.0),
             g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "cass":
+        return cass_inverse(
+            d.ell, x, y, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "omerc":
+        return omerc_inverse(
+            d.ell, x, y, g("lat_0", 0.0), g("lonc", g("lon_0", 0.0)),
+            g("alpha", 90.0), g("gamma", g("alpha", 90.0)),
+            g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
+            p.get("no_uoff", False),
         )
     raise ValueError(f"unsupported +proj={d.proj}")  # pragma: no cover
 

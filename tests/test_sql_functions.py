@@ -397,3 +397,55 @@ def test_transform_sterea_laea():
         x, y = transform_xy(lons, lats, "EPSG:4326", crs, always_xy=True)
         lo, la = transform_xy(x, y, crs, "EPSG:4326", always_xy=True)
         assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-6, crs
+
+
+def test_transform_cass_omerc():
+    """Cassini-Soldner (EPSG 9806) and Hotine oblique Mercator (EPSG 9812
+    variant A / 9815 variant B), pinned against the EPSG GN7-2 worked
+    examples (Trinidad Grid and Timbalai RSO Borneo)."""
+    import numpy as np
+
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    # GN7-2 9806: Trinidad 1903 geodetic 10N 62W -> E 66644.94 N 82536.22
+    # Clarke's LINKS (projection-only: same ellipsoid both sides, no
+    # datum leg; the registry EPSG:30200 adds towgs84 for the WGS84 path)
+    trin = "+proj=longlat +a=6378293.645452597 +b=6356617.987679838"
+    grid = ("+proj=cass +lat_0=10.441666666666666 +lon_0=-61.33333333333334 "
+            "+x_0=86501.46392052 +y_0=65379.0134283 "
+            "+a=6378293.645452597 +b=6356617.987679838 "
+            "+to_meter=0.201166195164")
+    e, n = transform_xy([-62.0], [10.0], trin, grid, always_xy=True)
+    assert abs(e[0] - 66644.94) < 0.02 and abs(n[0] - 82536.22) < 0.02
+    lo, la = transform_xy(e, n, grid, trin, always_xy=True)
+    assert abs(lo[0] + 62.0) < 1e-8 and abs(la[0] - 10.0) < 1e-8
+
+    # GN7-2 9815 variant B: Timbalai 1948 geodetic -> RSO Borneo (m)
+    ev = "+proj=longlat +ellps=evrstSS"
+    rso = ("+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+           "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 "
+           "+y_0=442857.65 +ellps=evrstSS")
+    lat_t = 5 + 23 / 60 + 14.1129 / 3600
+    lon_t = 115 + 48 / 60 + 19.8196 / 3600
+    e, n = transform_xy([lon_t], [lat_t], ev, rso, always_xy=True)
+    assert abs(e[0] - 679245.73) < 0.01 and abs(n[0] - 596562.78) < 0.01
+
+    # variant A (+no_uoff) differs from B by exactly the u_c offset
+    # rotated by gamma; roundtrip must still invert
+    rso_a = rso + " +no_uoff"
+    ea, na = transform_xy([lon_t], [lat_t], ev, rso_a, always_xy=True)
+    assert abs(ea[0] - e[0]) > 1000  # the offset is real
+    lo, la = transform_xy(ea, na, rso_a, ev, always_xy=True)
+    assert abs(lo[0] - lon_t) < 1e-9 and abs(la[0] - lat_t) < 1e-9
+
+    # registry roundtrips through WGS84 (datum legs included)
+    rng = np.random.default_rng(17)
+    for crs, lo_rng, la_rng in (
+        ("EPSG:29873", (113.0, 119.0), (0.5, 8.0)),
+        ("EPSG:30200", (-62.5, -60.5), (9.8, 11.4)),
+    ):
+        lons = rng.uniform(*lo_rng, 100)
+        lats = rng.uniform(*la_rng, 100)
+        x, y = transform_xy(lons, lats, "EPSG:4326", crs, always_xy=True)
+        lo, la = transform_xy(x, y, crs, "EPSG:4326", always_xy=True)
+        assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-6, crs
