@@ -1837,6 +1837,31 @@ def q_esrijson_roundtrip(spark, sf_dir):
     )
 
 
+def q_geojsonseq_roundtrip(spark, sf_dir):
+    """GeoJSONSeq (newline-delimited GeoJSON) sink -> reader round trip
+    (sources/geojson.py read_geojsonseq/write_geojsonseq; GDAL's
+    GeoJSONSeq driver analog). Unlike the whole-file GeoJSON lane this
+    rides Spark's SPLITTABLE text source — the write is a distributed
+    .text directory (no collect, no max_rows guard) and the read
+    byte-range-splits, which is the 100 TB interchange shape."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_geojsonseq, st_write
+
+    df = spark.sql(
+        f"SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,"
+        f" x / 4 AS score, x, y FROM ({_PTS}) WHERE id < 300"
+    ).withColumn("geom", F.expr("ST_Point(x, y)")).drop("x", "y")
+    path = os.path.join(_fresh_tmp("geojsonseq_q"), "pts.geojsonl")
+    st_write(df, path)
+    back = read_geojsonseq(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id", "name", "CAST(score AS DOUBLE) AS score",
+        "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+    )
+
+
 def q_spatialite_roundtrip(spark, sf_dir):
     """SpatiaLite database write -> read round trip (sources/spatialite.py;
     GDAL SQLite/Spatialite driver analog — public BLOB-Geometry format via
@@ -2716,6 +2741,21 @@ _RD_STEREA = (
     "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
     "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel"
 )
+_RSO_EVEREST = "+proj=longlat +ellps=evrstSS"
+_RSO_BORNEO = (
+    "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+    "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 +y_0=442857.65 "
+    "+ellps=evrstSS"
+)
+_TRIN_CLARKE = "+proj=longlat +a=6378293.645452597 +b=6356617.987679838"
+_TRIN_GRID = (
+    "+proj=cass +lat_0=10.441666666666666 +lon_0=-61.33333333333334 "
+    "+x_0=86501.46392052 +y_0=65379.0134283 "
+    "+a=6378293.645452597 +b=6356617.987679838 +to_meter=0.201166195164"
+)
+# GN7-2 test-point geodetic coordinates (Timbalai 1948 datum)
+_RSO_LON = 115 + 48 / 60 + 19.8196 / 3600
+_RSO_LAT = 5 + 23 / 60 + 14.1129 / 3600
 
 
 def q_spatial_transform_rd(spark, sf_dir):
@@ -2728,10 +2768,12 @@ def q_spatial_transform_rd(spark, sf_dir):
     full datum chain 3857 -> RD New -> 3857 (identity to 0.1 m; the 2D
     pipeline drops heights, which bounds the roundtrip at ~1 mm exactly
     like proj). Absolute pins are SPEC CONSTANTS, not engine-derived:
-    the EPSG Guidance Note 7-2 worked examples for both methods
-    (Amersfoort 53N 6E -> 196105.283, 557057.739; ETRS89 50N 5E ->
-    3962799.45, 2999718.85) and the projection-origin identity
-    (lat_0, lon_0) -> (x_0, y_0)."""
+    the EPSG Guidance Note 7-2 worked examples for FOUR projection
+    methods (9809 Amersfoort 53N 6E -> 196105.283, 557057.739; 9820
+    ETRS89 50N 5E -> 3962799.45, 2999718.85; 9815 omerc Timbalai ->
+    RSO Borneo 679245.73, 596562.78; 9806 cass Trinidad 10N 62W ->
+    66644.94, 82536.22 Clarke's links) and the projection-origin
+    identity (lat_0, lon_0) -> (x_0, y_0)."""
     _prep(spark, sf_dir)
     df = spark.createDataFrame(_AMS_ROADS_3857, "pid int, mx double, my double")
     df.createOrReplaceTempView("_ams_roads")
@@ -2742,7 +2784,9 @@ def q_spatial_transform_rd(spark, sf_dir):
           round(ST_X(gn), 3) AS gn_e, round(ST_Y(gn), 3) AS gn_n,
           round(ST_X(org), 4) AS org_e, round(ST_Y(org), 4) AS org_n,
           round(ST_X(lv), 2) AS laea_e, round(ST_Y(lv), 2) AS laea_n,
-          round(ST_X(lrt), 6) AS laea_rt_lon, round(ST_Y(lrt), 6) AS laea_rt_lat
+          round(ST_X(lrt), 6) AS laea_rt_lon, round(ST_Y(lrt), 6) AS laea_rt_lat,
+          round(ST_X(rso), 2) AS rso_e, round(ST_Y(rso), 2) AS rso_n,
+          round(ST_X(trin), 2) AS trin_e, round(ST_Y(trin), 2) AS trin_n
         FROM (
           SELECT pid,
             ST_Transform(ST_Transform(ST_Point(mx, my), 'EPSG:3857', 'EPSG:28992', true),
@@ -2752,7 +2796,11 @@ def q_spatial_transform_rd(spark, sf_dir):
                          '{_RD_BESSEL}', '{_RD_STEREA}', true) AS org,
             ST_Transform(ST_Point(5.0D, 50.0D), 'EPSG:4258', 'EPSG:3035', true) AS lv,
             ST_Transform(ST_Transform(ST_Point(5.0D, 50.0D), 'EPSG:4258', 'EPSG:3035', true),
-                         'EPSG:3035', 'EPSG:4258', true) AS lrt
+                         'EPSG:3035', 'EPSG:4258', true) AS lrt,
+            ST_Transform(ST_Point({_RSO_LON!r}D, {_RSO_LAT!r}D),
+                         '{_RSO_EVEREST}', '{_RSO_BORNEO}', true) AS rso,
+            ST_Transform(ST_Point(-62.0D, 10.0D),
+                         '{_TRIN_CLARKE}', '{_TRIN_GRID}', true) AS trin
           FROM _ams_roads
         )
         """
@@ -3253,7 +3301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metrics_full": q_text_metrics_full,
         "quality_score": q_quality_score,
         "fgb_roundtrip": q_fgb_roundtrip,
-        "tab_roundtrip": q_tab_roundtrip,
+        # --- new in r10: splittable ndjson lane (tab_roundtrip, long-green
+        # r8+r9 and unchanged, rotates behind the window for this slot) ---
+        "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
         "esrijson_roundtrip": q_esrijson_roundtrip,
         "streaming_join": q_streaming_join,
@@ -3271,6 +3321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index": q_minhash_index,
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
+        "tab_roundtrip": q_tab_roundtrip,
         "bpe_encode": q_bpe_encode,
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
@@ -3814,7 +3865,9 @@ def oracle_sql() -> dict[str, str]:
                    round(196105.283, 3) AS gn_e, round(557057.739, 3) AS gn_n,
                    round(155000.0, 4) AS org_e, round(463000.0, 4) AS org_n,
                    round(3962799.45, 2) AS laea_e, round(2999718.85, 2) AS laea_n,
-                   round(5.0, 6) AS laea_rt_lon, round(50.0, 6) AS laea_rt_lat
+                   round(5.0, 6) AS laea_rt_lon, round(50.0, 6) AS laea_rt_lat,
+                   round(679245.73, 2) AS rso_e, round(596562.78, 2) AS rso_n,
+                   round(66644.94, 2) AS trin_e, round(82536.22, 2) AS trin_n
             FROM (VALUES
               {", ".join(f"({pid}, {mx!r}, {my!r})" for pid, mx, my in _AMS_ROADS_3857)}
             ) AS t(pid, mx, my)
@@ -4238,6 +4291,12 @@ def oracle_sql() -> dict[str, str]:
                    round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 300
         """,
+        "geojsonseq_roundtrip": f"""
+            SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
+                   CAST(x / 4 AS DOUBLE) AS score,
+                   round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+        """,
         "geoparquet_file": f"""
             SELECT id, concat('n', CAST(id % 7 AS STRING)) AS name,
                    CAST(x / 4 AS DOUBLE) AS score,
@@ -4526,7 +4585,7 @@ def oracle_sql() -> dict[str, str]:
               ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true'),
               ('SQLite', 'true', 'true'), ('ESRIJSON', 'true', 'true'),
               ('netCDF', 'true', 'true'), ('MVT', 'true', 'true'),
-              ('WARC', 'true', 'true')
+              ('WARC', 'true', 'true'), ('GeoJSONSeq', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

@@ -90,6 +90,7 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         p = p.lower()
         for ext, f in (
             (".shp", "shapefile"), (".fgb", "flatgeobuf"), (".gpkg", "geopackage"),
+            (".geojsonl", "geojsonseq"), (".geojsons", "geojsonseq"),
             (".geojson", "geojson"), (".ndjson", "geojson"), (".json", "geojson"),
             (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),
             (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
@@ -137,6 +138,10 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_gpkg(spark, path, **options)
     if fmt == "geojson":
         return read_geojson(spark, path, **options)
+    if fmt == "geojsonseq":
+        # native early-skip on raw coordinates pre-WKB; the uniform
+        # recheck above normalizes the semantics
+        return read_geojsonseq(spark, path, bbox=bbox, **options)
     if fmt == "osm":
         return read_osm(spark, path, **options)
     if fmt in ("geoparquet", "parquet"):
@@ -228,11 +233,13 @@ def register_geo_read(spark, path: str, format: str | None = None, name: str | N
 
 from .geojson import (  # noqa: F401
     read_geojson,
+    read_geojsonseq,
     read_wkt_csv,
     st_drivers,
     st_generatepoints,
     st_read_meta,
     write_geojson,
+    write_geojsonseq,
     write_wkt_csv,
 )
 from .flatgeobuf import read_flatgeobuf  # noqa: F401
@@ -493,6 +500,7 @@ def st_write(df, path: str, format: str | None = None, **options):
     pass through to the writer (``geom_col``, ``max_rows``, ``srid``/
     ``srs_id``, ``layer``/``table``, ...)."""
     ext_map = {
+        ".geojsonl": "geojsonseq", ".geojsons": "geojsonseq",
         ".geojson": "geojson", ".ndjson": "geojson", ".json": "geojson",
         ".csv": "wkt_csv", ".shp": "shapefile", ".gpkg": "geopackage",
         ".kml": "kml", ".gml": "gml", ".dxf": "dxf", ".xlsx": "xlsx",
@@ -514,6 +522,7 @@ def st_write(df, path: str, format: str | None = None, **options):
             raise ValueError(f"cannot sniff sink format from {path!r}; pass format=")
     writers = {
         "geojson": write_geojson,
+        "geojsonseq": write_geojsonseq,
         "wkt_csv": write_wkt_csv, "csv": write_wkt_csv,
         "shapefile": write_shapefile, "shp": write_shapefile,
         "geopackage": write_gpkg, "gpkg": write_gpkg,

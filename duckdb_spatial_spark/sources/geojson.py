@@ -319,6 +319,124 @@ _X_NAMES = ("lon", "longitude", "lng", "long", "x", "easting")
 _Y_NAMES = ("lat", "latitude", "y", "northing")
 
 
+def read_geojsonseq(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: list | None = None,
+    bbox: tuple | None = None,
+) -> DataFrame:
+    """GeoJSONSeq / newline-delimited GeoJSON (GDAL's "GeoJSONSeq"
+    driver; RFC 8142 record separators tolerated) on Spark's SPLITTABLE
+    text source.
+
+    This is the scale lane the whole-file GeoJSON reader can't be: that
+    one is one-partition-per-file (a FeatureCollection has no safe split
+    points), while a .geojsonl shatters into byte-range tasks — a single
+    100 GB file reads with full cluster parallelism, which is why
+    GeoJSONSeq is the interchange shape at pipeline scale. Parsing runs
+    in Arrow-batched mapInPandas; the uniform ST_Read option contract
+    applies (``columns=`` prunes attributes, geom always kept;
+    ``bbox=`` skips features on the raw-coordinate bbox BEFORE the WKB
+    build).
+
+    Schema: inferred from the head of the (first) file driver-side, or
+    pass ``schema=`` to skip the sampling read entirely."""
+    import pandas as pd
+
+    if schema is None:
+        if os.path.isdir(path):
+            # spark.write.text layout: sample one part file
+            cands = sorted(
+                f for f in _glob.glob(os.path.join(path, "part-*"))
+                if not f.endswith(".crc")
+            ) or _expand(path)
+        else:
+            cands = _expand(path)
+        if isinstance(cands, str):
+            cands = [cands]
+        # walk part files until the sample fills — leading parts of a
+        # sparse .text write are often empty
+        schema = _infer_schema(cands)
+    if columns is not None:
+        keep = set(columns) | {"geom"}
+        schema = T.StructType([f for f in schema.fields if f.name in keep])
+    prop_fields = [f for f in schema.fields if f.name != "geom"]
+    casts = {f.name: f.dataType for f in prop_fields}
+
+    def parse(batches):
+        for pdf in batches:
+            cols: dict = {f.name: [] for f in prop_fields}
+            geoms = []
+            for line in pdf["value"]:
+                line = line.strip().lstrip("\x1e")  # RFC 8142 RS
+                if not line:
+                    continue
+                try:
+                    feat = json.loads(line)
+                except ValueError:
+                    continue
+                if feat.get("type") == "FeatureCollection":
+                    feats = feat.get("features", [])
+                else:
+                    feats = [feat]
+                for ft in feats:
+                    geom = ft.get("geometry")
+                    if bbox is not None:
+                        gb = _coords_bbox((geom or {}).get("coordinates")) if geom else None
+                        if (
+                            gb is None or gb[0] > bbox[2] or gb[2] < bbox[0]
+                            or gb[1] > bbox[3] or gb[3] < bbox[1]
+                        ):
+                            continue
+                    p = ft.get("properties") or {}
+                    for f_ in prop_fields:
+                        v = p.get(f_.name)
+                        if (
+                            v is not None
+                            and isinstance(casts[f_.name], T.StringType)
+                            and not isinstance(v, str)
+                        ):
+                            v = json.dumps(v)
+                        cols[f_.name].append(v)
+                    geoms.append(WKB.to_wkb(_from_geojson(geom)) if geom else None)
+            out = {k: pd.Series(v, dtype="object") for k, v in cols.items()}
+            out["geom"] = pd.Series(geoms, dtype="object")
+            yield pd.DataFrame(out)
+
+    out_schema = T.StructType(
+        prop_fields + [T.StructField("geom", T.BinaryType(), True)]
+    )
+    return spark.read.text(path).mapInPandas(parse, out_schema)
+
+
+def write_geojsonseq(df: DataFrame, path: str, geom_col: str = "geom") -> DataFrame:
+    """Newline-delimited GeoJSON sink — one feature per line, written
+    DISTRIBUTED (spark.write.text directory of part files, the layout
+    GDAL's GeoJSONSeq driver and jq-style consumers read natively). No
+    max_rows guard needed: nothing is collected."""
+    from ..functions.udfs import st_asgeojson
+
+    props = [c for c in df.columns if c != geom_col]
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(*[F.col(c).alias(c) for c in props]).alias("properties"),
+        )
+    )
+    # splice the geometry JSON in by hand (to_json would string-escape
+    # the nested object): drop to_json's closing brace, append the raw
+    # geometry JSON, close
+    line = F.concat(
+        feature.substr(F.lit(1), F.length(feature) - 1),
+        F.lit(',"geometry":'),
+        F.coalesce(st_asgeojson(F.col(geom_col)), F.lit("null")),
+        F.lit("}"),
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+    return df.sparkSession.createDataFrame([(path,)], "path string")
+
+
 def read_wkt_csv(
     spark: SparkSession,
     path: str,
@@ -417,6 +535,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("netCDF", "netCDF classic CDF-1/CDF-2, CF point series + grids (read/write)", True, True, True, ""),
         ("MVT", "Mapbox Vector Tiles, protobuf wire format per spec 2.1 (read/write)", True, True, True, ""),
         ("WARC", "ISO 28500 web archives (CommonCrawl), per-file parallel responses (read/write)", True, True, True, ""),
+        ("GeoJSONSeq", "newline-delimited GeoJSON on the splittable text source (read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

@@ -48,6 +48,7 @@ MATRIX = [
     ("netcdf", "d.nc", {}, "id"),
     ("mvt", "d.mvt", {}, "id"),
     ("geoparquet", "d_file.parquet", {"file": True}, "id"),
+    ("geojsonseq", "d.geojsonl", {}, "id"),
 ]
 
 
