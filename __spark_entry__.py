@@ -2412,6 +2412,33 @@ def q_minhash_index(spark, sf_dir):
     )
 
 
+def q_ivfpq_index(spark, sf_dir):
+    """Persistent IVF-PQ index build -> ADC query (operators/knn.py
+    build_ivfpq_index / ivfpq_index_query; Jégou et al. 2011): coarse
+    quantizer + per-subspace residual codebooks, base vectors stored as
+    m uint8 codes, queries scored via per-query lookup tables without
+    reading any float vectors. Values are engine-specific (k-means +
+    quantization error) -> rows-only; pytest pins recall vs the exact
+    baseline and the m-bytes-per-vector layout."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.operators.knn import (
+        build_ivfpq_index,
+        ivfpq_index_query,
+    )
+
+    emb = spark.table("embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    m = next(mm for mm in (8, 4, 2, 1) if dim % mm == 0)
+    path = os.path.join(_fresh_tmp("ivfpq_index"), "idx")
+    build_ivfpq_index(emb, path, nlist=16, m=m)
+    q = emb.limit(30)
+    return ivfpq_index_query(q, path, k=5, nprobe=4).selectExpr(
+        "query_id", "neighbor_id", "round(score_adc, 6) AS score_adc", "rank"
+    )
+
+
 def q_ivf_index(spark, sf_dir):
     """Persistent IVF index build -> query (operators/knn.py
     build_ivf_index / ivf_index_query): coarse quantizer trained once,
@@ -3264,7 +3291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_spec": q_minhash_lsh_spec,
         "simhash_spec": q_simhash_spec,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        # --- new in r10: PQ-compressed ANN (ann_lsh_topk, rows-only and
+        # driver-checked since r6, rotates behind the window) ---
+        "ivfpq_index": q_ivfpq_index,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
@@ -3322,6 +3351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
         "tab_roundtrip": q_tab_roundtrip,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "bpe_encode": q_bpe_encode,
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,

@@ -274,7 +274,9 @@ def main():
 
             pclustered = spark.read.parquet(f"{tmp}/polys{suffix}")
 
-            @bench(f"polys_fullscan_count{suffix}")
+            # the fullscan control is an A/B denominator (no sidecars -> full
+            # UDF recheck); at 10M it runs ~65 s, so one rep is the budget
+            @bench(f"polys_fullscan_count{suffix}", repeats=1 if suffix else 3)
             def _():
                 filter_bbox(
                     pclustered.drop(*[c for c in pclustered.columns if c.startswith("bbox_")]),

@@ -505,3 +505,220 @@ def ivf_index_query(
         "cosine",
         "rank",
     )
+
+
+# --- IVF-PQ: product-quantized inverted file (Jégou et al. 2011, "Product
+# Quantization for Nearest Neighbor Search"; the FAISS IVFPQ layout) -------
+def _train_pq_codebooks(sample_norm, coarse, m, ksub, seed, iters):
+    """Per-subspace Lloyd k-means over coarse-assignment RESIDUALS.
+    Returns (m, ksub, dsub) codebooks (rows beyond the trained count stay
+    zero when the sample is smaller than ksub)."""
+    n, d = sample_norm.shape
+    if d % m != 0:
+        raise ValueError(f"ivfpq: dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    assign = (sample_norm @ coarse.T).argmax(axis=1)
+    resid = sample_norm - coarse[assign]
+    rng = np.random.RandomState(seed + 1)
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = resid[:, j * dsub : (j + 1) * dsub]
+        k_eff = min(ksub, len(sub))
+        cb = sub[rng.choice(len(sub), size=k_eff, replace=False)].copy()
+        for _ in range(iters):
+            # ||x-c||^2 argmin == argmax(x.c - ||c||^2/2)
+            a = (sub @ cb.T - 0.5 * (cb * cb).sum(axis=1)).argmax(axis=1)
+            for c in range(k_eff):
+                mvec = sub[a == c]
+                if len(mvec):
+                    cb[c] = mvec.mean(axis=0)
+        books[j, :k_eff] = cb
+    return books
+
+
+def build_ivfpq_index(
+    base: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 11,
+    sample_rows: int = 10_000,
+    iters: int = 8,
+) -> int:
+    """Build a persistent IVF-PQ index: coarse quantizer + per-subspace
+    residual codebooks trained on a driver sample, base vectors encoded to
+    ``m`` uint8 codes each and laid out ``path/codes/cell=N/``.
+
+    This is the compressed-memory scale path of the ANN family: a
+    768-dim float32 vector is 3 KB, its PQ code is ``m`` bytes — at 100 TB
+    of embeddings the codes fit where the vectors cannot, and queries
+    scan codes with a per-query lookup table instead of touching floats.
+    Vectors are L2-normalized first, so the ADC score approximates
+    cosine. ``nbits`` must be <= 8 (codes are one byte per subspace)."""
+    import json as _json
+    import os as _os
+
+    if nbits > 8:
+        raise ValueError("ivfpq: nbits > 8 unsupported (one byte per subspace)")
+    ksub = 1 << nbits
+    cent = _train_coarse_centroids(base, vec_col, nlist, seed, sample_rows, iters)
+    sample = np.array(
+        [r[0] for r in base.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-30)
+    books = _train_pq_codebooks(sample, cent, m, ksub, seed, iters)
+    sc = base.sparkSession.sparkContext
+    bc_c, bc_b = sc.broadcast(cent), sc.broadcast(books)
+    dsub = books.shape[2]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("b_id", base.schema[id_col].dataType),
+            T.StructField("code", T.BinaryType()),
+            T.StructField("cell", T.IntegerType()),
+        ]
+    )
+    ii = 0  # column positions in the projected frame below
+    vi = 1
+
+    def encode(batches):
+        C, B = bc_c.value, bc_b.value
+        for pdf in batches:
+            ids = pdf.iloc[:, ii]
+            mat = np.array(list(pdf.iloc[:, vi]), dtype=np.float64)
+            mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+            cells = (mat @ C.T).argmax(axis=1)
+            resid = mat - C[cells]
+            codes = np.empty((len(mat), len(B)), dtype=np.uint8)
+            for j in range(len(B)):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                cb = B[j]
+                codes[:, j] = (
+                    sub @ cb.T - 0.5 * (cb * cb).sum(axis=1)
+                ).argmax(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "b_id": ids,
+                    "code": pd.Series([c.tobytes() for c in codes], dtype="object"),
+                    "cell": pd.Series(cells.astype(np.int32)),
+                }
+            )
+
+    (
+        base.select(F.col(id_col), F.col(vec_col))
+        .mapInPandas(encode, out_schema)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/codes")
+    )
+    _os.makedirs(path, exist_ok=True)
+    with open(_os.path.join(path, "ivfpq.json"), "w", encoding="utf-8") as f:
+        _json.dump(
+            {
+                "centroids": cent.tolist(),
+                "codebooks": books.tolist(),
+                "nlist": len(cent),
+                "m": int(m),
+                "nbits": int(nbits),
+            },
+            f,
+        )
+    return len(cent)
+
+
+def ivfpq_index_query(
+    queries: DataFrame,
+    path: str,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probe an IVF-PQ index with asymmetric distance computation (ADC):
+    nprobe nearest cells per query, then per-candidate score
+    ``q . c_cell + sum_j LUT_q[j][code_j]`` — the LUT (m x 2^nbits dot
+    products) is built ONCE per query per Arrow batch and every
+    candidate is a table gather, no float vectors are read at all.
+    Returns (query_id, neighbor_id, score_adc, rank); score_adc
+    approximates cosine (vectors were normalized at build)."""
+    import json as _json
+    import os as _os
+
+    spark = queries.sparkSession
+    with open(_os.path.join(path, "ivfpq.json"), encoding="utf-8") as f:
+        meta = _json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["codebooks"], dtype=np.float64)
+    m = int(meta["m"])
+    dsub = books.shape[2]
+    nprobe = min(int(nprobe), len(cent))
+    bc_c, bc_b = spark.sparkContext.broadcast(cent), spark.sparkContext.broadcast(books)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        C = bc_c.value
+        mat = np.array(list(v), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(-(mat @ C.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    codes = spark.read.parquet(f"{path}/codes")
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
+    )
+    joined = codes.join(q, "cell")
+    out_schema = T.StructType(
+        [
+            joined.schema["q_id"],
+            joined.schema["b_id"],
+            T.StructField("score_adc", T.DoubleType()),
+        ]
+    )
+    cols = {f.name: i for i, f in enumerate(joined.schema.fields)}
+    ci, bi, qi, vi = cols["cell"], cols["b_id"], cols["q_id"], cols["q_vec"]
+    codei = cols["code"]
+
+    def adc(batches):
+        C, B = bc_c.value, bc_b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qids = pdf.iloc[:, qi].to_numpy()
+            out_q, out_b, out_s = [], [], []
+            for qid in pd.unique(qids):
+                rows = np.flatnonzero(qids == qid)
+                qv = np.asarray(pdf.iloc[rows[0], vi], dtype=np.float64)
+                qv = qv / max(np.linalg.norm(qv), 1e-30)
+                # per-query LUT: lut[j, c] = q_sub_j . codebook[j][c]
+                lut = np.einsum("jkd,jd->jk", B, qv.reshape(m, dsub))
+                cmat = np.frombuffer(
+                    b"".join(pdf.iloc[rows, codei]), dtype=np.uint8
+                ).reshape(len(rows), m)
+                adc_sum = lut[np.arange(m)[None, :], cmat].sum(axis=1)
+                qdotc = C[pdf.iloc[rows, ci].to_numpy(dtype=np.int64)] @ qv
+                out_q.extend([qid] * len(rows))
+                out_b.extend(pdf.iloc[rows, bi])
+                out_s.append(adc_sum + qdotc)
+            yield pd.DataFrame(
+                {
+                    "q_id": pd.Series(out_q),
+                    "b_id": pd.Series(out_b),
+                    "score_adc": pd.Series(np.concatenate(out_s)),
+                }
+            )
+
+    scored = joined.mapInPandas(adc, out_schema)
+    top = _salted_topk(
+        scored.withColumnRenamed("score_adc", "cosine"), "q_id", "b_id", k
+    )
+    return top.select(
+        F.col("q_id").alias("query_id"),
+        F.col("b_id").alias("neighbor_id"),
+        F.col("cosine").alias("score_adc"),
+        "rank",
+    )

@@ -325,3 +325,53 @@ def test_duplicate_clusters(spark):
     # without nodes=, only pair members come back
     m2 = {r["id"]: r["cluster_id"] for r in D.duplicate_clusters(pdf).collect()}
     assert 999 not in m2 and len(m2) == 54
+
+
+def test_ivfpq_index_recall_and_compression(spark, emb):
+    """IVF-PQ (Jégou et al. 2011): codes are m bytes per vector, the ADC
+    scorer touches no floats, and recall vs the exact baseline must hold
+    on the near-random embeddings with generous probing."""
+    import tempfile
+
+    emb2 = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("float")))
+    dim = len(emb2.first().embedding)
+    m = next(mm for mm in (8, 4, 2, 1) if dim % mm == 0)
+    queries = emb2.limit(10)
+    exact = K.ann_brute_topk(emb2, queries, k=5)
+    exact_pairs = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    idx = tempfile.mkdtemp() + "/ivfpq"
+    n = K.build_ivfpq_index(emb2, idx, nlist=8, m=m, nbits=8)
+    assert n == 8
+    out = K.ivfpq_index_query(queries, idx, k=5, nprobe=8)  # probe all: isolate PQ error
+    rows = out.collect()
+    got_pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"IVF-PQ recall too low: {recall}"
+    # ADC approximates cosine: scores bounded and ranked descending
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.score_adc))
+    for q, lst in by_q.items():
+        lst.sort()
+        scores = [s for _, s in lst]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.5 < s < 1.5 for s in scores)
+    # the stored codes really are m bytes per vector
+    codes = spark.read.parquet(f"{idx}/codes")
+    lens = codes.selectExpr("length(code) AS l").distinct().collect()
+    assert [r.l for r in lens] == [m]
+    # a query that IS a base vector must retrieve itself at rank 1
+    # (its code reconstructs its own residual cell-exactly enough)
+    self_q = emb2.limit(3)
+    self_hits = {
+        r.query_id: r.neighbor_id
+        for r in K.ivfpq_index_query(self_q, idx, k=1, nprobe=8).collect()
+    }
+    matched = sum(1 for q, nb in self_hits.items() if q == nb)
+    assert matched >= 2, f"self-retrieval failed: {self_hits}"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        K.build_ivfpq_index(emb2, tempfile.mkdtemp() + "/bad", nlist=4, m=dim + 1)
