@@ -196,6 +196,13 @@ _PROJ4_STRINGS = {
         "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 +y_0=442857.65 "
         "+ellps=evrstSS +towgs84=-679,669,-48,0,0,0,0 +units=m +no_defs"
     ),
+    # Czechia/Slovakia: S-JTSK / Krovak East North — the Krovak oblique
+    # conformal conic (EPSG 9819); coordinates are negative east/north
+    "EPSG:5514": (
+        "+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+        "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
+        "+towgs84=589,76,480,0,0,0,0 +units=m +no_defs"
+    ),
     # Trinidad 1903 / Trinidad Grid — Cassini-Soldner (EPSG 9806) in
     # Clarke's links (the GN7-2 worked example CRS); ellipsoid and false
     # origin expressed in meters, +to_meter yields link coordinates
@@ -653,6 +660,7 @@ def list_proj_crs_df(spark):
         "EPSG:3035": "ETRS89-extended / LAEA Europe",
         "EPSG:29873": "Timbalai 1948 / RSO Borneo (m)",
         "EPSG:30200": "Trinidad 1903 / Trinidad Grid",
+        "EPSG:5514": "S-JTSK / Krovak East North",
     }
     for code in sorted(_PROJ4_STRINGS):
         num = code.split(":")[1]

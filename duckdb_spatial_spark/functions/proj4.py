@@ -273,10 +273,10 @@ def parse_proj4(s: str) -> ProjDef:
     num["no_uoff"] = "no_uoff" in params
     if proj not in (
         "longlat", "latlong", "tmerc", "utm", "merc", "webmerc", "lcc", "aea",
-        "stere", "sterea", "laea", "somerc", "cass", "omerc",
+        "stere", "sterea", "laea", "somerc", "cass", "omerc", "krovak",
     ):
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
-                         f"webmerc, lcc, aea, stere, sterea, laea, somerc, cass, omerc)")
+                         f"webmerc, lcc, aea, stere, sterea, laea, somerc, cass, omerc, krovak)")
     return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm, geoidgrids)
 
 
@@ -686,6 +686,82 @@ def omerc_inverse(ell, X, Y, lat_c, lon_c, alpha_c, gamma_c, k_c,
     return np.degrees(lam), np.degrees(phi)
 
 
+# --- Krovak (EPSG 9819; Czech/Slovak S-JTSK — EPSG 5514) ------------------
+def _krovak_setup(ell, lat_0, alpha_c, k_0):
+    e, e2 = ell.e, ell.e2
+    pc = math.radians(lat_0)
+    sc, cc = math.sin(pc), math.cos(pc)
+    A_ = ell.a * math.sqrt(1 - e2) / (1 - e2 * sc * sc)
+    B = math.sqrt(1 + e2 * cc**4 / (1 - e2))
+    g0 = math.asin(sc / B)
+    t0 = (
+        math.tan(math.pi / 4 + g0 / 2)
+        * ((1 + e * sc) / (1 - e * sc)) ** (e * B / 2)
+        / math.tan(math.pi / 4 + pc / 2) ** B
+    )
+    phi_p = math.radians(78.5)  # pseudo-standard parallel, fixed by the method
+    n = math.sin(phi_p)
+    r0 = (k_0 or 1.0) * A_ / math.tan(phi_p)
+    return A_, B, g0, t0, phi_p, n, r0, math.radians(alpha_c)
+
+
+def krovak_forward(ell, lon, lat, lat_0, lon_0, alpha_c, k_0, x_0, y_0):
+    A_, B, g0, t0, phi_p, n, r0, ac = _krovak_setup(ell, lat_0, alpha_c, k_0)
+    e = ell.e
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    s = np.sin(lat_r)
+    U = 2 * (
+        np.arctan(
+            t0
+            * np.tan(lat_r / 2 + math.pi / 4) ** B
+            * ((1 - e * s) / (1 + e * s)) ** (e * B / 2)
+        )
+        - math.pi / 4
+    )
+    V = B * (math.radians(lon_0) - lon_r)
+    Tt = np.arcsin(
+        np.clip(math.cos(ac) * np.sin(U) + math.sin(ac) * np.cos(U) * np.cos(V), -1, 1)
+    )
+    D = np.arcsin(np.clip(np.cos(U) * np.sin(V) / np.cos(Tt), -1, 1))
+    theta = n * D
+    r = r0 * math.tan(math.pi / 4 + phi_p / 2) ** n / np.tan(Tt / 2 + math.pi / 4) ** n
+    Xs = r * np.cos(theta)  # southing
+    Yw = r * np.sin(theta)  # westing
+    # proj's GIS-friendly orientation: easting = -westing, northing =
+    # -southing (EPSG 5514 "Krovak East North" carries negative values)
+    return x_0 - Yw, y_0 - Xs
+
+
+def krovak_inverse(ell, X, Y, lat_0, lon_0, alpha_c, k_0, x_0, y_0):
+    A_, B, g0, t0, phi_p, n, r0, ac = _krovak_setup(ell, lat_0, alpha_c, k_0)
+    e = ell.e
+    Yw = -(np.asarray(X, dtype=np.float64) - x_0)
+    Xs = -(np.asarray(Y, dtype=np.float64) - y_0)
+    r = np.hypot(Xs, Yw)
+    theta = np.arctan2(Yw, Xs)
+    D = theta / n
+    Tt = 2 * (
+        np.arctan((r0 / r) ** (1 / n) * math.tan(math.pi / 4 + phi_p / 2)) - math.pi / 4
+    )
+    U = np.arcsin(np.clip(math.cos(ac) * np.sin(Tt) - math.sin(ac) * np.cos(Tt) * np.cos(D), -1, 1))
+    V = np.arcsin(np.clip(np.cos(Tt) * np.sin(D) / np.cos(U), -1, 1))
+    lon = math.radians(lon_0) - V / B
+    # U (conformal-sphere lat) -> geodetic via fixed point
+    phi = U.copy()
+    for _ in range(10):
+        s = np.sin(phi)
+        phi = 2 * (
+            np.arctan(
+                t0 ** (-1 / B)
+                * np.tan(U / 2 + math.pi / 4) ** (1 / B)
+                * ((1 + e * s) / (1 - e * s)) ** (e / 2)
+            )
+            - math.pi / 4
+        )
+    return np.degrees(lon), np.degrees(phi)
+
+
 # --- oblique stereographic (EPSG 9809 — double projection via the
 # conformal sphere; Dutch RD New / EPSG 28992 is the canonical user) -------
 def _sterea_setup(ell, lat_0, k_0):
@@ -965,6 +1041,12 @@ def _fwd(d: ProjDef, lon, lat):
             g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
             p.get("no_uoff", False),
         )
+    elif d.proj == "krovak":
+        x, y = krovak_forward(
+            d.ell, lon, lat, g("lat_0", 49.5), g("lon_0", 0.0),
+            g("alpha", 30.28813972222222), g("k", g("k_0", 0.9999)),
+            g("x_0", 0.0), g("y_0", 0.0),
+        )
     else:  # pragma: no cover - parse_proj4 already validated
         raise ValueError(f"unsupported +proj={d.proj}")
     if d.to_meter != 1.0:
@@ -1044,6 +1126,12 @@ def _inv(d: ProjDef, x, y):
             g("alpha", 90.0), g("gamma", g("alpha", 90.0)),
             g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
             p.get("no_uoff", False),
+        )
+    if d.proj == "krovak":
+        return krovak_inverse(
+            d.ell, x, y, g("lat_0", 49.5), g("lon_0", 0.0),
+            g("alpha", 30.28813972222222), g("k", g("k_0", 0.9999)),
+            g("x_0", 0.0), g("y_0", 0.0),
         )
     raise ValueError(f"unsupported +proj={d.proj}")  # pragma: no cover
 

@@ -449,3 +449,32 @@ def test_transform_cass_omerc():
         x, y = transform_xy(lons, lats, "EPSG:4326", crs, always_xy=True)
         lo, la = transform_xy(x, y, crs, "EPSG:4326", always_xy=True)
         assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-6, crs
+
+
+def test_transform_krovak():
+    """Krovak oblique conformal conic (EPSG 9819; S-JTSK / EPSG 5514),
+    pinned against the EPSG GN7-2 worked example (the published example
+    carries ~1 cm of its own intermediate rounding)."""
+    import numpy as np
+
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    bessel = "+proj=longlat +ellps=bessel"
+    kro = ("+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+           "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel")
+    lat_t = 50 + 12 / 60 + 32.4416 / 3600
+    lon_t = 16 + 50 / 60 + 59.1790 / 3600
+    x, y = transform_xy([lon_t], [lat_t], bessel, kro, always_xy=True)
+    # GN7-2: Southing 1050538.63, Westing 568991.00 -> east/north negative
+    assert abs(x[0] + 568991.00) < 0.02 and abs(y[0] + 1050538.63) < 0.02
+    lo, la = transform_xy(x, y, kro, bessel, always_xy=True)
+    assert abs(lo[0] - lon_t) < 1e-9 and abs(la[0] - lat_t) < 1e-9
+
+    # registry EPSG:5514 with the datum leg: Czech territory roundtrips
+    rng = np.random.default_rng(23)
+    lons = rng.uniform(12.0, 23.0, 100)
+    lats = rng.uniform(47.5, 51.5, 100)
+    px, py = transform_xy(lons, lats, "EPSG:4326", "EPSG:5514", always_xy=True)
+    assert (px < 0).all() and (py < 0).all()  # Krovak East North negatives
+    lo, la = transform_xy(px, py, "EPSG:5514", "EPSG:4326", always_xy=True)
+    assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-6
