@@ -3266,6 +3266,22 @@ def q_html_extract(spark, sf_dir):
     return html_extract_text(docs).select("doc_id", "title", "text", "text_chars")
 
 
+def q_excise_spans(spark, sf_dir):
+    """ExactSubstr span REMOVAL (Lee et al. 2022,
+    operators/dedup.excise_dup_spans): every 8-token span whose
+    square-mixed poly hash occurs >=2 times anywhere in the corpus is
+    deleted; overlapping flagged windows merge on the token axis. The
+    oracle rebuilds every clean_text string in SQL (same hash, same
+    tokenizer, NOT EXISTS over flagged starts), so the comparison is
+    full string equality per document."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.dedup import excise_dup_spans
+
+    return excise_dup_spans(
+        spark.table("documents"), window=8, seed=5
+    ).select("doc_id", "clean_text", "n_tokens", "n_removed")
+
+
 def q_dup_spans(spark, sf_dir):
     """ExactSubstr duplication signal (Lee et al. 2022,
     operators/dedup.dup_span_stats): per document, the share of its
@@ -3305,6 +3321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_file": q_geoparquet_file,
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
+        # --- new in r10: ExactSubstr span removal (streaming_join,
+        # long-green r8+r9 and unchanged, rotates behind the window) ---
+        "excise_spans": q_excise_spans,
         "html_extract": q_html_extract,
         "robots": q_robots,
         "warc_roundtrip": q_warc_roundtrip,
@@ -3335,7 +3354,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
         "esrijson_roundtrip": q_esrijson_roundtrip,
-        "streaming_join": q_streaming_join,
         "streaming_extent": q_streaming_extent,
         "streaming_upsert": q_streaming_upsert,
         # --- round-6 pipeline operators ---
@@ -3352,6 +3370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "tab_roundtrip": q_tab_roundtrip,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "streaming_join": q_streaming_join,
         "bpe_encode": q_bpe_encode,
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
@@ -4496,6 +4515,41 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, title, text, length(text) AS text_chars FROM expect
+        """,
+        "excise_spans": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                 x -> x <> '') AS l
+              FROM documents
+            ), wins AS (
+              SELECT doc_id, s,
+                     {_poly_sql("array_to_string(l[s + 1 : s + 8], ' ')", 5)} AS h0
+              FROM (SELECT doc_id, l,
+                           unnest(range(0, greatest(len(l) - 8 + 1, 0))) AS s
+                    FROM toks)
+            ), wh AS (
+              SELECT doc_id, s, (h0 * h0 + h0) % 1000000007 AS h FROM wins
+            ), cnt AS (SELECT h, count(*) AS c FROM wh GROUP BY 1),
+            flags AS (
+              SELECT doc_id, s FROM wh JOIN cnt USING (h) WHERE c >= 2
+            ), tok AS (
+              SELECT doc_id, ti, l[ti + 1] AS tk
+              FROM (SELECT doc_id, l, unnest(range(0, len(l))) AS ti FROM toks)
+            ), kept AS (
+              SELECT t.doc_id, t.ti, t.tk FROM tok t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM flags f
+                WHERE f.doc_id = t.doc_id AND t.ti >= f.s AND t.ti < f.s + 8)
+            ), clean AS (
+              SELECT doc_id, string_agg(tk, ' ' ORDER BY ti) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, coalesce(c.clean_text, '') AS clean_text,
+                   CAST(len(t.l) AS BIGINT) AS n_tokens,
+                   CAST(len(t.l) - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks t LEFT JOIN clean c USING (doc_id)
         """,
         "dup_spans": f"""
             WITH toks AS (

@@ -857,6 +857,122 @@ def minhash_index_query(
     )
 
 
+def _span_pow_table(base: int, n: int, M: int = 1000000007) -> np.ndarray:
+    # pows[i] = base^i mod M for i in [0, n]; doubling keeps every
+    # step a whole-array multiply (values < M, products < 2^63)
+    pows = np.ones(n + 1, dtype=np.int64)
+    k = 1
+    while k <= n:
+        step = min(k, n + 1 - k)
+        pows[k : k + step] = pows[:step] * (pows[k - 1] * base % M) % M
+        k *= 2
+    return pows
+
+
+def _window_hash_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+    seed: int,
+    with_start: bool = False,
+) -> DataFrame:
+    """One Arrow pass emitting a row per ``w``-token window: ``(id, _h)``
+    (plus ``_s`` token start index with ``with_start``). The hash is the
+    square-mixed 131-poly over the window's joined text — SQL-replicable.
+
+    Kernel: the batch's joined docs concatenate into ONE code-point
+    array (utf-32 decode — ``ord()`` semantics, matching the oracles'
+    per-character ``ascii()``), a single vectorized modular prefix-hash
+    pass makes every window hash O(1): with r = 131^-1 mod p, the
+    prefix P[i] = cumsum(c_j * r^(j+1)) * 131^i mod p satisfies
+    hash(a, b) = ((seed+1)*131^(b-a) + P[b] - P[a]*131^(b-a)) mod p.
+    Pow tables build by doubling; overlapping windows share the one
+    pass (the per-character Horner this replaced re-hashed every token
+    ~window times)."""
+    fields = [df.schema[id_col]]
+    if with_start:
+        fields.append(T.StructField("_s", T.LongType()))
+    fields.append(T.StructField("_h", T.LongType()))
+    out_schema = T.StructType(fields)
+    ii = df.columns.index(id_col)
+    ti = df.columns.index(text_col)
+    M = 1000000007
+    RINV = pow(131, M - 2, M)
+    id_is_int = isinstance(
+        df.schema[id_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hs, ss = [], [], []
+            dids, texts, starts, ends, lens = [], [], [], [], []
+            pos = 0
+            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
+                if text is None:
+                    continue
+                toks = _ascii_ws_split(str(text))
+                if len(toks) < w:
+                    continue
+                tl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+                # code-point offset of each token inside " ".join(toks)
+                off = np.zeros(len(toks) + 1, dtype=np.int64)
+                np.cumsum(tl + 1, out=off[1:])
+                nwin = len(toks) - w + 1
+                a = pos + off[:nwin]           # window starts
+                b = pos + off[w : w + nwin] - 1  # ends (strip joiner space)
+                dids.append(did)
+                texts.append(" ".join(toks))
+                starts.append(a)
+                ends.append(b)
+                lens.append(nwin)
+                pos += off[-1] - 1  # joined length in code points
+            if not dids:
+                empty = {id_col: pd.Series([])}
+                if with_start:
+                    empty["_s"] = pd.Series([], dtype="int64")
+                empty["_h"] = pd.Series([], dtype="int64")
+                yield pd.DataFrame(empty)
+                continue
+            cp = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            n = len(cp)
+            pow131 = _span_pow_table(131, n)
+            rpow = _span_pow_table(RINV, n)
+            # P[i] = (Σ_{j<i} c_j r^(j+1)) · 131^i mod M = poly hash of
+            # cp[:i]; terms < M so int64 cumsum holds ~9e9 code points
+            terms = cp * rpow[1:] % M
+            P = np.empty(n + 1, dtype=np.int64)
+            P[0] = 0
+            np.cumsum(terms, out=P[1:])
+            P[1:] %= M
+            P[1:] = P[1:] * pow131[1:] % M
+            s0 = int(seed) + 1
+            for did, a, b, nw in zip(dids, starts, ends, lens):
+                wl = b - a
+                sub = (P[b] - P[a] * pow131[wl]) % M
+                h = (s0 * pow131[wl] + sub) % M
+                h = (h * h + h) % M
+                if id_is_int:
+                    ids.append(np.full(nw, did, dtype=np.int64))
+                else:
+                    ids.extend([did] * nw)
+                hs.append(h)
+                if with_start:
+                    ss.append(np.arange(nw, dtype=np.int64))
+            out = {
+                id_col: pd.Series(np.concatenate(ids)) if id_is_int else pd.Series(ids)
+            }
+            if with_start:
+                out["_s"] = pd.Series(np.concatenate(ss), dtype="int64")
+            out["_h"] = pd.Series(np.concatenate(hs), dtype="int64")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def dup_span_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -881,103 +997,10 @@ def dup_span_stats(
     oracle compares on the SAME hash, so collisions cannot diverge the
     engines); the corpus-wide occurrence count is one map-side-combinable
     ``groupBy(h)``; the count joins back on the hash (AQE splits the
-    boilerplate-span skew) and one final per-doc aggregate.
-
-    Kernel: the batch's joined docs concatenate into ONE code-point
-    array (utf-32 decode — ``ord()`` semantics, matching the oracle's
-    per-character ``ascii()``), a single vectorized modular prefix-hash
-    pass makes every window hash O(1): with r = 131^-1 mod p, the
-    prefix P[i] = cumsum(c_j * r^(j+1)) * 131^i mod p satisfies
-    hash(a, b) = ((seed+1)*131^(b-a) + P[b] - P[a]*131^(b-a)) mod p.
-    Pow tables build by doubling (O(log n) vectorized steps); overlapping
-    windows share the one pass — the previous per-character Python
-    Horner re-hashed every token ~window times."""
-    out_schema = T.StructType(
-        [df.schema[id_col], T.StructField("_h", T.LongType())]
-    )
-    ii = df.columns.index(id_col)
-    ti = df.columns.index(text_col)
-    w = int(window)
-    M = 1000000007
-    RINV = pow(131, M - 2, M)
-    id_is_int = isinstance(
-        df.schema[id_col].dataType,
-        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
-    )
-
-    def _pow_table(base: int, n: int) -> np.ndarray:
-        # pows[i] = base^i mod M for i in [0, n]; doubling keeps every
-        # step a whole-array multiply (values < M, products < 2^63)
-        pows = np.ones(n + 1, dtype=np.int64)
-        k = 1
-        while k <= n:
-            step = min(k, n + 1 - k)
-            pows[k : k + step] = pows[:step] * (pows[k - 1] * base % M) % M
-            k *= 2
-        return pows
-
-    def gen(batches):
-        for pdf in batches:
-            ids, hs = [], []
-            dids, texts, starts, ends, lens = [], [], [], [], []
-            pos = 0
-            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
-                if text is None:
-                    continue
-                toks = _ascii_ws_split(str(text))
-                if len(toks) < w:
-                    continue
-                tl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
-                # code-point offset of each token inside " ".join(toks)
-                off = np.zeros(len(toks) + 1, dtype=np.int64)
-                np.cumsum(tl + 1, out=off[1:])
-                nwin = len(toks) - w + 1
-                a = pos + off[:nwin]           # window starts
-                b = pos + off[w : w + nwin] - 1  # ends (strip joiner space)
-                dids.append(did)
-                texts.append(" ".join(toks))
-                starts.append(a)
-                ends.append(b)
-                lens.append(nwin)
-                pos += off[-1] - 1  # joined length in code points
-            if not dids:
-                yield pd.DataFrame(
-                    {id_col: pd.Series([]), "_h": pd.Series([], dtype="int64")}
-                )
-                continue
-            cp = np.frombuffer(
-                "".join(texts).encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            n = len(cp)
-            pow131 = _pow_table(131, n)
-            rpow = _pow_table(RINV, n)
-            # P[i] = (Σ_{j<i} c_j r^(j+1)) · 131^i mod M = poly hash of
-            # cp[:i]; terms < M so int64 cumsum holds ~9e9 code points
-            terms = cp * rpow[1:] % M
-            P = np.empty(n + 1, dtype=np.int64)
-            P[0] = 0
-            np.cumsum(terms, out=P[1:])
-            P[1:] %= M
-            P[1:] = P[1:] * pow131[1:] % M
-            s0 = int(seed) + 1
-            for did, a, b, nw in zip(dids, starts, ends, lens):
-                wl = b - a
-                sub = (P[b] - P[a] * pow131[wl]) % M
-                h = (s0 * pow131[wl] + sub) % M
-                h = (h * h + h) % M
-                if id_is_int:
-                    ids.append(np.full(nw, did, dtype=np.int64))
-                else:
-                    ids.extend([did] * nw)
-                hs.append(h)
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(np.concatenate(ids)) if id_is_int else pd.Series(ids),
-                    "_h": pd.Series(np.concatenate(hs), dtype="int64"),
-                }
-            )
-
-    spans = df.mapInPandas(gen, out_schema)
+    boilerplate-span skew) and one final per-doc aggregate. The window
+    hashing itself is the vectorized batch-global prefix-hash pass
+    (:func:`_window_hash_spans`)."""
+    spans = _window_hash_spans(df, id_col, text_col, int(window), int(seed))
     counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
     return (
         spans.join(counts, "_h")
@@ -990,3 +1013,81 @@ def dup_span_stats(
             "dup_share", F.col("dup_windows").cast("double") / F.col("span_windows")
         )
     )
+
+
+def excise_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    seed: int = 5,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022): delete every
+    ``window``-token span that occurs more than once anywhere in the
+    corpus, keeping the rest of the document. The removal complement of
+    :func:`dup_span_stats` (which only flags).
+
+    Returns ``(id, clean_text, n_tokens, n_removed)`` for every input
+    row — ``clean_text`` is the whitespace-normalized join of surviving
+    tokens (empty string when everything was duplicated or the doc had
+    no tokens); a token dies when ANY window covering it is duplicated,
+    so overlapping flagged windows merge naturally.
+
+    Scale shape: the same three-shuffle plan as the stats lane — window
+    hash rows (one Arrow pass), map-side-combinable corpus counts, hash
+    join-back (AQE splits boilerplate skew) — plus one groupBy(id)
+    collecting each doc's flagged starts (bounded by tokens/doc) and a
+    final Arrow rebuild pass joined against the original text."""
+    w = int(window)
+    spans = _window_hash_spans(df, id_col, text_col, w, int(seed), with_start=True)
+    counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
+    flagged = (
+        spans.join(counts, "_h")
+        .where(F.col("_c") >= 2)
+        .groupBy(id_col)
+        .agg(F.collect_list("_s").alias("_flags"))
+    )
+    src = df.select(F.col(id_col), F.col(text_col)).join(flagged, id_col, "left")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_removed", T.LongType()),
+        ]
+    )
+
+    def rebuild(batches):
+        for pdf in batches:
+            ids, cleans, ntoks, nrem = [], [], [], []
+            for did, text, flags in zip(
+                pdf.iloc[:, 0], pdf.iloc[:, 1], pdf.iloc[:, 2]
+            ):
+                toks = _ascii_ws_split(str(text)) if text is not None else []
+                n = len(toks)
+                if flags is None or (hasattr(flags, "__len__") and len(flags) == 0):
+                    kept = toks
+                else:
+                    dead = np.zeros(n, dtype=bool)
+                    starts = np.asarray(list(flags), dtype=np.int64)
+                    # every token covered by a flagged window dies; mark
+                    # via a difference array instead of per-start loops
+                    diff = np.zeros(n + 1, dtype=np.int64)
+                    np.add.at(diff, starts, 1)
+                    np.add.at(diff, np.minimum(starts + w, n), -1)
+                    dead = np.cumsum(diff[:n]) > 0
+                    kept = [t for t, d in zip(toks, dead) if not d]
+                ids.append(did)
+                cleans.append(" ".join(kept))
+                ntoks.append(n)
+                nrem.append(n - len(kept))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "clean_text": pd.Series(cleans, dtype="object"),
+                    "n_tokens": pd.Series(ntoks, dtype="int64"),
+                    "n_removed": pd.Series(nrem, dtype="int64"),
+                }
+            )
+
+    return src.mapInPandas(rebuild, out_schema)

@@ -141,3 +141,47 @@ def test_dup_span_stats(spark):
     assert got[2].dup_windows == 0
     assert got[3].dup_windows == got[3].span_windows  # all repeats
     assert got[0].dup_windows >= 1  # the shared fox span
+
+
+def test_excise_dup_spans(spark):
+    """ExactSubstr span removal: brute-force parity — a token dies iff
+    any duplicated window covers it; overlapping windows merge; docs
+    without duplicated spans come back whitespace-normalized intact."""
+    from collections import Counter
+
+    from duckdb_spatial_spark.operators.dedup import excise_dup_spans
+
+    shared = "alpha beta gamma delta"
+    docs = [
+        (0, f"{shared} one two three four five"),
+        (1, f"zero {shared} six seven eight nine"),
+        (2, "totally unique sentence with no duplicated window at all"),
+        (3, "rep rep rep rep rep rep rep rep rep"),  # self-duplicated
+        (4, "tiny"),
+        (5, ""),
+    ]
+    w = 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in excise_dup_spans(df, window=w, seed=5).collect()}
+
+    # brute-force reference
+    wins = Counter()
+    toks_by_id = {}
+    for did, t in docs:
+        toks = t.split()
+        toks_by_id[did] = toks
+        for s in range(max(len(toks) - w + 1, 0)):
+            wins[" ".join(toks[s : s + w])] += 1
+    for did, toks in toks_by_id.items():
+        dead = [False] * len(toks)
+        for s in range(max(len(toks) - w + 1, 0)):
+            if wins[" ".join(toks[s : s + w])] >= 2:
+                for t in range(s, s + w):
+                    dead[t] = True
+        clean = " ".join(tk for tk, d in zip(toks, dead) if not d)
+        r = got[did]
+        assert r.clean_text == clean, (did, r.clean_text, clean)
+        assert r.n_tokens == len(toks)
+        assert r.n_removed == sum(dead)
+    assert got[2].n_removed == 0 and got[4].n_removed == 0 and got[5].n_tokens == 0
+    assert got[3].clean_text == ""  # fully self-duplicated doc vanishes
