@@ -3266,6 +3266,26 @@ def q_html_extract(spark, sf_dir):
     return html_extract_text(docs).select("doc_id", "title", "text", "text_chars")
 
 
+def q_clf_quality(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (pipeline.linear_classifier_score; Joulin et al. 2016 — the
+    model-based quality-filter stage). Weights are synthesized
+    deterministically as BINARY fractions (multiples of 1/1024), so the
+    per-doc weight sum is EXACT float arithmetic in any order and the
+    single mean division is bit-identical across engines — no float
+    order-of-summation hazard at rounding boundaries. The oracle
+    replays the DSIR feature hasher (square-mixed 131-poly buckets) and
+    the same weight formula in SQL."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.pipeline import linear_classifier_score
+
+    nb = 512
+    w = [(((b * 1103515245 + 12345) % 2049) - 1024) / 1024.0 for b in range(nb)]
+    return linear_classifier_score(
+        spark.table("documents"), w, bias=13.0 / 256.0, seed=7
+    ).select("doc_id", "clf_grams", "clf_raw", "clf_keep")
+
+
 def q_excise_spans(spark, sf_dir):
     """ExactSubstr span REMOVAL (Lee et al. 2022,
     operators/dedup.excise_dup_spans): every 8-token span whose
@@ -3352,7 +3372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10: splittable ndjson lane (tab_roundtrip, long-green
         # r8+r9 and unchanged, rotates behind the window for this slot) ---
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
-        "georss_roundtrip": q_georss_roundtrip,
+        # --- new in r10: model-based quality filter (georss_roundtrip,
+        # long-green r8+r9 and unchanged, rotates behind the window) ---
+        "clf_quality": q_clf_quality,
         "esrijson_roundtrip": q_esrijson_roundtrip,
         "streaming_extent": q_streaming_extent,
         "streaming_upsert": q_streaming_upsert,
@@ -3371,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tab_roundtrip": q_tab_roundtrip,
         "ann_lsh_topk": q_ann_lsh_topk,
         "streaming_join": q_streaming_join,
+        "georss_roundtrip": q_georss_roundtrip,
         "bpe_encode": q_bpe_encode,
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
@@ -4515,6 +4538,35 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, title, text, length(text) AS text_chars FROM expect
+        """,
+        "clf_quality": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                                       x -> x <> '') AS l
+                    FROM documents)
+            ), gr AS (
+              SELECT doc_id, g FROM (
+                SELECT doc_id, tok AS g FROM toks
+                UNION ALL
+                SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+            ), grb AS (
+              SELECT doc_id, ((h * h + h) % 1000000007) % 512 AS bucket
+              FROM (SELECT doc_id, {_poly_sql('g', 7)} AS h FROM gr)
+            ), wt AS (
+              SELECT doc_id,
+                     (((bucket * 1103515245 + 12345) % 2049) - 1024) / 1024.0 AS w
+              FROM grb
+            ), agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS clf_grams,
+                     floor((13.0 / 256.0 + sum(w) / count(*)) * 1e6 + 0.5) / 1e6
+                       AS clf_raw
+              FROM wt GROUP BY 1
+            )
+            SELECT doc_id, clf_grams, clf_raw, clf_raw >= 0.0 AS clf_keep
+            FROM agg
         """,
         "excise_spans": f"""
             WITH toks AS (

@@ -921,3 +921,63 @@ def robots_allowed(
             yield out
 
     return joined.mapInPandas(eval_gen, out_schema)
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    weights,
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+    lowercase: bool = False,
+    threshold: float = 0.0,
+    ndigits: int = 6,
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier (Joulin et al.
+    2016 — the "model-based quality filtering" stage of CCNet/LLaMA-class
+    pipelines): documents are scored by a trained weight vector over
+    hashed unigram+bigram buckets.
+
+    ``weights`` is the trained vector (list/ndarray; its length IS the
+    bucket count — train offline however you like, apply here). Per doc:
+    ``clf_raw = bias + mean over grams of weights[bucket(gram)]`` — the
+    fastText average-of-features with a 1-d output. Returns
+    ``(id, clf_grams, clf_raw, clf_keep)`` with ``clf_raw`` rounded
+    half-away-from-zero and the keep decision made from the ROUNDED
+    value on both engines (repo float-parity rule); ``sigmoid`` is
+    monotone, so a probability cut translates to a ``threshold`` in
+    logit space. Empty docs carry no grams and drop (as in DSIR).
+
+    Scale shape: one Arrow pass emits (id, bucket) rows (the DSIR
+    feature hasher — square-mixed 131-poly, SQL-replicable), the weight
+    table broadcast-joins on bucket, and ONE map-side-combinable
+    groupBy(id) aggregates sum+count. Weight vectors up to tens of
+    millions of buckets broadcast fine (8 B/bucket)."""
+    from .dsir import _gram_rows
+
+    spark = df.sparkSession
+    w = [float(x) for x in weights]
+    nb = len(w)
+    if nb == 0:
+        raise ValueError("linear_classifier_score: empty weights")
+    wdf = spark.createDataFrame(
+        list(enumerate(w)), "bucket int, _w double"
+    )
+    grams = _gram_rows(df, id_col, text_col, nb, int(seed), bool(lowercase))
+    mul = 10.0 ** int(ndigits)
+    agg = (
+        grams.join(F.broadcast(wdf), "bucket")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("clf_grams"), F.sum("_w").alias("_sw"))
+        .withColumn(
+            "clf_raw",
+            F.floor(
+                (F.lit(float(bias)) + F.col("_sw") / F.col("clf_grams")) * mul
+                + F.lit(0.5)
+            )
+            / mul,
+        )
+        .withColumn("clf_keep", F.col("clf_raw") >= F.lit(float(threshold)))
+    )
+    return agg.select(id_col, "clf_grams", "clf_raw", "clf_keep")

@@ -713,3 +713,44 @@ def test_semantic_dedup_hot_cluster_guard(spark):
         out = {r.vec_id: r for r in semantic_dedup(df, cents, threshold=0.9999, **kw).collect()}
         assert len(out) == 41
         assert out[100].rep_id == 0 and not out[100].keep and out[0].keep
+
+
+def test_linear_classifier_score(spark):
+    """fastText-style hashed linear classifier: hand-computed parity on a
+    tiny corpus + the binary-fraction exactness property (weights are
+    multiples of 1/1024, so the mean is order-independent)."""
+    from duckdb_spatial_spark.operators.dsir import _poly_bucket
+    from duckdb_spatial_spark.operators.pipeline import linear_classifier_score
+
+    nb = 64
+    w = [(((b * 31) % 129) - 64) / 1024.0 for b in range(nb)]
+    docs = [
+        (1, "good words here"),
+        (2, "bad content bad content"),
+        (3, ""),          # no grams -> no row
+        (4, None),        # null -> no row
+        (5, "single"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           linear_classifier_score(df, w, bias=0.25, seed=7, threshold=0.2).collect()}
+    assert 3 not in out and 4 not in out
+
+    def expect(text):
+        toks = text.split()
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        s = sum(w[_poly_bucket(g, nb, 7)] for g in grams)
+        import math
+        raw = math.floor((0.25 + s / len(grams)) * 1e6 + 0.5) / 1e6
+        return len(grams), raw
+
+    for did, text in [(1, docs[0][1]), (2, docs[1][1]), (5, "single")]:
+        n, raw = expect(text)
+        r = out[did]
+        assert (r.clf_grams, r.clf_raw) == (n, raw), (did, r)
+        assert r.clf_keep == (raw >= 0.2)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty weights"):
+        linear_classifier_score(df, [])
