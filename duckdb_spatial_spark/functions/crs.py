@@ -96,8 +96,8 @@ _POLAR = {
 _UNSUPPORTED_MSG = (
     "unsupported CRS {crs!r} (built-ins: EPSG:4326/3857/3395, WGS84 UTM, polar "
     "stereographic, EPSG:5070/3347/2154 conics; registry long tail incl. "
-    "EPSG:27700/2056/21781/28992/3035/31370/2193/2229/258xx/269xx; or pass "
-    "a raw '+proj=...' proj4 string)"
+    "EPSG:27700/2056/21781/28992/3035/5514/29873/30200/31370/2193/2229/"
+    "258xx/269xx; or pass a raw '+proj=...' proj4 string)"
 )
 
 # ---------------------------------------------------------------------------
