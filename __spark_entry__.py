@@ -3266,6 +3266,29 @@ def q_html_extract(spark, sf_dir):
     return html_extract_text(docs).select("doc_id", "title", "text", "text_chars")
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Event sessionization (operators/events.session_stats) via Spark's
+    built-in session_window — per-session n/min-ts/max-ts/sum over the
+    events stream table with a 1-hour gap. start/end are EVENT
+    timestamps (not padded window bounds), so the oracle is a plain
+    gaps-and-islands window query; the boundary convention (a gap
+    must EXCEED the threshold to split; exactly-gap merges) matches
+    session_window's closed padding bound, verified empirically."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.events import session_stats
+
+    st = session_stats(
+        spark.table("events"), gap_seconds=3600, value_col="value"
+    )
+    return st.selectExpr(
+        "user_id",
+        "unix_micros(CAST(session_start AS TIMESTAMP)) AS start_us",
+        "unix_micros(CAST(session_end AS TIMESTAMP)) AS end_us",
+        "CAST(n_events AS BIGINT) AS n_events",
+        "round(sum_value, 6) AS sum_value",
+    )
+
+
 def q_clf_quality(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline.linear_classifier_score; Joulin et al. 2016 — the
@@ -3379,7 +3402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extent": q_streaming_extent,
         "streaming_upsert": q_streaming_upsert,
         # --- round-6 pipeline operators ---
-        "gopher_quality": q_gopher_quality,
+        # --- new in r10: sessionization (gopher_quality, long-green r8+r9
+        # and unchanged, rotates behind the window) ---
+        "events_sessionize": q_events_sessionize,
         "decontaminate": q_decontaminate,
         "embedding_assign": q_embedding_assign,
         "bm25": q_bm25,
@@ -3394,6 +3419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "streaming_join": q_streaming_join,
         "georss_roundtrip": q_georss_roundtrip,
+        "gopher_quality": q_gopher_quality,
         "bpe_encode": q_bpe_encode,
         "kmv_distinct": q_kmv_distinct,
         "arrow_roundtrip": q_arrow_roundtrip,
@@ -4538,6 +4564,27 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, title, text, length(text) AS text_chars FROM expect
+        """,
+        "events_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 3600000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
         """,
         "clf_quality": f"""
             WITH toks AS (

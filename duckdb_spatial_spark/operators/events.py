@@ -1,0 +1,91 @@
+"""Event-stream sessionization (the classic events-pipeline operator the
+host engine expresses natively — batch analog of the reference-adjacent
+streaming session semantics; streaming/demo.py carries the stateful TTL
+variants).
+
+  sessionize      per-EVENT session labels: gaps-and-islands over
+                  (user, ts) — a new session starts when the gap to the
+                  previous event exceeds ``gap_seconds``
+  session_stats   per-SESSION aggregates via Spark's built-in
+                  ``session_window`` — the scale path (map-side partial
+                  session merges, no per-user window sort)
+
+Scale shape: ``sessionize`` windows partition by user (bounded per-user
+cardinality — no global sort); ``session_stats`` is one groupBy on
+(session_window, user) whose partial aggregation merges overlapping
+windows map-side, the same operator Structured Streaming uses for
+watermarked session windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    order_cols: list | None = None,
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Label every event with its per-user session ordinal (1-based).
+
+    Gaps-and-islands: events of one user ordered by ``ts_col`` (plus
+    ``order_cols`` as the deterministic tie-break — REQUIRED for
+    cross-engine determinism when timestamps collide) start a new
+    session whenever the gap to the previous event EXCEEDS
+    ``gap_seconds`` — the same convention as ``session_window`` (an
+    event landing exactly on the gap padding's closing bound still
+    merges, verified against the built-in), so ``sessionize`` and
+    :func:`session_stats` always agree on session boundaries. The per-user window carries bounded data (one user's
+    events), so there is no global sort."""
+    order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    tcol = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # NTZ has no double cast; under the pinned-UTC session the
+        # TIMESTAMP reinterpretation is numerically a no-op
+        tcol = tcol.cast("timestamp")
+    sec = tcol.cast("double")
+    new_sess = (
+        F.when(F.lag(sec).over(w).isNull(), 1)
+        .when(sec - F.lag(sec).over(w) > float(gap_seconds), 1)
+        .otherwise(0)
+    )
+    return df.withColumn(out_col, F.sum(new_sess).over(w).cast("long"))
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates via the built-in ``session_window`` — one
+    groupBy whose partial aggregation merges overlapping windows
+    map-side (the plan Structured Streaming runs for watermarked
+    sessions; no per-user ordering pass at all).
+
+    Returns ``(user, session_start, session_end, n_events[, sum_value])``
+    where start/end are the min/max EVENT timestamps (not the padded
+    window bounds), so the result is independent of the gap padding and
+    replicable by a plain gaps-and-islands SQL oracle."""
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), f"{int(gap_seconds)} seconds"),
+            F.col(user_col),
+        )
+        .agg(*aggs)
+        .drop("session_window")
+    )
