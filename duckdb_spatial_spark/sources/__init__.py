@@ -90,6 +90,7 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         p = p.lower()
         for ext, f in (
             (".shp", "shapefile"), (".fgb", "flatgeobuf"), (".gpkg", "geopackage"),
+            (".geojsonl.gz", "geojsonseq"), (".geojsons.gz", "geojsonseq"),
             (".geojsonl", "geojsonseq"), (".geojsons", "geojsonseq"),
             (".geojson", "geojson"), (".ndjson", "geojson"), (".json", "geojson"),
             (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),

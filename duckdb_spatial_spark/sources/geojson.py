@@ -46,7 +46,13 @@ def _expand(path: str):
 
 
 def _iter_features(file_path: str):
-    with open(file_path, "r", encoding="utf-8") as f:
+    if file_path.endswith(".gz"):
+        import gzip
+
+        opener = lambda p: gzip.open(p, "rt", encoding="utf-8")  # noqa: E731
+    else:
+        opener = lambda p: open(p, "r", encoding="utf-8")  # noqa: E731
+    with opener(file_path) as f:
         head = f.read(4096)
         f.seek(0)
         stripped = head.lstrip()

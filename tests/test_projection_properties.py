@@ -1,0 +1,114 @@
+"""Defining mathematical invariants of the projection families — checks
+no worked example can make: equal-area projections preserve area scale,
+conformal projections preserve angles/isotropic scale, Cassini-Soldner
+holds true scale along its central meridian. All pure numpy (no Spark).
+"""
+
+import math
+
+import numpy as np
+
+from duckdb_spatial_spark.functions import proj4 as P
+
+EPS = 1e-4  # degrees; quads ~11 m — small enough for first-order tests
+
+
+def _radii(ell, lat_r):
+    s = np.sin(lat_r)
+    w = np.sqrt(1 - ell.e2 * s * s)
+    rho = ell.a * (1 - ell.e2) / w**3  # meridional
+    nu = ell.a / w                     # prime vertical
+    return rho, nu
+
+
+def _project_quad(d, lon, lat):
+    """Planar shoelace area of the projected (lon,lat)+EPS quad and the
+    ellipsoidal area of the same quad."""
+    lons = np.array([lon, lon + EPS, lon + EPS, lon])
+    lats = np.array([lat, lat, lat + EPS, lat + EPS])
+    x, y = P._fwd(d, lons, lats)
+    planar = 0.5 * abs(
+        sum(
+            x[i] * y[(i + 1) % 4] - x[(i + 1) % 4] * y[i]
+            for i in range(4)
+        )
+    )
+    lat_r = math.radians(lat + EPS / 2)
+    rho, nu = _radii(d.ell, np.array([lat_r]))
+    ell_area = (rho[0] * math.radians(EPS)) * (nu[0] * math.cos(lat_r) * math.radians(EPS))
+    return planar, ell_area
+
+
+def _scale_vectors(d, lon, lat):
+    """Projected east/north unit-displacement vectors, normalized by the
+    corresponding ellipsoidal ground distances."""
+    lat_r = math.radians(lat)
+    rho, nu = _radii(d.ell, np.array([lat_r]))
+    x0, y0 = P._fwd(d, np.array([lon]), np.array([lat]))
+    xe, ye = P._fwd(d, np.array([lon + EPS]), np.array([lat]))
+    xn, yn = P._fwd(d, np.array([lon]), np.array([lat + EPS]))
+    de = math.radians(EPS) * nu[0] * math.cos(lat_r)
+    dn = math.radians(EPS) * rho[0]
+    ve = np.array([xe[0] - x0[0], ye[0] - y0[0]]) / de
+    vn = np.array([xn[0] - x0[0], yn[0] - y0[0]]) / dn
+    return ve, vn
+
+
+def _assert_conformal(d, pts, tol=2e-4):
+    for lon, lat in pts:
+        ve, vn = _scale_vectors(d, lon, lat)
+        ne, nn = np.linalg.norm(ve), np.linalg.norm(vn)
+        # isotropic scale: |k_east - k_north| / k ~ 0
+        assert abs(ne - nn) / ne < tol, (lon, lat, ne, nn)
+        # orthogonality: cos(angle) ~ 0
+        cosang = abs(np.dot(ve, vn)) / (ne * nn)
+        assert cosang < tol, (lon, lat, cosang)
+
+
+def test_laea_is_equal_area():
+    d = P.parse_proj4(
+        "+proj=laea +lat_0=52 +lon_0=10 +x_0=4321000 +y_0=3210000 +ellps=GRS80"
+    )
+    rng = np.random.default_rng(31)
+    for lon, lat in zip(rng.uniform(-10, 30, 40), rng.uniform(35, 70, 40)):
+        planar, ell_area = _project_quad(d, lon, lat)
+        assert abs(planar / ell_area - 1) < 5e-4, (lon, lat, planar / ell_area)
+
+
+def test_sterea_krovak_omerc_are_conformal():
+    rng = np.random.default_rng(37)
+    rd = P.parse_proj4(
+        "+proj=sterea +lat_0=52.15616055555555 +lon_0=5.38763888888889 "
+        "+k=0.9999079 +x_0=155000 +y_0=463000 +ellps=bessel"
+    )
+    _assert_conformal(rd, zip(rng.uniform(3, 8, 25), rng.uniform(50, 54, 25)))
+
+    kro = P.parse_proj4(
+        "+proj=krovak +lat_0=49.5 +lon_0=24.833333333333332 "
+        "+alpha=30.28813972222222 +k=0.9999 +ellps=bessel"
+    )
+    _assert_conformal(kro, zip(rng.uniform(13, 22, 25), rng.uniform(48, 51, 25)))
+
+    rso = P.parse_proj4(
+        "+proj=omerc +lat_0=4 +lonc=115 +alpha=53.31582047222222 "
+        "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 "
+        "+y_0=442857.65 +ellps=evrstSS"
+    )
+    _assert_conformal(rso, zip(rng.uniform(113, 118, 25), rng.uniform(1, 7, 25)))
+
+
+def test_cass_true_scale_on_central_meridian():
+    d = P.parse_proj4(
+        "+proj=cass +lat_0=10.441666666666666 +lon_0=-61.33333333333334 "
+        "+x_0=430000 +y_0=325000 +a=6378293.645452597 +b=6356617.987679838"
+    )
+    for lat in (9.8, 10.4, 11.2):
+        lat_r = math.radians(lat)
+        rho, _ = _radii(d.ell, np.array([lat_r]))
+        x0, y0 = P._fwd(d, np.array([-61.33333333333334]), np.array([lat]))
+        x1, y1 = P._fwd(d, np.array([-61.33333333333334]), np.array([lat + EPS]))
+        planar = math.hypot(x1[0] - x0[0], y1[0] - y0[0])
+        ground = math.radians(EPS) * rho[0]
+        assert abs(planar / ground - 1) < 1e-6, (lat, planar / ground)
+        # and the central meridian maps onto the x = x_0 grid line
+        assert abs(x0[0] - 430000.0) < 1e-6

@@ -140,3 +140,28 @@ def test_flatgeobuf_rtree_prunes_before_recheck(spark):
     truth = _apply_read_filters(full, bbox, None).count()
     assert n_pruned == truth
     assert 0 < n_pruned < full.count()
+
+
+def test_geojsonseq_gzip(spark, diag, tmp_path):
+    """A gzipped .geojsonl single file reads through st_read: Spark's text
+    source decompresses, schema inference gunzips its sample."""
+    import gzip
+
+    from duckdb_spatial_spark.sources import read_geojsonseq, st_write
+
+    plain = str(tmp_path / "d.geojsonl")
+    st_write(diag, plain, format="geojsonseq")
+    lines = []
+    import glob as _g
+
+    for part in sorted(_g.glob(plain + "/part-*")):
+        if part.endswith(".crc"):
+            continue
+        with open(part, "r", encoding="utf-8") as f:
+            lines += [ln for ln in f.read().splitlines() if ln]
+    gz = str(tmp_path / "one.geojsonl.gz")
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    back = read_geojsonseq(spark, gz)
+    assert back.count() == 6
+    assert _xs(st_read(spark, gz, bbox=BBOX)) == EXPECT_X
