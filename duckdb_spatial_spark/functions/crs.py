@@ -196,6 +196,11 @@ _PROJ4_STRINGS = {
         "+gamma=53.13010236111111 +k=0.99984 +x_0=590476.87 +y_0=442857.65 "
         "+ellps=evrstSS +towgs84=-679,669,-48,0,0,0,0 +units=m +no_defs"
     ),
+    # World: WGS 84 / World Equidistant Cylindrical (EPSG 1028 method)
+    "EPSG:4087": (
+        "+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +x_0=0 +y_0=0 "
+        "+ellps=WGS84 +units=m +no_defs"
+    ),
     # Czechia/Slovakia: S-JTSK / Krovak East North — the Krovak oblique
     # conformal conic (EPSG 9819); coordinates are negative east/north
     "EPSG:5514": (
@@ -661,6 +666,7 @@ def list_proj_crs_df(spark):
         "EPSG:29873": "Timbalai 1948 / RSO Borneo (m)",
         "EPSG:30200": "Trinidad 1903 / Trinidad Grid",
         "EPSG:5514": "S-JTSK / Krovak East North",
+        "EPSG:4087": "WGS 84 / World Equidistant Cylindrical",
     }
     for code in sorted(_PROJ4_STRINGS):
         num = code.split(":")[1]

@@ -287,3 +287,59 @@ def geodesic_polygon_area(geom) -> float:
             a = abs(geodesic_ring_area(np.asarray(ring)))
             total += a if k == 0 else -a
     return total
+
+
+def vincenty_direct(lon1, lat1, az1, s, max_iter: int = 200, tol: float = 1e-13):
+    """Vectorized Vincenty DIRECT problem on WGS84: from (lon1, lat1),
+    initial azimuth ``az1`` (radians clockwise from north) and geodesic
+    distance ``s`` (m), return (lon2, lat2) in degrees.
+
+    The standard Vincenty (1975) direct iteration — converges for all
+    inputs (unlike the inverse's near-antipodal caveat); ~0.5 mm."""
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    az1 = np.asarray(az1, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    f = WGS84_F
+    b = WGS84_B
+
+    U1 = np.arctan((1 - f) * np.tan(np.radians(lat1)))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    cos_a1, sin_a1 = np.cos(az1), np.sin(az1)
+    sigma1 = np.arctan2(np.tan(U1), cos_a1)
+    sin_alpha = cosU1 * sin_a1
+    cos2_alpha = 1 - sin_alpha * sin_alpha
+    u2 = cos2_alpha * (WGS84_A**2 - b**2) / b**2
+    A = 1 + u2 / 16384 * (4096 + u2 * (-768 + u2 * (320 - 175 * u2)))
+    B = u2 / 1024 * (256 + u2 * (-128 + u2 * (74 - 47 * u2)))
+
+    sigma = s / (b * A)
+    for _ in range(max_iter):
+        cos2sm = np.cos(2 * sigma1 + sigma)
+        sin_s, cos_s = np.sin(sigma), np.cos(sigma)
+        dsig = B * sin_s * (
+            cos2sm
+            + B / 4 * (
+                cos_s * (-1 + 2 * cos2sm * cos2sm)
+                - B / 6 * cos2sm * (-3 + 4 * sin_s * sin_s) * (-3 + 4 * cos2sm * cos2sm)
+            )
+        )
+        new = s / (b * A) + dsig
+        if np.all(np.abs(new - sigma) < tol):
+            sigma = new
+            break
+        sigma = new
+    sin_s, cos_s = np.sin(sigma), np.cos(sigma)
+    cos2sm = np.cos(2 * sigma1 + sigma)
+    lat2 = np.arctan2(
+        sinU1 * cos_s + cosU1 * sin_s * cos_a1,
+        (1 - f) * np.sqrt(sin_alpha**2 + (sinU1 * sin_s - cosU1 * cos_s * cos_a1) ** 2),
+    )
+    lam = np.arctan2(sin_s * sin_a1, cosU1 * cos_s - sinU1 * sin_s * cos_a1)
+    C = f / 16 * cos2_alpha * (4 + f * (4 - 3 * cos2_alpha))
+    L = lam - (1 - C) * f * sin_alpha * (
+        sigma + C * sin_s * (cos2sm + C * cos_s * (-1 + 2 * cos2sm * cos2sm))
+    )
+    lon2 = np.radians(lon1) + L
+    lon2 = (lon2 + np.pi) % (2 * np.pi) - np.pi
+    return np.degrees(lon2), np.degrees(lat2)

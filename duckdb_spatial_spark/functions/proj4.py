@@ -17,7 +17,9 @@ Supported ``+proj`` kinds: longlat, tmerc, utm, merc, webmerc, lcc
 EPSG 9809 — Dutch RD), laea (EPSG 9820 — ETRS89-LAEA), somerc, cass
 (EPSG 9806 — cadastral long tail), omerc (Hotine oblique Mercator,
 EPSG 9812 variant A via +no_uoff / 9815 variant B — Borneo RSO, Alaska
-zone 1). Ellipsoids: the common
+zone 1), krovak (EPSG 9819 — S-JTSK), eqc (EPSG 1028 — World
+Equidistant Cylindrical), aeqd (geodesic-based, WGS84/GRS80).
+Ellipsoids: the common
 ``+ellps`` names plus explicit ``+a``/``+b``/``+rf``/``+f``. Units via
 ``+units``/``+to_meter``. Anything else raises with the offending token so
 the error is actionable.
@@ -273,10 +275,12 @@ def parse_proj4(s: str) -> ProjDef:
     num["no_uoff"] = "no_uoff" in params
     if proj not in (
         "longlat", "latlong", "tmerc", "utm", "merc", "webmerc", "lcc", "aea",
-        "stere", "sterea", "laea", "somerc", "cass", "omerc", "krovak",
+        "stere", "sterea", "laea", "somerc", "cass", "omerc", "krovak", "eqc",
+        "aeqd",
     ):
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
-                         f"webmerc, lcc, aea, stere, sterea, laea, somerc, cass, omerc, krovak)")
+                         f"webmerc, lcc, aea, stere, sterea, laea, somerc, cass, omerc, "
+                         f"krovak, eqc, aeqd)")
     return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm, geoidgrids)
 
 
@@ -686,6 +690,68 @@ def omerc_inverse(ell, X, Y, lat_c, lon_c, alpha_c, gamma_c, k_c,
     return np.degrees(lam), np.degrees(phi)
 
 
+# --- equidistant cylindrical (EPSG 1028 ellipsoidal / Plate Carrée;
+# WGS 84 / World Equidistant Cylindrical EPSG:4087) -------------------------
+def eqc_forward(ell, lon, lat, lat_ts, lat_0, lon_0, x_0, y_0):
+    t1 = math.radians(lat_ts)
+    nu1_cos = ell.a * math.cos(t1) / math.sqrt(1 - ell.e2 * math.sin(t1) ** 2)
+    dl = np.radians(np.asarray(lon, dtype=np.float64) - lon_0)
+    dl = (dl + math.pi) % (2 * math.pi) - math.pi
+    M0 = float(_meridian_arc(ell, np.array([math.radians(lat_0)]))[0])
+    x = x_0 + nu1_cos * dl
+    y = y_0 + _meridian_arc(ell, np.radians(np.asarray(lat, dtype=np.float64))) - M0
+    return x, y
+
+
+def eqc_inverse(ell, X, Y, lat_ts, lat_0, lon_0, x_0, y_0):
+    t1 = math.radians(lat_ts)
+    nu1_cos = ell.a * math.cos(t1) / math.sqrt(1 - ell.e2 * math.sin(t1) ** 2)
+    M0 = float(_meridian_arc(ell, np.array([math.radians(lat_0)]))[0])
+    phi = _footpoint(ell, M0 + (np.asarray(Y, dtype=np.float64) - y_0))
+    lam = math.radians(lon_0) + (np.asarray(X, dtype=np.float64) - x_0) / nu1_cos
+    return np.degrees(lam), np.degrees(phi)
+
+
+# --- azimuthal equidistant (geodesic-based, the proj/GeographicLib
+# formulation: x = s·sin(az), y = s·cos(az) from the center — the
+# buffer-in-meters-around-a-point projection) -------------------------------
+def _aeqd_check_ell(ell):
+    # the geodesic engine (functions/geodesy.py Vincenty) is WGS84; GRS80
+    # differs by 0.1 mm in b — accept both, refuse anything else honestly
+    if abs(ell.a - 6378137.0) > 1e-6 or abs(ell.f - 1 / 298.257223563) > 1e-9:
+        raise ValueError(
+            "+proj=aeqd supported on WGS84/GRS80 only (geodesic kernel is "
+            "WGS84; pass +ellps=WGS84 or +ellps=GRS80)"
+        )
+
+
+def aeqd_forward(ell, lon, lat, lat_0, lon_0, x_0, y_0):
+    from .geodesy import vincenty_inverse
+
+    _aeqd_check_ell(ell)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    inv = vincenty_inverse(
+        np.full_like(lon, lon_0), np.full_like(lat, lat_0), lon, lat
+    )
+    return x_0 + inv["s"] * np.sin(inv["az1"]), y_0 + inv["s"] * np.cos(inv["az1"])
+
+
+def aeqd_inverse(ell, X, Y, lat_0, lon_0, x_0, y_0):
+    from .geodesy import vincenty_direct
+
+    _aeqd_check_ell(ell)
+    x = np.asarray(X, dtype=np.float64) - x_0
+    y = np.asarray(Y, dtype=np.float64) - y_0
+    s = np.hypot(x, y)
+    az = np.arctan2(x, y)
+    lon, lat = vincenty_direct(
+        np.full_like(s, lon_0), np.full_like(s, lat_0), az, s
+    )
+    at_center = s == 0
+    return np.where(at_center, lon_0, lon), np.where(at_center, lat_0, lat)
+
+
 # --- Krovak (EPSG 9819; Czech/Slovak S-JTSK — EPSG 5514) ------------------
 def _krovak_setup(ell, lat_0, alpha_c, k_0):
     e, e2 = ell.e, ell.e2
@@ -1041,6 +1107,16 @@ def _fwd(d: ProjDef, lon, lat):
             g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
             p.get("no_uoff", False),
         )
+    elif d.proj == "aeqd":
+        x, y = aeqd_forward(
+            d.ell, lon, lat, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("x_0", 0.0), g("y_0", 0.0),
+        )
+    elif d.proj == "eqc":
+        x, y = eqc_forward(
+            d.ell, lon, lat, g("lat_ts", 0.0), g("lat_0", 0.0), g("lon_0", 0.0),
+            g("x_0", 0.0), g("y_0", 0.0),
+        )
     elif d.proj == "krovak":
         x, y = krovak_forward(
             d.ell, lon, lat, g("lat_0", 49.5), g("lon_0", 0.0),
@@ -1126,6 +1202,16 @@ def _inv(d: ProjDef, x, y):
             g("alpha", 90.0), g("gamma", g("alpha", 90.0)),
             g("k", g("k_0", 1.0)), g("x_0", 0.0), g("y_0", 0.0),
             p.get("no_uoff", False),
+        )
+    if d.proj == "aeqd":
+        return aeqd_inverse(
+            d.ell, x, y, g("lat_0", 0.0), g("lon_0", 0.0),
+            g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "eqc":
+        return eqc_inverse(
+            d.ell, x, y, g("lat_ts", 0.0), g("lat_0", 0.0), g("lon_0", 0.0),
+            g("x_0", 0.0), g("y_0", 0.0),
         )
     if d.proj == "krovak":
         return krovak_inverse(

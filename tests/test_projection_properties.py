@@ -112,3 +112,31 @@ def test_cass_true_scale_on_central_meridian():
         assert abs(planar / ground - 1) < 1e-6, (lat, planar / ground)
         # and the central meridian maps onto the x = x_0 grid line
         assert abs(x0[0] - 430000.0) < 1e-6
+
+
+def test_eqc_and_aeqd():
+    """eqc: EPSG GN7-2 method-1028 worked example + meridian-distance
+    semantics. aeqd: the DEFINING property — planar radius from the
+    center equals the geodesic distance (Vincenty), azimuth preserved."""
+    d = P.parse_proj4("+proj=eqc +lat_ts=0 +lat_0=0 +lon_0=0 +ellps=WGS84")
+    x, y = P._fwd(d, np.array([10.0]), np.array([55.0]))
+    assert abs(x[0] - 1113194.91) < 0.01 and abs(y[0] - 6097230.31) < 0.01
+    lo, la = P._inv(d, x, y)
+    assert abs(lo[0] - 10) < 1e-9 and abs(la[0] - 55) < 1e-9
+
+    from duckdb_spatial_spark.functions.geodesy import geodesic_distance
+
+    a = P.parse_proj4("+proj=aeqd +lat_0=52.3676 +lon_0=4.9041 +ellps=WGS84")
+    rng = np.random.default_rng(43)
+    lons = rng.uniform(-10, 20, 100)
+    lats = rng.uniform(40, 65, 100)
+    x, y = P._fwd(a, lons, lats)
+    s = geodesic_distance(np.full(100, 4.9041), np.full(100, 52.3676), lons, lats)
+    assert np.abs(np.hypot(x, y) - s).max() < 1e-6  # radius == geodesic dist
+    lo, la = P._inv(a, x, y)
+    assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="aeqd"):
+        P._fwd(P.parse_proj4("+proj=aeqd +ellps=bessel"), np.array([1.0]), np.array([1.0]))
