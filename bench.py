@@ -665,6 +665,113 @@ def main():
             + E.oracle_sql()["dup_spans"] + ")",
         )
 
+        @bench("excise_spans_docs")
+        def _():
+            from duckdb_spatial_spark.operators.dedup import excise_dup_spans
+
+            excise_dup_spans(spark.table("documents")).agg(
+                F.sum("n_removed"), F.sum(F.length("clean_text"))
+            ).collect()
+
+        duck_bench(
+            "excise_spans_docs",
+            "SELECT sum(n_removed), sum(length(clean_text)) FROM ("
+            + E.oracle_sql()["excise_spans"] + ")",
+        )
+
+        @bench("clf_docs")
+        def _():
+            from duckdb_spatial_spark.operators.pipeline import linear_classifier_score
+
+            w = [(((b * 1103515245 + 12345) % 2049) - 1024) / 1024.0 for b in range(512)]
+            linear_classifier_score(
+                spark.table("documents"), w, bias=13.0 / 256.0, seed=7
+            ).agg(F.sum("clf_raw"), F.sum(F.col("clf_keep").cast("long"))).collect()
+
+        duck_bench(
+            "clf_docs",
+            "SELECT sum(clf_raw), CAST(sum(CASE WHEN clf_keep THEN 1 ELSE 0 END)"
+            " AS BIGINT) FROM (" + E.oracle_sql()["clf_quality"] + ")",
+        )
+
+        # sessionize: our plan is the built-in session_window groupBy (no
+        # per-user sort at all); DuckDB's comparable is the classic
+        # gaps-and-islands window query — a genuinely different plan shape
+        # for the same answer. The small tier is floor-dominated (events
+        # at sf0.1 is ~100k rows / a ~26 ms denominator), so a 100x
+        # USER-OFFSET replica (more users, not more events per user — the
+        # realistic growth axis) carries the signal.
+        @bench("sessionize_events")
+        def _():
+            from duckdb_spatial_spark.operators.events import session_stats
+
+            session_stats(spark.table("events"), gap_seconds=3600, value_col="value").agg(
+                F.count("*"), F.sum("n_events")
+            ).collect()
+
+        duck_bench(
+            "sessionize_events",
+            "SELECT CAST(count(*) AS BIGINT), CAST(sum(n_events) AS BIGINT) FROM ("
+            + E.oracle_sql()["events_sessionize"] + ")",
+        )
+
+        sess_mult = int(os.environ.get("SPARK_GRAFT_BENCH_SESS_MULT", "100"))
+        if sess_mult > 0:
+            try:
+                sess_big = f"{tmp}/events_sess_big"
+                (
+                    spark.table("events")
+                    .select("event_id", "ts", "user_id", "value")
+                    .crossJoin(spark.range(sess_mult).select(F.col("id").alias("_rep")))
+                    .selectExpr(
+                        "event_id", "ts",
+                        "user_id + _rep * 10000000 AS user_id", "value",
+                    )
+                    .repartition(cpus)
+                    .write.mode("overwrite")
+                    .parquet(sess_big)
+                )
+                sess_df = spark.read.parquet(sess_big)
+                con.execute(
+                    f"CREATE VIEW events_sess_big AS FROM '{sess_big}/*.parquet'"
+                )
+
+                @bench("sessionize_events_large")
+                def _():
+                    from duckdb_spatial_spark.operators.events import session_stats
+
+                    session_stats(sess_df, gap_seconds=3600, value_col="value").agg(
+                        F.count("*"), F.sum("n_events")
+                    ).collect()
+
+                duck_bench(
+                    "sessionize_events_large",
+                    """
+                    WITH o AS (
+                      SELECT user_id, ts,
+                             CASE WHEN lag(ts) OVER w IS NULL
+                                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                       > 3600000000
+                                  THEN 1 ELSE 0 END AS brk
+                      FROM events_sess_big
+                      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                    ), s AS (
+                      SELECT user_id, sum(brk) OVER (PARTITION BY user_id
+                             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                      FROM o
+                    )
+                    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                           CAST(sum(n) AS BIGINT) AS n_events
+                    FROM (SELECT count(*) AS n FROM s GROUP BY user_id, sid)
+                    """,
+                )
+            except Exception as e:  # noqa: BLE001 - sessionize tier glue
+                errors["sessionize_large"] = f"{type(e).__name__}: {e}"[:500]
+                print(
+                    f"[bench] sessionize_large FAILED: {errors['sessionize_large']}",
+                    file=sys.stderr,
+                )
+
         @bench("winnowing_docs")
         def _():
             from duckdb_spatial_spark.operators.textops import winnowing_fingerprints
