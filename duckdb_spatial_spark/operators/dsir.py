@@ -34,6 +34,7 @@ space: p(b) = (count_b + add_k) / (total + add_k * num_buckets).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -55,6 +56,76 @@ def _poly_bucket(s: str, num_buckets: int, seed: int) -> int:
     return ((h * h + h) % _MOD) % num_buckets
 
 
+def _batch_gram_buckets(ids_in, texts_in, num_buckets: int, seed: int,
+                        lowercase: bool):
+    """Vectorized batch-global gram hasher: hash every unigram + bigram
+    of every doc in ONE numpy pass (the per-char Horner in
+    :func:`_poly_bucket` re-walks each character up to 3×; this walks
+    the batch's code points once — the same modular prefix-hash kernel
+    as ``dedup._window_hash_spans``).
+
+    Every unigram and bigram is a contiguous substring of the doc's
+    whitespace-normalized text ``" ".join(toks)`` (bigrams join with a
+    single space by construction), so with r = 131⁻¹ mod p and prefix
+    P[i] = cumsum(c_j·r^(j+1))·131^i mod p, each gram's 131-poly hash is
+    hash(a, b) = ((seed+1)·131^(b−a) + P[b] − P[a]·131^(b−a)) mod p —
+    O(1) per gram, bit-identical to :func:`_poly_bucket`.
+
+    Returns ``(doc_ids, buckets, counts)``: docs with ≥1 token, their
+    grams' buckets (int64, concatenated in doc order: all unigrams then
+    all bigrams per doc), and per-doc gram counts (= 2·n_toks − 1)."""
+    from .dedup import _span_pow_table
+
+    RINV = pow(131, _MOD - 2, _MOD)
+    doc_ids, texts, starts_l, ends_l, counts = [], [], [], [], []
+    pos = 0
+    for did, text in zip(ids_in, texts_in):
+        if text is None:
+            continue
+        s = str(text).lower() if lowercase else str(text)
+        toks = _ascii_ws_split(s)
+        if not toks:
+            continue
+        tl = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        off = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum(tl + 1, out=off[1:])
+        uni_a = pos + off[:-1]
+        a_parts, b_parts = [uni_a], [uni_a + tl]
+        if len(toks) > 1:
+            # bigram i = toks[i] + " " + toks[i+1]: starts at off[i],
+            # ends where token i+1 ends
+            a_parts.append(pos + off[:-2])
+            b_parts.append(pos + off[1:-1] + tl[1:])
+        doc_ids.append(did)
+        texts.append(" ".join(toks))
+        starts_l.append(np.concatenate(a_parts))
+        ends_l.append(np.concatenate(b_parts))
+        counts.append(2 * len(toks) - 1)
+        pos += off[-1] - 1  # joined length in code points
+    if not doc_ids:
+        z = np.zeros(0, dtype=np.int64)
+        return [], z, z
+    cp = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    n = len(cp)
+    pow131 = _span_pow_table(131, n)
+    rpow = _span_pow_table(RINV, n)
+    terms = cp * rpow[1:] % _MOD
+    P = np.empty(n + 1, dtype=np.int64)
+    P[0] = 0
+    np.cumsum(terms, out=P[1:])
+    P[1:] %= _MOD
+    P[1:] = P[1:] * pow131[1:] % _MOD
+    A = np.concatenate(starts_l)
+    B = np.concatenate(ends_l)
+    wl = B - A
+    sub = (P[B] - P[A] * pow131[wl]) % _MOD
+    h = ((int(seed) + 1) * pow131[wl] + sub) % _MOD
+    h = (h * h + h) % _MOD
+    return doc_ids, h % num_buckets, np.asarray(counts, dtype=np.int64)
+
+
 def _gram_rows(
     df: DataFrame, id_col: str, text_col: str, num_buckets: int,
     seed: int, lowercase: bool,
@@ -62,33 +133,32 @@ def _gram_rows(
     """One Arrow pass: (id, bucket) rows for unigrams + bigrams (bigram
     string is ``w1 w2`` with a single joining space). Empty docs emit no
     rows — they carry no evidence and drop from the scored output (the
-    oracle mirrors this)."""
+    oracle mirrors this). Hashing is the vectorized batch-global kernel
+    (:func:`_batch_gram_buckets`)."""
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField("bucket", T.IntegerType())]
     )
     ii = df.columns.index(id_col)
     ti = df.columns.index(text_col)
+    id_is_int = isinstance(
+        df.schema[id_col].dataType,
+        (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
+    )
 
     def gen(batches):
         for pdf in batches:
-            ids, buckets = [], []
-            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
-                if text is None:
-                    continue
-                s = str(text).lower() if lowercase else str(text)
-                toks = _ascii_ws_split(s)
-                prev = None
-                for t in toks:
-                    ids.append(did)
-                    buckets.append(_poly_bucket(t, num_buckets, seed))
-                    if prev is not None:
-                        ids.append(did)
-                        buckets.append(
-                            _poly_bucket(prev + " " + t, num_buckets, seed)
-                        )
-                    prev = t
+            dids, buckets, counts = _batch_gram_buckets(
+                pdf.iloc[:, ii], pdf.iloc[:, ti], num_buckets, seed, lowercase
+            )
+            if id_is_int:
+                ids = np.repeat(np.asarray(dids, dtype=np.int64), counts)
+            else:
+                ids = np.repeat(np.asarray(dids, dtype=object), counts)
             yield pd.DataFrame(
-                {id_col: pd.Series(ids), "bucket": pd.Series(buckets, dtype="int32")}
+                {
+                    id_col: pd.Series(ids),
+                    "bucket": pd.Series(buckets.astype(np.int32), dtype="int32"),
+                }
             )
 
     return df.mapInPandas(gen, out_schema)

@@ -949,35 +949,72 @@ def linear_classifier_score(
     monotone, so a probability cut translates to a ``threshold`` in
     logit space. Empty docs carry no grams and drop (as in DSIR).
 
-    Scale shape: one Arrow pass emits (id, bucket) rows (the DSIR
-    feature hasher — square-mixed 131-poly, SQL-replicable), the weight
-    table broadcast-joins on bucket, and ONE map-side-combinable
-    groupBy(id) aggregates sum+count. Weight vectors up to tens of
-    millions of buckets broadcast fine (8 B/bucket)."""
-    from .dsir import _gram_rows
+    Scale shape: ZERO shuffle — scoring fuses into the gram-hash Arrow
+    pass itself. The trained weight vector rides to executors as one
+    numpy broadcast (8 B/bucket — tens of millions of buckets is a
+    sub-GB broadcast, never a driver-side row materialization), each
+    doc's grams hash vectorized (the batch-global prefix-hash kernel,
+    ``dsir._batch_gram_buckets``) and reduce to (sum, count) within the
+    doc's own row; the output is one narrow mapInPandas with no
+    exchange anywhere. Per-doc summation order is the doc's gram order
+    (segmented ``np.add.reduceat``); with binary-fraction weights the
+    sum is exact in any order, and for general weights a fixed
+    deterministic order is applied."""
+    import numpy as np
+
+    from .dsir import _batch_gram_buckets
 
     spark = df.sparkSession
-    w = [float(x) for x in weights]
+    w = np.asarray([float(x) for x in weights], dtype=np.float64)
     nb = len(w)
     if nb == 0:
         raise ValueError("linear_classifier_score: empty weights")
-    wdf = spark.createDataFrame(
-        list(enumerate(w)), "bucket int, _w double"
+    bw = spark.sparkContext.broadcast(w)
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("clf_grams", T.LongType()),
+            T.StructField("clf_raw", T.DoubleType()),
+            T.StructField("clf_keep", T.BooleanType()),
+        ]
     )
-    grams = _gram_rows(df, id_col, text_col, nb, int(seed), bool(lowercase))
+    ii = df.columns.index(id_col)
+    ti = df.columns.index(text_col)
     mul = 10.0 ** int(ndigits)
-    agg = (
-        grams.join(F.broadcast(wdf), "bucket")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("clf_grams"), F.sum("_w").alias("_sw"))
-        .withColumn(
-            "clf_raw",
-            F.floor(
-                (F.lit(float(bias)) + F.col("_sw") / F.col("clf_grams")) * mul
-                + F.lit(0.5)
+    b0 = float(bias)
+    thr = float(threshold)
+    sd = int(seed)
+    lc = bool(lowercase)
+
+    def gen(batches):
+        wv = bw.value
+        for pdf in batches:
+            dids, buckets, counts = _batch_gram_buckets(
+                pdf.iloc[:, ii], pdf.iloc[:, ti], nb, sd, lc
             )
-            / mul,
-        )
-        .withColumn("clf_keep", F.col("clf_raw") >= F.lit(float(threshold)))
-    )
-    return agg.select(id_col, "clf_grams", "clf_raw", "clf_keep")
+            if not dids:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series([]),
+                        "clf_grams": pd.Series([], dtype="int64"),
+                        "clf_raw": pd.Series([], dtype="float64"),
+                        "clf_keep": pd.Series([], dtype="object"),
+                    }
+                )
+                continue
+            offs = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            sw = np.add.reduceat(wv[buckets], offs)
+            # same expression association + half-away-from-zero floor as
+            # the SQL oracle (repo float-parity rule)
+            raw = np.floor((b0 + sw / counts) * mul + 0.5) / mul
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(dids),
+                    "clf_grams": pd.Series(counts, dtype="int64"),
+                    "clf_raw": pd.Series(raw, dtype="float64"),
+                    "clf_keep": pd.Series(raw >= thr, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)
