@@ -3311,12 +3311,14 @@ def q_clf_quality(spark, sf_dir):
 
 def q_excise_spans(spark, sf_dir):
     """ExactSubstr span REMOVAL (Lee et al. 2022,
-    operators/dedup.excise_dup_spans): every 8-token span whose
-    square-mixed poly hash occurs >=2 times anywhere in the corpus is
-    deleted; overlapping flagged windows merge on the token axis. The
-    oracle rebuilds every clean_text string in SQL (same hash, same
-    tokenizer, NOT EXISTS over flagged starts), so the comparison is
-    full string equality per document."""
+    operators/dedup.excise_dup_spans): every 8-token span whose TEXT
+    occurs >=2 times anywhere in the corpus is deleted; overlapping
+    flagged windows merge on the token axis. Duplication is decided by
+    exact window-text equality (a ~2^60 double hash only prefilters
+    candidates — a hash collision can never delete non-duplicate text),
+    so the oracle groups windows by their literal text and rebuilds
+    every clean_text string in SQL (same tokenizer, NOT EXISTS over
+    flagged starts): the comparison is full string equality per doc."""
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.dedup import excise_dup_spans
 
@@ -4615,23 +4617,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, clf_grams, clf_raw, clf_raw >= 0.0 AS clf_keep
             FROM agg
         """,
-        "excise_spans": f"""
+        "excise_spans": """
             WITH toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
                                  x -> x <> '') AS l
               FROM documents
             ), wins AS (
-              SELECT doc_id, s,
-                     {_poly_sql("array_to_string(l[s + 1 : s + 8], ' ')", 5)} AS h0
+              SELECT doc_id, s, array_to_string(l[s + 1 : s + 8], ' ') AS wt
               FROM (SELECT doc_id, l,
                            unnest(range(0, greatest(len(l) - 8 + 1, 0))) AS s
                     FROM toks)
-            ), wh AS (
-              SELECT doc_id, s, (h0 * h0 + h0) % 1000000007 AS h FROM wins
-            ), cnt AS (SELECT h, count(*) AS c FROM wh GROUP BY 1),
+            ), cnt AS (SELECT wt, count(*) AS c FROM wins GROUP BY 1),
             flags AS (
-              SELECT doc_id, s FROM wh JOIN cnt USING (h) WHERE c >= 2
+              SELECT doc_id, s FROM wins JOIN cnt USING (wt) WHERE c >= 2
             ), tok AS (
               SELECT doc_id, ti, l[ti + 1] AS tk
               FROM (SELECT doc_id, l, unnest(range(0, len(l))) AS ti FROM toks)

@@ -876,10 +876,18 @@ def _window_hash_spans(
     w: int,
     seed: int,
     with_start: bool = False,
+    wide: bool = False,
 ) -> DataFrame:
     """One Arrow pass emitting a row per ``w``-token window: ``(id, _h)``
     (plus ``_s`` token start index with ``with_start``). The hash is the
     square-mixed 131-poly over the window's joined text — SQL-replicable.
+
+    ``wide=True`` combines TWO independent square-mixed poly hashes
+    (moduli 1e9+7 and 998244353) into one ~2⁶⁰-entropy int64 key — NOT
+    SQL-replicable, for internal prefiltering only. A single ~2³⁰ hash
+    saturates at corpus scale (at 10¹² windows every value is hit ~10³
+    times, so a count≥2 prefilter keeps everything); the wide key keeps
+    expected false candidates ~n²/2⁶¹.
 
     Kernel: the batch's joined docs concatenate into ONE code-point
     array (utf-32 decode — ``ord()`` semantics, matching the oracles'
@@ -899,6 +907,8 @@ def _window_hash_spans(
     ti = df.columns.index(text_col)
     M = 1000000007
     RINV = pow(131, M - 2, M)
+    M2 = 998244353
+    RINV2 = pow(131, M2 - 2, M2)
     id_is_int = isinstance(
         df.schema[id_col].dataType,
         (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
@@ -949,12 +959,26 @@ def _window_hash_spans(
             np.cumsum(terms, out=P[1:])
             P[1:] %= M
             P[1:] = P[1:] * pow131[1:] % M
+            if wide:
+                pow131b = _span_pow_table(131, n, M=M2)
+                rpowb = _span_pow_table(RINV2, n, M=M2)
+                termsb = cp * rpowb[1:] % M2
+                P2 = np.empty(n + 1, dtype=np.int64)
+                P2[0] = 0
+                np.cumsum(termsb, out=P2[1:])
+                P2[1:] %= M2
+                P2[1:] = P2[1:] * pow131b[1:] % M2
             s0 = int(seed) + 1
             for did, a, b, nw in zip(dids, starts, ends, lens):
                 wl = b - a
                 sub = (P[b] - P[a] * pow131[wl]) % M
                 h = (s0 * pow131[wl] + sub) % M
                 h = (h * h + h) % M
+                if wide:
+                    sub2 = (P2[b] - P2[a] * pow131b[wl]) % M2
+                    h2 = (s0 * pow131b[wl] + sub2) % M2
+                    h2 = (h2 * h2 + h2) % M2
+                    h = h * M2 + h2  # < 2^60, fits int64
                 if id_is_int:
                     ids.append(np.full(nw, did, dtype=np.int64))
                 else:
@@ -1015,12 +1039,63 @@ def dup_span_stats(
     )
 
 
+def _window_text_spans(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    """One Arrow pass emitting a row per ``w``-token window: ``(id, _s,
+    _wt)`` where ``_wt`` is the window's whitespace-normalized text.
+    Each window is one C-level slice of the doc's joined text (no
+    per-token interpreter work)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("_s", T.LongType()),
+            T.StructField("_wt", T.StringType()),
+        ]
+    )
+    ii = df.columns.index(id_col)
+    ti = df.columns.index(text_col)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, ss, wts = [], [], []
+            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
+                if text is None:
+                    continue
+                toks = _ascii_ws_split(str(text))
+                if len(toks) < w:
+                    continue
+                joined = " ".join(toks)
+                tl = np.fromiter(
+                    (len(t) for t in toks), dtype=np.int64, count=len(toks)
+                )
+                off = np.zeros(len(toks) + 1, dtype=np.int64)
+                np.cumsum(tl + 1, out=off[1:])
+                nwin = len(toks) - w + 1
+                a = off[:nwin]
+                b = off[w : w + nwin] - 1  # strip joiner space
+                for s in range(nwin):
+                    ids.append(did)
+                    ss.append(s)
+                    wts.append(joined[a[s] : b[s]])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids),
+                    "_s": pd.Series(ss, dtype="int64"),
+                    "_wt": pd.Series(wts, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(gen, out_schema)
+
+
 def excise_dup_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
     seed: int = 5,
+    method: str = "text",
 ) -> DataFrame:
     """ExactSubstr span REMOVAL (Lee et al. 2022): delete every
     ``window``-token span that occurs more than once anywhere in the
@@ -1033,21 +1108,138 @@ def excise_dup_spans(
     no tokens); a token dies when ANY window covering it is duplicated,
     so overlapping flagged windows merge naturally.
 
-    Scale shape: the same three-shuffle plan as the stats lane — window
-    hash rows (one Arrow pass), map-side-combinable corpus counts, hash
-    join-back (AQE splits boilerplate skew) — plus one groupBy(id)
-    collecting each doc's flagged starts (bounded by tokens/doc) and a
-    final Arrow rebuild pass joined against the original text."""
+    Unlike the stats lane (where a hash collision only perturbs a
+    counter and the oracle shares the hash), the REMOVAL lane deletes
+    text — a false duplicate pair is silent data corruption, and a
+    ~2³⁰-entropy hash sees ~n²/2e9 birthday pairs (hundreds at 10⁶
+    windows, saturation at corpus scale). So duplication here is
+    decided by EXACT window-text equality: a wide ~2⁶⁰ double hash
+    prefilters candidates (cheap, superset-safe), the candidates'
+    window text is re-derived and counted, and only text-verified
+    duplicates kill tokens. The SQL oracle groups windows by their
+    literal text — no hash in the semantics at all.
+
+    Two exact plans, chosen by ``method``:
+
+    * ``"text"`` (default) — window TEXT rows (one Arrow pass, each
+      window one C-level slice) → ONE explicit exchange on ``_wt``
+      (equal windows co-locate) → a local pandas count-filter inside
+      each partition (no self-join, so the window pass runs exactly
+      once — a groupBy+join-back here re-executes the whole pass on the
+      probe side) → per-doc flagged starts → final Arrow rebuild
+      against the original text. Shuffle volume is ~window-size× the
+      corpus bytes — the same asymptotics as the hash lane's span rows,
+      fatter rows, two fewer stages. One pathologically hot boilerplate
+      span concentrates in one partition (the local count buffers it);
+      in that regime use ``"hash"``, whose corpus-scale stage is an
+      AQE-splittable join.
+    * ``"hash"`` — a ~2⁶⁰ double-hash prefilter shuffles 16 B/window
+      first, then ONLY candidate windows' text is re-derived (a second
+      Arrow pass over candidate-bearing docs), text-counted and
+      verified. Post-filter stages scale with duplicate volume, not
+      corpus size — take this when window-text shuffle bytes are the
+      binding constraint (very fat windows / very large corpora) and
+      duplicate density is low."""
     w = int(window)
-    spans = _window_hash_spans(df, id_col, text_col, w, int(seed), with_start=True)
-    counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
-    flagged = (
-        spans.join(counts, "_h")
-        .where(F.col("_c") >= 2)
-        .groupBy(id_col)
-        .agg(F.collect_list("_s").alias("_flags"))
-    )
-    src = df.select(F.col(id_col), F.col(text_col)).join(flagged, id_col, "left")
+    if method not in ("text", "hash"):
+        raise ValueError(f"excise_dup_spans: unknown method {method!r}")
+    base = df.select(F.col(id_col), F.col(text_col))
+    # input-side widening: a corpus narrower than the cluster (fewer
+    # scan partitions than cores — by definition a small corpus, each
+    # scan split is ≤ maxPartitionBytes) serializes every Arrow pass
+    # onto one core; one cheap round-robin shuffle unlocks them all.
+    # At scale scan partitions >> parallelism and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
+    if method == "text":
+        wtexts = _window_text_spans(base, id_col, text_col, w)
+        loc = wtexts.repartition(F.col("_wt"))
+        flag_schema = T.StructType(
+            [df.schema[id_col], T.StructField("_s", T.LongType())]
+        )
+
+        def dup_filter(batches):
+            # equal window texts are co-located by the repartition but
+            # may straddle Arrow batches: buffer the partition, count
+            # locally, keep rows whose text occurs ≥2 times corpus-wide
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            sizes = pdf.groupby("_wt")["_wt"].transform("size")
+            out = pdf.loc[sizes >= 2, [pdf.columns[0], "_s"]]
+            yield out
+
+        flagged = (
+            loc.mapInPandas(dup_filter, flag_schema)
+            .groupBy(id_col)
+            .agg(F.collect_list("_s").alias("_flags"))
+        )
+        src = base.join(flagged, id_col, "left")
+        return _excise_rebuild(df, src, id_col, w)
+    else:
+        spans = _window_hash_spans(
+            base, id_col, text_col, w, int(seed), with_start=True, wide=True
+        )
+        counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
+        cand = (
+            spans.join(counts, "_h")
+            .where(F.col("_c") >= 2)
+            .groupBy(id_col)
+            .agg(F.collect_list("_s").alias("_cand"))
+        )
+        csrc = base.join(cand, id_col, "inner")
+        wt_schema = T.StructType(
+            [
+                df.schema[id_col],
+                T.StructField("_s", T.LongType()),
+                T.StructField("_wt", T.StringType()),
+            ]
+        )
+
+        def emit_wtexts(batches):
+            for pdf in batches:
+                ids, ss, wts = [], [], []
+                for did, text, cstarts in zip(
+                    pdf.iloc[:, 0], pdf.iloc[:, 1], pdf.iloc[:, 2]
+                ):
+                    toks = _ascii_ws_split(str(text)) if text is not None else []
+                    for s in cstarts:
+                        s = int(s)
+                        ids.append(did)
+                        ss.append(s)
+                        wts.append(" ".join(toks[s : s + w]))
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids),
+                        "_s": pd.Series(ss, dtype="int64"),
+                        "_wt": pd.Series(wts, dtype="object"),
+                    }
+                )
+
+        wtexts = csrc.mapInPandas(emit_wtexts, wt_schema)
+        # candidate volume is dup-volume-sized: the groupBy+join-back is
+        # AQE-skew-splittable and its recompute cost is bounded by the
+        # candidate subtree, not the corpus pass
+        wcounts = wtexts.groupBy("_wt").agg(F.count("*").alias("_c2"))
+        flagged = (
+            wtexts.join(wcounts, "_wt")
+            .where(F.col("_c2") >= 2)
+            .groupBy(id_col)
+            .agg(F.collect_list("_s").alias("_flags"))
+        )
+        src = base.join(flagged, id_col, "left")
+        return _excise_rebuild(df, src, id_col, w)
+
+
+def _excise_rebuild(
+    df: DataFrame, src: DataFrame, id_col: str, w: int
+) -> DataFrame:
+    """Final Arrow pass of :func:`excise_dup_spans`: ``src`` carries
+    ``(id, text, _flags)`` (flagged window starts, NULL for clean docs);
+    rebuild each doc's surviving-token text via a difference-array kill
+    mask + one vectorized object-array take."""
     out_schema = T.StructType(
         [
             df.schema[id_col],
@@ -1066,21 +1258,21 @@ def excise_dup_spans(
                 toks = _ascii_ws_split(str(text)) if text is not None else []
                 n = len(toks)
                 if flags is None or (hasattr(flags, "__len__") and len(flags) == 0):
-                    kept = toks
+                    clean, nkept = " ".join(toks), n
                 else:
-                    dead = np.zeros(n, dtype=bool)
                     starts = np.asarray(list(flags), dtype=np.int64)
                     # every token covered by a flagged window dies; mark
                     # via a difference array instead of per-start loops
                     diff = np.zeros(n + 1, dtype=np.int64)
                     np.add.at(diff, starts, 1)
                     np.add.at(diff, np.minimum(starts + w, n), -1)
-                    dead = np.cumsum(diff[:n]) > 0
-                    kept = [t for t, d in zip(toks, dead) if not d]
+                    alive = np.cumsum(diff[:n]) <= 0
+                    kept = np.asarray(toks, dtype=object)[alive]
+                    clean, nkept = " ".join(kept), int(alive.sum())
                 ids.append(did)
-                cleans.append(" ".join(kept))
+                cleans.append(clean)
                 ntoks.append(n)
-                nrem.append(n - len(kept))
+                nrem.append(n - nkept)
             yield pd.DataFrame(
                 {
                     id_col: pd.Series(ids),

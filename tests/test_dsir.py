@@ -163,6 +163,14 @@ def test_excise_dup_spans(spark):
     w = 4
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {r.doc_id: r for r in excise_dup_spans(df, window=w, seed=5).collect()}
+    # the hash-prefiltered plan must agree exactly with the text plan
+    # (both decide duplication by window-text equality)
+    got_hash = {
+        r.doc_id: r
+        for r in excise_dup_spans(df, window=w, seed=5, method="hash").collect()
+    }
+    for did in got:
+        assert got[did] == got_hash[did], (did, got[did], got_hash[did])
 
     # brute-force reference
     wins = Counter()
