@@ -30,6 +30,7 @@ def sessionize(
     gap_seconds: int = 1800,
     order_cols: list | None = None,
     out_col: str = "session_seq",
+    max_user_events: int | None = 10_000_000,
 ) -> DataFrame:
     """Label every event with its per-user session ordinal (1-based).
 
@@ -40,8 +41,35 @@ def sessionize(
     ``gap_seconds`` — the same convention as ``session_window`` (an
     event landing exactly on the gap padding's closing bound still
     merges, verified against the built-in), so ``sessionize`` and
-    :func:`session_stats` always agree on session boundaries. The per-user window carries bounded data (one user's
-    events), so there is no global sort."""
+    :func:`session_stats` always agree on session boundaries.
+
+    The per-user window assumes bounded per-user cardinality; one bot
+    user with 10⁸ events makes ONE task sort 10⁸ rows (AQE splits
+    skewed joins, not windows — a silent wedge at 100 TB). So
+    ``max_user_events`` guards that assumption with one cheap
+    map-side-combinable count and fails LOUDLY above it, pointing at
+    :func:`session_stats` (which needs no per-user sort) or a pre-split
+    of the hot users. Pass ``None`` to skip the guard (and its one
+    extra count job) when the cardinality bound is already known."""
+    if max_user_events is not None:
+        hot = (
+            df.groupBy(user_col)
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > int(max_user_events))
+            .orderBy(F.col("_n").desc())
+            .limit(10)
+            .collect()
+        )
+        if hot:
+            listing = ", ".join(f"{r[0]}={r._n}" for r in hot)
+            raise ValueError(
+                f"sessionize: user(s) exceed max_user_events="
+                f"{max_user_events} ({listing}); the per-user label "
+                f"window sorts one user's events in ONE task — use "
+                f"session_stats (built-in session_window, no per-user "
+                f"sort) for aggregates, or pre-split the hot users, "
+                f"then pass max_user_events=None to proceed"
+            )
     order = [F.col(ts_col)] + [F.col(c) for c in (order_cols or [])]
     w = Window.partitionBy(user_col).orderBy(*order)
     tcol = F.col(ts_col)

@@ -42,6 +42,22 @@ def test_sessionize_islands_and_boundary(spark):
     }
 
 
+def test_sessionize_hot_user_guard(spark):
+    """The labeler's per-user window sorts one user's events in ONE
+    task, so a deliberately hot user must trip the loud guard (and the
+    error must name the user and the escape hatches)."""
+    import pytest
+
+    rows = [(i, 1 if i < 20 else 2, _ts(0, i % 60)) for i in range(25)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="max_user_events.*1=20.*session_stats"):
+        sessionize(df, gap_seconds=60, max_user_events=10)
+    # explicit opt-out proceeds
+    assert sessionize(df, gap_seconds=60, max_user_events=None).count() == 25
+    # under the threshold: no trip
+    assert sessionize(df, gap_seconds=60, max_user_events=20).count() == 25
+
+
 def test_sessionize_agrees_with_session_window(spark):
     """On the real events table, per-user session COUNTS from the
     labeler equal the session_window aggregate's row counts, and the
