@@ -1125,6 +1125,82 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN quality made driver-visible (operators/knn.ann_recall — the
+    quality analog of the reference's index-vs-noindex A/B,
+    benchmark/rtree_points_index.benchmark:10-18): recall@10 of each
+    approximate path (LSH / IVF / IVF-PQ) against the exact brute-force
+    baseline, for 20 fixed query vectors. One row per method with the
+    aggregate pass/fail decided on INTEGER hit counts
+    (100*sum_hit >= pct*sum_exact — no float hazard); thresholds are
+    set ~0.15-0.20 under each method's measured mean recall (0.715 /
+    0.625 / 0.525 at sf0.01), so run-to-run quantizer jitter cannot
+    flip the boolean while a real quality regression will. The oracle
+    pins the expected booleans: every method must clear its bar."""
+    _prep(spark, sf_dir)
+    import os
+
+    from pyspark.sql import Window
+
+    from duckdb_spatial_spark.operators.knn import (
+        _cosine_expr,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        ann_recall,
+        build_ivfpq_index,
+        ivfpq_index_query,
+    )
+
+    emb = spark.table("embeddings")
+    embd = emb.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
+    q = embd.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = q.crossJoin(
+        embd.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("bv"))
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(_cosine_expr(F.col("qv"), F.col("bv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = scored.withColumn("rank", F.row_number().over(w))
+    embf = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
+    qf = embf.filter("vec_id < 20")
+    path = os.path.join(_fresh_tmp("ann_recall"), "idx")
+    build_ivfpq_index(embf, path, nlist=16, m=8)
+    methods = [
+        ("lsh", ann_lsh_topk(embf, qf, k=10, bits=4, tables=8), 50),
+        ("ivf", ann_ivf_topk(embf, qf, k=10, nlist=8, nprobe=3), 45),
+        ("ivfpq", ivfpq_index_query(qf, path, k=10, nprobe=4), 38),
+    ]
+    parts = []
+    for name, approx, pct in methods:
+        r = ann_recall(approx, exact, k=10).agg(
+            F.count("*").alias("n_queries"),
+            F.sum("n_exact").alias("_te"),
+            F.sum("n_hit").alias("_th"),
+        )
+        parts.append(
+            r.select(
+                F.lit(name).alias("method"),
+                F.col("n_queries").cast("long").alias("n_queries"),
+                (F.col("_th") * 100 >= F.lit(pct) * F.col("_te")).alias(
+                    "recall_ok"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal decode stack end-to-end on deterministic in-query
     fixtures: PNG encode (codecs.py) -> header parse -> real decode ->
@@ -3352,6 +3428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_spec": q_minhash_lsh_spec,
         "simhash_spec": q_simhash_spec,
         "ann_cosine_topk": q_ann_cosine_topk,
+        # --- new in r11: ANN quality made driver-visible (recall@10 of
+        # lsh/ivf/ivfpq vs the exact baseline, value-oracled booleans) ---
+        "ann_recall": q_ann_recall,
         # --- new in r10: PQ-compressed ANN (ann_lsh_topk, rows-only and
         # driver-checked since r6, rotates behind the window) ---
         "ivfpq_index": q_ivfpq_index,
@@ -4913,6 +4992,13 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
               FROM t a, t b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
             ) WHERE j >= 0.1
+        """,
+        "ann_recall": """
+            SELECT m.method,
+                   (SELECT CAST(count(*) AS BIGINT) FROM embeddings
+                    WHERE vec_id < 20) AS n_queries,
+                   true AS recall_ok
+            FROM (VALUES ('lsh'), ('ivf'), ('ivfpq')) AS m(method)
         """,
         "ann_cosine_topk": """
             SELECT query_id, neighbor_id, rank, round(cosine, 5) AS cosine FROM (

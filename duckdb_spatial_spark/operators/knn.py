@@ -722,3 +722,41 @@ def ivfpq_index_query(
         F.col("cosine").alias("score_adc"),
         "rank",
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against an exact baseline —
+    the ANN-quality analog of the reference's index-vs-noindex A/B
+    (``benchmark/rtree_points_index.benchmark:10-18`` runs the same
+    query with and without the R-tree and compares).
+
+    Both inputs are ANN result shapes ``(query_id, neighbor_id, rank,
+    ...)`` — typically ``exact`` from :func:`ann_brute_topk` and
+    ``approx`` from any of the lsh/ivf/ivfpq paths. Returns one row per
+    exact-side query: ``(query_id, n_exact, n_hit)`` where ``n_hit``
+    counts exact top-``k`` neighbors the approximate result also ranked
+    in ITS top-``k``. Recall decisions downstream should compare the
+    integer counts (``100*n_hit >= pct*n_exact``), never a float ratio —
+    cross-engine float parity for free.
+
+    Scale shape: two rank filters, one left-semi equi-join on
+    (query_id, neighbor_id), one map-side-combinable count per side —
+    all proportional to queries×k, never corpus size."""
+    kk = int(k)
+    a = approx.where(F.col("rank") <= kk).select("query_id", "neighbor_id")
+    e = exact.where(F.col("rank") <= kk).select("query_id", "neighbor_id")
+    tot = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    hit = (
+        e.join(a, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        tot.join(hit, "query_id", "left")
+        .fillna(0, subset=["n_hit"])
+        .select("query_id", "n_exact", "n_hit")
+    )
