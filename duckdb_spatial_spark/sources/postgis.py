@@ -62,14 +62,13 @@ def postgis_query_sql(
         raise ValueError("read_postgis: pass exactly one of table= or query=")
     src = _quote_ident(table) if table else f"({query}) AS _q"
     gq = _quote_ident(geom_col)
-    cols = (
-        ", ".join(_quote_ident(c) for c in columns if c != geom_col)
-        if columns
-        else "*"
-    )
     if columns:
-        # attribute pruning keeps the geometry (uniform ST_Read contract)
-        select = f"{cols}, ST_AsBinary({gq}) AS {gq}"
+        # attribute pruning keeps the geometry (uniform ST_Read contract);
+        # a list that prunes every attribute (e.g. columns=[geom_col])
+        # ships the geometry alone — no dangling comma
+        attrs = [_quote_ident(c) for c in columns if c != geom_col]
+        wkb = f"ST_AsBinary({gq}) AS {gq}"
+        select = ", ".join(attrs + [wkb])
     else:
         # PostgreSQL has no SELECT * REPLACE, so the * form ships the WKB
         # under a suffixed name and read_postgis drops the native column
@@ -171,3 +170,183 @@ def read_postgis(
     if columns is None and f"__wkb_{geom_col}" in df.columns:
         df = df.drop(geom_col).withColumnRenamed(f"__wkb_{geom_col}", geom_col)
     return df
+
+
+# ---------------------------------------------------------------------------
+# write-back lane — the GDAL "PostgreSQL" driver's write direction
+# (st_write's analog for a live server). Same deployment split as the
+# read lane: every server-side statement is built by a pure function the
+# tests pin offline; execution needs the JDBC jar + a live server.
+# ---------------------------------------------------------------------------
+
+_PG_TYPES = {
+    "string": "TEXT",
+    "long": "BIGINT",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "integer": "INTEGER",
+    "smallint": "SMALLINT",
+    "tinyint": "SMALLINT",
+    "double": "DOUBLE PRECISION",
+    "float": "REAL",
+    "boolean": "BOOLEAN",
+    "binary": "BYTEA",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def postgis_create_table_sql(
+    table: str,
+    fields: list[tuple[str, str]],
+    geom_col: str = "geom",
+    geom_type: str = "GEOMETRY",
+    srid: int = 0,
+) -> str:
+    """``CREATE TABLE`` DDL for the target: attribute columns from
+    ``fields`` (Spark simpleString type names), the geometry column as a
+    typed ``geometry(TYPE, SRID)`` so the server enforces what a GDAL
+    layer definition would."""
+    cols = []
+    for name, dtype in fields:
+        if name == geom_col:
+            continue
+        pg = _PG_TYPES.get(dtype)
+        if pg is None:
+            raise ValueError(
+                f"write_postgis: no PostgreSQL mapping for Spark type "
+                f"{dtype!r} (column {name!r}); cast it first"
+            )
+        cols.append(f"{_quote_ident(name)} {pg}")
+    gt = geom_type.upper()
+    if not _IDENT.match(gt):
+        raise ValueError(f"write_postgis: invalid geometry type {gt!r}")
+    cols.append(f"{_quote_ident(geom_col)} geometry({gt}, {int(srid)})")
+    return f"CREATE TABLE {_quote_ident(table)} ({', '.join(cols)})"
+
+
+def postgis_insert_from_staging_sql(
+    table: str,
+    staging: str,
+    attr_cols: list[str],
+    geom_col: str = "geom",
+    srid: int = 0,
+) -> str:
+    """Move rows from the JDBC-written staging table (geometry as WKB
+    bytea) into the typed target: the WKB decodes SERVER-side via
+    ``ST_GeomFromWKB`` + ``ST_SetSRID`` — Spark's JDBC writer can only
+    ship plain types, so the cast happens where the geometry type
+    lives."""
+    attrs = [_quote_ident(c) for c in attr_cols if c != geom_col]
+    gq = _quote_ident(geom_col)
+    cols = ", ".join(attrs + [gq])
+    sel = ", ".join(attrs + [f"ST_SetSRID(ST_GeomFromWKB({gq}), {int(srid)})"])
+    return (
+        f"INSERT INTO {_quote_ident(table)} ({cols}) "
+        f"SELECT {sel} FROM {_quote_ident(staging)}"
+    )
+
+
+def postgis_gist_index_sql(table: str, geom_col: str = "geom") -> str:
+    """GiST index DDL — the server-side R-tree the read lane's ``bbox=``
+    pushdown is answered from."""
+    idx = f"{table.split('.')[-1]}_{geom_col}_gist"
+    if not _IDENT.match(idx):
+        raise ValueError(f"write_postgis: cannot derive index name for {table!r}")
+    return (
+        f"CREATE INDEX {_quote_ident(idx)} ON {_quote_ident(table)} "
+        f"USING GIST ({_quote_ident(geom_col)})"
+    )
+
+
+def postgis_write_plan(
+    table: str,
+    fields: list[tuple[str, str]],
+    geom_col: str = "geom",
+    geom_type: str = "GEOMETRY",
+    srid: int = 0,
+    index: bool = True,
+) -> tuple[str, list[str]]:
+    """The full write-back recipe: returns ``(staging_table,
+    statements)`` where ``statements`` run in order AFTER Spark's JDBC
+    writer lands the staging table. Pure function — pinned by tests."""
+    staging = f"{table}__spark_stage"
+    stmts = [
+        postgis_create_table_sql(
+            table, fields, geom_col=geom_col, geom_type=geom_type, srid=srid
+        ),
+        postgis_insert_from_staging_sql(
+            table, staging, [n for n, _ in fields],
+            geom_col=geom_col, srid=srid,
+        ),
+        f"DROP TABLE {_quote_ident(staging)}",
+    ]
+    if index:
+        stmts.append(postgis_gist_index_sql(table, geom_col))
+    return staging, stmts
+
+
+def write_postgis(
+    df: DataFrame,
+    url: str,
+    table: str,
+    geom_col: str = "geom",
+    geom_type: str = "GEOMETRY",
+    srid: int = 0,
+    index: bool = True,
+    user: str | None = None,
+    password: str | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """Write a DataFrame with a WKB geometry column (``binary``) to a
+    live PostGIS table.
+
+    Two phases: (1) Spark's parallel JDBC writer lands the rows in a
+    staging table — the geometry ships as plain WKB bytea, N executors
+    insert concurrently (the scale path; a single-connection
+    ST_GeomFromWKB INSERT stream would serialize the cluster); (2) one
+    driver-side connection replays :func:`postgis_write_plan` —
+    CREATE TABLE with a typed geometry column, INSERT ... SELECT with
+    the server-side WKB decode, staging drop, GiST index DDL.
+
+    Requires the PostgreSQL JDBC jar on the Spark classpath (same
+    contract as :func:`read_postgis`); the driver-side statements run
+    through ``java.sql.DriverManager`` on the already-loaded jar, so no
+    extra Python dependency."""
+    if not url.startswith("jdbc:postgresql:"):
+        raise ValueError(
+            f"write_postgis: url must start with jdbc:postgresql: (got {url!r})"
+        )
+    fields = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+    staging, stmts = postgis_write_plan(
+        table, fields, geom_col=geom_col, geom_type=geom_type,
+        srid=srid, index=index,
+    )
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .option("driver", "org.postgresql.Driver")
+        .option("batchsize", str(int(batchsize)))
+        .mode("errorifexists")
+    )
+    if user is not None:
+        writer = writer.option("user", user)
+    if password is not None:
+        writer = writer.option("password", password)
+    writer.save()
+    jvm = df.sparkSession._jvm
+    props = jvm.java.util.Properties()
+    if user is not None:
+        props.setProperty("user", user)
+    if password is not None:
+        props.setProperty("password", password)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        st = conn.createStatement()
+        for sql in stmts:
+            st.execute(sql)
+        st.close()
+    finally:
+        conn.close()

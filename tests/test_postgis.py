@@ -96,3 +96,40 @@ def test_read_options_single_and_partitioned():
         postgis_read_options(
             "jdbc:postgresql://h/db", "SELECT 1", partition_column="id"
         )
+
+
+def test_query_sql_geom_only_columns():
+    # pruning every attribute must not emit a dangling comma
+    sql = postgis_query_sql(table="roads", columns=["geom"])
+    assert sql == 'SELECT ST_AsBinary("geom") AS "geom" FROM "roads"'
+
+
+def test_write_plan_statements():
+    from duckdb_spatial_spark.sources.postgis import postgis_write_plan
+
+    fields = [("id", "bigint"), ("name", "string"), ("geom", "binary")]
+    staging, stmts = postgis_write_plan(
+        "public.roads", fields, geom_col="geom",
+        geom_type="LineString", srid=28992,
+    )
+    assert staging == "public.roads__spark_stage"
+    assert stmts[0] == (
+        'CREATE TABLE "public"."roads" ("id" BIGINT, "name" TEXT, '
+        '"geom" geometry(LINESTRING, 28992))'
+    )
+    assert stmts[1] == (
+        'INSERT INTO "public"."roads" ("id", "name", "geom") '
+        'SELECT "id", "name", ST_SetSRID(ST_GeomFromWKB("geom"), 28992) '
+        'FROM "public"."roads__spark_stage"'
+    )
+    assert stmts[2] == 'DROP TABLE "public"."roads__spark_stage"'
+    assert stmts[3] == (
+        'CREATE INDEX "roads_geom_gist" ON "public"."roads" '
+        'USING GIST ("geom")'
+    )
+    # unmappable Spark type fails loudly, naming the column
+    with pytest.raises(ValueError, match="decimal.*amount"):
+        postgis_write_plan("t", [("amount", "decimal(10,2)"), ("geom", "binary")])
+    # no-index variant omits the DDL
+    _, s2 = postgis_write_plan("t", fields, index=False)
+    assert len(s2) == 3
