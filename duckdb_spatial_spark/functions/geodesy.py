@@ -173,6 +173,11 @@ def vincenty_inverse(lon1, lat1, lon2, lat2, max_iter: int = 200, tol: float = 1
         "cos2_a0": cos2_alpha,
         "C": C,
         "eq": eq,
+        # points whose lambda iteration exhausted max_iter (near-antipodal
+        # pairs — Vincenty's known divergence region); their s/az carry
+        # the last iterate, possibly metres off. Callers that cannot
+        # tolerate that (aeqd) must check this mask.
+        "converged": ~active,
     }
 
 

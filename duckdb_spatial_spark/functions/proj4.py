@@ -636,11 +636,17 @@ def _omerc_setup(ell, lat_c, lon_c, alpha_c, gamma_c, k_c):
     G = (F - 1 / F) / 2
     g0 = math.asin(min(max(math.sin(math.radians(alpha_c)) / D, -1.0), 1.0))
     lam0 = math.radians(lon_c) - math.asin(min(max(G * math.tan(g0), -1.0), 1.0)) / B
-    # variant B's u offset at the projection center (EPSG 9815)
-    uc = (
-        abs(A_ / B * math.atan2(math.sqrt(D2 - 1), math.cos(math.radians(alpha_c))))
-        * (1 if pc >= 0 else -1)
-    )
+    # variant B's u offset at the projection center (EPSG 9815); the
+    # guide's special case: when alpha_c = 90 exactly, the atan2 form
+    # degenerates (cos(alpha_c) = 0 would give A*pi/(2B)) and uc is
+    # instead A*(lon_c - lam0)
+    if abs(alpha_c - 90.0) < 1e-12:
+        uc = A_ * (math.radians(lon_c) - lam0)
+    else:
+        uc = (
+            abs(A_ / B * math.atan2(math.sqrt(D2 - 1), math.cos(math.radians(alpha_c))))
+            * (1 if pc >= 0 else -1)
+        )
     return B, A_, H, g0, lam0, uc
 
 
@@ -734,6 +740,17 @@ def aeqd_forward(ell, lon, lat, lat_0, lon_0, x_0, y_0):
     inv = vincenty_inverse(
         np.full_like(lon, lon_0), np.full_like(lat, lat_0), lon, lat
     )
+    if not np.all(inv["converged"]):
+        bad = np.flatnonzero(~np.asarray(inv["converged"]))
+        raise ValueError(
+            f"+proj=aeqd: Vincenty inverse did not converge for "
+            f"{bad.size} near-antipodal point(s) (first at index "
+            f"{int(bad[0])}, lon={float(lon.flat[bad[0]])}, "
+            f"lat={float(lat.flat[bad[0]])}); results there would be "
+            f"silently metres-level wrong (PROJ's GeographicLib solver "
+            f"always converges). Keep inputs out of the antipodal "
+            f"neighbourhood of the projection centre"
+        )
     return x_0 + inv["s"] * np.sin(inv["az1"]), y_0 + inv["s"] * np.cos(inv["az1"])
 
 

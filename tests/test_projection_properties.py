@@ -140,3 +140,33 @@ def test_eqc_and_aeqd():
 
     with _pytest.raises(ValueError, match="aeqd"):
         P._fwd(P.parse_proj4("+proj=aeqd +ellps=bessel"), np.array([1.0]), np.array([1.0]))
+
+
+def test_aeqd_antipodal_raises_and_omerc_alpha90():
+    """aeqd must FAIL LOUDLY (not silently return the last Vincenty
+    iterate) in the near-antipodal divergence region; omerc variant B
+    with alpha=90 takes the EPSG 9815 special-case uc = A*(lon_c - lam0),
+    which equals the alpha->90 analytic limit of the atan2 form."""
+    import math
+
+    import pytest as _pytest
+
+    a = P.parse_proj4("+proj=aeqd +lat_0=52 +lon_0=5 +ellps=WGS84")
+    with _pytest.raises(ValueError, match="did not converge"):
+        P._fwd(a, np.array([-175.0]), np.array([-52.0]))
+
+    ell = P.parse_proj4("+proj=longlat +ellps=WGS84").ell
+    B, A_, H, g0, lam0, uc = P._omerc_setup(ell, 4, 115, 90.0, 90.0, 0.99984)
+    assert abs(uc - A_ * (math.radians(115) - lam0)) < 1e-6
+    # analytic limit check: G = sqrt(D^2-1) at alpha=90, so the asin arg
+    # is exactly 1 and lon_c - lam0 = pi/(2B)
+    assert abs((math.radians(115) - lam0) - math.pi / (2 * B)) < 1e-9
+    # roundtrip through the special case stays exact
+    x, y = P.omerc_forward(
+        ell, np.array([114.0]), np.array([3.0]), 4, 115, 90.0, 90.0,
+        0.99984, 0.0, 0.0, False,
+    )
+    lo, la = P.omerc_inverse(
+        ell, x, y, 4, 115, 90.0, 90.0, 0.99984, 0.0, 0.0, False
+    )
+    assert abs(lo[0] - 114.0) < 1e-9 and abs(la[0] - 3.0) < 1e-9
