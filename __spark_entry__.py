@@ -2910,6 +2910,60 @@ def q_spatial_transform_rd(spark, sf_dir):
     )
 
 
+def q_spatial_transform_stateplane(spark, sf_dir):
+    """EPSG registry breadth (functions/crs.py r11: US State Plane
+    sample, NAD27/GDA/SIRGAS/Pulkovo/DHDN UTM + Gauss-Krüger series,
+    Australian Albers — reference resolves these from its vendored PROJ
+    database, proj/functions.cpp:416-422). Absolute pins are published
+    worked examples, not engine output: the EPSG GN7-2 Lambert conic
+    conformal 2SP example (NAD27 / Texas South Central EPSG:32040,
+    28°30'N 96°W -> E 2963503.91 ftUS, N 254759.80 ftUS) and the GDA94
+    technical-manual example (Flinders Peak -> MGA zone 55
+    E 273741.297, N 5796489.777). Roundtrip identities sweep one code
+    per new series (NY Long Island ftUS, Pulkovo GK z7, SIRGAS UTM 23S,
+    NAD27 UTM 16N incl. its Helmert legs, Australian Albers — the
+    southern-cone aea inverse fixed this round)."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 1 AS pid,
+          round(ST_X(tx), 2) AS tx_e, round(ST_Y(tx), 2) AS tx_n,
+          round(ST_X(txrt), 6) AS tx_rt_lon, round(ST_Y(txrt), 6) AS tx_rt_lat,
+          round(ST_X(fp), 3) AS fp_e, round(ST_Y(fp), 3) AS fp_n,
+          round(ST_X(ny), 6) AS ny_rt_lon, round(ST_Y(ny), 6) AS ny_rt_lat,
+          round(ST_X(gk), 6) AS gk_rt_lon, round(ST_Y(gk), 6) AS gk_rt_lat,
+          round(ST_X(sir), 6) AS sir_rt_lon, round(ST_Y(sir), 6) AS sir_rt_lat,
+          round(ST_X(n27), 6) AS n27_rt_lon, round(ST_Y(n27), 6) AS n27_rt_lat,
+          round(ST_X(aus), 6) AS aus_rt_lon, round(ST_Y(aus), 6) AS aus_rt_lat
+        FROM (
+          SELECT
+            ST_Transform(ST_Point(-96.0D, 28.5D),
+                         'EPSG:4267', 'EPSG:32040', true) AS tx,
+            ST_Transform(ST_Transform(ST_Point(-96.0D, 28.5D),
+                         'EPSG:4267', 'EPSG:32040', true),
+                         'EPSG:32040', 'EPSG:4267', true) AS txrt,
+            ST_Transform(ST_Point(144.42486788888888D, -37.95103341666667D),
+                         'EPSG:4283', 'EPSG:28355', true) AS fp,
+            ST_Transform(ST_Transform(ST_Point(-74.006D, 40.7128D),
+                         'EPSG:4269', 'EPSG:2263', true),
+                         'EPSG:2263', 'EPSG:4269', true) AS ny,
+            ST_Transform(ST_Transform(ST_Point(37.6176D, 55.7558D),
+                         'EPSG:4326', 'EPSG:28407', true),
+                         'EPSG:28407', 'EPSG:4326', true) AS gk,
+            ST_Transform(ST_Transform(ST_Point(-46.6333D, -23.5505D),
+                         'EPSG:4674', 'EPSG:31983', true),
+                         'EPSG:31983', 'EPSG:4674', true) AS sir,
+            ST_Transform(ST_Transform(ST_Point(-87.6298D, 41.8781D),
+                         'EPSG:4326', 'EPSG:26716', true),
+                         'EPSG:26716', 'EPSG:4326', true) AS n27,
+            ST_Transform(ST_Transform(ST_Point(133.8807D, -23.698D),
+                         'EPSG:4326', 'EPSG:3577', true),
+                         'EPSG:3577', 'EPSG:4326', true) AS aus
+        )
+        """
+    )
+
+
 def q_spatial_native_casts(spark, sf_dir):
     """WKB -> native columnar-type casts (reference cast kernels
     ST_Point2DFromWKB / ST_LineString2DFromWKB / ST_Polygon2DFromWKB,
@@ -3458,6 +3512,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": q_zonal_stats,
         "spatial_transform_nad27": q_spatial_transform_nad27,
         "spatial_transform_paris": q_spatial_transform_paris,
+        # --- new in r11: EPSG registry breadth (State Plane + UTM/GK
+        # series), pinned to the GN7-2 lcc-2SP and GDA94 worked examples ---
+        "spatial_transform_stateplane": q_spatial_transform_stateplane,
         # --- new in r10: sterea/laea projection families ---
         "spatial_transform_rd": q_spatial_transform_rd,
         "spatial_native_casts": q_spatial_native_casts,
@@ -4034,6 +4091,21 @@ def oracle_sql() -> dict[str, str]:
                    round({_PARIS_PM}, 9) AS glon,
                    round(2.3522, 6) AS rt_lon, round(48.8566, 6) AS rt_lat
             FROM (VALUES (1), (2), (3)) AS t(zid)
+        """,
+        "spatial_transform_stateplane": """
+            -- published worked examples (EPSG GN7-2 lcc-2SP Texas South
+            -- Central; GDA94 technical manual Flinders Peak -> MGA55) +
+            -- roundtrip identities on the r11 registry series — all
+            -- literals are spec constants, independent of the engine
+            SELECT 1 AS pid,
+                   round(2963503.91, 2) AS tx_e, round(254759.80, 2) AS tx_n,
+                   round(-96.0, 6) AS tx_rt_lon, round(28.5, 6) AS tx_rt_lat,
+                   round(273741.297, 3) AS fp_e, round(5796489.777, 3) AS fp_n,
+                   round(-74.006, 6) AS ny_rt_lon, round(40.7128, 6) AS ny_rt_lat,
+                   round(37.6176, 6) AS gk_rt_lon, round(55.7558, 6) AS gk_rt_lat,
+                   round(-46.6333, 6) AS sir_rt_lon, round(-23.5505, 6) AS sir_rt_lat,
+                   round(-87.6298, 6) AS n27_rt_lon, round(41.8781, 6) AS n27_rt_lat,
+                   round(133.8807, 6) AS aus_rt_lon, round(-23.698, 6) AS aus_rt_lat
         """,
         "spatial_transform_rd": f"""
             -- roundtrip identity on the reference's amsterdam_roads.fgb

@@ -58,7 +58,10 @@ def _norm_crs(name: str) -> str:
 
 
 # geographic EPSG codes whose authority axis order is (lat, lon)
-_GEOGRAPHIC_EPSG = {"EPSG:4326", "EPSG:4258", "EPSG:4277", "EPSG:4149", "EPSG:4150"}
+_GEOGRAPHIC_EPSG = {
+    "EPSG:4326", "EPSG:4258", "EPSG:4277", "EPSG:4149", "EPSG:4150",
+    "EPSG:4267", "EPSG:4269", "EPSG:4283", "EPSG:4674",
+}
 
 
 def _lonlat_axis(crs: str, always_xy: bool) -> bool:
@@ -218,17 +221,164 @@ _PROJ4_STRINGS = {
         "+towgs84=-61.702,284.488,472.052,0,0,0,0 "
         "+to_meter=0.201166195164 +no_defs"
     ),
+    # geographic datums of the series below (NAD27 CONUS shift is the
+    # published single-parameter average; gridded NADCON is the precise
+    # path via +nadgrids where sub-metre matters)
+    "EPSG:4267": "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176 +no_defs",
+    "EPSG:4269": "+proj=longlat +ellps=GRS80 +no_defs",  # NAD83
+    "EPSG:4283": "+proj=longlat +ellps=GRS80 +no_defs",  # GDA94
+    "EPSG:4674": "+proj=longlat +ellps=GRS80 +no_defs",  # SIRGAS 2000
+    # --- US State Plane sample (the populous zones; GN7-2 LCC-2SP math,
+    # +units=us-ft with x_0/y_0 in metres per proj4 convention) ---
+    "EPSG:32040": (  # NAD27 / Texas South Central — THE GN7-2 lcc-2SP
+        # worked example zone (FE 2,000,000 ftUS = 609601.219... m)
+        "+proj=lcc +lat_1=28.383333333333333 +lat_2=30.283333333333333 "
+        "+lat_0=27.833333333333332 +lon_0=-99 +x_0=609601.2192024384 "
+        "+y_0=0 +ellps=clrk66 +towgs84=-8,160,176 +units=us-ft +no_defs"
+    ),
+    "EPSG:2263": (  # NAD83 / New York Long Island (ftUS)
+        "+proj=lcc +lat_1=41.03333333333333 +lat_2=40.66666666666666 "
+        "+lat_0=40.16666666666666 +lon_0=-74 +x_0=300000.0000000001 "
+        "+y_0=0 +ellps=GRS80 +units=us-ft +no_defs"
+    ),
+    "EPSG:2227": (  # NAD83 / California zone 3 (ftUS)
+        "+proj=lcc +lat_1=38.43333333333333 +lat_2=37.06666666666666 "
+        "+lat_0=36.5 +lon_0=-120.5 +x_0=2000000.0001016 "
+        "+y_0=500000.0001016002 +ellps=GRS80 +units=us-ft +no_defs"
+    ),
+    "EPSG:2276": (  # NAD83 / Texas North Central (ftUS)
+        "+proj=lcc +lat_1=32.13333333333333 +lat_2=33.96666666666666 "
+        "+lat_0=31.66666666666667 +lon_0=-98.5 +x_0=600000.0000000001 "
+        "+y_0=2000000.0001016 +ellps=GRS80 +units=us-ft +no_defs"
+    ),
+    "EPSG:2272": (  # NAD83 / Pennsylvania South (ftUS)
+        "+proj=lcc +lat_1=40.96666666666667 +lat_2=39.93333333333333 "
+        "+lat_0=39.33333333333334 +lon_0=-77.75 +x_0=600000.0000000001 "
+        "+y_0=0 +ellps=GRS80 +units=us-ft +no_defs"
+    ),
+    "EPSG:2232": (  # NAD83 / Colorado Central (ftUS)
+        "+proj=lcc +lat_1=39.75 +lat_2=38.45 +lat_0=37.83333333333334 "
+        "+lon_0=-105.5 +x_0=914401.8288036576 +y_0=304800.6096012192 "
+        "+ellps=GRS80 +units=us-ft +no_defs"
+    ),
+    "EPSG:2285": (  # NAD83 / Washington North (ftUS)
+        "+proj=lcc +lat_1=48.73333333333333 +lat_2=47.5 +lat_0=47 "
+        "+lon_0=-120.8333333333333 +x_0=500000.0001016001 +y_0=0 "
+        "+ellps=GRS80 +units=us-ft +no_defs"
+    ),
+    "EPSG:2236": (  # NAD83 / Florida East (ftUS) — transverse mercator
+        "+proj=tmerc +lat_0=24.33333333333333 +lon_0=-81 +k=0.999941177 "
+        "+x_0=200000.0001016002 +y_0=0 +ellps=GRS80 +units=us-ft +no_defs"
+    ),
+    "EPSG:3435": (  # NAD83 / Illinois East (ftUS) — transverse mercator
+        "+proj=tmerc +lat_0=36.66666666666666 +lon_0=-88.33333333333333 "
+        "+k=0.999975 +x_0=300000.0000000001 +y_0=0 +ellps=GRS80 "
+        "+units=us-ft +no_defs"
+    ),
+    # Australia: continental equal-area grid
+    "EPSG:3577": (
+        "+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132 +x_0=0 "
+        "+y_0=0 +ellps=GRS80 +units=m +no_defs"
+    ),
+}
+
+# display names for list_proj_crs_df (SPATIAL_REF_SYS analog); series
+# loops below register their own names
+_CRS_NAMES = {
+    "EPSG:4258": "ETRS89 (geographic 2D)",
+    "EPSG:4277": "OSGB36 (geographic 2D)",
+    "EPSG:4267": "NAD27 (geographic 2D)",
+    "EPSG:4269": "NAD83 (geographic 2D)",
+    "EPSG:4283": "GDA94 (geographic 2D)",
+    "EPSG:4674": "SIRGAS 2000 (geographic 2D)",
+    "EPSG:27700": "OSGB36 / British National Grid",
+    "EPSG:29903": "TM75 / Irish Grid",
+    "EPSG:2056": "CH1903+ / LV95",
+    "EPSG:21781": "CH1903 / LV03",
+    "EPSG:31370": "BD72 / Belgian Lambert 72",
+    "EPSG:2193": "NZGD2000 / New Zealand Transverse Mercator 2000",
+    "EPSG:2229": "NAD83 / California zone 5 (ftUS)",
+    "EPSG:3067": "ETRS89 / TM35FIN(E,N)",
+    "EPSG:27571": "NTF (Paris) / Lambert zone I",
+    "EPSG:27572": "NTF (Paris) / Lambert zone II",
+    "EPSG:27573": "NTF (Paris) / Lambert zone III",
+    "EPSG:27574": "NTF (Paris) / Lambert zone IV",
+    "EPSG:28992": "Amersfoort / RD New",
+    "EPSG:3035": "ETRS89-extended / LAEA Europe",
+    "EPSG:29873": "Timbalai 1948 / RSO Borneo (m)",
+    "EPSG:30200": "Trinidad 1903 / Trinidad Grid",
+    "EPSG:5514": "S-JTSK / Krovak East North",
+    "EPSG:4087": "WGS 84 / World Equidistant Cylindrical",
+    "EPSG:32040": "NAD27 / Texas South Central",
+    "EPSG:2263": "NAD83 / New York Long Island (ftUS)",
+    "EPSG:2227": "NAD83 / California zone 3 (ftUS)",
+    "EPSG:2276": "NAD83 / Texas North Central (ftUS)",
+    "EPSG:2272": "NAD83 / Pennsylvania South (ftUS)",
+    "EPSG:2232": "NAD83 / Colorado Central (ftUS)",
+    "EPSG:2285": "NAD83 / Washington North (ftUS)",
+    "EPSG:2236": "NAD83 / Florida East (ftUS)",
+    "EPSG:3435": "NAD83 / Illinois East (ftUS)",
+    "EPSG:3577": "GDA94 / Australian Albers",
 }
 # ETRS89 / UTM zones 28N-38N
 for _z in range(28, 39):
     _PROJ4_STRINGS[f"EPSG:{25800 + _z}"] = (
         f"+proj=utm +zone={_z} +ellps=GRS80 +units=m +no_defs"
     )
+    _CRS_NAMES[f"EPSG:{25800 + _z}"] = f"ETRS89 / UTM zone {_z}N"
 # NAD83 / UTM zones 1N-23N
 for _z in range(1, 24):
     _PROJ4_STRINGS[f"EPSG:{26900 + _z}"] = (
         f"+proj=utm +zone={_z} +ellps=GRS80 +units=m +no_defs"
     )
+    _CRS_NAMES[f"EPSG:{26900 + _z}"] = f"NAD83 / UTM zone {_z}N"
+# NAD27 / UTM zones 3N-22N (CONUS + Alaska span; Clarke 1866 +
+# published CONUS average shift — +nadgrids for sub-metre work)
+for _z in range(3, 23):
+    _PROJ4_STRINGS[f"EPSG:{26700 + _z}"] = (
+        f"+proj=utm +zone={_z} +ellps=clrk66 +towgs84=-8,160,176 "
+        f"+units=m +no_defs"
+    )
+    _CRS_NAMES[f"EPSG:{26700 + _z}"] = f"NAD27 / UTM zone {_z}N"
+# GDA94 / MGA zones 49-56 and GDA2020 / MGA zones 49-56 (both
+# plate-fixed GRS80 datums, WGS84-coincident at this engine's accuracy)
+for _z in range(49, 57):
+    _PROJ4_STRINGS[f"EPSG:{28300 + _z}"] = (
+        f"+proj=utm +zone={_z} +south +ellps=GRS80 +units=m +no_defs"
+    )
+    _CRS_NAMES[f"EPSG:{28300 + _z}"] = f"GDA94 / MGA zone {_z}"
+    _PROJ4_STRINGS[f"EPSG:{7800 + _z}"] = (
+        f"+proj=utm +zone={_z} +south +ellps=GRS80 +units=m +no_defs"
+    )
+    _CRS_NAMES[f"EPSG:{7800 + _z}"] = f"GDA2020 / MGA zone {_z}"
+# SIRGAS 2000 / UTM zones 11N-22N and 17S-25S (Brazil + Andean states)
+for _z in range(11, 23):
+    _PROJ4_STRINGS[f"EPSG:{31954 + _z}"] = (
+        f"+proj=utm +zone={_z} +ellps=GRS80 +units=m +no_defs"
+    )
+    _CRS_NAMES[f"EPSG:{31954 + _z}"] = f"SIRGAS 2000 / UTM zone {_z}N"
+for _z in range(17, 26):
+    _PROJ4_STRINGS[f"EPSG:{31960 + _z}"] = (
+        f"+proj=utm +zone={_z} +south +ellps=GRS80 +units=m +no_defs"
+    )
+    _CRS_NAMES[f"EPSG:{31960 + _z}"] = f"SIRGAS 2000 / UTM zone {_z}S"
+# Pulkovo 1942 / Gauss-Krüger 6° zones 2-32 (Krassowsky 1940; the
+# published EPSG position-vector transformation)
+for _z in range(2, 33):
+    _PROJ4_STRINGS[f"EPSG:{28400 + _z}"] = (
+        f"+proj=tmerc +lat_0=0 +lon_0={6 * _z - 3} +k=1 "
+        f"+x_0={_z * 1_000_000 + 500_000} +y_0=0 +ellps=krass "
+        f"+towgs84=23.57,-140.95,-79.8,0,0.35,0.79,-0.22 +units=m +no_defs"
+    )
+    _CRS_NAMES[f"EPSG:{28400 + _z}"] = f"Pulkovo 1942 / Gauss-Kruger zone {_z}"
+# DHDN / 3-degree Gauss-Krüger zones 2-5 (Bessel 1841, Potsdam datum)
+for _z in range(2, 6):
+    _PROJ4_STRINGS[f"EPSG:{31464 + _z}"] = (
+        f"+proj=tmerc +lat_0=0 +lon_0={3 * _z} +k=1 "
+        f"+x_0={_z * 1_000_000 + 500_000} +y_0=0 +ellps=bessel "
+        f"+towgs84=598.1,73.7,418.2,0.202,0.045,-2.455,6.7 +units=m +no_defs"
+    )
+    _CRS_NAMES[f"EPSG:{31464 + _z}"] = f"DHDN / 3-degree Gauss-Kruger zone {_z}"
 
 _PROJ4_CACHE: dict = {}
 
@@ -646,35 +796,9 @@ def list_proj_crs_df(spark):
     rows += [
         ("EPSG", str(32700 + z), f"WGS 84 / UTM zone {z}S", "projected", "x,y") for z in range(1, 61)
     ]
-    _long_tail_names = {
-        "EPSG:4258": "ETRS89 (geographic 2D)",
-        "EPSG:4277": "OSGB36 (geographic 2D)",
-        "EPSG:27700": "OSGB36 / British National Grid",
-        "EPSG:29903": "TM75 / Irish Grid",
-        "EPSG:2056": "CH1903+ / LV95",
-        "EPSG:21781": "CH1903 / LV03",
-        "EPSG:31370": "BD72 / Belgian Lambert 72",
-        "EPSG:2193": "NZGD2000 / New Zealand Transverse Mercator 2000",
-        "EPSG:2229": "NAD83 / California zone 5 (ftUS)",
-        "EPSG:3067": "ETRS89 / TM35FIN(E,N)",
-        "EPSG:27571": "NTF (Paris) / Lambert zone I",
-        "EPSG:27572": "NTF (Paris) / Lambert zone II",
-        "EPSG:27573": "NTF (Paris) / Lambert zone III",
-        "EPSG:27574": "NTF (Paris) / Lambert zone IV",
-        "EPSG:28992": "Amersfoort / RD New",
-        "EPSG:3035": "ETRS89-extended / LAEA Europe",
-        "EPSG:29873": "Timbalai 1948 / RSO Borneo (m)",
-        "EPSG:30200": "Trinidad 1903 / Trinidad Grid",
-        "EPSG:5514": "S-JTSK / Krovak East North",
-        "EPSG:4087": "WGS 84 / World Equidistant Cylindrical",
-    }
     for code in sorted(_PROJ4_STRINGS):
         num = code.split(":")[1]
-        name = _long_tail_names.get(code)
-        if name is None:
-            z = int(num) - 25800 if num.startswith("258") else int(num) - 26900
-            name = (f"ETRS89 / UTM zone {z}N" if num.startswith("258")
-                    else f"NAD83 / UTM zone {z}N")
+        name = _CRS_NAMES.get(code, code)
         kind = "geographic 2D" if code in _GEOGRAPHIC_EPSG else "projected"
         axis = "lat,lon" if code in _GEOGRAPHIC_EPSG else "x,y"
         rows.append(("EPSG", num, name, kind, axis))

@@ -507,8 +507,11 @@ def aea_inverse(ell, X, Y, lat_1, lat_2, lat_0, lon_0, x_0, y_0):
     n, C, rho0 = _aea_setup(ell, lat_1, lat_2, lat_0)
     x = np.asarray(X, dtype=np.float64) - x_0
     y = np.asarray(Y, dtype=np.float64) - y_0
-    rho = np.hypot(x, rho0 - y)
-    th = np.arctan2(x, rho0 - y)
+    # n < 0 on southern cones: rho carries n's sign (forward emits
+    # negative rho there) and theta measures from the mirrored axis —
+    # same convention as lcc_inverse
+    rho = np.sign(n) * np.hypot(x, rho0 - y)
+    th = np.arctan2(np.sign(n) * x, np.sign(n) * (rho0 - y))
     q = (C - (rho * n / ell.a) ** 2) / n
     lat = np.arcsin(np.clip(q / 2, -1, 1))
     for _ in range(8):

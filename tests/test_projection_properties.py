@@ -170,3 +170,42 @@ def test_aeqd_antipodal_raises_and_omerc_alpha90():
         ell, x, y, 4, 115, 90.0, 90.0, 0.99984, 0.0, 0.0, False
     )
     assert abs(lo[0] - 114.0) < 1e-9 and abs(la[0] - 3.0) < 1e-9
+
+
+def test_epsg_registry_breadth_worked_examples():
+    """r11 registry series validated against PUBLISHED constants: the
+    EPSG GN7-2 lcc-2SP worked example (NAD27 / Texas South Central,
+    EPSG:32040) to 0.01 ftUS and the GDA94 technical-manual example
+    (Flinders Peak -> MGA zone 55) to 1 mm; every new series roundtrips
+    a landmark through forward+inverse (incl. Helmert datum legs)."""
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    x, y = transform_xy(
+        np.array([-96.0]), np.array([28.5]), "EPSG:4267", "EPSG:32040", True
+    )
+    assert abs(x[0] - 2963503.91) < 0.01 and abs(y[0] - 254759.80) < 0.01
+
+    lat = -(37 + 57 / 60 + 3.72030 / 3600)
+    lon = 144 + 25 / 60 + 29.52440 / 3600
+    x, y = transform_xy(
+        np.array([lon]), np.array([lat]), "EPSG:4283", "EPSG:28355", True
+    )
+    assert abs(x[0] - 273741.297) < 1e-3 and abs(y[0] - 5796489.777) < 1e-3
+
+    landmarks = [
+        ("EPSG:2263", -74.006, 40.7128), ("EPSG:2227", -121.4944, 38.5816),
+        ("EPSG:2276", -96.797, 32.7767), ("EPSG:2272", -75.1652, 39.9526),
+        ("EPSG:2232", -104.9903, 39.7392), ("EPSG:2285", -122.3321, 47.6062),
+        ("EPSG:2236", -80.1918, 25.7617), ("EPSG:3435", -87.6298, 41.8781),
+        ("EPSG:26716", -87.6298, 41.8781), ("EPSG:28407", 37.6176, 55.7558),
+        ("EPSG:28432", 178.0, 64.0), ("EPSG:31467", 9.1829, 48.7758),
+        ("EPSG:28355", 144.9631, -37.8136), ("EPSG:7855", 144.9631, -37.8136),
+        ("EPSG:31983", -46.6333, -23.5505), ("EPSG:31976", -60.0217, 3.8014),
+        ("EPSG:3577", 133.8807, -23.698),
+    ]
+    for code, lo, la in landmarks:
+        x, y = transform_xy(np.array([lo]), np.array([la]), "EPSG:4326", code, True)
+        lo2, la2 = transform_xy(x, y, code, "EPSG:4326", True)
+        # 1e-7 deg ~ 1 cm: the 7-param Helmert legs (rotation terms)
+        # round-trip to ~1e-8 deg on far-east GK zones
+        assert abs(lo2[0] - lo) < 1e-7 and abs(la2[0] - la) < 1e-7, code
