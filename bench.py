@@ -557,6 +557,48 @@ def main():
                     "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT), event_type, count(*), sum(value)"
                     " FROM events_big GROUP BY 1, 2",
                 )
+
+                # storage-lever A/B (r11): the hourly plan is already
+                # map-side optimal, so the remaining 100x lever is the
+                # LAYOUT — a copy bucketed on the materialized epoch-hour
+                # runs the same groupBy with NO exchange (bucket-local
+                # partial agg IS the final agg). DuckDB comparable is the
+                # same query on the same rows (it has no bucketed layout
+                # to exploit).
+                h_expr = (
+                    "(ts div 1000) div 3600000000 AS h"
+                    if big_dtype in ("bigint", "long")
+                    else "unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000 AS h"
+                )
+                (
+                    spark.table("events_big")
+                    .selectExpr(h_expr, "event_type", "value")
+                    .write.mode("overwrite")
+                    .bucketBy(cpus, "h")
+                    .sortBy("h")
+                    .option("path", f"{tmp}/events_big_bucketed")
+                    .format("parquet")
+                    .saveAsTable("events_big_bucketed")
+                )
+                hb_plan = spark.sql(
+                    "SELECT h, event_type, count(*), sum(value)"
+                    " FROM events_big_bucketed GROUP BY 1, 2"
+                )._jdf.queryExecution().executedPlan().toString()
+                if "Exchange" in hb_plan:
+                    errors["events_hourly_bucketed_plan"] = "Exchange present"
+
+                @bench("events_hourly_bucketed")
+                def _():
+                    spark.sql(
+                        "SELECT h, event_type, count(*), sum(value)"
+                        " FROM events_big_bucketed GROUP BY 1, 2"
+                    ).collect()
+
+                duck_bench(
+                    "events_hourly_bucketed",
+                    "SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT), event_type,"
+                    " count(*), sum(value) FROM events_big GROUP BY 1, 2",
+                )
         except Exception as e:  # noqa: BLE001 - large-tier glue failed
             errors["large_tier"] = f"{type(e).__name__}: {e}"[:500]
             print(f"[bench] large_tier FAILED: {errors['large_tier']}", file=sys.stderr)
@@ -679,6 +721,37 @@ def main():
             + E.oracle_sql()["excise_spans"] + ")",
         )
 
+        # 10x docs tier for the r11 exact-verification excision (the
+        # documents_big replica table the bm25 tier built above: every
+        # window duplicated corpus-wide — the worst case for the
+        # candidate/rebuild passes, which is the point of the stress)
+        if doc_mult > 0:
+            try:
+                docs_big_df = spark.table("documents_big")
+
+                @bench("excise_spans_docs_large")
+                def _():
+                    from duckdb_spatial_spark.operators.dedup import excise_dup_spans
+
+                    excise_dup_spans(docs_big_df).agg(
+                        F.sum("n_removed"), F.sum(F.length("clean_text"))
+                    ).collect()
+
+                duck_bench(
+                    "excise_spans_docs_large",
+                    "SELECT sum(n_removed), sum(length(clean_text)) FROM ("
+                    + E.oracle_sql()["excise_spans"].replace(
+                        "FROM documents", "FROM documents_big"
+                    )
+                    + ")",
+                )
+            except Exception as e:  # noqa: BLE001 - docs tier glue
+                errors["excise_large_tier"] = f"{type(e).__name__}: {e}"[:500]
+                print(
+                    f"[bench] excise_large_tier FAILED: {errors['excise_large_tier']}",
+                    file=sys.stderr,
+                )
+
         @bench("clf_docs")
         def _():
             from duckdb_spatial_spark.operators.pipeline import linear_classifier_score
@@ -746,6 +819,58 @@ def main():
 
                 duck_bench(
                     "sessionize_events_large",
+                    """
+                    WITH o AS (
+                      SELECT user_id, ts,
+                             CASE WHEN lag(ts) OVER w IS NULL
+                                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                       > 3600000000
+                                  THEN 1 ELSE 0 END AS brk
+                      FROM events_sess_big
+                      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                    ), s AS (
+                      SELECT user_id, sum(brk) OVER (PARTITION BY user_id
+                             ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+                      FROM o
+                    )
+                    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+                           CAST(sum(n) AS BIGINT) AS n_events
+                    FROM (SELECT count(*) AS n FROM s GROUP BY user_id, sid)
+                    """,
+                )
+                # storage-lever A/B (r11): same rows bucketed+sorted by
+                # (user_id, ts) — session_window's groupBy goes
+                # exchange-free (only a bucket-local sort remains).
+                (
+                    sess_df.write.mode("overwrite")
+                    .bucketBy(cpus, "user_id")
+                    .sortBy("user_id", "ts")
+                    .option("path", f"{tmp}/events_sess_bucketed")
+                    .format("parquet")
+                    .saveAsTable("events_sess_bucketed")
+                )
+                from duckdb_spatial_spark.operators.events import session_stats
+
+                sb_plan = (
+                    session_stats(
+                        spark.table("events_sess_bucketed"),
+                        gap_seconds=3600, value_col="value",
+                    )._jdf.queryExecution().executedPlan().toString()
+                )
+                if "Exchange" in sb_plan:
+                    errors["sessionize_events_bucketed_plan"] = "Exchange present"
+
+                @bench("sessionize_events_bucketed")
+                def _():
+                    from duckdb_spatial_spark.operators.events import session_stats
+
+                    session_stats(
+                        spark.table("events_sess_bucketed"),
+                        gap_seconds=3600, value_col="value",
+                    ).agg(F.count("*"), F.sum("n_events")).collect()
+
+                duck_bench(
+                    "sessionize_events_bucketed",
                     """
                     WITH o AS (
                       SELECT user_id, ts,
