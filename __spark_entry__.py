@@ -4918,7 +4918,9 @@ def oracle_sql() -> dict[str, str]:
               ('GeoRSS', 'true', 'true'), ('PGDump', 'true', 'true'),
               ('SQLite', 'true', 'true'), ('ESRIJSON', 'true', 'true'),
               ('netCDF', 'true', 'true'), ('MVT', 'true', 'true'),
-              ('WARC', 'true', 'true'), ('GeoJSONSeq', 'true', 'true')
+              ('WARC', 'true', 'true'), ('GeoJSONSeq', 'true', 'true'),
+              ('PostgreSQL', 'true', 'true'), ('MSSQLSpatial', 'true', 'false'),
+              ('OCI', 'true', 'false')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

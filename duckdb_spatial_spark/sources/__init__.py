@@ -262,7 +262,8 @@ from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
 from .mapinfo_tab import read_tab, write_tab  # noqa: F401
 from .pgdump import read_pgdump, write_pgdump  # noqa: F401
-from .postgis import read_postgis  # noqa: F401
+from .jdbc_spatial import read_mssql, read_oracle  # noqa: F401
+from .postgis import read_postgis, write_postgis  # noqa: F401
 from .spatialite import read_spatialite, spatialite_layers, write_spatialite  # noqa: F401
 from .filegdb import gdb_layers, read_gdb, write_gdb  # noqa: F401
 from .arrowipc import read_arrow_ipc, write_arrow_ipc  # noqa: F401

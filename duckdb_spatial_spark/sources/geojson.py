@@ -542,6 +542,9 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("MVT", "Mapbox Vector Tiles, protobuf wire format per spec 2.1 (read/write)", True, True, True, ""),
         ("WARC", "ISO 28500 web archives (CommonCrawl), per-file parallel responses (read/write)", True, True, True, ""),
         ("GeoJSONSeq", "newline-delimited GeoJSON on the splittable text source (read/write)", True, True, True, ""),
+        ("PostgreSQL", "live PostGIS over Spark JDBC: GiST-served bbox pushdown, staged write-back (read/write)", True, True, True, ""),
+        ("MSSQLSpatial", "live SQL Server spatial over Spark JDBC: Filter() index pushdown (read-only)", False, False, True, ""),
+        ("OCI", "live Oracle Spatial (SDO_GEOMETRY) over Spark JDBC: SDO_FILTER R-tree pushdown (read-only)", False, False, True, ""),
     ]
     return spark.createDataFrame(
         rows,
