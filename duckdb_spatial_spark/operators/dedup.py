@@ -1239,7 +1239,12 @@ def _excise_rebuild(
     """Final Arrow pass of :func:`excise_dup_spans`: ``src`` carries
     ``(id, text, _flags)`` (flagged window starts, NULL for clean docs);
     rebuild each doc's surviving-token text via a difference-array kill
-    mask + one vectorized object-array take."""
+    mask + one vectorized object-array take.
+
+    (A pandas ``.str.count``/``.str.replace`` fast path for unflagged
+    docs was measured SLOWER than the plain per-doc split+join here —
+    pandas str ops carry per-element regex overhead too; keep the
+    loop.)"""
     out_schema = T.StructType(
         [
             df.schema[id_col],
