@@ -3419,6 +3419,53 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_streaming_sessionize(spark, sf_dir):
+    """Streaming sessionization (streaming/demo.streaming_sessionize):
+    the SAME built-in session_window plan as the batch events_sessionize
+    row, run as a real readStream (availableNow, complete mode) with a
+    watermark — batch/stream session parity made externally visible.
+    Gap 1800 s (vs the batch row's 3600 s) so the two rows pin different
+    session structures; the oracle is the plain gaps-and-islands SQL
+    replay over the same events."""
+    _prep(spark, sf_dir)
+    import os
+    import uuid
+
+    from duckdb_spatial_spark.streaming import streaming_sessionize
+
+    src = os.path.join(_fresh_tmp("stream_sess"), "src")
+    spark.sql(
+        "SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events"
+    ).repartition(4).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id bigint, value double"
+    ).parquet(src)
+    out = streaming_sessionize(
+        stream, gap="1800 seconds", watermark="2 hours", value_col="value"
+    )
+    name = "sess_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(
+            "streaming sessionize did not finish in 120s - failing loudly "
+            "instead of reading a half-filled sink"
+        )
+    return spark.table(name).selectExpr(
+        "user_id",
+        "unix_micros(session_start) AS start_us",
+        "unix_micros(session_end) AS end_us",
+        "CAST(n_events AS BIGINT) AS n_events",
+        "round(sum_value, 6) AS sum_value",
+    )
+
+
 def q_clf_quality(spark, sf_dir):
     """fastText-style hashed linear quality classifier
     (pipeline.linear_classifier_score; Joulin et al. 2016 — the
@@ -3543,6 +3590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10: sessionization (gopher_quality, long-green r8+r9
         # and unchanged, rotates behind the window) ---
         "events_sessionize": q_events_sessionize,
+        # --- new in r11: streaming session_window parity row ---
+        "streaming_sessionize": q_streaming_sessionize,
         "decontaminate": q_decontaminate,
         "embedding_assign": q_embedding_assign,
         "bm25": q_bm25,
@@ -4724,6 +4773,27 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN lag(ts) OVER w IS NULL
                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
                                > 3600000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o
+            )
+            SELECT user_id,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM s GROUP BY user_id, sid
+        """,
+        "streaming_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000
                           THEN 1 ELSE 0 END AS brk
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

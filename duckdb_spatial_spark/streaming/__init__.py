@@ -14,4 +14,5 @@ from .demo import (  # noqa: F401
     streaming_envelope_counts,
     streaming_extent_agg,
     streaming_session_dedup,
+    streaming_sessionize,
 )

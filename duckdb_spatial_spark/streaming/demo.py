@@ -159,3 +159,40 @@ def streaming_extent_agg(
         )
         .select(F.col("w.start").alias("window_start"), "min_x", "min_y", "max_x", "max_y", "n")
     )
+
+
+def streaming_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-session aggregates on a STREAM via the built-in
+    ``session_window`` — the same plan :func:`duckdb_spatial_spark.
+    operators.events.session_stats` runs in batch, plus a watermark, so
+    batch and streaming sessionization are literally one implementation
+    (the merging partial aggregation; state per open session is the
+    aggregate tuple, and the watermark bounds how long a session can
+    stay open).
+
+    Returns ``(user, session_start, session_end, n_events[, sum_value])``
+    with start/end as min/max EVENT timestamps (padding-independent, so
+    a plain gaps-and-islands SQL oracle replays the values)."""
+    if events.isStreaming:
+        events = events.withWatermark(ts_col, watermark)
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap), F.col(user_col)
+        )
+        .agg(*aggs)
+        .drop("session_window")
+    )

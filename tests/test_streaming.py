@@ -206,3 +206,40 @@ def test_streaming_extent_agg(spark, tmp_path):
         assert (got[k].min_x, got[k].max_y, got[k].n) == (
             want[k].min_x, want[k].max_y, want[k].n
         )
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """Streaming session_window aggregation equals the batch
+    session_stats result row-for-row (they are one plan — the streaming
+    run adds only the watermark), on real event data."""
+    from duckdb_spatial_spark.operators.events import session_stats
+    from duckdb_spatial_spark.streaming import streaming_sessionize
+
+    src = str(tmp_path / "sess_src")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "user_id", "value")
+    )
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("ts timestamp, user_id bigint, value double").parquet(src)
+    q = (
+        streaming_sessionize(stream, gap="900 seconds", value_col="value")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, round(r.sum_value, 6))
+        for r in session_stats(
+            spark.read.parquet(src), gap_seconds=900, value_col="value"
+        ).collect()
+    }
+    assert got == want and len(got) > 10
