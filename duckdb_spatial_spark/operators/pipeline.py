@@ -221,6 +221,8 @@ def decontaminate(
     text_col: str = "text",
     bench_text_col: str | None = None,
     n: int = 8,
+    method: str = "broadcast",
+    max_bench_grams: int = 5_000_000,
 ) -> DataFrame:
     """Flag documents sharing any lowercase word ``n``-gram with a
     benchmark/eval set (train-test contamination check).
@@ -228,17 +230,79 @@ def decontaminate(
     Returns (id, n_hits, contaminated) for every input doc, where n_hits
     counts the *distinct* overlapping n-grams.
 
-    Scale: the benchmark n-gram set (eval suites are small - millions of
-    grams at most) is broadcast; the doc side explodes its per-row
-    deduplicated gram array map-side, hits survive the broadcast join,
-    and only hits are shuffled for the per-doc count. The final left
-    join restores clean docs with n_hits=0.
+    Two plans, identical results:
+
+    * ``"broadcast"`` (default) — the benchmark's distinct gram set
+      (eval suites are small by design) ships to executors ONCE as a
+      broadcast frozenset, and the doc side is a single zero-shuffle
+      Arrow pass: shingle the doc, count set membership, emit the row —
+      no explode, no join, no groupBy, no restore-clean-docs left join.
+      Guarded by ``max_bench_grams`` (one ``limit(max+1)`` collect, so
+      an oversized benchmark fails loudly before the driver fills up)
+      with a pointer here.
+    * ``"join"`` — the r10 shape for benchmark sets too big to hold as
+      a Python set (tens of millions of grams): doc grams explode
+      map-side, hits survive a broadcast join, one shuffle counts them
+      per doc, a left join restores clean docs.
     """
     bench_text_col = bench_text_col or text_col
     bench_grams = (
         benchmark.select(F.explode(_gram_array(F.col(bench_text_col), n)).alias("gram"))
         .distinct()
     )
+    if method == "broadcast":
+        rows = bench_grams.limit(int(max_bench_grams) + 1).collect()
+        if len(rows) > max_bench_grams:
+            raise ValueError(
+                f"decontaminate: benchmark has more than max_bench_grams="
+                f"{max_bench_grams} distinct {n}-grams; pass "
+                f"method='join' (broadcast-join plan) or raise the cap"
+            )
+        bset = frozenset(r[0] for r in rows)
+        bc = docs.sparkSession.sparkContext.broadcast(bset)
+        out_schema = T.StructType(
+            [
+                docs.schema[id_col],
+                T.StructField("n_hits", T.LongType()),
+                T.StructField("contaminated", T.BooleanType()),
+            ]
+        )
+        ii = docs.columns.index(id_col)
+        ti = docs.columns.index(text_col)
+        nn = int(n)
+
+        def scan(batches):
+            S = bc.value
+            for pdf in batches:
+                ids, hits = [], []
+                for did, t in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
+                    cnt = 0
+                    if t is not None:
+                        toks = _ws_split(str(t).lower())
+                        if nn <= 1:
+                            grams = set(toks)
+                        elif len(toks) < nn:
+                            grams = ()
+                        else:
+                            grams = {
+                                " ".join(toks[i : i + nn])
+                                for i in range(len(toks) - nn + 1)
+                            }
+                        cnt = sum(1 for g in grams if g in S)
+                    ids.append(did)
+                    hits.append(cnt)
+                h = pd.Series(hits, dtype="int64")
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids),
+                        "n_hits": h,
+                        "contaminated": (h > 0).astype(object),
+                    }
+                )
+
+        return docs.mapInPandas(scan, out_schema)
+    if method != "join":
+        raise ValueError(f"decontaminate: unknown method {method!r}")
     doc_grams = docs.select(
         F.col(id_col), F.explode(_gram_array(F.col(text_col), n)).alias("gram")
     )

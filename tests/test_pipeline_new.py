@@ -60,6 +60,20 @@ def test_decontaminate_flags_shared_ngrams(spark):
     assert out[1]["contaminated"] and out[1]["n_hits"] == 1  # "quick brown fox jumps"
     assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
     assert out[3]["contaminated"]
+    # the broadcast-set and join plans are the same operator
+    outj = {
+        r["doc_id"]: r
+        for r in decontaminate(docs, bench, n=4, method="join").collect()
+    }
+    for k in out:
+        assert (out[k]["n_hits"], out[k]["contaminated"]) == (
+            outj[k]["n_hits"], outj[k]["contaminated"]
+        ), k
+    # oversized benchmark fails loudly before the driver fills up
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_bench_grams"):
+        decontaminate(docs, bench, n=1, max_bench_grams=2)
 
 
 def test_hash_split_deterministic_and_balanced(spark):
