@@ -1023,8 +1023,14 @@ def dup_span_stats(
     ``groupBy(h)``; the count joins back on the hash (AQE splits the
     boilerplate-span skew) and one final per-doc aggregate. The window
     hashing itself is the vectorized batch-global prefix-hash pass
-    (:func:`_window_hash_spans`)."""
-    spans = _window_hash_spans(df, id_col, text_col, int(window), int(seed))
+    (:func:`_window_hash_spans`); narrow scan inputs widen to cluster
+    parallelism first."""
+    from ._util import widen_narrow_input
+
+    spans = _window_hash_spans(
+        widen_narrow_input(df.select(F.col(id_col), F.col(text_col))),
+        id_col, text_col, int(window), int(seed),
+    )
     counts = spans.groupBy("_h").agg(F.count("*").alias("_c"))
     return (
         spans.join(counts, "_h")
@@ -1143,15 +1149,9 @@ def excise_dup_spans(
     w = int(window)
     if method not in ("text", "hash"):
         raise ValueError(f"excise_dup_spans: unknown method {method!r}")
-    base = df.select(F.col(id_col), F.col(text_col))
-    # input-side widening: a corpus narrower than the cluster (fewer
-    # scan partitions than cores — by definition a small corpus, each
-    # scan split is ≤ maxPartitionBytes) serializes every Arrow pass
-    # onto one core; one cheap round-robin shuffle unlocks them all.
-    # At scale scan partitions >> parallelism and this is a no-op.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < par:
-        base = base.repartition(par)
+    from ._util import widen_narrow_input
+
+    base = widen_narrow_input(df.select(F.col(id_col), F.col(text_col)))
     if method == "text":
         wtexts = _window_text_spans(base, id_col, text_col, w)
         loc = wtexts.repartition(F.col("_wt"))

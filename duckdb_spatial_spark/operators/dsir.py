@@ -138,8 +138,7 @@ def _gram_rows(
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField("bucket", T.IntegerType())]
     )
-    ii = df.columns.index(id_col)
-    ti = df.columns.index(text_col)
+    ii, ti = 0, 1  # the pass runs over select(id, text) below
     id_is_int = isinstance(
         df.schema[id_col].dataType,
         (T.LongType, T.IntegerType, T.ShortType, T.ByteType),
@@ -161,7 +160,11 @@ def _gram_rows(
                 }
             )
 
-    return df.mapInPandas(gen, out_schema)
+    from ._util import widen_narrow_input
+
+    return widen_narrow_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(gen, out_schema)
 
 
 def dsir_log_weights(

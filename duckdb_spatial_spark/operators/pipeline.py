@@ -12,8 +12,9 @@ no engine-specific hash appears in any output column.
 
 Scale notes (100 TB):
   * gopher_repetition  - one mapInPandas projection, zero shuffles.
-  * decontaminate      - benchmark n-gram set is broadcast; the only
-                         shuffle is the per-doc hit count (hits only).
+  * decontaminate      - benchmark n-gram set broadcast as a frozenset
+                         into one zero-shuffle Arrow pass (default);
+                         broadcast-join plan for oversized benchmarks.
   * hash_split         - pure Column arithmetic (MINSTD LCG), zero
                          shuffles, no UDF.
   * sample_stratified  - one windowed shuffle on the stratum key.
@@ -193,9 +194,11 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             out.insert(0, id_col, pdf["_id"].values)
             yield out
 
-    return df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).mapInPandas(
-        run, out_schema
-    )
+    from ._util import widen_narrow_input
+
+    return widen_narrow_input(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ).mapInPandas(run, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -267,8 +270,7 @@ def decontaminate(
                 T.StructField("contaminated", T.BooleanType()),
             ]
         )
-        ii = docs.columns.index(id_col)
-        ti = docs.columns.index(text_col)
+        ii, ti = 0, 1  # the scan runs over select(id, text) below
         nn = int(n)
 
         def scan(batches):
@@ -300,7 +302,11 @@ def decontaminate(
                     }
                 )
 
-        return docs.mapInPandas(scan, out_schema)
+        # input widening measured neutral here (the benchmark gram
+        # collect dominates at small scale) - not applied
+        return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+            scan, out_schema
+        )
     if method != "join":
         raise ValueError(f"decontaminate: unknown method {method!r}")
     doc_grams = docs.select(
@@ -1042,8 +1048,7 @@ def linear_classifier_score(
             T.StructField("clf_keep", T.BooleanType()),
         ]
     )
-    ii = df.columns.index(id_col)
-    ti = df.columns.index(text_col)
+    ii, ti = 0, 1  # the pass runs over select(id, text) below
     mul = 10.0 ** int(ndigits)
     b0 = float(bias)
     thr = float(threshold)
@@ -1081,4 +1086,8 @@ def linear_classifier_score(
                 }
             )
 
-    return df.mapInPandas(gen, out_schema)
+    from ._util import widen_narrow_input
+
+    return widen_narrow_input(
+        df.select(F.col(id_col), F.col(text_col))
+    ).mapInPandas(gen, out_schema)

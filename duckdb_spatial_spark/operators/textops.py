@@ -334,6 +334,9 @@ def bm25_topk(
 
     from pyspark import StorageLevel
 
+    # input widening measured NEUTRAL here (the projection is persisted
+    # and its two consumers amortize the single-core pass; the widen
+    # exchange just adds cost) - deliberately not applied
     base = (
         df.mapInPandas(gen, out_schema)
         .select(F.col(id_col).alias("_id"), "_dl", *[f"_tf{i}" for i in range(nt)])
