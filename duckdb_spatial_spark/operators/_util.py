@@ -4,6 +4,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Logical operators whose physical plan contains an Exchange. With AQE
+# enabled, touching .rdd on a plan that contains exchanges materializes
+# the upstream query stages EAGERLY, and the real action then recomputes
+# them — a silent double execution. The probe below therefore only runs
+# on shuffle-free plans (scan / project / filter chains), where .rdd is
+# a lazy wrapper and costs nothing.
+_SHUFFLE_NODES = (
+    "Join", "Aggregate", "Window", "Sort", "Repartition",
+    "Deduplicate", "Intersect", "Except", "CoGroup", "GlobalLimit",
+)
+
 
 def widen_narrow_input(df: DataFrame) -> DataFrame:
     """Round-robin repartition an input whose scan has fewer partitions
@@ -13,12 +24,24 @@ def widen_narrow_input(df: DataFrame) -> DataFrame:
     by definition a small corpus, each split ≤ maxPartitionBytes)
     serializes every Arrow pass onto one core; one cheap shuffle unlocks
     them all. At scale scan partitions >> parallelism and this is a
-    no-op. Streaming inputs (no .rdd) pass through untouched — their
-    parallelism comes from the source."""
+    no-op.
+
+    The partition-count probe is gated to shuffle-free logical plans:
+    if the input already contains a join/aggregate/repartition, the
+    probe is skipped entirely (its shuffle already spread the data to
+    ``spark.sql.shuffle.partitions``, and probing via ``.rdd`` under AQE
+    would eagerly materialize the upstream stages — double execution).
+    Streaming inputs pass through untouched — their parallelism comes
+    from the source."""
     try:
+        if df.isStreaming:
+            return df
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(node in plan for node in _SHUFFLE_NODES):
+            return df
         par = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
             return df.repartition(par)
-    except Exception:  # noqa: BLE001 - streaming df has no .rdd
+    except Exception:  # noqa: BLE001 - exotic plans: pass through
         pass
     return df

@@ -49,14 +49,18 @@ def sessionize(
     ``max_user_events`` guards that assumption with one cheap
     map-side-combinable count and fails LOUDLY above it, pointing at
     :func:`session_stats` (which needs no per-user sort) or a pre-split
-    of the hot users. Pass ``None`` to skip the guard (and its one
-    extra count job) when the cardinality bound is already known."""
+    of the hot users.
+
+    NOTE the guard makes this call EAGER: the count runs at
+    plan-construction time (one extra scan of the input beyond the real
+    job — the sample listing takes any 10 offenders, no global sort).
+    Pass ``None`` to keep the transformation fully lazy when the
+    cardinality bound is already known."""
     if max_user_events is not None:
         hot = (
             df.groupBy(user_col)
             .agg(F.count("*").alias("_n"))
             .where(F.col("_n") > int(max_user_events))
-            .orderBy(F.col("_n").desc())
             .limit(10)
             .collect()
         )

@@ -102,7 +102,15 @@ def oracle_query_sql(
     The bbox conjunct is ``SDO_FILTER(geom, <optimized rect>) = 'TRUE'``
     — Oracle Spatial's R-tree PRIMARY filter (element-info 1003,3 is
     the axis-aligned optimized rectangle encoding). WKB comes from
-    ``SDO_UTIL.TO_WKBGEOMETRY`` as a BLOB."""
+    ``SDO_UTIL.TO_WKBGEOMETRY`` as a BLOB.
+
+    NOTE: the ``columns=None`` star form projects the raw SDO_GEOMETRY
+    object through ``_t.*`` — Spark's OracleDialect has no mapping for
+    Oracle object types, so that SQL is NOT loadable through Spark
+    JDBC. ``read_oracle`` never executes it: it resolves the attribute
+    list server-side (``oracle_columns_sql``) and always projects an
+    explicit column list. The star form remains for users driving a
+    non-Spark client."""
     if (table is None) == (query is None):
         raise ValueError("read_oracle: pass exactly one of table= or query=")
     # the source is always aliased _t so the *-form can project
@@ -135,6 +143,42 @@ def oracle_query_sql(
     if where:
         sql += " WHERE " + " AND ".join(where)
     return sql
+
+
+def oracle_columns_sql(table: str) -> str:
+    """The catalog SELECT ``read_oracle`` uses to resolve a table's
+    column list when ``columns=None``.
+
+    Spark 4.1.2's OracleDialect cannot map Oracle object types
+    (SDO_GEOMETRY arrives as java.sql.Types.STRUCT), so the star form
+    would fail schema inference before a single row ships. Instead the
+    attribute list is resolved from ALL_TAB_COLUMNS and the projection
+    is always explicit — object-typed columns other than the requested
+    geometry are dropped server-side."""
+    parts = table.split(".")
+    if len(parts) > 2 or not all(_IDENT.match(p) for p in parts):
+        raise ValueError(f"read_oracle: invalid identifier {table!r}")
+    if len(parts) == 2:
+        where = (
+            f"owner = '{parts[0].upper()}' "
+            f"AND table_name = '{parts[1].upper()}'"
+        )
+    else:
+        where = f"table_name = '{parts[0].upper()}'"
+    return (
+        "SELECT column_name, data_type FROM ALL_TAB_COLUMNS "
+        f"WHERE {where} ORDER BY column_id"
+    )
+
+
+# Oracle types Spark's JDBC dialect can receive as plain JDBC scalars.
+# Object/opaque types (SDO_GEOMETRY, XMLTYPE, ANYDATA, user-defined)
+# are excluded from the auto-resolved projection.
+_ORACLE_SCALAR_TYPES = re.compile(
+    r"^(VARCHAR2?|NVARCHAR2|CHAR|NCHAR|NUMBER|FLOAT|BINARY_FLOAT|"
+    r"BINARY_DOUBLE|DATE|TIMESTAMP.*|INTERVAL.*|RAW|LONG|CLOB|NCLOB|"
+    r"BLOB)$"
+)
 
 
 def _read_options(
@@ -253,7 +297,40 @@ def read_oracle(
 ) -> DataFrame:
     """Read an Oracle Spatial (SDO_GEOMETRY) table/query into a
     DataFrame with WKB geometry. Requires the ojdbc jar on the Spark
-    classpath."""
+    classpath.
+
+    When ``columns=None`` the attribute list is resolved server-side
+    from ALL_TAB_COLUMNS (one bounded metadata query) because Spark's
+    OracleDialect cannot receive SDO_GEOMETRY through a ``_t.*``
+    projection; ``query=`` sources must pass ``columns=`` explicitly."""
+    if columns is None:
+        if table is None:
+            raise ValueError(
+                "read_oracle: columns= is required with query= — Spark's "
+                "OracleDialect has no SDO_GEOMETRY mapping, so the star "
+                "projection cannot be schema-inferred; list the attribute "
+                "columns explicitly (geometry arrives as WKB regardless)"
+            )
+        meta_opts = oracle_read_options(url, oracle_columns_sql(table),
+                                        fetchsize=fetchsize)
+        if user is not None:
+            meta_opts["user"] = user
+        if password is not None:
+            meta_opts["password"] = password
+        meta = spark.read.format("jdbc").options(**meta_opts).load().collect()
+        gup = geom_col.upper()
+        columns = [
+            r["COLUMN_NAME"] for r in meta
+            if r["COLUMN_NAME"] != gup
+            and _ORACLE_SCALAR_TYPES.match(str(r["DATA_TYPE"]).upper())
+        ]
+        if not any(r["COLUMN_NAME"] == gup for r in meta):
+            raise ValueError(
+                f"read_oracle: geometry column {geom_col!r} not found in "
+                f"{table!r} (ALL_TAB_COLUMNS returned "
+                f"{[r['COLUMN_NAME'] for r in meta]!r})"
+            )
+        columns = columns + [geom_col]
     sql = oracle_query_sql(
         table=table, query=query, geom_col=geom_col, columns=columns,
         bbox=bbox, srid=srid, predicate=predicate,

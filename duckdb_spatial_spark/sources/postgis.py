@@ -344,9 +344,26 @@ def write_postgis(
         props.setProperty("password", password)
     conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
+        # One transaction for the whole post-staging plan: if CREATE
+        # TABLE or INSERT..SELECT fails (e.g. target exists), everything
+        # rolls back and the staging table is dropped below, so a retry
+        # doesn't trip over a leftover <table>__spark_stage at the
+        # errorifexists staging write.
+        conn.setAutoCommit(False)
         st = conn.createStatement()
-        for sql in stmts:
-            st.execute(sql)
-        st.close()
+        try:
+            for sql in stmts:
+                st.execute(sql)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            try:
+                conn.setAutoCommit(True)
+                st.execute(f"DROP TABLE IF EXISTS {_quote_ident(staging)}")
+            except Exception:  # noqa: BLE001 - best-effort cleanup
+                pass
+            raise
+        finally:
+            st.close()
     finally:
         conn.close()

@@ -8,10 +8,13 @@ lane."""
 import pytest
 
 from duckdb_spatial_spark.sources.jdbc_spatial import (
+    _ORACLE_SCALAR_TYPES,
     mssql_query_sql,
     mssql_read_options,
+    oracle_columns_sql,
     oracle_query_sql,
     oracle_read_options,
+    read_oracle,
 )
 
 
@@ -61,6 +64,31 @@ def test_oracle_star_pruned_and_bbox():
     assert "SDO_GEOMETRY(2003, NULL, NULL" in oracle_query_sql(
         table="roads", bbox=(0, 0, 1, 1)
     )
+
+
+def test_oracle_column_resolution_path():
+    # the star SQL exists for non-Spark clients, but read_oracle never
+    # executes it: Spark's OracleDialect can't map SDO_GEOMETRY (STRUCT),
+    # so columns are resolved from ALL_TAB_COLUMNS instead.
+    assert oracle_columns_sql("gis.roads") == (
+        "SELECT column_name, data_type FROM ALL_TAB_COLUMNS "
+        "WHERE owner = 'GIS' AND table_name = 'ROADS' ORDER BY column_id"
+    )
+    assert oracle_columns_sql("roads") == (
+        "SELECT column_name, data_type FROM ALL_TAB_COLUMNS "
+        "WHERE table_name = 'ROADS' ORDER BY column_id"
+    )
+    with pytest.raises(ValueError, match="invalid identifier"):
+        oracle_columns_sql("roads; DROP TABLE x")
+    # query= sources have no catalog entry -> columns= is required
+    with pytest.raises(ValueError, match="columns= is required"):
+        read_oracle(None, "jdbc:oracle:thin:@h:1521/gis",
+                    query="SELECT * FROM roads")
+    # the scalar-type allowlist keeps JDBC-mappable types, drops objects
+    for t in ("VARCHAR2", "NUMBER", "TIMESTAMP(6)", "BLOB", "DATE"):
+        assert _ORACLE_SCALAR_TYPES.match(t), t
+    for t in ("SDO_GEOMETRY", "XMLTYPE", "ANYDATA", "MY_UDT"):
+        assert not _ORACLE_SCALAR_TYPES.match(t), t
 
 
 def test_read_options_and_partitioning():
