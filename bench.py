@@ -675,18 +675,46 @@ def main():
                 spark.read.parquet(docs_big).createOrReplaceTempView("documents_big")
                 con.execute(f"CREATE VIEW documents_big AS FROM '{docs_big}/*.parquet'")
 
+                # bm25 gets its OWN, larger replica: at mult=10 DuckDB's
+                # denominator is ~0.12 s, so the lane mostly measured the
+                # ~0.3 s two-job Spark floor (r12 decomposition). mult=40
+                # puts both engines on real work — Spark's wall is nearly
+                # flat in corpus size (32 cores absorb the scan) while
+                # DuckDB's grows linearly, so this is the honest tier.
+                # documents_big stays at doc_mult for the excise lane
+                # (its worst case scales with the duplication factor).
+                bm25_mult = int(
+                    os.environ.get("SPARK_GRAFT_BENCH_BM25_MULT", "40")
+                )
+                docs_bm25 = f"{tmp}/docs_bm25"
+                (
+                    spark.table("documents")
+                    .select("doc_id", "text")
+                    .crossJoin(
+                        spark.range(bm25_mult).select(F.col("id").alias("_rep"))
+                    )
+                    .selectExpr("doc_id + _rep * 10000000 AS doc_id", "text")
+                    .repartition(cpus)
+                    .write.mode("overwrite")
+                    .parquet(docs_bm25)
+                )
+                spark.read.parquet(docs_bm25).createOrReplaceTempView("documents_bm25")
+                con.execute(
+                    f"CREATE VIEW documents_bm25 AS FROM '{docs_bm25}/*.parquet'"
+                )
+
                 @bench("bm25_docs_large")
                 def _():
                     from duckdb_spatial_spark.operators.textops import bm25_topk
 
                     bm25_topk(
-                        spark.table("documents_big"), "hash join filter vector", k=25
+                        spark.table("documents_bm25"), "hash join filter vector", k=25
                     ).collect()
 
                 duck_bench(
                     "bm25_docs_large",
                     "SELECT sum(score) FROM ("
-                    + E.oracle_sql()["bm25"].replace("FROM documents", "FROM documents_big")
+                    + E.oracle_sql()["bm25"].replace("FROM documents", "FROM documents_bm25")
                     + ")",
                 )
             except Exception as e:  # noqa: BLE001 - large-docs glue failed
