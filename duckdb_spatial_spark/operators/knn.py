@@ -209,6 +209,56 @@ def add_lsh_signatures(
     return df.withColumn(out_col, sigs(F.col(vec_col)))
 
 
+def add_lsh_probe_keys(
+    df: DataFrame, vec_col: str, dim: int, bits: int, tables: int,
+    seed: int, probes: int, out_col: str,
+) -> DataFrame:
+    """Append ``out_col``: array of (table<<bits | signature) probe KEYS —
+    the base signature per table plus, when ``probes > 0``, the signatures
+    reached by flipping each of the ``probes`` sign bits with the smallest
+    hyperplane margins (multi-probe LSH, Lv et al. VLDB'07: a near-zero
+    projection means the true neighbors plausibly landed just across that
+    hyperplane, so those buckets are probed first). Query-side only —
+    the base table keeps one bucket per table, so the index size is
+    unchanged while candidate coverage grows ``probes+1``-fold."""
+    H = np.vstack([_hyperplanes(dim, bits, seed + t) for t in range(tables)])
+    weights = np.left_shift(1, np.arange(bits, dtype=np.int64))
+    np_probes = int(probes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys(s: pd.Series) -> pd.Series:
+        out = []
+        vecs, idx = [], []
+        for i, v in enumerate(s):
+            if v is None or len(v) != dim:
+                out.append(None)
+            else:
+                out.append(True)
+                vecs.append(v)
+                idx.append(i)
+        if vecs:
+            X = np.asarray(vecs, dtype=np.float64)
+            proj = X @ H.T  # (n, T*B) signed margins
+            S = (proj >= 0).reshape(len(vecs), tables, bits)
+            packed = (S * weights).sum(axis=2)  # (n, T)
+            tbl_base = (np.arange(tables, dtype=np.int64) << bits)[None, :]
+            all_keys = [tbl_base + packed]
+            if np_probes > 0:
+                margins = np.abs(proj).reshape(len(vecs), tables, bits)
+                # bit indices ordered by margin, smallest first
+                order = np.argsort(margins, axis=2)[:, :, :np_probes]
+                for p in range(min(np_probes, bits)):
+                    flip = order[:, :, p]  # (n, T) bit to flip
+                    flipped = packed ^ (np.int64(1) << flip)
+                    all_keys.append(tbl_base + flipped)
+            K = np.stack(all_keys, axis=2).reshape(len(vecs), -1)
+            for j, i in enumerate(idx):
+                out[i] = [int(v) for v in K[j]]
+        return pd.Series(out)
+
+    return df.withColumn(out_col, keys(F.col(vec_col)))
+
+
 def ann_lsh_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -219,36 +269,41 @@ def ann_lsh_topk(
     tables: int = 4,
     seed: int = 7,
     dim: int | None = None,
+    probes: int = 0,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane signature per table, equi-join
     base and queries on (table, signature), exact cosine re-rank.
 
     Scales as sum of bucket sizes (no all-pairs); recall grows with
-    ``tables`` (multi-probe). Signatures and the candidate re-rank both
-    run as Arrow-batched numpy (see add_lsh_signatures / _cosine_batch)."""
+    ``tables`` (more independent hash tables) and with ``probes``
+    (multi-probe: each query additionally probes the buckets reached by
+    flipping its ``probes`` smallest-margin sign bits per table — more
+    coverage WITHOUT growing the index, Lv et al. VLDB'07). Signatures
+    and the candidate re-rank both run as Arrow-batched numpy (see
+    add_lsh_probe_keys / _cosine_batch)."""
     if dim is None:
         dim = len(base.select(vec_col).first()[0])
 
-    b = add_lsh_signatures(
+    b = add_lsh_probe_keys(
         base.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias(vec_col)),
-        vec_col, dim, bits, tables, seed, "b_sigs",
+        vec_col, dim, bits, tables, seed, 0, "b_keys",
     )
-    q = add_lsh_signatures(
+    q = add_lsh_probe_keys(
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias(vec_col)),
-        vec_col, dim, bits, tables, seed, "q_sigs",
+        vec_col, dim, bits, tables, seed, int(probes), "q_keys",
     )
     # posexplode_outer + output-attribute filter: a plain posexplode gets a
     # size(sigs) > 0 filter inferred (InferFiltersFromGenerate) and pushed to
     # the scan, re-evaluating the whole interpreted signature array per row —
     # the same trap fixed for minhash/jaccard/simhash in operators/dedup.py
     be = b.select(
-        "b_id", F.col(vec_col).alias("b_vec"), F.posexplode_outer("b_sigs").alias("tbl", "sig")
-    ).where(F.col("sig").isNotNull())
+        "b_id", F.col(vec_col).alias("b_vec"), F.explode_outer("b_keys").alias("key")
+    ).where(F.col("key").isNotNull())
     qe = q.select(
-        "q_id", F.col(vec_col).alias("q_vec"), F.posexplode_outer("q_sigs").alias("tbl", "sig")
-    ).where(F.col("sig").isNotNull())
+        "q_id", F.col(vec_col).alias("q_vec"), F.explode_outer("q_keys").alias("key")
+    ).where(F.col("key").isNotNull())
     cand = (
-        be.join(qe, ["tbl", "sig"])
+        be.join(qe, ["key"])
         .dropDuplicates(["q_id", "b_id"])
         .withColumn("cosine", _cosine_batch(F.col("q_vec"), F.col("b_vec")))
     )
@@ -637,6 +692,8 @@ def ivfpq_index_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 3,
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
 ) -> DataFrame:
     """Probe an IVF-PQ index with asymmetric distance computation (ADC):
     nprobe nearest cells per query, then per-candidate score
@@ -644,7 +701,18 @@ def ivfpq_index_query(
     products) is built ONCE per query per Arrow batch and every
     candidate is a table gather, no float vectors are read at all.
     Returns (query_id, neighbor_id, score_adc, rank); score_adc
-    approximates cosine (vectors were normalized at build)."""
+    approximates cosine (vectors were normalized at build).
+
+    ``refine=`` (a DataFrame holding the original float vectors, same
+    id/vec columns as the queries) switches on exact re-ranking — the
+    FAISS IndexRefineFlat pattern: the ADC pass keeps the top
+    ``refine_factor * k`` candidates per query, those (queries x rf*k)
+    rows join back to their float vectors by id, and exact cosine
+    decides the final top-k. This removes the PQ quantization error
+    from the RANKING (recall is then bounded only by cell coverage)
+    while still touching float vectors for a candidate set proportional
+    to queries*k, never the corpus; the returned score column is then
+    the exact cosine."""
     import json as _json
     import os as _os
 
@@ -713,10 +781,32 @@ def ivfpq_index_query(
             )
 
     scored = joined.mapInPandas(adc, out_schema)
-    top = _salted_topk(
-        scored.withColumnRenamed("score_adc", "cosine"), "q_id", "b_id", k
+    if refine is None:
+        top = _salted_topk(
+            scored.withColumnRenamed("score_adc", "cosine"), "q_id", "b_id", k
+        )
+        return top.select(
+            F.col("q_id").alias("query_id"),
+            F.col("b_id").alias("neighbor_id"),
+            F.col("cosine").alias("score_adc"),
+            "rank",
+        )
+    rf = max(int(refine_factor), 1) * int(k)
+    shortlist = _salted_topk(
+        scored.withColumnRenamed("score_adc", "cosine"), "q_id", "b_id", rf
+    ).select("q_id", "b_id")
+    bvec = refine.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec")
     )
-    return top.select(
+    qvec = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    exact = (
+        shortlist.join(bvec, "b_id")
+        .join(F.broadcast(qvec), "q_id")
+        .withColumn("cosine", _cosine_batch(F.col("q_vec"), F.col("b_vec")))
+    )
+    return _salted_topk(exact, "q_id", "b_id", k).select(
         F.col("q_id").alias("query_id"),
         F.col("b_id").alias("neighbor_id"),
         F.col("cosine").alias("score_adc"),
