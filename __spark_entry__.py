@@ -3009,20 +3009,32 @@ def q_layout_pruned_polys(spark, sf_dir):
     the closed envelope decides intersects TRUE, and ONLY boundary-band
     rows (bbox touching the envelope edge) decode WKB in the exact UDF
     (reference geometry_type.hpp:100-146 cached-bbox prefilter, completed
-    into a decision). Oracle = closed/strict interval arithmetic over the
-    same rects."""
+    into a decision). r12: every box binds through scan_geo_parquet
+    (manifest FILE pruning from _geo_layout.json per-file bounds +
+    schema-from-manifest bind — the R-tree root-descent analog), and box
+    3 runs the solid=True within fast path (closed bbox containment IS
+    ST_Within for positive-area geometries; box 1 keeps the general UDF
+    plan so both branches stay driver-gated). Oracle = closed/strict
+    interval arithmetic over the same rects."""
     _prep(spark, sf_dir)
-    from duckdb_spatial_spark.plans.pruning import filter_bbox, write_geo_parquet
+    from duckdb_spatial_spark.plans.pruning import (
+        filter_bbox,
+        scan_geo_parquet,
+        write_geo_parquet,
+    )
 
     path = _fresh_tmp("layout_pruned_polys")
     g = spark.sql(_RECTS).selectExpr(
         "rid", "ST_MakeEnvelope(mx, my, mx + w, my + h) AS geom"
     )
     write_geo_parquet(g, path, num_partitions=8)
-    base = spark.read.parquet(path)
     outs = []
     for bid, x0, y0, x1, y1, sem in _LAYOUT_BOXES:
-        w = filter_bbox(base, x0, y0, x1, y1, exact=sem)
+        base = scan_geo_parquet(spark, path, bbox=(x0, y0, x1, y1))
+        w = filter_bbox(
+            base, x0, y0, x1, y1, exact=sem,
+            solid=(sem == "within" and bid == 3),
+        )
         outs.append(
             w.groupBy().agg(
                 F.count("*").alias("_n"),

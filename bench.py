@@ -64,7 +64,11 @@ def main():
     from duckdb_spatial_spark.operators import st_join
     from duckdb_spatial_spark.operators.dedup import minhash_lsh_pairs
     from duckdb_spatial_spark.operators.knn import ann_brute_topk
-    from duckdb_spatial_spark.plans import filter_bbox, write_geo_parquet
+    from duckdb_spatial_spark.plans import (
+        filter_bbox,
+        scan_geo_parquet,
+        write_geo_parquet,
+    )
     from duckdb_spatial_spark.sources import st_generatepoints
 
     duckdb_spatial_spark.register_all(spark)
@@ -218,8 +222,15 @@ def main():
                 # points=True: the layout is declared all-POINT, so the exact
                 # within recheck is plain Column compares on the bbox columns
                 # (the reference's native st_contains POINT fast path) — the
-                # whole query is JVM-side scan + skip, zero Python
-                filter_bbox(clustered, 450, 450, 650, 650, exact="within", points=True).count()
+                # whole query is JVM-side scan + skip, zero Python.
+                # scan_geo_parquet drops non-matching FILES from the
+                # _geo_layout.json manifest driver-side before Spark lists
+                # them (R-tree root-node descent analog); footer stats then
+                # skip row groups inside the survivors.
+                filter_bbox(
+                    scan_geo_parquet(spark, f"{tmp}/pts{suffix}", bbox=(450, 450, 650, 650)),
+                    450, 450, 650, 650, exact="within", points=True,
+                ).count()
 
             # DuckDB has no R-tree without the spatial extension (offline);
             # its x/y full-scan number doubles as the baseline for both — the
@@ -285,9 +296,26 @@ def main():
 
             @bench(f"polys_pruned_count{suffix}")
             def _():
-                # bbox conjuncts on the sidecars prune row groups; the
-                # exact ST_Within recheck runs only on survivors
-                filter_bbox(pclustered, 450, 450, 1650, 1650, exact="within").count()
+                # manifest file pruning (scan_geo_parquet) + footer
+                # row-group skipping + the solid-2D within fast path
+                # (every geometry here is a positive-area envelope, so
+                # closed bbox containment IS ST_Within — one JVM-only
+                # scan, zero Python; filter_bbox docstring has the
+                # exactness argument)
+                filter_bbox(
+                    scan_geo_parquet(spark, f"{tmp}/polys{suffix}", bbox=(450, 450, 1650, 1650)),
+                    450, 450, 1650, 1650, exact="within", solid=True,
+                ).count()
+
+            @bench(f"polys_pruned_count_udf{suffix}")
+            def _():
+                # general-geometry control: same scan, boundary band
+                # rechecked through the exact WKB kernel (the plan any
+                # non-solid layout gets)
+                filter_bbox(
+                    scan_geo_parquet(spark, f"{tmp}/polys{suffix}", bbox=(450, 450, 1650, 1650)),
+                    450, 450, 1650, 1650, exact="within",
+                ).count()
 
             duck_bench(
                 f"polys_pruned_count{suffix}",
@@ -299,6 +327,7 @@ def main():
                 and f"polys_pruned_count{suffix}" in duck
             ):
                 duck[f"polys_fullscan_count{suffix}"] = duck[f"polys_pruned_count{suffix}"]
+                duck[f"polys_pruned_count_udf{suffix}"] = duck[f"polys_pruned_count{suffix}"]
 
         try:
             polygon_workloads(int(os.environ.get("SPARK_GRAFT_BENCH_POLYS", "1000000")))

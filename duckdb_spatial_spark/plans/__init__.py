@@ -6,6 +6,7 @@ from .pruning import (  # noqa: F401
     hilbert_cluster,
     hilbert_cluster_points,
     read_geo_parquet,
+    scan_geo_parquet,
     write_geo_parquet,
 )
 from .snapshot import (  # noqa: F401

@@ -50,3 +50,66 @@ def test_append_fragmentation_compact(spark, tmp_path):
     assert P.filter_bbox(df2, 100, 100, 300, 300, exact="within").count() == n_exact
     # idempotent: already-compact layout skips
     assert not P.compact_geo_parquet(spark, path, min_fragmentation=max(f2, 0.05))
+
+
+def test_scan_geo_parquet_manifest_pruning(spark, tmp_path):
+    path = str(tmp_path / "layout2")
+    P.write_geo_parquet(
+        _points(spark, 0, 50_000), path, point_xy=("x", "y"), num_partitions=8
+    )
+    meta = P.read_layout_meta(path)
+    assert meta and len(meta["files"]) == 8  # per-file bounds recorded
+
+    # the manifest prunes files on the driver: a window covering a sliver
+    # of the hilbert-clustered space binds fewer input files
+    full = P.scan_geo_parquet(spark, path)
+    win = (100.0, 100.0, 220.0, 220.0)
+    pruned = P.scan_geo_parquet(spark, path, bbox=win)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+    # ...and the pruned scan + filter equals the unpruned scan + filter
+    n_pruned = P.filter_bbox(pruned, *win, exact="within", points=True).count()
+    n_full = P.filter_bbox(full, *win, exact="within", points=True).count()
+    assert n_pruned == n_full > 0
+
+    # empty-window scan returns zero rows with the layout schema
+    none = P.scan_geo_parquet(spark, path, bbox=(5000.0, 5000.0, 6000.0, 6000.0))
+    assert none.count() == 0 and none.columns == full.columns
+
+    # conservative fallbacks: no manifest (or a foreign file) => full read
+    import json
+    import os
+
+    mp = os.path.join(path, "_geo_layout.json")
+    meta2 = dict(meta)
+    meta2.pop("files")
+    with open(mp, "w", encoding="utf-8") as f:
+        json.dump(meta2, f)
+    legacy = P.scan_geo_parquet(spark, path, bbox=win)
+    assert len(legacy.inputFiles()) == len(full.inputFiles())
+    assert P.filter_bbox(legacy, *win, exact="within", points=True).count() == n_full
+    with open(mp, "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+
+    # manifest stays fresh across append + compact
+    P.append_geo_parquet(
+        _points(spark, 50_000, 60_000), path, point_xy=("x", "y"), num_partitions=4
+    )
+    m_app = P.read_layout_meta(path)
+    assert len(m_app["files"]) == 12
+    n2 = P.filter_bbox(
+        P.scan_geo_parquet(spark, path, bbox=win), *win, exact="within", points=True
+    ).count()
+    n2_full = P.filter_bbox(
+        spark.read.parquet(path), *win, exact="within", points=True
+    ).count()
+    assert n2 == n2_full
+    assert P.compact_geo_parquet(spark, path, min_fragmentation=0.0)
+    m_cmp = P.read_layout_meta(path)
+    assert set(m_cmp["files"]) == {
+        os.path.basename(f) for f in spark.read.parquet(path).inputFiles()
+    }
+    n3 = P.filter_bbox(
+        P.scan_geo_parquet(spark, path, bbox=win), *win, exact="within", points=True
+    ).count()
+    assert n3 == n2_full
