@@ -120,10 +120,10 @@ def main():
 
         return deco
 
-    def duck_bench(name, sql):
+    def duck_bench(name, sql, repeats: int = 3):
         best = None
         try:
-            for _ in range(3):
+            for _ in range(repeats):
                 t0 = time.time()
                 con.execute(sql).fetchall()
                 dt = time.time() - t0
@@ -133,6 +133,24 @@ def main():
             print(f"[bench] duckdb:{name} FAILED: {errors[f'duckdb:{name}']}", file=sys.stderr)
             return
         duck[name] = round(best, 3)
+
+    # Morton bit-interleave macros: DuckDB 1.0 has no spatial extension
+    # offline, so CREATE INDEX ... USING RTREE is unavailable — the honest
+    # cluster-build comparable is the same physical work write_geo_parquet
+    # does (space-filling-curve sort + parquet write), expressed in plain
+    # SQL: 16-bit magic-mask bit spreading -> morton key -> ORDER BY -> COPY.
+    con.execute("CREATE OR REPLACE MACRO _m1(v) AS ((v | (v << 8)) & 16711935)")
+    con.execute("CREATE OR REPLACE MACRO _m2(v) AS ((v | (v << 4)) & 252645135)")
+    con.execute("CREATE OR REPLACE MACRO _m3(v) AS ((v | (v << 2)) & 858993459)")
+    con.execute("CREATE OR REPLACE MACRO _m4(v) AS ((v | (v << 1)) & 1431655765)")
+    con.execute(
+        "CREATE OR REPLACE MACRO _spread16(v) AS _m4(_m3(_m2(_m1(v))))"
+    )
+    con.execute(
+        "CREATE OR REPLACE MACRO _morton(x, y) AS"
+        " (_spread16(CAST(least(greatest(x, 0), 9999.99) / 10000 * 65535 AS BIGINT))"
+        " | (_spread16(CAST(least(greatest(y, 0), 9999.99) / 10000 * 65535 AS BIGINT)) << 1))"
+    )
 
     # ---- warmup (untimed): JVM codegen, parquet reader, shuffle, Arrow +
     # Python UDF workers ----
@@ -209,6 +227,17 @@ def main():
                     sample_fraction=0.01,
                 )
 
+            # cluster-build comparable (reference rtree_index.benchmark
+            # times CREATE INDEX; no spatial extension offline, so the
+            # analog is the same curve-sort + parquet write in plain SQL)
+            duck_bench(
+                f"points_cluster_build{suffix}",
+                f"COPY (SELECT id, x, y, _morton(x, y) AS mkey"
+                f" FROM '{raw}/*.parquet' ORDER BY mkey)"
+                f" TO '{tmp}/duck_pts{suffix}.parquet' (FORMAT parquet)",
+                repeats=1,
+            )
+
             clustered = spark.read.parquet(f"{tmp}/pts{suffix}")
 
             @bench(f"points_fullscan_count{suffix}")
@@ -282,6 +311,17 @@ def main():
                     ).alias("geom"),
                 )
                 write_geo_parquet(g, f"{tmp}/polys{suffix}", num_partitions=max(cpus, 16))
+
+            # same cluster-build comparable as the points lane: morton
+            # sort on the rect CENTER + parquet write in plain SQL
+            duck_bench(
+                f"polys_cluster_build{suffix}",
+                f"COPY (SELECT id, mx, my, w, h,"
+                f" _morton(mx + w / 2, my + h / 2) AS mkey"
+                f" FROM '{praw}/*.parquet' ORDER BY mkey)"
+                f" TO '{tmp}/duck_polys{suffix}.parquet' (FORMAT parquet)",
+                repeats=1,
+            )
 
             pclustered = spark.read.parquet(f"{tmp}/polys{suffix}")
 
@@ -637,6 +677,47 @@ def main():
             docs = spark.table("documents")
             minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5).count()
 
+        # same-WORK DuckDB replica (values differ — xxhash64 vs duckdb
+        # hash() — but the pipeline is identical: distinct word 3-gram
+        # shingles, 32 minhashes, 8 band keys, bucket self-join, exact
+        # Jaccard verification of candidates at threshold 0.5)
+        duck_bench(
+            "minhash_lsh_docs",
+            """
+            WITH toks AS (
+              SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+              FROM documents
+            ), shl AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(generate_series(1, len(w) - 2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+                       ELSE [] END) AS sl
+              FROM toks
+            ), sh AS (
+              SELECT doc_id, unnest(sl) AS s FROM shl
+            ), mh AS (
+              SELECT doc_id, k, min(hash(s || ',' || k)) AS m
+              FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS k)
+              GROUP BY doc_id, k
+            ), bands AS (
+              SELECT doc_id, k // 4 AS band,
+                     hash(string_agg(m::VARCHAR, ',' ORDER BY k)) AS bh
+              FROM mh GROUP BY doc_id, k // 4
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            )
+            SELECT count(*) FROM (
+              SELECT id_a, id_b,
+                     len(list_intersect(a.sl, b.sl))::DOUBLE
+                     / (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))) AS j
+              FROM cand JOIN shl a ON a.doc_id = id_a JOIN shl b ON b.doc_id = id_b
+            ) WHERE j >= 0.5
+            """,
+        )
+
         # ---- doc-pipeline operators with plain-SQL DuckDB comparables:
         # the oracle SQL from the driver contract IS the DuckDB baseline
         # (same metric definitions, same inputs). A sum over computed
@@ -960,11 +1041,45 @@ def main():
 
             winnowing_fingerprints(spark.table("documents"), "doc_id", "text").count()
 
+        # the value-exact driver oracle IS the DuckDB replica (rolling
+        # k-gram polynomial hash, min-per-window-20) — run it over the
+        # WHOLE corpus instead of the driver row's 100-doc slice
+        win_sql = E.oracle_sql().get("winnowing", "")
+        if "WHERE doc_id < 100" in win_sql:
+            # aggregate over the COMPUTED columns — a bare count(*) lets
+            # DuckDB projection-prune the entire hash pipeline away
+            duck_bench(
+                "winnowing_docs",
+                "SELECT sum(n_fp), sum(min_fp), sum(max_fp) FROM ("
+                + win_sql.replace("WHERE doc_id < 100", "") + ")",
+                repeats=1,
+            )
+        else:
+            errors["duckdb:winnowing_docs"] = "oracle slice filter not found"
+
         @bench("ann_brute_topk")
         def _():
             emb = spark.table("embeddings")
             q = emb.limit(50)
             ann_brute_topk(emb, q, k=10).count()
+
+        # exact brute-force comparable: same 50-query top-10 by cosine
+        # over the same vectors (list_cosine_similarity is core DuckDB)
+        duck_bench(
+            "ann_brute_topk",
+            """
+            SELECT count(*) FROM (
+              SELECT q.vec_id, b.vec_id AS nb,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(
+                         q.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                       b.vec_id) AS rank
+              FROM (SELECT vec_id, embedding FROM embeddings LIMIT 50) q,
+                   embeddings b
+            ) WHERE rank <= 10
+            """,
+        )
 
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
