@@ -3000,6 +3000,67 @@ def q_spatial_native_casts(spark, sf_dir):
     )
 
 
+def q_spatial_transform_tranche3(spark, sf_dir):
+    """EPSG registry tranche 3 (functions/crs.py r12: full SPCS83 metric
+    set, JGD2000/JGD2011 plane rectangular CS + UTM, CGCS2000
+    Gauss-Krüger, Pulkovo 1995, SWEREF99, Poland CS92/2000, Baltic TMs,
+    ITM, Portugal TM06, RGF93 CC — reference resolves all of these from
+    its vendored PROJ database, proj/functions.cpp:416-422). Pins are
+    engine-independent identities: (a) forward+inverse roundtrips return
+    the input coordinates (literal), (b) the new METRIC State Plane
+    zones agree with the independently-validated ftUS twins through the
+    exact US survey-foot ratio to sub-mm (literal 0 after rounding),
+    (c) SWEREF99 TM coordinates equal ETRS89/UTM33 exactly (identical
+    projection, literal 0). tests/test_crs_registry_tranche3.py adds
+    per-zone origin/scale invariants and landmark boxes over the whole
+    tranche."""
+    _prep(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 1 AS pid,
+          round(abs(ST_X(nyft) * 0.3048006096012192 - ST_X(nym)), 3) AS ny_dx,
+          round(abs(ST_Y(nyft) * 0.3048006096012192 - ST_Y(nym)), 3) AS ny_dy,
+          round(abs(ST_X(swe) - ST_X(utm33)), 6) AS swe_dx,
+          round(abs(ST_Y(swe) - ST_Y(utm33)), 6) AS swe_dy,
+          round(ST_X(jp), 6) AS jp_rt_lon, round(ST_Y(jp), 6) AS jp_rt_lat,
+          round(ST_X(cn), 6) AS cn_rt_lon, round(ST_Y(cn), 6) AS cn_rt_lat,
+          round(ST_X(p95), 6) AS p95_rt_lon, round(ST_Y(p95), 6) AS p95_rt_lat,
+          round(ST_X(ak1), 6) AS ak1_rt_lon, round(ST_Y(ak1), 6) AS ak1_rt_lat,
+          round(ST_X(itm), 6) AS itm_rt_lon, round(ST_Y(itm), 6) AS itm_rt_lat,
+          round(ST_X(pl), 6) AS pl_rt_lon, round(ST_Y(pl), 6) AS pl_rt_lat
+        FROM (
+          SELECT
+            ST_Transform(ST_Point(-74.006D, 40.7128D),
+                         'EPSG:4269', 'EPSG:2263', true) AS nyft,
+            ST_Transform(ST_Point(-74.006D, 40.7128D),
+                         'EPSG:4269', 'EPSG:32118', true) AS nym,
+            ST_Transform(ST_Point(18.0686D, 59.3293D),
+                         'EPSG:4258', 'EPSG:3006', true) AS swe,
+            ST_Transform(ST_Point(18.0686D, 59.3293D),
+                         'EPSG:4258', 'EPSG:25833', true) AS utm33,
+            ST_Transform(ST_Transform(ST_Point(139.7671D, 35.6812D),
+                         'EPSG:6668', 'EPSG:6677', true),
+                         'EPSG:6677', 'EPSG:6668', true) AS jp,
+            ST_Transform(ST_Transform(ST_Point(116.407D, 39.904D),
+                         'EPSG:4490', 'EPSG:4498', true),
+                         'EPSG:4498', 'EPSG:4490', true) AS cn,
+            ST_Transform(ST_Transform(ST_Point(37.6176D, 55.7558D),
+                         'EPSG:4326', 'EPSG:20007', true),
+                         'EPSG:20007', 'EPSG:4326', true) AS p95,
+            ST_Transform(ST_Transform(ST_Point(-134.42D, 58.3D),
+                         'EPSG:4269', 'EPSG:26931', true),
+                         'EPSG:26931', 'EPSG:4269', true) AS ak1,
+            ST_Transform(ST_Transform(ST_Point(-6.2603D, 53.3498D),
+                         'EPSG:4258', 'EPSG:2157', true),
+                         'EPSG:2157', 'EPSG:4258', true) AS itm,
+            ST_Transform(ST_Transform(ST_Point(21.0122D, 52.2297D),
+                         'EPSG:4258', 'EPSG:2180', true),
+                         'EPSG:2180', 'EPSG:4258', true) AS pl
+        )
+        """
+    )
+
+
 def q_layout_pruned_polys(spark, sf_dir):
     """Polygon windowed query through the layout (the reference's headline
     rtree_index.benchmark shape: windowed ST_Within over POLYGONS): cluster
@@ -3546,10 +3607,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r11: ANN quality made driver-visible (recall@10 of
         # lsh/ivf/ivfpq vs the exact baseline, value-oracled booleans) ---
         "ann_recall": q_ann_recall,
+        # --- new in r12: EPSG registry tranche 3 (full SPCS83 metric set,
+        # JGD2000/2011, CGCS2000, Pulkovo 1995, SWEREF99, RGF93 CC...) ---
+        "spatial_transform_tranche3": q_spatial_transform_tranche3,
         # --- new in r10: PQ-compressed ANN (ann_lsh_topk, rows-only and
         # driver-checked since r6, rotates behind the window) ---
         "ivfpq_index": q_ivfpq_index,
         "ann_ivf_topk": q_ann_ivf_topk,
+        # --- changed in r12 (multi-probe key-join rewrite): in-window ---
+        "ann_lsh_topk": q_ann_lsh_topk,
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
         "winnowing": q_winnowing,
@@ -3617,7 +3683,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
         "tab_roundtrip": q_tab_roundtrip,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "streaming_join": q_streaming_join,
         "georss_roundtrip": q_georss_roundtrip,
         "gopher_quality": q_gopher_quality,
@@ -4154,6 +4219,19 @@ def oracle_sql() -> dict[str, str]:
                    round({_PARIS_PM}, 9) AS glon,
                    round(2.3522, 6) AS rt_lon, round(48.8566, 6) AS rt_lat
             FROM (VALUES (1), (2), (3)) AS t(zid)
+        """,
+        "spatial_transform_tranche3": """
+            -- engine-independent identities: unit-twin and identical-
+            -- projection deltas are zero after rounding; roundtrips
+            -- return the input coordinates (all literals)
+            SELECT 1 AS pid,
+              0.0 AS ny_dx, 0.0 AS ny_dy, 0.0 AS swe_dx, 0.0 AS swe_dy,
+              139.7671 AS jp_rt_lon, 35.6812 AS jp_rt_lat,
+              116.407 AS cn_rt_lon, 39.904 AS cn_rt_lat,
+              37.6176 AS p95_rt_lon, 55.7558 AS p95_rt_lat,
+              -134.42 AS ak1_rt_lon, 58.3 AS ak1_rt_lat,
+              -6.2603 AS itm_rt_lon, 53.3498 AS itm_rt_lat,
+              21.0122 AS pl_rt_lon, 52.2297 AS pl_rt_lat
         """,
         "spatial_transform_stateplane": """
             -- published worked examples (EPSG GN7-2 lcc-2SP Texas South

@@ -672,22 +672,16 @@ def main():
             errors["large_tier"] = f"{type(e).__name__}: {e}"[:500]
             print(f"[bench] large_tier FAILED: {errors['large_tier']}", file=sys.stderr)
 
-        @bench("minhash_lsh_docs")
-        def _():
-            docs = spark.table("documents")
-            minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5).count()
-
         # same-WORK DuckDB replica (values differ — xxhash64 vs duckdb
         # hash() — but the pipeline is identical: distinct word 3-gram
         # shingles, 32 minhashes, 8 band keys, bucket self-join, exact
         # Jaccard verification of candidates at threshold 0.5)
-        duck_bench(
-            "minhash_lsh_docs",
-            """
+        def minhash_duck_sql(table):
+            return f"""
             WITH toks AS (
               SELECT doc_id, list_filter(
                        string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
-              FROM documents
+              FROM {table}
             ), shl AS (
               SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
                        THEN list_transform(generate_series(1, len(w) - 2),
@@ -715,8 +709,14 @@ def main():
                      / (len(a.sl) + len(b.sl) - len(list_intersect(a.sl, b.sl))) AS j
               FROM cand JOIN shl a ON a.doc_id = id_a JOIN shl b ON b.doc_id = id_b
             ) WHERE j >= 0.5
-            """,
-        )
+            """
+
+        @bench("minhash_lsh_docs")
+        def _():
+            docs = spark.table("documents")
+            minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.5).count()
+
+        duck_bench("minhash_lsh_docs", minhash_duck_sql("documents"))
 
         # ---- doc-pipeline operators with plain-SQL DuckDB comparables:
         # the oracle SQL from the driver contract IS the DuckDB baseline
@@ -1080,6 +1080,121 @@ def main():
             ) WHERE rank <= 10
             """,
         )
+
+        # ---- sf1 smoke tier (r12): the headline doc/dedup/join lanes at
+        # ~10x their sf0.1 inputs, to catch superlinear surprises before
+        # a real 100x. Inputs materialize once; BOTH engines read the
+        # same parquet. (points_pruned, sessionize_bucketed, excise and
+        # events_hourly already carry at-scale tiers above.)
+        sf1_mult = int(os.environ.get("SPARK_GRAFT_BENCH_SF1_MULT", "10"))
+        if sf1_mult > 0:
+            try:
+                docs_sf1 = f"{tmp}/docs_sf1"
+                (
+                    spark.table("documents")
+                    .select("doc_id", "text")
+                    .crossJoin(
+                        spark.range(sf1_mult).select(F.col("id").alias("_rep"))
+                    )
+                    .selectExpr("doc_id + _rep * 10000000 AS doc_id", "text")
+                    .repartition(cpus)
+                    .write.mode("overwrite")
+                    .parquet(docs_sf1)
+                )
+                spark.read.parquet(docs_sf1).createOrReplaceTempView("documents_sf1")
+                con.execute(
+                    f"CREATE VIEW documents_sf1 AS FROM '{docs_sf1}/*.parquet'"
+                )
+
+                @bench("clf_docs_sf1")
+                def _():
+                    from duckdb_spatial_spark.operators.pipeline import (
+                        linear_classifier_score,
+                    )
+
+                    w = [
+                        (((b * 1103515245 + 12345) % 2049) - 1024) / 1024.0
+                        for b in range(512)
+                    ]
+                    linear_classifier_score(
+                        spark.table("documents_sf1"), w, bias=13.0 / 256.0, seed=7
+                    ).agg(
+                        F.sum("clf_raw"), F.sum(F.col("clf_keep").cast("long"))
+                    ).collect()
+
+                duck_bench(
+                    "clf_docs_sf1",
+                    "SELECT sum(clf_raw), CAST(sum(CASE WHEN clf_keep THEN 1"
+                    " ELSE 0 END) AS BIGINT) FROM ("
+                    + E.oracle_sql()["clf_quality"].replace(
+                        "FROM documents", "FROM documents_sf1"
+                    )
+                    + ")",
+                )
+
+                # replication makes 10-cliques of near-identical docs —
+                # deliberately: it is the shape web dedup actually sees,
+                # and both engines pay the same in-bucket quadratics
+                @bench("minhash_lsh_docs_sf1", repeats=1)
+                def _():
+                    minhash_lsh_pairs(
+                        spark.table("documents_sf1"), "doc_id", "text",
+                        n=3, num_hashes=32, bands=8, threshold=0.5,
+                    ).count()
+
+                duck_bench(
+                    "minhash_lsh_docs_sf1", minhash_duck_sql("documents_sf1"),
+                    repeats=1,
+                )
+
+                # spatial join at 10x points / 2x rects (output ~20x):
+                # the pinned-grid plan — the one that runs when neither
+                # side broadcasts at 100 TB
+                pts_sf1 = f"{tmp}/pts_sf1"
+                rects_sf1 = f"{tmp}/rects_sf1"
+                n_pts = spark.sql(f"SELECT count(*) AS n FROM ({pts_sql})").first()["n"]
+                n_rects = spark.sql(f"SELECT count(*) AS n FROM ({rects_sql})").first()["n"]
+                spark.sql(
+                    f"SELECT id, CAST(id * 7919 % 10000 AS DOUBLE) AS x,"
+                    f" CAST(id * 104729 % 10000 AS DOUBLE) AS y"
+                    f" FROM range({sf1_mult * n_pts})"
+                ).repartition(cpus).write.mode("overwrite").parquet(pts_sf1)
+                spark.sql(
+                    f"SELECT id AS rid, CAST(id * 7919 % 9900 AS DOUBLE) AS mx,"
+                    f" CAST(id * 104729 % 9900 AS DOUBLE) AS my,"
+                    f" CAST(id % 97 + 3 AS DOUBLE) AS w, CAST(id % 89 + 2 AS DOUBLE) AS h"
+                    f" FROM range({2 * n_rects})"
+                ).coalesce(4).write.mode("overwrite").parquet(rects_sf1)
+
+                @bench("spatial_join_grid_sf1", repeats=2)
+                def _():
+                    pts = (
+                        spark.read.parquet(pts_sf1)
+                        .withColumn("geom", udfs.st_point("x", "y"))
+                        .select("id", "geom")
+                    )
+                    rects = spark.read.parquet(rects_sf1).select(
+                        "rid",
+                        udfs.st_makeenvelope(
+                            "mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")
+                        ).alias("geom"),
+                    )
+                    st_join(
+                        pts, rects, predicate="within",
+                        strategy="grid", cell_size=250.0,
+                    ).count()
+
+                duck_bench(
+                    "spatial_join_grid_sf1",
+                    f"SELECT count(*) FROM '{pts_sf1}/*.parquet' p"
+                    f" JOIN '{rects_sf1}/*.parquet' r"
+                    " ON p.x > r.mx AND p.x < r.mx + r.w"
+                    " AND p.y > r.my AND p.y < r.my + r.h",
+                    repeats=2,
+                )
+            except Exception as e:  # noqa: BLE001 - sf1 tier glue failed
+                errors["sf1_tier"] = f"{type(e).__name__}: {e}"[:500]
+                print(f"[bench] sf1_tier FAILED: {errors['sf1_tier']}", file=sys.stderr)
 
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -380,6 +380,274 @@ for _z in range(2, 6):
     )
     _CRS_NAMES[f"EPSG:{31464 + _z}"] = f"DHDN / 3-degree Gauss-Kruger zone {_z}"
 
+
+# ---------------------------------------------------------------------------
+# registry tranche 3 (r12): the full NAD83 State Plane (SPCS83) metric set,
+# Japan JGD2000/JGD2011 plane rectangular CS I-XIX + UTM, China CGCS2000
+# Gauss-Krüger (6° zones + 3° CM series), Pulkovo 1995 Gauss-Krüger,
+# Sweden SWEREF99, Poland CS92/CS2000, Baltic national TMs, Ireland ITM,
+# Portugal TM06, Slovenia D96/TM, France RGF93 CC zones. Parameters are
+# the published EPSG/SPCS83 values (NOAA NOS NGS 13 tables; EPSG GN7-2
+# methods). Validation: tests/test_crs_registry_tranche3.py pins, for
+# EVERY zone, the defining identity (projecting the grid origin yields
+# exactly (x_0, y_0)), an interior-point roundtrip, a point-scale sanity
+# bound, and exact unit-twin agreement with the independently-validated
+# ftUS zones of tranche 1/2.
+# ---------------------------------------------------------------------------
+def _dms(d: float, m: float = 0.0, s: float = 0.0) -> float:
+    """Signed degrees from degree/minute/second components (sign on d)."""
+    sign = -1.0 if d < 0 else 1.0
+    return sign * (abs(d) + m / 60.0 + s / 3600.0)
+
+
+def _reg(code: int, name: str, p4: str) -> None:
+    _PROJ4_STRINGS[f"EPSG:{code}"] = p4
+    _CRS_NAMES[f"EPSG:{code}"] = name
+
+
+def _lcc83(code, name, lat1, lat2, lat0, lon0, x0, y0):
+    _reg(code, f"NAD83 / {name}",
+         f"+proj=lcc +lat_1={lat1!r} +lat_2={lat2!r} +lat_0={lat0!r} "
+         f"+lon_0={lon0!r} +x_0={x0!r} +y_0={y0!r} +ellps=GRS80 +units=m +no_defs")
+
+
+def _tm83(code, name, lat0, lon0, k, x0, y0):
+    _reg(code, f"NAD83 / {name}",
+         f"+proj=tmerc +lat_0={lat0!r} +lon_0={lon0!r} +k={k!r} "
+         f"+x_0={x0!r} +y_0={y0!r} +ellps=GRS80 +units=m +no_defs")
+
+
+# SPCS83 Lambert conic conformal 2SP zones (metres):
+# (code, name, lat_1, lat_2, lat_0 false-origin lat, lon_0, x_0, y_0)
+for _row in [
+    (26940, "Alaska zone 10", _dms(51, 50), _dms(53, 50), _dms(51), _dms(-176), 1000000, 0),
+    (26951, "Arkansas North", _dms(34, 56), _dms(36, 14), _dms(34, 20), _dms(-92), 400000, 0),
+    (26952, "Arkansas South", _dms(33, 18), _dms(34, 46), _dms(32, 40), _dms(-92), 400000, 400000),
+    (26941, "California zone 1", _dms(40), _dms(41, 40), _dms(39, 20), _dms(-122), 2000000, 500000),
+    (26942, "California zone 2", _dms(38, 20), _dms(39, 50), _dms(37, 40), _dms(-122), 2000000, 500000),
+    (26943, "California zone 3", _dms(37, 4), _dms(38, 26), _dms(36, 30), _dms(-120, 30), 2000000, 500000),
+    (26944, "California zone 4", _dms(36), _dms(37, 15), _dms(35, 20), _dms(-119), 2000000, 500000),
+    (26945, "California zone 5", _dms(34, 2), _dms(35, 28), _dms(33, 30), _dms(-118), 2000000, 500000),
+    (26946, "California zone 6", _dms(32, 47), _dms(33, 53), _dms(32, 10), _dms(-116, 15), 2000000, 500000),
+    (26953, "Colorado North", _dms(39, 43), _dms(40, 47), _dms(39, 20), _dms(-105, 30), 914401.8289, 304800.6096),
+    (26954, "Colorado Central", _dms(38, 27), _dms(39, 45), _dms(37, 50), _dms(-105, 30), 914401.8289, 304800.6096),
+    (26955, "Colorado South", _dms(37, 14), _dms(38, 26), _dms(36, 40), _dms(-105, 30), 914401.8289, 304800.6096),
+    (26956, "Connecticut", _dms(41, 12), _dms(41, 52), _dms(40, 50), _dms(-72, 45), 304800.6096, 152400.3048),
+    (26960, "Florida North", _dms(29, 35), _dms(30, 45), _dms(29), _dms(-84, 30), 600000, 0),
+    (26975, "Iowa North", _dms(42, 4), _dms(43, 16), _dms(41, 30), _dms(-93, 30), 1500000, 1000000),
+    (26976, "Iowa South", _dms(40, 37), _dms(41, 47), _dms(40), _dms(-93, 30), 500000, 0),
+    (26977, "Kansas North", _dms(38, 43), _dms(39, 47), _dms(38, 20), _dms(-98), 400000, 0),
+    (26978, "Kansas South", _dms(37, 16), _dms(38, 34), _dms(36, 40), _dms(-98, 30), 400000, 400000),
+    (2205, "Kentucky North", _dms(37, 58), _dms(38, 58), _dms(37, 30), _dms(-84, 15), 500000, 0),
+    (26980, "Kentucky South", _dms(36, 44), _dms(37, 56), _dms(36, 20), _dms(-85, 45), 500000, 500000),
+    (3088, "Kentucky Single Zone", _dms(37, 5), _dms(38, 40), _dms(36, 20), _dms(-85, 45), 1500000, 1000000),
+    (26981, "Louisiana North", _dms(31, 10), _dms(32, 40), _dms(30, 30), _dms(-92, 30), 1000000, 0),
+    (26982, "Louisiana South", _dms(29, 18), _dms(30, 42), _dms(28, 30), _dms(-91, 20), 1000000, 0),
+    (26985, "Maryland", _dms(38, 18), _dms(39, 27), _dms(37, 40), _dms(-77), 400000, 0),
+    (26986, "Massachusetts Mainland", _dms(41, 43), _dms(42, 41), _dms(41), _dms(-71, 30), 200000, 750000),
+    (26987, "Massachusetts Island", _dms(41, 17), _dms(41, 29), _dms(41), _dms(-70, 30), 500000, 0),
+    (26988, "Michigan North", _dms(45, 29), _dms(47, 5), _dms(44, 47), _dms(-87), 8000000, 0),
+    (26989, "Michigan Central", _dms(44, 11), _dms(45, 42), _dms(43, 19), _dms(-84, 22), 6000000, 0),
+    (26990, "Michigan South", _dms(42, 6), _dms(43, 40), _dms(41, 30), _dms(-84, 22), 4000000, 0),
+    (26991, "Minnesota North", _dms(47, 2), _dms(48, 38), _dms(46, 30), _dms(-93, 6), 800000, 100000),
+    (26992, "Minnesota Central", _dms(45, 37), _dms(47, 3), _dms(45), _dms(-94, 15), 800000, 100000),
+    (26993, "Minnesota South", _dms(43, 47), _dms(45, 13), _dms(43), _dms(-94), 800000, 100000),
+    (32100, "Montana", _dms(45), _dms(49), _dms(44, 15), _dms(-109, 30), 600000, 0),
+    (32104, "Nebraska", _dms(40), _dms(43), _dms(39, 50), _dms(-100), 500000, 0),
+    (32118, "New York Long Island", _dms(40, 40), _dms(41, 2), _dms(40, 10), _dms(-74), 300000, 0),
+    (32119, "North Carolina", _dms(34, 20), _dms(36, 10), _dms(33, 45), _dms(-79), 609601.22, 0),
+    (32120, "North Dakota North", _dms(47, 26), _dms(48, 44), _dms(47), _dms(-100, 30), 600000, 0),
+    (32121, "North Dakota South", _dms(46, 11), _dms(47, 29), _dms(45, 40), _dms(-100, 30), 600000, 0),
+    (32122, "Ohio North", _dms(40, 26), _dms(41, 42), _dms(39, 40), _dms(-82, 30), 600000, 0),
+    (32123, "Ohio South", _dms(38, 44), _dms(40, 2), _dms(38), _dms(-82, 30), 600000, 0),
+    (32124, "Oklahoma North", _dms(35, 34), _dms(36, 46), _dms(35), _dms(-98), 600000, 0),
+    (32125, "Oklahoma South", _dms(33, 56), _dms(35, 14), _dms(33, 20), _dms(-98), 600000, 0),
+    (32126, "Oregon North", _dms(44, 20), _dms(46), _dms(43, 40), _dms(-120, 30), 2500000, 0),
+    (32127, "Oregon South", _dms(42, 20), _dms(44), _dms(41, 40), _dms(-120, 30), 1500000, 0),
+    (32128, "Pennsylvania North", _dms(40, 53), _dms(41, 57), _dms(40, 10), _dms(-77, 45), 600000, 0),
+    (32129, "Pennsylvania South", _dms(39, 56), _dms(40, 58), _dms(39, 20), _dms(-77, 45), 600000, 0),
+    (32133, "South Carolina", _dms(32, 30), _dms(34, 50), _dms(31, 50), _dms(-81), 609600, 0),
+    (32134, "South Dakota North", _dms(44, 25), _dms(45, 41), _dms(43, 50), _dms(-100), 600000, 0),
+    (32135, "South Dakota South", _dms(42, 50), _dms(44, 24), _dms(42, 20), _dms(-100, 20), 600000, 0),
+    (32136, "Tennessee", _dms(35, 15), _dms(36, 25), _dms(34, 20), _dms(-86), 600000, 0),
+    (32137, "Texas North", _dms(34, 39), _dms(36, 11), _dms(34), _dms(-101, 30), 200000, 1000000),
+    (32138, "Texas North Central", _dms(32, 8), _dms(33, 58), _dms(31, 40), _dms(-98, 30), 600000, 2000000),
+    (32139, "Texas Central", _dms(30, 7), _dms(31, 53), _dms(29, 40), _dms(-100, 20), 700000, 3000000),
+    (32140, "Texas South Central", _dms(28, 23), _dms(30, 17), _dms(27, 50), _dms(-99), 600000, 4000000),
+    (32141, "Texas South", _dms(26, 10), _dms(27, 50), _dms(25, 40), _dms(-98, 30), 300000, 5000000),
+    (32142, "Utah North", _dms(40, 43), _dms(41, 47), _dms(40, 20), _dms(-111, 30), 500000, 1000000),
+    (32143, "Utah Central", _dms(39, 1), _dms(40, 39), _dms(38, 20), _dms(-111, 30), 500000, 2000000),
+    (32144, "Utah South", _dms(37, 13), _dms(38, 21), _dms(36, 40), _dms(-111, 30), 500000, 3000000),
+    (32146, "Virginia North", _dms(38, 2), _dms(39, 12), _dms(37, 40), _dms(-78, 30), 3500000, 2000000),
+    (32147, "Virginia South", _dms(36, 46), _dms(37, 58), _dms(36, 20), _dms(-78, 30), 3500000, 1000000),
+    (32148, "Washington North", _dms(47, 30), _dms(48, 44), _dms(47), _dms(-120, 50), 500000, 0),
+    (32149, "Washington South", _dms(45, 50), _dms(47, 20), _dms(45, 20), _dms(-120, 30), 500000, 0),
+    (32150, "West Virginia North", _dms(39), _dms(40, 15), _dms(38, 30), _dms(-79, 30), 600000, 0),
+    (32151, "West Virginia South", _dms(37, 29), _dms(38, 53), _dms(37), _dms(-81), 600000, 0),
+    (32152, "Wisconsin North", _dms(45, 34), _dms(46, 46), _dms(45, 10), _dms(-90), 600000, 0),
+    (32153, "Wisconsin Central", _dms(44, 15), _dms(45, 30), _dms(43, 50), _dms(-90), 600000, 0),
+    (32154, "Wisconsin South", _dms(42, 44), _dms(44, 4), _dms(42), _dms(-90), 600000, 0),
+    (32161, "Puerto Rico & Virgin Is.", _dms(18, 2), _dms(18, 26), _dms(17, 50), _dms(-66, 26), 200000, 200000),
+]:
+    _lcc83(*_row)
+
+# SPCS83 transverse Mercator zones (metres):
+# (code, name, lat_0 origin lat, lon_0 central meridian, k_0, x_0, y_0)
+for _row in [
+    (26929, "Alabama East", _dms(30, 30), _dms(-85, 50), 0.99996, 200000, 0),
+    (26930, "Alabama West", _dms(30), _dms(-87, 30), 1 - 1 / 15000, 600000, 0),
+    (26948, "Arizona East", _dms(31), _dms(-110, 10), 0.9999, 213360, 0),
+    (26949, "Arizona Central", _dms(31), _dms(-111, 55), 0.9999, 213360, 0),
+    (26950, "Arizona West", _dms(31), _dms(-113, 45), 1 - 1 / 15000, 213360, 0),
+    (26957, "Delaware", _dms(38), _dms(-75, 25), 1 - 1 / 200000, 200000, 0),
+    (26958, "Florida East", _dms(24, 20), _dms(-81), 1 - 1 / 17000, 200000, 0),
+    (26959, "Florida West", _dms(24, 20), _dms(-82), 1 - 1 / 17000, 200000, 0),
+    (26966, "Georgia East", _dms(30), _dms(-82, 10), 0.9999, 200000, 0),
+    (26967, "Georgia West", _dms(30), _dms(-84, 10), 0.9999, 700000, 0),
+    (26961, "Hawaii zone 1", _dms(18, 50), _dms(-155, 30), 1 - 1 / 30000, 500000, 0),
+    (26962, "Hawaii zone 2", _dms(20, 20), _dms(-156, 40), 1 - 1 / 30000, 500000, 0),
+    (26963, "Hawaii zone 3", _dms(21, 10), _dms(-158), 1 - 1 / 100000, 500000, 0),
+    (26964, "Hawaii zone 4", _dms(21, 50), _dms(-159, 30), 1 - 1 / 100000, 500000, 0),
+    (26965, "Hawaii zone 5", _dms(21, 40), _dms(-160, 10), 1.0, 500000, 0),
+    (26968, "Idaho East", _dms(41, 40), _dms(-112, 10), 1 - 1 / 19000, 200000, 0),
+    (26969, "Idaho Central", _dms(41, 40), _dms(-114), 1 - 1 / 19000, 500000, 0),
+    (26970, "Idaho West", _dms(41, 40), _dms(-115, 45), 1 - 1 / 15000, 800000, 0),
+    (26971, "Illinois East", _dms(36, 40), _dms(-88, 20), 1 - 1 / 40000, 300000, 0),
+    (26972, "Illinois West", _dms(36, 40), _dms(-90, 10), 1 - 1 / 17000, 700000, 0),
+    (26973, "Indiana East", _dms(37, 30), _dms(-85, 40), 1 - 1 / 30000, 100000, 250000),
+    (26974, "Indiana West", _dms(37, 30), _dms(-87, 5), 1 - 1 / 30000, 900000, 250000),
+    (26983, "Maine East", _dms(43, 40), _dms(-68, 30), 0.9999, 300000, 0),
+    (26984, "Maine West", _dms(42, 50), _dms(-70, 10), 1 - 1 / 30000, 900000, 0),
+    (26994, "Mississippi East", _dms(29, 30), _dms(-88, 50), 1 - 1 / 20000, 300000, 0),
+    (26995, "Mississippi West", _dms(29, 30), _dms(-90, 20), 1 - 1 / 20000, 700000, 0),
+    (26996, "Missouri East", _dms(35, 50), _dms(-90, 30), 1 - 1 / 15000, 250000, 0),
+    (26997, "Missouri Central", _dms(35, 50), _dms(-92, 30), 1 - 1 / 15000, 500000, 0),
+    (26998, "Missouri West", _dms(36, 10), _dms(-94, 30), 1 - 1 / 17000, 850000, 0),
+    (32107, "Nevada East", _dms(34, 45), _dms(-115, 35), 0.9999, 200000, 8000000),
+    (32108, "Nevada Central", _dms(34, 45), _dms(-116, 40), 0.9999, 500000, 6000000),
+    (32109, "Nevada West", _dms(34, 45), _dms(-118, 35), 0.9999, 800000, 4000000),
+    (32110, "New Hampshire", _dms(42, 30), _dms(-71, 40), 1 - 1 / 30000, 300000, 0),
+    (32111, "New Jersey", _dms(38, 50), _dms(-74, 30), 0.9999, 150000, 0),
+    (32112, "New Mexico East", _dms(31), _dms(-104, 20), 1 - 1 / 11000, 165000, 0),
+    (32113, "New Mexico Central", _dms(31), _dms(-106, 15), 0.9999, 500000, 0),
+    (32114, "New Mexico West", _dms(31), _dms(-107, 50), 1 - 1 / 12000, 830000, 0),
+    (32115, "New York East", _dms(38, 50), _dms(-74, 30), 0.9999, 150000, 0),
+    (32116, "New York Central", _dms(40), _dms(-76, 35), 1 - 1 / 16000, 250000, 0),
+    (32117, "New York West", _dms(40), _dms(-78, 35), 1 - 1 / 16000, 350000, 0),
+    (32130, "Rhode Island", _dms(41, 5), _dms(-71, 30), 1 - 1 / 160000, 100000, 0),
+    (32145, "Vermont", _dms(42, 30), _dms(-72, 30), 1 - 1 / 28000, 500000, 0),
+    (32155, "Wyoming East", _dms(40, 30), _dms(-105, 10), 1 - 1 / 16000, 200000, 0),
+    (32156, "Wyoming East Central", _dms(40, 30), _dms(-107, 20), 1 - 1 / 16000, 400000, 100000),
+    (32157, "Wyoming West Central", _dms(40, 30), _dms(-108, 45), 1 - 1 / 16000, 600000, 0),
+    (32158, "Wyoming West", _dms(40, 30), _dms(-110, 5), 1 - 1 / 16000, 800000, 100000),
+]:
+    _tm83(*_row)
+
+# SPCS83 Alaska zones 2-9: TM ladder, CM -142 westwards every 4 degrees
+for _z in range(2, 10):
+    _tm83(26930 + _z, f"Alaska zone {_z}", _dms(54), _dms(-142 - 4 * (_z - 2)),
+          0.9999, 500000, 0)
+# Alaska zone 1: Hotine oblique Mercator (EPSG 9812 family; the axis runs
+# along the panhandle at atan(-3/4) azimuth)
+_reg(26931, "NAD83 / Alaska zone 1",
+     "+proj=omerc +lat_0=57 +lonc=-133.66666666666666 "
+     "+alpha=323.1301023611111 +gamma=323.1301023611111 +k=0.9999 "
+     "+x_0=5000000 +y_0=-5000000 +ellps=GRS80 +units=m +no_defs")
+
+# Japan: JGD2000 (EPSG:4612) / JGD2011 (EPSG:6668) geographic + plane
+# rectangular CS zones I-XIX (TM, k=0.9999, origin per the survey act)
+_reg(4612, "JGD2000 (geographic 2D)", "+proj=longlat +ellps=GRS80 +no_defs")
+_reg(6668, "JGD2011 (geographic 2D)", "+proj=longlat +ellps=GRS80 +no_defs")
+_JP_ZONES = [
+    (_dms(33), _dms(129, 30)), (_dms(33), _dms(131)), (_dms(36), _dms(132, 10)),
+    (_dms(33), _dms(133, 30)), (_dms(36), _dms(134, 20)), (_dms(36), _dms(136)),
+    (_dms(36), _dms(137, 10)), (_dms(36), _dms(138, 30)), (_dms(36), _dms(139, 50)),
+    (_dms(40), _dms(140, 50)), (_dms(44), _dms(140, 15)), (_dms(44), _dms(142, 15)),
+    (_dms(44), _dms(144, 15)), (_dms(26), _dms(142)), (_dms(26), _dms(127, 30)),
+    (_dms(26), _dms(124)), (_dms(26), _dms(131)), (_dms(20), _dms(136)),
+    (_dms(26), _dms(154)),
+]
+_ROMAN = ["I", "II", "III", "IV", "V", "VI", "VII", "VIII", "IX", "X", "XI",
+          "XII", "XIII", "XIV", "XV", "XVI", "XVII", "XVIII", "XIX"]
+for _i, (_la, _lo) in enumerate(_JP_ZONES):
+    _p4 = (f"+proj=tmerc +lat_0={_la!r} +lon_0={_lo!r} +k=0.9999 "
+           f"+x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs")
+    _reg(2443 + _i, f"JGD2000 / Japan Plane Rectangular CS {_ROMAN[_i]}", _p4)
+    _reg(6669 + _i, f"JGD2011 / Japan Plane Rectangular CS {_ROMAN[_i]}", _p4)
+for _z in range(51, 56):
+    _p4 = f"+proj=utm +zone={_z} +ellps=GRS80 +units=m +no_defs"
+    _reg(3097 + _z - 51, f"JGD2000 / UTM zone {_z}N", _p4)
+    _reg(6688 + _z - 51, f"JGD2011 / UTM zone {_z}N", _p4)
+
+# China: CGCS2000 (ellipsoid a=6378137 rf=298.257222101 — GRS80 to sub-mm)
+_reg(4490, "China Geodetic Coordinate System 2000",
+     "+proj=longlat +ellps=GRS80 +no_defs")
+for _z in range(13, 24):  # 6-degree GK, zone-prefixed easting
+    _reg(4491 + _z - 13, f"CGCS2000 / Gauss-Kruger zone {_z}",
+         f"+proj=tmerc +lat_0=0 +lon_0={6 * _z - 3} +k=1 "
+         f"+x_0={_z * 1_000_000 + 500_000} +y_0=0 +ellps=GRS80 +units=m +no_defs")
+for _i, _cm in enumerate(range(75, 136, 3)):  # 3-degree CM series
+    _reg(4534 + _i, f"CGCS2000 / 3-degree Gauss-Kruger CM {_cm}E",
+         f"+proj=tmerc +lat_0=0 +lon_0={_cm} +k=1 +x_0=500000 +y_0=0 "
+         f"+ellps=GRS80 +units=m +no_defs")
+
+# Russia: Pulkovo 1995 / Gauss-Krüger 6° zones 4-32 (Krassowsky 1940;
+# published EPSG position-vector transformation to WGS84)
+for _z in range(4, 33):
+    _reg(20000 + _z, f"Pulkovo 1995 / Gauss-Kruger zone {_z}",
+         f"+proj=tmerc +lat_0=0 +lon_0={6 * _z - 3} +k=1 "
+         f"+x_0={_z * 1_000_000 + 500_000} +y_0=0 +ellps=krass "
+         f"+towgs84=24.47,-130.89,-81.56,0,0,0.13,-0.22 +units=m +no_defs")
+
+# Sweden: SWEREF99 TM + the twelve local SWEREF99 dd mm projections
+_reg(3006, "SWEREF99 TM",
+     "+proj=utm +zone=33 +ellps=GRS80 +units=m +no_defs")
+for _i, (_d, _m) in enumerate([(12, 0), (13, 30), (15, 0), (16, 30), (18, 0),
+                               (14, 15), (15, 45), (17, 15), (18, 45),
+                               (20, 15), (21, 45), (23, 15)]):
+    _reg(3007 + _i, f"SWEREF99 {_d:02d} {_m:02d}",
+         f"+proj=tmerc +lat_0=0 +lon_0={_dms(_d, _m)!r} +k=1 "
+         f"+x_0=150000 +y_0=0 +ellps=GRS80 +units=m +no_defs")
+
+# Poland: ETRS89 / CS92 national + CS2000 3° zones 5-8
+_reg(2180, "ETRS89 / Poland CS92",
+     "+proj=tmerc +lat_0=0 +lon_0=19 +k=0.9993 +x_0=500000 "
+     "+y_0=-5300000 +ellps=GRS80 +units=m +no_defs")
+for _z in range(5, 9):
+    _reg(2171 + _z, f"ETRS89 / Poland CS2000 zone {_z}",
+         f"+proj=tmerc +lat_0=0 +lon_0={3 * _z} +k=0.999923 "
+         f"+x_0={_z * 1_000_000 + 500_000} +y_0=0 +ellps=GRS80 +units=m +no_defs")
+
+# Baltics, Ireland, Portugal, Slovenia
+_reg(3301, "Estonian Coordinate System of 1997",
+     "+proj=lcc +lat_1=59.33333333333334 +lat_2=58 "
+     "+lat_0=57.51755393055556 +lon_0=24 +x_0=500000 +y_0=6375000 "
+     "+ellps=GRS80 +units=m +no_defs")
+_reg(3346, "LKS94 / Lithuania TM",
+     "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9998 +x_0=500000 +y_0=0 "
+     "+ellps=GRS80 +units=m +no_defs")
+_reg(3059, "LKS92 / Latvia TM",
+     "+proj=tmerc +lat_0=0 +lon_0=24 +k=0.9996 +x_0=500000 "
+     "+y_0=-6000000 +ellps=GRS80 +units=m +no_defs")
+_reg(2157, "IRENET95 / Irish Transverse Mercator",
+     "+proj=tmerc +lat_0=53.5 +lon_0=-8 +k=0.99982 +x_0=600000 "
+     "+y_0=750000 +ellps=GRS80 +units=m +no_defs")
+_reg(3763, "ETRS89 / Portugal TM06",
+     "+proj=tmerc +lat_0=39.66825833333333 +lon_0=-8.133108333333334 "
+     "+k=1 +x_0=0 +y_0=0 +ellps=GRS80 +units=m +no_defs")
+_reg(3794, "Slovenia 1996 / Slovene National Grid",
+     "+proj=tmerc +lat_0=0 +lon_0=15 +k=0.9999 +x_0=500000 "
+     "+y_0=-5000000 +ellps=GRS80 +units=m +no_defs")
+
+# France: RGF93 / CC42-CC50 conic conformal zones (formulaic ladder)
+for _i in range(9):
+    _lat = 42 + _i
+    _reg(3942 + _i, f"RGF93 / CC{_lat}",
+         f"+proj=lcc +lat_1={_lat - 0.75!r} +lat_2={_lat + 0.75!r} "
+         f"+lat_0={_lat} +lon_0=3 +x_0=1700000 "
+         f"+y_0={_i * 1_000_000 + 1_200_000} +ellps=GRS80 +units=m +no_defs")
+
+
 _PROJ4_CACHE: dict = {}
 
 
