@@ -1206,8 +1206,12 @@ def q_ann_recall(spark, sf_dir):
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal decode stack end-to-end on deterministic in-query
     fixtures: PNG encode (codecs.py) -> header parse -> real decode ->
-    resize -> re-decoded shape; WAV bytes -> sample extraction. All values
-    deterministic, so the oracle pins them as literals."""
+    resize -> re-decoded shape; WAV bytes -> sample extraction; r12: a
+    baseline JPEG lane (operators/jpeg.py, pure-numpy ITU T.81 Huffman +
+    dequant + IDCT) — each row carries a flat-color JPEG whose decode
+    must reproduce the source within +/-2 per channel (flat blocks are
+    DC-only; tests/test_jpeg_codec.py pins exact hand-derived values).
+    All values deterministic, so the oracle pins them as literals."""
     _prep(spark, sf_dir)
     import struct as _st
 
@@ -1215,11 +1219,17 @@ def q_multimodal_meta(spark, sf_dir):
 
     from duckdb_spatial_spark.operators import codecs
     from duckdb_spatial_spark.operators import multimodal as M
+    from duckdb_spatial_spark.operators.jpeg import encode_jpeg
 
     rows = []
     for i in range(1, 5):
         h, w = 4 * i, 3 * i
         px = ((np.arange(h * w * 3).reshape(h, w, 3) * (i + 7)) % 256).astype(np.uint8)
+        jsrc = np.zeros((6 + i, 5 + i, 3), dtype=np.uint8)
+        jsrc[:, :, 0] = 40 + 30 * i
+        jsrc[:, :, 1] = 60
+        jsrc[:, :, 2] = 200 - 20 * i
+        jpg = encode_jpeg(jsrc, quality=95)
         # minimal PCM16 WAV, i*100 frames at 8000 Hz, amplitude ramp
         n = i * 100
         pcm = (np.arange(n, dtype=np.int16) * 17).tobytes()
@@ -1228,12 +1238,16 @@ def q_multimodal_meta(spark, sf_dir):
             + b"fmt " + _st.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
             + b"data" + _st.pack("<I", len(pcm)) + pcm
         )
-        rows.append((i, bytearray(codecs.encode_png(px)), bytearray(wav)))
-    df = spark.createDataFrame(rows, "id long, image binary, audio binary")
+        rows.append((i, bytearray(codecs.encode_png(px)), bytearray(wav),
+                     bytearray(jpg)))
+    df = spark.createDataFrame(
+        rows, "id long, image binary, audio binary, jpeg binary"
+    )
     meta = M.image_metadata(df)
     rs = M.image_resize(meta, size=(8, 8))
     au = M.audio_samples(rs)
-    out_schema = "id long, w int, h int, fmt string, rw int, rh int, sr int, ns int"
+    out_schema = ("id long, w int, h int, fmt string, rw int, rh int,"
+                  " sr int, ns int, jw int, jh int, jexact boolean")
 
     def finish(batches):
         import pandas as pd
@@ -1242,12 +1256,21 @@ def q_multimodal_meta(spark, sf_dir):
             outs = []
             for _, r in pdf.iterrows():
                 rp = codecs.decode_png(bytes(r["resized"]))
+                i = int(r["id"])
+                jdec = codecs.decode_image(bytes(r["jpeg"])).astype(int)
+                jref = np.zeros_like(jdec)
+                jref[:, :, 0] = 40 + 30 * i
+                jref[:, :, 1] = 60
+                jref[:, :, 2] = 200 - 20 * i
+                jexact = bool(np.abs(jdec - jref).max() <= 2)
                 outs.append(
-                    (int(r["id"]), int(r["image_meta"]["width"]), int(r["image_meta"]["height"]),
+                    (i, int(r["image_meta"]["width"]), int(r["image_meta"]["height"]),
                      str(r["image_meta"]["format"]), int(rp.shape[1]), int(rp.shape[0]),
-                     int(r["sample_rate"]), len(r["samples"]))
+                     int(r["sample_rate"]), len(r["samples"]),
+                     int(jdec.shape[1]), int(jdec.shape[0]), jexact)
                 )
-            yield pd.DataFrame(outs, columns=["id", "w", "h", "fmt", "rw", "rh", "sr", "ns"])
+            yield pd.DataFrame(outs, columns=["id", "w", "h", "fmt", "rw", "rh",
+                                              "sr", "ns", "jw", "jh", "jexact"])
 
     return au.mapInPandas(finish, out_schema)
 
@@ -4492,11 +4515,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": """
             SELECT * FROM (VALUES
-              (CAST(1 AS BIGINT), 3, 4, 'png', 8, 8, 8000, 100),
-              (2, 6, 8, 'png', 8, 8, 8000, 200),
-              (3, 9, 12, 'png', 8, 8, 8000, 300),
-              (4, 12, 16, 'png', 8, 8, 8000, 400)
-            ) AS t(id, w, h, fmt, rw, rh, sr, ns)
+              (CAST(1 AS BIGINT), 3, 4, 'png', 8, 8, 8000, 100, 6, 7, true),
+              (2, 6, 8, 'png', 8, 8, 8000, 200, 7, 8, true),
+              (3, 9, 12, 'png', 8, 8, 8000, 300, 8, 9, true),
+              (4, 12, 16, 'png', 8, 8, 8000, 400, 9, 10, true)
+            ) AS t(id, w, h, fmt, rw, rh, sr, ns, jw, jh, jexact)
         """,
         "spatial_buffer_styles": f"""
             SELECT rid,

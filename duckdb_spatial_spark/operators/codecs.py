@@ -177,14 +177,18 @@ def decode_bmp(buf: bytes) -> np.ndarray:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Sniff + decode PNG/BMP; JPEG/GIF raise (codec genuinely required)."""
+    """Sniff + decode PNG/BMP/baseline-JPEG; GIF raises (LZW absent)."""
     b = bytes(buf)
     if b[:8] == _PNG_MAGIC:
         return decode_png(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG entropy decode requires a codec (absent here)")
+        # ITU T.81 baseline sequential, pure numpy (operators/jpeg.py);
+        # progressive/arithmetic still raise NotImplementedError there
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         raise NotImplementedError("GIF LZW decode not implemented")
     raise ValueError("unknown image format")

@@ -115,8 +115,23 @@ def test_wav_roundtrip_16bit():
     assert np.allclose(x[:, 0], mono / 32768.0)
 
 
-def test_jpeg_raises_not_fakes():
+def test_jpeg_baseline_decodes_progressive_raises():
+    # r12: baseline JPEG decodes for real (operators/jpeg.py); the honest
+    # edges moved to progressive/arithmetic modes and garbage streams
+    from duckdb_spatial_spark.operators.jpeg import encode_jpeg
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    out = C.decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == (8, 8, 1) and (out == 77).all()
+    # progressive SOF2 rejected loudly
+    import struct as _st
+
+    prog = (b"\xff\xd8" + _st.pack(">BBH", 0xFF, 0xC2, 11)
+            + _st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
     with pytest.raises(NotImplementedError):
+        C.decode_image(prog)
+    # truncated garbage still fails loudly (no fake pixels)
+    with pytest.raises((ValueError, NotImplementedError)):
         C.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
