@@ -56,7 +56,49 @@ def _apply_read_filters(df, bbox, columns):
     return df
 
 
-def st_read(spark, path: str, format: str | None = None, **options):
+# format key -> (aliases incl. the GDAL driver short/long name) for the
+# allowed_drivers check; compared case-insensitively
+_DRIVER_ALIASES = {
+    "shapefile": {"shapefile", "shp", "esri shapefile"},
+    "flatgeobuf": {"flatgeobuf", "fgb"},
+    "geopackage": {"geopackage", "gpkg"},
+    "geojson": {"geojson", "json", "ndjson"},
+    "geojsonseq": {"geojsonseq", "geojsonl"},
+    "osm": {"osm", "osm.pbf"},
+    "geoparquet": {"geoparquet", "parquet"},
+    "wkt_csv": {"wkt_csv", "csv"},
+    "kml": {"kml"}, "gpx": {"gpx"}, "gml": {"gml"},
+    "topojson": {"topojson"}, "dxf": {"dxf"}, "xlsx": {"xlsx"},
+    "mapinfo": {"mapinfo", "mif", "mapinfo file"},
+    "mapinfo_tab": {"mapinfo_tab", "tab", "mapinfo file"},
+    "filegdb": {"filegdb", "gdb", "openfilegdb"},
+    "arrow": {"arrow", "feather", "ipc"},
+    "georss": {"georss"}, "pgdump": {"pgdump", "pgdump (sql)"},
+    "spatialite": {"spatialite", "sqlite"},
+    "esrijson": {"esrijson"}, "netcdf": {"netcdf", "nc"},
+    "mvt": {"mvt", "mvt (mapbox vector tile)"}, "warc": {"warc"},
+}
+
+# formats with a layer/sheet concept + their enumeration functions; used
+# by sequential_layer_scan to union EVERY layer when no layer= is given
+_LAYERED = {
+    "geopackage": ("layer", lambda p: [r["table"] for r in gpkg_layers(p)]),
+    "spatialite": ("layer", lambda p: [r["table"] for r in spatialite_layers(p)]),
+    "filegdb": ("layer", lambda p: list(gdb_layers(p))),
+    "xlsx": ("sheet", lambda p: list(xlsx_sheets(p))),
+}
+
+
+def st_read(
+    spark,
+    path: str,
+    format: str | None = None,
+    open_options: list | None = None,
+    allowed_drivers: list | None = None,
+    sibling_files: list | None = None,
+    sequential_layer_scan: bool = False,
+    **options,
+):
     """Generic ST_Read: dispatch on format (or sniff the extension), return
     a DataFrame with a WKB ``geom``/``geometry`` column. The reference's
     ``ST_Read`` does the same via GDAL driver sniffing
@@ -67,28 +109,88 @@ def st_read(spark, path: str, format: str | None = None, **options):
     keeps features whose extent intersects the window — pushed into the
     codec where the format carries an index (FlatGeobuf R-tree, GeoParquet
     bbox-sidecar row-group stats), a JVM/Arrow filter elsewhere — and
-    ``columns=[...]`` projects attributes (geometry always kept)."""
+    ``columns=[...]`` projects attributes (geometry always kept).
+
+    GDAL named-parameter parity (``st_read.cpp:684-692``), uniform here:
+      * ``open_options=['KEY=VALUE', ...]`` — driver options in GDAL's
+        string form; keys lowercase-map onto the reader's own keyword
+        arguments (an explicit Python kwarg wins on conflict; a key no
+        reader parameter matches raises the reader's own TypeError —
+        loud, unlike GDAL's silent-warn);
+      * ``allowed_drivers=['GPKG', ...]`` — restricts dispatch: if the
+        resolved format (by name or GDAL driver alias) is not in the
+        list, the read fails with the GDAL-style not-recognized error;
+      * ``sibling_files=[...]`` — restricts sidecar discovery to the
+        listed files (honored by the sidecar-carrying formats, e.g.
+        shapefile .dbf; formats without sidecars ignore it);
+      * ``sequential_layer_scan=True`` — for multi-layer containers
+        (GeoPackage, SpatiaLite, FileGDB, XLSX) with no ``layer=``:
+        scan EVERY layer sequentially and union the results
+        (allowMissingColumns), instead of the default first/single
+        layer."""
+    if open_options:
+        for kv in open_options:
+            k, _, v = str(kv).partition("=")
+            options.setdefault(k.lower(), v)
     bbox = options.pop("bbox", None)
     sfb = options.pop("spatial_filter_box", None)
     if bbox is None:
         bbox = sfb
     columns = options.pop("columns", None)
-    df = _st_read_dispatch(spark, path, format, bbox, **options)
+    fmt = _resolve_format(path, format)
+    if allowed_drivers is not None:
+        allowed = {str(a).lower() for a in allowed_drivers}
+        if fmt is None:
+            raise ValueError(
+                f"st_read: cannot verify allowed_drivers for {path!r} "
+                "(format not sniffable) — pass format= explicitly"
+            )
+        if not (_DRIVER_ALIASES.get(fmt, {fmt}) & allowed):
+            raise ValueError(
+                f"st_read: {path!r} was recognized as {fmt!r}, which is "
+                f"not in allowed_drivers={sorted(allowed)!r}"
+            )
+    if sibling_files is not None and fmt in ("shapefile", "shp"):
+        options["sibling_files"] = list(sibling_files)
+    if sequential_layer_scan and fmt in _LAYERED:
+        key, enum = _LAYERED[fmt]
+        if key not in options:
+            from functools import reduce
+
+            names = enum(path)
+            if not names:
+                raise ValueError(f"st_read: {path!r} exposes no layers")
+            dfs = [
+                _apply_read_filters(
+                    _st_read_dispatch(spark, path, fmt, bbox,
+                                      **{**options, key: n}),
+                    bbox, columns,
+                )
+                for n in names
+            ]
+            return reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+            )
+    df = _st_read_dispatch(spark, path, fmt, bbox, **options)
     return _apply_read_filters(df, bbox, columns)
 
 
-def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
-    from .vfs import localize
+def _resolve_format(path, format):
+    """Format key for a path (explicit format= wins; else extension sniff
+    using the dispatcher's own table). Archives resolve inside dispatch —
+    this pre-resolution only feeds allowed_drivers / layer handling, so a
+    non-sniffable path returns None and dispatch decides."""
+    if format:
+        return format.lower()
+    try:
+        return _st_read_sniff(path if isinstance(path, str) else path[0])
+    except Exception:  # noqa: BLE001 - let dispatch raise its own error
+        return None
 
-    local = localize(path)
-    if local is not None:
-        if not local:
-            raise FileNotFoundError(f"{path!r}: archive matched no files")
-        path = local[0] if len(local) == 1 else local
 
-    def _sniff(p: str):
-        p = p.lower()
-        for ext, f in (
+def _st_read_sniff(p: str):
+    p = p.lower()
+    for ext, f in (
             (".shp", "shapefile"), (".fgb", "flatgeobuf"), (".gpkg", "geopackage"),
             (".geojsonl.gz", "geojsonseq"), (".geojsons.gz", "geojsonseq"),
             (".geojsonl", "geojsonseq"), (".geojsons", "geojsonseq"),
@@ -103,16 +205,26 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
             (".sql", "pgdump"), (".sqlite", "spatialite"), (".splite", "spatialite"),
             (".esrijson", "esrijson"), (".nc", "netcdf"), (".cdf", "netcdf"),
             (".mvt", "mvt"), (".warc.gz", "warc"), (".warc", "warc"),
-        ):
-            if p.endswith(ext):
-                return f
-        return None
+    ):
+        if p.endswith(ext):
+            return f
+    return None
+
+
+def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
+    from .vfs import localize
+
+    local = localize(path)
+    if local is not None:
+        if not local:
+            raise FileNotFoundError(f"{path!r}: archive matched no files")
+        path = local[0] if len(local) == 1 else local
 
     fmt = (format or "").lower()
     if not fmt:
         cands = path if isinstance(path, list) else [path]
         for c in cands:
-            fmt = _sniff(c)
+            fmt = _st_read_sniff(c)
             if fmt:
                 break
         if not fmt:
@@ -120,7 +232,7 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
     if isinstance(path, list):
         # multi-member archive: keep members of the dispatched format; the
         # per-format readers accept a single path, so recurse + union
-        keep = [p for p in path if _sniff(p) == fmt]
+        keep = [p for p in path if _st_read_sniff(p) == fmt]
         if not keep:
             raise ValueError(f"no archive member matches format {fmt!r}")
         if len(keep) > 1:

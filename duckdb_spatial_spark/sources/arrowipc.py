@@ -89,6 +89,13 @@ def read_arrow_ipc(spark: SparkSession, path: str, columns=None) -> DataFrame:
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+        # unique per-call registration name: Spark resolves python
+        # sources BY NAME; a fixed name + fresh closure state hands a
+        # second read the stale reader (schema mismatch)
+        import uuid as _uuid
+
+        _ds_name = f"arrowipc_{_uuid.uuid4().hex[:12]}"
+
         cols = list(columns) if columns else None
 
         class _Reader(DataSourceReader):
@@ -109,7 +116,7 @@ def read_arrow_ipc(spark: SparkSession, path: str, columns=None) -> DataFrame:
         class ArrowIPCSource(DataSource):
             @classmethod
             def name(cls):
-                return "arrowipc"
+                return _ds_name
 
             def schema(self):
                 return spark_schema
@@ -118,7 +125,7 @@ def read_arrow_ipc(spark: SparkSession, path: str, columns=None) -> DataFrame:
                 return _Reader()
 
         spark.dataSource.register(ArrowIPCSource)
-        return spark.read.format("arrowipc").schema(spark_schema).load(path)
+        return spark.read.format(_ds_name).schema(spark_schema).load(path)
     except ImportError:
         with pa.OSFile(path, "rb") as f:
             table = pa.ipc.open_file(f).read_all()

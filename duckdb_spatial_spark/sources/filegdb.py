@@ -828,6 +828,13 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+        # unique per-call registration name: Spark resolves python
+        # sources BY NAME; a fixed name + fresh closure state hands a
+        # second read the stale reader (schema mismatch)
+        import uuid as _uuid
+
+        _ds_name = f"filegdb_{_uuid.uuid4().hex[:12]}"
+
         class _Reader(DataSourceReader):
             def partitions(self):
                 return [InputPartition(r) for r in ranges]
@@ -838,7 +845,7 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
         class _Src(DataSource):
             @classmethod
             def name(cls):
-                return "filegdb"
+                return _ds_name
 
             def schema(self):
                 return schema
@@ -847,6 +854,6 @@ def read_gdb(spark: SparkSession, path: str, layer: str | None = None,
                 return _Reader()
 
         spark.dataSource.register(_Src)
-        return spark.read.format("filegdb").schema(schema).load(table)
+        return spark.read.format(_ds_name).schema(schema).load(table)
     except ImportError:
         return spark.createDataFrame([r for rng in ranges for r in iter_range(rng)], schema)

@@ -201,6 +201,13 @@ def read_geojson(
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+        # unique per-call registration name: Spark resolves python
+        # sources BY NAME; a fixed name + fresh closure state hands a
+        # second read the stale reader (schema mismatch)
+        import uuid as _uuid
+
+        _ds_name = f"geojson_{_uuid.uuid4().hex[:12]}"
+
         try:  # required for the pushFilters hook to be honored (4.1+)
             spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
             push_enabled = True
@@ -248,7 +255,7 @@ def read_geojson(
         class GeoJSONSource(DataSource):
             @classmethod
             def name(cls):
-                return "geojson"
+                return _ds_name
 
             def schema(self):
                 return schema
@@ -257,7 +264,7 @@ def read_geojson(
                 return _Reader(files, schema)
 
         spark.dataSource.register(GeoJSONSource)
-        return spark.read.format("geojson").schema(schema).load(path)
+        return spark.read.format(_ds_name).schema(schema).load(path)
     except ImportError:
         # older PySpark: parallelize driver-side (small files only)
         rows = []

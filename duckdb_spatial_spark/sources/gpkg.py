@@ -190,6 +190,13 @@ def read_gpkg(spark, path: str, layer: str | None = None, num_partitions: int | 
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+        # unique per-call registration name: Spark resolves python
+        # sources BY NAME; a fixed name + fresh closure state hands a
+        # second read the stale reader (schema mismatch)
+        import uuid as _uuid
+
+        _ds_name = f"geopackage_{_uuid.uuid4().hex[:12]}"
+
         class _Reader(DataSourceReader):
             def __init__(self):
                 pass
@@ -205,7 +212,7 @@ def read_gpkg(spark, path: str, layer: str | None = None, num_partitions: int | 
         class GpkgSource(DataSource):
             @classmethod
             def name(cls):
-                return "geopackage"
+                return _ds_name
 
             def schema(self):
                 return schema
@@ -214,7 +221,7 @@ def read_gpkg(spark, path: str, layer: str | None = None, num_partitions: int | 
                 return _Reader()
 
         spark.dataSource.register(GpkgSource)
-        return spark.read.format("geopackage").schema(schema).load(path)
+        return spark.read.format(_ds_name).schema(schema).load(path)
     except ImportError:  # pre-4.0 fallback: parallelize ranges
         rdd = spark.sparkContext.parallelize(parts, max(len(parts), 1)).flatMap(scan)
         return spark.createDataFrame(rdd, schema)

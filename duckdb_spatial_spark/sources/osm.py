@@ -278,6 +278,13 @@ def read_osm(spark, path: str):
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+        # unique per-call registration name: Spark resolves python
+        # sources BY NAME; a fixed name + fresh closure state hands a
+        # second read the stale reader (schema mismatch)
+        import uuid as _uuid
+
+        _ds_name = f"osmpbf_{_uuid.uuid4().hex[:12]}"
+
         class _Reader(DataSourceReader):
             def __init__(self):
                 pass
@@ -302,7 +309,7 @@ def read_osm(spark, path: str):
         class OSMSource(DataSource):
             @classmethod
             def name(cls):
-                return "osmpbf"
+                return _ds_name
 
             def schema(self):
                 return OSM_SCHEMA
@@ -311,7 +318,7 @@ def read_osm(spark, path: str):
                 return _Reader()
 
         spark.dataSource.register(OSMSource)
-        return spark.read.format("osmpbf").schema(OSM_SCHEMA).load(path)
+        return spark.read.format(_ds_name).schema(OSM_SCHEMA).load(path)
     except ImportError:
         rows = []
         for off, size in spans:

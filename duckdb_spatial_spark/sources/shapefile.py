@@ -189,9 +189,17 @@ def _spark_type(ftype: str, fdec: int):
     return T.StringType()
 
 
-def read_shapefile(spark, path: str, encoding: str = "utf-8"):
+def read_shapefile(spark, path: str, encoding: str = "utf-8",
+                   sibling_files: list | None = None):
     """ST_ReadSHP: .shp geometry + .dbf attributes as a DataFrame
-    (geom = WKB BinaryType). ``path`` may be a .shp file, a glob, or a dir."""
+    (geom = WKB BinaryType). ``path`` may be a .shp file, a glob, or a dir.
+
+    ``sibling_files`` (GDAL open-option parity, ``st_read.cpp:684-692``):
+    when given, sidecar discovery is RESTRICTED to that list — the .dbf
+    for each .shp is taken from it (matched by stem) instead of probed
+    from the filesystem, and a .shp whose .dbf is not listed reads with
+    geometry only. Useful against object stores where LIST is expensive
+    or sidecars live elsewhere."""
     from .vfs import localize
 
     _v = localize(path, (".shp",))
@@ -208,9 +216,20 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8"):
     if not files:
         raise FileNotFoundError(path)
 
+    def _dbf_for(fp: str):
+        if sibling_files is not None:
+            stem = os.path.splitext(os.path.basename(fp))[0].lower()
+            for s in sibling_files:
+                if s.lower().endswith(".dbf") and (
+                    os.path.splitext(os.path.basename(s))[0].lower() == stem
+                ):
+                    return s
+            return None  # siblings listed, no .dbf among them: geometry-only
+        return os.path.splitext(fp)[0] + ".dbf"
+
     # bind-time schema from the first .dbf (mirrors read_shapefile.cpp:45-130)
-    dbf0 = os.path.splitext(files[0])[0] + ".dbf"
-    if os.path.exists(dbf0):
+    dbf0 = _dbf_for(files[0])
+    if dbf0 is not None and os.path.exists(dbf0):
         fields, _ = read_dbf(dbf0, encoding)
     else:
         fields = []
@@ -222,6 +241,13 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8"):
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
+        # unique per-call registration name: Spark resolves python
+        # sources BY NAME; a fixed name + fresh closure state hands a
+        # second read the stale reader (schema mismatch)
+        import uuid as _uuid
+
+        _ds_name = f"shapefile_{_uuid.uuid4().hex[:12]}"
+
         class _Reader(DataSourceReader):
             def __init__(self, files, schema):
                 self._files = files
@@ -231,8 +257,11 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8"):
 
             def read(self, partition):
                 fp = partition.value
-                dbf = os.path.splitext(fp)[0] + ".dbf"
-                attrs = read_dbf(dbf, encoding)[1] if os.path.exists(dbf) else None
+                dbf = _dbf_for(fp)
+                attrs = (
+                    read_dbf(dbf, encoding)[1]
+                    if dbf is not None and os.path.exists(dbf) else None
+                )
                 for i, (recno, geom) in enumerate(iter_shp(fp)):
                     row = list(attrs[i]) if attrs and i < len(attrs) else [None] * len(fields)
                     row.append(WKB.to_wkb(geom) if geom is not None else None)
@@ -241,7 +270,7 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8"):
         class ShapefileSource(DataSource):
             @classmethod
             def name(cls):
-                return "shapefile"
+                return _ds_name
 
             def schema(self):
                 return schema
@@ -250,12 +279,15 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8"):
                 return _Reader(files, schema)
 
         spark.dataSource.register(ShapefileSource)
-        return spark.read.format("shapefile").schema(schema).load(path)
+        return spark.read.format(_ds_name).schema(schema).load(path)
     except ImportError:
         rows = []
         for fp in files:
-            dbf = os.path.splitext(fp)[0] + ".dbf"
-            attrs = read_dbf(dbf, encoding)[1] if os.path.exists(dbf) else None
+            dbf = _dbf_for(fp)
+            attrs = (
+                read_dbf(dbf, encoding)[1]
+                if dbf is not None and os.path.exists(dbf) else None
+            )
             for i, (recno, geom) in enumerate(iter_shp(fp)):
                 row = list(attrs[i]) if attrs and i < len(attrs) else [None] * len(fields)
                 row.append(WKB.to_wkb(geom) if geom is not None else None)

@@ -47,7 +47,16 @@ def _expand(path: str, exts: tuple[str, ...]):
 def _make_df(spark: SparkSession, files, schema: T.StructType, iter_rows, source_name: str) -> DataFrame:
     """One partition per file (the reference parallelizes GDAL reads the same
     way, st_read.cpp InitGlobal); falls back to driver-side parse on PySpark
-    builds without the Python DataSource API."""
+    builds without the Python DataSource API.
+
+    The registered name is uniquified per call: Spark resolves Python
+    data sources BY NAME, so re-registering a fixed name with fresh
+    closure state (new files/schema) can hand the new read the STALE
+    reader — two different files of the same format in one session then
+    return mismatched schemas (the flatgeobuf source hit this first)."""
+    import uuid as _uuid
+
+    source_name = f"{source_name}_{_uuid.uuid4().hex[:12]}"
     try:
         from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
