@@ -380,6 +380,11 @@ from .spatialite import read_spatialite, spatialite_layers, write_spatialite  # 
 from .filegdb import gdb_layers, read_gdb, write_gdb  # noqa: F401
 from .arrowipc import read_arrow_ipc, write_arrow_ipc  # noqa: F401
 from .esrijson import read_esrijson, write_esrijson  # noqa: F401
+from .wfs import (  # noqa: F401
+    read_wfs,
+    wfs_getcapabilities_url,
+    wfs_getfeature_url,
+)
 
 
 _FGB_GTYPE = {0: "Unknown", 1: "Point", 2: "LineString", 3: "Polygon",
