@@ -170,10 +170,13 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, n: int = 3, num
     shingle array is built ONCE per row (the naive per-seed
     ``array_min(transform(...))`` form makes Catalyst re-expand the whole
     shingle pipeline per seed: ~30x slower measured)."""
-    spark = df.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        df = df.repartition(target)
+    # widen narrow scans through the shared, PLAN-GATED helper: a bare
+    # .rdd probe here had the same AQE eager-materialization hazard the
+    # r11 ADVICE flagged on _util.widen_narrow_input (double execution
+    # when the input already carries a shuffle)
+    from ._util import widen_narrow_input
+
+    df = widen_narrow_input(df)
     # production (xxhash) lane: Arrow-batched shingles (8x vs interpreted
     # HOFs); hash_fn set => *_spec oracle lane stays on the Column builder
     # so shingle strings match the DuckDB SQL replica exactly

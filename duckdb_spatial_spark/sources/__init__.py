@@ -132,6 +132,27 @@ def st_read(
         for kv in open_options:
             k, _, v = str(kv).partition("=")
             options.setdefault(k.lower(), v)
+    # GDAL addressing convention for remote feature services:
+    # ST_Read('WFS:https://host/wfs', layer='ns:type') — the layer (or a
+    # typename= option) names the feature type; bbox pushes server-side
+    if isinstance(path, str) and path[:4].upper() == "WFS:":
+        typename = options.pop("typename", None) or options.pop("layer", None)
+        if not typename:
+            raise ValueError(
+                "st_read: WFS paths need the feature type — pass "
+                "layer='ns:typename' (or typename=)"
+            )
+        if allowed_drivers is not None and not (
+            {"wfs"} & {str(a).lower() for a in allowed_drivers}
+        ):
+            raise ValueError(
+                f"st_read: {path!r} was recognized as 'wfs', which is "
+                f"not in allowed_drivers={sorted(allowed_drivers)!r}"
+            )
+        bbox = options.pop("bbox", None) or options.pop("spatial_filter_box", None)
+        columns = options.pop("columns", None)
+        df = read_wfs(spark, path[4:], typename, bbox=bbox, **options)
+        return _apply_read_filters(df, bbox, columns)
     bbox = options.pop("bbox", None)
     sfb = options.pop("spatial_filter_box", None)
     if bbox is None:

@@ -98,3 +98,19 @@ def test_bbox_reaches_the_server(spark):
     read_wfs(spark, "https://h/wfs", "t", bbox=(10, 20, 30, 40),
              fetch=fetch).count()
     assert "bbox=10.0,20.0,30.0,40.0" in seen["url"]
+
+
+def test_st_read_wfs_path_dispatch(spark):
+    from duckdb_spatial_spark.sources import st_read
+
+    def fetch(url):
+        assert url.startswith("https://h/wfs?")
+        return _page([7, 8], 2)
+
+    df = st_read(spark, "WFS:https://h/wfs", layer="ns:t", fetch=fetch)
+    assert df.count() == 2
+    with pytest.raises(ValueError, match="feature type"):
+        st_read(spark, "WFS:https://h/wfs")
+    with pytest.raises(ValueError, match="allowed_drivers"):
+        st_read(spark, "WFS:https://h/wfs", layer="t",
+                allowed_drivers=["GPKG"])
