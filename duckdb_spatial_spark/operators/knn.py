@@ -87,15 +87,17 @@ def ann_brute_topk(
     (blocked matmul) instead — that shape is a dedup, not a lookup."""
     q_id_col = q_id_col or id_col
     q_vec_col = q_vec_col or vec_col
-    qn = queries.count()
-    if qn > max_queries:
+    # guard fused into the collect (limit(max+1)): one job instead of a
+    # separate count() scan, still fails loudly before an oversize
+    # broadcast is materialized
+    qrows = queries.select(q_id_col, q_vec_col).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
         raise ValueError(
-            f"ann_brute_topk: {qn} query vectors exceeds max_queries="
+            f"ann_brute_topk: query side exceeds max_queries="
             f"{max_queries}; the query side is driver-collected + broadcast. "
             "For huge query sets use dedup.embedding_neardup_pairs (blocked "
             "matmul) or chunk the query set"
         )
-    qrows = queries.select(q_id_col, q_vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     q_mat = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30)

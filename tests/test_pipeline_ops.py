@@ -91,6 +91,11 @@ def test_simhash_neardup(spark):
 def test_embedding_neardup_and_brute_topk(spark, emb):
     emb2 = emb.withColumn("embedding", F.transform("embedding", lambda x: x.cast("float")))
     queries = emb2.limit(5)
+    # max_queries guard fires before any broadcast (fused limit+collect)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        K.ann_brute_topk(emb2, emb2, k=5, max_queries=3)
     topk = K.ann_brute_topk(emb2, queries, k=5).collect()
     by_q = {}
     for r in topk:
