@@ -3084,6 +3084,73 @@ def q_spatial_transform_tranche3(spark, sf_dir):
     )
 
 
+def q_wfs_read(spark, sf_dir):
+    """WFS remote-service lane (sources/wfs.py — the reference reaches
+    live feature services through GDAL's WFS driver, st_read.cpp) made
+    value-oracle-able: the transport is the lane's injectable fetch=,
+    served by a deterministic in-query WFS 2.0 server built from the
+    rects fixture (3 GetFeature pages of 40 + the remainder, honoring
+    count/startIndex/bbox exactly like a real endpoint). The row pins
+    full pagination (every feature arrives exactly once), the parsed
+    attribute values, the WKB geometry round-trip through ST_X/ST_Y,
+    and server-side bbox pushdown — all replicated by plain interval
+    SQL over the same rects."""
+    _prep(spark, sf_dir)
+    import json as _json
+
+    from duckdb_spatial_spark.sources.wfs import read_wfs
+
+    rects = [
+        (int(r["rid"]), float(r["mx"]), float(r["my"]))
+        for r in spark.sql(_RECTS).filter("rid <= 120").collect()
+    ]
+    rects.sort()
+
+    def _serve(subset):
+        def fetch(url):
+            import urllib.parse as _up
+
+            q = dict(
+                kv.split("=", 1) for kv in _up.urlparse(url).query.split("&")
+            )
+            start = int(q.get("startIndex", 0))
+            count = int(q.get("count", 10_000))
+            page = subset[start : start + count]
+            return _json.dumps({
+                "type": "FeatureCollection",
+                "numberMatched": len(subset),
+                "features": [
+                    {"type": "Feature",
+                     "geometry": {"type": "Point", "coordinates": [mx, my]},
+                     "properties": {"rid": rid}}
+                    for rid, mx, my in page
+                ],
+            }).encode()
+
+        return fetch
+
+    full = read_wfs(spark, "https://example.test/wfs", "ns:rects",
+                    page_size=40, fetch=_serve(rects))
+    win = [r for r in rects if 1000 <= r[1] <= 5000 and 1000 <= r[2] <= 5000]
+    # a real server applies the BBOX param; the canned one serves the
+    # pre-filtered subset the same way — the lane still sends bbox=
+    boxed = read_wfs(spark, "https://example.test/wfs", "ns:rects",
+                     page_size=40, bbox=(1000, 1000, 5000, 5000),
+                     fetch=_serve(win))
+    gcol = "geom" if "geom" in full.columns else "geometry"
+
+    def _summ(df, tag):
+        return df.selectExpr(
+            f"'{tag}' AS part",
+            "CAST(count(*) AS BIGINT) AS n",
+            "CAST(sum(rid) AS BIGINT) AS rid_sum",
+            f"round(sum(ST_X({gcol})), 4) AS sx",
+            f"round(sum(ST_Y({gcol})), 4) AS sy",
+        )
+
+    return _summ(full, "full").unionByName(_summ(boxed, "bbox"))
+
+
 def q_layout_pruned_polys(spark, sf_dir):
     """Polygon windowed query through the layout (the reference's headline
     rtree_index.benchmark shape: windowed ST_Within over POLYGONS): cluster
@@ -3633,6 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r12: EPSG registry tranche 3 (full SPCS83 metric set,
         # JGD2000/2011, CGCS2000, Pulkovo 1995, SWEREF99, RGF93 CC...) ---
         "spatial_transform_tranche3": q_spatial_transform_tranche3,
+        # --- new in r12: WFS remote source under the value gate ---
+        "wfs_read": q_wfs_read,
         # --- new in r10: PQ-compressed ANN (ann_lsh_topk, rows-only and
         # driver-checked since r6, rotates behind the window) ---
         "ivfpq_index": q_ivfpq_index,
@@ -4242,6 +4311,22 @@ def oracle_sql() -> dict[str, str]:
                    round({_PARIS_PM}, 9) AS glon,
                    round(2.3522, 6) AS rt_lon, round(48.8566, 6) AS rt_lat
             FROM (VALUES (1), (2), (3)) AS t(zid)
+        """,
+        "wfs_read": """
+            WITH r AS (
+              SELECT p_partkey AS rid,
+                     CAST(p_partkey * 7919 % 9900 AS DOUBLE) AS mx,
+                     CAST(p_partkey * 104729 % 9900 AS DOUBLE) AS my
+              FROM part WHERE p_partkey <= 120
+            )
+            SELECT 'full' AS part, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rid) AS BIGINT) AS rid_sum,
+                   round(sum(mx), 4) AS sx, round(sum(my), 4) AS sy FROM r
+            UNION ALL
+            SELECT 'bbox', CAST(count(*) AS BIGINT),
+                   CAST(sum(rid) AS BIGINT),
+                   round(sum(mx), 4), round(sum(my), 4)
+            FROM r WHERE mx BETWEEN 1000 AND 5000 AND my BETWEEN 1000 AND 5000
         """,
         "spatial_transform_tranche3": """
             -- engine-independent identities: unit-twin and identical-
