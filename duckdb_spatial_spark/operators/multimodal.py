@@ -220,6 +220,97 @@ def audio_samples(
     return df.mapInPandas(conv, schema)
 
 
+def _mel_filterbank(n_mels: int, n_fft: int, rate: int) -> np.ndarray:
+    """Triangular mel filterbank (HTK convention: mel = 2595 log10(1 +
+    f/700)), rows normalized to unit peak — (n_mels, n_fft//2 + 1)."""
+    fmax = rate / 2.0
+    mmax = 2595.0 * np.log10(1.0 + fmax / 700.0)
+    mpts = np.linspace(0.0, mmax, n_mels + 2)
+    fpts = 700.0 * (10.0 ** (mpts / 2595.0) - 1.0)
+    bins = np.floor((n_fft + 1) * fpts / rate).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, c):
+            if c > lo:
+                fb[m - 1, k] = (k - lo) / (c - lo)
+        for k in range(c, hi):
+            if hi > c:
+                fb[m - 1, k] = (hi - k) / (hi - c)
+    return fb
+
+
+def audio_features(
+    df: DataFrame,
+    bin_col: str = "audio",
+    out_col: str = "features",
+    n_mels: int = 26,
+    n_mfcc: int = 13,
+    frame_len: int = 400,
+    hop: int = 160,
+    max_seconds: float = 30.0,
+) -> DataFrame:
+    """Fixed-length audio feature vector per clip — the audio analog of
+    :func:`image_features` for similarity/dedup/quality pipelines.
+
+    Pure-numpy pipeline (no librosa/scipy in this environment; every
+    step is the published textbook definition): WAV decode -> mono ->
+    framed Hann-windowed rFFT power spectrum -> HTK mel filterbank ->
+    log -> DCT-II -> MFCC; the output is mean and std of each MFCC
+    coefficient over frames (``2 * n_mfcc`` floats), the standard
+    clip-level summarization. Non-WAV / undecodable input yields NULL.
+
+    Scale shape: one Arrow-batched pass, zero shuffle; the FFT work is
+    vectorized over ALL frames of a clip at once (np.fft.rfft on a
+    (frames, frame_len) matrix)."""
+    from . import codecs
+
+    schema = T.StructType(
+        [f for f in df.schema.fields]
+        + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
+    bidx = df.columns.index(bin_col)
+    window = np.hanning(frame_len)
+    # DCT-II matrix (orthonormal), rows = coefficients
+    kk = np.arange(n_mels)
+    dct = np.cos(np.pi * np.outer(np.arange(n_mfcc), (2 * kk + 1)) / (2 * n_mels))
+    dct *= np.sqrt(2.0 / n_mels)
+    dct[0] /= np.sqrt(2.0)
+
+    def conv(batches):
+        fbs: dict = {}
+        for pdf in batches:
+            vals = []
+            for b in pdf.iloc[:, bidx]:
+                if b is None:
+                    vals.append(None)
+                    continue
+                try:
+                    x, rate = codecs.decode_wav(bytes(b))
+                except (ValueError, NotImplementedError):
+                    vals.append(None)
+                    continue
+                mono = x.mean(axis=1)[: int(max_seconds * rate)]
+                if len(mono) < frame_len:
+                    mono = np.pad(mono, (0, frame_len - len(mono)))
+                nfr = 1 + (len(mono) - frame_len) // hop
+                idx = np.arange(frame_len)[None, :] + hop * np.arange(nfr)[:, None]
+                frames = mono[idx] * window[None, :]
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                fb = fbs.get(rate)
+                if fb is None:
+                    fb = fbs[rate] = _mel_filterbank(n_mels, frame_len, rate)
+                mel = np.log(power @ fb.T + 1e-10)
+                mfcc = mel @ dct.T  # (frames, n_mfcc)
+                feat = np.concatenate([mfcc.mean(axis=0), mfcc.std(axis=0)])
+                vals.append(feat.astype(np.float32).tolist())
+            pdf = pdf.copy()
+            pdf[out_col] = vals
+            yield pdf
+
+    return df.mapInPandas(conv, schema)
+
+
 def video_metadata(df: DataFrame, bin_col: str = "video") -> DataFrame:
     """Parse fps / frame count / duration from video containers. REAL for
     RIFF/AVI (header walk, no frame decode); other containers yield NULLs

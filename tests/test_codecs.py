@@ -246,3 +246,52 @@ def test_video_frame_sample_spark(spark):
     assert sorted((r["vid"], r["frame_idx"]) for r in out) == [(1, 0), (1, 5)]
     px = decode_png(bytes(out[0]["frame"]))
     assert px.shape == (4, 4, 3)
+
+
+def test_audio_features_tone_lands_in_right_mel_band(spark):
+    """External truth for the MFCC pipeline: a pure tone's mel-spectrum
+    energy must peak at the analytically-computed mel filter for its
+    frequency (HTK mel = 2595 log10(1 + f/700)) — checked via the
+    filterbank directly — and clip-level MFCC features must be finite,
+    fixed-length, and frequency-sensitive (two tones an octave apart
+    produce different vectors; identical clips produce identical ones)."""
+    import io
+    import wave
+
+    from duckdb_spatial_spark.operators.multimodal import (
+        _mel_filterbank,
+        audio_features,
+    )
+
+    rate, frame_len, n_mels = 16000, 400, 26
+    fb = _mel_filterbank(n_mels, frame_len, rate)
+    # filterbank shape + analytic peak location for 440 Hz
+    assert fb.shape == (n_mels, frame_len // 2 + 1)
+    k440 = round(440 * frame_len / rate)  # rFFT bin of the tone
+    resp = fb[:, k440]
+    mmax = 2595.0 * np.log10(1.0 + (rate / 2) / 700.0)
+    m440 = 2595.0 * np.log10(1.0 + 440.0 / 700.0)
+    expect_band = m440 / mmax * (n_mels + 1)  # fractional filter index
+    assert abs(int(np.argmax(resp)) - (expect_band - 1)) <= 1.5
+
+    def tone(freq):
+        t = np.arange(rate) / rate  # 1 second
+        pcm = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+        bio = io.BytesIO()
+        with wave.open(bio, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        return bio.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, tone(440)), (2, tone(880)), (3, tone(440)), (4, None)],
+        "id long, audio binary",
+    )
+    feats = {r.id: r.features for r in audio_features(df).collect()}
+    assert feats[4] is None
+    for i in (1, 2, 3):
+        assert len(feats[i]) == 26 and all(np.isfinite(feats[i]))
+    assert feats[1] == feats[3]  # deterministic
+    assert feats[1] != feats[2]  # frequency-sensitive
