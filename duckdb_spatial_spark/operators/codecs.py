@@ -190,7 +190,7 @@ def decode_image(buf: bytes) -> np.ndarray:
 
         return decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
-        raise NotImplementedError("GIF LZW decode not implemented")
+        return decode_gif(b)  # first frame; LZW per the spec (r12)
     raise ValueError("unknown image format")
 
 
@@ -201,6 +201,181 @@ def resize_nearest(px: np.ndarray, size: tuple) -> np.ndarray:
     ys = np.minimum((np.arange(th) * h) // th, h - 1)
     xs = np.minimum((np.arange(tw) * w) // tw, w - 1)
     return px[ys][:, xs]
+
+
+# --------------------------------------------------------------------- GIF
+def decode_gif(buf: bytes) -> np.ndarray:
+    """GIF87a/89a -> HxWxC uint8 (first frame; C=3, or 4 when the frame's
+    Graphic Control Extension declares a transparent index). Pure-stdlib
+    LZW per the spec: variable code width from the image's minimum code
+    size, LSB-first bit packing, CLEAR resets, 12-bit cap. Interlaced
+    frames are de-interlaced (the 4-pass row order)."""
+    b = bytes(buf)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+        i += 3 * n
+    transparent = None
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x3B:  # trailer
+            break
+        if blk == 0x21:  # extension
+            label = b[i + 1]
+            j = i + 2
+            if label == 0xF9 and b[j] >= 4:  # Graphic Control Extension
+                gflags = b[j + 1]
+                if gflags & 0x01:
+                    transparent = b[j + 4]
+            while b[j] != 0:  # skip sub-blocks
+                j += 1 + b[j]
+            i = j + 1
+            continue
+        if blk != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{blk:02X}")
+        left, top, w, h, iflags = struct.unpack_from("<HHHHB", b, i + 1)
+        i += 10
+        lct = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x07)
+            lct = np.frombuffer(b, dtype=np.uint8, count=3 * n, offset=i).reshape(n, 3)
+            i += 3 * n
+        if lct is None:
+            raise ValueError("gif: no color table")
+        min_code = b[i]
+        i += 1
+        data = bytearray()
+        while b[i] != 0:
+            ln = b[i]
+            data += b[i + 1 : i + 1 + ln]
+            i += 1 + ln
+        i += 1
+        # --- LZW decode (LSB-first bit reader) ---
+        clear = 1 << min_code
+        end = clear + 1
+        width = min_code + 1
+        dict_base = [(c,) for c in range(clear)] + [None, None]
+        table = list(dict_base)
+        out: list = []
+        prev = None
+        acc = 0
+        nbits = 0
+        pos = 0
+        while True:
+            while nbits < width:
+                if pos >= len(data):
+                    raise ValueError("gif: LZW stream truncated")
+                acc |= data[pos] << nbits
+                pos += 1
+                nbits += 8
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = list(dict_base)
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                break
+            if prev is None:
+                entry = table[code]
+                if entry is None:
+                    raise ValueError("gif: bad first code")
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            elif code == len(table):
+                entry = prev + (prev[0],)  # the KwKwK case
+                table.append(entry)
+            else:
+                raise ValueError("gif: bad LZW code")
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        px = np.asarray(out[: w * h], dtype=np.int64)
+        if len(px) < w * h:
+            px = np.pad(px, (0, w * h - len(px)))
+        idx = px.reshape(h, w)
+        if iflags & 0x40:  # de-interlace: passes at rows 0/8,4/8,2/4,1/2
+            order = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            deint = np.empty_like(idx)
+            deint[order] = idx
+            idx = deint
+        rgb = lct[np.clip(idx, 0, len(lct) - 1)]
+        if transparent is not None:
+            alpha = np.where(idx == transparent, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])
+        return rgb
+    raise ValueError("gif: no image block before trailer")
+
+
+def encode_gif(px: np.ndarray) -> bytes:
+    """Minimal GIF89a encoder for fixtures/roundtrips: palettizes an
+    (H,W,3) or (H,W,1)/(H,W) uint8 image (<=256 distinct colors) and
+    writes the classic 'uncompressed GIF' LZW stream — literal codes
+    with a CLEAR injected before the table could force a width bump."""
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.shape[2] == 1:
+        px = np.repeat(px, 3, axis=2)
+    h, w = px.shape[:2]
+    flat = px.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif: more than 256 distinct colors")
+    nbits = max(2, int(np.ceil(np.log2(max(len(colors), 2)))))
+    tbl_n = 1 << nbits
+    pal = np.zeros((tbl_n, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    min_code = nbits
+    clear = 1 << min_code
+    end = clear + 1
+    width = min_code + 1
+    # literal codes with CLEAR before each width bump would occur
+    codes = [clear]
+    room = (1 << width) - end - 1  # new-entry slots before width grows
+    emitted = 0
+    for v in inv:
+        if emitted == room:
+            codes.append(clear)
+            emitted = 0
+        codes.append(int(v))
+        emitted += 1
+    codes.append(end)
+    acc = 0
+    nacc = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << nacc
+        nacc += width
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (nbits - 1), 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out.append(min_code)
+    for k in range(0, len(data), 255):
+        chunk = data[k : k + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 # --------------------------------------------------------------------- WAV

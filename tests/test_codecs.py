@@ -295,3 +295,87 @@ def test_audio_features_tone_lands_in_right_mel_band(spark):
         assert len(feats[i]) == 26 and all(np.isfinite(feats[i]))
     assert feats[1] == feats[3]  # deterministic
     assert feats[1] != feats[2]  # frequency-sensitive
+
+
+def _pack_lsb(codes_widths):
+    acc = n = 0
+    out = bytearray()
+    for c, w in codes_widths:
+        acc |= c << n
+        n += w
+        while n >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n -= 8
+    if n:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_wrap(w, h, nbits, pal, lzw, flags=0):
+    hdr = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (nbits - 1), 0, 0) + pal
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, flags) + bytes([nbits])
+    body = b""
+    for k in range(0, len(lzw), 255):
+        chunk = lzw[k:k + 255]
+        body += bytes([len(chunk)]) + chunk
+    return hdr + img + body + b"\x00\x3b"
+
+
+def test_gif_hand_assembled_lzw():
+    """External truth: LZW code streams hand-derived from the GIF spec
+    (min code 2 -> clear=4, end=5, width starts at 3, LSB-first bits).
+    Covers literal codes, a dictionary back-reference, and the KwKwK
+    special case."""
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])  # R G B gray
+    # pixels [0,1,0,1] via a DICT entry: clear,0,1,<6=(0,1)>,end
+    lzw = _pack_lsb([(4, 3), (0, 3), (1, 3), (6, 3), (5, 3)])
+    got = C.decode_gif(_gif_wrap(2, 2, 2, pal, lzw))
+    assert got.shape == (2, 2, 3)
+    assert tuple(got[0, 0]) == (255, 0, 0) and tuple(got[0, 1]) == (0, 255, 0)
+    assert tuple(got[1, 0]) == (255, 0, 0) and tuple(got[1, 1]) == (0, 255, 0)
+    # KwKwK: clear,1,<6==len(table)> -> (1,1); pixels [1,1,1] (3x1)
+    lzw2 = _pack_lsb([(4, 3), (1, 3), (6, 3), (5, 3)])
+    got2 = C.decode_gif(_gif_wrap(3, 1, 2, pal, lzw2))
+    assert [tuple(p) for p in got2[0]] == [(0, 255, 0)] * 3
+
+
+def test_gif_roundtrip_and_dispatch():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 5, size=(13, 9), dtype=np.uint8) * 50
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    out = C.decode_image(C.encode_gif(rgb))
+    assert np.array_equal(out, rgb)
+    # width-bump path: >6 colors forces 3-bit codes + growth to 4 bits
+    img2 = (np.arange(16 * 16).reshape(16, 16) % 7).astype(np.uint8) * 30
+    rgb2 = np.repeat(img2[:, :, None], 3, axis=2)
+    assert np.array_equal(C.decode_gif(C.encode_gif(rgb2)), rgb2)
+    # 256-color stress (8-bit codes)
+    img3 = (np.arange(32 * 32).reshape(32, 32) % 256).astype(np.uint8)
+    rgb3 = np.dstack([img3, img3 // 2, img3 // 3])
+    assert np.array_equal(C.decode_gif(C.encode_gif(rgb3)), rgb3)
+
+
+def test_gif_transparency_and_interlace():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    # GCE with transparency on index 1; pixels [0,1] -> alpha [255,0]
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 1, 0])
+    lzw = _pack_lsb([(4, 3), (0, 3), (1, 3), (5, 3)])
+    hdr = b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x81, 0, 0) + pal
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0) + bytes([2])
+    buf = hdr + gce + img + bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    got = C.decode_gif(buf)
+    assert got.shape == (1, 2, 4)
+    assert got[0, 0, 3] == 255 and got[0, 1, 3] == 0
+    # interlaced 8x1-column image: rows arrive in pass order 0,4,2,6,1,3,5,7.
+    # width schedule per spec: the decoder's table reaches 8 entries after
+    # the THIRD pixel code (first code appends nothing), so codes 4+ and
+    # the end code read at 4 bits
+    rows_in_pass_order = [0, 4, 2, 6, 1, 3, 5, 7]
+    pix = [r % 4 for r in rows_in_pass_order]
+    seq = [(4, 3)] + [(p, 3) for p in pix[:3]] + [(p, 4) for p in pix[3:]] + [(5, 4)]
+    lzw3 = _pack_lsb(seq)
+    got3 = C.decode_gif(_gif_wrap(1, 8, 2, pal, lzw3, flags=0x40))
+    # after de-interlacing, row r holds palette index r % 4
+    expect = [tuple(pal[3 * (r % 4): 3 * (r % 4) + 3]) for r in range(8)]
+    assert [tuple(p[0]) for p in got3] == expect
