@@ -1230,6 +1230,10 @@ def q_multimodal_meta(spark, sf_dir):
         jsrc[:, :, 1] = 60
         jsrc[:, :, 2] = 200 - 20 * i
         jpg = encode_jpeg(jsrc, quality=95)
+        # GIF lane (r12): palette image, LZW roundtrip is LOSSLESS
+        gsrc = ((np.arange((3 + i) * (2 + i)).reshape(3 + i, 2 + i) % (2 + i))
+                * 40).astype(np.uint8)
+        gif = codecs.encode_gif(np.repeat(gsrc[:, :, None], 3, axis=2))
         # minimal PCM16 WAV, i*100 frames at 8000 Hz, amplitude ramp
         n = i * 100
         pcm = (np.arange(n, dtype=np.int16) * 17).tobytes()
@@ -1239,15 +1243,16 @@ def q_multimodal_meta(spark, sf_dir):
             + b"data" + _st.pack("<I", len(pcm)) + pcm
         )
         rows.append((i, bytearray(codecs.encode_png(px)), bytearray(wav),
-                     bytearray(jpg)))
+                     bytearray(jpg), bytearray(gif)))
     df = spark.createDataFrame(
-        rows, "id long, image binary, audio binary, jpeg binary"
+        rows, "id long, image binary, audio binary, jpeg binary, gif binary"
     )
     meta = M.image_metadata(df)
     rs = M.image_resize(meta, size=(8, 8))
     au = M.audio_samples(rs)
     out_schema = ("id long, w int, h int, fmt string, rw int, rh int,"
-                  " sr int, ns int, jw int, jh int, jexact boolean")
+                  " sr int, ns int, jw int, jh int, jexact boolean,"
+                  " gw int, gh int, gexact boolean")
 
     def finish(batches):
         import pandas as pd
@@ -1263,14 +1268,21 @@ def q_multimodal_meta(spark, sf_dir):
                 jref[:, :, 1] = 60
                 jref[:, :, 2] = 200 - 20 * i
                 jexact = bool(np.abs(jdec - jref).max() <= 2)
+                gdec = codecs.decode_image(bytes(r["gif"]))
+                gsrc = ((np.arange((3 + i) * (2 + i)).reshape(3 + i, 2 + i)
+                         % (2 + i)) * 40).astype(np.uint8)
+                gref = np.repeat(gsrc[:, :, None], 3, axis=2)
+                gexact = bool(np.array_equal(gdec, gref))
                 outs.append(
                     (i, int(r["image_meta"]["width"]), int(r["image_meta"]["height"]),
                      str(r["image_meta"]["format"]), int(rp.shape[1]), int(rp.shape[0]),
                      int(r["sample_rate"]), len(r["samples"]),
-                     int(jdec.shape[1]), int(jdec.shape[0]), jexact)
+                     int(jdec.shape[1]), int(jdec.shape[0]), jexact,
+                     int(gdec.shape[1]), int(gdec.shape[0]), gexact)
                 )
             yield pd.DataFrame(outs, columns=["id", "w", "h", "fmt", "rw", "rh",
-                                              "sr", "ns", "jw", "jh", "jexact"])
+                                              "sr", "ns", "jw", "jh", "jexact",
+                                              "gw", "gh", "gexact"])
 
     return au.mapInPandas(finish, out_schema)
 
@@ -4600,11 +4612,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_meta": """
             SELECT * FROM (VALUES
-              (CAST(1 AS BIGINT), 3, 4, 'png', 8, 8, 8000, 100, 6, 7, true),
-              (2, 6, 8, 'png', 8, 8, 8000, 200, 7, 8, true),
-              (3, 9, 12, 'png', 8, 8, 8000, 300, 8, 9, true),
-              (4, 12, 16, 'png', 8, 8, 8000, 400, 9, 10, true)
-            ) AS t(id, w, h, fmt, rw, rh, sr, ns, jw, jh, jexact)
+              (CAST(1 AS BIGINT), 3, 4, 'png', 8, 8, 8000, 100, 6, 7, true, 3, 4, true),
+              (2, 6, 8, 'png', 8, 8, 8000, 200, 7, 8, true, 4, 5, true),
+              (3, 9, 12, 'png', 8, 8, 8000, 300, 8, 9, true, 5, 6, true),
+              (4, 12, 16, 'png', 8, 8, 8000, 400, 9, 10, true, 6, 7, true)
+            ) AS t(id, w, h, fmt, rw, rh, sr, ns, jw, jh, jexact, gw, gh, gexact)
         """,
         "spatial_buffer_styles": f"""
             SELECT rid,
