@@ -1,10 +1,12 @@
 """Pure-Python image/audio codecs for the multimodal operators.
 
-No PIL/ffmpeg in this container, but PNG needs only stdlib zlib + the
-public spec (RFC 2083: IDAT inflate + per-scanline unfiltering), BMP is
-raw rows, and WAV is RIFF chunks — so those DECODE paths are real, not
-stubs. JPEG/GIF entropy decoding genuinely needs a codec and stays
-unimplemented (clear error, not a fake).
+No PIL/ffmpeg in this container; every decode path here is implemented
+from the public spec, not stubbed: PNG (RFC 2083: IDAT inflate +
+per-scanline unfiltering), BMP raw rows, GIF87a/89a LZW (r12, this
+file), baseline JPEG (r12, operators/jpeg.py: Annex-C Huffman +
+dequant + vectorized IDCT), WAV RIFF chunks, uncompressed AVI. The
+remaining honest edges raise loudly: progressive/arithmetic JPEG,
+exotic BMP/WAV variants, compressed AVI streams.
 
 All decoders return HxWxC uint8 arrays (C in {1,2,3,4}); the WAV decoder
 returns (samples float64 in [-1, 1] shaped (n, channels), sample_rate).
