@@ -1889,3 +1889,49 @@ def intersection_all(geoms) -> Geometry:
         if acc.is_empty():
             return acc
     return acc if acc is not None else G.empty(G.GEOMETRYCOLLECTION)
+
+
+def snap_overlay(op: str, a: Geometry, b: Geometry, grid_size: float) -> Geometry:
+    """Fixed-precision overlay (the GEOS OverlayNG precision-model analog,
+    simplified): both inputs' vertices snap to the ``grid_size`` grid and
+    are repaired, the float overlay runs, and the RESULT's vertices —
+    including newly-created intersection points — snap to the same grid
+    and are repaired again, so every output coordinate is an exact grid
+    multiple and near-degenerate slivers thinner than the grid collapse
+    deterministically.
+
+    Honest scope: this is input/output vertex snapping, NOT OverlayNG's
+    full hot-pixel snap-rounding — a segment passing within half a cell
+    of another segment's interior (no vertex nearby) can still node
+    off-grid internally before the output snap. For data whose
+    coordinates are meaningful at the grid scale (the use case of a
+    precision model), the visible contract holds: valid, grid-aligned,
+    sliver-free output, with area perturbation O(grid * perimeter)."""
+    if grid_size <= 0:
+        raise ValueError("snap_overlay: grid_size must be > 0")
+    ops = {"intersection": intersection, "union": union, "difference": difference}
+    if op not in ops:
+        raise ValueError(f"snap_overlay: op must be one of {sorted(ops)}")
+
+    def _prep(g: Geometry) -> Geometry:
+        g = make_valid(remove_repeated_points(reduce_precision(g, grid_size)))
+        return g
+
+    out = ops[op](_prep(a), _prep(b))
+    out = reduce_precision(out, grid_size)
+    out = remove_repeated_points(out)
+    # rounding can collapse rings below 4 points / zero area: drop them
+    kept = []
+    for leaf in out.flatten():
+        if leaf.tag == G.POLYGON:
+            rings = [r for r in leaf.data if len(r) >= 4]
+            if not rings or abs(_ring_signed_area(np.asarray(rings[0]))) == 0.0:
+                continue
+            leaf = Geometry(G.POLYGON, rings)
+        elif leaf.tag == G.LINESTRING and len(leaf.data) < 2:
+            continue
+        kept.append(leaf)
+    if not kept:
+        return G.empty(G.GEOMETRYCOLLECTION)
+    res = kept[0] if len(kept) == 1 else G.collect(kept)
+    return make_valid(res)
