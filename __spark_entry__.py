@@ -2608,6 +2608,27 @@ _BPE_MERGES = [
 ]
 
 
+def q_bpe_learn(spark, sf_dir):
+    """BPE merge-table LEARNING (operators/textops.bpe_learn — tokenizer
+    training, Sennrich et al. 2016 / subword-nmt): ONE distributed
+    map-side-combined wordcount, then the classic merge loop over the
+    driver-collected (vocab-sized) frequency table with a deterministic
+    lexicographic tie-break. The corpus is the paper's own worked
+    example (low x5, lower x2, newest x6, widest x3); the oracle pins
+    the merge sequence hand-derived from the algorithm's algebra
+    (tests/test_bpe_learn.py walks the derivation)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import bpe_learn
+
+    rows = [(i, " ".join([w] * n)) for i, (w, n) in enumerate(
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    )]
+    corpus = spark.createDataFrame(rows, "id long, text string")
+    merges = bpe_learn(corpus, num_merges=8)
+    out = [(r + 1, a, b) for r, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(out, "rank int, lhs string, rhs string")
+
+
 def q_bpe_encode(spark, sf_dir):
     """BPE merge-table application (operators/textops.py bpe_encode):
     greedy lowest-rank merges over a fixed merges.txt-style table. The
@@ -3714,6 +3735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_transform_tranche3": q_spatial_transform_tranche3,
         # --- new in r12: WFS remote source under the value gate ---
         "wfs_read": q_wfs_read,
+        # --- new in r12: BPE tokenizer training ---
+        "bpe_learn": q_bpe_learn,
         # --- new in r10: PQ-compressed ANN (ann_lsh_topk, rows-only and
         # driver-checked since r6, rotates behind the window) ---
         "ivfpq_index": q_ivfpq_index,
@@ -3733,7 +3756,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10: ExactSubstr span removal (streaming_join,
         # long-green r8+r9 and unchanged, rotates behind the window) ---
         "excise_spans": q_excise_spans,
-        "html_extract": q_html_extract,
         "robots": q_robots,
         "warc_roundtrip": q_warc_roundtrip,
         "text_entropy": q_text_entropy,
@@ -3787,6 +3809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_index": q_ivf_index,
         "url_canonicalize": q_url_canonicalize,
         "tab_roundtrip": q_tab_roundtrip,
+        # long-green r9-r11, unchanged in r12: rotated behind the window
+        "html_extract": q_html_extract,
         "streaming_join": q_streaming_join,
         "georss_roundtrip": q_georss_roundtrip,
         "gopher_quality": q_gopher_quality,
@@ -4323,6 +4347,15 @@ def oracle_sql() -> dict[str, str]:
                    round({_PARIS_PM}, 9) AS glon,
                    round(2.3522, 6) AS rt_lon, round(48.8566, 6) AS rt_lat
             FROM (VALUES (1), (2), (3)) AS t(zid)
+        """,
+        "bpe_learn": """
+            -- hand-derived Sennrich-corpus merge sequence (see
+            -- tests/test_bpe_learn.py for the step-by-step algebra)
+            SELECT * FROM (VALUES
+              (1, 'e', 's'), (2, 'es', 't</w>'), (3, 'l', 'o'),
+              (4, 'e', 'w'), (5, 'ew', 'est</w>'), (6, 'n', 'ewest</w>'),
+              (7, 'lo', 'w</w>'), (8, 'd', 'est</w>')
+            ) AS t(rank, lhs, rhs)
         """,
         "wfs_read": """
             WITH r AS (

@@ -591,6 +591,108 @@ def bpe_encode(
     return df.withColumn(out_col, encode(F.col(text_col)))
 
 
+def bpe_learn(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 100,
+    lowercase: bool = False,
+    end_of_word: str = "</w>",
+    max_vocab_words: int = 5_000_000,
+) -> list:
+    """LEARN a byte-pair-encoding merge table from a corpus (tokenizer
+    training; Sennrich et al. 2016 — the algorithm subword-nmt ships).
+    Returns an ordered list of ``(left, right)`` merges, consumable by
+    :func:`bpe_encode` directly (a ``merges.txt``).
+
+    Spark-first shape: BPE learns from WORD FREQUENCIES, not the raw
+    corpus, so the distributed part is ONE map-side-combined wordcount
+    shuffle; the frequency table (vocabulary-sized — Zipf makes it tiny
+    next to the corpus, guarded by ``max_vocab_words``) collects to the
+    driver where the classic merge loop runs: count adjacent symbol
+    pairs weighted by word frequency, merge the most frequent pair
+    (ties break lexicographically so the result is deterministic and
+    engine-neutral), repeat. Each merge touches only words containing
+    the pair (an inverted index, the standard optimization), so
+    training 10k merges over a million-word vocab stays driver-cheap
+    while the corpus scan stays distributed."""
+    c = F.col(text_col)
+    if lowercase:
+        c = F.lower(c)
+    toks = F.explode(F.split(_trimmed(c), r"\s+")).alias("w")
+    freqs = (
+        df.select(toks)
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+    )
+    rows = freqs.limit(int(max_vocab_words) + 1).collect()
+    if len(rows) > max_vocab_words:
+        raise ValueError(
+            f"bpe_learn: corpus has more than max_vocab_words="
+            f"{max_vocab_words} distinct words; raise the cap (the freq "
+            "table is driver-collected) or pre-truncate the vocabulary"
+        )
+    # word -> symbol tuple; deterministic iteration order (sorted words)
+    words: dict = {}
+    for r in sorted(rows, key=lambda r: r["w"]):
+        seq = tuple(r["w"])
+        if not seq:
+            continue
+        seq = seq[:-1] + (seq[-1] + end_of_word,)
+        words[seq] = words.get(seq, 0) + int(r["n"])
+    # pair counts + inverted index pair -> words containing it
+    from collections import defaultdict
+
+    pair_n: dict = defaultdict(int)
+    pair_words: dict = defaultdict(set)
+    for seq, n in words.items():
+        for i in range(len(seq) - 1):
+            pair_n[(seq[i], seq[i + 1])] += n
+            pair_words[(seq[i], seq[i + 1])].add(seq)
+    merges = []
+    for _ in range(int(num_merges)):
+        if not pair_n:
+            break
+        # max count, ties to the lexicographically smallest pair
+        best = min(pair_n.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_n[best] < 1:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for seq in list(pair_words[best]):
+            n = words.pop(seq, None)
+            if n is None:
+                continue
+            # remove old pair contributions
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pair_n[p] -= n
+                if pair_n[p] <= 0:
+                    pair_n.pop(p, None)
+                pw = pair_words.get(p)
+                if pw is not None:
+                    pw.discard(seq)
+                    if not pw:
+                        pair_words.pop(p, None)
+            # apply the merge left-to-right
+            out = []
+            i = 0
+            while i < len(seq):
+                if i < len(seq) - 1 and seq[i] == best[0] and seq[i + 1] == best[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new = tuple(out)
+            words[new] = words.get(new, 0) + n
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_n[p] += n
+                pair_words[p].add(new)
+    return merges
+
+
 def bpe_token_count(
     df: DataFrame,
     merges,
