@@ -5235,7 +5235,8 @@ def oracle_sql() -> dict[str, str]:
               ('netCDF', 'true', 'true'), ('MVT', 'true', 'true'),
               ('WARC', 'true', 'true'), ('GeoJSONSeq', 'true', 'true'),
               ('PostgreSQL', 'true', 'true'), ('MSSQLSpatial', 'true', 'false'),
-              ('OCI', 'true', 'false'), ('WFS', 'true', 'false')
+              ('OCI', 'true', 'false'), ('WFS', 'true', 'false'),
+              ('ODS', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,

@@ -69,6 +69,7 @@ _DRIVER_ALIASES = {
     "wkt_csv": {"wkt_csv", "csv"},
     "kml": {"kml"}, "gpx": {"gpx"}, "gml": {"gml"},
     "topojson": {"topojson"}, "dxf": {"dxf"}, "xlsx": {"xlsx"},
+    "ods": {"ods"},
     "mapinfo": {"mapinfo", "mif", "mapinfo file"},
     "mapinfo_tab": {"mapinfo_tab", "tab", "mapinfo file"},
     "filegdb": {"filegdb", "gdb", "openfilegdb"},
@@ -86,6 +87,7 @@ _LAYERED = {
     "spatialite": ("layer", lambda p: [r["table"] for r in spatialite_layers(p)]),
     "filegdb": ("layer", lambda p: list(gdb_layers(p))),
     "xlsx": ("sheet", lambda p: list(xlsx_sheets(p))),
+    "ods": ("sheet", lambda p: list(ods_sheets(p))),
 }
 
 
@@ -219,6 +221,7 @@ def _st_read_sniff(p: str):
             (".osm.pbf", "osm"), (".pbf", "osm"), (".parquet", "geoparquet"),
             (".csv", "wkt_csv"), (".kml", "kml"), (".gpx", "gpx"), (".gml", "gml"),
             (".topojson", "topojson"), (".dxf", "dxf"), (".xlsx", "xlsx"),
+            (".ods", "ods"),
             (".mif", "mapinfo"), (".tab", "mapinfo_tab"), (".gdb", "filegdb"),
             (".gdbtable", "filegdb"),
             (".arrow", "arrow"), (".feather", "arrow"), (".arrows", "arrow"),
@@ -318,6 +321,8 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_dxf(spark, path, **options)
     if fmt == "xlsx":
         return read_xlsx(spark, path, **options)
+    if fmt == "ods":
+        return read_ods(spark, path, **options)
     if fmt in ("mapinfo", "mif"):
         return read_mif(spark, path, **options)
     if fmt in ("mapinfo_tab", "tab"):
@@ -392,6 +397,7 @@ from .xmlgeo import (  # noqa: F401
 )
 from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
+from .ods import ods_sheets, read_ods, write_ods  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
 from .mapinfo_tab import read_tab, write_tab  # noqa: F401
 from .pgdump import read_pgdump, write_pgdump  # noqa: F401

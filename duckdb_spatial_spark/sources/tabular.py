@@ -111,10 +111,17 @@ def read_xlsx(
         shared = _shared_strings(zf)
         member = _sheet_member(zf, sheet)
         rows = list(_sheet_rows(zf, member, shared))
+    return rows_to_typed_df(spark, rows, header)
+
+
+def rows_to_typed_df(spark: SparkSession, rows: list, header: bool) -> DataFrame:
+    """Shared spreadsheet-row typing (GDAL HEADERS/autodetect analog):
+    first row = header when ``header``, numeric-only columns DOUBLE,
+    everything else STRING. Used by the XLSX and ODS readers."""
     if not rows:
         return spark.createDataFrame([], "c0 string")
     width = max(len(r) for r in rows)
-    rows = [r + [None] * (width - len(r)) for r in rows]
+    rows = [list(r) + [None] * (width - len(r)) for r in rows]
     if header:
         names = [str(v) if v is not None else f"c{i}" for i, v in enumerate(rows[0])]
         data = rows[1:]
