@@ -2608,6 +2608,76 @@ _BPE_MERGES = [
 ]
 
 
+_SCRIPT_SAMPLES = [
+    (0, "The quick brown fox jumps over the lazy dog"),
+    (1, "Широкая электрификация южных губерний даст толчок"),
+    (2, "Γρήγορη καφετιά αλεπού πηδάει πάνω από σκύλο"),
+    (3, "صف خلق خود كمثل الشمس إذ بزغت"),
+    (4, "דג סקרן שט בים מאוכזב ולפתע מצא חברה"),
+    (5, "एक गाँव में मोहन नाम का लड़का रहता था"),
+    (6, "天地玄黄 宇宙洪荒 日月盈昃 辰宿列张"),
+    (7, "いろはにほへと ちりぬるを わかよたれそ"),
+    (8, "다람쥐 헌 쳇바퀴에 타고파 문장 예시"),
+    (9, "mixed 混合 текст with many scripts לא דומיננטי"),
+]
+
+
+def q_script_profile(spark, sf_dir):
+    """Writing-system detection (operators/textops.script_profile — the
+    pre-language-ID corpus router): per-script codepoint ratios via one
+    codegen'd regexp_count per script over EXPLICIT BMP ranges (spelled
+    as literal ranges because Java and RE2 name \\p{Script=} classes
+    differently, while raw codepoint ranges mean the same thing), plus
+    the arg-max script at a 0.30 floor. Fixture: one pangram-ish sample
+    per script + a no-dominant mixed row; the oracle recomputes every
+    ratio in DuckDB with regexp_extract_all over the SAME ranges
+    (rendered as raw characters — RE2 has no \\uXXXX escape)."""
+    _prep(spark, sf_dir)
+    from duckdb_spatial_spark.operators.textops import script_profile
+
+    df = spark.createDataFrame(_SCRIPT_SAMPLES, "id long, text string")
+    return script_profile(df).drop("text")
+
+
+def _script_profile_oracle() -> str:
+    import re as _re
+
+    from duckdb_spatial_spark.operators.textops import _SCRIPT_RANGES
+
+    def raw(cls: str) -> str:
+        return _re.sub(
+            r"\\u([0-9A-Fa-f]{4})",
+            lambda m: chr(int(m.group(1), 16)),
+            cls,
+        )
+
+    names = sorted(_SCRIPT_RANGES)
+    vals = ",\n              ".join(
+        "(" + f"CAST({i} AS BIGINT), '" + s.replace("'", "''") + "')"
+        for i, s in _SCRIPT_SAMPLES
+    )
+    ratio_cols = ",\n                   ".join(
+        f"round(len(regexp_extract_all(text, '{raw(_SCRIPT_RANGES[n])}'))"
+        f" / greatest(length(text), 1), 6) AS {n}_ratio"
+        for n in names
+    )
+    best = "greatest(" + ", ".join(f"{n}_ratio" for n in names) + ")"
+    dom = "CASE " + " ".join(
+        f"WHEN {n}_ratio = {best} AND {best} >= 0.30 THEN '{n}'" for n in names
+    ) + " ELSE 'other' END"
+    cols = ", ".join(f"{n}_ratio" for n in names)
+    return f"""
+            WITH t(id, text) AS (VALUES
+              {vals}
+            ), r AS (
+              SELECT id,
+                   {ratio_cols}
+              FROM t
+            )
+            SELECT id, {cols}, {dom} AS script FROM r
+        """
+
+
 def q_bpe_learn(spark, sf_dir):
     """BPE merge-table LEARNING (operators/textops.bpe_learn — tokenizer
     training, Sennrich et al. 2016 / subword-nmt): ONE distributed
@@ -3737,6 +3807,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wfs_read": q_wfs_read,
         # --- new in r12: BPE tokenizer training ---
         "bpe_learn": q_bpe_learn,
+        # --- new in r12: script detection (pre-language-ID router) ---
+        "script_profile": q_script_profile,
         # --- new in r10: PQ-compressed ANN (ann_lsh_topk, rows-only and
         # driver-checked since r6, rotates behind the window) ---
         "ivfpq_index": q_ivfpq_index,
@@ -3756,7 +3828,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10: ExactSubstr span removal (streaming_join,
         # long-green r8+r9 and unchanged, rotates behind the window) ---
         "excise_spans": q_excise_spans,
-        "robots": q_robots,
         "warc_roundtrip": q_warc_roundtrip,
         "text_entropy": q_text_entropy,
         "dedup_docs": q_dedup_docs,
@@ -3811,6 +3882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tab_roundtrip": q_tab_roundtrip,
         # long-green r9-r11, unchanged in r12: rotated behind the window
         "html_extract": q_html_extract,
+        "robots": q_robots,
         "streaming_join": q_streaming_join,
         "georss_roundtrip": q_georss_roundtrip,
         "gopher_quality": q_gopher_quality,
@@ -4348,6 +4420,7 @@ def oracle_sql() -> dict[str, str]:
                    round(2.3522, 6) AS rt_lon, round(48.8566, 6) AS rt_lat
             FROM (VALUES (1), (2), (3)) AS t(zid)
         """,
+        "script_profile": _script_profile_oracle(),
         "bpe_learn": """
             -- hand-derived Sennrich-corpus merge sequence (see
             -- tests/test_bpe_learn.py for the step-by-step algebra)

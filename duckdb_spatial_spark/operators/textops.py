@@ -205,6 +205,60 @@ def wordlist_filter(
     )
 
 
+# Unicode script ranges as EXPLICIT BMP codepoint classes — spelled out
+# rather than \p{Script=...} because Java and RE2 name script properties
+# differently (repo cross-engine regex rule), while literal ranges mean
+# the same thing in both engines. Astral-plane CJK (ext. B+) is outside
+# the BMP and not counted; documented scope.
+_SCRIPT_RANGES = {
+    "latin": "[A-Za-z\\u00C0-\\u024F]",
+    "cyrillic": "[\\u0400-\\u04FF\\u0500-\\u052F]",
+    "greek": "[\\u0370-\\u03FF]",
+    "arabic": "[\\u0600-\\u06FF\\u0750-\\u077F]",
+    "hebrew": "[\\u0590-\\u05FF]",
+    "devanagari": "[\\u0900-\\u097F]",
+    "cjk": "[\\u4E00-\\u9FFF\\u3400-\\u4DBF]",
+    "hiragana_katakana": "[\\u3040-\\u30FF]",
+    "hangul": "[\\uAC00-\\uD7AF\\u1100-\\u11FF]",
+}
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", dominant_col: str = "script"
+) -> DataFrame:
+    """Writing-system detection for corpus routing (the filter that runs
+    BEFORE language ID in multilingual pipelines: scripts partition
+    cleanly where languages need models). Adds one ``<name>_ratio``
+    column per script in ``_SCRIPT_RANGES`` (count of codepoints in the
+    script's BMP ranges / total codepoints, rounded to 6) and a
+    ``script`` column: the arg-max script when its ratio clears 0.30,
+    else 'other' (ties break alphabetically, decided on the ROUNDED
+    ratios — dual-engine float rule).
+
+    Scale shape: one pure-Column projection, one codegen'd
+    ``regexp_count`` per script, no Python, no shuffle — the same
+    JVM-side pattern as token_count/lang_id/bm25."""
+    c = F.col(text_col)
+    n = F.greatest(F.length(c), F.lit(1))
+    out = df
+    names = sorted(_SCRIPT_RANGES)
+    for name in names:
+        out = out.withColumn(
+            f"{name}_ratio",
+            F.round(
+                F.regexp_count(F.coalesce(c, F.lit("")), F.lit(_SCRIPT_RANGES[name])) / n, 6
+            ),
+        )
+    best = F.greatest(*[F.col(f"{s}_ratio") for s in names])
+    pred = F.lit("other")
+    # reverse order so earlier (alphabetical) names win exact ties
+    for name in reversed(names):
+        pred = F.when(
+            (F.col(f"{name}_ratio") == best) & (best >= 0.30), F.lit(name)
+        ).otherwise(pred)
+    return out.withColumn(dominant_col, pred)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Exact content fingerprint: xxhash64 of whitespace-normalized,
     lowercased text — the dedup_exact key at web scale."""

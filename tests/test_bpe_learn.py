@@ -50,3 +50,22 @@ def test_corpus_scale_and_determinism(spark):
     assert all(isinstance(a, str) and isinstance(b, str) for a, b in m1)
     enc = bpe_encode(docs.limit(20), m1, lowercase=True)
     assert enc.select(F.sum(F.size("bpe_tokens"))).first()[0] > 0
+
+
+def test_script_profile_operator(spark):
+    from duckdb_spatial_spark.operators.textops import script_profile
+
+    df = spark.createDataFrame(
+        [(0, "hello plain english text"),
+         (1, "широкая электрификация"),
+         (2, "天地玄黄 宇宙洪荒"),
+         (3, None),
+         (4, "12345 !!! ---")],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in script_profile(df).collect()}
+    assert rows[0]["script"] == "latin" and rows[0]["latin_ratio"] > 0.8
+    assert rows[1]["script"] == "cyrillic"
+    assert rows[2]["script"] == "cjk"
+    assert rows[3]["script"] == "other"  # NULL text
+    assert rows[4]["script"] == "other"  # digits/punct only
