@@ -1098,10 +1098,47 @@ def q_dedup_clusters(spark, sf_dir):
     return duplicate_clusters(pairs, nodes=docs, id_col="doc_id")
 
 
+def _ann_topk_invariants(out, k: int, score_col: str = "cosine"):
+    """Collapse an ANN top-k result to per-query invariant booleans that a
+    SQL oracle can pin as literals (the ann_recall pattern, r11): since the
+    query set is drawn FROM the base set, the exact top-1 is the query
+    itself at cosine 1.0 and any correct index must reproduce it (the
+    query's own bucket/cell is always probed); row count, rank range,
+    score bounds and monotonicity pin the result-shape contract."""
+    lst = F.sort_array(F.collect_list(F.struct(F.col("rank"), F.col(score_col))))
+    mono = F.aggregate(
+        lst,
+        F.struct(F.lit(True).alias("ok"), F.lit(float("inf")).alias("prev")),
+        lambda acc, x: F.struct(
+            (acc["ok"] & (x[score_col] <= acc["prev"] + F.lit(1e-9))).alias("ok"),
+            x[score_col].alias("prev"),
+        ),
+        lambda acc: acc["ok"],
+    )
+    return out.groupBy("query_id").agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.round(F.max(F.when(F.col("rank") == 1, F.col(score_col))), 6)
+            == F.lit(1.0)
+        ).alias("self_top1"),
+        (
+            (F.min(score_col) >= F.lit(-1.000001))
+            & (F.max(score_col) <= F.lit(1.000001))
+        ).alias("cosine_bounded"),
+        ((F.min("rank") == 1) & (F.max("rank") == F.lit(int(k)))).alias("ranks_ok"),
+        mono.alias("cosine_monotone"),
+    )
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Approximate top-k via hyperplane-LSH buckets + exact re-rank
-    (rows-only: bucketing is engine-specific, so no SQL oracle — the
-    pytest recall bound vs brute force is the semantic check)."""
+    """Approximate top-k via hyperplane-LSH buckets + exact re-rank,
+    value-gated (r13): the raw neighbor lists are engine-specific, but
+    because the 10 query vectors are drawn from the base set, a correct
+    LSH index MUST return exactly k rows per query with rank-1 cosine
+    1.0 (identical vector -> identical signature in every table -> self
+    is always a candidate), ranks 1..k, cosines in [-1,1] and
+    non-increasing. The oracle pins those as literals per query; recall
+    quality is separately gated by ann_recall."""
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.knn import ann_lsh_topk
 
@@ -1109,12 +1146,14 @@ def q_ann_lsh_topk(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("float"))
     )
     queries = emb.filter("vec_id < 10")
-    return ann_lsh_topk(emb, queries, k=5, bits=4, tables=8)
+    return _ann_topk_invariants(ann_lsh_topk(emb, queries, k=5, bits=4, tables=8), 5)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """Approximate top-k via IVF coarse quantizer + probed-list re-rank
-    (rows-only, same rationale as ann_lsh_topk)."""
+    """Approximate top-k via IVF coarse quantizer + probed-list re-rank,
+    value-gated (r13, same construction as q_ann_lsh_topk: a query from
+    the base set always probes its own cell first, so self@1.0 must be
+    rank 1; shape invariants pinned as oracle literals)."""
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.knn import ann_ivf_topk
 
@@ -1122,7 +1161,9 @@ def q_ann_ivf_topk(spark, sf_dir):
         "embedding", F.transform("embedding", lambda x: x.cast("float"))
     )
     queries = emb.filter("vec_id < 10")
-    return ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=3)
+    return _ann_topk_invariants(
+        ann_ivf_topk(emb, queries, k=5, nlist=8, nprobe=3), 5
+    )
 
 
 def q_ann_recall(spark, sf_dir):
@@ -1323,7 +1364,16 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (hash fn engine-specific: rows-only)."""
+    """MinHash-LSH near-dup candidates, full value oracle (r13, retiring
+    the rows-only status): ``minhash_lsh_pairs(verify=True)`` returns the
+    EXACT shingle Jaccard for every surviving pair, so the only
+    engine-specific step is which candidates the xxhash64 banding surfaces
+    — and on this corpus every pair above the 0.5 threshold is a
+    near-exact duplicate (j >= 0.9), which 8 bands x 4 rows catch
+    deterministically (identical signatures collide in every band; fixed
+    seed makes the whole lane reproducible). The oracle is the all-pairs
+    exact 3-gram Jaccard at the same threshold; verified equal at
+    sf0.01."""
     _prep(spark, sf_dir)
     from duckdb_spatial_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1333,12 +1383,22 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (xxhash64-based: rows-only check)."""
+    """SimHash near-dup pairs with exact-Jaccard verification, full value
+    oracle (r13, retiring the rows-only fingerprint dump): pigeonhole
+    banding at max_hamming=7 < bands=8 is EXACT over hamming distance, the
+    corpus's true near-dup pairs (all j >= 0.9) measure hamming <= 5 under
+    the fixed xxhash64 fingerprint (deterministic), and the verify pass
+    recomputes exact 3-gram Jaccard for candidates — so the surviving
+    pair set equals the all-pairs exact-Jaccard oracle at the same bar.
+    The fingerprint math itself is value-pinned by q_simhash_spec."""
     _prep(spark, sf_dir)
-    from duckdb_spatial_spark.operators.dedup import simhash
+    from duckdb_spatial_spark.operators.dedup import simhash_neardup_pairs
 
     docs = spark.table("documents").select("doc_id", "text")
-    return simhash(docs, "doc_id", "text").select("doc_id", "simhash")
+    out = simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=7, bands=8, verify_jaccard=0.5
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_minhash_lsh_spec(spark, sf_dir):
@@ -2527,12 +2587,16 @@ def q_minhash_index(spark, sf_dir):
 
 def q_ivfpq_index(spark, sf_dir):
     """Persistent IVF-PQ index build -> ADC query (operators/knn.py
-    build_ivfpq_index / ivfpq_index_query; Jégou et al. 2011): coarse
-    quantizer + per-subspace residual codebooks, base vectors stored as
-    m uint8 codes, queries scored via per-query lookup tables without
-    reading any float vectors. Values are engine-specific (k-means +
-    quantization error) -> rows-only; pytest pins recall vs the exact
-    baseline and the m-bytes-per-vector layout."""
+    build_ivfpq_index / ivfpq_index_query; Jégou et al. 2011), value-gated
+    (r13, retiring the rows-only status): the codes themselves are
+    engine-specific, but the index LAYOUT invariants are not — the code
+    table must hold exactly count(embeddings) rows of exactly m bytes,
+    every byte < ksub (nbits=6 -> 64, a non-trivial bound), cells within
+    nlist; and with exact refinement (FAISS IndexRefineFlat pattern) the
+    rank-1 neighbor of a base-set query must score cosine 1.0 (self is in
+    the probed cell and refine re-ranks exactly). One summary row, every
+    field pinned by the oracle (n_codes cross-checked against DuckDB's own
+    count of the embeddings table)."""
     _prep(spark, sf_dir)
     import os
 
@@ -2541,35 +2605,74 @@ def q_ivfpq_index(spark, sf_dir):
         ivfpq_index_query,
     )
 
-    emb = spark.table("embeddings")
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
     dim = len(emb.select("embedding").first()[0])
     m = next(mm for mm in (8, 4, 2, 1) if dim % mm == 0)
     path = os.path.join(_fresh_tmp("ivfpq_index"), "idx")
-    build_ivfpq_index(emb, path, nlist=16, m=m)
-    q = emb.limit(30)
-    return ivfpq_index_query(q, path, k=5, nprobe=4).selectExpr(
-        "query_id", "neighbor_id", "round(score_adc, 6) AS score_adc", "rank"
+    build_ivfpq_index(emb, path, nlist=16, m=m, nbits=6)
+
+    codes = spark.read.parquet(f"{path}/codes")
+    # byte < 64 <=> every high hex nibble is 0-3 — a JVM-side regexp over
+    # hex(code), no Python in the scan
+    byte_ok = F.expr("hex(code) rlike '^([0-3][0-9A-F])*$'")
+    stats = codes.agg(
+        F.count("*").alias("n_codes"),
+        (
+            (F.min(F.length("code")) == F.lit(m))
+            & (F.max(F.length("code")) == F.lit(m))
+        ).alias("code_len_ok"),
+        F.bool_and(byte_ok).alias("codes_lt_ksub"),
+        (F.count_distinct("cell") <= F.lit(16)).alias("cells_ok"),
     )
+    q = emb.filter("vec_id < 20")
+    refined = ivfpq_index_query(q, path, k=5, nprobe=4, refine=emb).filter("rank = 1")
+    top1 = refined.agg(
+        (
+            (F.count("*") == F.lit(20))
+            & (F.min(F.round("score_adc", 6)) == F.lit(1.0))
+        ).alias("refine_top1_ok")
+    )
+    return stats.crossJoin(top1)
 
 
 def q_ivf_index(spark, sf_dir):
     """Persistent IVF index build -> query (operators/knn.py
-    build_ivf_index / ivf_index_query): coarse quantizer trained once,
-    base vectors laid out partitioned by cell, probe prunes partitions.
-    Values are engine-specific (k-means + float argmax) -> rows-only, but
-    pytest pins exact parity with the per-call ann_ivf_topk path."""
+    build_ivf_index / ivf_index_query), value-gated (r13, retiring the
+    rows-only status): the cell-partitioned layout must hold every base
+    vector exactly once (count == DuckDB's count(embeddings), distinct
+    ids == count) within <= nlist cells, and a probe for a base-set query
+    must return self at rank 1 with cosine 1.0 (its own cell is the
+    nearest cell). One summary row, every field oracle-pinned."""
     _prep(spark, sf_dir)
     import os
 
     from duckdb_spatial_spark.operators.knn import build_ivf_index, ivf_index_query
 
-    emb = spark.table("embeddings")
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
     path = os.path.join(_fresh_tmp("ivf_index"), "idx")
     build_ivf_index(emb, path, nlist=16)
-    q = emb.limit(30)
-    return ivf_index_query(q, path, k=5, nprobe=3).selectExpr(
-        "query_id", "neighbor_id", "round(cosine, 6) AS cosine", "rank"
+    vecs = spark.read.parquet(f"{path}/vectors")
+    stats = vecs.agg(
+        F.count("*").alias("n_vectors"),
+        (F.count_distinct("b_id") == F.count("*")).alias("ids_unique"),
+        (F.count_distinct("cell") <= F.lit(16)).alias("cells_ok"),
     )
+    q = emb.filter("vec_id < 20")
+    top1 = (
+        ivf_index_query(q, path, k=5, nprobe=3)
+        .filter("rank = 1")
+        .agg(
+            (
+                (F.count("*") == F.lit(20))
+                & (F.min(F.round("cosine", 6)) == F.lit(1.0))
+            ).alias("top1_self_ok")
+        )
+    )
+    return stats.crossJoin(top1)
 
 
 _URL_TEMPLATE_SQL = (
@@ -3809,12 +3912,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learn": q_bpe_learn,
         # --- new in r12: script detection (pre-language-ID router) ---
         "script_profile": q_script_profile,
-        # --- new in r10: PQ-compressed ANN (ann_lsh_topk, rows-only and
-        # driver-checked since r6, rotates behind the window) ---
+        # --- r13: the six former rows-only lanes, all value-gated now
+        # (invariant literals / exact-verification oracles) — in-window ---
         "ivfpq_index": q_ivfpq_index,
+        "ivf_index": q_ivf_index,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # --- changed in r12 (multi-probe key-join rewrite): in-window ---
         "ann_lsh_topk": q_ann_lsh_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
         "multimodal_meta": q_multimodal_meta,
         "lang_id": q_lang_id,
         "winnowing": q_winnowing,
@@ -3849,10 +3954,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "spatial_zm_flags": q_spatial_zm_flags,
         "st_drivers_meta": q_st_drivers_meta,
-        # changed in r9 (tokenizer rewrite / fgb datasource fix): in-window
-        "text_token_count": q_text_token_count,
-        "text_metrics_full": q_text_metrics_full,
-        "quality_score": q_quality_score,
         "fgb_roundtrip": q_fgb_roundtrip,
         # --- new in r10: splittable ndjson lane (tab_roundtrip, long-green
         # r8+r9 and unchanged, rotates behind the window for this slot) ---
@@ -3877,7 +3978,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "mix_sample": q_mix_sample,
         "minhash_index": q_minhash_index,
-        "ivf_index": q_ivf_index,
+        # long-green r9-r12, unchanged in r13: rotated behind the window
+        "text_token_count": q_text_token_count,
+        "text_metrics_full": q_text_metrics_full,
+        "quality_score": q_quality_score,
         "url_canonicalize": q_url_canonicalize,
         "tab_roundtrip": q_tab_roundtrip,
         # long-green r9-r11, unchanged in r12: rotated behind the window
@@ -3938,8 +4042,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_jaccard": q_text_ngram_jaccard,
         # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
         "embedding_neardup": q_embedding_neardup,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
         "spatial_refsys": q_spatial_refsys,
         "osm_read": q_osm_read,
         "shp_roundtrip": q_shp_roundtrip,
@@ -5983,7 +6085,61 @@ def oracle_sql() -> dict[str, str]:
             FROM reach r JOIN asg sa ON sa.vec_id = r.a
             GROUP BY r.a, sa.assigned
         """,
-        # minhash_lsh_pairs / simhash / winnowing: intentionally omitted ->
-        # driver records rows-only checks (xxhash64-based signatures are
-        # engine-specific; see docstrings)
+        # r13: every queries() row now carries an oracle — the former
+        # rows-only lanes (minhash_lsh_pairs/simhash/ann top-k/ivf builds)
+        # are value-gated via exact-verification or invariant literals,
+        # see their docstrings.
+        "minhash_lsh_pairs": r"""
+            WITH t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks
+                    FROM documents)
+            )
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+              FROM t a, t b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+            ) WHERE j >= 0.5
+        """,
+        "simhash": r"""
+            WITH t AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       generate_series(1, greatest(len(toks) - 2, 0)),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x != '') AS toks
+                    FROM documents)
+            )
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.sh, b.sh))::DOUBLE
+                       / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+              FROM t a, t b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
+            ) WHERE j >= 0.5
+        """,
+        "ann_lsh_topk": """
+            SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_rows,
+                   true AS self_top1, true AS cosine_bounded,
+                   true AS ranks_ok, true AS cosine_monotone
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ann_ivf_topk": """
+            SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_rows,
+                   true AS self_top1, true AS cosine_bounded,
+                   true AS ranks_ok, true AS cosine_monotone
+            FROM embeddings WHERE vec_id < 10
+        """,
+        "ivfpq_index": """
+            SELECT (SELECT count(*) FROM embeddings) AS n_codes,
+                   true AS code_len_ok, true AS codes_lt_ksub,
+                   true AS cells_ok, true AS refine_top1_ok
+        """,
+        "ivf_index": """
+            SELECT (SELECT count(*) FROM embeddings) AS n_vectors,
+                   true AS ids_unique, true AS cells_ok, true AS top1_self_ok
+        """,
     }

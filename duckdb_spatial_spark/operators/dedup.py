@@ -304,14 +304,22 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash",
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bands: int = 4,
+    verify_jaccard: float | None = None, n: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole banding: split the 64-bit fingerprint into ``bands`` chunks;
     any pair within ``bands-1`` bit flips must agree on >= 1 chunk, so an
     equi-join per chunk finds all candidates (exact when
-    max_hamming < bands). Popcount via bit_count."""
+    max_hamming < bands). Popcount via bit_count.
+
+    ``verify_jaccard=`` adds the same exact-verification pass as
+    :func:`minhash_lsh_pairs`: word-``n``-gram shingle Jaccard is computed
+    ONLY for ids that appear in a candidate pair (semi-join first), pairs
+    below the bar are dropped, and the returned ``jaccard`` column is the
+    exact value — the fingerprint then only decides candidate RECALL, so
+    the output is oracle-checkable against an all-pairs exact Jaccard."""
     sh = simhash(df.select(id_col, text_col), id_col, text_col)
     width = 64 // bands
     chunks = F.array(
@@ -338,7 +346,27 @@ def simhash_neardup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cand.withColumn("hamming", ham).filter(ham <= max_hamming).select("id_a", "id_b", "hamming")
+    out = cand.withColumn("hamming", ham).filter(ham <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+    if verify_jaccard is None:
+        return out
+    ids = out.select(F.col("id_a").alias("_id")).union(
+        out.select(F.col("id_b").alias("_id"))
+    ).distinct()
+    sub = df.join(ids, F.col(id_col) == ids["_id"], "left_semi")
+    sh = sub.select(F.col(id_col).alias("_id"), _shingles_py(text_col, n).alias("_sh"))
+    out = (
+        out.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        out.withColumn("jaccard", inter / uni)
+        .filter(F.col("jaccard") >= verify_jaccard)
+        .select("id_a", "id_b", "hamming", "jaccard")
+    )
 
 
 def embedding_neardup_pairs(
