@@ -1057,13 +1057,18 @@ def main():
         else:
             errors["duckdb:winnowing_docs"] = "oracle slice filter not found"
 
+        # r13: 500 pinned queries instead of limit(50) — at 50 queries the
+        # lane measured Spark's fixed 3-stage latency (~0.4 s floor on a
+        # 2000-vector input), not the scorer; at 500 the blocked-GEMM
+        # mapInPandas path dominates and the same workload runs on both
+        # engines (Spark measured 0.48x DuckDB on this shape)
         @bench("ann_brute_topk")
         def _():
             emb = spark.table("embeddings")
-            q = emb.limit(50)
+            q = emb.filter("vec_id < 500")
             ann_brute_topk(emb, q, k=10).count()
 
-        # exact brute-force comparable: same 50-query top-10 by cosine
+        # exact brute-force comparable: same 500-query top-10 by cosine
         # over the same vectors (list_cosine_similarity is core DuckDB)
         duck_bench(
             "ann_brute_topk",
@@ -1075,7 +1080,7 @@ def main():
                        ORDER BY list_cosine_similarity(
                          q.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
                        b.vec_id) AS rank
-              FROM (SELECT vec_id, embedding FROM embeddings LIMIT 50) q,
+              FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500) q,
                    embeddings b
             ) WHERE rank <= 10
             """,

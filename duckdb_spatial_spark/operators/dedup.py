@@ -1193,14 +1193,17 @@ def excise_dup_spans(
         def dup_filter(batches):
             # equal window texts are co-located by the repartition but
             # may straddle Arrow batches: buffer the partition, count
-            # locally, keep rows whose text occurs ≥2 times corpus-wide
+            # locally, keep rows whose text occurs ≥2 times corpus-wide.
+            # factorize + bincount: one hash pass over the strings (a
+            # groupby.transform('size') measured ~4% slower and allocates
+            # a group map; r13 bracket in PLANS.md)
             pdfs = list(batches)
             if not pdfs:
                 return
             pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-            sizes = pdf.groupby("_wt")["_wt"].transform("size")
-            out = pdf.loc[sizes >= 2, [pdf.columns[0], "_s"]]
-            yield out
+            codes, _ = pd.factorize(pdf["_wt"])
+            cnt = np.bincount(codes)
+            yield pdf.loc[cnt[codes] >= 2, [pdf.columns[0], "_s"]]
 
         flagged = (
             loc.mapInPandas(dup_filter, flag_schema)
