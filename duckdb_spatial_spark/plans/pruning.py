@@ -665,9 +665,18 @@ def filter_bbox(
             else:
                 sure_true = inside_closed
                 band = ~inside_closed
-            return df.filter(sure_true).unionByName(
-                df.filter(band).filter(pred(F.col(geom_col), env))
+            # ONE scan (r13; the union-of-branches this replaces read the
+            # pruned files twice — two jobs for a count): the UDF input is
+            # null-masked to the boundary band, so ExtractPythonUDFs may
+            # schedule it over every pruned row but the kernel's null fast
+            # path touches only band rows, and Arrow ships a null bitmap
+            # for the rest. Semantics unchanged: sure_true rows pass
+            # outright, band rows are decided by the exact WKB predicate,
+            # outside-band rows fail both disjuncts.
+            band_pred = F.coalesce(
+                pred(F.when(band, F.col(geom_col)), env), F.lit(False)
             )
+            return df.filter(sure_true | band_pred)
         df = df.filter(pred(F.col(geom_col), env))
     return df
 

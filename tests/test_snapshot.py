@@ -148,10 +148,14 @@ def test_filter_bbox_sure_true_short_circuit_matches_udf(spark, tmp_path):
         fast = {r.id for r in filter_bbox(clustered, 10, 10, 20, 20, exact=exact).collect()}
         slow = {r.id for r in filter_bbox(plain, 10, 10, 20, 20, exact=exact).collect()}
         assert fast == slow == expected[exact], exact
-    # the within plan short-circuits: a union with exactly one UDF branch
+    # the within plan short-circuits in ONE scan (r13: the former
+    # union-of-branches read the pruned files twice): exactly one UDF
+    # eval whose input is null-masked to the boundary band, no Union,
+    # a single parquet scan
     plan = filter_bbox(clustered, 10, 10, 20, 20, exact="within")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
-    assert "Union" in plan
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
 
 
 def test_vacuum_reclaims_crash_orphans(spark, layout):
