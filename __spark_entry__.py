@@ -602,6 +602,58 @@ _FORMAT_WKTS = [
 ]
 
 
+def q_crs_tagged_transform(spark, sf_dir):
+    """Auto-CRS from source sidecars (r13): read_shapefile tags the geom
+    column with the .prj WKT and read_gpkg with the gpkg_spatial_ref_sys
+    entry (the reference's geometry-column CRS tagging at bind time,
+    st_read.cpp:345-369); functions.crs.st_transform_tagged consumes the
+    tag so the caller never restates what the file already declared.
+
+    Rows 1-2: a shapefile written with the OSGB36/BNG WKT1 .prj holding
+    the PINNED grid coordinates of spatial_transform_wkt rows 2-3
+    ((-2,54) and Westminster), transformed back to OGC:CRS84 via the tag
+    — the oracle pins the original lon/lat (the pinned grid values are
+    exact to 0.5 mm, so the inverse is exact at 6 dp). Rows 3-4: a
+    GeoPackage written with srs_id 4326, its EPSG:4326 tag driving a
+    transform to EPSG:3857 — the oracle derives Web Mercator in SQL."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.functions.crs import st_transform_tagged
+    from duckdb_spatial_spark.sources.gpkg import read_gpkg, write_gpkg
+    from duckdb_spatial_spark.sources.shapefile import read_shapefile, write_shapefile
+
+    tmp = _fresh_tmp("crs_tagged")
+    shp = os.path.join(tmp, "osgb.shp")
+    grid = spark.createDataFrame(
+        [(1, 400097.646, 455996.503), (2, 530043.195, 180358.209)],
+        "id long, e double, n double",
+    ).selectExpr("id", "ST_AsWKB(ST_Point(e, n)) AS geom")
+    write_shapefile(grid, shp, crs=_WKT_CRS_DEFS["osgb_wkt1"])
+    shp_out = st_transform_tagged(
+        read_shapefile(spark, shp), "OGC:CRS84", geom_col="geom"
+    ).selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "round(ST_X(geom), 6) AS x",
+        "round(ST_Y(geom), 6) AS y",
+    )
+
+    gpkg = os.path.join(tmp, "pts.gpkg")
+    lonlat = spark.createDataFrame(
+        [(3, -0.1276, 51.5072), (4, 151.2093, -33.8688)],
+        "id long, lon double, lat double",
+    ).selectExpr("id", "ST_AsWKB(ST_Point(lon, lat)) AS geom")
+    write_gpkg(lonlat, gpkg, layer="pts", srs_id=4326)
+    gpkg_out = st_transform_tagged(
+        read_gpkg(spark, gpkg), "EPSG:3857", geom_col="geom", always_xy=True
+    ).selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "round(ST_X(geom), 3) AS x",
+        "round(ST_Y(geom), 3) AS y",
+    )
+    return shp_out.unionByName(gpkg_out)
+
+
 def q_spatial_format_ops(spark, sf_dir):
     """Serialization + transform functions over pinned WKTs: AsGeoJSON,
     AsHEXWKB (spec-checkable little-endian WKB), AsSVG (PostGIS y-negation
@@ -3914,6 +3966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         # --- r13: the six former rows-only lanes, all value-gated now
         # (invariant literals / exact-verification oracles) — in-window ---
+        # --- new in r13: source-declared CRS tag -> st_transform_tagged ---
+        "crs_tagged_transform": q_crs_tagged_transform,
         "ivfpq_index": q_ivfpq_index,
         "ivf_index": q_ivf_index,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -3926,7 +3980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r9: NTv2 grids, polygon short-circuit, introspection,
         # netCDF codec, DSIR selection, grid-join box short-circuit ---
         "netcdf_roundtrip": q_netcdf_roundtrip,
-        "mvt_roundtrip": q_mvt_roundtrip,
         "geoparquet_file": q_geoparquet_file,
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
@@ -3979,6 +4032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "minhash_index": q_minhash_index,
         # long-green r9-r12, unchanged in r13: rotated behind the window
+        "mvt_roundtrip": q_mvt_roundtrip,
         "text_token_count": q_text_token_count,
         "text_metrics_full": q_text_metrics_full,
         "quality_score": q_quality_score,
@@ -6120,6 +6174,15 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
               FROM t a, t b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
             ) WHERE j >= 0.5
+        """,
+        "crs_tagged_transform": """
+            SELECT CAST(1 AS BIGINT) AS id, -2.0 AS x, 54.0 AS y
+            UNION ALL SELECT 2, -0.1276, 51.5072
+            UNION ALL
+            SELECT id, round(6378137.0 * radians(lon), 3) AS x,
+                   round(6378137.0 * ln(tan(pi() / 4 + radians(lat) / 2)), 3) AS y
+            FROM (VALUES (CAST(3 AS BIGINT), -0.1276, 51.5072),
+                         (4, 151.2093, -33.8688)) AS t(id, lon, lat)
         """,
         "ann_lsh_topk": """
             SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_rows,

@@ -14,7 +14,13 @@ segment count). The Python-level API in this module dispatches naturally.
 from __future__ import annotations
 
 from . import native, udfs  # noqa: F401
-from .crs import list_proj_crs_df, make_st_transform, transform_xy  # noqa: F401
+from .crs import (  # noqa: F401
+    geom_crs,
+    list_proj_crs_df,
+    make_st_transform,
+    st_transform_tagged,
+    transform_xy,
+)
 from .udfs import *  # noqa: F401,F403
 
 # SQL name -> UDF. Names are case-insensitive in Spark SQL.

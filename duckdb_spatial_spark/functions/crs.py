@@ -1038,6 +1038,46 @@ def make_st_transform():
     return st_transform
 
 
+def geom_crs(df, geom_col: str = "geom") -> str | None:
+    """The CRS a source tagged onto a geometry column, or None.
+
+    Sources that know their layer CRS (read_shapefile via the .prj
+    sidecar, read_gpkg via gpkg_spatial_ref_sys) record it in the
+    column's StructField metadata under ``"crs"`` — the Spark analog of
+    the reference tagging the geometry column with the layer SRS at bind
+    time (``st_read.cpp:345-369``). The value is whatever the source
+    declared: a WKT1/WKT2 string or an ``EPSG:n`` code, both accepted by
+    ST_Transform's front-ends."""
+    try:
+        md = df.schema[geom_col].metadata
+    except KeyError:
+        return None
+    return (md or {}).get("crs")
+
+
+def st_transform_tagged(df, dst: str, geom_col: str = "geom",
+                        always_xy: bool = True, out_col: str | None = None):
+    """ST_Transform using the SOURCE-DECLARED CRS: reads the ``crs`` tag
+    :func:`geom_crs` finds on ``geom_col`` and transforms to ``dst``,
+    so ``st_read('x.shp')`` -> ``st_transform_tagged(df, 'EPSG:4326')``
+    works without the caller restating what the .prj already said.
+    Raises when the column carries no tag (an untagged transform must
+    name its source CRS explicitly — guessing one would be data
+    corruption)."""
+    src = geom_crs(df, geom_col)
+    if src is None:
+        raise ValueError(
+            f"st_transform_tagged: column {geom_col!r} carries no crs tag; "
+            "the source did not declare one — call ST_Transform with an "
+            "explicit source CRS instead"
+        )
+    udf = make_st_transform()
+    return df.withColumn(
+        out_col or geom_col,
+        udf(F.col(geom_col), F.lit(src), F.lit(str(dst)), F.lit(bool(always_xy))),
+    )
+
+
 def list_proj_crs_df(spark):
     """SPATIAL_REF_SYS / ST_List_Proj_CRS analog: the built-in registry
     (reference ``proj/functions.cpp:416-422`` lists the embedded PROJ db)."""

@@ -105,7 +105,37 @@ def _sqlite_to_spark(decl: str):
     return T.StringType()  # NUMERIC/unknown affinity: keep text
 
 
-def _layer_schema(path: str, table: str, geom_col: str):
+def _srs_crs(path: str, srs_id) -> str | None:
+    """CRS string for a layer's srs_id from gpkg_spatial_ref_sys: the WKT
+    ``definition`` when the file carries a real one, else ``EPSG:<code>``
+    for EPSG-organization rows. Feeds the geom-column crs tag."""
+    if srs_id is None or srs_id in (-1, 0):
+        return None
+    con = _ro_connect(path)
+    try:
+        row = con.execute(
+            "SELECT organization, organization_coordsys_id, definition"
+            " FROM gpkg_spatial_ref_sys WHERE srs_id = ?", (srs_id,)
+        ).fetchone()
+    except sqlite3.Error:
+        row = None
+    finally:
+        con.close()
+    if row is None:
+        return f"EPSG:{srs_id}"
+    org, code, definition = row
+    # prefer the EPSG code: many writers (ours included) store an
+    # abbreviated definition (e.g. GEOGCS["WGS 84"]) that names the CRS
+    # without carrying a parseable datum
+    if org and str(org).upper() == "EPSG" and code is not None:
+        return f"EPSG:{code}"
+    d = (definition or "").strip()
+    if d and d.lower() != "undefined" and "[" in d:
+        return d
+    return f"EPSG:{srs_id}"
+
+
+def _layer_schema(path: str, table: str, geom_col: str, crs: str | None = None):
     from pyspark.sql import types as T
 
     con = _ro_connect(path)
@@ -116,7 +146,10 @@ def _layer_schema(path: str, table: str, geom_col: str):
     fields = []
     for cid, name, decl, notnull, dflt, pk in info:
         if name == geom_col:
-            fields.append(T.StructField(name, T.BinaryType(), True))
+            fields.append(
+                T.StructField(name, T.BinaryType(), True,
+                              {"crs": crs} if crs else None)
+            )
         else:
             fields.append(T.StructField(name, _sqlite_to_spark(decl), True))
     return T.StructType(fields)
@@ -151,7 +184,9 @@ def read_gpkg(spark, path: str, layer: str | None = None, num_partitions: int | 
             raise ValueError(f"layer {layer!r} not found; have {[l['table'] for l in layers]}")
         meta = match[0]
     table, geom_col = meta["table"], meta["geom_col"]
-    schema = _layer_schema(files[0], table, geom_col)
+    schema = _layer_schema(
+        files[0], table, geom_col, crs=_srs_crs(files[0], meta.get("srs_id"))
+    )
     names = [f.name for f in schema.fields]
     gidx = names.index(geom_col)
     n_parts = int(num_partitions or spark.sparkContext.defaultParallelism)

@@ -7,7 +7,10 @@ pure-Python implementation of the public ESRI shapefile spec:
 
   .shp  100-byte header; records = (big-endian recno/length) + shape
   .dbf  dBase III header + fixed-width attribute records
-  .prj  optional WKT CRS (surfaced in metadata, not parsed)
+  .prj  optional WKT CRS — tagged onto the geom column metadata as
+        ``{"crs": <wkt>}`` (the reference's geometry-column CRS tagging,
+        st_read.cpp:345-369); consume via functions.crs.geom_crs /
+        st_transform_tagged
 
 Shape types: Point(Z/M) 1/11/21, PolyLine(Z/M) 3/13/23, Polygon(Z/M)
 5/15/25, MultiPoint(Z/M) 8/18/28. Polygon ring assembly follows the spec:
@@ -216,16 +219,32 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8",
     if not files:
         raise FileNotFoundError(path)
 
-    def _dbf_for(fp: str):
+    def _sidecar_for(fp: str, ext: str):
         if sibling_files is not None:
             stem = os.path.splitext(os.path.basename(fp))[0].lower()
             for s in sibling_files:
-                if s.lower().endswith(".dbf") and (
+                if s.lower().endswith(ext) and (
                     os.path.splitext(os.path.basename(s))[0].lower() == stem
                 ):
                     return s
-            return None  # siblings listed, no .dbf among them: geometry-only
-        return os.path.splitext(fp)[0] + ".dbf"
+            return None  # siblings listed, sidecar not among them
+        return os.path.splitext(fp)[0] + ext
+
+    def _dbf_for(fp: str):
+        return _sidecar_for(fp, ".dbf")
+
+    # .prj sidecar -> geometry-column CRS tag (the reference tags the
+    # geometry column with the layer CRS at bind time, st_read.cpp:345-369;
+    # here the WKT lands in the geom StructField metadata under "crs",
+    # consumable by functions.crs.st_transform_tagged)
+    prj = _sidecar_for(files[0], ".prj")
+    crs_wkt = None
+    if prj is not None and os.path.exists(prj):
+        try:
+            with open(prj, encoding="utf-8", errors="replace") as fh:
+                crs_wkt = fh.read().strip() or None
+        except OSError:
+            crs_wkt = None
 
     # bind-time schema from the first .dbf (mirrors read_shapefile.cpp:45-130)
     dbf0 = _dbf_for(files[0])
@@ -235,7 +254,8 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8",
         fields = []
     schema = T.StructType(
         [T.StructField(n or f"f{i}", _spark_type(t, d), True) for i, (n, t, fl, d) in enumerate(fields)]
-        + [T.StructField("geom", T.BinaryType(), True)]
+        + [T.StructField("geom", T.BinaryType(), True,
+                         {"crs": crs_wkt} if crs_wkt else None)]
     )
 
     try:
@@ -295,11 +315,19 @@ def read_shapefile(spark, path: str, encoding: str = "utf-8",
         return spark.createDataFrame(rows, schema)
 
 
-def write_shapefile(df, path: str, geom_col: str = "geom", max_rows: int = 5_000_000):
+def write_shapefile(df, path: str, geom_col: str = "geom", max_rows: int = 5_000_000,
+                    crs: str | None = None):
     """Minimal .shp/.shx/.dbf writer (point/line/polygon 2D) — enough for
     round-trip tests and export; collects to the driver, bounded by
     ``max_rows`` (shapefiles are a legacy small-data interchange format and
-    capped at 2 GB anyway; big data should use GeoParquet)."""
+    capped at 2 GB anyway; big data should use GeoParquet).
+
+    ``crs=`` writes a ``.prj`` sidecar with the given WKT CRS text; when
+    omitted, a ``crs`` tag on the geom column metadata (as produced by
+    read_shapefile / read_gpkg) is propagated automatically."""
+    if crs is None:
+        md = df.schema[geom_col].metadata if geom_col in df.columns else None
+        crs = (md or {}).get("crs")
     n = df.count()
     if n > max_rows:
         raise ValueError(
@@ -379,6 +407,9 @@ def write_shapefile(df, path: str, geom_col: str = "geom", max_rows: int = 5_000
         f.write(header(50 + len(shp_payload) // 2) + shp_payload)
     with open(base + ".shx", "wb") as f:
         f.write(header(50 + len(shx_payload) // 2) + shx_payload)
+    if crs:
+        with open(base + ".prj", "w", encoding="utf-8") as f:
+            f.write(str(crs).strip())
 
     # dbf: stringify everything (C fields) — portable and lossless enough
     with open(base + ".dbf", "wb") as f:

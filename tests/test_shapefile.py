@@ -61,3 +61,65 @@ def test_synthetic_points_roundtrip(spark, tmp_path):
     back = read_shapefile(spark, out)
     wkts = {r.wkt for r in back.withColumn("wkt", udfs.st_astext("geom")).collect()}
     assert wkts == {"POINT (1.5 2.5)", "POINT (-3 4)"}
+
+
+def test_prj_crs_tag_roundtrip(spark, tmp_path):
+    """write_shapefile(crs=) emits a .prj; read_shapefile tags the geom
+    column metadata with its WKT; st_transform_tagged consumes the tag.
+    The grid coordinates are the PINNED outputs of the transform_wkt
+    oracle for (-2, 54), so the tagged inverse must land back there."""
+    from duckdb_spatial_spark.functions import register_all
+    from duckdb_spatial_spark.functions.crs import geom_crs, st_transform_tagged
+
+    register_all(spark)
+    osgb = (
+        'PROJCS["OSGB36 / British National Grid",GEOGCS["OSGB36",'
+        'DATUM["Ordnance_Survey_of_Great_Britain_1936",SPHEROID["Airy 1830",'
+        '6377563.396,299.3249646],'
+        'TOWGS84[446.448,-125.157,542.06,0.15,0.247,0.842,-20.489]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Transverse_Mercator"],'
+        'PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],'
+        'PARAMETER["scale_factor",0.9996012717],'
+        'PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],'
+        'UNIT["metre",1],AUTHORITY["EPSG","27700"]]'
+    )
+    df = spark.createDataFrame(
+        [(1, 400097.646, 455996.503)], "id long, e double, n double"
+    ).selectExpr("id", "ST_AsWKB(ST_Point(e, n)) AS geom")
+    shp = str(tmp_path / "osgb.shp")
+    write_shapefile(df, shp, crs=osgb)
+    assert os.path.exists(str(tmp_path / "osgb.prj"))
+
+    back = read_shapefile(spark, shp)
+    assert geom_crs(back, "geom") == osgb
+    row = (
+        st_transform_tagged(back, "OGC:CRS84", geom_col="geom")
+        .selectExpr("round(ST_X(geom), 6) AS lon", "round(ST_Y(geom), 6) AS lat")
+        .first()
+    )
+    assert (row.lon, row.lat) == (-2.0, 54.0)
+
+    # crs propagates write->read without restating it
+    shp2 = str(tmp_path / "copy.shp")
+    write_shapefile(back.select("geom"), shp2)
+    assert geom_crs(read_shapefile(spark, shp2), "geom") == osgb
+
+    # untagged transform must refuse rather than guess a source CRS
+    with pytest.raises(ValueError, match="no crs tag"):
+        st_transform_tagged(df, "EPSG:4326")
+
+
+def test_gpkg_srs_crs_tag(spark, tmp_path):
+    """read_gpkg surfaces the layer SRS as an EPSG crs tag."""
+    from duckdb_spatial_spark.functions import register_all
+    from duckdb_spatial_spark.functions.crs import geom_crs
+    from duckdb_spatial_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, -0.1276, 51.5072)], "id long, lon double, lat double"
+    ).selectExpr("id", "ST_AsWKB(ST_Point(lon, lat)) AS geom")
+    path = str(tmp_path / "pts.gpkg")
+    write_gpkg(df, path, layer="pts", srs_id=4326)
+    assert geom_crs(read_gpkg(spark, path), "geom") == "EPSG:4326"
