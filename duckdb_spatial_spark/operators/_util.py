@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 # Logical operators whose physical plan contains an Exchange. With AQE
@@ -10,9 +12,16 @@ from pyspark.sql import DataFrame
 # them — a silent double execution. The probe below therefore only runs
 # on shuffle-free plans (scan / project / filter chains), where .rdd is
 # a lazy wrapper and costs nothing.
-_SHUFFLE_NODES = (
-    "Join", "Aggregate", "Window", "Sort", "Repartition",
-    "Deduplicate", "Intersect", "Except", "CoGroup", "GlobalLimit",
+#
+# Node names are matched at TREE-NODE position (start of a plan line,
+# after the ":  +- " indent art) — a bare substring test false-positived
+# on column/relation names like `JoinDate` or a view called `SortedDocs`
+# and silently skipped the widen (r12 ADVICE).
+_SHUFFLE_NODE_RE = re.compile(
+    r"(?m)^[\s:+\-]*(?:"
+    r"Join|Aggregate|Window|Sort|Repartition|RepartitionByExpression|"
+    r"Deduplicate|Intersect|Except|CoGroup|GlobalLimit"
+    r")\b"
 )
 
 
@@ -37,7 +46,7 @@ def widen_narrow_input(df: DataFrame) -> DataFrame:
         if df.isStreaming:
             return df
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        if any(node in plan for node in _SHUFFLE_NODES):
+        if _SHUFFLE_NODE_RE.search(plan):
             return df
         par = df.sparkSession.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:

@@ -99,6 +99,8 @@ def st_read(
     allowed_drivers: list | None = None,
     sibling_files: list | None = None,
     sequential_layer_scan: bool = False,
+    max_batch_size: int | None = None,
+    keep_wkb: bool = False,
     **options,
 ):
     """Generic ST_Read: dispatch on format (or sniff the extension), return
@@ -129,7 +131,26 @@ def st_read(
         (GeoPackage, SpatiaLite, FileGDB, XLSX) with no ``layer=``:
         scan EVERY layer sequentially and union the results
         (allowMissingColumns), instead of the default first/single
-        layer."""
+        layer;
+      * ``max_batch_size=N`` — caps rows per scan batch (GDAL
+        MAX_FEATURES_IN_BATCH; ``st_read.cpp:275-283``). Must be
+        positive (binder parity). Formats with driver-side row-range
+        partitioning (GeoPackage) honor it as a per-partition row cap;
+        for the rest, batch sizing is governed by Spark's Arrow batch
+        size (``spark.sql.execution.arrow.maxRecordsPerBatch``), which
+        already bounds worker memory the way MAX_FEATURES_IN_BATCH
+        bounds GDAL's;
+      * ``keep_wkb=True`` — the reference returns the raw WKB_BLOB
+        column instead of parsing into GEOMETRY (``st_read.cpp:285-287``).
+        This engine's GEOMETRY representation IS standard WKB bytes, so
+        the distinction collapses: the flag is accepted for call-site
+        parity and validated, and the returned geometry is byte-for-byte
+        the raw WKB either way."""
+    if max_batch_size is not None:
+        if int(max_batch_size) <= 0:
+            raise ValueError("st_read: 'max_batch_size' parameter must be positive")
+    if keep_wkb not in (True, False):
+        raise ValueError("st_read: 'keep_wkb' parameter must be a boolean")
     if open_options:
         for kv in open_options:
             k, _, v = str(kv).partition("=")
@@ -151,7 +172,12 @@ def st_read(
                 f"st_read: {path!r} was recognized as 'wfs', which is "
                 f"not in allowed_drivers={sorted(allowed_drivers)!r}"
             )
-        bbox = options.pop("bbox", None) or options.pop("spatial_filter_box", None)
+        # pop BOTH aliases unconditionally (mirroring the non-WFS path):
+        # a short-circuit here left spatial_filter_box in options and
+        # forwarded it to read_wfs as an unknown kwarg
+        _bb = options.pop("bbox", None)
+        _sfb = options.pop("spatial_filter_box", None)
+        bbox = _bb if _bb is not None else _sfb
         columns = options.pop("columns", None)
         df = read_wfs(spark, path[4:], typename, bbox=bbox, **options)
         return _apply_read_filters(df, bbox, columns)
@@ -175,6 +201,8 @@ def st_read(
             )
     if sibling_files is not None and fmt in ("shapefile", "shp"):
         options["sibling_files"] = list(sibling_files)
+    if max_batch_size is not None and fmt in ("gpkg", "geopackage"):
+        options.setdefault("max_rows_per_batch", int(max_batch_size))
     if sequential_layer_scan and fmt in _LAYERED:
         key, enum = _LAYERED[fmt]
         if key not in options:

@@ -155,10 +155,15 @@ def _layer_schema(path: str, table: str, geom_col: str, crs: str | None = None):
     return T.StructType(fields)
 
 
-def read_gpkg(spark, path: str, layer: str | None = None, num_partitions: int | None = None):
+def read_gpkg(spark, path: str, layer: str | None = None, num_partitions: int | None = None,
+              max_rows_per_batch: int | None = None):
     """ST_Read for .gpkg: one DataFrame per layer (default: first feature
     layer). ``path`` may be a file, glob, or directory of .gpkg files (all
-    must share the layer's schema)."""
+    must share the layer's schema).
+
+    ``max_rows_per_batch`` caps each scan partition's rowid span (the
+    ST_Read ``max_batch_size`` parameter routed through st_read) — more,
+    smaller partitions instead of defaultParallelism-sized ones."""
     from .vfs import localize
 
     _v = localize(path, (".gpkg",))
@@ -203,6 +208,8 @@ def read_gpkg(spark, path: str, layer: str | None = None, num_partitions: int | 
             continue
         per_file = max(1, n_parts // len(files))
         span = (hi - lo + 1 + per_file - 1) // per_file
+        if max_rows_per_batch is not None:
+            span = max(1, min(span, int(max_rows_per_batch)))
         for s in range(lo, hi + 1, span):
             parts.append((fp, s, min(s + span - 1, hi)))
 

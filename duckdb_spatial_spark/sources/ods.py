@@ -22,7 +22,10 @@ _O = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
 _T = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
 _X = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
 
-_MAX_REPEAT = 4096  # clamp for LibreOffice's whole-sheet trailing repeats
+_MAX_REPEAT = 4096  # clamp for EMPTY repeats only (LibreOffice pads the
+# sheet tail with number-rows/columns-repeated up to 2^20 empty runs);
+# repeats carrying DATA are materialized fully, bounded by _DATA_REPEAT_MAX
+_DATA_REPEAT_MAX = 1_000_000  # loud failure instead of silent truncation
 
 
 def _cell_value(cell):
@@ -42,21 +45,42 @@ def _cell_value(cell):
 
 
 def _table_rows(table):
+    # Repeat semantics (ODF 1.2 §9.1.3/§19.676): a repeat carrying DATA is
+    # real content and materializes fully — clamping it would silently
+    # lose rows/cells (r12 ADVICE); only all-EMPTY repeats (the
+    # whole-sheet trailing pad LibreOffice writes) are clamped. Interior
+    # empty rows stay as empty lists so row alignment survives; only the
+    # trailing empty run is stripped.
     rows = []
     for tr in table.iter(f"{_T}table-row"):
         vals = []
         for cell in tr:
             if cell.tag not in (f"{_T}table-cell", f"{_T}covered-table-cell"):
                 continue
-            rep = min(int(cell.get(f"{_T}number-columns-repeated", 1)), _MAX_REPEAT)
+            rep = int(cell.get(f"{_T}number-columns-repeated", 1))
             v = _cell_value(cell) if cell.tag == f"{_T}table-cell" else None
+            if v is None:
+                rep = min(rep, _MAX_REPEAT)
+            elif rep > _DATA_REPEAT_MAX:
+                raise ValueError(
+                    f"ods: number-columns-repeated={rep} on a non-empty cell "
+                    f"exceeds {_DATA_REPEAT_MAX}"
+                )
             vals.extend([v] * rep)
         while vals and vals[-1] is None:  # strip the repeat padding
             vals.pop()
-        rrep = min(int(tr.get(f"{_T}number-rows-repeated", 1)), _MAX_REPEAT)
+        rrep = int(tr.get(f"{_T}number-rows-repeated", 1))
         if vals:
-            rows.extend([list(vals)] * rrep)
-        # fully-empty repeated rows are the trailing pad: drop
+            if rrep > _DATA_REPEAT_MAX:
+                raise ValueError(
+                    f"ods: number-rows-repeated={rrep} on a non-empty row "
+                    f"exceeds {_DATA_REPEAT_MAX}"
+                )
+            rows.extend(list(vals) for _ in range(rrep))
+        else:
+            # interior empty rows preserve alignment; a trailing empty
+            # run (the sheet pad) is stripped below
+            rows.extend([] for _ in range(min(rrep, _MAX_REPEAT)))
     while rows and not rows[-1]:
         rows.pop()
     return rows

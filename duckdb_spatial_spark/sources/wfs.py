@@ -81,6 +81,13 @@ def wfs_getfeature_url(
     return base_url + sep + "&".join(q)
 
 
+def _unlink_quiet(path: str) -> None:
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
+
+
 def _default_fetch(url: str) -> bytes:
     import urllib.request
 
@@ -99,6 +106,8 @@ def read_wfs(
     max_features: int | None = 1_000_000,
     cql_filter: str | None = None,
     fetch=None,
+    spool_dir: str | None = None,
+    empty_schema: str | None = None,
 ) -> DataFrame:
     """Read a WFS feature type into a DataFrame with WKB geometry.
 
@@ -107,10 +116,22 @@ def read_wfs(
     request) and spooled as newline-delimited GeoJSON; the distributed
     geojsonseq reader then parses them in parallel. Stops when a page
     comes back short, ``numberMatched`` is exhausted, or
-    ``max_features`` (runaway guard; None disables) is reached."""
+    ``max_features`` (runaway guard; None disables) is reached.
+
+    Spool lifetime/location: the spool defaults to the driver's temp dir,
+    which executors can read in LOCAL mode only — on a multi-node cluster
+    pass ``spool_dir=`` pointing at a Spark-reachable shared path (DBFS /
+    NFS / fuse mount). The file must outlive the returned (lazy)
+    DataFrame; it is deleted at driver exit (atexit), not before.
+
+    ``empty_schema=`` (DDL string) sets the schema of a ZERO-feature
+    result — without it an empty read returns ``geom binary`` only, while
+    non-empty reads carry the feature property columns; callers unioning
+    multiple reads should pass it or use
+    ``unionByName(allowMissingColumns=True)``."""
     fetch = fetch or _default_fetch
     spool = tempfile.NamedTemporaryFile(
-        "wb", suffix=".geojsonl", delete=False
+        "wb", suffix=".geojsonl", delete=False, dir=spool_dir
     )
     n = 0
     try:
@@ -143,7 +164,10 @@ def read_wfs(
         spool.close()
         if n == 0:
             os.unlink(spool.name)
-            return spark.createDataFrame([], "geom binary")
+            return spark.createDataFrame([], empty_schema or "geom binary")
+        import atexit
+
+        atexit.register(_unlink_quiet, spool.name)
         from .geojson import read_geojsonseq
 
         return read_geojsonseq(spark, spool.name)

@@ -77,3 +77,62 @@ def test_st_read_dispatch_and_layers(spark, tmp_path):
     assert st_read(spark, p).count() == 2
     assert st_read(spark, p, allowed_drivers=["ODS"]).count() == 2
     assert st_read(spark, p, sequential_layer_scan=True).count() == 2
+
+
+def test_data_repeats_materialize_fully_and_interior_empty_rows_kept(spark, tmp_path):
+    """r12 ADVICE: repeats carrying DATA must materialize past the
+    empty-pad clamp (4096), and a fully-empty row in the MIDDLE of a
+    sheet is a real (all-null) row, not droppable padding."""
+    ns = (
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+    )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f"<office:document-content {ns}>"
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="s1"><table:table-row>'
+        '<table:table-cell office:value-type="string"><text:p>v</text:p></table:table-cell>'
+        "</table:table-row>"
+        # 5000 identical DATA rows via rows-repeated > the 4096 pad clamp
+        '<table:table-row table:number-rows-repeated="5000">'
+        '<table:table-cell office:value-type="float" office:value="1"><text:p>1</text:p></table:table-cell>'
+        "</table:table-row>"
+        # interior fully-empty row (blank separator), then one more row
+        "<table:table-row><table:table-cell/></table:table-row>"
+        "<table:table-row>"
+        '<table:table-cell office:value-type="float" office:value="9"><text:p>9</text:p></table:table-cell>'
+        "</table:table-row>"
+        # trailing whole-sheet pad: must still be stripped
+        '<table:table-row table:number-rows-repeated="1048576"><table:table-cell/></table:table-row>'
+        "</table:table></office:spreadsheet></office:body></office:document-content>"
+    )
+    p = str(tmp_path / "big.ods")
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content)
+    df = read_ods(spark, p)
+    # 5000 data rows + 1 interior empty (all-null) + 1 final row
+    assert df.count() == 5002
+    assert df.agg(F.sum("v")).first()[0] == 5009.0
+    rows = [r.v for r in df.collect()]
+    assert rows[5000] is None and rows[5001] == 9.0
+
+    # wide DATA column repeat also materializes fully
+    content2 = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f"<office:document-content {ns}>"
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="w"><table:table-row>'
+        '<table:table-cell office:value-type="float" office:value="2" '
+        'table:number-columns-repeated="5000"><text:p>2</text:p></table:table-cell>'
+        "</table:table-row></table:table>"
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    p2 = str(tmp_path / "wide.ods")
+    with zipfile.ZipFile(p2, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content2)
+    w = read_ods(spark, p2, header=False)
+    assert len(w.columns) == 5000 and w.count() == 1

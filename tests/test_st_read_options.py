@@ -89,3 +89,30 @@ def test_no_stale_datasource_between_schema_changing_reads(spark, fixtures):
     assert len(a.columns) == 3 and a.count() == 20
     assert b.columns == ["geom"] and b.count() == 20
     assert len(c.columns) == 3 and c.count() == 20
+
+
+def test_max_batch_size_and_keep_wkb(spark, fixtures):
+    """r13: the last two ST_Read named params (st_read.cpp:275-287).
+    max_batch_size must be positive and, on GeoPackage, caps each scan
+    partition's rowid span; keep_wkb is accepted (GEOMETRY here IS raw
+    WKB, so the result is byte-identical either way)."""
+    with pytest.raises(ValueError, match="must be positive"):
+        st_read(spark, fixtures["gpkg"], max_batch_size=0)
+    with pytest.raises(ValueError, match="must be positive"):
+        st_read(spark, fixtures["gpkg"], max_batch_size=-3)
+
+    base = st_read(spark, fixtures["gpkg"], layer="a")
+    capped = st_read(spark, fixtures["gpkg"], layer="a", max_batch_size=3)
+    assert capped.count() == base.count() == 10
+    # 10 rows at <=3 rows per batch -> at least 4 scan partitions
+    assert capped.rdd.getNumPartitions() >= 4
+    assert sorted(r.geom for r in capped.collect()) == sorted(
+        r.geom for r in base.collect()
+    )
+
+    kept = st_read(spark, fixtures["gpkg"], layer="a", keep_wkb=True)
+    assert sorted(r.geom for r in kept.collect()) == sorted(
+        r.geom for r in base.collect()
+    )
+    with pytest.raises(ValueError, match="keep_wkb"):
+        st_read(spark, fixtures["gpkg"], keep_wkb="yes")
