@@ -851,6 +851,37 @@ def q_kml_roundtrip(spark, sf_dir):
     )
 
 
+def q_gml_roundtrip(spark, sf_dir):
+    """Bare-GML write -> read round trip (sources/xmlgeo.py read_gml /
+    write_gml): WFS-style FeatureCollection with per-row featureMember,
+    polygon geometry through gml:Polygon/exterior/posList plus a string
+    attribute. The reference reads GML through its GDAL driver matrix
+    (st_drivers.cpp lists 'GML'); driver row new in r13."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_gml, write_gml
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 300")
+        .withColumn(
+            "geom",
+            F.expr("ST_MakeEnvelope(x, y, x + 1 + id % 5, y + 2 + id % 3)"),
+        )
+        .selectExpr("CAST(id AS STRING) AS id", "geom")
+    )
+    path = os.path.join(_fresh_tmp("gml_q"), "rt.gml")
+    write_gml(df, path)
+    back = read_gml(spark, path)
+    return back.selectExpr(
+        "CAST(id AS BIGINT) AS id",
+        "round(ST_Area(geom), 6) AS area",
+        "round(ST_XMin(geom), 6) AS mnx",
+        "round(ST_YMax(geom), 6) AS mxy",
+    )
+
+
 # --------------------------------------------------------------------------
 # relational (host-engine capability = Spark SQL; trivial oracles)
 # --------------------------------------------------------------------------
@@ -3968,6 +3999,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (invariant literals / exact-verification oracles) — in-window ---
         # --- new in r13: source-declared CRS tag -> st_transform_tagged ---
         "crs_tagged_transform": q_crs_tagged_transform,
+        # --- new in r13: bare-GML driver row ---
+        "gml_roundtrip": q_gml_roundtrip,
         "ivfpq_index": q_ivfpq_index,
         "ivf_index": q_ivf_index,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4014,7 +4047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10: model-based quality filter (georss_roundtrip,
         # long-green r8+r9 and unchanged, rotates behind the window) ---
         "clf_quality": q_clf_quality,
-        "esrijson_roundtrip": q_esrijson_roundtrip,
         "streaming_extent": q_streaming_extent,
         "streaming_upsert": q_streaming_upsert,
         # --- round-6 pipeline operators ---
@@ -4033,6 +4065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_index": q_minhash_index,
         # long-green r9-r12, unchanged in r13: rotated behind the window
         "mvt_roundtrip": q_mvt_roundtrip,
+        "esrijson_roundtrip": q_esrijson_roundtrip,
         "text_token_count": q_text_token_count,
         "text_metrics_full": q_text_metrics_full,
         "quality_score": q_quality_score,
@@ -5679,6 +5712,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kml_roundtrip": f"""
             SELECT id, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+        """,
+        "gml_roundtrip": f"""
+            SELECT id,
+                   round((1 + id % 5) * (2 + id % 3), 6) AS area,
+                   round(x, 6) AS mnx,
+                   round(y + 2 + id % 3, 6) AS mxy
             FROM ({pts}) WHERE id < 300
         """,
         "lang_id": _lang_id_oracle(),
