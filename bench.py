@@ -1139,8 +1139,11 @@ def main():
 
                 # replication makes 10-cliques of near-identical docs —
                 # deliberately: it is the shape web dedup actually sees,
-                # and both engines pay the same in-bucket quadratics
-                @bench("minhash_lsh_docs_sf1", repeats=1)
+                # and both engines pay the same in-bucket quadratics.
+                # repeats=2 (r13): at one rep this lane recorded pure
+                # run-phase noise (same-session best-of bracket is
+                # 1.6-1.9x while a single cold rep can read 3x+)
+                @bench("minhash_lsh_docs_sf1", repeats=2)
                 def _():
                     minhash_lsh_pairs(
                         spark.table("documents_sf1"), "doc_id", "text",
@@ -1149,7 +1152,7 @@ def main():
 
                 duck_bench(
                     "minhash_lsh_docs_sf1", minhash_duck_sql("documents_sf1"),
-                    repeats=1,
+                    repeats=2,
                 )
 
                 # spatial join at 10x points / 2x rects (output ~20x):
