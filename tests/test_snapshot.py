@@ -311,3 +311,89 @@ def test_delete_no_match_returns_none(spark, layout):
     path, _ = layout
     assert delete_geo_snapshot(spark, path, "bbox_min_x > 1e9") is None
     assert snapshot_version(path) == 1
+
+
+def test_randomized_maintenance_fuzz(spark, tmp_path):
+    """Randomized interleaved append/delete/upsert/compact/vacuum on a
+    snapshot layout, windowed counts checked against a brute-force model
+    after every step — the reference fuzzes its R-tree the same way
+    (test/python/rtree_fuzz.py:1-50: random inserts/deletes, index
+    results vs ground truth). Seeded RNG -> deterministic CI."""
+    import random
+
+    from duckdb_spatial_spark.plans.snapshot import (
+        delete_geo_snapshot,
+        upsert_geo_snapshot,
+    )
+
+    rng = random.Random(1337)
+    path = str(tmp_path / "fuzz")
+    model = {}
+    next_id = 0
+
+    def mkdf(rows):
+        return spark.createDataFrame(rows, "id long, x double, y double")
+
+    def fresh(n):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            rows.append((next_id, rng.uniform(0, 1000), rng.uniform(0, 1000)))
+            next_id += 1
+        return rows
+
+    seed_rows = fresh(400)
+    model.update({r[0]: (r[1], r[2]) for r in seed_rows})
+    write_geo_snapshot(
+        mkdf(seed_rows), path, bounds=(0, 0, 1000, 1000),
+        num_partitions=4, point_xy=("x", "y"),
+    )
+
+    def rect():
+        x1 = rng.uniform(0, 999)
+        x2 = rng.uniform(x1, 1000)
+        y1 = rng.uniform(0, 999)
+        y2 = rng.uniform(y1, 1000)
+        return x1, y1, x2, y2
+
+    def check():
+        df = read_geo_snapshot(spark, path)
+        assert df.count() == len(model)
+        x1, y1, x2, y2 = rect()
+        got = filter_bbox(df, x1, y1, x2, y2, exact="intersects", points=True).count()
+        want = sum(
+            1 for (x, y) in model.values() if x1 <= x <= x2 and y1 <= y <= y2
+        )
+        assert got == want, (x1, y1, x2, y2)
+
+    check()
+    ops = ["append", "delete", "upsert", "append", "delete", "compact",
+           "upsert", "delete", "append", "compact"]
+    for op in ops:
+        if op == "append":
+            rows = fresh(rng.randrange(20, 120))
+            append_geo_snapshot(mkdf(rows), path, num_partitions=2,
+                                point_xy=("x", "y"))
+            model.update({r[0]: (r[1], r[2]) for r in rows})
+        elif op == "delete":
+            x1, y1, x2, y2 = rect()
+            delete_geo_snapshot(
+                spark, path,
+                f"bbox_min_x >= {x1!r} AND bbox_min_x <= {x2!r} AND "
+                f"bbox_min_y >= {y1!r} AND bbox_min_y <= {y2!r}",
+            )
+            model = {
+                i: (x, y) for i, (x, y) in model.items()
+                if not (x1 <= x <= x2 and y1 <= y <= y2)
+            }
+        elif op == "upsert":
+            existing = rng.sample(sorted(model), min(20, len(model)))
+            rows = [(i, rng.uniform(0, 1000), rng.uniform(0, 1000))
+                    for i in existing] + fresh(10)
+            upsert_geo_snapshot(spark, path, mkdf(rows), "id",
+                                num_partitions=2, point_xy=("x", "y"))
+            model.update({r[0]: (r[1], r[2]) for r in rows})
+        else:
+            compact_geo_snapshot(spark, path, num_partitions=4)
+            vacuum_geo_snapshot(spark, path, keep_last=1)
+        check()
