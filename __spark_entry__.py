@@ -851,6 +851,56 @@ def q_kml_roundtrip(spark, sf_dir):
     )
 
 
+def q_spatial_transform_tranche4(spark, sf_dir):
+    """EPSG registry tranche 4 (r13): Kalianpur 1975 India zones, Indian
+    1954/1975 UTM, NZGD49/NZGD2000 UTM, Arc 1950/1960, Adindan, Minna,
+    Egypt 1907 belts (functions/crs.py tranche-4 block). Every row is a
+    MATHEMATICAL identity, so the oracle is fully independent: rows 1-6
+    project each grid's natural origin from its datum's own geographic
+    CRS (must land exactly on the false origin); row 7 is the
+    NZGD2000-minus-WGS84 UTM twin difference at Wellington (GRS80 vs
+    WGS84 flattening differs in the 8th decimal -> 0.00 m at cm
+    rounding); row 8 is a WGS84 roundtrip through the Kalianpur datum
+    shift (must return the input at 1e-6 deg)."""
+    _prep(spark, sf_dir)
+    origin = spark.createDataFrame(
+        [
+            (1, 68.0, 32.5, "EPSG:4146", "EPSG:24378"),
+            (2, 74.0, 26.0, "EPSG:4146", "EPSG:24379"),
+            (3, 31.0, 30.0, "EPSG:4229", "EPSG:22992"),
+            (4, 39.0, 0.0, "EPSG:4210", "EPSG:21037"),
+            (5, 39.0, 0.0, "EPSG:4201", "EPSG:20137"),
+            (6, 171.0, 0.0, "EPSG:4272", "EPSG:27259"),
+        ],
+        "id long, lon double, lat double, src string, dst string",
+    ).selectExpr(
+        "id",
+        "round(ST_X(ST_Transform(ST_Point(lon, lat), src, dst, true)), 3) AS e",
+        "round(ST_Y(ST_Transform(ST_Point(lon, lat), src, dst, true)), 3) AS n",
+    )
+    twin = spark.sql(
+        "SELECT CAST(7 AS BIGINT) AS id, 174.7762 AS lon, -41.2865 AS lat"
+    ).selectExpr(
+        "id",
+        "round(ST_X(ST_Transform(ST_Point(lon, lat), 'OGC:CRS84', 'EPSG:2134', true))"
+        " - ST_X(ST_Transform(ST_Point(lon, lat), 'OGC:CRS84', 'EPSG:32759', true)), 2) AS e",
+        "round(ST_Y(ST_Transform(ST_Point(lon, lat), 'OGC:CRS84', 'EPSG:2134', true))"
+        " - ST_Y(ST_Transform(ST_Point(lon, lat), 'OGC:CRS84', 'EPSG:32759', true)), 2) AS n",
+    )
+    rt = spark.sql(
+        "SELECT CAST(8 AS BIGINT) AS id, 77.209 AS lon, 28.6139 AS lat"
+    ).selectExpr(
+        "id",
+        "round(ST_X(ST_Transform(ST_Transform(ST_Point(lon, lat),"
+        " 'OGC:CRS84', 'EPSG:24379', true), 'EPSG:24379', 'OGC:CRS84', true))"
+        " - lon, 6) AS e",
+        "round(ST_Y(ST_Transform(ST_Transform(ST_Point(lon, lat),"
+        " 'OGC:CRS84', 'EPSG:24379', true), 'EPSG:24379', 'OGC:CRS84', true))"
+        " - lat, 6) AS n",
+    )
+    return origin.unionByName(twin).unionByName(rt)
+
+
 def q_gml_roundtrip(spark, sf_dir):
     """Bare-GML write -> read round trip (sources/xmlgeo.py read_gml /
     write_gml): WFS-style FeatureCollection with per-row featureMember,
@@ -3997,6 +4047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": q_script_profile,
         # --- r13: the six former rows-only lanes, all value-gated now
         # (invariant literals / exact-verification oracles) — in-window ---
+        # --- new in r13: EPSG tranche 4 (India/NZ/Africa long tail) ---
+        "spatial_transform_tranche4": q_spatial_transform_tranche4,
         # --- new in r13: source-declared CRS tag -> st_transform_tagged ---
         "crs_tagged_transform": q_crs_tagged_transform,
         # --- new in r13: bare-GML driver row ---
@@ -4012,7 +4064,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         # --- new in r9: NTv2 grids, polygon short-circuit, introspection,
         # netCDF codec, DSIR selection, grid-join box short-circuit ---
-        "netcdf_roundtrip": q_netcdf_roundtrip,
         "geoparquet_file": q_geoparquet_file,
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
@@ -4064,6 +4115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "minhash_index": q_minhash_index,
         # long-green r9-r12, unchanged in r13: rotated behind the window
+        "netcdf_roundtrip": q_netcdf_roundtrip,
         "mvt_roundtrip": q_mvt_roundtrip,
         "esrijson_roundtrip": q_esrijson_roundtrip,
         "text_token_count": q_text_token_count,
@@ -6214,6 +6266,18 @@ def oracle_sql() -> dict[str, str]:
                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
               FROM t a, t b WHERE a.doc_id < b.doc_id AND len(a.sh) > 0 AND len(b.sh) > 0
             ) WHERE j >= 0.5
+        """,
+        "spatial_transform_tranche4": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 2743195.5, 914398.5),
+              (2, 2743195.5, 914398.5),
+              (3, 615000.0, 810000.0),
+              (4, 500000.0, 10000000.0),
+              (5, 500000.0, 0.0),
+              (6, 500000.0, 10000000.0),
+              (7, 0.0, 0.0),
+              (8, 0.0, 0.0)
+            ) AS t(id, e, n)
         """,
         "crs_tagged_transform": """
             SELECT CAST(1 AS BIGINT) AS id, -2.0 AS x, 54.0 AS y

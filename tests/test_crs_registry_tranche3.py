@@ -65,7 +65,9 @@ def test_generic_zone_invariants():
         )
         # pick a zone-interior probe latitude
         if d.proj == "lcc":
-            plat = (d.params["lat_1"] + d.params["lat_2"]) / 2.0
+            # 2SP: probe between the parallels; 1SP (tranche 4, e.g.
+            # Kalianpur): probe at the standard parallel
+            plat = (d.params["lat_1"] + d.params.get("lat_2", d.params["lat_1"])) / 2.0
         else:
             plat = lat0 + 0.6 if abs(lat0) > 1e-9 else 30.0
         plon = lon0 + 0.7
