@@ -319,8 +319,26 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
             # non-standard name gets aliased so the uniform geometry
             # contract (geom/geometry) holds downstream
             prim = gk.get("primary_column")
+            gcol = prim or "geom"
             if prim and prim in df.columns and prim not in _GEOM_COL_NAMES:
                 df = df.withColumnRenamed(prim, "geom")
+                gcol = "geom"
+            # CRS tag (r13, same convention as read_shapefile/.prj and
+            # read_gpkg/srs): the footer's per-column crs — a WKT/proj
+            # string as written, or spec-GeoParquet PROJJSON reduced to
+            # its EPSG authority code — lands in the geom StructField
+            # metadata for functions.crs.st_transform_tagged
+            cmeta = (gk.get("columns") or {}).get(prim or "geom") or {}
+            crs = cmeta.get("crs")
+            if isinstance(crs, dict):
+                cid = crs.get("id") or {}
+                crs = (
+                    f"{cid.get('authority')}:{cid.get('code')}"
+                    if cid.get("authority") and cid.get("code") is not None
+                    else None
+                )
+            if crs and gcol in df.columns:
+                df = df.withMetadata(gcol, {"crs": str(crs)})
         if bbox is not None:
             from pyspark.sql import functions as F
 

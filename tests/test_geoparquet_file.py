@@ -92,3 +92,44 @@ def test_single_file_guard(spark, tmp_path):
         write_geoparquet_file(
             _df(spark), str(tmp_path / "g.parquet"), geom_col="the_geom", max_rows=2
         )
+
+
+def test_geoparquet_crs_tag_flows_to_transform(spark, tmp_path):
+    """r13: the geo footer's column crs surfaces as the geom metadata tag
+    (string form and PROJJSON-id form) and drives st_transform_tagged."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from duckdb_spatial_spark.functions import register_all
+    from duckdb_spatial_spark.functions.crs import geom_crs, st_transform_tagged
+    from duckdb_spatial_spark.sources import st_read
+    from duckdb_spatial_spark.sources.geoparquet import write_geoparquet_file
+
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, -0.1276, 51.5072)], "id long, lon double, lat double"
+    ).selectExpr("id", "ST_AsWKB(ST_Point(lon, lat)) AS geom")
+    p1 = str(tmp_path / "s.parquet")
+    write_geoparquet_file(df, p1, crs="EPSG:4326")
+    back = st_read(spark, p1)
+    assert geom_crs(back) == "EPSG:4326"
+    row = (
+        st_transform_tagged(back, "EPSG:3857")
+        .selectExpr("round(ST_X(geom), 3) AS x").first()
+    )
+    import math
+    assert abs(row.x - round(6378137.0 * math.radians(-0.1276), 3)) < 1e-3
+
+    # PROJJSON dict crs (spec GeoParquet) reduces to authority:code
+    pf = pq.read_table(p1)
+    geo = json.loads(pf.schema.metadata[b"geo"])
+    geo["columns"]["geom"]["crs"] = {
+        "type": "GeographicCRS", "name": "WGS 84",
+        "id": {"authority": "EPSG", "code": 4326},
+    }
+    meta = dict(pf.schema.metadata)
+    meta[b"geo"] = json.dumps(geo).encode()
+    p2 = str(tmp_path / "pj.parquet")
+    pq.write_table(pf.replace_schema_metadata(meta), p2)
+    assert geom_crs(st_read(spark, p2)) == "EPSG:4326"
