@@ -901,6 +901,45 @@ def q_spatial_transform_tranche4(spark, sf_dir):
     return origin.unionByName(twin).unionByName(rt)
 
 
+def q_vrt_read(spark, sf_dir):
+    """OGR VRT virtual layer (sources/vrt.py, new in r13): a .vrt XML
+    wrapper derives POINT geometry from a plain CSV's x/y columns
+    (encoding=PointFromColumns), declares the layer SRS, and renames the
+    id attribute through a Field projection — the reference reads the
+    same through GDAL's OGR_VRT driver (listed in st_drivers.cpp). The
+    declared SRS is returned as a column so the oracle pins the crs-tag
+    plumbing too."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.functions.crs import geom_crs
+    from duckdb_spatial_spark.sources import st_read
+
+    tmp = _fresh_tmp("vrt_q")
+    csvdir = os.path.join(tmp, "pts_csv")
+    (
+        spark.sql(_PTS).filter("id < 300")
+        .selectExpr("id", "x AS px", "y AS py")
+        .coalesce(1).write.option("header", True).csv(csvdir)
+    )
+    vrt = os.path.join(tmp, "pts.vrt")
+    with open(vrt, "w", encoding="utf-8") as f:
+        f.write(
+            "<OGRVRTDataSource><OGRVRTLayer name='pts'>"
+            f"<SrcDataSource relativeToVRT='0'>{csvdir}</SrcDataSource>"
+            "<GeometryField encoding='PointFromColumns' x='px' y='py'/>"
+            "<LayerSRS>EPSG:4326</LayerSRS>"
+            "<Field name='feature_id' src='id'/>"
+            "</OGRVRTLayer></OGRVRTDataSource>"
+        )
+    df = st_read(spark, vrt)
+    return df.selectExpr(
+        "CAST(feature_id AS BIGINT) AS feature_id",
+        "round(ST_X(geom), 6) AS x",
+        "round(ST_Y(geom), 6) AS y",
+    ).withColumn("crs", F.lit(geom_crs(df)))
+
+
 def q_gml_roundtrip(spark, sf_dir):
     """Bare-GML write -> read round trip (sources/xmlgeo.py read_gml /
     write_gml): WFS-style FeatureCollection with per-row featureMember,
@@ -4051,8 +4090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_transform_tranche4": q_spatial_transform_tranche4,
         # --- new in r13: source-declared CRS tag -> st_transform_tagged ---
         "crs_tagged_transform": q_crs_tagged_transform,
-        # --- new in r13: bare-GML driver row ---
+        # --- new in r13: bare-GML and OGR-VRT driver rows ---
         "gml_roundtrip": q_gml_roundtrip,
+        "vrt_read": q_vrt_read,
         "ivfpq_index": q_ivfpq_index,
         "ivf_index": q_ivf_index,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4064,6 +4104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing": q_winnowing,
         # --- new in r9: NTv2 grids, polygon short-circuit, introspection,
         # netCDF codec, DSIR selection, grid-join box short-circuit ---
+        # geoparquet_file stays in-window: its read path gained the r13
+        # CRS footer tag
         "geoparquet_file": q_geoparquet_file,
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
@@ -4071,7 +4113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # long-green r8+r9 and unchanged, rotates behind the window) ---
         "excise_spans": q_excise_spans,
         "warc_roundtrip": q_warc_roundtrip,
-        "text_entropy": q_text_entropy,
         "dedup_docs": q_dedup_docs,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
@@ -4118,6 +4159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "mvt_roundtrip": q_mvt_roundtrip,
         "esrijson_roundtrip": q_esrijson_roundtrip,
+        "text_entropy": q_text_entropy,
         "text_token_count": q_text_token_count,
         "text_metrics_full": q_text_metrics_full,
         "quality_score": q_quality_score,
@@ -5550,7 +5592,7 @@ def oracle_sql() -> dict[str, str]:
               ('WARC', 'true', 'true'), ('GeoJSONSeq', 'true', 'true'),
               ('PostgreSQL', 'true', 'true'), ('MSSQLSpatial', 'true', 'false'),
               ('OCI', 'true', 'false'), ('WFS', 'true', 'false'),
-              ('ODS', 'true', 'true')
+              ('ODS', 'true', 'true'), ('OGR_VRT', 'true', 'false')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
@@ -5771,6 +5813,11 @@ def oracle_sql() -> dict[str, str]:
                    round((1 + id % 5) * (2 + id % 3), 6) AS area,
                    round(x, 6) AS mnx,
                    round(y + 2 + id % 3, 6) AS mxy
+            FROM ({pts}) WHERE id < 300
+        """,
+        "vrt_read": f"""
+            SELECT id AS feature_id, round(x, 6) AS x, round(y, 6) AS y,
+                   'EPSG:4326' AS crs
             FROM ({pts}) WHERE id < 300
         """,
         "lang_id": _lang_id_oracle(),

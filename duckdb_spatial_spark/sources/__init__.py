@@ -78,6 +78,7 @@ _DRIVER_ALIASES = {
     "spatialite": {"spatialite", "sqlite"},
     "esrijson": {"esrijson"}, "netcdf": {"netcdf", "nc"},
     "mvt": {"mvt", "mvt (mapbox vector tile)"}, "warc": {"warc"},
+    "vrt": {"vrt", "ogr_vrt"},
 }
 
 # formats with a layer/sheet concept + their enumeration functions; used
@@ -88,6 +89,7 @@ _LAYERED = {
     "filegdb": ("layer", lambda p: list(gdb_layers(p))),
     "xlsx": ("sheet", lambda p: list(xlsx_sheets(p))),
     "ods": ("sheet", lambda p: list(ods_sheets(p))),
+    "vrt": ("layer", lambda p: list(vrt_layers(p))),
 }
 
 
@@ -257,6 +259,7 @@ def _st_read_sniff(p: str):
             (".sql", "pgdump"), (".sqlite", "spatialite"), (".splite", "spatialite"),
             (".esrijson", "esrijson"), (".nc", "netcdf"), (".cdf", "netcdf"),
             (".mvt", "mvt"), (".warc.gz", "warc"), (".warc", "warc"),
+            (".vrt", "vrt"),
     ):
         if p.endswith(ext):
             return f
@@ -361,6 +364,8 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_gpx(spark, path, **options)
     if fmt == "gml":
         return read_gml(spark, path, **options)
+    if fmt == "vrt":
+        return read_vrt(spark, path, **options)
     if fmt == "topojson":
         return read_topojson(spark, path, **options)
     if fmt == "dxf":
@@ -443,6 +448,7 @@ from .xmlgeo import (  # noqa: F401
 )
 from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
+from .vrt import read_vrt, vrt_layers  # noqa: F401
 from .ods import ods_sheets, read_ods, write_ods  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
 from .mapinfo_tab import read_tab, write_tab  # noqa: F401

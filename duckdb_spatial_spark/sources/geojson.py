@@ -554,6 +554,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("OCI", "live Oracle Spatial (SDO_GEOMETRY) over Spark JDBC: SDO_FILTER R-tree pushdown (read-only)", False, False, True, ""),
         ("WFS", "OGC WFS 2.0/1.1 remote feature services: server-side BBOX pushdown, paged GetFeature (read-only)", False, False, True, ""),
         ("ODS", "OpenDocument spreadsheet, one table per layer (read/write)", True, True, True, ""),
+        ("OGR_VRT", "OGR virtual layers: XML wrapper deriving geometry from any other driver's output (read-only)", False, False, True, ""),
     ]
     return spark.createDataFrame(
         rows,

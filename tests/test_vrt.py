@@ -1,0 +1,105 @@
+"""OGR VRT virtual-layer source (sources/vrt.py): geometry derivation
+(PointFromColumns / WKT / WKB / source passthrough), Field projection,
+SrcLayer, layer selection, LayerSRS -> crs tag, st_read dispatch."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_spatial_spark.functions import register_all
+from duckdb_spatial_spark.functions.crs import geom_crs
+from duckdb_spatial_spark.sources import st_read, vrt_layers
+from duckdb_spatial_spark.sources.vrt import read_vrt
+
+
+@pytest.fixture()
+def csvdir(spark, tmp_path):
+    p = str(tmp_path / "pts_csv")
+    spark.createDataFrame(
+        [(1, 10.0, 20.0, "POINT (1 2)"), (2, 30.0, 40.0, "POINT (3 4)")],
+        "id long, px double, py double, wkt string",
+    ).coalesce(1).write.option("header", True).csv(p)
+    return p
+
+
+def _write_vrt(tmp_path, body):
+    p = str(tmp_path / "t.vrt")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(f"<OGRVRTDataSource>{body}</OGRVRTDataSource>")
+    return p
+
+
+def test_point_from_columns_and_srs(spark, tmp_path, csvdir):
+    register_all(spark)
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="pts">
+        <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+        <GeometryField encoding="PointFromColumns" x="px" y="py"/>
+        <LayerSRS>EPSG:4326</LayerSRS>
+      </OGRVRTLayer>""")
+    df = st_read(spark, vrt)
+    assert geom_crs(df) == "EPSG:4326"
+    rows = {r.id: r for r in df.selectExpr(
+        "id", "ST_X(geom) AS x", "ST_Y(geom) AS y").collect()}
+    assert (rows[1].x, rows[1].y) == (10.0, 20.0)
+    assert (rows[2].x, rows[2].y) == (30.0, 40.0)
+
+
+def test_wkt_encoding_and_field_projection(spark, tmp_path, csvdir):
+    register_all(spark)
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="w">
+        <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+        <GeometryField encoding="WKT" field="wkt"/>
+        <Field name="feature_id" src="id"/>
+      </OGRVRTLayer>""")
+    df = read_vrt(spark, vrt)
+    assert df.columns == ["feature_id", "geom"]
+    rows = {int(r.feature_id): r for r in df.selectExpr(
+        "feature_id", "ST_AsText(geom) AS t").collect()}
+    assert rows[1].t == "POINT (1 2)" and rows[2].t == "POINT (3 4)"
+
+
+def test_src_layer_and_selection(spark, tmp_path):
+    register_all(spark)
+    from duckdb_spatial_spark.sources.gpkg import write_gpkg
+
+    gp = str(tmp_path / "two.gpkg")
+    df = spark.createDataFrame(
+        [(1, -0.13, 51.5)], "id long, lon double, lat double"
+    ).selectExpr("id", "ST_AsWKB(ST_Point(lon, lat)) AS geom")
+    write_gpkg(df, gp, layer="a", srs_id=4326)
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="first"><SrcDataSource relativeToVRT="0">{gp}</SrcDataSource>
+        <SrcLayer>a</SrcLayer></OGRVRTLayer>
+      <OGRVRTLayer name="second"><SrcDataSource relativeToVRT="0">{gp}</SrcDataSource>
+        <SrcLayer>a</SrcLayer>
+        <LayerSRS>EPSG:27700</LayerSRS></OGRVRTLayer>""")
+    assert vrt_layers(vrt) == ["first", "second"]
+    assert st_read(spark, vrt).count() == 1
+    # geometry passes through untouched; gpkg's own srs tag survives
+    assert geom_crs(st_read(spark, vrt)) == "EPSG:4326"
+    # LayerSRS on the second layer OVERRIDES the source tag
+    assert geom_crs(st_read(spark, vrt, layer="second")) == "EPSG:27700"
+    with pytest.raises(ValueError, match="not found"):
+        read_vrt(spark, vrt, layer="nope")
+
+
+def test_relative_src_and_errors(spark, tmp_path, csvdir):
+    register_all(spark)
+    # relative SrcDataSource resolves against the .vrt's directory
+    rel = os.path.relpath(csvdir, str(tmp_path))
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="pts"><SrcDataSource>{rel}</SrcDataSource>
+        <GeometryField encoding="PointFromColumns" x="px" y="py"/>
+      </OGRVRTLayer>""")
+    assert read_vrt(spark, vrt).count() == 2
+    bad_enc = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="x"><SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+        <GeometryField encoding="Direct"/></OGRVRTLayer>""")
+    with pytest.raises(ValueError, match="encoding"):
+        read_vrt(spark, bad_enc)
+    union = _write_vrt(tmp_path, "<OGRVRTUnionLayer name='u'/>")
+    with pytest.raises(ValueError, match="OGRVRTUnionLayer"):
+        read_vrt(spark, union)
