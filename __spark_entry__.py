@@ -940,6 +940,36 @@ def q_vrt_read(spark, sf_dir):
     ).withColumn("crs", F.lit(geom_crs(df)))
 
 
+def q_gmt_roundtrip(spark, sf_dir):
+    """GMT ASCII vector write -> read round trip (sources/gmt.py, new in
+    r13): @VGMT1.0 polygon collection with @N/@T-typed attributes, one
+    @P shell per feature. The reference covers GMT through its GDAL
+    driver matrix (st_drivers.cpp)."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_gmt, write_gmt
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 300")
+        .withColumn(
+            "geom",
+            F.expr("ST_MakeEnvelope(x, y, x + 1 + id % 4, y + 2 + id % 5)"),
+        )
+        .select("id", "geom")
+    )
+    path = os.path.join(_fresh_tmp("gmt_q"), "rt.gmt")
+    write_gmt(df, path)
+    back = read_gmt(spark, path)
+    return back.selectExpr(
+        "id",
+        "round(ST_Area(geom), 6) AS area",
+        "round(ST_XMin(geom), 6) AS mnx",
+        "round(ST_YMax(geom), 6) AS mxy",
+    )
+
+
 def q_gml_roundtrip(spark, sf_dir):
     """Bare-GML write -> read round trip (sources/xmlgeo.py read_gml /
     write_gml): WFS-style FeatureCollection with per-row featureMember,
@@ -4090,9 +4120,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_transform_tranche4": q_spatial_transform_tranche4,
         # --- new in r13: source-declared CRS tag -> st_transform_tagged ---
         "crs_tagged_transform": q_crs_tagged_transform,
-        # --- new in r13: bare-GML and OGR-VRT driver rows ---
+        # --- new in r13: bare-GML, OGR-VRT, GMT driver rows ---
         "gml_roundtrip": q_gml_roundtrip,
         "vrt_read": q_vrt_read,
+        "gmt_roundtrip": q_gmt_roundtrip,
         "ivfpq_index": q_ivfpq_index,
         "ivf_index": q_ivf_index,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4112,7 +4143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10: ExactSubstr span removal (streaming_join,
         # long-green r8+r9 and unchanged, rotates behind the window) ---
         "excise_spans": q_excise_spans,
-        "warc_roundtrip": q_warc_roundtrip,
         "dedup_docs": q_dedup_docs,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
@@ -4156,6 +4186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "minhash_index": q_minhash_index,
         # long-green r9-r12, unchanged in r13: rotated behind the window
+        "warc_roundtrip": q_warc_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "mvt_roundtrip": q_mvt_roundtrip,
         "esrijson_roundtrip": q_esrijson_roundtrip,
@@ -5592,7 +5623,8 @@ def oracle_sql() -> dict[str, str]:
               ('WARC', 'true', 'true'), ('GeoJSONSeq', 'true', 'true'),
               ('PostgreSQL', 'true', 'true'), ('MSSQLSpatial', 'true', 'false'),
               ('OCI', 'true', 'false'), ('WFS', 'true', 'false'),
-              ('ODS', 'true', 'true'), ('OGR_VRT', 'true', 'false')
+              ('ODS', 'true', 'true'), ('OGR_VRT', 'true', 'false'),
+              ('OGR_GMT', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
@@ -5818,6 +5850,13 @@ def oracle_sql() -> dict[str, str]:
         "vrt_read": f"""
             SELECT id AS feature_id, round(x, 6) AS x, round(y, 6) AS y,
                    'EPSG:4326' AS crs
+            FROM ({pts}) WHERE id < 300
+        """,
+        "gmt_roundtrip": f"""
+            SELECT id,
+                   round((1 + id % 4) * (2 + id % 5), 6) AS area,
+                   round(x, 6) AS mnx,
+                   round(y + 2 + id % 5, 6) AS mxy
             FROM ({pts}) WHERE id < 300
         """,
         "lang_id": _lang_id_oracle(),

@@ -555,6 +555,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("WFS", "OGC WFS 2.0/1.1 remote feature services: server-side BBOX pushdown, paged GetFeature (read-only)", False, False, True, ""),
         ("ODS", "OpenDocument spreadsheet, one table per layer (read/write)", True, True, True, ""),
         ("OGR_VRT", "OGR virtual layers: XML wrapper deriving geometry from any other driver's output (read-only)", False, False, True, ""),
+        ("OGR_GMT", "GMT ASCII vector (@VGMT1.0 multisegment, read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,
