@@ -970,6 +970,37 @@ def q_gmt_roundtrip(spark, sf_dir):
     )
 
 
+def q_dgn_roundtrip(spark, sf_dir):
+    """MicroStation DGN v7 write -> read round trip (sources/dgn.py, new
+    in r13): ISFF SHAPE elements (type 6) with word-swapped int32 UOR
+    coordinates, range, level and symbology words; TCB stub + EOF word.
+    The reference covers DGN through its GDAL driver matrix
+    (st_drivers.cpp lists 'DGN')."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_dgn, write_dgn
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 300")
+        .withColumn(
+            "geom",
+            F.expr("ST_MakeEnvelope(x, y, x + 1 + id % 3, y + 2 + id % 7)"),
+        )
+        .selectExpr("CAST(id % 63 AS INT) AS lvl", "id", "geom")
+    )
+    path = os.path.join(_fresh_tmp("dgn_q"), "rt.dgn")
+    write_dgn(df, path, level_col="lvl")
+    back = read_dgn(spark, path)
+    return back.selectExpr(
+        "level",
+        "round(ST_Area(geom), 6) AS area",
+        "round(ST_XMin(geom), 6) AS mnx",
+        "round(ST_YMax(geom), 6) AS mxy",
+    )
+
+
 def q_gml_roundtrip(spark, sf_dir):
     """Bare-GML write -> read round trip (sources/xmlgeo.py read_gml /
     write_gml): WFS-style FeatureCollection with per-row featureMember,
@@ -4120,10 +4151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_transform_tranche4": q_spatial_transform_tranche4,
         # --- new in r13: source-declared CRS tag -> st_transform_tagged ---
         "crs_tagged_transform": q_crs_tagged_transform,
-        # --- new in r13: bare-GML, OGR-VRT, GMT driver rows ---
+        # --- new in r13: bare-GML, OGR-VRT, GMT, DGN driver rows ---
         "gml_roundtrip": q_gml_roundtrip,
         "vrt_read": q_vrt_read,
         "gmt_roundtrip": q_gmt_roundtrip,
+        "dgn_roundtrip": q_dgn_roundtrip,
         "ivfpq_index": q_ivfpq_index,
         "ivf_index": q_ivf_index,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4143,7 +4175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10: ExactSubstr span removal (streaming_join,
         # long-green r8+r9 and unchanged, rotates behind the window) ---
         "excise_spans": q_excise_spans,
-        "dedup_docs": q_dedup_docs,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "zonal_stats": q_zonal_stats,
@@ -4186,6 +4217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "minhash_index": q_minhash_index,
         # long-green r9-r12, unchanged in r13: rotated behind the window
+        "dedup_docs": q_dedup_docs,
         "warc_roundtrip": q_warc_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
         "mvt_roundtrip": q_mvt_roundtrip,
@@ -5624,7 +5656,7 @@ def oracle_sql() -> dict[str, str]:
               ('PostgreSQL', 'true', 'true'), ('MSSQLSpatial', 'true', 'false'),
               ('OCI', 'true', 'false'), ('WFS', 'true', 'false'),
               ('ODS', 'true', 'true'), ('OGR_VRT', 'true', 'false'),
-              ('OGR_GMT', 'true', 'true')
+              ('OGR_GMT', 'true', 'true'), ('DGN', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
@@ -5857,6 +5889,13 @@ def oracle_sql() -> dict[str, str]:
                    round((1 + id % 4) * (2 + id % 5), 6) AS area,
                    round(x, 6) AS mnx,
                    round(y + 2 + id % 5, 6) AS mxy
+            FROM ({pts}) WHERE id < 300
+        """,
+        "dgn_roundtrip": f"""
+            SELECT CAST(id % 63 AS INTEGER) AS level,
+                   round((1 + id % 3) * (2 + id % 7), 6) AS area,
+                   round(x, 6) AS mnx,
+                   round(y + 2 + id % 7, 6) AS mxy
             FROM ({pts}) WHERE id < 300
         """,
         "lang_id": _lang_id_oracle(),

@@ -79,6 +79,7 @@ _DRIVER_ALIASES = {
     "esrijson": {"esrijson"}, "netcdf": {"netcdf", "nc"},
     "mvt": {"mvt", "mvt (mapbox vector tile)"}, "warc": {"warc"},
     "vrt": {"vrt", "ogr_vrt"}, "gmt": {"gmt", "ogr_gmt"},
+    "dgn": {"dgn"},
 }
 
 # formats with a layer/sheet concept + their enumeration functions; used
@@ -259,7 +260,7 @@ def _st_read_sniff(p: str):
             (".sql", "pgdump"), (".sqlite", "spatialite"), (".splite", "spatialite"),
             (".esrijson", "esrijson"), (".nc", "netcdf"), (".cdf", "netcdf"),
             (".mvt", "mvt"), (".warc.gz", "warc"), (".warc", "warc"),
-            (".vrt", "vrt"), (".gmt", "gmt"),
+            (".vrt", "vrt"), (".gmt", "gmt"), (".dgn", "dgn"),
     ):
         if p.endswith(ext):
             return f
@@ -368,6 +369,8 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_vrt(spark, path, **options)
     if fmt == "gmt":
         return read_gmt(spark, path, **options)
+    if fmt == "dgn":
+        return read_dgn(spark, path, **options)
     if fmt == "topojson":
         return read_topojson(spark, path, **options)
     if fmt == "dxf":
@@ -450,6 +453,7 @@ from .xmlgeo import (  # noqa: F401
 )
 from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
+from .dgn import read_dgn, write_dgn  # noqa: F401
 from .gmt import read_gmt, write_gmt  # noqa: F401
 from .vrt import read_vrt, vrt_layers  # noqa: F401
 from .ods import ods_sheets, read_ods, write_ods  # noqa: F401
@@ -711,7 +715,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         ".splite": "spatialite", ".parquet": "geoparquet",
         ".esrijson": "esrijson", ".nc": "netcdf", ".cdf": "netcdf",
         ".mvt": "mvt", ".warc.gz": "warc", ".warc": "warc",
-        ".gmt": "gmt",
+        ".gmt": "gmt", ".dgn": "dgn",
     }
     fmt = (format or "").lower()
     if not fmt:
@@ -735,7 +739,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         "arrow": write_arrow_ipc, "feather": write_arrow_ipc,
         "georss": write_georss, "pgdump": write_pgdump,
         "spatialite": write_spatialite, "sqlite": write_spatialite,
-        "esrijson": write_esrijson, "gmt": write_gmt,
+        "esrijson": write_esrijson, "gmt": write_gmt, "dgn": write_dgn,
     }
     if fmt in ("netcdf", "nc", "cdf"):
         from .netcdf3 import write_netcdf

@@ -556,6 +556,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("ODS", "OpenDocument spreadsheet, one table per layer (read/write)", True, True, True, ""),
         ("OGR_VRT", "OGR virtual layers: XML wrapper deriving geometry from any other driver's output (read-only)", False, False, True, ""),
         ("OGR_GMT", "GMT ASCII vector (@VGMT1.0 multisegment, read/write)", True, True, True, ""),
+        ("DGN", "MicroStation DGN v7 (ISFF elements, 2D line/linestring/shape, read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

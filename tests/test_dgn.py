@@ -1,0 +1,78 @@
+"""DGN v7 source (sources/dgn.py, ISFF element subset): line/linestring/
+shape round trips, symbology defaults, skip behavior, dispatch."""
+
+import struct
+
+import pytest
+
+from duckdb_spatial_spark.functions import register_all
+from duckdb_spatial_spark.sources import st_read, st_write
+from duckdb_spatial_spark.sources.dgn import read_dgn, write_dgn
+
+
+def test_roundtrip_geometries(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id long").selectExpr(
+        "id",
+        "CASE WHEN id = 1 THEN ST_AsWKB(ST_MakeLine(ARRAY("
+        "  ST_Point(1.25, 2.5), ST_Point(3.0, 4.0))))"
+        " WHEN id = 2 THEN ST_AsWKB(ST_MakeLine(ARRAY("
+        "  ST_Point(0.0, 0.0), ST_Point(5.0, 0.0), ST_Point(5.0, 7.0))))"
+        " ELSE ST_AsWKB(ST_MakeEnvelope(10, 10, 14, 16)) END AS geom",
+    )
+    p = str(tmp_path / "t.dgn")
+    st_write(df, p)
+    back = st_read(spark, p)
+    rows = back.selectExpr(
+        "ST_GeometryType(geom) AS t", "round(ST_Length(geom), 6) AS l",
+        "round(ST_Area(geom), 6) AS a", "ST_NPoints(geom) AS n",
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.t, []).append(r)
+    lines = sorted(by_type["LINESTRING"], key=lambda r: r.n)
+    assert lines[0].n == 2 and abs(lines[0].l - 5.3125 ** 0.5) < 1e-6
+    assert lines[1].n == 3 and lines[1].l == 12.0
+    poly = by_type["POLYGON"][0]
+    assert poly.a == 24.0
+
+
+def test_uor_resolution_and_levels(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(7, 1.234567,)], "lvl int, x double").selectExpr(
+        "lvl",
+        "ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(x, 0.0), ST_Point(x, 1.0)))) AS geom",
+    )
+    p = str(tmp_path / "u.dgn")
+    write_dgn(df, p, level_col="lvl", uor_scale=1_000_000)
+    back = read_dgn(spark, p, uor_scale=1_000_000)
+    r = back.selectExpr("level", "round(ST_XMin(geom), 6) AS x").first()
+    assert r.level == 7 and r.x == 1.234567
+
+
+def test_skips_foreign_elements_and_eof(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_MakeEnvelope(0, 0, 2, 2)) AS geom")
+    p = str(tmp_path / "s.dgn")
+    write_dgn(df, p)
+    raw = open(p, "rb").read()
+    assert raw.endswith(b"\xff\xff")
+    # splice in an unsupported element (type 17 text, empty body) before EOF
+    alien = bytes([0, 17]) + struct.pack("<H", 16) + b"\x00" * 32
+    with open(p, "wb") as f:
+        f.write(raw[:-2] + alien + b"\xff\xff")
+    assert read_dgn(spark, p).count() == 1  # alien skipped, not raised
+
+
+def test_holes_and_points_refused(spark, tmp_path):
+    register_all(spark)
+    holed = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_GeomFromText('POLYGON ((0 0, 9 0, 9 9, 0 9, 0 0),"
+        " (2 2, 3 2, 3 3, 2 3, 2 2))')) AS geom")
+    with pytest.raises(ValueError, match="holes"):
+        write_dgn(holed, str(tmp_path / "h.dgn"))
+    pt = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Point(1.0, 2.0)) AS geom")
+    with pytest.raises(ValueError, match="unsupported geometry"):
+        write_dgn(pt, str(tmp_path / "p.dgn"))
