@@ -1001,6 +1001,43 @@ def q_dgn_roundtrip(spark, sf_dir):
     )
 
 
+def q_s57_roundtrip(spark, sf_dir):
+    """IHO S-57 ENC write -> read round trip (sources/s57.py, new in
+    r13): ISO 8211 records (leader/directory/field area) carrying
+    DSPM COMF scaling, VE vector records with SG2D coordinate pairs and
+    FRID area features resolving their rings through FSPT pointers —
+    the reference reads ENC cells through GDAL's S57 driver
+    (st_drivers.cpp). Coordinates quantize at 1/COMF = 1e-7 deg, so the
+    5-decimal rounding is exact."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_s57, write_s57
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 300")
+        .withColumn("lon", F.col("x") % 180 - 90)
+        .withColumn("lat", F.col("y") % 120 - 60)
+        .withColumn(
+            "geom",
+            F.expr(
+                "ST_MakeEnvelope(lon, lat, lon + 0.1 + (id % 3) * 0.05,"
+                " lat + 0.2 + (id % 7) * 0.05)"
+            ),
+        )
+        .selectExpr("CAST(id % 300 + 1 AS INT) AS objl", "geom")
+    )
+    path = os.path.join(_fresh_tmp("s57_q"), "cell.000")
+    write_s57(df, path, objl_col="objl")
+    back = read_s57(spark, path)
+    return back.selectExpr(
+        "objl", "prim",
+        "round(ST_XMin(geom), 5) AS mnx",
+        "round(ST_YMax(geom), 5) AS mxy",
+    )
+
+
 def q_gml_roundtrip(spark, sf_dir):
     """Bare-GML write -> read round trip (sources/xmlgeo.py read_gml /
     write_gml): WFS-style FeatureCollection with per-row featureMember,
@@ -4156,6 +4193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrt_read": q_vrt_read,
         "gmt_roundtrip": q_gmt_roundtrip,
         "dgn_roundtrip": q_dgn_roundtrip,
+        "s57_roundtrip": q_s57_roundtrip,
         "ivfpq_index": q_ivfpq_index,
         "ivf_index": q_ivf_index,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -4177,7 +4215,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excise_spans": q_excise_spans,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
-        "zonal_stats": q_zonal_stats,
         "spatial_transform_nad27": q_spatial_transform_nad27,
         "spatial_transform_paris": q_spatial_transform_paris,
         # --- new in r11: EPSG registry breadth (State Plane + UTM/GK
@@ -4217,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sample": q_mix_sample,
         "minhash_index": q_minhash_index,
         # long-green r9-r12, unchanged in r13: rotated behind the window
+        "zonal_stats": q_zonal_stats,
         "dedup_docs": q_dedup_docs,
         "warc_roundtrip": q_warc_roundtrip,
         "netcdf_roundtrip": q_netcdf_roundtrip,
@@ -5656,7 +5694,8 @@ def oracle_sql() -> dict[str, str]:
               ('PostgreSQL', 'true', 'true'), ('MSSQLSpatial', 'true', 'false'),
               ('OCI', 'true', 'false'), ('WFS', 'true', 'false'),
               ('ODS', 'true', 'true'), ('OGR_VRT', 'true', 'false'),
-              ('OGR_GMT', 'true', 'true'), ('DGN', 'true', 'true')
+              ('OGR_GMT', 'true', 'true'), ('DGN', 'true', 'true'),
+              ('S57', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
@@ -5896,6 +5935,13 @@ def oracle_sql() -> dict[str, str]:
                    round((1 + id % 3) * (2 + id % 7), 6) AS area,
                    round(x, 6) AS mnx,
                    round(y + 2 + id % 7, 6) AS mxy
+            FROM ({pts}) WHERE id < 300
+        """,
+        "s57_roundtrip": f"""
+            SELECT CAST(id % 300 + 1 AS INTEGER) AS objl,
+                   CAST(3 AS INTEGER) AS prim,
+                   round(x % 180 - 90, 5) AS mnx,
+                   round((y % 120 - 60) + 0.2 + (id % 7) * 0.05, 5) AS mxy
             FROM ({pts}) WHERE id < 300
         """,
         "lang_id": _lang_id_oracle(),

@@ -80,6 +80,7 @@ _DRIVER_ALIASES = {
     "mvt": {"mvt", "mvt (mapbox vector tile)"}, "warc": {"warc"},
     "vrt": {"vrt", "ogr_vrt"}, "gmt": {"gmt", "ogr_gmt"},
     "dgn": {"dgn"},
+    "s57": {"s57", "iho s-57 (enc)", "enc"},
 }
 
 # formats with a layer/sheet concept + their enumeration functions; used
@@ -260,7 +261,7 @@ def _st_read_sniff(p: str):
             (".sql", "pgdump"), (".sqlite", "spatialite"), (".splite", "spatialite"),
             (".esrijson", "esrijson"), (".nc", "netcdf"), (".cdf", "netcdf"),
             (".mvt", "mvt"), (".warc.gz", "warc"), (".warc", "warc"),
-            (".vrt", "vrt"), (".gmt", "gmt"), (".dgn", "dgn"),
+            (".vrt", "vrt"), (".gmt", "gmt"), (".dgn", "dgn"), (".000", "s57"),
     ):
         if p.endswith(ext):
             return f
@@ -371,6 +372,8 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_gmt(spark, path, **options)
     if fmt == "dgn":
         return read_dgn(spark, path, **options)
+    if fmt == "s57":
+        return read_s57(spark, path, **options)
     if fmt == "topojson":
         return read_topojson(spark, path, **options)
     if fmt == "dxf":
@@ -454,6 +457,7 @@ from .xmlgeo import (  # noqa: F401
 from .dxf import read_dxf, write_dxf  # noqa: F401
 from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
 from .dgn import read_dgn, write_dgn  # noqa: F401
+from .s57 import read_s57, write_s57  # noqa: F401
 from .gmt import read_gmt, write_gmt  # noqa: F401
 from .vrt import read_vrt, vrt_layers  # noqa: F401
 from .ods import ods_sheets, read_ods, write_ods  # noqa: F401
@@ -715,7 +719,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         ".splite": "spatialite", ".parquet": "geoparquet",
         ".esrijson": "esrijson", ".nc": "netcdf", ".cdf": "netcdf",
         ".mvt": "mvt", ".warc.gz": "warc", ".warc": "warc",
-        ".gmt": "gmt", ".dgn": "dgn",
+        ".gmt": "gmt", ".dgn": "dgn", ".000": "s57",
     }
     fmt = (format or "").lower()
     if not fmt:
@@ -740,6 +744,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         "georss": write_georss, "pgdump": write_pgdump,
         "spatialite": write_spatialite, "sqlite": write_spatialite,
         "esrijson": write_esrijson, "gmt": write_gmt, "dgn": write_dgn,
+        "s57": write_s57,
     }
     if fmt in ("netcdf", "nc", "cdf"):
         from .netcdf3 import write_netcdf

@@ -1,0 +1,102 @@
+"""S-57 ENC source (sources/s57.py): ISO 8211 container + S-57 feature
+assembly round trips, edge node resolution, orientation, holes."""
+
+import struct
+
+import pytest
+
+from duckdb_spatial_spark.functions import register_all
+from duckdb_spatial_spark.sources import st_read, st_write
+from duckdb_spatial_spark.sources.s57 import (
+    RCNM_VC, RCNM_VE, _mk_record, parse_s57, read_s57, write_s57,
+)
+
+
+def test_roundtrip_point_line_polygon_hole(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id long").selectExpr(
+        "CAST(id + 10 AS INT) AS objl",
+        "CASE WHEN id = 1 THEN ST_AsWKB(ST_Point(12.5, -33.25))"
+        " WHEN id = 2 THEN ST_AsWKB(ST_MakeLine(ARRAY("
+        "  ST_Point(0.0, 0.0), ST_Point(1.5, 2.0), ST_Point(3.0, 2.5))))"
+        " ELSE ST_AsWKB(ST_GeomFromText('POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0),"
+        " (2 2, 4 2, 4 4, 2 4, 2 2))')) END AS geom",
+    )
+    p = str(tmp_path / "cell.000")
+    st_write(df, p, objl_col="objl")
+    back = st_read(spark, p)
+    rows = {r.objl: r for r in back.selectExpr(
+        "objl", "prim", "ST_GeometryType(geom) AS t",
+        "round(ST_Area(geom), 6) AS a",
+        "round(ST_Length(geom), 6) AS l",
+        "round(ST_X(ST_Centroid(geom)), 6) AS cx").collect()}
+    assert rows[11].t == "POINT" and rows[11].prim == 1
+    assert rows[12].t == "LINESTRING" and rows[12].prim == 2
+    assert rows[13].t == "POLYGON" and rows[13].a == 96.0  # 100 - 4 hole
+    # coordinates survive the COMF integer quantization at 1e-7 deg
+    pt = back.filter("objl = 11").selectExpr(
+        "ST_X(geom) AS x", "ST_Y(geom) AS y").first()
+    assert abs(pt.x - 12.5) < 1e-6 and abs(pt.y + 33.25) < 1e-6
+
+
+def test_edge_node_resolution_and_orientation(spark, tmp_path):
+    """A hand-built cell exercising what our writer does NOT emit: an edge
+    whose endpoints live in connected-node records (VRPT TOPI 1/2) and a
+    reversed FSPT orientation — the real-ENC topology path."""
+    register_all(spark)
+    comf = 10_000_000
+
+    def sg2d(coords):
+        return b"".join(struct.pack("<ii", int(y * comf), int(x * comf))
+                        for x, y in coords)
+
+    def vrid(rcnm, rcid):
+        return bytes([rcnm]) + struct.pack("<IHB", rcid, 1, 1)
+
+    def name(rcnm, rcid):
+        return bytes([rcnm]) + struct.pack("<I", rcid)
+
+    dspm = (bytes([20]) + struct.pack("<I", 1) + bytes([2, 7, 1])
+            + struct.pack("<I", 52000) + bytes([1, 1, 1, 1])
+            + struct.pack("<II", comf, 10))
+    recs = [
+        _mk_record("L", [("0000", b"0100;&x")], field_control_len="09"),
+        _mk_record("D", [("0001", struct.pack("<H", 1)), ("DSPM", dspm)]),
+        # connected nodes 1 (0,0) and 2 (3,3)
+        _mk_record("D", [("0001", struct.pack("<H", 2)),
+                         ("VRID", vrid(RCNM_VC, 1)), ("SG2D", sg2d([(0, 0)]))]),
+        _mk_record("D", [("0001", struct.pack("<H", 3)),
+                         ("VRID", vrid(RCNM_VC, 2)), ("SG2D", sg2d([(3, 3)]))]),
+        # edge 5: interior vertices only; begin node 1, end node 2
+        _mk_record("D", [
+            ("0001", struct.pack("<H", 4)),
+            ("VRID", vrid(RCNM_VE, 5)),
+            ("VRPT", name(RCNM_VC, 1) + bytes([1, 1, 1, 2])
+                     + name(RCNM_VC, 2) + bytes([1, 1, 2, 2])),
+            ("SG2D", sg2d([(1, 1), (2, 2)])),
+        ]),
+        # line feature over edge 5 REVERSED (ORNT=2)
+        _mk_record("D", [
+            ("0001", struct.pack("<H", 5)),
+            ("FRID", bytes([100]) + struct.pack("<I", 9) + bytes([2, 1])
+                     + struct.pack("<HHB", 42, 1, 1)),
+            ("FSPT", name(RCNM_VE, 5) + bytes([2, 1, 2])),
+        ]),
+    ]
+    p = str(tmp_path / "topo.000")
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    feats = parse_s57(p)
+    assert len(feats) == 1
+    rcid, objl, prim, g = feats[0]
+    assert (rcid, objl, prim) == (9, 42, 2)
+    pts = [list(p[:2]) for p in g.data]
+    assert pts == [[3.0, 3.0], [2.0, 2.0], [1.0, 1.0], [0.0, 0.0]]
+
+
+def test_unsupported_geometry_refused(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Collect(ARRAY(ST_Point(1.0, 2.0)))) AS geom")
+    with pytest.raises(ValueError, match="unsupported geometry"):
+        write_s57(df, str(tmp_path / "x.000"))
