@@ -283,12 +283,39 @@ def write_gpkg(
     geom_col: str = "geom",
     srs_id: int = 4326,
     max_rows: int = 5_000_000,
+    crs: str | None = None,
 ):
     """COPY TO (FORMAT GDAL, DRIVER 'GPKG') analog. A GeoPackage is one
     SQLite file, so the write is inherently serial (the reference's GDAL
     write is too) — rows are collected via Arrow, bounded by ``max_rows``
     so a big table cannot OOM the driver. Use GeoParquet for big data;
-    this is the interchange path."""
+    this is the interchange path.
+
+    ``crs=`` registers the layer SRS in gpkg_spatial_ref_sys: an
+    ``EPSG:n`` code sets ``srs_id`` to n with the EPSG organization
+    row; any other string is stored as the WKT ``definition`` under
+    ``srs_id`` (pass a custom id for non-EPSG systems). When omitted,
+    a ``crs`` tag on the geom column metadata (as produced by the
+    readers' auto-CRS tagging) is propagated the same way."""
+    if crs is None:
+        try:
+            crs = (df.schema[geom_col].metadata or {}).get("crs")
+        except KeyError:
+            crs = None
+    srs_name, srs_org, srs_code, srs_def = "WGS 84", "EPSG", 4326, 'GEOGCS["WGS 84"]'
+    if crs:
+        c = str(crs).strip()
+        if c.upper().startswith("EPSG:"):
+            srs_id = int(c.split(":")[1])
+            srs_name = f"EPSG:{srs_id}"
+            srs_org, srs_code, srs_def = "EPSG", srs_id, c
+        else:
+            srs_name = c.split('"')[1] if '"' in c else "custom"
+            srs_org, srs_code, srs_def = "NONE", srs_id, c
+    elif srs_id != 4326:
+        srs_name, srs_org, srs_code, srs_def = (
+            f"EPSG:{srs_id}", "EPSG", srs_id, f"EPSG:{srs_id}"
+        )
     from ..geo import algorithms as A
     from ..geo import wkb as WKB
 
@@ -319,7 +346,7 @@ def write_gpkg(
             [
                 ("Undefined cartesian SRS", -1, "NONE", -1, "undefined", None),
                 ("Undefined geographic SRS", 0, "NONE", 0, "undefined", None),
-                ("WGS 84", 4326, "EPSG", 4326, "GEOGCS[\"WGS 84\"]", None),
+                (srs_name, srs_id, srs_org, srs_code, srs_def, None),
             ],
         )
         con.execute(
@@ -336,9 +363,20 @@ def write_gpkg(
         for f in df.schema.fields:
             if f.name == geom_col:
                 cols_sql.append(f'"{f.name}" GEOMETRY')
+            elif f.name == "fid":
+                # a df carrying its own fid (e.g. a read_gpkg round trip)
+                # supplies the primary key instead of colliding with a
+                # synthesized one
+                cols_sql.append('"fid" INTEGER PRIMARY KEY')
             else:
                 cols_sql.append(f'"{f.name}" {_SPARK_TO_SQLITE.get(f.dataType.typeName(), "TEXT")}')
-        con.execute(f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT, {", ".join(cols_sql)})')
+        if "fid" in df.columns:
+            con.execute(f'CREATE TABLE "{layer}" ({", ".join(cols_sql)})')
+        else:
+            con.execute(
+                f'CREATE TABLE "{layer}" (fid INTEGER PRIMARY KEY AUTOINCREMENT,'
+                f' {", ".join(cols_sql)})'
+            )
 
         ext = [None, None, None, None]
         rows = []

@@ -123,3 +123,33 @@ def test_gpkg_srs_crs_tag(spark, tmp_path):
     path = str(tmp_path / "pts.gpkg")
     write_gpkg(df, path, layer="pts", srs_id=4326)
     assert geom_crs(read_gpkg(spark, path), "geom") == "EPSG:4326"
+
+
+def test_gpkg_write_crs_roundtrip(spark, tmp_path):
+    """write_gpkg(crs=) registers the SRS in gpkg_spatial_ref_sys —
+    EPSG code, raw WKT, and tag propagation from a tagged read."""
+    from duckdb_spatial_spark.functions import register_all
+    from duckdb_spatial_spark.functions.crs import geom_crs
+    from duckdb_spatial_spark.sources.gpkg import read_gpkg, write_gpkg
+
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, 400097.646, 455996.503)], "id long, e double, n double"
+    ).selectExpr("id", "ST_AsWKB(ST_Point(e, n)) AS geom")
+    p1 = str(tmp_path / "osgb.gpkg")
+    write_gpkg(df, p1, layer="pts", crs="EPSG:27700")
+    back = read_gpkg(spark, p1)
+    assert geom_crs(back) == "EPSG:27700"
+
+    wkt = ('PROJCS["OSGB36 / British National Grid",GEOGCS["OSGB36",'
+           'DATUM["OSGB_1936",SPHEROID["Airy 1830",6377563.396,299.3249646]],'
+           'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+           'PROJECTION["Transverse_Mercator"],UNIT["metre",1]]')
+    p2 = str(tmp_path / "wkt.gpkg")
+    write_gpkg(df, p2, layer="pts", srs_id=90001, crs=wkt)
+    assert geom_crs(read_gpkg(spark, p2)) == wkt
+
+    # tag propagation: read (tagged EPSG:27700) -> write without crs=
+    p3 = str(tmp_path / "prop.gpkg")
+    write_gpkg(back, p3, layer="pts")
+    assert geom_crs(read_gpkg(spark, p3)) == "EPSG:27700"
