@@ -611,6 +611,28 @@ def st_read_meta(spark, path: str, format: str | None = None):
             path, "ESRIJSON", len(doc.get("features", [])), gt,
             f"EPSG:{wkid}" if wkid else "",
         ))
+    elif format == "gmt" or p.endswith(".gmt"):
+        # driver-side single pass through the ASCII parser (no Spark job)
+        from .gmt import parse_gmt
+
+        gtype, _fields, feats = parse_gmt(path)
+        rows.append((path, "OGR_GMT", len(feats), gtype.title(), ""))
+    elif format == "dgn" or p.endswith(".dgn"):
+        from .dgn import parse_dgn
+
+        feats = parse_dgn(path)
+        kinds = sorted({
+            "Polygon" if g.tag == 3 else "LineString"
+            for _, _, _, _, g in feats
+        })
+        rows.append((path, "DGN", len(feats), ",".join(kinds), ""))
+    elif format == "s57" or p.endswith(".000"):
+        from .s57 import parse_s57
+
+        feats = parse_s57(path)
+        kinds = sorted({{1: "Point", 2: "LineString", 3: "Polygon"}.get(pr, "?")
+                       for _, _, pr, _ in feats})
+        rows.append((path, "S57", len(feats), ",".join(kinds), "EPSG:4326"))
     elif (
         (format in ("geoparquet", "parquet") or p.endswith(".parquet"))
         and __import__("os").path.isfile(path)

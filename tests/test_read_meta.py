@@ -84,3 +84,27 @@ def test_read_meta_tab_and_spatialite(spark, tmp_path):
     r2 = st_read_meta(spark, sl).collect()[0]
     assert r2.driver == "SQLite" and r2.feature_count == 30
     assert r2.crs == "EPSG:4326"
+
+
+def test_meta_new_r13_formats(spark, tmp_path):
+    """gmt/dgn/s57 answer st_read_meta from their driver-side parsers
+    (no Spark scan job)."""
+    from duckdb_spatial_spark.functions import register_all
+    from duckdb_spatial_spark.sources import st_read_meta, st_write
+
+    register_all(spark)
+    df = spark.createDataFrame([(i,) for i in range(4)], "id long").selectExpr(
+        "id",
+        "ST_AsWKB(ST_MakeEnvelope(CAST(id AS DOUBLE), 0.0,"
+        " CAST(id + 1 AS DOUBLE), 2.0)) AS geom",
+    )
+    for ext, driver, gt in (
+        (".gmt", "OGR_GMT", "Polygon"),
+        (".dgn", "DGN", "Polygon"),
+        (".000", "S57", "Polygon"),
+    ):
+        p = str(tmp_path / f"m{ext}")
+        st_write(df, p)
+        r = st_read_meta(spark, p).first()
+        assert r.driver == driver and r.feature_count == 4, (ext, r)
+        assert gt in r.geometry_types, (ext, r)
