@@ -631,7 +631,7 @@ def st_read_meta(spark, path: str, format: str | None = None):
 
         feats = parse_s57(path)
         kinds = sorted({{1: "Point", 2: "LineString", 3: "Polygon"}.get(pr, "?")
-                       for _, _, pr, _ in feats})
+                       for _, _, pr, _, _ in feats})
         rows.append((path, "S57", len(feats), ",".join(kinds), "EPSG:4326"))
     elif (
         (format in ("geoparquet", "parquet") or p.endswith(".parquet"))

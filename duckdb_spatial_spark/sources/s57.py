@@ -20,8 +20,13 @@ formats (they are fixed by the product spec), so a structurally exotic
 DDR cannot misdirect it; the writer emits a conformant-shaped DDR, one
 vector record per geometry and the FRID referencing it.
 
-Out of scope (skipped, not raised): ATTF/NATF attributes beyond OBJL,
-3D soundings (SG3D), update files (.001+), multiple exterior rings."""
+ATTF attribute fields parse into a per-feature map of
+``{ATTL code: value string}`` (values are lexical-level-0/1 strings
+terminated by the 0x1F unit terminator, per Part 3 §7.6.3); the writer
+emits them from an ``attrs=`` column-to-code mapping.
+
+Out of scope (skipped, not raised): NATF national attributes, 3D
+soundings (SG3D), update files (.001+), multiple exterior rings."""
 
 from __future__ import annotations
 
@@ -120,8 +125,23 @@ def _name(b: bytes) -> tuple:
     return b[0], struct.unpack("<I", b[1:5])[0]
 
 
+def _parse_attf(data: bytes) -> dict:
+    """Repeating (ATTL b12, ATVL string + UT) -> {code: value}."""
+    out = {}
+    i = 0
+    while i + 2 <= len(data):
+        attl = struct.unpack_from("<H", data, i)[0]
+        i += 2
+        end = data.find(_UT, i)
+        if end == -1:
+            end = len(data)
+        out[attl] = data[i:end].decode("utf-8", "replace")
+        i = end + 1
+    return out
+
+
 def parse_s57(path: str):
-    """-> list of (rcid, objl, prim, geometry)."""
+    """-> list of (rcid, objl, prim, attrs_dict, geometry)."""
     with open(path, "rb") as fh:
         buf = fh.read()
     comf = 1.0
@@ -173,9 +193,12 @@ def parse_s57(path: str):
                     nm = _name(fs[i : i + 5])
                     ornt, usag = fs[i + 5], fs[i + 6]
                     ptrs.append((nm, ornt, usag))
+            attrs = {}
+            for a in fmap.get("ATTF", []):
+                attrs.update(_parse_attf(a))
             g = _assemble(prim, ptrs, nodes, edges)
             if g is not None:
-                feats.append((rcid, objl, prim, g))
+                feats.append((rcid, objl, prim, attrs, g))
     return feats
 
 
@@ -240,7 +263,8 @@ def _assemble(prim, ptrs, nodes, edges):
 
 
 def read_s57(spark: SparkSession, path: str) -> DataFrame:
-    """ST_Read for .000 ENC cells: (rcid, objl, prim, geom)."""
+    """ST_Read for .000 ENC cells: (rcid, objl, prim, attrs, geom) —
+    ``attrs`` is the ATTF map {attribute code: value string}."""
     from pyspark.sql import types as T
 
     if os.path.isdir(path):
@@ -251,13 +275,16 @@ def read_s57(spark: SparkSession, path: str) -> DataFrame:
         raise FileNotFoundError(path)
     rows = []
     for fp in files:
-        for rcid, objl, prim, g in parse_s57(fp):
-            rows.append((int(rcid), int(objl), int(prim), WKB.to_wkb(g)))
+        for rcid, objl, prim, attrs, g in parse_s57(fp):
+            rows.append((int(rcid), int(objl), int(prim),
+                         {int(k): str(v) for k, v in attrs.items()},
+                         WKB.to_wkb(g)))
     schema = T.StructType(
         [
             T.StructField("rcid", T.LongType()),
             T.StructField("objl", T.IntegerType()),
             T.StructField("prim", T.IntegerType()),
+            T.StructField("attrs", T.MapType(T.IntegerType(), T.StringType())),
             T.StructField("geom", T.BinaryType()),
         ]
     )
@@ -299,12 +326,16 @@ def _fspt(entries) -> bytes:
 
 def write_s57(df: DataFrame, path: str, geom_col: str = "geom",
               objl_col: str | None = None, comf: float = 10_000_000.0,
+              attrs: dict | None = None,
               max_rows: int = 1_000_000) -> None:
     """Minimal ENC writer: DDR + DSPM record, one vector record (VI node /
     VE edge) per geometry and the FRID feature referencing it via FSPT.
     Points/linestrings/polygons (with holes: one closed VE per ring,
     interior rings at USAG 2). Single-document format, driver-streamed
-    with a hard cap (write_kml policy)."""
+    with a hard cap (write_kml policy).
+
+    ``attrs={column: ATTL_code}`` writes each listed column's non-null
+    values as ATTF (code, stringified value) pairs on the feature."""
     recs = [_mk_record("L", _DDR_FIELDS, field_control_len="09")]
     dspm = (
         bytes([20])
@@ -364,6 +395,16 @@ def write_s57(df: DataFrame, path: str, geom_col: str = "geom",
         frid_id = next_rc[0]; next_rc[0] += 1
         frid = bytes([RCNM_FE]) + struct.pack("<I", frid_id) + bytes(
             [prim, 1]) + struct.pack("<HHB", objl, 1, 1)
-        recs.append(rec([("FRID", frid), ("FSPT", _fspt(fspt_entries))]))
+        fields = [("FRID", frid), ("FSPT", _fspt(fspt_entries))]
+        if attrs:
+            attf = b""
+            for col, code in attrs.items():
+                v = d.get(col)
+                if v is None:
+                    continue
+                attf += struct.pack("<H", int(code)) + str(v).encode("utf-8") + _UT
+            if attf:
+                fields.insert(1, ("ATTF", attf))
+        recs.append(rec(fields))
     with open(path, "wb") as fh:
         fh.write(b"".join(recs))

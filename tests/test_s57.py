@@ -88,7 +88,7 @@ def test_edge_node_resolution_and_orientation(spark, tmp_path):
         f.write(b"".join(recs))
     feats = parse_s57(p)
     assert len(feats) == 1
-    rcid, objl, prim, g = feats[0]
+    rcid, objl, prim, attrs, g = feats[0]
     assert (rcid, objl, prim) == (9, 42, 2)
     pts = [list(p[:2]) for p in g.data]
     assert pts == [[3.0, 3.0], [2.0, 2.0], [1.0, 1.0], [0.0, 0.0]]
@@ -100,3 +100,24 @@ def test_unsupported_geometry_refused(spark, tmp_path):
         "ST_AsWKB(ST_Collect(ARRAY(ST_Point(1.0, 2.0)))) AS geom")
     with pytest.raises(ValueError, match="unsupported geometry"):
         write_s57(df, str(tmp_path / "x.000"))
+
+
+def test_attf_attributes_roundtrip(spark, tmp_path):
+    """ATTF pairs (ATTL code, UT-terminated value) survive the round trip
+    as the attrs map."""
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, "Elbe Light", 12.5), (2, None, 7.0)],
+        "id long, objnam string, valsou double",
+    ).selectExpr(
+        "id", "objnam", "valsou",
+        "ST_AsWKB(ST_Point(CAST(id AS DOUBLE), 53.9)) AS geom",
+    )
+    p = str(tmp_path / "attr.000")
+    write_s57(df, p, attrs={"objnam": 116, "valsou": 174})
+    back = st_read(spark, p)
+    rows = sorted(back.selectExpr(
+        "attrs[116] AS objnam", "attrs[174] AS valsou").collect(),
+        key=lambda r: (r.objnam is None, r.objnam))
+    assert rows[0].objnam == "Elbe Light" and rows[0].valsou == "12.5"
+    assert rows[1].objnam is None and rows[1].valsou == "7.0"
