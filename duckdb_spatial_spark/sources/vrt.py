@@ -7,48 +7,62 @@ Supported elements:
 
   <OGRVRTDataSource>
     <OGRVRTLayer name="layer_name">
-      <SrcDataSource>path (relative to the .vrt)</SrcDataSource>
+      <SrcDataSource relativeToVRT="0|1">path</SrcDataSource>
       <SrcLayer>source layer</SrcLayer>                      (optional)
+      <SrcSQL>SELECT ... FROM src_layer ...</SrcSQL>         (optional)
       <GeometryField encoding="PointFromColumns" x="x" y="y"/>
         | <GeometryField encoding="WKT" field="wkt"/>
         | <GeometryField encoding="WKB" field="blob"/>
+        | <GeometryField field="col"/>        (Direct: rename to geom)
         | (absent -> the source's own geometry column passes through)
       <LayerSRS>EPSG:n | WKT</LayerSRS>                      (optional)
       <Field name="out" src="in"/>                           (optional)
     </OGRVRTLayer>
+    <OGRVRTUnionLayer name="u">
+      <OGRVRTLayer .../> ...                 (unionByName of members)
+    </OGRVRTUnionLayer>
   </OGRVRTDataSource>
 
-Multiple <OGRVRTLayer> elements are a multi-layer container: ``layer=``
-selects by name (default: first). <LayerSRS> lands in the geom column's
-``crs`` metadata tag — the same convention as the .prj / gpkg-srs /
-GeoParquet-footer paths, consumable by st_transform_tagged.
-<OGRVRTUnionLayer> and SQL-backed layers are not supported and raise.
+``relativeToVRT`` defaults to "0" (path relative to the process CWD),
+matching OGR; set relativeToVRT="1" to resolve against the .vrt's own
+directory. <SrcSQL> runs through the Spark SQL engine: each table name
+referenced in the statement is read from SrcDataSource as a layer of
+that name (or the whole datasource for single-layer formats) and
+registered as a temp view. Multiple top-level layer elements are a
+multi-layer container: ``layer=`` selects by name (default: first).
+<LayerSRS> lands in the geom column's ``crs`` metadata tag — the same
+convention as the .prj / gpkg-srs / GeoParquet-footer paths, consumable
+by st_transform_tagged.
 """
 
 from __future__ import annotations
 
 import os
+import re
 import xml.etree.ElementTree as ET
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_LAYER_TAGS = ("OGRVRTLayer", "OGRVRTUnionLayer")
+
 
 def vrt_layers(path: str) -> list[str]:
-    """Layer names in document order."""
+    """Top-level layer names (plain and union) in document order."""
     root = ET.parse(path).getroot()
     _check_root(root)
     return [el.get("name") or f"layer{i}"
-            for i, el in enumerate(root.findall("OGRVRTLayer"))]
+            for i, el in enumerate(_top_layers(root))]
 
 
 def _check_root(root) -> None:
     if root.tag != "OGRVRTDataSource":
         raise ValueError(f"vrt: root element is {root.tag!r}, "
                          "expected OGRVRTDataSource")
-    for el in root:
-        if el.tag == "OGRVRTUnionLayer":
-            raise ValueError("vrt: OGRVRTUnionLayer is not supported")
+
+
+def _top_layers(root) -> list:
+    return [el for el in root if el.tag in _LAYER_TAGS]
 
 
 def _vrt_resolve(src: str) -> str | None:
@@ -68,17 +82,45 @@ def _vrt_resolve(src: str) -> str | None:
     return _resolve_format(src, None)
 
 
+_SQL_TABLES = re.compile(r"\b(?:from|join)\s+([A-Za-z_][\w$]*)",
+                         re.IGNORECASE)
+
+
+def _read_src_sql(spark: SparkSession, src: str, sql: str,
+                  options: dict) -> DataFrame:
+    """<SrcSQL>: register every table name referenced in the statement as
+    a temp view over the source datasource (layer of that name when the
+    format is multi-layer, the whole read otherwise) and run the SQL
+    through the Spark SQL engine. GDAL evaluates SrcSQL with its own SQL
+    dialect against the source; this is the Spark-first equivalent."""
+    from . import st_read
+
+    names = list(dict.fromkeys(_SQL_TABLES.findall(sql)))
+    if not names:
+        raise ValueError(f"vrt: SrcSQL has no FROM table: {sql!r}")
+    for name in names:
+        try:
+            member = st_read(spark, src, layer=name, **options)
+        except (ValueError, TypeError, KeyError):
+            member = st_read(spark, src, **options)
+        member.createOrReplaceTempView(name)
+    try:
+        return spark.sql(sql)
+    finally:
+        for name in names:
+            spark.catalog.dropTempView(name)
+
+
 def read_vrt(spark: SparkSession, path: str, layer: str | None = None,
              **options) -> DataFrame:
-    """ST_Read for .vrt: resolve the selected OGRVRTLayer's source through
+    """ST_Read for .vrt: resolve the selected layer's source through
     st_read (format sniffed from the source path), then derive/rename the
-    geometry column per GeometryField and apply Field projections."""
-    from . import st_read
-    from ..functions import udfs
-
+    geometry column per GeometryField and apply Field projections.
+    OGRVRTUnionLayer members are each read like a plain layer and
+    combined with unionByName(allowMissingColumns=True)."""
     root = ET.parse(path).getroot()
     _check_root(root)
-    layers = root.findall("OGRVRTLayer")
+    layers = _top_layers(root)
     if not layers:
         raise ValueError(f"{path!r}: no OGRVRTLayer")
     if layer is None:
@@ -89,17 +131,43 @@ def read_vrt(spark: SparkSession, path: str, layer: str | None = None,
             have = [l.get("name") for l in layers]
             raise ValueError(f"vrt layer {layer!r} not found (have {have})")
         el = match[0]
+    return _read_layer(spark, el, path, dict(options))
+
+
+def _read_layer(spark: SparkSession, el, vrt_path: str,
+                options: dict) -> DataFrame:
+    from . import st_read
+    from ..functions import udfs
+
+    if el.tag == "OGRVRTUnionLayer":
+        members = [m for m in el if m.tag in _LAYER_TAGS]
+        if not members:
+            raise ValueError("vrt: OGRVRTUnionLayer has no member layers")
+        dfs = [_read_layer(spark, m, vrt_path, dict(options))
+               for m in members]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     src_el = el.find("SrcDataSource")
     if src_el is None or not (src_el.text or "").strip():
-        raise ValueError(f"{path!r}: OGRVRTLayer has no SrcDataSource")
+        raise ValueError(f"{vrt_path!r}: OGRVRTLayer has no SrcDataSource")
     src = (src_el.text or "").strip()
-    relative = (src_el.get("relativeToVRT") or "1").strip()
-    if not os.path.isabs(src) and relative != "0":
-        src = os.path.join(os.path.dirname(os.path.abspath(path)), src)
+    # OGR default is relativeToVRT="0": a relative path resolves against
+    # the process CWD, not the .vrt location (gdal.org/drivers/vector/vrt)
+    relative = (src_el.get("relativeToVRT") or "0").strip()
+    if not os.path.isabs(src):
+        if relative == "1":
+            src = os.path.join(os.path.dirname(os.path.abspath(vrt_path)), src)
+        else:
+            # absolutize against the Python CWD here: Spark would otherwise
+            # resolve the relative path against the driver JVM's CWD
+            src = os.path.abspath(src)
     src_layer = el.findtext("SrcLayer")
     if src_layer and src_layer.strip():
         options.setdefault("layer", src_layer.strip())
+    src_sql = el.findtext("SrcSQL")
 
     if os.path.isdir(src) and "format" not in options:
         # a directory source (e.g. a Spark-written csv/parquet dir) has no
@@ -110,18 +178,38 @@ def read_vrt(spark: SparkSession, path: str, layer: str | None = None,
 
     gf = el.find("GeometryField")
     enc = (gf.get("encoding") or "").lower() if gf is not None else None
-    if enc is not None and enc not in ("pointfromcolumns", "wkt", "wkb"):
+    # missing encoding = GDAL's "Direct": the named source column IS the
+    # geometry (a rename), or a pure pass-through when no field is named
+    if enc is not None and enc not in ("", "direct", "pointfromcolumns",
+                                       "wkt", "wkb"):
         raise ValueError(f"vrt: unsupported GeometryField encoding {enc!r}")
     fmt_resolved = options.get("format") or _vrt_resolve(src)
-    if enc == "pointfromcolumns":
+    sql_mode = bool(src_sql and src_sql.strip())
+    if enc == "pointfromcolumns" and not sql_mode:
         # tabular sources build the point themselves (keeps the CSV
         # reader from deriving its own geometry first)
         options.setdefault("x_col", gf.get("x"))
         options.setdefault("y_col", gf.get("y"))
-    elif enc == "wkt" and fmt_resolved in ("wkt_csv", "csv"):
+    elif enc == "wkt" and fmt_resolved in ("wkt_csv", "csv") and not sql_mode:
         # the CSV reader consumes a named WKT column natively
         options.setdefault("wkt_col", gf.get("field"))
-    df = st_read(spark, src, **options)
+
+    if sql_mode:
+        df = _read_src_sql(spark, src, src_sql.strip(), options)
+        # GeometryField applies to the SQL result, not the raw source
+        if enc == "pointfromcolumns":
+            xc, yc = gf.get("x"), gf.get("y")
+            if not xc or not yc or xc not in df.columns or yc not in df.columns:
+                raise ValueError(f"vrt: PointFromColumns x={xc!r} y={yc!r} "
+                                 f"not in SrcSQL columns {df.columns}")
+            df = (df.withColumn("geom", udfs.st_point(
+                      F.col(xc).cast("double"), F.col(yc).cast("double")))
+                    .drop(xc, yc))
+            enc = None
+        elif enc == "wkt":
+            fmt_resolved = None  # convert the SQL result's WKT column below
+    else:
+        df = st_read(spark, src, **options)
 
     if enc == "wkt" and fmt_resolved not in ("wkt_csv", "csv"):
         field = gf.get("field")
@@ -129,12 +217,12 @@ def read_vrt(spark: SparkSession, path: str, layer: str | None = None,
             raise ValueError(f"vrt: WKT GeometryField field={field!r} "
                              f"not in source columns {df.columns}")
         df = df.withColumn("geom", udfs.st_geomfromtext(F.col(field))).drop(field)
-    elif enc == "wkb":
+    elif enc in ("wkb", "", "direct"):
         field = gf.get("field")
-        if not field or field not in df.columns:
+        if enc == "wkb" and (not field or field not in df.columns):
             raise ValueError(f"vrt: WKB GeometryField field={field!r} "
                              f"not in source columns {df.columns}")
-        if field != "geom":
+        if field and field in df.columns and field != "geom":
             df = df.withColumnRenamed(field, "geom")
 
     fields = el.findall("Field")

@@ -86,20 +86,77 @@ def test_src_layer_and_selection(spark, tmp_path):
         read_vrt(spark, vrt, layer="nope")
 
 
-def test_relative_src_and_errors(spark, tmp_path, csvdir):
+def test_relative_src_and_errors(spark, tmp_path, csvdir, monkeypatch):
     register_all(spark)
-    # relative SrcDataSource resolves against the .vrt's directory
+    # relativeToVRT="1": SrcDataSource resolves against the .vrt's directory
     rel = os.path.relpath(csvdir, str(tmp_path))
     vrt = _write_vrt(tmp_path, f"""
-      <OGRVRTLayer name="pts"><SrcDataSource>{rel}</SrcDataSource>
+      <OGRVRTLayer name="pts">
+        <SrcDataSource relativeToVRT="1">{rel}</SrcDataSource>
         <GeometryField encoding="PointFromColumns" x="px" y="py"/>
       </OGRVRTLayer>""")
     assert read_vrt(spark, vrt).count() == 2
+    # default (attribute omitted) is OGR's relativeToVRT="0": CWD-relative
+    vrt0 = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="pts"><SrcDataSource>{rel}</SrcDataSource>
+        <GeometryField encoding="PointFromColumns" x="px" y="py"/>
+      </OGRVRTLayer>""")
+    monkeypatch.chdir(str(tmp_path))
+    assert read_vrt(spark, vrt0).count() == 2
     bad_enc = _write_vrt(tmp_path, f"""
       <OGRVRTLayer name="x"><SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
-        <GeometryField encoding="Direct"/></OGRVRTLayer>""")
+        <GeometryField encoding="Shape"/></OGRVRTLayer>""")
     with pytest.raises(ValueError, match="encoding"):
         read_vrt(spark, bad_enc)
     union = _write_vrt(tmp_path, "<OGRVRTUnionLayer name='u'/>")
-    with pytest.raises(ValueError, match="OGRVRTUnionLayer"):
+    with pytest.raises(ValueError, match="no member layers"):
         read_vrt(spark, union)
+
+
+def test_direct_encoding_renames_geometry(spark, tmp_path):
+    register_all(spark)
+    pq = str(tmp_path / "direct_pq")
+    spark.createDataFrame([(1, -0.1, 51.5)], "id long, lon double, lat double") \
+        .selectExpr("id", "ST_AsWKB(ST_Point(lon, lat)) AS shape") \
+        .write.parquet(pq)
+    # GDAL's default encoding is Direct: the named field IS the geometry
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="d"><SrcDataSource relativeToVRT="0">{pq}</SrcDataSource>
+        <GeometryField field="shape"/></OGRVRTLayer>""")
+    df = read_vrt(spark, vrt)
+    assert "geom" in df.columns and "shape" not in df.columns
+    assert df.selectExpr("ST_AsText(geom) AS t").first().t == "POINT (-0.1 51.5)"
+
+
+def test_union_layer(spark, tmp_path, csvdir):
+    register_all(spark)
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTUnionLayer name="u">
+        <OGRVRTLayer name="a">
+          <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+          <GeometryField encoding="PointFromColumns" x="px" y="py"/>
+        </OGRVRTLayer>
+        <OGRVRTLayer name="b">
+          <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+          <GeometryField encoding="WKT" field="wkt"/>
+          <Field name="id" src="id"/>
+        </OGRVRTLayer>
+      </OGRVRTUnionLayer>""")
+    assert vrt_layers(vrt) == ["u"]
+    df = read_vrt(spark, vrt)
+    # member a contributes px/py columns, member b only id+geom
+    assert df.count() == 4
+    assert df.where(F.col("px").isNull()).count() == 2
+
+
+def test_src_sql(spark, tmp_path, csvdir):
+    register_all(spark)
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="s">
+        <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+        <SrcSQL>SELECT id, px, py FROM pts WHERE id = 2</SrcSQL>
+        <GeometryField encoding="PointFromColumns" x="px" y="py"/>
+      </OGRVRTLayer>""")
+    df = read_vrt(spark, vrt)
+    rows = df.selectExpr("id", "ST_X(geom) AS x").collect()
+    assert len(rows) == 1 and rows[0].id == 2 and rows[0].x == 30.0
