@@ -622,8 +622,8 @@ def st_read_meta(spark, path: str, format: str | None = None):
 
         feats = parse_dgn(path)
         kinds = sorted({
-            "Polygon" if g.tag == 3 else "LineString"
-            for _, _, _, _, g in feats
+            {1: "Point", 2: "LineString", 3: "Polygon"}.get(g.tag, "?")
+            for _, _, _, _, _txt, g in feats
         })
         rows.append((path, "DGN", len(feats), ",".join(kinds), ""))
     elif format == "s57" or p.endswith(".000"):

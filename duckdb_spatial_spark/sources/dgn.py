@@ -13,19 +13,27 @@ PUBLIC Intergraph Standard File Format (ISFF) element structure for the
     bytes 28-29 graphic group   bytes 30-31 attribute index
     bytes 32-33 properties      bytes 34-35 symbology (color|weight|style)
   payloads (2D):
-    type 3  LINE        x0 y0 x1 y1
-    type 4  LINE STRING numverts, then numverts x (x y)
-    type 6  SHAPE       like 4, closed ring -> POLYGON
+    type 3  LINE           x0 y0 x1 y1
+    type 4  LINE STRING    numverts, then numverts x (x y)
+    type 6  SHAPE          like 4, closed ring -> POLYGON
+    type 12 COMPLEX CHAIN  header: totlength u16 @36, numelems u16 @38;
+    type 14 COMPLEX SHAPE  followed by numelems members (complex bit set)
+                           -> concatenated LINESTRING / closed POLYGON
+    type 17 TEXT (2D)      font @36, just @37, lengthmult i32 @38,
+                           heightmult i32 @42, rotation i32 @46
+                           (deg*360000), origin x @50 y @54, numchars @58,
+                           chars from @60 -> POINT + ``text`` column
   int32 coordinates use the VAX-heritage "word-swapped" order: the
   HIGH 16-bit word first, each word little-endian. The file opens with
   a TCB element (type 9) and ends with an 0xFFFF end-of-file word.
 
 Coordinates are UORs (integer units of resolution); ``uor_scale``
-divides on read / multiplies on write (default 1000.0, a common
-uor-per-master-unit choice — pass your design file's value for real
-data). Complex chains/shapes, cells, text, arcs and 3D are out of
-scope and are SKIPPED on read (counted, not raised — a real design
-file mixes them with the vector subset)."""
+divides on read / multiplies on write. On read the default comes from
+the file's own TCB (subunits-per-master i32 @1112 x uor-per-subunit
+i32 @1116, the dgnlib TCB layout), falling back to 1000.0 when the TCB
+carries zeros — pass ``uor_scale=`` to override. Cells, arcs, curves
+and 3D are out of scope and are SKIPPED on read (counted, not raised —
+a real design file mixes them with the vector subset)."""
 
 from __future__ import annotations
 
@@ -44,6 +52,9 @@ DGNT_LINE = 3
 DGNT_LINE_STRING = 4
 DGNT_SHAPE = 6
 DGNT_TCB = 9
+DGNT_COMPLEX_CHAIN = 12
+DGNT_COMPLEX_SHAPE = 14
+DGNT_TEXT = 17
 
 
 def _rd_i32(buf: bytes, off: int) -> int:
@@ -74,51 +85,141 @@ def _iter_elements(buf: bytes):
         off += size
 
 
-def parse_dgn(path: str, uor_scale: float = 1000.0):
-    """-> list of (level, color, weight, style, geometry); skips
-    non-vector / complex elements."""
+def tcb_uor_scale(path_or_buf) -> float | None:
+    """UORs per master unit from the design file's TCB element (type 9):
+    subunits-per-master (i32 @1112) x uor-per-subunit (i32 @1116), the
+    dgnlib TCB word layout. None when the TCB is absent/zeroed."""
+    if isinstance(path_or_buf, (bytes, bytearray)):
+        buf = bytes(path_or_buf)
+    else:
+        with open(path_or_buf, "rb") as fh:
+            buf = fh.read(4096)
+    for _, etype, _, el in _iter_elements(buf):
+        if etype != DGNT_TCB:
+            continue
+        if len(el) < 1120:
+            return None
+        spm = _rd_i32(el, 1112)
+        ups = _rd_i32(el, 1116)
+        if spm > 0 and ups > 0:
+            return float(spm * ups)
+        return None
+    return None
+
+
+def _symb(el: bytes):
+    (symb,) = struct.unpack_from("<H", el, 34)
+    return symb & 0xFF, (symb >> 8) & 0x1F, (symb >> 13) & 0x7
+
+
+def _vertices(etype: int, body: bytes, uor: float):
+    if etype == DGNT_LINE:
+        if len(body) < 16:
+            return []
+        return [
+            [_rd_i32(body, 0) / uor, _rd_i32(body, 4) / uor],
+            [_rd_i32(body, 8) / uor, _rd_i32(body, 12) / uor],
+        ]
+    (nv,) = struct.unpack_from("<H", body, 0)
+    return [
+        [_rd_i32(body, 2 + 8 * i) / uor, _rd_i32(body, 6 + 8 * i) / uor]
+        for i in range(nv)
+    ]
+
+
+def parse_dgn(path: str, uor_scale: float | None = None):
+    """-> list of (level, color, weight, style, text, geometry); skips
+    non-vector elements. ``uor_scale=None`` reads it from the TCB
+    (fallback 1000.0)."""
     with open(path, "rb") as fh:
         buf = fh.read()
+    uor = uor_scale if uor_scale is not None else (tcb_uor_scale(buf) or 1000.0)
     out = []
+    # pending complex assembly: (etype, level, color, weight, style,
+    #                            remaining-members, coords)
+    pending = None
+
+    def close_pending():
+        nonlocal pending
+        if pending is None:
+            return
+        etype, level, color, weight, style, _, pts = pending
+        pending = None
+        if len(pts) < 2:
+            return
+        if etype == DGNT_COMPLEX_SHAPE:
+            if pts[0] != pts[-1]:
+                pts.append(list(pts[0]))
+            g = G.polygon([pts])
+        else:
+            g = G.linestring(pts)
+        out.append((level, color, weight, style, None, g))
+
     for level, etype, cmplx, el in _iter_elements(buf):
-        if cmplx or etype not in (DGNT_LINE, DGNT_LINE_STRING, DGNT_SHAPE):
+        if pending is not None and cmplx and etype in (DGNT_LINE,
+                                                       DGNT_LINE_STRING):
+            pts = _vertices(etype, el[36:], uor) if len(el) >= 36 else []
+            acc = pending[6]
+            if acc and pts and acc[-1] == pts[0]:
+                pts = pts[1:]
+            acc.extend(pts)
+            pending = pending[:5] + (pending[5] - 1,) + (acc,)
+            if pending[5] <= 0:
+                close_pending()
+            continue
+        if pending is not None:
+            close_pending()
+        if etype in (DGNT_COMPLEX_CHAIN, DGNT_COMPLEX_SHAPE):
+            if len(el) < 40:
+                continue
+            color, weight, style = _symb(el)
+            (numelems,) = struct.unpack_from("<H", el, 38)
+            pending = (etype, level, color, weight, style, numelems, [])
+            continue
+        if cmplx:
+            continue  # stray complex member without a header
+        if etype == DGNT_TEXT:
+            if len(el) < 60:
+                continue
+            color, weight, style = _symb(el)
+            x = _rd_i32(el, 50) / uor
+            y = _rd_i32(el, 54) / uor
+            nch = el[58]
+            txt = el[60 : 60 + nch].decode("latin-1", "replace")
+            out.append((level, color, weight, style, txt, G.point(x, y)))
+            continue
+        if etype not in (DGNT_LINE, DGNT_LINE_STRING, DGNT_SHAPE):
             continue
         if len(el) < 36:
             continue
-        (symb,) = struct.unpack_from("<H", el, 34)
-        color = symb & 0xFF
-        weight = (symb >> 8) & 0x1F
-        style = (symb >> 13) & 0x7
+        color, weight, style = _symb(el)
         body = el[36:]
-        if etype == DGNT_LINE:
-            if len(body) < 16:
+        pts = _vertices(etype, body, uor)
+        if etype == DGNT_SHAPE:
+            if not pts:
                 continue
-            pts = [
-                (_rd_i32(body, 0) / uor_scale, _rd_i32(body, 4) / uor_scale),
-                (_rd_i32(body, 8) / uor_scale, _rd_i32(body, 12) / uor_scale),
-            ]
-            g = G.linestring([list(p) for p in pts])
+            if pts[0] != pts[-1]:
+                pts.append(list(pts[0]))
+            g = G.polygon([pts])
+        elif len(pts) >= 2:
+            g = G.linestring(pts)
         else:
-            (nv,) = struct.unpack_from("<H", body, 0)
-            pts = [
-                [_rd_i32(body, 2 + 8 * i) / uor_scale,
-                 _rd_i32(body, 6 + 8 * i) / uor_scale]
-                for i in range(nv)
-            ]
-            if etype == DGNT_SHAPE:
-                if pts and pts[0] != pts[-1]:
-                    pts.append(list(pts[0]))
-                g = G.polygon([pts])
-            else:
-                g = G.linestring(pts)
-        out.append((level, color, weight, style, g))
+            continue
+        out.append((level, color, weight, style, None, g))
+    close_pending()
     return out
 
 
-def read_dgn(spark: SparkSession, path: str, uor_scale: float = 1000.0) -> DataFrame:
+def read_dgn(spark: SparkSession, path: str,
+             uor_scale: float | None = None) -> DataFrame:
     """ST_Read for .dgn: one row per vector element with level/symbology
-    attributes and WKB geom (GDAL's DGN layer exposes the same columns)."""
+    attributes, a ``text`` column (non-null for TEXT elements) and WKB
+    geom (GDAL's DGN layer exposes the same columns). Per-file parsing
+    runs distributed (one input partition per file); ``uor_scale``
+    defaults to each file's own TCB value."""
     from pyspark.sql import types as T
+
+    from ._distrib import distributed_file_read
 
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, "*.dgn")))
@@ -126,38 +227,62 @@ def read_dgn(spark: SparkSession, path: str, uor_scale: float = 1000.0) -> DataF
         files = sorted(_glob.glob(path)) or [path]
     if not files:
         raise FileNotFoundError(path)
-    rows = []
-    for fp in files:
-        for level, color, weight, style, g in parse_dgn(fp, uor_scale):
-            rows.append((level, color, weight, style, WKB.to_wkb(g)))
     schema = T.StructType(
         [
             T.StructField("level", T.IntegerType()),
             T.StructField("color", T.IntegerType()),
             T.StructField("weight", T.IntegerType()),
             T.StructField("style", T.IntegerType()),
+            T.StructField("text", T.StringType()),
             T.StructField("geom", T.BinaryType()),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+
+    def per_file_rows(fp):
+        for level, color, weight, style, txt, g in parse_dgn(fp, uor_scale):
+            yield (level, color, weight, style, txt, WKB.to_wkb(g))
+
+    return distributed_file_read(spark, files, schema, per_file_rows, "dgn")
 
 
-def _element(etype: int, level: int, symb: int, rng, body: bytes) -> bytes:
+def _element(etype: int, level: int, symb: int, rng, body: bytes,
+             cmplx: bool = False) -> bytes:
     wtf = (24 + 8 + len(body)) // 2  # range + fixed words + payload
-    head = bytes([level & 0x3F, etype & 0x7F]) + struct.pack("<H", wtf)
+    type_byte = (etype & 0x7F) | (0x80 if cmplx else 0)
+    head = bytes([level & 0x3F, type_byte]) + struct.pack("<H", wtf)
     rbytes = b"".join(struct.pack("<HH", ((v + _BIAS) >> 16) & 0xFFFF,
                                   (v + _BIAS) & 0xFFFF) for v in rng)
     fixed = struct.pack("<HHHH", 0, 0, 0, symb)
     return head + rbytes + fixed + body
 
 
+def _linework(pts):
+    """(etype, payload) for a 2D line/linestring vertex list."""
+    if len(pts) == 2:
+        return DGNT_LINE, b"".join(_wr_i32(v) for p in pts for v in p)
+    return DGNT_LINE_STRING, struct.pack("<H", len(pts)) + b"".join(
+        _wr_i32(v) for p in pts for v in p)
+
+
+def _rng(pts):
+    xs = [p[0] for p in pts]
+    ys = [p[1] for p in pts]
+    return (min(xs), min(ys), 0, max(xs), max(ys), 0)
+
+
 def write_dgn(df: DataFrame, path: str, geom_col: str = "geom",
               uor_scale: float = 1000.0, level_col: str | None = None,
+              text_col: str | None = None, complex_shapes: bool = False,
               max_rows: int = 1_000_000) -> None:
-    """Minimal DGN v7 writer (2D lines/linestrings/polygon shells):
-    TCB stub + one element per row + end-of-file word. Single-document
-    format, driver-streamed with a hard cap (write_kml policy). Polygon
-    holes are not representable as one SHAPE element and raise."""
+    """Minimal DGN v7 writer (2D lines/linestrings/polygon shells, TEXT
+    elements, complex chains for MULTILINESTRING): TCB carrying
+    ``uor_scale`` (subunits-per-master=1) + one element per row + EOF
+    word. Single-document format, driver-streamed with a hard cap
+    (write_kml policy). Polygon holes are not representable as one SHAPE
+    element and raise. ``text_col=``: rows with a non-null value write a
+    TEXT element at the geometry's first point. ``complex_shapes=True``
+    splits each polygon ring across two members of a COMPLEX SHAPE
+    header instead of one SHAPE element (for parity testing)."""
     elems = []
     n = 0
     for r in df.toLocalIterator():
@@ -169,34 +294,79 @@ def write_dgn(df: DataFrame, path: str, geom_col: str = "geom",
         if wkb is None:
             continue
         level = int(d.get(level_col, 0) or 0) if level_col else 0
+        txt = d.get(text_col) if text_col else None
         g = WKB.from_wkb(bytes(wkb))
+        if txt is not None:
+            if g.tag == G.POINT:
+                ox, oy = float(g.data[0]), float(g.data[1])
+            else:
+                p0 = g.flatten()[0]
+                xy = p0.data if p0.tag == G.POINT else p0.data[0]
+                ox, oy = float(xy[0]), float(xy[1])
+            ix, iy = int(round(ox * uor_scale)), int(round(oy * uor_scale))
+            raw = str(txt).encode("latin-1", "replace")[:255]
+            body = (bytes([0, 0]) + _wr_i32(0) + _wr_i32(0) + _wr_i32(0)
+                    + _wr_i32(ix) + _wr_i32(iy)
+                    + bytes([len(raw), 0]) + raw)
+            if len(body) % 2:
+                body += b"\x00"
+            elems.append(_element(DGNT_TEXT, level, 0,
+                                  (ix, iy, 0, ix, iy, 0), body))
+            continue
+        if g.tag == G.MULTILINESTRING:
+            # complex chain: type-12 header + one member per part
+            members = []
+            allpts = []
+            for part in g.data:
+                pts = [(int(round(p[0] * uor_scale)),
+                        int(round(p[1] * uor_scale))) for p in part.data]
+                allpts.extend(pts)
+                etype, body = _linework(pts)
+                members.append(_element(etype, level, 0, _rng(pts), body,
+                                        cmplx=True))
+            mem = b"".join(members)
+            hdr_body = struct.pack("<HH", len(mem) // 2, len(members))
+            elems.append(_element(DGNT_COMPLEX_CHAIN, level, 0,
+                                  _rng(allpts), hdr_body))
+            elems.append(mem)
+            continue
         if g.tag == G.LINESTRING:
             pts = [(int(round(p[0] * uor_scale)), int(round(p[1] * uor_scale)))
                    for p in g.data]
-            if len(pts) == 2:
-                etype = DGNT_LINE
-                body = b"".join(_wr_i32(v) for p in pts for v in p)
-            else:
-                etype = DGNT_LINE_STRING
-                body = struct.pack("<H", len(pts)) + b"".join(
-                    _wr_i32(v) for p in pts for v in p)
+            etype, body = _linework(pts)
         elif g.tag == G.POLYGON:
             if len(g.data) != 1:
                 raise ValueError("write_dgn: polygon holes are not "
                                  "representable as one SHAPE element")
             pts = [(int(round(p[0] * uor_scale)), int(round(p[1] * uor_scale)))
                    for p in g.data[0]]
+            if complex_shapes and len(pts) >= 4:
+                # split the ring into two members under a type-14 header
+                cut = max(2, len(pts) // 2)
+                parts = [pts[:cut], pts[cut - 1:]]
+                members = []
+                for ppts in parts:
+                    et, body = _linework(ppts)
+                    members.append(_element(et, level, 0, _rng(ppts), body,
+                                            cmplx=True))
+                mem = b"".join(members)
+                hdr_body = struct.pack("<HH", len(mem) // 2, len(members))
+                elems.append(_element(DGNT_COMPLEX_SHAPE, level, 0,
+                                      _rng(pts), hdr_body))
+                elems.append(mem)
+                continue
             etype = DGNT_SHAPE
             body = struct.pack("<H", len(pts)) + b"".join(
                 _wr_i32(v) for p in pts for v in p)
         else:
             raise ValueError(f"write_dgn: unsupported geometry tag {g.tag} "
                              "(2D line/linestring/polygon shell only)")
-        xs = [p[0] for p in pts]
-        ys = [p[1] for p in pts]
-        rng = (min(xs), min(ys), 0, max(xs), max(ys), 0)
-        elems.append(_element(etype, level, 0, rng, body))
-    # TCB stub: type 9, standard 1536-byte element (4 header + 766 words)
-    tcb = bytes([0, DGNT_TCB]) + struct.pack("<H", 766) + b"\x00" * 1532
+        elems.append(_element(etype, level, 0, _rng(pts), body))
+    # TCB: type 9, standard 1536-byte element (4 header + 766 words),
+    # stamped with subunits-per-master=1 @1112 and uor-per-subunit @1116
+    tcb = bytearray(bytes([0, DGNT_TCB]) + struct.pack("<H", 766)
+                    + b"\x00" * 1532)
+    tcb[1112:1116] = _wr_i32(1)
+    tcb[1116:1120] = _wr_i32(int(round(uor_scale)))
     with open(path, "wb") as fh:
-        fh.write(tcb + b"".join(elems) + b"\xff\xff")
+        fh.write(bytes(tcb) + b"".join(elems) + b"\xff\xff")

@@ -13,9 +13,12 @@ gdal.org/drivers/vector/gmt.html):
 
 POINT collections carry one feature per coordinate row; LINESTRING one
 per segment; POLYGON one shell (+ following @H hole segments) per
-feature. Attribute values use GMT's pipe separator with quoting left to
-the producer (values here never contain pipes when written by
-write_gmt)."""
+feature. MULTIPOLYGON collections (# @VGMT1.0 @GMULTIPOLYGON) delimit
+features by their "# @D" line: every @P shell (and its @H holes) up to
+the next @D belongs to the same feature — an attribute-less
+MULTIPOLYGON file is therefore one feature. Attribute values use GMT's
+pipe separator with quoting left to the producer (values here never
+contain pipes when written by write_gmt)."""
 
 from __future__ import annotations
 
@@ -57,6 +60,7 @@ def parse_gmt(path: str):
     cur_attrs = None
     cur_coords: list = []
     cur_rings: list = []
+    cur_polys: list = []  # MULTIPOLYGON: member ring-lists of the feature
     ring_role = "P"
 
     def close_segment():
@@ -65,11 +69,16 @@ def parse_gmt(path: str):
             return
         if gtype == "LINESTRING":
             feats.append((cur_attrs, G.linestring(cur_coords)))
-        elif gtype == "POLYGON":
+        elif gtype in ("POLYGON", "MULTIPOLYGON"):
             ring = list(cur_coords)
             if ring[0] != ring[-1]:
                 ring.append(list(ring[0]))
-            if ring_role == "H" and cur_rings:
+            if gtype == "MULTIPOLYGON":
+                if ring_role == "H" and cur_polys:
+                    cur_polys[-1].append(ring)
+                else:
+                    cur_polys.append([ring])
+            elif ring_role == "H" and cur_rings:
                 cur_rings.append(ring)
             else:
                 close_polygon()
@@ -81,6 +90,14 @@ def parse_gmt(path: str):
         if cur_rings:
             feats.append((cur_attrs_of_poly[0], G.polygon(cur_rings)))
             cur_rings = []
+
+    def close_multipolygon():
+        nonlocal cur_polys
+        if cur_polys:
+            polys = [G.polygon(rs) for rs in cur_polys]
+            geom = polys[0] if len(polys) == 1 else G.collect(polys)
+            feats.append((cur_attrs_of_poly[0], G.multi(geom)))
+            cur_polys = []
 
     cur_attrs_of_poly = [None]
 
@@ -101,8 +118,14 @@ def parse_gmt(path: str):
                 elif body.startswith("@T"):
                     types = body[2:].split("|")
                 elif body.startswith("@D"):
+                    if gtype == "MULTIPOLYGON":
+                        # a @D starts a new feature: flush rings seen so far
+                        close_segment()
+                        close_multipolygon()
                     cur_attrs = tuple(body[2:].split("|"))
                     if gtype == "POLYGON" and not cur_rings:
+                        cur_attrs_of_poly[0] = cur_attrs
+                    elif gtype == "MULTIPOLYGON":
                         cur_attrs_of_poly[0] = cur_attrs
                 continue
             if line.startswith(">"):
@@ -129,13 +152,38 @@ def parse_gmt(path: str):
     close_segment()
     if gtype == "POLYGON":
         close_polygon()
+    elif gtype == "MULTIPOLYGON":
+        close_multipolygon()
     fields = _parse_types(names, types)
     return gtype, fields, feats
 
 
+def gmt_header(path: str):
+    """Schema-only scan: @N/@T field declarations from the leading comment
+    block (stops at the first data/segment line — no coordinate parsing)."""
+    names, types = [], []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if not line.startswith("#"):
+                break
+            body = line[1:].strip()
+            if body.startswith("@N"):
+                names = body[2:].split("|")
+            elif body.startswith("@T"):
+                types = body[2:].split("|")
+    return _parse_types(names, types)
+
+
 def read_gmt(spark: SparkSession, path: str) -> DataFrame:
-    """ST_Read for .gmt: attributes per @N/@T declarations + WKB geom."""
+    """ST_Read for .gmt: attributes per @N/@T declarations + WKB geom.
+    Schema binds from the first file's header on the driver; per-file
+    parsing runs distributed (one input partition per file)."""
     from pyspark.sql import types as T
+
+    from ._distrib import distributed_file_read
 
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, "*.gmt")))
@@ -143,31 +191,37 @@ def read_gmt(spark: SparkSession, path: str) -> DataFrame:
         files = sorted(_glob.glob(path)) or [path]
     if not files:
         raise FileNotFoundError(path)
-    rows = []
-    fields = None
-    for fp in files:
-        _, f_fields, feats = parse_gmt(fp)
-        if fields is None:
-            fields = f_fields
+    fields = gmt_header(files[0])
+    schema = T.StructType(
+        [T.StructField(n, st, True) for n, st, _ in fields]
+        + [T.StructField("geom", T.BinaryType(), True)]
+    )
+
+    def per_file_rows(fp):
+        _, _, feats = parse_gmt(fp)
         for attrs, g in feats:
             vals = []
             for i, (_, _, gmt_t) in enumerate(fields):
                 raw = attrs[i] if attrs and i < len(attrs) else None
                 vals.append(_conv(raw, gmt_t))
-            rows.append(tuple(vals) + (WKB.to_wkb(g),))
-    schema = T.StructType(
-        [T.StructField(n, st, True) for n, st, _ in (fields or [])]
-        + [T.StructField("geom", T.BinaryType(), True)]
-    )
-    return spark.createDataFrame(rows, schema)
+            yield tuple(vals) + (WKB.to_wkb(g),)
+
+    return distributed_file_read(spark, files, schema, per_file_rows, "gmt")
+
+
+_TAG_NAMES = {G.POINT: "POINT", G.LINESTRING: "LINESTRING",
+              G.POLYGON: "POLYGON", G.MULTIPOLYGON: "MULTIPOLYGON"}
 
 
 def write_gmt(df: DataFrame, path: str, geom_col: str = "geom",
-              max_rows: int = 1_000_000) -> None:
+              max_rows: int = 1_000_000, gtype: str | None = None) -> None:
     """COPY TO (FORMAT GDAL, DRIVER GMT) analog: single ASCII document,
     driver-streamed with a hard cap (same policy as write_kml/write_gml).
-    Geometry collection type is taken from the first non-null row; mixed
-    point/line/polygon tables are not writable to one .gmt layer."""
+    Geometry collection type is taken from ``gtype=`` or the first
+    non-null row, and every later row is validated against it — mixed
+    point/line/polygon tables are not writable to one .gmt layer and
+    raise instead of corrupting the output. POLYGON rows are accepted
+    into a MULTIPOLYGON layer (promoted)."""
     props = [c for c in df.columns if c != geom_col]
     dtypes = dict(df.dtypes)
 
@@ -181,7 +235,9 @@ def write_gmt(df: DataFrame, path: str, geom_col: str = "geom",
 
     lines = []
     n = 0
-    gtag = None
+    gtag = gtype.upper() if gtype else None
+    if gtag is not None and gtag not in _TAG_NAMES.values():
+        raise ValueError(f"write_gmt: unsupported gtype {gtype!r}")
     for r in df.toLocalIterator():
         n += 1
         if n > max_rows:
@@ -191,11 +247,15 @@ def write_gmt(df: DataFrame, path: str, geom_col: str = "geom",
         if wkb is None:
             continue
         g = WKB.from_wkb(bytes(wkb))
+        rtag = _TAG_NAMES.get(g.tag)
+        if rtag is None:
+            raise ValueError(f"write_gmt: unsupported geometry tag {g.tag}")
         if gtag is None:
-            gtag = {G.POINT: "POINT", G.LINESTRING: "LINESTRING",
-                    G.POLYGON: "POLYGON"}.get(g.tag)
-            if gtag is None:
-                raise ValueError(f"write_gmt: unsupported geometry tag {g.tag}")
+            gtag = rtag
+        elif rtag != gtag and not (gtag == "MULTIPOLYGON" and rtag == "POLYGON"):
+            raise ValueError(
+                f"write_gmt: row {n} is {rtag} but the layer is {gtag}; "
+                "mixed-type tables are not writable to one .gmt layer")
         attrs = "|".join("" if d.get(c) is None else str(d[c]) for c in props)
         if gtag == "POINT":
             if props:
@@ -206,6 +266,17 @@ def write_gmt(df: DataFrame, path: str, geom_col: str = "geom",
             if props:
                 lines.append(f"# @D{attrs}")
             lines.extend(f"{p[0]!r} {p[1]!r}" for p in g.data)
+        elif gtag == "MULTIPOLYGON":
+            members = g.data if rtag == "MULTIPOLYGON" else [g]
+            first_seg = True
+            for poly in members:
+                for k, ring in enumerate(poly.data):
+                    lines.append("> @P" if k == 0 else "> @H")
+                    if first_seg:
+                        # the @D after the first segment delimits the feature
+                        lines.append(f"# @D{attrs}")
+                        first_seg = False
+                    lines.extend(f"{p[0]!r} {p[1]!r}" for p in ring)
         else:
             for k, ring in enumerate(g.data):
                 lines.append("> @P" if k == 0 else "> @H")

@@ -4,6 +4,7 @@ shape round trips, symbology defaults, skip behavior, dispatch."""
 import struct
 
 import pytest
+from pyspark.sql import functions as F
 
 from duckdb_spatial_spark.functions import register_all
 from duckdb_spatial_spark.sources import st_read, st_write
@@ -76,3 +77,63 @@ def test_holes_and_points_refused(spark, tmp_path):
         "ST_AsWKB(ST_Point(1.0, 2.0)) AS geom")
     with pytest.raises(ValueError, match="unsupported geometry"):
         write_dgn(pt, str(tmp_path / "p.dgn"))
+
+
+def test_tcb_uor_default_roundtrip(spark, tmp_path):
+    # the writer stamps uor_scale into the TCB; the reader's default
+    # picks it up without an explicit uor_scale=
+    register_all(spark)
+    df = spark.createDataFrame([(1.234567,)], "x double").selectExpr(
+        "ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(x, 0.0), ST_Point(x, 1.0)))) AS geom")
+    p = str(tmp_path / "tcb.dgn")
+    write_dgn(df, p, uor_scale=1_000_000)
+    r = read_dgn(spark, p).selectExpr("round(ST_XMin(geom), 6) AS x").first()
+    assert r.x == 1.234567
+    from duckdb_spatial_spark.sources.dgn import tcb_uor_scale
+    assert tcb_uor_scale(p) == 1_000_000.0
+
+
+def test_complex_chain_roundtrip(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_GeomFromText('MULTILINESTRING ((0 0, 1 0, 2 1),"
+        " (2 1, 3 5))')) AS geom")
+    p = str(tmp_path / "cc.dgn")
+    write_dgn(df, p)
+    back = read_dgn(spark, p)
+    r = back.selectExpr("ST_AsText(geom) AS t", "text").first()
+    # parts share the endpoint (2 1): chain concatenates into one linestring
+    assert r.t == "LINESTRING (0 0, 1 0, 2 1, 3 5)" and r.text is None
+
+
+def test_complex_shape_roundtrip(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_MakeEnvelope(0, 0, 8, 6)) AS geom")
+    p = str(tmp_path / "cs.dgn")
+    write_dgn(df, p, complex_shapes=True)
+    back = read_dgn(spark, p)
+    r = back.selectExpr("ST_GeometryType(geom) AS t",
+                        "round(ST_Area(geom), 6) AS a").first()
+    assert r.t == "POLYGON" and r.a == 48.0
+
+
+def test_text_elements(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, "Main St", 2.5, 3.25), (2, None, 0.0, 0.0)],
+        "id long, label string, x double, y double",
+    ).selectExpr("id", "label", "ST_AsWKB(ST_Point(x, y)) AS geom",
+                 "ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(x, y),"
+                 " ST_Point(x + 1, y)))) AS lgeom")
+    # text rows write TEXT elements; the null-label row needs a line geom
+    txt = df.where("label IS NOT NULL").select("label", "geom")
+    lines = df.where("label IS NULL").select(
+        F.lit(None).cast("string").alias("label"), F.col("lgeom").alias("geom"))
+    p = str(tmp_path / "txt.dgn")
+    write_dgn(txt.unionByName(lines), p, text_col="label")
+    back = read_dgn(spark, p)
+    rows = {r.text: r for r in back.selectExpr(
+        "text", "ST_AsText(geom) AS t").collect()}
+    assert rows["Main St"].t == "POINT (2.5 3.25)"
+    assert rows[None].t.startswith("LINESTRING")

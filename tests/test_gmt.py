@@ -66,3 +66,47 @@ def test_mixed_types_refused(spark, tmp_path):
         "id", "ST_AsWKB(ST_Collect(ARRAY(ST_Point(1.0, 2.0)))) AS geom")
     with pytest.raises(ValueError, match="unsupported geometry"):
         write_gmt(df, str(tmp_path / "x.gmt"))
+
+
+def test_multipolygon_roundtrip(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,), (2,)], "id long").selectExpr(
+        "id",
+        "CASE WHEN id = 1 THEN ST_AsWKB(ST_GeomFromText('MULTIPOLYGON ("
+        "((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)),"
+        " ((20 0, 25 0, 25 5, 20 5, 20 0)))'))"
+        " ELSE ST_AsWKB(ST_MakeEnvelope(40, 40, 42, 43)) END AS geom",
+    )
+    p = str(tmp_path / "mp.gmt")
+    write_gmt(df, p, gtype="MULTIPOLYGON")
+    back = read_gmt(spark, p)
+    rows = {r.id: r for r in back.selectExpr(
+        "id", "ST_GeometryType(geom) AS t", "ST_Area(geom) AS a",
+        "ST_NumGeometries(geom) AS n").collect()}
+    assert rows[1].t == "MULTIPOLYGON" and rows[1].n == 2
+    assert rows[1].a == 96.0 + 25.0
+    # POLYGON row promoted into the MULTIPOLYGON layer
+    assert rows[2].t == "MULTIPOLYGON" and rows[2].a == 6.0
+
+
+def test_multipolygon_no_attrs_single_feature(spark, tmp_path):
+    # attribute-less MULTIPOLYGON files still delimit features via the
+    # empty "# @D" line the writer emits
+    register_all(spark)
+    df = spark.createDataFrame([(1,), (2,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Multi(ST_MakeEnvelope(id * 10, 0, id * 10 + 5, 5))) AS geom")
+    p = str(tmp_path / "mpna.gmt")
+    write_gmt(df, p)
+    back = read_gmt(spark, p)
+    assert back.count() == 2
+
+
+def test_mixed_tag_rows_raise(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,), (2,)], "id long").selectExpr(
+        "id",
+        "CASE WHEN id = 1 THEN ST_AsWKB(ST_Point(1.0, 2.0))"
+        " ELSE ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(0.0, 0.0),"
+        " ST_Point(1.0, 1.0)))) END AS geom")
+    with pytest.raises(ValueError, match="mixed-type"):
+        write_gmt(df, str(tmp_path / "mix.gmt"))

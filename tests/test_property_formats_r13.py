@@ -82,7 +82,7 @@ def test_dgn_linestring_roundtrip_property(tmp_path_factory, lines):
     write_dgn(_geom_rows(geoms), p)
     feats = parse_dgn(p)
     assert len(feats) == len(geoms)
-    got = sorted(tuple(map(tuple, g.data[:, :2])) for _, _, _, _, g in feats)
+    got = sorted(tuple(map(tuple, g.data[:, :2])) for *_, g in feats)
     want = sorted(tuple(map(tuple, g.data[:, :2])) for g in geoms)
     assert got == want
 
