@@ -627,12 +627,20 @@ def st_read_meta(spark, path: str, format: str | None = None):
         })
         rows.append((path, "DGN", len(feats), ",".join(kinds), ""))
     elif format == "s57" or p.endswith(".000"):
-        from .s57 import parse_s57
+        from .s57 import parse_s57, s57_meta
 
         feats = parse_s57(path)
         kinds = sorted({{1: "Point", 2: "LineString", 3: "Polygon"}.get(pr, "?")
-                       for _, _, pr, _, _ in feats})
+                       for _, _, pr, *_ in feats})
         rows.append((path, "S57", len(feats), ",".join(kinds), "EPSG:4326"))
+        # DSID dataset-identification row (GDAL's S57 driver exposes the
+        # same through its DSID layer / metadata domain)
+        m = s57_meta(path)
+        dsid = ";".join(f"{k}={m[k]}" for k in ("dsnm", "edtn", "updn")
+                        if m.get(k))
+        if dsid:
+            rows.append((f"{path}:DSID", "S57", len(m.get("updates", [])),
+                         dsid, ""))
     elif (
         (format in ("geoparquet", "parquet") or p.endswith(".parquet"))
         and __import__("os").path.isfile(path)

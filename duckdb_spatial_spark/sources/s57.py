@@ -4,10 +4,14 @@ implementation of the PUBLIC structures: the ISO/IEC 8211 container
 (leader / directory / field area with 0x1E field and 0x1F unit
 terminators) and the IHO S-57 Part 3 binary field layouts:
 
+  DSID   data set identification (DSNM/EDTN/UPDN surfaced via
+         st_read_meta)
   DSPM   COMF coordinate multiplication factor (lat/lon = XCOO/COMF)
+         and SOMF sounding multiplication factor (depth = VE3D/SOMF)
   VRID   vector records (RCNM 110 VI / 120 VC isolated+connected nodes,
-         130 VE edges) with SG2D (YCOO,XCOO int32 LE pairs — Y first)
-         and VRPT begin/end-node pointers (NAME = RCNM byte + RCID LE)
+         130 VE edges) with SG2D (YCOO,XCOO int32 LE pairs — Y first),
+         SG3D sounding triplets (YCOO,XCOO,VE3D) and VRPT begin/end-node
+         pointers (NAME = RCNM byte + RCID LE)
   FRID   feature records (PRIM 1 point / 2 line / 3 area, OBJL class)
          with FSPT spatial pointers (NAME, ORNT 2 = reversed, USAG
          2 = interior ring)
@@ -15,23 +19,36 @@ terminators) and the IHO S-57 Part 3 binary field layouts:
 Feature geometry assembles exactly as GDAL does: FSPT pointers resolve
 to vector records; edge coordinates are the begin node + SG2D vertices
 + end node (VRPT TOPI 1/2), reversed under ORNT=2; area rings group by
-USAG. The reader takes field LAYOUTS from the published S-57 binary
-formats (they are fixed by the product spec), so a structurally exotic
-DDR cannot misdirect it; the writer emits a conformant-shaped DDR, one
-vector record per geometry and the FRID referencing it.
+USAG — multiple exterior rings become a MULTIPOLYGON with each interior
+ring attached to the shell containing it (GDAL organizes the same way
+via OGRGeometryFactory::organizePolygons). VI nodes carrying SG3D emit
+POINT Z / MULTIPOINT Z soundings. The reader takes field LAYOUTS from
+the published S-57 binary formats (they are fixed by the product spec),
+so a structurally exotic DDR cannot misdirect it; the writer emits a
+conformant-shaped DDR, one vector record per geometry and the FRID
+referencing it.
 
 ATTF attribute fields parse into a per-feature map of
 ``{ATTL code: value string}`` (values are lexical-level-0/1 strings
-terminated by the 0x1F unit terminator, per Part 3 §7.6.3); the writer
-emits them from an ``attrs=`` column-to-code mapping.
+terminated by the 0x1F unit terminator, per Part 3 §7.6.3); NATF
+national attributes parse the same way into a separate ``natf`` map.
+The writer emits them from ``attrs=`` / ``natf=`` column-to-code
+mappings.
 
-Out of scope (skipped, not raised): NATF national attributes, 3D
-soundings (SG3D), update files (.001+), multiple exterior rings."""
+Update files (.001, .002, ...) found next to the base .000 cell apply
+in numeric order at the RECORD level (S-57 Part 3 ch. 8): RUIN 1
+inserts the record, 2 deletes it by (RCNM, RCID), 3 modifies it —
+geometry/pointer fields (SG2D/SG3D/VRPT/FSPT) replace wholesale when
+present, ATTF/NATF merge per attribute code. The SGCC/VRPC/FSPC
+partial-edit control words are NOT interpreted (a conformant update
+built from whole-field replacement round-trips; GDAL's S57 driver
+additionally honors the partial-edit indices)."""
 
 from __future__ import annotations
 
 import glob as _glob
 import os
+import re as _re
 import struct
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,10 +78,16 @@ def iso8211_records(buf: bytes):
             return
         leader_id = chr(buf[off + 6])
         base = int(buf[off + 12 : off + 17])
+        # malformed/zero-padded leaders would loop forever or point the
+        # directory outside the record — bail loudly-by-stopping
+        if reclen <= 24 or base <= 24 or base > reclen:
+            return
         sz_len = int(chr(buf[off + 20]))
         sz_pos = int(chr(buf[off + 21]))
         sz_tag = int(chr(buf[off + 23]))
         entry = sz_tag + sz_len + sz_pos
+        if entry <= 0:
+            return
         d = off + 24
         fields = []
         while buf[d : d + 1] != _FT and d + entry <= off + base:
@@ -140,32 +163,131 @@ def _parse_attf(data: bytes) -> dict:
     return out
 
 
-def parse_s57(path: str):
-    """-> list of (rcid, objl, prim, attrs_dict, geometry)."""
-    with open(path, "rb") as fh:
-        buf = fh.read()
-    comf = 1.0
-    nodes: dict = {}   # (rcnm, rcid) -> [x, y]
-    edges: dict = {}   # (rcnm, rcid) -> dict(coords=[...], begin=NAME, end=NAME)
-    feats = []
+def _parse_dsid(data: bytes) -> dict:
+    """DSID: RCNM(1) RCID(4) EXPP(1) INTU(1) then UT-terminated DSNM,
+    EDTN, UPDN, UADT, ISDT strings (Part 3 §7.3.1.1)."""
+    out = {}
+    if len(data) < 7:
+        return out
+    parts = data[7:].split(_UT)
+    for key, val in zip(("dsnm", "edtn", "updn", "uadt", "isdt"), parts):
+        out[key] = val.decode("utf-8", "replace")
+    return out
+
+
+def _collect_records(buf: bytes):
+    """One pass over the ISO 8211 records -> (comf, somf, dsid_meta,
+    records). Each record: dict(kind 'V'|'F', rcnm, rcid, ruin, fmap)."""
+    comf, somf = 1.0, 10.0
+    dsid: dict = {}
+    records = []
     for leader_id, fields in iso8211_records(buf):
         if leader_id == "L":
             continue  # DDR: layouts come from the S-57 product spec
         fmap: dict = {}
         for tag, data in fields:
             fmap.setdefault(tag, []).append(data)
+        if "DSID" in fmap:
+            dsid = _parse_dsid(fmap["DSID"][0]) or dsid
         if "DSPM" in fmap:
             d = fmap["DSPM"][0]
             if len(d) >= 20:
                 comf = float(struct.unpack_from("<I", d, 16)[0]) or 1.0
+            if len(d) >= 24:
+                somf = float(struct.unpack_from("<I", d, 20)[0]) or 10.0
         if "VRID" in fmap:
             v = fmap["VRID"][0]
             rcnm, rcid = v[0], struct.unpack_from("<I", v, 1)[0]
+            ruin = v[7] if len(v) >= 8 else 1
+            records.append({"kind": "V", "rcnm": rcnm, "rcid": rcid,
+                            "ruin": ruin, "fmap": fmap})
+        if "FRID" in fmap:
+            f = fmap["FRID"][0]
+            rcnm, rcid = f[0], struct.unpack_from("<I", f, 1)[0]
+            if rcnm != RCNM_FE or len(f) < 12:
+                continue
+            ruin = f[11] if len(f) >= 12 else 1
+            records.append({"kind": "F", "rcnm": rcnm, "rcid": rcid,
+                            "ruin": ruin, "fmap": fmap})
+    return comf, somf, dsid, records
+
+
+
+def _apply_updates(base: list, upd: list) -> list:
+    """Record-level RUIN application: 1 insert, 2 delete, 3 modify."""
+    by_key = {(r["kind"], r["rcnm"], r["rcid"]): r for r in base}
+    order = [(r["kind"], r["rcnm"], r["rcid"]) for r in base]
+    for u in upd:
+        key = (u["kind"], u["rcnm"], u["rcid"])
+        if u["ruin"] == 2:
+            by_key.pop(key, None)
+        elif u["ruin"] == 3 and key in by_key:
+            tgt = by_key[key]["fmap"]
+            for tag, datas in u["fmap"].items():
+                if tag in ("0001", "VRID", "FRID"):
+                    continue
+                if tag in ("ATTF", "NATF"):
+                    # merge per attribute code
+                    merged = {}
+                    for d in tgt.get(tag, []):
+                        merged.update(_parse_attf(d))
+                    for d in datas:
+                        merged.update(_parse_attf(d))
+                    blob = b"".join(
+                        struct.pack("<H", k) + v.encode("utf-8") + _UT
+                        for k, v in merged.items())
+                    tgt[tag] = [blob]
+                else:
+                    tgt[tag] = list(datas)  # wholesale replacement
+        else:  # insert (or unknown RUIN: treat as insert, GDAL warns too)
+            if key not in by_key:
+                order.append(key)
+            by_key[key] = u
+    return [by_key[k] for k in order if k in by_key]
+
+
+def update_files_for(path: str) -> list[str]:
+    """Sibling update cells of a base .000, in numeric order."""
+    stem = os.path.splitext(path)[0]
+    out = []
+    for fp in _glob.glob(stem + ".[0-9][0-9][0-9]"):
+        ext = fp.rsplit(".", 1)[1]
+        if _re.fullmatch(r"\d{3}", ext) and ext != "000":
+            out.append((int(ext), fp))
+    return [fp for _, fp in sorted(out)]
+
+
+def parse_s57(path: str, apply_updates: bool = True):
+    """-> list of (rcid, objl, prim, attrs_dict, natf_dict, geometry).
+    ``apply_updates`` folds sibling .001+ cells into the base first."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    comf, somf, _dsid, records = _collect_records(buf)
+    if apply_updates and path.endswith(".000"):
+        for up in update_files_for(path):
+            with open(up, "rb") as fh:
+                ubuf = fh.read()
+            _, _, _, urecs = _collect_records(ubuf)
+            records = _apply_updates(records, urecs)
+
+    nodes: dict = {}    # (rcnm, rcid) -> [x, y]
+    nodes3d: dict = {}  # (rcnm, rcid) -> [[x, y, z], ...]
+    edges: dict = {}    # (rcnm, rcid) -> dict(coords, begin, end)
+    feats = []
+    for r in records:
+        fmap = r["fmap"]
+        if r["kind"] == "V":
+            rcnm, rcid = r["rcnm"], r["rcid"]
             coords = []
             for sg in fmap.get("SG2D", []):
                 for i in range(0, len(sg) - 7, 8):
                     y, x = struct.unpack_from("<ii", sg, i)
                     coords.append([x / comf, y / comf])
+            sounds = []
+            for sg in fmap.get("SG3D", []):
+                for i in range(0, len(sg) - 11, 12):
+                    y, x, z = struct.unpack_from("<iii", sg, i)
+                    sounds.append([x / comf, y / comf, z / somf])
             rec = {"coords": coords, "begin": None, "end": None}
             for vp in fmap.get("VRPT", []):
                 for i in range(0, len(vp) - 8, 9):
@@ -176,15 +298,17 @@ def parse_s57(path: str):
                     elif topi == 2:
                         rec["end"] = nm
             if rcnm in (RCNM_VI, RCNM_VC):
+                if sounds:
+                    nodes3d[(rcnm, rcid)] = sounds
                 if coords:
                     nodes[(rcnm, rcid)] = coords[0]
+                elif sounds:
+                    nodes[(rcnm, rcid)] = sounds[0][:2]
             elif rcnm == RCNM_VE:
                 edges[(rcnm, rcid)] = rec
-        if "FRID" in fmap:
+        else:
             f = fmap["FRID"][0]
-            rcnm, rcid = f[0], struct.unpack_from("<I", f, 1)[0]
-            if rcnm != RCNM_FE or len(f) < 12:
-                continue
+            rcid = r["rcid"]
             prim = f[5]
             objl = struct.unpack_from("<H", f, 7)[0]
             ptrs = []
@@ -196,10 +320,23 @@ def parse_s57(path: str):
             attrs = {}
             for a in fmap.get("ATTF", []):
                 attrs.update(_parse_attf(a))
-            g = _assemble(prim, ptrs, nodes, edges)
+            natf = {}
+            for a in fmap.get("NATF", []):
+                natf.update(_parse_attf(a))
+            g = _assemble(prim, ptrs, nodes, edges, nodes3d)
             if g is not None:
-                feats.append((rcid, objl, prim, attrs, g))
+                feats.append((rcid, objl, prim, attrs, natf, g))
     return feats
+
+
+def s57_meta(path: str) -> dict:
+    """DSID metadata (dsnm/edtn/updn/...) + comf/somf + applied updates."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    comf, somf, dsid, records = _collect_records(buf)
+    ups = update_files_for(path) if path.endswith(".000") else []
+    return {"comf": comf, "somf": somf, "updates": [os.path.basename(u)
+                                                    for u in ups], **dsid}
 
 
 def _edge_coords(nm, ornt, nodes, edges):
@@ -216,9 +353,13 @@ def _edge_coords(nm, ornt, nodes, edges):
     return pts
 
 
-def _assemble(prim, ptrs, nodes, edges):
+def _assemble(prim, ptrs, nodes, edges, nodes3d=None):
     if prim == PRIM_P:
         for nm, _, _ in ptrs:
+            if nodes3d and nm in nodes3d:
+                snd = nodes3d[nm]
+                pts = [G.point(p[0], p[1], p[2]) for p in snd]
+                return pts[0] if len(pts) == 1 else G.collect(pts)
             if nm in nodes:
                 xy = nodes[nm]
                 return G.point(xy[0], xy[1])
@@ -258,14 +399,36 @@ def _assemble(prim, ptrs, nodes, edges):
             (holes if usag == 2 else exterior).append(ring)
         if not exterior:
             return None
-        return G.polygon([exterior[0]] + holes)
+        if len(exterior) == 1:
+            return G.polygon(exterior[0:1] + holes)
+        # multiple exterior rings: each interior ring attaches to the
+        # shell that contains it -> MULTIPOLYGON
+        from ..geo.algorithms import point_in_ring
+        import numpy as np
+
+        shells = [np.asarray(r, dtype=np.float64) for r in exterior]
+        grouped = [[s] for s in shells]
+        for h in holes:
+            ha = np.asarray(h, dtype=np.float64)
+            for k, s in enumerate(shells):
+                if point_in_ring(float(ha[0][0]), float(ha[0][1]), s) == 2:
+                    grouped[k].append(ha)
+                    break
+            else:
+                grouped[0].append(ha)
+        return G.collect([G.Geometry(G.POLYGON, rs) for rs in grouped])
     return None
 
 
-def read_s57(spark: SparkSession, path: str) -> DataFrame:
-    """ST_Read for .000 ENC cells: (rcid, objl, prim, attrs, geom) —
-    ``attrs`` is the ATTF map {attribute code: value string}."""
+def read_s57(spark: SparkSession, path: str,
+             apply_updates: bool = True) -> DataFrame:
+    """ST_Read for .000 ENC cells: (rcid, objl, prim, attrs, natf, geom) —
+    ``attrs``/``natf`` are the ATTF/NATF maps {attribute code: value}.
+    Sibling update cells (.001+) apply first; per-file parsing runs
+    distributed (one input partition per base cell)."""
     from pyspark.sql import types as T
+
+    from ._distrib import distributed_file_read
 
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, "*.000")))
@@ -273,22 +436,25 @@ def read_s57(spark: SparkSession, path: str) -> DataFrame:
         files = sorted(_glob.glob(path)) or [path]
     if not files:
         raise FileNotFoundError(path)
-    rows = []
-    for fp in files:
-        for rcid, objl, prim, attrs, g in parse_s57(fp):
-            rows.append((int(rcid), int(objl), int(prim),
-                         {int(k): str(v) for k, v in attrs.items()},
-                         WKB.to_wkb(g)))
     schema = T.StructType(
         [
             T.StructField("rcid", T.LongType()),
             T.StructField("objl", T.IntegerType()),
             T.StructField("prim", T.IntegerType()),
             T.StructField("attrs", T.MapType(T.IntegerType(), T.StringType())),
+            T.StructField("natf", T.MapType(T.IntegerType(), T.StringType())),
             T.StructField("geom", T.BinaryType()),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+
+    def per_file_rows(fp):
+        for rcid, objl, prim, attrs, natf, g in parse_s57(fp, apply_updates):
+            yield (int(rcid), int(objl), int(prim),
+                   {int(k): str(v) for k, v in attrs.items()},
+                   {int(k): str(v) for k, v in natf.items()},
+                   WKB.to_wkb(g))
+
+    return distributed_file_read(spark, files, schema, per_file_rows, "s57")
 
 
 # --------------------------------------------------------------------------
@@ -297,23 +463,35 @@ def read_s57(spark: SparkSession, path: str) -> DataFrame:
 _DDR_FIELDS = [
     ("0000", b"0100;&   S57 subset"),
     ("0001", b"0100;&ISO 8211 Record Identifier"),
+    ("DSID", b"1600;&Data set identification field"),
     ("DSPM", b"1600;&Data set parameter field"),
     ("VRID", b"1600;&Vector record identifier field"),
     ("SG2D", b"2600;&2-D coordinate field"),
+    ("SG3D", b"2600;&3-D coordinate (sounding array) field"),
     ("VRPT", b"2600;&Vector record pointer field"),
     ("FRID", b"1600;&Feature record identifier field"),
+    ("ATTF", b"2600;&Feature record attribute field"),
+    ("NATF", b"2600;&Feature record national attribute field"),
     ("FSPT", b"2600;&Feature to spatial record pointer field"),
 ]
 
 
-def _vrid(rcnm: int, rcid: int) -> bytes:
-    return bytes([rcnm]) + struct.pack("<IHB", rcid, 1, 1)
+def _vrid(rcnm: int, rcid: int, ruin: int = 1, rver: int = 1) -> bytes:
+    return bytes([rcnm]) + struct.pack("<IHB", rcid, rver, ruin)
 
 
 def _sg2d(coords, comf: float) -> bytes:
     out = b""
     for x, y in coords:
         out += struct.pack("<ii", int(round(y * comf)), int(round(x * comf)))
+    return out
+
+
+def _sg3d(coords, comf: float, somf: float) -> bytes:
+    out = b""
+    for x, y, z in coords:
+        out += struct.pack("<iii", int(round(y * comf)),
+                           int(round(x * comf)), int(round(z * somf)))
     return out
 
 
@@ -324,28 +502,46 @@ def _fspt(entries) -> bytes:
     return out
 
 
+def _attf_blob(d, mapping) -> bytes:
+    blob = b""
+    for col, code in mapping.items():
+        v = d.get(col)
+        if v is None:
+            continue
+        blob += struct.pack("<H", int(code)) + str(v).encode("utf-8") + _UT
+    return blob
+
+
 def write_s57(df: DataFrame, path: str, geom_col: str = "geom",
               objl_col: str | None = None, comf: float = 10_000_000.0,
-              attrs: dict | None = None,
+              somf: float = 10.0, attrs: dict | None = None,
+              natf: dict | None = None, dsnm: str | None = None,
               max_rows: int = 1_000_000) -> None:
-    """Minimal ENC writer: DDR + DSPM record, one vector record (VI node /
-    VE edge) per geometry and the FRID feature referencing it via FSPT.
-    Points/linestrings/polygons (with holes: one closed VE per ring,
-    interior rings at USAG 2). Single-document format, driver-streamed
-    with a hard cap (write_kml policy).
+    """Minimal ENC writer: DDR + DSID/DSPM record, one vector record (VI
+    node / VE edge) per geometry and the FRID feature referencing it via
+    FSPT. Points/linestrings/polygons (holes: one closed VE per ring,
+    interior rings at USAG 2; MULTIPOLYGON: every shell at USAG 1).
+    POINT Z / MULTIPOINT Z write SG3D sounding arrays on a VI node.
+    Single-document format, driver-streamed with a hard cap (write_kml
+    policy).
 
     ``attrs={column: ATTL_code}`` writes each listed column's non-null
-    values as ATTF (code, stringified value) pairs on the feature."""
+    values as ATTF (code, stringified value) pairs on the feature;
+    ``natf=`` does the same into the NATF national-attribute field."""
     recs = [_mk_record("L", _DDR_FIELDS, field_control_len="09")]
+    name = (dsnm or os.path.basename(path)).encode("utf-8")
+    dsid = (bytes([10]) + struct.pack("<I", 1) + bytes([1, 1])
+            + name + _UT + b"1" + _UT + b"0" + _UT)
     dspm = (
         bytes([20])
         + struct.pack("<I", 1)
         + bytes([2, 7, 1])
         + struct.pack("<I", 52000)
         + bytes([1, 1, 1, 1])
-        + struct.pack("<II", int(comf), 10)
+        + struct.pack("<II", int(comf), int(somf))
     )
-    recs.append(_mk_record("D", [("0001", struct.pack("<H", 1)), ("DSPM", dspm)]))
+    recs.append(_mk_record("D", [("0001", struct.pack("<H", 1)),
+                                 ("DSID", dsid), ("DSPM", dspm)]))
     next_rc = [1]
     recno = [2]
 
@@ -365,7 +561,18 @@ def write_s57(df: DataFrame, path: str, geom_col: str = "geom",
         objl = int(d.get(objl_col, 1) or 1) if objl_col else 1
         g = WKB.from_wkb(bytes(wkb))
         fspt_entries = []
-        if g.tag == G.POINT:
+        if g.has_z and g.tag in (G.POINT, G.MULTIPOINT):
+            pts = ([list(g.data)] if g.tag == G.POINT
+                   else [list(m.data) for m in g.data])
+            rcid = next_rc[0]; next_rc[0] += 1
+            recs.append(rec([
+                ("VRID", _vrid(RCNM_VI, rcid)),
+                ("SG3D", _sg3d([(p[0], p[1], p[2]) for p in pts],
+                               comf, somf)),
+            ]))
+            prim = PRIM_P
+            fspt_entries.append(((RCNM_VI, rcid), 1, 1))
+        elif g.tag == G.POINT:
             rcid = next_rc[0]; next_rc[0] += 1
             recs.append(rec([
                 ("VRID", _vrid(RCNM_VI, rcid)),
@@ -381,30 +588,60 @@ def write_s57(df: DataFrame, path: str, geom_col: str = "geom",
             ]))
             prim = PRIM_L
             fspt_entries.append(((RCNM_VE, rcid), 1, 1))
-        elif g.tag == G.POLYGON:
+        elif g.tag in (G.POLYGON, G.MULTIPOLYGON):
             prim = PRIM_A
-            for k, ring in enumerate(g.data):
-                rcid = next_rc[0]; next_rc[0] += 1
-                recs.append(rec([
-                    ("VRID", _vrid(RCNM_VE, rcid)),
-                    ("SG2D", _sg2d([(p[0], p[1]) for p in ring], comf)),
-                ]))
-                fspt_entries.append(((RCNM_VE, rcid), 1, 2 if k else 1))
+            polys = [g] if g.tag == G.POLYGON else list(g.data)
+            for poly in polys:
+                for k, ring in enumerate(poly.data):
+                    rcid = next_rc[0]; next_rc[0] += 1
+                    recs.append(rec([
+                        ("VRID", _vrid(RCNM_VE, rcid)),
+                        ("SG2D", _sg2d([(p[0], p[1]) for p in ring], comf)),
+                    ]))
+                    fspt_entries.append(((RCNM_VE, rcid), 1, 2 if k else 1))
         else:
             raise ValueError(f"write_s57: unsupported geometry tag {g.tag}")
         frid_id = next_rc[0]; next_rc[0] += 1
         frid = bytes([RCNM_FE]) + struct.pack("<I", frid_id) + bytes(
             [prim, 1]) + struct.pack("<HHB", objl, 1, 1)
         fields = [("FRID", frid), ("FSPT", _fspt(fspt_entries))]
+        if natf:
+            blob = _attf_blob(d, natf)
+            if blob:
+                fields.insert(1, ("NATF", blob))
         if attrs:
-            attf = b""
-            for col, code in attrs.items():
-                v = d.get(col)
-                if v is None:
-                    continue
-                attf += struct.pack("<H", int(code)) + str(v).encode("utf-8") + _UT
-            if attf:
-                fields.insert(1, ("ATTF", attf))
+            blob = _attf_blob(d, attrs)
+            if blob:
+                fields.insert(1, ("ATTF", blob))
         recs.append(rec(fields))
+    with open(path, "wb") as fh:
+        fh.write(b"".join(recs))
+
+
+def write_s57_update(path: str, ops, comf: float = 10_000_000.0,
+                     somf: float = 10.0) -> None:
+    """Build an update cell (.001+). ``ops`` is a list of dicts:
+
+      {"kind": "F"|"V", "rcnm": int, "rcid": int, "ruin": 1|2|3,
+       "fields": [(tag, payload_bytes), ...]}     (fields for insert/modify)
+
+    The VRID/FRID identifier is synthesized from kind/rcnm/rcid/ruin;
+    extra fields (SG2D blobs via ``sg2d()``, ATTF via ``attf()``) pass
+    through verbatim. Mirrors the base writer's record shape so the
+    reader's record-level update application exercises the real path."""
+    recs = [_mk_record("L", _DDR_FIELDS, field_control_len="09")]
+    recno = [1]
+    for op in ops:
+        recno[0] += 1
+        if op["kind"] == "V":
+            ident = ("VRID", _vrid(op["rcnm"], op["rcid"], ruin=op["ruin"]))
+        else:
+            frid = bytes([RCNM_FE]) + struct.pack("<I", op["rcid"]) + bytes(
+                [op.get("prim", PRIM_P), 1]) + struct.pack(
+                "<HHB", op.get("objl", 1), 2, op["ruin"])
+            ident = ("FRID", frid)
+        fields = [("0001", struct.pack("<H", recno[0])), ident]
+        fields += [tuple(f) for f in op.get("fields", [])]
+        recs.append(_mk_record("D", fields))
     with open(path, "wb") as fh:
         fh.write(b"".join(recs))

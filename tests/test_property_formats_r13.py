@@ -66,7 +66,7 @@ def test_s57_polygon_roundtrip_property(tmp_path_factory, rects):
     write_s57(_geom_rows(geoms), p)
     feats = parse_s57(p)
     assert len(feats) == len(geoms)
-    got = sorted(tuple(map(tuple, g.data[0][:, :2])) for _, _, _, _, g in feats)
+    got = sorted(tuple(map(tuple, g.data[0][:, :2])) for *_, g in feats)
     want = sorted(tuple(map(tuple, g.data[0][:, :2])) for g in geoms)
     assert got == want
 

@@ -88,7 +88,7 @@ def test_edge_node_resolution_and_orientation(spark, tmp_path):
         f.write(b"".join(recs))
     feats = parse_s57(p)
     assert len(feats) == 1
-    rcid, objl, prim, attrs, g = feats[0]
+    rcid, objl, prim, attrs, natf, g = feats[0]
     assert (rcid, objl, prim) == (9, 42, 2)
     pts = [list(p[:2]) for p in g.data]
     assert pts == [[3.0, 3.0], [2.0, 2.0], [1.0, 1.0], [0.0, 0.0]]
@@ -121,3 +121,96 @@ def test_attf_attributes_roundtrip(spark, tmp_path):
         key=lambda r: (r.objnam is None, r.objnam))
     assert rows[0].objnam == "Elbe Light" and rows[0].valsou == "12.5"
     assert rows[1].objnam is None and rows[1].valsou == "7.0"
+
+
+def test_sg3d_soundings_roundtrip(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,), (2,)], "id long").selectExpr(
+        "CAST(id AS INT) AS objl",
+        "CASE WHEN id = 1 THEN ST_AsWKB(ST_GeomFromText("
+        "'MULTIPOINT Z ((1.5 2.5 10.3), (3.25 4.0 7.1))'))"
+        " ELSE ST_AsWKB(ST_GeomFromText('POINT Z (5.5 6.5 2.2)')) END AS geom")
+    p = str(tmp_path / "snd.000")
+    write_s57(df, p, objl_col="objl")
+    back = read_s57(spark, p)
+    rows = {r.objl: r for r in back.selectExpr(
+        "objl", "ST_GeometryType(geom) AS t", "ST_AsText(geom) AS w",
+        "ST_NPoints(geom) AS n").collect()}
+    assert rows[1].t == "MULTIPOINT" and rows[1].n == 2
+    assert "10.3" in rows[1].w and "7.1" in rows[1].w
+    assert rows[2].t == "POINT" and "2.2" in rows[2].w
+
+
+def test_natf_roundtrip(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1, "Nationale", "Intl")],
+                               "id long, nname string, iname string").selectExpr(
+        "nname", "iname", "ST_AsWKB(ST_Point(1.0, 2.0)) AS geom")
+    p = str(tmp_path / "natf.000")
+    write_s57(df, p, attrs={"iname": 116}, natf={"nname": 300})
+    r = read_s57(spark, p).selectExpr(
+        "attrs[116] AS i", "natf[300] AS n").first()
+    assert r.i == "Intl" and r.n == "Nationale"
+
+
+def test_multi_exterior_rings_multipolygon(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_GeomFromText('MULTIPOLYGON ("
+        "((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)),"
+        " ((20 0, 25 0, 25 5, 20 5, 20 0)))')) AS geom")
+    p = str(tmp_path / "mp.000")
+    write_s57(df, p)
+    r = read_s57(spark, p).selectExpr(
+        "ST_GeometryType(geom) AS t", "ST_NumGeometries(geom) AS n",
+        "round(ST_Area(geom), 6) AS a").first()
+    # two shells -> MULTIPOLYGON; the hole attaches to the 10x10 shell
+    assert r.t == "MULTIPOLYGON" and r.n == 2 and r.a == 96.0 + 25.0
+
+
+def test_update_files_applied(spark, tmp_path):
+    register_all(spark)
+    from duckdb_spatial_spark.sources.s57 import (
+        RCNM_VI, _sg2d, _vrid, s57_meta, write_s57_update,
+    )
+
+    base_df = spark.createDataFrame([(1, "Alpha"), (2, "Beta"), (3, "Gamma")],
+                                    "id long, nm string").selectExpr(
+        "CAST(id AS INT) AS objl", "nm",
+        "ST_AsWKB(ST_Point(CAST(id AS DOUBLE), 50.0)) AS geom")
+    p = str(tmp_path / "upd.000")
+    write_s57(base_df, p, objl_col="objl", attrs={"nm": 116}, dsnm="UPDCELL")
+    comf = 10_000_000.0
+    # the writer allocates vector rcid 1..3 and feature rcid 4? -> feature
+    # FRIDs interleave: VI=1,FRID=2, VI=3,FRID=4, VI=5,FRID=6
+    base = {(r.rcid): r for r in read_s57(spark, p).collect()}
+    assert sorted(base) == [2, 4, 6]
+    # update 1: delete feature rcid 4 (Beta); move node of feature 2 (VI 1)
+    write_s57_update(str(tmp_path / "upd.001"), [
+        {"kind": "F", "rcnm": 100, "rcid": 4, "ruin": 2},
+        {"kind": "V", "rcnm": RCNM_VI, "rcid": 1, "ruin": 3,
+         "fields": [("SG2D", _sg2d([(9.5, 51.5)], comf))]},
+    ])
+    # update 2: modify feature 6's attribute 116 (merge)
+    write_s57_update(str(tmp_path / "upd.002"), [
+        {"kind": "F", "rcnm": 100, "rcid": 6, "ruin": 3, "prim": 1,
+         "fields": [("ATTF", struct.pack("<H", 116) + b"Delta" + b"\x1f")]},
+    ])
+    back = {r.rcid: r for r in read_s57(spark, p).selectExpr(
+        "rcid", "attrs[116] AS nm", "ST_X(geom) AS x").collect()}
+    assert sorted(back) == [2, 6]            # Beta deleted
+    assert back[2].x == 9.5                  # node moved by update 1
+    assert back[2].nm == "Alpha"             # attrs untouched
+    assert back[6].nm == "Delta"             # attr merged by update 2
+    # apply_updates=False reads the raw base cell
+    raw = read_s57(spark, p, apply_updates=False)
+    assert raw.count() == 3
+    m = s57_meta(p)
+    assert m["dsnm"] == "UPDCELL" and m["updates"] == ["upd.001", "upd.002"]
+
+
+def test_malformed_leader_no_hang(tmp_path):
+    # zero/garbage record length must terminate the generator, not loop
+    from duckdb_spatial_spark.sources.s57 import iso8211_records
+    bad = b"00000" + b"3D" + b"E1 " + b"09" + b"00000" + b" ! " + b"110" + b"4"
+    assert list(iso8211_records(bad + b"\x00" * 64)) == []
