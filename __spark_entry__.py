@@ -4160,12 +4160,197 @@ def q_dup_spans(spark, sf_dir):
     ).select("doc_id", "span_windows", "dup_windows", "dup_share")
 
 
+
+
+def q_spatial_transform_tranche5(spark, sf_dir):
+    """EPSG registry tranche 5 (r14): the Krovak (EPSG 9819, S-JTSK /
+    5514) and New Zealand Map Grid (EPSG 9811, NZGD49 / 27200) projection
+    kernels — the last projection families the reference resolves via its
+    embedded PROJ that this engine lacked (proj/functions.cpp:487-508).
+    Every row is a MATHEMATICAL identity so the oracle is independent:
+    row 1 projects NZMG's natural origin from NZGD49 geographic (must
+    land exactly on the false origin); rows 2-3 are WGS84 round trips
+    through each grid (must return the input at 1e-6 deg); row 4 pins the
+    Krovak East North negative-axis and NZMG positive-axis conventions
+    via sign()."""
+    _prep(spark, sf_dir)
+    origin = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS id, 173.0 AS lon, -41.0 AS lat"
+    ).selectExpr(
+        "id",
+        "round(ST_X(ST_Transform(ST_Point(lon, lat), 'EPSG:4272', 'EPSG:27200', true)), 3) AS e",
+        "round(ST_Y(ST_Transform(ST_Point(lon, lat), 'EPSG:4272', 'EPSG:27200', true)), 3) AS n",
+    )
+    rts = spark.createDataFrame(
+        [(2, 174.7762, -41.2865, "EPSG:27200"),
+         (3, 14.4208, 50.0880, "EPSG:5514")],
+        "id long, lon double, lat double, grid string",
+    ).selectExpr(
+        "id",
+        "round(ST_X(ST_Transform(ST_Transform(ST_Point(lon, lat),"
+        " 'OGC:CRS84', grid, true), grid, 'OGC:CRS84', true)) - lon, 6) AS e",
+        "round(ST_Y(ST_Transform(ST_Transform(ST_Point(lon, lat),"
+        " 'OGC:CRS84', grid, true), grid, 'OGC:CRS84', true)) - lat, 6) AS n",
+    )
+    signs = spark.sql(
+        "SELECT CAST(4 AS BIGINT) AS id"
+    ).selectExpr(
+        "id",
+        "CAST(sign(ST_X(ST_Transform(ST_Point(14.4208, 50.0880),"
+        " 'OGC:CRS84', 'EPSG:5514', true))) AS DOUBLE) AS e",
+        "CAST(sign(ST_X(ST_Transform(ST_Point(174.7762, -41.2865),"
+        " 'OGC:CRS84', 'EPSG:27200', true))) AS DOUBLE) AS n",
+    )
+    return origin.unionByName(rts).unionByName(signs)
+
+
+def q_vrt_union_sql(spark, sf_dir):
+    """OGR VRT depth (r14): OGRVRTUnionLayer (unionByName of member
+    layers) and SrcSQL (the statement runs through the Spark SQL engine
+    over a temp view of the source) — GDAL's VRT driver supports both
+    (gdal.org/drivers/vector/vrt). Member a derives points from x/y
+    columns; member b runs SrcSQL that filters id < 100 and shifts the
+    id by 10000, proving per-member SQL + geometry derivation compose
+    under the union."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import st_read
+
+    tmp = _fresh_tmp("vrt_union_q")
+    csvdir = os.path.join(tmp, "pts_csv")
+    (
+        spark.sql(_PTS).filter("id < 300")
+        .selectExpr("id", "x AS px", "y AS py")
+        .coalesce(1).write.option("header", True).csv(csvdir)
+    )
+    vrt = os.path.join(tmp, "u.vrt")
+    with open(vrt, "w", encoding="utf-8") as f:
+        f.write(
+            "<OGRVRTDataSource><OGRVRTUnionLayer name='u'>"
+            "<OGRVRTLayer name='a'>"
+            f"<SrcDataSource relativeToVRT='0'>{csvdir}</SrcDataSource>"
+            "<GeometryField encoding='PointFromColumns' x='px' y='py'/>"
+            "<Field name='feature_id' src='id'/>"
+            "</OGRVRTLayer>"
+            "<OGRVRTLayer name='b'>"
+            f"<SrcDataSource relativeToVRT='0'>{csvdir}</SrcDataSource>"
+            "<SrcSQL>SELECT id + 10000 AS feature_id, px, py"
+            " FROM pts WHERE id &lt; 100</SrcSQL>"
+            "<GeometryField encoding='PointFromColumns' x='px' y='py'/>"
+            "</OGRVRTLayer>"
+            "</OGRVRTUnionLayer></OGRVRTDataSource>"
+        )
+    df = st_read(spark, vrt)
+    return df.selectExpr(
+        "CAST(feature_id AS BIGINT) AS feature_id",
+        "round(ST_X(geom), 6) AS x",
+        "round(ST_Y(geom), 6) AS y",
+    )
+
+
+def q_s57_depth(spark, sf_dir):
+    """S-57 depth (r14, sources/s57.py): SG3D sounding arrays (POINT Z /
+    MULTIPOINT Z via the DSPM SOMF divisor), NATF national attributes,
+    multi-exterior-ring areas assembling as MULTIPOLYGON, and .001
+    update-cell application (RUIN delete + ATTF-merge modify) — GDAL's
+    S57 driver covers the same surface (S-57 Part 3 ch. 8). Coordinates
+    quantize at 1/COMF = 1e-7 deg so 5-decimal rounding is exact; depths
+    at 1/SOMF = 0.1."""
+    _prep(spark, sf_dir)
+    import os
+    import struct as _struct
+
+    from duckdb_spatial_spark.sources import read_s57, write_s57
+    from duckdb_spatial_spark.sources.s57 import write_s57_update
+
+    df = spark.createDataFrame(
+        [(1, 129, "Alpha", None),
+         (2, 1, "Beta", None),
+         (3, 2, "Gamma", None),
+         (4, 3, None, "Nat")],
+        "id long, objl int, nm string, nn string",
+    ).selectExpr(
+        "objl", "nm", "nn",
+        "CASE WHEN id = 1 THEN ST_AsWKB(ST_GeomFromText("
+        "'MULTIPOINT Z ((1.5 2.5 10.3), (3.25 4 7.1))'))"
+        " WHEN id = 2 THEN ST_AsWKB(ST_Point(5.0, 6.0))"
+        " WHEN id = 3 THEN ST_AsWKB(ST_GeomFromText('MULTIPOLYGON ("
+        "((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 4 2, 4 4, 2 4, 2 2)),"
+        " ((20 0, 25 0, 25 5, 20 5, 20 0)))'))"
+        " ELSE ST_AsWKB(ST_Point(7.0, 8.0)) END AS geom",
+    )
+    tmp = _fresh_tmp("s57_depth_q")
+    path = os.path.join(tmp, "cell.000")
+    write_s57(df, path, objl_col="objl", attrs={"nm": 116}, natf={"nn": 300},
+              dsnm="R14CELL")
+    # update 1: delete the Beta feature (FRID rcid 4), re-attribute Alpha
+    write_s57_update(os.path.join(tmp, "cell.001"), [
+        {"kind": "F", "rcnm": 100, "rcid": 4, "ruin": 2},
+        {"kind": "F", "rcnm": 100, "rcid": 2, "ruin": 3, "prim": 1,
+         "fields": [("ATTF", _struct.pack("<H", 116) + b"Delta" + b"\x1f")]},
+    ])
+    back = read_s57(spark, path)
+    return back.selectExpr(
+        "rcid", "objl",
+        "attrs[116] AS nm", "natf[300] AS nn",
+        "ST_GeometryType(geom) AS t",
+        "ST_NPoints(geom) AS np",
+        "round(ST_Area(geom), 6) AS a",
+        "CASE WHEN ST_HasZ(geom) THEN round(ST_ZMax(geom), 1)"
+        " ELSE -1.0 END AS zmx",
+    )
+
+
+def q_dgn_depth(spark, sf_dir):
+    """DGN depth (r14, sources/dgn.py): complex chains (type 12 headers
+    assembling member linestrings), complex shapes (type 14 -> POLYGON),
+    TEXT elements (type 17 -> POINT + text column) and the TCB-carried
+    uor_scale default — dgnlib/GDAL's DGN driver reads the same element
+    types. Two design files in one directory also exercise the
+    distributed per-file read."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_dgn, write_dgn
+
+    tmp = _fresh_tmp("dgn_depth_q")
+    chains = spark.createDataFrame(
+        [(3, None, "MULTILINESTRING ((0 0, 1 0, 2 1), (2 1, 3 5))"),
+         (5, "Main St", "POINT (2.5 3.25)")],
+        "lvl int, label string, wkt string",
+    ).selectExpr("lvl", "label", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
+    write_dgn(chains, os.path.join(tmp, "a.dgn"), level_col="lvl",
+              text_col="label", uor_scale=100000)
+    polys = spark.createDataFrame(
+        [(7, "POLYGON ((0 0, 8 0, 8 6, 0 6, 0 0))")],
+        "lvl int, wkt string",
+    ).selectExpr("lvl", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
+    write_dgn(polys, os.path.join(tmp, "b.dgn"), level_col="lvl",
+              complex_shapes=True, uor_scale=100000)
+    back = read_dgn(spark, tmp)  # directory read, TCB uor from each file
+    return back.selectExpr(
+        "level", "text",
+        "ST_GeometryType(geom) AS t",
+        "round(ST_Length(geom), 6) AS l",
+        "round(ST_Area(geom), 6) AS a",
+        "round(ST_XMin(geom), 6) AS mnx",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver oracle-checks the FIRST 50
     entries only, so recently-changed / never-driver-checked operators go
     first; long-stable spatial rows (green since r2/r3, still covered by
     pytest + scripts/check_oracle.py) rotate to the back."""
     return {
+        # --- new in r14: Krovak/NZMG kernels, VRT union+SrcSQL, S-57
+        # depth (SG3D/NATF/updates/multi-shell), DGN depth (complex/
+        # text/TCB) — never driver-checked, lead the window ---
+        "spatial_transform_tranche5": q_spatial_transform_tranche5,
+        "vrt_union_sql": q_vrt_union_sql,
+        "s57_depth": q_s57_depth,
+        "dgn_depth": q_dgn_depth,
         # --- LLM-pipeline lanes (rewritten in r4, driver-unchecked) first ---
         "minhash_lsh_spec": q_minhash_lsh_spec,
         "simhash_spec": q_simhash_spec,
@@ -4788,6 +4973,37 @@ def oracle_sql() -> dict[str, str]:
         f" FROM ({_NAD27_PTS})"
     )
     return {
+        "spatial_transform_tranche5": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 2510000.0, 6023150.0),
+              (2, 0.0, 0.0),
+              (3, 0.0, 0.0),
+              (4, -1.0, 1.0)
+            ) AS t(id, e, n)
+        """,
+        "vrt_union_sql": f"""
+            SELECT id AS feature_id, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 300
+            UNION ALL
+            SELECT id + 10000 AS feature_id, round(x, 6) AS x, round(y, 6) AS y
+            FROM ({pts}) WHERE id < 100
+        """,
+        "s57_depth": """
+            SELECT * FROM (VALUES
+              (CAST(2 AS BIGINT), 129, 'Delta', CAST(NULL AS VARCHAR),
+               'MULTIPOINT', 2, 0.0, 10.3),
+              (8, 2, 'Gamma', NULL, 'MULTIPOLYGON', 15, 121.0, -1.0),
+              (10, 3, NULL, 'Nat', 'POINT', 1, 0.0, -1.0)
+            ) AS t(rcid, objl, nm, nn, t, np, a, zmx)
+        """,
+        "dgn_depth": """
+            SELECT * FROM (VALUES
+              (3, CAST(NULL AS VARCHAR), 'LINESTRING',
+               round(1 + sqrt(2.0) + sqrt(17.0), 6), 0.0, 0.0),
+              (5, 'Main St', 'POINT', 0.0, 0.0, 2.5),
+              (7, NULL, 'POLYGON', 0.0, 48.0, 0.0)
+            ) AS t(level, text, t, l, a, mnx)
+        """,
         "spatial_transform_nad27": nad27_sql,
         "spatial_native_casts": f"""
             SELECT rid, round(w * h, 6) AS area,

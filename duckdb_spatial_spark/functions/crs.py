@@ -211,6 +211,13 @@ _PROJ4_STRINGS = {
         "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
         "+towgs84=589,76,480,0,0,0,0 +units=m +no_defs"
     ),
+    # New Zealand: NZGD49 / New Zealand Map Grid — the Reilly complex-series
+    # conformal projection (EPSG 9811); 7-param NZGD49->WGS84 per EPSG 1564
+    "EPSG:27200": (
+        "+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150 "
+        "+ellps=intl +towgs84=59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993 "
+        "+units=m +no_defs"
+    ),
     # Trinidad 1903 / Trinidad Grid — Cassini-Soldner (EPSG 9806) in
     # Clarke's links (the GN7-2 worked example CRS); ellipsoid and false
     # origin expressed in meters, +to_meter yields link coordinates
@@ -308,6 +315,7 @@ _CRS_NAMES = {
     "EPSG:29873": "Timbalai 1948 / RSO Borneo (m)",
     "EPSG:30200": "Trinidad 1903 / Trinidad Grid",
     "EPSG:5514": "S-JTSK / Krovak East North",
+    "EPSG:27200": "NZGD49 / New Zealand Map Grid",
     "EPSG:4087": "WGS 84 / World Equidistant Cylindrical",
     "EPSG:32040": "NAD27 / Texas South Central",
     "EPSG:2263": "NAD83 / New York Long Island (ftUS)",

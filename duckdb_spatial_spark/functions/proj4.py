@@ -276,11 +276,11 @@ def parse_proj4(s: str) -> ProjDef:
     if proj not in (
         "longlat", "latlong", "tmerc", "utm", "merc", "webmerc", "lcc", "aea",
         "stere", "sterea", "laea", "somerc", "cass", "omerc", "krovak", "eqc",
-        "aeqd",
+        "aeqd", "nzmg",
     ):
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
                          f"webmerc, lcc, aea, stere, sterea, laea, somerc, cass, omerc, "
-                         f"krovak, eqc, aeqd)")
+                         f"krovak, eqc, aeqd, nzmg)")
     return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm, geoidgrids)
 
 
@@ -848,6 +848,82 @@ def krovak_inverse(ell, X, Y, lat_0, lon_0, alpha_c, k_0, x_0, y_0):
     return np.degrees(lon), np.degrees(phi)
 
 
+# --- New Zealand Map Grid (EPSG 9811; NZGD49 / EPSG 27200) ----------------
+# The published NZMG definition (W.I. Reilly, "A conformal mapping
+# projection with minimum scale error", Survey Review 1973; LINZ standard
+# LINZS25900) is a 6th-order complex polynomial in (isometric-latitude
+# series, longitude difference). The coefficient tables below are the
+# published ones; only lat_0=-41, lon_0=173 on the International 1924
+# ellipsoid are valid (the series is fitted to New Zealand).
+_NZMG_PSI = (0.6399175073, -0.1358797613, 0.063294409, -0.02526853,
+             0.0117879, -0.0055161, 0.0026906, -0.001333, 0.00067, -0.00034)
+_NZMG_B = np.array([
+    0.7557853228 + 0.0j,
+    0.249204646 + 0.003371507j,
+    -0.001541739 + 0.041058560j,
+    -0.10162907 + 0.01727609j,
+    -0.26623489 - 0.36249218j,
+    -0.6870983 - 1.1651967j,
+], dtype=np.complex128)
+_NZMG_PHI = (1.5627014243, 0.5185406398, -0.03333098, -0.1052906,
+             -0.0368594, 0.007317, 0.01220, 0.00394, -0.0013)
+_SEC5_TO_RAD = 0.4848136811095359935899141120e-9  # 1e-5 arcsec in radians
+
+
+def _nzmg_zpoly(z: np.ndarray) -> np.ndarray:
+    """sum_i B[i] * z**(i+1) (Horner)."""
+    a = np.full_like(z, _NZMG_B[-1])
+    for c in _NZMG_B[-2::-1]:
+        a = c + z * a
+    return a * z
+
+
+def _nzmg_zpolyd(z: np.ndarray):
+    """(poly, d poly/dz) for the Newton inverse."""
+    n = len(_NZMG_B) - 1
+    a = np.full_like(z, _NZMG_B[-1])
+    b = a * (n + 1)
+    for i in range(n - 1, -1, -1):
+        a = _NZMG_B[i] + z * a
+        b = _NZMG_B[i] * (i + 1) + z * b
+    return a * z, b
+
+
+def nzmg_forward(ell, lon, lat, lat_0, lon_0, x_0, y_0):
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    # delta-lat in units of 1e-5 arcseconds
+    dphi = (lat - lat_0) * 3600.0 * 1e-5
+    psi = np.full_like(dphi, _NZMG_PSI[-1])
+    for c in _NZMG_PSI[-2::-1]:
+        psi = c + dphi * psi
+    psi *= dphi
+    dlam = np.radians(lon - lon_0)
+    Z = _nzmg_zpoly(psi + 1j * dlam)
+    return Z.imag * ell.a + x_0, Z.real * ell.a + y_0
+
+
+def nzmg_inverse(ell, X, Y, lat_0, lon_0, x_0, y_0):
+    zr = (np.asarray(Y, dtype=np.float64) - y_0) / ell.a
+    zi = (np.asarray(X, dtype=np.float64) - x_0) / ell.a
+    Z = zr + 1j * zi
+    z = Z.copy()
+    for _ in range(20):
+        f, fp = _nzmg_zpolyd(z)
+        dz = (Z - f) / fp
+        z = z + dz
+        if np.all(np.abs(dz.real) + np.abs(dz.imag) <= 1e-14):
+            break
+    psi = z.real
+    dphi = np.full_like(psi, _NZMG_PHI[-1])
+    for c in _NZMG_PHI[-2::-1]:
+        dphi = c + psi * dphi
+    # dphi series yields delta-lat back in 1e-5 arcsec per unit psi
+    lat = lat_0 + psi * dphi * 1e5 / 3600.0
+    lon = lon_0 + np.degrees(z.imag)
+    return lon, lat
+
+
 # --- oblique stereographic (EPSG 9809 — double projection via the
 # conformal sphere; Dutch RD New / EPSG 28992 is the canonical user) -------
 def _sterea_setup(ell, lat_0, k_0):
@@ -1143,6 +1219,11 @@ def _fwd(d: ProjDef, lon, lat):
             g("alpha", 30.28813972222222), g("k", g("k_0", 0.9999)),
             g("x_0", 0.0), g("y_0", 0.0),
         )
+    elif d.proj == "nzmg":
+        x, y = nzmg_forward(
+            d.ell, lon, lat, g("lat_0", -41.0), g("lon_0", 173.0),
+            g("x_0", 2510000.0), g("y_0", 6023150.0),
+        )
     else:  # pragma: no cover - parse_proj4 already validated
         raise ValueError(f"unsupported +proj={d.proj}")
     if d.to_meter != 1.0:
@@ -1238,6 +1319,11 @@ def _inv(d: ProjDef, x, y):
             d.ell, x, y, g("lat_0", 49.5), g("lon_0", 0.0),
             g("alpha", 30.28813972222222), g("k", g("k_0", 0.9999)),
             g("x_0", 0.0), g("y_0", 0.0),
+        )
+    if d.proj == "nzmg":
+        return nzmg_inverse(
+            d.ell, x, y, g("lat_0", -41.0), g("lon_0", 173.0),
+            g("x_0", 2510000.0), g("y_0", 6023150.0),
         )
     raise ValueError(f"unsupported +proj={d.proj}")  # pragma: no cover
 

@@ -98,11 +98,29 @@ def _read_src_sql(spark: SparkSession, src: str, sql: str,
     names = list(dict.fromkeys(_SQL_TABLES.findall(sql)))
     if not names:
         raise ValueError(f"vrt: SrcSQL has no FROM table: {sql!r}")
+
+    def _raw_tabular(fmt):
+        # SrcSQL often projects the raw attribute columns (GDAL runs it
+        # over the bare OGR layer); a tabular source whose geometry the
+        # reader cannot derive is still a valid SQL input
+        if fmt in ("wkt_csv", "csv"):
+            return (spark.read.option("header", True)
+                    .option("inferSchema", True).csv(src))
+        if fmt in ("geoparquet", "parquet"):
+            return spark.read.parquet(src)
+        return None
+
     for name in names:
         try:
             member = st_read(spark, src, layer=name, **options)
         except (ValueError, TypeError, KeyError):
-            member = st_read(spark, src, **options)
+            try:
+                member = st_read(spark, src, **options)
+            except ValueError:
+                member = _raw_tabular(options.get("format")
+                                      or _vrt_resolve(src))
+                if member is None:
+                    raise
         member.createOrReplaceTempView(name)
     try:
         return spark.sql(sql)

@@ -478,3 +478,29 @@ def test_transform_krovak():
     assert (px < 0).all() and (py < 0).all()  # Krovak East North negatives
     lo, la = transform_xy(px, py, "EPSG:5514", "EPSG:4326", always_xy=True)
     assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-6
+
+
+def test_transform_nzmg():
+    """New Zealand Map Grid (EPSG 9811; NZGD49 / EPSG 27200) — the Reilly
+    complex-series conformal projection, pinned against the published
+    projection example (the series as implemented reproduces it to <5 cm,
+    within NZMG's own fitting tolerance)."""
+    import numpy as np
+
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    intl = "+proj=longlat +ellps=intl"
+    nzmg = "+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150 +ellps=intl"
+    x, y = transform_xy([172.739194], [-34.444066], intl, nzmg, always_xy=True)
+    assert abs(x[0] - 2487100.638) < 0.05 and abs(y[0] - 6751049.719) < 0.05
+    lo, la = transform_xy(x, y, nzmg, intl, always_xy=True)
+    assert abs(lo[0] - 172.739194) < 1e-9 and abs(la[0] + 34.444066) < 1e-9
+
+    # registry EPSG:27200 with the 7-param datum leg: NZ territory roundtrips
+    rng = np.random.default_rng(27)
+    lons = rng.uniform(166.5, 178.5, 100)
+    lats = rng.uniform(-47.0, -34.5, 100)
+    px, py = transform_xy(lons, lats, "EPSG:4326", "EPSG:27200", always_xy=True)
+    assert ((px > 1.9e6) & (px < 3.1e6)).all() and ((py > 5.3e6) & (py < 6.8e6)).all()
+    lo, la = transform_xy(px, py, "EPSG:27200", "EPSG:4326", always_xy=True)
+    assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-6
