@@ -4338,6 +4338,94 @@ def q_dgn_depth(spark, sf_dir):
     )
 
 
+
+def q_streaming_tagged_transform(spark, sf_dir):
+    """Tagged-CRS transform in the streaming path (r14,
+    streaming/demo.streaming_tagged_transform): points arrive in
+    EPSG:3857, the CRS tag rides the geom column metadata into the
+    micro-batch plan, st_transform_tagged projects to CRS84, and a
+    5-minute windowed extent aggregates the transformed coordinates.
+    The oracle replays the closed-form spherical-mercator inverse in
+    SQL (the same parity the batch crs_tagged_transform row pins)."""
+    _prep(spark, sf_dir)
+    import os
+    import uuid
+
+    from duckdb_spatial_spark.streaming import streaming_tagged_transform
+
+    src = os.path.join(_fresh_tmp("stream_tagged"), "src")
+    spark.sql(
+        f"SELECT timestamp_seconds(1704067200 + id) AS ts, x * 1000 AS x,"
+        f" y * 1000 AS y FROM ({_PTS}) WHERE id < 2000"
+    ).repartition(4).write.parquet(src)
+    stream = spark.readStream.schema("ts timestamp, x double, y double").parquet(src)
+    out = streaming_tagged_transform(stream, "OGC:CRS84", crs="EPSG:3857")
+    name = "tagged_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 120s - failing loudly instead of reading a half-filled sink")
+    return spark.table(name).selectExpr(
+        "unix_micros(CAST(window_start AS TIMESTAMP)) div 1000000 AS ws",
+        "round(min_x, 6) AS min_x", "round(min_y, 6) AS min_y",
+        "round(max_x, 6) AS max_x", "round(max_y, 6) AS max_y",
+        "CAST(n AS BIGINT) AS n",
+    )
+
+
+def q_streaming_ann_probe(spark, sf_dir):
+    """Streaming ANN against a PERSISTENT IVF index (r14,
+    streaming/demo.streaming_ivf_probe): the index is built once on disk
+    (operators.knn.build_ivf_index), then a stream of query vectors
+    probes it per micro-batch via a stream-static join on the cell
+    partition column; per-query top-5 collapses inside the streaming
+    aggregation. Result collapses to the ann_ivf_topk invariant booleans
+    (queries drawn from the base set -> self@1.0 at rank 1)."""
+    _prep(spark, sf_dir)
+    import os
+    import uuid
+
+    from duckdb_spatial_spark.operators.knn import build_ivf_index
+    from duckdb_spatial_spark.streaming import streaming_ivf_probe
+
+    tmp = _fresh_tmp("stream_ann")
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("float"))
+    )
+    idx = os.path.join(tmp, "ivf")
+    build_ivf_index(emb, idx, nlist=8)
+    qsrc = os.path.join(tmp, "queries")
+    emb.filter("vec_id < 10").select("vec_id", "embedding").write.parquet(qsrc)
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>"
+    ).parquet(qsrc)
+    out = streaming_ivf_probe(stream, idx, k=5, nprobe=3)
+    name = "annprobe_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 180s - failing loudly instead of reading a half-filled sink")
+    flat = spark.table(name).selectExpr(
+        "q_id AS query_id", "posexplode(topk) AS (pos, hit)"
+    ).selectExpr(
+        "query_id", "CAST(pos + 1 AS INT) AS rank",
+        "hit.cosine AS cosine", "hit.b_id AS neighbor_id",
+    )
+    return _ann_topk_invariants(flat, 5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver oracle-checks the FIRST 50
     entries only, so recently-changed / never-driver-checked operators go
@@ -4351,6 +4439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vrt_union_sql": q_vrt_union_sql,
         "s57_depth": q_s57_depth,
         "dgn_depth": q_dgn_depth,
+        "streaming_tagged_transform": q_streaming_tagged_transform,
+        "streaming_ann_probe": q_streaming_ann_probe,
         # --- LLM-pipeline lanes (rewritten in r4, driver-unchecked) first ---
         "minhash_lsh_spec": q_minhash_lsh_spec,
         "simhash_spec": q_simhash_spec,
@@ -4987,6 +5077,22 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT id + 10000 AS feature_id, round(x, 6) AS x, round(y, 6) AS y
             FROM ({pts}) WHERE id < 100
+        """,
+        "streaming_tagged_transform": f"""
+            SELECT (1704067200 + id) // 300 * 300 AS ws,
+                   round(min(degrees(x * 1000 / 6378137.0)), 6) AS min_x,
+                   round(min(degrees(2 * atan(exp(y * 1000 / 6378137.0)) - pi() / 2)), 6) AS min_y,
+                   round(max(degrees(x * 1000 / 6378137.0)), 6) AS max_x,
+                   round(max(degrees(2 * atan(exp(y * 1000 / 6378137.0)) - pi() / 2)), 6) AS max_y,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ({pts}) WHERE id < 2000
+            GROUP BY 1
+        """,
+        "streaming_ann_probe": """
+            SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_rows,
+                   true AS self_top1, true AS cosine_bounded,
+                   true AS ranks_ok, true AS cosine_monotone
+            FROM embeddings WHERE vec_id < 10
         """,
         "s57_depth": """
             SELECT * FROM (VALUES

@@ -13,6 +13,8 @@ unchanged; this module packages the canonical streaming shapes:
 from .demo import (  # noqa: F401
     streaming_envelope_counts,
     streaming_extent_agg,
+    streaming_ivf_probe,
     streaming_session_dedup,
     streaming_sessionize,
+    streaming_tagged_transform,
 )

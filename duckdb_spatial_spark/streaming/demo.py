@@ -7,6 +7,8 @@ on a stream.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -196,3 +198,95 @@ def streaming_sessionize(
         .agg(*aggs)
         .drop("session_window")
     )
+
+
+def streaming_tagged_transform(
+    points: DataFrame,
+    dst_crs: str,
+    crs: str,
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Tagged-CRS transform on a stream: the source-declared CRS rides the
+    geom column's metadata into the streaming plan (the same ``crs`` tag
+    convention every st_read source uses) and ``st_transform_tagged``
+    consumes it — no caller-side restatement of what the source already
+    declared. A watermarked per-window extent of the TRANSFORMED
+    coordinates follows, so state stays four doubles + a long per window
+    (the reference's proj transform is a per-row scalar the same way,
+    proj/functions.cpp; here it is one Arrow-batched kernel inside the
+    micro-batch)."""
+    from ..functions import udfs
+    from ..functions.crs import st_transform_tagged
+
+    g = points.withColumn(
+        "geom",
+        udfs.st_point(F.col(x_col).cast("double"), F.col(y_col).cast("double")),
+    ).withMetadata("geom", {"crs": str(crs)})
+    t = st_transform_tagged(g, dst_crs)
+    t = t.withColumn("tx", udfs.st_x(F.col("geom"))).withColumn(
+        "ty", udfs.st_y(F.col("geom"))
+    )
+    if t.isStreaming:
+        t = t.withWatermark(ts_col, watermark)
+    return t.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
+        F.min("tx").alias("min_x"), F.min("ty").alias("min_y"),
+        F.max("tx").alias("max_x"), F.max("ty").alias("max_y"),
+        F.count("*").alias("n"),
+    ).select(F.col("w.start").alias("window_start"), "min_x", "min_y",
+             "max_x", "max_y", "n")
+
+
+def streaming_ivf_probe(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 3,
+) -> DataFrame:
+    """Probe a PERSISTENT IVF index (built by operators.knn.build_ivf_index)
+    from a stream of query vectors: nprobe nearest cells per query (Arrow
+    kernel over broadcast centroids), stream-static equi-join against the
+    cell-partitioned vector layout, exact cosine re-rank inside the probed
+    lists. Top-k collapses per query via sort_array+slice inside the
+    aggregation (streaming plans cannot use rank() windows), emitting one
+    row per query with the ranked (cosine, neighbor) array."""
+    import json as _json
+    import os as _os
+
+    from ..operators.knn import _cosine_batch
+
+    spark = queries.sparkSession
+    with open(_os.path.join(index_path, "centroids.json"), encoding="utf-8") as f:
+        meta = _json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    nprobe = min(int(nprobe), len(cent))
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(v: pd.Series) -> pd.Series:
+        C = bc.value
+        mat = np.array(list(v), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        order = np.argsort(-(mat @ C.T), axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    b = spark.read.parquet(f"{index_path}/vectors")
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("cell", F.explode(probe_cells(F.col("q_vec"))))
+    )
+    cand = b.join(q, "cell").withColumn(
+        "cosine", _cosine_batch(F.col("q_vec"), F.col("b_vec"))
+    )
+    ranked = F.slice(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("cosine"), F.col("b_id"))), asc=False
+        ),
+        1, int(k),
+    )
+    return cand.groupBy("q_id").agg(ranked.alias("topk"))

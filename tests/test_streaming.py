@@ -243,3 +243,59 @@ def test_streaming_sessionize_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 10
+
+
+def test_streaming_tagged_transform_batch_parity(spark):
+    # unified API: the same plan works on a batch frame; the tag drives
+    # the source CRS (3857 -> CRS84 closed form)
+    import math
+
+    from duckdb_spatial_spark.functions import register_all
+    from duckdb_spatial_spark.streaming import streaming_tagged_transform
+
+    register_all(spark)
+    df = spark.sql(
+        "SELECT timestamp_seconds(1704067200 + id) AS ts,"
+        " CAST(id * 100000 AS DOUBLE) AS x, CAST(500000 AS DOUBLE) AS y"
+        " FROM range(10) AS t(id)"
+    )
+    out = streaming_tagged_transform(df, "OGC:CRS84", crs="EPSG:3857").collect()
+    assert len(out) == 1
+    r = out[0]
+    a = 6378137.0
+    assert abs(r.min_x - 0.0) < 1e-9
+    assert abs(r.max_x - math.degrees(9 * 100000 / a)) < 1e-9
+    assert abs(r.min_y - math.degrees(2 * math.atan(math.exp(500000 / a))
+                                      - math.pi / 2)) < 1e-9
+    assert r.n == 10
+
+
+def test_streaming_ivf_probe_stream(spark, tmp_path):
+    import numpy as np
+
+    from duckdb_spatial_spark.operators.knn import build_ivf_index
+    from duckdb_spatial_spark.streaming import streaming_ivf_probe
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(200, 16)).astype(float)
+    base = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(base, idx, nlist=4)
+    qsrc = str(tmp_path / "queries")
+    base.filter("vec_id < 5").write.parquet(qsrc)
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>").parquet(qsrc)
+    out = streaming_ivf_probe(stream, idx, k=3, nprobe=2)
+    q = (out.writeStream.format("memory").queryName("ivfprobe_t")
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = spark.table("ivfprobe_t").collect()
+    assert len(rows) == 5
+    for r in rows:
+        # self-hit at rank 1 with cosine ~1
+        assert r.topk[0].b_id == r.q_id
+        assert abs(r.topk[0].cosine - 1.0) < 1e-6
+        assert len(r.topk) == 3
