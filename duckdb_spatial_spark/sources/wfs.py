@@ -118,11 +118,15 @@ def read_wfs(
     comes back short, ``numberMatched`` is exhausted, or
     ``max_features`` (runaway guard; None disables) is reached.
 
-    Spool lifetime/location: the spool defaults to the driver's temp dir,
-    which executors can read in LOCAL mode only — on a multi-node cluster
-    pass ``spool_dir=`` pointing at a Spark-reachable shared path (DBFS /
-    NFS / fuse mount). The file must outlive the returned (lazy)
-    DataFrame; it is deleted at driver exit (atexit), not before.
+    Spool lifetime/location: when ``spool_dir=`` is not given the spool
+    defaults to ``<spark.sql.warehouse.dir>/_wfs_spool`` whenever the
+    warehouse is a local-filesystem URI (a shared NFS/fuse warehouse is
+    then executor-reachable on a real cluster), falling back to the
+    driver's temp dir otherwise — in that fallback executors can read it
+    in LOCAL mode only, so on a multi-node cluster with a remote
+    warehouse pass ``spool_dir=`` pointing at a Spark-reachable shared
+    path (DBFS / NFS / fuse mount). The file must outlive the returned
+    (lazy) DataFrame; it is deleted at driver exit (atexit), not before.
 
     ``empty_schema=`` (DDL string) sets the schema of a ZERO-feature
     result — without it an empty read returns ``geom binary`` only, while
@@ -130,6 +134,21 @@ def read_wfs(
     multiple reads should pass it or use
     ``unionByName(allowMissingColumns=True)``."""
     fetch = fetch or _default_fetch
+    if spool_dir is None:
+        # default the spool into the warehouse dir when it is a local
+        # path: on NFS/fuse-shared warehouses that makes the spool
+        # executor-reachable beyond local mode with zero configuration
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        from urllib.parse import unquote, urlparse
+
+        parsed = urlparse(wh)
+        if parsed.scheme in ("file", "") and parsed.path:
+            cand = os.path.join(unquote(parsed.path), "_wfs_spool")
+            try:
+                os.makedirs(cand, exist_ok=True)
+                spool_dir = cand
+            except OSError:
+                spool_dir = None  # unwritable warehouse: temp-dir fallback
     spool = tempfile.NamedTemporaryFile(
         "wb", suffix=".geojsonl", delete=False, dir=spool_dir
     )
