@@ -1936,51 +1936,3 @@ def snap_overlay(op: str, a: Geometry, b: Geometry, grid_size: float) -> Geometr
     res = kept[0] if len(kept) == 1 else G.collect(kept)
     return make_valid(res)
 
-
-def assemble_polygon_rings(rings) -> Geometry:
-    """Group unlabeled closed rings into polygons by containment nesting
-    (even nesting depth = shell, odd = hole of its smallest containing
-    shell) and return POLYGON or MULTIPOLYGON. This is how multi-ring
-    S-57/GMT features with several exterior rings assemble — GDAL's
-    drivers (which the reference reads through, ``gdal/functions/
-    st_read.cpp``) perform the same organization via
-    OGRGeometryFactory::organizePolygons."""
-    arrs = [np.asarray(r, dtype=np.float64) for r in rings]
-    arrs = [r for r in arrs if len(r) >= 4]
-    if not arrs:
-        return G.empty(G.POLYGON)
-    n = len(arrs)
-    areas = [abs(_ring_signed_area(r)) for r in arrs]
-    # depth[i] = number of other rings strictly containing ring i; the
-    # smallest containing ring of odd-depth rings is its shell
-    parent = [-1] * n
-    depth = [0] * n
-    for i in range(n):
-        best, best_area = -1, None
-        for j in range(n):
-            if i == j or areas[j] <= areas[i]:
-                continue
-            # test a vertex of i not on j's boundary (shared-edge tolerant)
-            inside = 0
-            for v in arrs[i][:-1]:
-                st = point_in_ring(float(v[0]), float(v[1]), arrs[j])
-                if st != 1:
-                    inside = st
-                    break
-            if inside == 2:
-                depth[i] += 1
-                if best_area is None or areas[j] < best_area:
-                    best, best_area = j, areas[j]
-        parent[i] = best
-    polys = {}
-    order = sorted(range(n), key=lambda i: -areas[i])
-    for i in order:
-        if depth[i] % 2 == 0:
-            polys[i] = [arrs[i]]
-    for i in order:
-        if depth[i] % 2 == 1 and parent[i] in polys:
-            polys[parent[i]].append(arrs[i])
-    out = [Geometry(G.POLYGON, rs) for rs in polys.values()]
-    if len(out) == 1:
-        return out[0]
-    return Geometry(G.MULTIPOLYGON, out)
