@@ -211,6 +211,16 @@ _PROJ4_STRINGS = {
         "+alpha=30.28813972222222 +k=0.9999 +x_0=0 +y_0=0 +ellps=bessel "
         "+towgs84=589,76,480,0,0,0,0 +units=m +no_defs"
     ),
+    # US National Atlas Equal Area (EPSG 9311, formerly 2163) — LAEA on
+    # the Clarke 1866 authalic sphere
+    "EPSG:9311": (
+        "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 "
+        "+a=6370997 +b=6370997 +units=m +no_defs"
+    ),
+    "EPSG:2163": (
+        "+proj=laea +lat_0=45 +lon_0=-100 +x_0=0 +y_0=0 "
+        "+a=6370997 +b=6370997 +units=m +no_defs"
+    ),
     # New Zealand: NZGD49 / New Zealand Map Grid — the Reilly complex-series
     # conformal projection (EPSG 9811); 7-param NZGD49->WGS84 per EPSG 1564
     "EPSG:27200": (
@@ -316,6 +326,8 @@ _CRS_NAMES = {
     "EPSG:30200": "Trinidad 1903 / Trinidad Grid",
     "EPSG:5514": "S-JTSK / Krovak East North",
     "EPSG:27200": "NZGD49 / New Zealand Map Grid",
+    "EPSG:9311": "US National Atlas Equal Area",
+    "EPSG:2163": "US National Atlas Equal Area (deprecated code)",
     "EPSG:4087": "WGS 84 / World Equidistant Cylindrical",
     "EPSG:32040": "NAD27 / Texas South Central",
     "EPSG:2263": "NAD83 / New York Long Island (ftUS)",

@@ -994,6 +994,10 @@ def sterea_inverse(ell, X, Y, lat_0, lon_0, k_0, x_0, y_0):
 # --- Lambert azimuthal equal area (EPSG 9820; ETRS89-LAEA / EPSG 3035) ----
 def _laea_q(ell, s):
     e, e2 = ell.e, ell.e2
+    if e == 0.0:
+        # authalic sphere (US National Atlas EPSG 9311 uses laea on the
+        # Clarke 1866 authalic sphere): q degenerates to 2*sin(lat)
+        return 2.0 * s
     return (1 - e2) * (
         s / (1 - e2 * s * s) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
     )

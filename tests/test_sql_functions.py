@@ -504,3 +504,37 @@ def test_transform_nzmg():
     assert ((px > 1.9e6) & (px < 3.1e6)).all() and ((py > 5.3e6) & (py < 6.8e6)).all()
     lo, la = transform_xy(px, py, "EPSG:27200", "EPSG:4326", always_xy=True)
     assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-6
+
+
+def test_transform_laea_sphere():
+    """US National Atlas Equal Area (EPSG 9311/2163) — LAEA on the Clarke
+    1866 authalic sphere. Pins the origin identity, exact roundtrips, and
+    the equal-area property itself (local Jacobian == R^2 cos(lat))."""
+    import numpy as np
+
+    from duckdb_spatial_spark.functions.crs import transform_xy
+
+    sph = "+proj=longlat +a=6370997 +b=6370997"
+    x, y = transform_xy([-100.0], [45.0], sph, "EPSG:9311", always_xy=True)
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    rng = np.random.default_rng(31)
+    lons = rng.uniform(-130.0, -60.0, 200)
+    lats = rng.uniform(20.0, 55.0, 200)
+    px, py = transform_xy(lons, lats, sph, "EPSG:9311", always_xy=True)
+    lo, la = transform_xy(px, py, "EPSG:9311", sph, always_xy=True)
+    assert max(np.abs(lo - lons).max(), np.abs(la - lats).max()) < 1e-9
+    # equal-area: numeric Jacobian determinant d(x,y)/d(lon_r,lat_r)
+    # equals R^2 cos(lat) everywhere
+    R = 6370997.0
+    h = 1e-6
+    for lon, lat in [(-100.0, 45.0), (-75.0, 40.0), (-120.0, 33.0)]:
+        x0, y0 = transform_xy([lon - h, lon + h, lon, lon],
+                              [lat, lat, lat - h, lat + h],
+                              sph, "EPSG:9311", always_xy=True)
+        dxdl = (x0[1] - x0[0]) / (2 * np.radians(h))
+        dydl = (y0[1] - y0[0]) / (2 * np.radians(h))
+        dxdp = (x0[3] - x0[2]) / (2 * np.radians(h))
+        dydp = (y0[3] - y0[2]) / (2 * np.radians(h))
+        det = abs(dxdl * dydp - dxdp * dydl)
+        want = R * R * np.cos(np.radians(lat))
+        assert abs(det / want - 1.0) < 1e-5, (lon, lat)
