@@ -19,6 +19,13 @@ PUBLIC Intergraph Standard File Format (ISFF) element structure for the
     type 12 COMPLEX CHAIN  header: totlength u16 @36, numelems u16 @38;
     type 14 COMPLEX SHAPE  followed by numelems members (complex bit set)
                            -> concatenated LINESTRING / closed POLYGON
+    type 15 ELLIPSE (2D)   axes dbl @36/@44, rotation i32 @52, origin
+                           dbl @56/@64 -> stroked POLYGON ring
+    type 16 ARC (2D)       start i32 @36, sweep sign-magnitude i32 @40,
+                           axes dbl @44/@52, rotation i32 @60, origin
+                           dbl @64/@72 -> stroked LINESTRING (5-degree
+                           steps, the dgnlib DGNStrokeArc behavior);
+                           doubles are IEEE in reverse word order
     type 17 TEXT (2D)      font @36, just @37, lengthmult i32 @38,
                            heightmult i32 @42, rotation i32 @46
                            (deg*360000), origin x @50 y @54, numchars @58,
@@ -31,9 +38,9 @@ Coordinates are UORs (integer units of resolution); ``uor_scale``
 divides on read / multiplies on write. On read the default comes from
 the file's own TCB (subunits-per-master i32 @1112 x uor-per-subunit
 i32 @1116, the dgnlib TCB layout), falling back to 1000.0 when the TCB
-carries zeros — pass ``uor_scale=`` to override. Cells, arcs, curves
-and 3D are out of scope and are SKIPPED on read (counted, not raised —
-a real design file mixes them with the vector subset)."""
+carries zeros — pass ``uor_scale=`` to override. Cells, b-spline
+curves and 3D are out of scope and are SKIPPED on read (counted, not
+raised — a real design file mixes them with the vector subset)."""
 
 from __future__ import annotations
 
@@ -54,7 +61,13 @@ DGNT_SHAPE = 6
 DGNT_TCB = 9
 DGNT_COMPLEX_CHAIN = 12
 DGNT_COMPLEX_SHAPE = 14
+DGNT_ELLIPSE = 15
+DGNT_ARC = 16
 DGNT_TEXT = 17
+
+# stroking density for arc/ellipse -> vertex sequences (GDAL's DGN layer
+# strokes them the same way via dgnlib DGNStrokeArc/DGNStrokeCurve)
+_ARC_STEP_DEG = 5.0
 
 
 def _rd_i32(buf: bytes, off: int) -> int:
@@ -67,6 +80,19 @@ def _rd_i32(buf: bytes, off: int) -> int:
 def _wr_i32(v: int) -> bytes:
     v &= 0xFFFFFFFF
     return struct.pack("<HH", (v >> 16) & 0xFFFF, v & 0xFFFF)
+
+
+def _rd_dbl(buf: bytes, off: int) -> float:
+    """DGN 8-byte IEEE double in reverse word order (the VAX-heritage
+    convention dgnlib's DGN2IEEEDouble undoes): four 16-bit words stored
+    high-to-low, each word little-endian."""
+    w = struct.unpack_from("<4H", buf, off)
+    return struct.unpack("<d", struct.pack("<4H", w[3], w[2], w[1], w[0]))[0]
+
+
+def _wr_dbl(v: float) -> bytes:
+    w = struct.unpack("<4H", struct.pack("<d", float(v)))
+    return struct.pack("<4H", w[3], w[2], w[1], w[0])
 
 
 def _iter_elements(buf: bytes):
@@ -127,6 +153,21 @@ def _vertices(etype: int, body: bytes, uor: float):
     ]
 
 
+def _stroke_arc(cx, cy, a, b, rot_deg, start_deg, sweep_deg):
+    """Parametric ellipse-arc vertices: origin + R(rot) @ (a cos t, b sin t)."""
+    import math
+
+    n = max(2, int(abs(sweep_deg) / _ARC_STEP_DEG) + 1)
+    rot = math.radians(rot_deg)
+    cr, sr = math.cos(rot), math.sin(rot)
+    pts = []
+    for i in range(n + 1):
+        t = math.radians(start_deg + sweep_deg * i / n)
+        ex, ey = a * math.cos(t), b * math.sin(t)
+        pts.append([cx + ex * cr - ey * sr, cy + ex * sr + ey * cr])
+    return pts
+
+
 def parse_dgn(path: str, uor_scale: float | None = None):
     """-> list of (level, color, weight, style, text, geometry); skips
     non-vector elements. ``uor_scale=None`` reads it from the TCB
@@ -178,6 +219,40 @@ def parse_dgn(path: str, uor_scale: float | None = None):
             continue
         if cmplx:
             continue  # stray complex member without a header
+        if etype == DGNT_ELLIPSE:
+            # ISFF 2D ellipse: primary/secondary axis doubles @36/@44,
+            # rotation i32 @52 (deg*360000), origin doubles @56/@64
+            if len(el) < 72:
+                continue
+            color, weight, style = _symb(el)
+            a = _rd_dbl(el, 36) / uor
+            b_ax = _rd_dbl(el, 44) / uor
+            rot = _rd_i32(el, 52) / 360000.0
+            cx = _rd_dbl(el, 56) / uor
+            cy = _rd_dbl(el, 64) / uor
+            ring = _stroke_arc(cx, cy, a, b_ax, rot, 0.0, 360.0)
+            ring[-1] = list(ring[0])
+            out.append((level, color, weight, style, None, G.polygon([ring])))
+            continue
+        if etype == DGNT_ARC:
+            # ISFF 2D arc: start i32 @36, sweep sign-magnitude i32 @40
+            # (deg*360000), axes doubles @44/@52, rotation i32 @60,
+            # origin doubles @64/@72
+            if len(el) < 80:
+                continue
+            color, weight, style = _symb(el)
+            start = _rd_i32(el, 36) / 360000.0
+            raw = _rd_i32(el, 40) & 0xFFFFFFFF
+            sweep = -(raw & 0x7FFFFFFF) if raw & 0x80000000 else raw
+            sweep /= 360000.0
+            a = _rd_dbl(el, 44) / uor
+            b_ax = _rd_dbl(el, 52) / uor
+            rot = _rd_i32(el, 60) / 360000.0
+            cx = _rd_dbl(el, 64) / uor
+            cy = _rd_dbl(el, 72) / uor
+            pts = _stroke_arc(cx, cy, a, b_ax, rot, start, sweep)
+            out.append((level, color, weight, style, None, G.linestring(pts)))
+            continue
         if etype == DGNT_TEXT:
             if len(el) < 60:
                 continue
@@ -254,6 +329,36 @@ def _element(etype: int, level: int, symb: int, rng, body: bytes,
                                   (v + _BIAS) & 0xFFFF) for v in rng)
     fixed = struct.pack("<HHHH", 0, 0, 0, symb)
     return head + rbytes + fixed + body
+
+
+def ellipse_element(cx, cy, a, b, rot_deg=0.0, level=0,
+                    uor_scale: float = 1000.0) -> bytes:
+    """Raw ISFF ELLIPSE element (type 15, 2D) — for producing fixtures
+    and for callers that need true curve elements (write_dgn strokes
+    nothing; parse_dgn strokes these to rings)."""
+    body = (_wr_dbl(a * uor_scale) + _wr_dbl(b * uor_scale)
+            + _wr_i32(int(round(rot_deg * 360000)))
+            + _wr_dbl(cx * uor_scale) + _wr_dbl(cy * uor_scale))
+    r = max(a, b) * uor_scale
+    rng = (int(cx * uor_scale - r), int(cy * uor_scale - r), 0,
+           int(cx * uor_scale + r), int(cy * uor_scale + r), 0)
+    return _element(DGNT_ELLIPSE, level, 0, rng, body)
+
+
+def arc_element(cx, cy, a, b, start_deg, sweep_deg, rot_deg=0.0, level=0,
+                uor_scale: float = 1000.0) -> bytes:
+    """Raw ISFF ARC element (type 16, 2D); sweep uses the sign-magnitude
+    convention (high bit = negative sweep)."""
+    raw = (0x80000000 | int(round(-sweep_deg * 360000))
+           if sweep_deg < 0 else int(round(sweep_deg * 360000)))
+    body = (_wr_i32(int(round(start_deg * 360000))) + _wr_i32(raw)
+            + _wr_dbl(a * uor_scale) + _wr_dbl(b * uor_scale)
+            + _wr_i32(int(round(rot_deg * 360000)))
+            + _wr_dbl(cx * uor_scale) + _wr_dbl(cy * uor_scale))
+    r = max(a, b) * uor_scale
+    rng = (int(cx * uor_scale - r), int(cy * uor_scale - r), 0,
+           int(cx * uor_scale + r), int(cy * uor_scale + r), 0)
+    return _element(DGNT_ARC, level, 0, rng, body)
 
 
 def _linework(pts):

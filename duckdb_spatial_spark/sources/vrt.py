@@ -247,6 +247,11 @@ def _read_layer(spark: SparkSession, el, vrt_path: str,
     if fields:
         gcol = next((c for c in ("geom", "geometry", "wkb_geometry")
                      if c in df.columns), None)
+        # OGR Field type names -> Spark cast targets (gdal.org VRT
+        # <Field type=>; omitted = pass the source type through)
+        type_map = {"integer": "int", "integer64": "bigint",
+                    "real": "double", "string": "string", "date": "date",
+                    "datetime": "timestamp"}
         cols = []
         for f_el in fields:
             name = f_el.get("name")
@@ -254,7 +259,14 @@ def _read_layer(spark: SparkSession, el, vrt_path: str,
             if src_col not in df.columns:
                 raise ValueError(f"vrt: Field src={src_col!r} not in source "
                                  f"columns {df.columns}")
-            cols.append(F.col(src_col).alias(name))
+            c = F.col(src_col)
+            ftype = (f_el.get("type") or "").lower()
+            if ftype:
+                if ftype not in type_map:
+                    raise ValueError(f"vrt: unsupported Field type {ftype!r} "
+                                     f"(supported: {sorted(type_map)})")
+                c = c.cast(type_map[ftype])
+            cols.append(c.alias(name))
         if gcol:
             cols.append(F.col(gcol))
         df = df.select(*cols)

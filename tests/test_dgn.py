@@ -137,3 +137,41 @@ def test_text_elements(spark, tmp_path):
         "text", "ST_AsText(geom) AS t").collect()}
     assert rows["Main St"].t == "POINT (2.5 3.25)"
     assert rows[None].t.startswith("LINESTRING")
+
+
+def test_arc_and_ellipse_elements(spark, tmp_path):
+    """ISFF curve elements (types 15/16) stroke to ring/linestring like
+    GDAL's DGN layer (dgnlib DGNStrokeArc)."""
+    import math
+
+    from duckdb_spatial_spark.sources.dgn import (
+        arc_element, ellipse_element, write_dgn,
+    )
+
+    register_all(spark)
+    # seed a file with one linestring, then splice in an ellipse + arc
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(0.0, 0.0), ST_Point(1.0, 0.0)))) AS geom")
+    p = str(tmp_path / "curves.dgn")
+    write_dgn(df, p, uor_scale=100000)
+    raw = open(p, "rb").read()
+    ell = ellipse_element(10.0, 20.0, 3.0, 2.0, level=4, uor_scale=100000)
+    arc = arc_element(0.0, 0.0, 5.0, 5.0, 0.0, 90.0, level=6, uor_scale=100000)
+    with open(p, "wb") as f:
+        f.write(raw[:-2] + ell + arc + b"\xff\xff")
+    back = read_dgn(spark, p)
+    rows = {r.level: r for r in back.selectExpr(
+        "level", "ST_GeometryType(geom) AS t", "round(ST_Area(geom), 2) AS a",
+        "round(ST_Length(geom), 3) AS l", "ST_NPoints(geom) AS n",
+        "round(ST_XMin(geom), 3) AS mnx", "round(ST_XMax(geom), 3) AS mxx",
+    ).collect()}
+    e = rows[4]
+    assert e.t == "POLYGON"
+    # stroked 72-gon area converges on pi*a*b = 18.85 (within 1%)
+    assert abs(e.a - math.pi * 3.0 * 2.0) < 0.2
+    assert abs(e.mnx - 7.0) < 0.01 and abs(e.mxx - 13.0) < 0.01
+    a = rows[6]
+    assert a.t == "LINESTRING"
+    # quarter circle r=5: length ~ 2*pi*5/4 = 7.854
+    assert abs(a.l - math.pi * 2.5) < 0.02
+    assert a.n == 19 + 1  # 90/5 steps + 1

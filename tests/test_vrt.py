@@ -160,3 +160,24 @@ def test_src_sql(spark, tmp_path, csvdir):
     df = read_vrt(spark, vrt)
     rows = df.selectExpr("id", "ST_X(geom) AS x").collect()
     assert len(rows) == 1 and rows[0].id == 2 and rows[0].x == 30.0
+
+
+def test_field_type_override(spark, tmp_path, csvdir):
+    register_all(spark)
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="t">
+        <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+        <GeometryField encoding="PointFromColumns" x="px" y="py"/>
+        <Field name="fid" src="id" type="Integer"/>
+        <Field name="xs" src="px" type="String"/>
+      </OGRVRTLayer>""")
+    df = read_vrt(spark, vrt)
+    types = dict(df.dtypes)
+    assert types["fid"] == "int" and types["xs"] == "string"
+    bad = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="t">
+        <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+        <Field name="fid" src="id" type="Blob"/>
+      </OGRVRTLayer>""")
+    with pytest.raises(ValueError, match="Field type"):
+        read_vrt(spark, bad)
