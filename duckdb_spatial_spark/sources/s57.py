@@ -38,11 +38,13 @@ mappings.
 Update files (.001, .002, ...) found next to the base .000 cell apply
 in numeric order at the RECORD level (S-57 Part 3 ch. 8): RUIN 1
 inserts the record, 2 deletes it by (RCNM, RCID), 3 modifies it —
-geometry/pointer fields (SG2D/SG3D/VRPT/FSPT) replace wholesale when
-present, ATTF/NATF merge per attribute code. The SGCC/VRPC/FSPC
-partial-edit control words are NOT interpreted (a conformant update
-built from whole-field replacement round-trips; GDAL's S57 driver
-additionally honors the partial-edit indices)."""
+ATTF/NATF merge per attribute code; SG2D/SG3D/VRPT/FSPT replace
+wholesale when no control field accompanies them. The partial-edit
+control fields ARE honored when present (Part 3 §8.4): SGCC
+(CCUI 1=insert/2=delete/3=modify, CCIX 1-based index, CCNC count)
+splices the accompanying SG2D coordinates into the target's array, and
+FSPC (FSUI/FSIX/NSPT) splices FSPT pointer entries the same way —
+the operations GDAL's S57 driver applies via ApplyRecordUpdate."""
 
 from __future__ import annotations
 
@@ -213,8 +215,33 @@ def _collect_records(buf: bytes):
 
 
 
+def _splice(items: list, blob: bytes, width: int, instr: int,
+            ix: int, count: int) -> list:
+    """Part 3 §8.4 control-field splice over fixed-width array entries:
+    instr 1 = insert ``count`` new entries at 1-based position ``ix``,
+    2 = delete ``count`` entries from ``ix``, 3 = replace ``count``
+    entries from ``ix`` with the new ones."""
+    new = [blob[i:i + width] for i in range(0, len(blob) - width + 1, width)]
+    i = max(0, ix - 1)
+    if instr == 1:
+        return items[:i] + new[:count or len(new)] + items[i:]
+    if instr == 2:
+        return items[:i] + items[i + count:]
+    if instr == 3:
+        return items[:i] + new[:count] + items[i + count:]
+    return items
+
+
+def _entries(datas: list, width: int) -> list:
+    out = []
+    for d in datas:
+        out.extend(d[i:i + width] for i in range(0, len(d) - width + 1, width))
+    return out
+
+
 def _apply_updates(base: list, upd: list) -> list:
-    """Record-level RUIN application: 1 insert, 2 delete, 3 modify."""
+    """Record-level RUIN application: 1 insert, 2 delete, 3 modify.
+    Modify honors SGCC/FSPC partial-edit control fields when present."""
     by_key = {(r["kind"], r["rcnm"], r["rcid"]): r for r in base}
     order = [(r["kind"], r["rcnm"], r["rcid"]) for r in base]
     for u in upd:
@@ -223,8 +250,29 @@ def _apply_updates(base: list, upd: list) -> list:
             by_key.pop(key, None)
         elif u["ruin"] == 3 and key in by_key:
             tgt = by_key[key]["fmap"]
-            for tag, datas in u["fmap"].items():
-                if tag in ("0001", "VRID", "FRID"):
+            ufm = u["fmap"]
+            handled = set()
+            if "SGCC" in ufm and len(ufm["SGCC"][0]) >= 9:
+                # CCUI b11, CCIX b14, CCNC b14 (Part 3 §7.7.2.4)
+                c = ufm["SGCC"][0]
+                instr = c[0]
+                ccix, ccnc = struct.unpack_from("<II", c, 1)
+                coords = _entries(tgt.get("SG2D", []), 8)
+                blob = b"".join(ufm.get("SG2D", [b""]))
+                tgt["SG2D"] = [b"".join(_splice(coords, blob, 8, instr,
+                                                ccix, ccnc))]
+                handled.update(("SGCC", "SG2D"))
+            if "FSPC" in ufm and len(ufm["FSPC"][0]) >= 9:
+                c = ufm["FSPC"][0]
+                instr = c[0]
+                fsix, nspt = struct.unpack_from("<II", c, 1)
+                ptrs = _entries(tgt.get("FSPT", []), 8)
+                blob = b"".join(ufm.get("FSPT", [b""]))
+                tgt["FSPT"] = [b"".join(_splice(ptrs, blob, 8, instr,
+                                                fsix, nspt))]
+                handled.update(("FSPC", "FSPT"))
+            for tag, datas in ufm.items():
+                if tag in ("0001", "VRID", "FRID") or tag in handled:
                     continue
                 if tag in ("ATTF", "NATF"):
                     # merge per attribute code
@@ -468,6 +516,8 @@ _DDR_FIELDS = [
     ("VRID", b"1600;&Vector record identifier field"),
     ("SG2D", b"2600;&2-D coordinate field"),
     ("SG3D", b"2600;&3-D coordinate (sounding array) field"),
+    ("SGCC", b"1600;&Coordinate control field"),
+    ("FSPC", b"1600;&Feature record to spatial record pointer control field"),
     ("VRPT", b"2600;&Vector record pointer field"),
     ("FRID", b"1600;&Feature record identifier field"),
     ("ATTF", b"2600;&Feature record attribute field"),
@@ -493,6 +543,12 @@ def _sg3d(coords, comf: float, somf: float) -> bytes:
         out += struct.pack("<iii", int(round(y * comf)),
                            int(round(x * comf)), int(round(z * somf)))
     return out
+
+
+def sgcc(instr: int, ix: int, count: int) -> bytes:
+    """SGCC / FSPC control-field payload (CCUI/FSUI b11, index b14,
+    count b14) for update cells built with write_s57_update."""
+    return bytes([instr]) + struct.pack("<II", ix, count)
 
 
 def _fspt(entries) -> bytes:

@@ -214,3 +214,39 @@ def test_malformed_leader_no_hang(tmp_path):
     from duckdb_spatial_spark.sources.s57 import iso8211_records
     bad = b"00000" + b"3D" + b"E1 " + b"09" + b"00000" + b" ! " + b"110" + b"4"
     assert list(iso8211_records(bad + b"\x00" * 64)) == []
+
+
+def test_partial_edit_updates_sgcc_fspc(spark, tmp_path):
+    """S-57 Part 3 §8.4 partial edits: SGCC splices coordinates into the
+    target vector record's SG2D array; FSPC splices FSPT pointer
+    entries."""
+    register_all(spark)
+    from duckdb_spatial_spark.sources.s57 import (
+        RCNM_VE, _sg2d, sgcc, write_s57_update,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(0.0, 0.0), ST_Point(1.0, 0.0),"
+        " ST_Point(2.0, 0.0)))) AS geom")
+    p = str(tmp_path / "pe.000")
+    write_s57(df, p)  # VE rcid 1 with 3 vertices; FRID rcid 2
+    comf = 10_000_000.0
+    # SGCC modify: replace vertex 2 (1,0) -> (1,5); then insert one more
+    # vertex (3,0) after position 3
+    write_s57_update(str(tmp_path / "pe.001"), [
+        {"kind": "V", "rcnm": RCNM_VE, "rcid": 1, "ruin": 3,
+         "fields": [("SGCC", sgcc(3, 2, 1)), ("SG2D", _sg2d([(1.0, 5.0)], comf))]},
+    ])
+    write_s57_update(str(tmp_path / "pe.002"), [
+        {"kind": "V", "rcnm": RCNM_VE, "rcid": 1, "ruin": 3,
+         "fields": [("SGCC", sgcc(1, 4, 1)), ("SG2D", _sg2d([(3.0, 0.0)], comf))]},
+    ])
+    r = read_s57(spark, p).selectExpr("ST_AsText(geom) AS t", "ST_NPoints(geom) AS n").first()
+    assert r.t == "LINESTRING (0 0, 1 5, 2 0, 3 0)" and r.n == 4
+    # SGCC delete: remove the vertex just inserted
+    write_s57_update(str(tmp_path / "pe.003"), [
+        {"kind": "V", "rcnm": RCNM_VE, "rcid": 1, "ruin": 3,
+         "fields": [("SGCC", sgcc(2, 4, 1))]},
+    ])
+    r = read_s57(spark, p).selectExpr("ST_AsText(geom) AS t").first()
+    assert r.t == "LINESTRING (0 0, 1 5, 2 0)"
