@@ -21,6 +21,12 @@ Supported elements:
     <OGRVRTUnionLayer name="u">
       <OGRVRTLayer .../> ...                 (unionByName of members)
     </OGRVRTUnionLayer>
+    <OGRVRTWarpedLayer name="w">
+      <OGRVRTLayer .../>                     (single member)
+      <SrcSRS>EPSG:n</SrcSRS>                (optional; default = member's
+                                              crs tag, else error)
+      <TargetSRS>EPSG:n</TargetSRS>          (reprojects geom, retags)
+    </OGRVRTWarpedLayer>
   </OGRVRTDataSource>
 
 ``relativeToVRT`` defaults to "0" (path relative to the process CWD),
@@ -44,7 +50,7 @@ import xml.etree.ElementTree as ET
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_LAYER_TAGS = ("OGRVRTLayer", "OGRVRTUnionLayer")
+_LAYER_TAGS = ("OGRVRTLayer", "OGRVRTUnionLayer", "OGRVRTWarpedLayer")
 
 
 def vrt_layers(path: str) -> list[str]:
@@ -156,6 +162,35 @@ def _read_layer(spark: SparkSession, el, vrt_path: str,
                 options: dict) -> DataFrame:
     from . import st_read
     from ..functions import udfs
+
+    if el.tag == "OGRVRTWarpedLayer":
+        # GDAL's warped layer: reproject the single member to TargetSRS
+        members = [m for m in el if m.tag in _LAYER_TAGS]
+        if len(members) != 1:
+            raise ValueError("vrt: OGRVRTWarpedLayer needs exactly one "
+                             f"member layer (got {len(members)})")
+        target = (el.findtext("TargetSRS") or "").strip()
+        if not target:
+            raise ValueError("vrt: OGRVRTWarpedLayer needs <TargetSRS>")
+        df = _read_layer(spark, members[0], vrt_path, dict(options))
+        gcol = next((c for c in ("geom", "geometry", "wkb_geometry")
+                     if c in df.columns), None)
+        if gcol is None:
+            raise ValueError("vrt: OGRVRTWarpedLayer member has no "
+                             f"geometry column (columns: {df.columns})")
+        src_srs = (el.findtext("SrcSRS") or "").strip()
+        from ..functions.crs import geom_crs, make_st_transform
+
+        if not src_srs:
+            src_srs = geom_crs(df, gcol)
+        if not src_srs:
+            raise ValueError("vrt: OGRVRTWarpedLayer member declares no "
+                             "CRS — add <SrcSRS> (guessing one would be "
+                             "data corruption)")
+        tr = make_st_transform()
+        df = df.withColumn(gcol, tr(F.col(gcol), F.lit(str(src_srs)),
+                                    F.lit(target), F.lit(True)))
+        return df.withMetadata(gcol, {"crs": target})
 
     if el.tag == "OGRVRTUnionLayer":
         members = [m for m in el if m.tag in _LAYER_TAGS]

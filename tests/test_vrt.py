@@ -181,3 +181,36 @@ def test_field_type_override(spark, tmp_path, csvdir):
       </OGRVRTLayer>""")
     with pytest.raises(ValueError, match="Field type"):
         read_vrt(spark, bad)
+
+
+def test_warped_layer(spark, tmp_path, csvdir):
+    register_all(spark)
+    import math
+
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTWarpedLayer name="w">
+        <OGRVRTLayer name="pts">
+          <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+          <GeometryField encoding="WKT" field="wkt"/>
+          <LayerSRS>EPSG:4326</LayerSRS>
+        </OGRVRTLayer>
+        <TargetSRS>EPSG:3857</TargetSRS>
+      </OGRVRTWarpedLayer>""")
+    df = read_vrt(spark, vrt)
+    assert geom_crs(df) == "EPSG:3857"
+    rows = {r.id: r for r in df.selectExpr(
+        "id", "ST_X(geom) AS x", "ST_Y(geom) AS y").collect()}
+    a = 6378137.0
+    assert abs(rows[1].x - math.radians(1.0) * a) < 1e-6
+    assert abs(rows[1].y - a * math.log(math.tan(math.pi / 4 + math.radians(2.0) / 2))) < 1e-6
+    # member without a CRS tag and no SrcSRS refuses loudly
+    bad = _write_vrt(tmp_path, f"""
+      <OGRVRTWarpedLayer name="w">
+        <OGRVRTLayer name="pts">
+          <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+          <GeometryField encoding="WKT" field="wkt"/>
+        </OGRVRTLayer>
+        <TargetSRS>EPSG:3857</TargetSRS>
+      </OGRVRTWarpedLayer>""")
+    with pytest.raises(ValueError, match="SrcSRS"):
+        read_vrt(spark, bad)
