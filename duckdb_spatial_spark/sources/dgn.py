@@ -38,9 +38,11 @@ Coordinates are UORs (integer units of resolution); ``uor_scale``
 divides on read / multiplies on write. On read the default comes from
 the file's own TCB (subunits-per-master i32 @1112 x uor-per-subunit
 i32 @1116, the dgnlib TCB layout), falling back to 1000.0 when the TCB
-carries zeros — pass ``uor_scale=`` to override. Cells, b-spline
-curves and 3D are out of scope and are SKIPPED on read (counted, not
-raised — a real design file mixes them with the vector subset)."""
+carries zeros — pass ``uor_scale=`` to override. CELL headers (type 2)
+collect their line/linestring/shape members into one multi-geometry row
+with the RAD50-decoded cell name in ``text``. B-spline curves and 3D
+are out of scope and are SKIPPED on read (counted, not raised — a real
+design file mixes them with the vector subset)."""
 
 from __future__ import annotations
 
@@ -55,6 +57,7 @@ from ..geo import wkb as WKB
 
 _BIAS = 1 << 31
 
+DGNT_CELL_HEADER = 2
 DGNT_LINE = 3
 DGNT_LINE_STRING = 4
 DGNT_SHAPE = 6
@@ -168,10 +171,38 @@ def _stroke_arc(cx, cy, a, b, rot_deg, start_deg, sweep_deg):
     return pts
 
 
+_RAD50 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ$.%0123456789"
+
+
+def _rad50_decode(word: int) -> str:
+    return (_RAD50[(word // 1600) % 40] + _RAD50[(word // 40) % 40]
+            + _RAD50[word % 40])
+
+
+def _rad50_encode(s: str) -> int:
+    s = (s.upper() + "   ")[:3]
+    idx = [_RAD50.find(c) if _RAD50.find(c) >= 0 else 0 for c in s]
+    return idx[0] * 1600 + idx[1] * 40 + idx[2]
+
+
+def _member_geom(etype, el, uor):
+    """Geometry of a complex/cell member element (types 3/4/6)."""
+    pts = _vertices(etype, el[36:], uor) if len(el) >= 36 else []
+    if etype == DGNT_SHAPE:
+        if not pts:
+            return None
+        if pts[0] != pts[-1]:
+            pts.append(list(pts[0]))
+        return G.polygon([pts])
+    return G.linestring(pts) if len(pts) >= 2 else None
+
+
 def parse_dgn(path: str, uor_scale: float | None = None):
     """-> list of (level, color, weight, style, text, geometry); skips
     non-vector elements. ``uor_scale=None`` reads it from the TCB
-    (fallback 1000.0)."""
+    (fallback 1000.0). CELL headers (type 2) collect their member
+    elements into one multi-geometry row with the RAD50-decoded cell
+    name in the ``text`` column."""
     with open(path, "rb") as fh:
         buf = fh.read()
     uor = uor_scale if uor_scale is not None else (tcb_uor_scale(buf) or 1000.0)
@@ -179,6 +210,19 @@ def parse_dgn(path: str, uor_scale: float | None = None):
     # pending complex assembly: (etype, level, color, weight, style,
     #                            remaining-members, coords)
     pending = None
+    # pending cell: dict(level, color, weight, style, words, name, geoms)
+    cell = None
+
+    def close_cell():
+        nonlocal cell
+        if cell is None:
+            return
+        c, cell = cell, None
+        if not c["geoms"]:
+            return
+        g = c["geoms"][0] if len(c["geoms"]) == 1 else G.collect(c["geoms"])
+        out.append((c["level"], c["color"], c["weight"], c["style"],
+                    c["name"] or None, g))
 
     def close_pending():
         nonlocal pending
@@ -210,6 +254,32 @@ def parse_dgn(path: str, uor_scale: float | None = None):
             continue
         if pending is not None:
             close_pending()
+        if cell is not None and cmplx:
+            # cell members: words counted against the header's totlength
+            if etype in (DGNT_LINE, DGNT_LINE_STRING, DGNT_SHAPE):
+                g = _member_geom(etype, el, uor)
+                if g is not None:
+                    cell["geoms"].append(g)
+            cell["words"] -= len(el) // 2
+            if cell["words"] <= 0:
+                close_cell()
+            continue
+        if cell is not None:
+            close_cell()
+        if etype == DGNT_CELL_HEADER:
+            # ISFF 2D cell header: totlength u16 @36 (words of members),
+            # RAD50 cell name 2 words @38, class @42, levels @44,
+            # range @52, transform @68, origin @84
+            if len(el) < 42:
+                continue
+            color, weight, style = _symb(el)
+            (totlength,) = struct.unpack_from("<H", el, 36)
+            w1, w2 = struct.unpack_from("<HH", el, 38)
+            name = (_rad50_decode(w1) + _rad50_decode(w2)).strip()
+            cell = {"level": level, "color": color, "weight": weight,
+                    "style": style, "words": totlength, "name": name,
+                    "geoms": []}
+            continue
         if etype in (DGNT_COMPLEX_CHAIN, DGNT_COMPLEX_SHAPE):
             if len(el) < 40:
                 continue
@@ -282,6 +352,7 @@ def parse_dgn(path: str, uor_scale: float | None = None):
             continue
         out.append((level, color, weight, style, None, g))
     close_pending()
+    close_cell()
     return out
 
 
@@ -359,6 +430,19 @@ def arc_element(cx, cy, a, b, start_deg, sweep_deg, rot_deg=0.0, level=0,
     rng = (int(cx * uor_scale - r), int(cy * uor_scale - r), 0,
            int(cx * uor_scale + r), int(cy * uor_scale + r), 0)
     return _element(DGNT_ARC, level, 0, rng, body)
+
+
+def cell_element(name: str, members: list[bytes], level: int = 0) -> bytes:
+    """Raw ISFF CELL HEADER element (type 2, 2D) followed by its member
+    elements (pass elements built with the complex bit set, e.g. via
+    ``_element(..., cmplx=True)``); ``totlength`` counts the members'
+    words. The RAD50-packed name occupies two words."""
+    mem = b"".join(members)
+    w1 = _rad50_encode(name[:3])
+    w2 = _rad50_encode(name[3:6])
+    body = (struct.pack("<H", len(mem) // 2) + struct.pack("<HH", w1, w2)
+            + b"\x00" * 50)  # class/levels/range/transform/origin zeroed
+    return _element(DGNT_CELL_HEADER, level, 0, (0, 0, 0, 0, 0, 0), body) + mem
 
 
 def _linework(pts):

@@ -175,3 +175,40 @@ def test_arc_and_ellipse_elements(spark, tmp_path):
     # quarter circle r=5: length ~ 2*pi*5/4 = 7.854
     assert abs(a.l - math.pi * 2.5) < 0.02
     assert a.n == 19 + 1  # 90/5 steps + 1
+
+
+def test_cell_header(spark, tmp_path):
+    """ISFF CELL headers (type 2): members collect into one multi-geometry
+    row; the RAD50-packed cell name lands in the text column."""
+    from duckdb_spatial_spark.sources.dgn import (
+        _element, _linework, _rng, cell_element, write_dgn,
+    )
+
+    register_all(spark)
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_MakeEnvelope(100.0, 100.0, 101.0, 101.0)) AS geom")
+    p = str(tmp_path / "cell.dgn")
+    write_dgn(df, p, uor_scale=100000)
+    raw = open(p, "rb").read()
+    uor = 100000
+    pts1 = [(0, 0), (uor, 0)]
+    et1, b1 = _linework(pts1)
+    m1 = _element(et1, 0, 0, _rng(pts1), b1, cmplx=True)
+    import struct as _s
+
+    from duckdb_spatial_spark.sources.dgn import DGNT_SHAPE, _wr_i32
+
+    ring = [(2 * uor, 0), (3 * uor, 0), (3 * uor, uor), (2 * uor, 0)]
+    body = _s.pack("<H", len(ring)) + b"".join(_wr_i32(v) for pnt in ring for v in pnt)
+    m2 = _element(DGNT_SHAPE, 0, 0, _rng(ring), body, cmplx=True)
+    cell = cell_element("PUMP2", [m1, m2], level=9)
+    with open(p, "wb") as f:
+        f.write(raw[:-2] + cell + b"\xff\xff")
+    back = read_dgn(spark, p)
+    rows = {r.level: r for r in back.selectExpr(
+        "level", "text", "ST_GeometryType(geom) AS t",
+        "ST_NumGeometries(geom) AS n").collect()}
+    c = rows[9]
+    assert c.text == "PUMP2"
+    assert c.t == "GEOMETRYCOLLECTION" and c.n == 2
+    assert rows[0].text is None  # the plain envelope row untouched
