@@ -4426,6 +4426,58 @@ def q_streaming_ann_probe(spark, sf_dir):
     return _ann_topk_invariants(flat, 5)
 
 
+
+def q_streaming_minhash_probe(spark, sf_dir):
+    """Streaming near-dup probe of a PERSISTENT MinHash index (r14,
+    streaming/demo.streaming_minhash_probe): the decontamination /
+    incremental-dedup shape — documents stream in, matches against the
+    indexed corpus come out. Same poly131 portable signature space,
+    same index build, and the SAME probe set as the batch
+    q_minhash_index row, so the full-value DuckDB oracle is shared: the
+    stream-side row-local closed-form signature must reproduce the
+    batch groupBy signature value-for-value or the banded join keys
+    diverge."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.operators.dedup import minhash_index_build
+    from duckdb_spatial_spark.streaming import streaming_minhash_probe
+
+    docs = spark.table("documents")
+    tmp = _fresh_tmp("stream_mh")
+    idx = os.path.join(tmp, "index")
+    minhash_index_build(
+        docs.filter("doc_id % 2 = 0"), idx + ".build",
+        num_hashes=8, bands=4, hash="poly131",
+    )
+    os.rename(idx + ".build", idx)
+    copies = docs.filter("doc_id % 2 = 0 AND doc_id < 80").selectExpr(
+        "doc_id + 1000000 AS doc_id", "text"
+    )
+    probe = docs.filter("doc_id % 2 = 1").select("doc_id", "text").unionByName(copies)
+    qsrc = os.path.join(tmp, "queries")
+    probe.write.parquet(qsrc)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(qsrc)
+    out = streaming_minhash_probe(stream, idx, threshold=0.99)
+    import uuid
+
+    name = "mhprobe_" + uuid.uuid4().hex[:8]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise RuntimeError("streaming query did not finish in 180s - failing loudly instead of reading a half-filled sink")
+    return spark.table(name).selectExpr(
+        "query_id", "explode(matches) AS m"
+    ).selectExpr("query_id", "m.index_id AS index_id",
+                 "m.est_jaccard AS est_jaccard")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver oracle-checks the FIRST 50
     entries only, so recently-changed / never-driver-checked operators go
@@ -4441,6 +4493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dgn_depth": q_dgn_depth,
         "streaming_tagged_transform": q_streaming_tagged_transform,
         "streaming_ann_probe": q_streaming_ann_probe,
+        "streaming_minhash_probe": q_streaming_minhash_probe,
         # --- LLM-pipeline lanes (rewritten in r4, driver-unchecked) first ---
         "minhash_lsh_spec": q_minhash_lsh_spec,
         "simhash_spec": q_simhash_spec,
@@ -5094,6 +5147,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS ranks_ok, true AS cosine_monotone
             FROM embeddings WHERE vec_id < 10
         """,
+        "streaming_minhash_probe": _minhash_index_oracle(),
         "s57_depth": """
             SELECT * FROM (VALUES
               (CAST(2 AS BIGINT), 129, 'Delta', CAST(NULL AS VARCHAR),

@@ -14,6 +14,7 @@ from .demo import (  # noqa: F401
     streaming_envelope_counts,
     streaming_extent_agg,
     streaming_ivf_probe,
+    streaming_minhash_probe,
     streaming_session_dedup,
     streaming_sessionize,
     streaming_tagged_transform,

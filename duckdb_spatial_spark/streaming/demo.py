@@ -290,3 +290,114 @@ def streaming_ivf_probe(
         1, int(k),
     )
     return cand.groupBy("q_id").agg(ranked.alias("topk"))
+
+
+def streaming_minhash_probe(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Probe a PERSISTENT MinHash index (operators.dedup.minhash_index_build)
+    from a stream of documents — the streaming decontamination /
+    incremental-dedup shape: new documents arrive, near-dup matches
+    against the indexed corpus come out.
+
+    Streaming-plan constraints drive the design: the batch
+    ``minhash_signature`` is a groupBy over exploded shingles (an
+    aggregation a streaming plan cannot join after), so the stream side
+    computes each document's signature ROW-LOCALLY in one Arrow pass —
+    for the portable poly131 space this costs O(text + num_hashes x
+    shingles) via the closed form (k+1)*131^L + base (mod p), where
+    ``base``/``131^L`` are seed-independent per shingle. Band keys
+    derive as plain columns (same xxhash64 concat as the index build),
+    the band equi-join is stream-static, signature agreement is an
+    Arrow compare, and the ONLY stateful operator is the final
+    per-query match-set aggregation (complete output mode).
+
+    Returns one row per matched query: (query_id, matches) where
+    ``matches`` is the sorted array of (index_id, est_jaccard) structs."""
+    from ..operators.dedup import (
+        _band_explode, _minhash_index_meta,
+    )
+
+    meta = _minhash_index_meta(index_path)
+    if meta.get("hash") != "poly131":
+        raise ValueError(
+            "streaming_minhash_probe needs an index built with "
+            "hash='poly131' (the row-local closed form is specific to the "
+            f"portable polynomial space; this index is {meta.get('hash')!r})")
+    n, nh, bands = meta["n"], meta["num_hashes"], meta["bands"]
+    M = 1000000007
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        ws = _re.compile(r"\s+")
+        out = []
+        for t in s:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [x for x in ws.split(str(t).lower()) if x]
+            if n > 1 and len(toks) < n:
+                out.append(None)
+                continue
+            if n <= 1:
+                sh = list(dict.fromkeys(toks))
+            else:
+                sh = list(dict.fromkeys(
+                    " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
+            if not sh:
+                out.append(None)
+                continue
+            # poly131 fold = (seed+1)*131^L + sum(c_i*131^(L-1-i)) mod p:
+            # base and 131^L are seed-independent -> one pass per shingle
+            parts = []
+            for sstr in sh:
+                base, p_l = 0, 1
+                for ch in sstr:
+                    base = (base * 131 + ord(ch)) % M
+                    p_l = (p_l * 131) % M
+                parts.append((p_l, base))
+            out.append([
+                min(((k + 1) * p_l + base) % M for p_l, base in parts)
+                for k in range(nh)
+            ])
+        return pd.Series(out)
+
+    spark = stream.sparkSession
+    q = (
+        stream.select(F.col(id_col).alias("query_id"),
+                      sig_udf(F.col(text_col)).alias("_sig"))
+        .where(F.col("_sig").isNotNull())
+        .select("query_id", "_sig", _band_explode(bands, nh // bands))
+    )
+    ib = spark.read.parquet(f"{index_path}/bands").select(
+        F.col("_id").alias("index_id"), "band", "bhash")
+    isigs = spark.read.parquet(f"{index_path}/sigs").select(
+        F.col("_id").alias("index_id"), F.col("_sig").alias("_isig"))
+    nhf = float(nh)
+
+    @F.pandas_udf("double")
+    def _agree(qs: pd.Series, ws: pd.Series) -> pd.Series:
+        return pd.Series(
+            [float(np.sum(np.asarray(a) == np.asarray(b))) / nhf
+             for a, b in zip(qs, ws)],
+            dtype="float64",
+        )
+
+    cand = (
+        q.join(ib, ["band", "bhash"])
+        .join(isigs, "index_id")
+        .withColumn("est_jaccard", F.round(_agree(F.col("_sig"),
+                                                  F.col("_isig")), 6))
+        .filter(F.col("est_jaccard") >= float(threshold))
+    )
+    # collect_set dedups the multi-band candidate repeats; the struct
+    # carries the agreement so the caller can flatten to pairs
+    return cand.groupBy("query_id").agg(
+        F.sort_array(F.collect_set(F.struct(
+            F.col("index_id"), F.col("est_jaccard")))).alias("matches"))
