@@ -4528,8 +4528,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
-        "multimodal_meta": q_multimodal_meta,
-        "lang_id": q_lang_id,
+        # r14: streaming/demo.py gained module-level imports + new
+        # functions — keep two representative existing streaming rows
+        # in-window (the rest stay pytest-covered)
+        "streaming_extent": q_streaming_extent,
+        "streaming_sessionize": q_streaming_sessionize,
         "winnowing": q_winnowing,
         # --- new in r9: NTv2 grids, polygon short-circuit, introspection,
         # netCDF codec, DSIR selection, grid-join box short-circuit ---
@@ -4565,14 +4568,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r10: model-based quality filter (georss_roundtrip,
         # long-green r8+r9 and unchanged, rotates behind the window) ---
         "clf_quality": q_clf_quality,
-        "streaming_extent": q_streaming_extent,
+        "multimodal_meta": q_multimodal_meta,
         "streaming_upsert": q_streaming_upsert,
         # --- round-6 pipeline operators ---
         # --- new in r10: sessionization (gopher_quality, long-green r8+r9
         # and unchanged, rotates behind the window) ---
         "events_sessionize": q_events_sessionize,
         # --- new in r11: streaming session_window parity row ---
-        "streaming_sessionize": q_streaming_sessionize,
+        "lang_id": q_lang_id,
         "decontaminate": q_decontaminate,
         "embedding_assign": q_embedding_assign,
         "bm25": q_bm25,
