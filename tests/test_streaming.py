@@ -299,3 +299,36 @@ def test_streaming_ivf_probe_stream(spark, tmp_path):
         assert r.topk[0].b_id == r.q_id
         assert abs(r.topk[0].cosine - 1.0) < 1e-6
         assert len(r.topk) == 3
+
+
+def test_streaming_minhash_probe(spark, tmp_path):
+    from duckdb_spatial_spark.operators.dedup import minhash_index_build
+    from duckdb_spatial_spark.streaming import streaming_minhash_probe
+
+    base = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta{i} eta theta iota kappa")
+         for i in range(20)],
+        "doc_id long, text string")
+    idx = str(tmp_path / "mh")
+    minhash_index_build(base, idx, num_hashes=8, bands=4, hash="poly131")
+    # stream: one exact copy of doc 3 plus one unrelated doc
+    probe = spark.createDataFrame(
+        [(1003, "alpha beta gamma delta epsilon zeta3 eta theta iota kappa"),
+         (2000, "completely different words nothing shared here at all")],
+        "doc_id long, text string")
+    qsrc = str(tmp_path / "probe")
+    probe.write.parquet(qsrc)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(qsrc)
+    out = streaming_minhash_probe(stream, idx, threshold=0.99)
+    q = (out.writeStream.format("memory").queryName("mhprobe_t")
+         .outputMode("complete").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    rows = spark.table("mhprobe_t").collect()
+    assert len(rows) == 1 and rows[0].query_id == 1003
+    assert [m.index_id for m in rows[0].matches] == [3]
+    assert rows[0].matches[0].est_jaccard == 1.0
+    # non-poly131 index refuses loudly
+    import pytest as _pytest
+    minhash_index_build(base, str(tmp_path / "mhx"), num_hashes=8, bands=4)
+    with _pytest.raises(ValueError, match="poly131"):
+        streaming_minhash_probe(stream, str(tmp_path / "mhx"))
