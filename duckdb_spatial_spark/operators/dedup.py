@@ -73,6 +73,84 @@ def _shingles_py(text_col, n: int):
     return build(F.col(text_col) if isinstance(text_col, str) else text_col)
 
 
+_POLY_M = 1000000007
+
+
+def poly131_sigs_batch(texts, n: int, num_hashes: int):
+    """Row-local poly131 MinHash signatures, vectorized in numpy —
+    bit-identical to ``minhash_signature(df, ..., hash_fn=poly131)``
+    (the Column lane the persistent index builds with).
+
+    Used by ``streaming.demo.streaming_minhash_probe``, whose contract is
+    that a stream-side signature must reproduce the batch value
+    value-for-value. Parity details that matter (all pinned by
+    ``tests/test_streaming_minhash_kernel.py``):
+
+    - tokenization is ASCII-``\\s`` (``_ascii.ws_split``), matching Java
+      regex ``\\s+`` in the Column lane — NOT Python's Unicode-aware
+      ``\\s`` (U+00A0 etc. must stay inside tokens);
+    - a doc with ``0 < len(tokens) < n`` yields NO signature in the
+      Column lane (``_shingles`` emits an empty array, the explode_outer
+      NULL row is dropped) — the kernel returns None for it;
+    - ``poly_hash_expr`` folds over ``split(s, '')`` + ``ascii()``:
+      Spark's UTF8String split yields whole CODE POINTS (verified against
+      the batch lane on an astral-plane doc — NOT UTF-16 code units), so
+      the kernel hashes ``utf-32-le`` units (= ``ord``).
+
+    Closed form per shingle s of length L (in code units):
+    h_k(s) = ((k+1)*131^L + base(s)) mod p with base seed-independent,
+    so one Horner pass over a left-padded (shingles x W) unit matrix
+    serves all ``num_hashes`` seeds; per-doc mins via minimum.reduceat.
+
+    Returns a list aligned with ``texts``: each element a
+    ``num_hashes``-long list of ints, or None (null text / no shingles).
+    """
+    M = _POLY_M
+    sh_units: list[np.ndarray] = []   # code units per shingle, batch-flat
+    starts: list[int] = []            # first shingle index per live doc
+    live: list[int] = []              # positions in `texts` with >=1 shingle
+    out: list = [None] * len(texts)
+    for pos, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = _ascii_ws_split(str(t).lower())
+        if n <= 1:
+            sh = list(dict.fromkeys(toks))
+        elif len(toks) < n:
+            sh = []
+        else:
+            sh = list(dict.fromkeys(
+                " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
+        if not sh:
+            continue
+        starts.append(len(sh_units))
+        live.append(pos)
+        sh_units.extend(
+            np.frombuffer(s.encode("utf-32-le"), dtype="<u4") for s in sh)
+    if not live:
+        return out
+    lens = np.array([len(u) for u in sh_units], dtype=np.int64)
+    W = int(lens.max())
+    mat = np.zeros((len(sh_units), W), dtype=np.int64)
+    for i, u in enumerate(sh_units):
+        if len(u):
+            mat[i, W - len(u):] = u
+    # left-zero padding is Horner-neutral (leading 0*131^j terms vanish)
+    base = np.zeros(len(sh_units), dtype=np.int64)
+    for j in range(W):
+        base = (base * 131 + mat[:, j]) % M
+    pows = np.ones(W + 1, dtype=np.int64)
+    for j in range(W):
+        pows[j + 1] = (pows[j] * 131) % M
+    p_l = pows[lens]
+    seeds = np.arange(1, num_hashes + 1, dtype=np.int64)  # (k+1)
+    hv = (seeds[:, None] * p_l[None, :] + base[None, :]) % M
+    mins = np.minimum.reduceat(hv, np.array(starts, dtype=np.int64), axis=1)
+    for col, pos in enumerate(live):
+        out[pos] = mins[:, col].tolist()
+    return out
+
+
 def poly_hash_expr(col, seed: int):
     """Portable polynomial hash over codepoints: h = fold((h*131 + c) mod
     1e9+7, init seed+1). Bit-identical in plain SQL (DuckDB ``list_reduce``

@@ -319,7 +319,7 @@ def streaming_minhash_probe(
     Returns one row per matched query: (query_id, matches) where
     ``matches`` is the sorted array of (index_id, est_jaccard) structs."""
     from ..operators.dedup import (
-        _band_explode, _minhash_index_meta,
+        _band_explode, _minhash_index_meta, poly131_sigs_batch,
     )
 
     meta = _minhash_index_meta(index_path)
@@ -329,44 +329,14 @@ def streaming_minhash_probe(
             "hash='poly131' (the row-local closed form is specific to the "
             f"portable polynomial space; this index is {meta.get('hash')!r})")
     n, nh, bands = meta["n"], meta["num_hashes"], meta["bands"]
-    M = 1000000007
 
+    # one shared, numpy-vectorized kernel (operators.dedup.poly131_sigs_batch)
+    # computes the signature bit-identically to the batch Column lane the
+    # index was built with — ASCII-\s tokenization, short-doc drop, and
+    # code-point hashing all pinned by the kernel's parity test
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(s: pd.Series) -> pd.Series:
-        import re as _re
-
-        ws = _re.compile(r"\s+")
-        out = []
-        for t in s:
-            if t is None:
-                out.append(None)
-                continue
-            toks = [x for x in ws.split(str(t).lower()) if x]
-            if n > 1 and len(toks) < n:
-                out.append(None)
-                continue
-            if n <= 1:
-                sh = list(dict.fromkeys(toks))
-            else:
-                sh = list(dict.fromkeys(
-                    " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)))
-            if not sh:
-                out.append(None)
-                continue
-            # poly131 fold = (seed+1)*131^L + sum(c_i*131^(L-1-i)) mod p:
-            # base and 131^L are seed-independent -> one pass per shingle
-            parts = []
-            for sstr in sh:
-                base, p_l = 0, 1
-                for ch in sstr:
-                    base = (base * 131 + ord(ch)) % M
-                    p_l = (p_l * 131) % M
-                parts.append((p_l, base))
-            out.append([
-                min(((k + 1) * p_l + base) % M for p_l, base in parts)
-                for k in range(nh)
-            ])
-        return pd.Series(out)
+        return pd.Series(poly131_sigs_batch(list(s), n, nh))
 
     spark = stream.sparkSession
     q = (
