@@ -3288,6 +3288,54 @@ def q_spatial_transform_nad27(spark, sf_dir):
     )
 
 
+def q_spatial_transform_vertical(spark, sf_dir):
+    """Vertical / compound EPSG registry (r15, functions/crs.py; the
+    reference resolves these codes through its embedded PROJ db,
+    proj/functions.cpp:487-508): EPSG:5498 (NAD83 + NAVD88 height),
+    the PROJ 'EPSG:4326+5703' horizontal+vertical notation, MSL depth
+    (5715 -> +vto_meter=-1 z negation) and MSL height passthrough
+    (9705, no grid registered). A synthetic GTX geoid grid with an
+    AFFINE undulation field N = 2 + 0.5*(lon+100) + 0.25*(lat-30) is
+    dropped into the PROJ_DATA convention dir
+    (spark-warehouse/proj_grids/epsg_5703.gtx) so executor-side UDF
+    workers resolve it exactly like PROJ's grid directory; bilinear
+    interpolation of an affine field is exact and every grid node /
+    query coordinate is a binary fraction, so the oracle is the closed
+    form (the nad27 trick)."""
+    _prep(spark, sf_dir)
+    import os
+    import struct as _st
+
+    gd = os.path.join("spark-warehouse", "proj_grids")
+    os.makedirs(gd, exist_ok=True)
+    with open(os.path.join(gd, "epsg_5703.gtx"), "wb") as f:
+        f.write(_st.pack(">ddddii", 30.0, -100.0, 1.0, 1.0, 11, 11))
+        for i in range(11):          # rows from the SW corner
+            for j in range(11):
+                f.write(_st.pack(">f", 2.0 + 0.5 * j + 0.25 * i))
+    pts = ("(VALUES (1, -95.5, 35.25, 100.0), (2, -97.75, 31.5, 12.5),"
+           " (3, -91.25, 39.5, 0.0)) AS t(pid, lon, lat, h)")
+    return spark.sql(
+        f"""
+        SELECT pid,
+          round(ST_X(u), 6) AS lon, round(ST_Y(u), 6) AS lat,
+          round(ST_Z(u), 6) AS h_ell,
+          round(ST_Z(ST_Transform(u, 'EPSG:4326', 'EPSG:5498', true)), 6) AS h_rt,
+          round(ST_Z(ST_Transform(p, 'EPSG:4326+5703', 'EPSG:4326', true)), 6) AS h_notation,
+          round(ST_Z(ST_Transform(p, 'EPSG:4326+5715', 'EPSG:4326', true)), 6) AS negdepth,
+          round(ST_Z(ST_Transform(p, 'EPSG:9705', 'EPSG:4326', true)), 6) AS msl_pass
+        FROM (
+          SELECT pid, p, ST_Transform(p, 'EPSG:5498', 'EPSG:4326', true) AS u
+          FROM (
+            SELECT pid, ST_GeomFromText(
+              concat('POINT Z (', lon, ' ', lat, ' ', h, ')')) AS p
+            FROM {pts}
+          )
+        )
+        """
+    )
+
+
 _NTF_GREENWICH = (
     "+proj=longlat +a=6378249.2 +b=6356515"
     " +towgs84=-168,-60,320,0,0,0,0"
@@ -4253,8 +4301,10 @@ def q_s57_depth(spark, sf_dir):
     """S-57 depth (r14, sources/s57.py): SG3D sounding arrays (POINT Z /
     MULTIPOINT Z via the DSPM SOMF divisor), NATF national attributes,
     multi-exterior-ring areas assembling as MULTIPOLYGON, and .001
-    update-cell application (RUIN delete + ATTF-merge modify) — GDAL's
-    S57 driver covers the same surface (S-57 Part 3 ch. 8). Coordinates
+    update-cell application (RUIN delete + ATTF-merge modify, plus —
+    r15 — a VRPC vector-pointer splice and the RUIN=3-of-missing-record
+    skip) — GDAL's S57 driver covers the same surface (S-57 Part 3
+    ch. 8, ApplyRecordUpdate). Coordinates
     quantize at 1/COMF = 1e-7 deg so 5-decimal rounding is exact; depths
     at 1/SOMF = 0.1."""
     _prep(spark, sf_dir)
@@ -4290,6 +4340,25 @@ def q_s57_depth(spark, sf_dir):
         {"kind": "F", "rcnm": 100, "rcid": 2, "ruin": 3, "prim": 1,
          "fields": [("ATTF", _struct.pack("<H", 116) + b"Delta" + b"\x1f")]},
     ])
+    # update 2 (r15): VRPC partial edit — insert a VC begin node (at the
+    # ring's own start, so the polygon stays closed and area-invariant;
+    # the spliced pointer adds exactly one vertex, np 15 -> 16) + a
+    # RUIN=3 modify of a record ABSENT from the base, which must be
+    # skipped (GDAL warns and skips; an insert would fabricate a feature)
+    from duckdb_spatial_spark.sources.s57 import (
+        RCNM_VC, RCNM_VE, _sg2d, sgcc,
+    )
+
+    _name5 = bytes([RCNM_VC]) + _struct.pack("<I", 100)
+    write_s57_update(os.path.join(tmp, "cell.002"), [
+        {"kind": "V", "rcnm": RCNM_VC, "rcid": 100, "ruin": 1,
+         "fields": [("SG2D", _sg2d([(0.0, 0.0)], 10_000_000.0))]},
+        {"kind": "V", "rcnm": RCNM_VE, "rcid": 5, "ruin": 3,
+         "fields": [("VRPC", sgcc(1, 1, 1)),
+                    ("VRPT", _name5 + bytes([1, 1, 1, 2]))]},
+        {"kind": "F", "rcnm": 100, "rcid": 99, "ruin": 3, "prim": 1,
+         "fields": [("ATTF", _struct.pack("<H", 116) + b"Ghost" + b"\x1f")]},
+    ])
     back = read_s57(spark, path)
     return back.selectExpr(
         "rcid", "objl",
@@ -4303,16 +4372,27 @@ def q_s57_depth(spark, sf_dir):
 
 
 def q_dgn_depth(spark, sf_dir):
-    """DGN depth (r14, sources/dgn.py): complex chains (type 12 headers
-    assembling member linestrings), complex shapes (type 14 -> POLYGON),
-    TEXT elements (type 17 -> POINT + text column) and the TCB-carried
-    uor_scale default — dgnlib/GDAL's DGN driver reads the same element
-    types. Two design files in one directory also exercise the
-    distributed per-file read."""
+    """DGN depth (r14+r15, sources/dgn.py): complex chains (type 12
+    headers assembling member linestrings), complex shapes (type 14 ->
+    POLYGON), TEXT elements (type 17 -> POINT + text column), the
+    TCB-carried uor_scale default, and — new in r15 — 3D design files
+    (TCB dimension flag, (x y z) linework triplets -> Z geometries),
+    CURVE elements (type 11, slope-control endpoints, C1 cubic stroke)
+    and B-SPLINE CURVE headers (type 27, De Boor stroke over POLE
+    components, open-clamped + closed-periodic) — dgnlib/GDAL's DGN
+    driver reads the same element types. Four design files in one
+    directory also exercise the distributed per-file read. Expected
+    vertex counts are exact: curve = 2 spans x 8 + 1 = 17; open spline
+    (4 poles, order 3) = 2 spans x 10 + 1 = 21; closed = 4 x 10 + 1 =
+    41; the closed square spline passes through the control-polygon
+    edge midpoints, so mnx/mxx are exact 0/2."""
     _prep(spark, sf_dir)
     import os
 
     from duckdb_spatial_spark.sources import read_dgn, write_dgn
+    from duckdb_spatial_spark.sources.dgn import (
+        bspline_elements, curve_element, write_dgn_elements,
+    )
 
     tmp = _fresh_tmp("dgn_depth_q")
     chains = spark.createDataFrame(
@@ -4328,13 +4408,30 @@ def q_dgn_depth(spark, sf_dir):
     ).selectExpr("lvl", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
     write_dgn(polys, os.path.join(tmp, "b.dgn"), level_col="lvl",
               complex_shapes=True, uor_scale=100000)
+    z3d = spark.createDataFrame(
+        [(2, "LINESTRING Z (0 0 1.5, 3 4 2.5)"),
+         (4, "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 4 1, 0 0 1))")],
+        "lvl int, wkt string",
+    ).selectExpr("lvl", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
+    write_dgn(z3d, os.path.join(tmp, "c.dgn"), level_col="lvl",
+              dimension=3, uor_scale=100000)
+    write_dgn_elements(os.path.join(tmp, "d.dgn"), [
+        curve_element([(-1, -1), (0, 0), (1, 1), (2, 0), (3, 1)],
+                      level=9, uor_scale=100000),
+        bspline_elements([(0, 0), (1, 2), (2, -2), (3, 0)], order=3,
+                         level=10, uor_scale=100000),
+        bspline_elements([(0, 0), (2, 0), (2, 2), (0, 2)], order=3,
+                         closed=True, level=11, uor_scale=100000),
+    ], uor_scale=100000)
     back = read_dgn(spark, tmp)  # directory read, TCB uor from each file
     return back.selectExpr(
         "level", "text",
         "ST_GeometryType(geom) AS t",
-        "round(ST_Length(geom), 6) AS l",
+        "ST_NPoints(geom) AS npts",
         "round(ST_Area(geom), 6) AS a",
         "round(ST_XMin(geom), 6) AS mnx",
+        "round(ST_XMax(geom), 6) AS mxx",
+        "round(ST_ZMax(geom), 6) AS zmx",
     )
 
 
@@ -4487,8 +4584,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r14: Krovak/NZMG kernels, VRT union+SrcSQL, S-57
         # depth (SG3D/NATF/updates/multi-shell), DGN depth (complex/
         # text/TCB) — never driver-checked, lead the window ---
+        # --- new in r15: vertical/compound EPSG registry — never
+        # driver-checked, leads the window ---
+        "spatial_transform_vertical": q_spatial_transform_vertical,
         "spatial_transform_tranche5": q_spatial_transform_tranche5,
         "vrt_union_sql": q_vrt_union_sql,
+        # r15: s57_depth extended (VRPC splices, RUIN=3-missing skip);
+        # dgn_depth extended (3D linework, CURVE + B-spline strokes)
         "s57_depth": q_s57_depth,
         "dgn_depth": q_dgn_depth,
         "streaming_tagged_transform": q_streaming_tagged_transform,
@@ -5155,17 +5257,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (CAST(2 AS BIGINT), 129, 'Delta', CAST(NULL AS VARCHAR),
                'MULTIPOINT', 2, 0.0, 10.3),
-              (8, 2, 'Gamma', NULL, 'MULTIPOLYGON', 15, 121.0, -1.0),
+              -- np 16: the r15 VRPC splice adds a begin-node vertex to
+              -- the outer shell (previously 15)
+              (8, 2, 'Gamma', NULL, 'MULTIPOLYGON', 16, 121.0, -1.0),
               (10, 3, NULL, 'Nat', 'POINT', 1, 0.0, -1.0)
             ) AS t(rcid, objl, nm, nn, t, np, a, zmx)
         """,
         "dgn_depth": """
+            -- hand-derived: chain concatenates 4 distinct vertices; the
+            -- curve strokes 2 spans x 8 + 1 = 17 points between its
+            -- interior vertices (slope controls off-curve, x(t) affine
+            -- so mnx/mxx are the interior endpoints); the open spline
+            -- clamps to its end poles (2 spans x 10 + 1 = 21); the
+            -- closed square spline (4 spans x 10 + 1 = 41) passes
+            -- through control-polygon edge midpoints at integer knots,
+            -- giving exact mnx 0 / mxx 2
             SELECT * FROM (VALUES
-              (3, CAST(NULL AS VARCHAR), 'LINESTRING',
-               round(1 + sqrt(2.0) + sqrt(17.0), 6), 0.0, 0.0),
-              (5, 'Main St', 'POINT', 0.0, 0.0, 2.5),
-              (7, NULL, 'POLYGON', 0.0, 48.0, 0.0)
-            ) AS t(level, text, t, l, a, mnx)
+              (CAST(2 AS INT), CAST(NULL AS VARCHAR), 'LINESTRING',
+               CAST(2 AS INT), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+               CAST(3 AS DOUBLE), CAST(2.5 AS DOUBLE)),
+              (3, NULL, 'LINESTRING', 4, 0, 0, 3, NULL),
+              (4, NULL, 'POLYGON', 5, 16, 0, 4, 1),
+              (5, 'Main St', 'POINT', 1, 0, 2.5, 2.5, NULL),
+              (7, NULL, 'POLYGON', 5, 48, 0, 8, NULL),
+              (9, NULL, 'LINESTRING', 17, 0, 0, 2, NULL),
+              (10, NULL, 'LINESTRING', 21, 0, 0, 3, NULL),
+              (11, NULL, 'LINESTRING', 41, 0, 0, 2, NULL)
+            ) AS t(level, text, t, npts, a, mnx, mxx, zmx)
+        """,
+        "spatial_transform_vertical": """
+            -- closed-form oracle: the synthetic GTX field is affine
+            -- (N = 2 + 0.5*(lon+100) + 0.25*(lat-30)) over binary-fraction
+            -- nodes, so bilinear interpolation reproduces it exactly;
+            -- depth (5715) negates via +vto_meter=-1; 9705 has no grid
+            -- registered, so MSL height passes through numerically
+            SELECT pid,
+              round(lon, 6) AS lon, round(lat, 6) AS lat,
+              round(h + 2 + 0.5 * (lon + 100) + 0.25 * (lat - 30), 6) AS h_ell,
+              round(h, 6) AS h_rt,
+              round(h + 2 + 0.5 * (lon + 100) + 0.25 * (lat - 30), 6) AS h_notation,
+              round(-h, 6) AS negdepth,
+              round(h, 6) AS msl_pass
+            FROM (VALUES
+              (1, CAST(-95.5 AS DOUBLE), CAST(35.25 AS DOUBLE), CAST(100.0 AS DOUBLE)),
+              (2, -97.75, 31.5, 12.5),
+              (3, -91.25, 39.5, 0.0)
+            ) AS t(pid, lon, lat, h)
         """,
         "spatial_transform_nad27": nad27_sql,
         "spatial_native_casts": f"""

@@ -61,6 +61,11 @@ def _norm_crs(name: str) -> str:
 _GEOGRAPHIC_EPSG = {
     "EPSG:4326", "EPSG:4258", "EPSG:4277", "EPSG:4149", "EPSG:4150",
     "EPSG:4267", "EPSG:4269", "EPSG:4283", "EPSG:4674",
+    # compound codes whose horizontal member is authority-lat/lon
+    # geographic keep that axis order (the compound lowering happens
+    # below the axis check); 'EPSG:h+v' notation is always lon/lat,
+    # like raw proj4 strings
+    "EPSG:9518", "EPSG:9705", "EPSG:9707", "EPSG:5498",
 }
 
 
@@ -772,10 +777,20 @@ _PROJ4_CACHE: dict = {}
 
 
 def _proj4_def(crs: str):
-    """Parsed ProjDef for a proj4 string or registry EPSG code, else None."""
+    """Parsed ProjDef for a proj4 string, registry EPSG code, or compound
+    EPSG code (r15 — lowered to horizontal + vertical tokens), else None.
+    A bare VERTICAL code raises with the fix named (wktcrs stance)."""
     from . import proj4 as P
 
     s = _PROJ4_STRINGS.get(crs, crs if crs.startswith("+") else None)
+    if s is None:
+        if (crs.startswith("EPSG:") and crs[5:].isdigit()
+                and int(crs[5:]) in _VERTICAL_EPSG):
+            raise ValueError(
+                f"{crs} is a vertical CRS ({_VERTICAL_EPSG[int(crs[5:])][0]})"
+                " and has no horizontal transform — use a compound code"
+                " (e.g. 'EPSG:4326+" + crs[5:] + "')")
+        s = _compound_proj4(crs)
     if s is None:
         return None
     d = _PROJ4_CACHE.get(s)
@@ -811,9 +826,138 @@ _BUILTIN_AS_PROJ4 = {
 }
 
 
+# ---------------------------------------------------------------------------
+# vertical / compound EPSG registry (r15; reference resolves these through
+# its embedded PROJ db, spatial/src/spatial/proj/functions.cpp:487-508)
+# ---------------------------------------------------------------------------
+# vertical EPSG code -> (name, axis direction). "up" = gravity-related
+# HEIGHT; "down" = DEPTH (z negates through +vto_meter=-1, PROJ semantics).
+_VERTICAL_EPSG = {
+    3855: ("EGM2008 height", "up"),
+    5701: ("ODN height", "up"),
+    5703: ("NAVD88 height", "up"),
+    5705: ("Baltic 1977 height", "up"),
+    5709: ("NAP height", "up"),
+    5714: ("MSL height", "up"),
+    5715: ("MSL depth", "down"),
+    5773: ("EGM96 height", "up"),
+    5798: ("EGM84 height", "up"),
+    5941: ("NN2000 height", "up"),
+    6695: ("JGD2011 (vertical) height", "up"),
+    7837: ("DHHN2016 height", "up"),
+}
+# compound EPSG code -> (horizontal member, vertical member)
+_COMPOUND_EPSG = {
+    5498: (4269, 5703),    # NAD83 + NAVD88 height
+    5972: (25832, 5941),   # ETRS89 / UTM 32N + NN2000 height
+    6697: (6668, 6695),    # JGD2011 + JGD2011 (vertical) height
+    7405: (27700, 5701),   # OSGB36 / British National Grid + ODN height
+    7415: (28992, 5709),   # Amersfoort / RD New + NAP height
+    9518: (4326, 3855),    # WGS 84 + EGM2008 height
+    9705: (4326, 5714),    # WGS 84 + MSL height
+    9707: (4326, 5773),    # WGS 84 + EGM96 height
+}
+# vertical EPSG code -> GTX geoid-grid path, set by the user at runtime
+# (no geoid model ships in-repo; PROJ downloads them the same way)
+_VERTICAL_GRIDS: dict[int, str] = {}
+
+
+def _proj_data_dir() -> str:
+    """Grid search directory — the PROJ_DATA convention: explicit env
+    ``SPARK_GRAFT_PROJ_DATA``, else ``spark-warehouse/proj_grids``
+    (CWD-relative, shared by local-mode Python workers; on a cluster
+    ship grids with ``--files`` and point the env var at them)."""
+    import os as _os
+
+    return _os.environ.get("SPARK_GRAFT_PROJ_DATA",
+                           "spark-warehouse/proj_grids")
+
+
+def register_vertical_grid(vertical_epsg: int, gtx_path: str) -> None:
+    """Attach a GTX geoid grid (functions/gtx.py) to a vertical EPSG
+    code: transforms involving a compound CRS with that member then
+    convert z orthometric <-> ellipsoidal through the grid. Without a
+    registered grid the vertical axis passes through numerically
+    (heights stay in meters; depth codes still negate).
+
+    Registration is per-PROCESS (the driver). Executor-side UDFs resolve
+    grids through the PROJ_DATA convention instead: drop the grid at
+    ``<SPARK_GRAFT_PROJ_DATA>/epsg_<code>.gtx`` (default
+    ``spark-warehouse/proj_grids/``) and every worker finds it — the
+    same deployment shape as PROJ's own grid directory."""
+    code = int(vertical_epsg)
+    if code not in _VERTICAL_EPSG:
+        raise ValueError(
+            f"EPSG:{code} is not a known vertical CRS code "
+            f"(known: {sorted(_VERTICAL_EPSG)})")
+    _VERTICAL_GRIDS[code] = str(gtx_path)
+    _PROJ4_CACHE.clear()  # compound defs embed the grid path
+
+
+def _vertical_grid_path(code: int) -> str | None:
+    """Explicit registration first, then the PROJ_DATA convention file."""
+    import os as _os
+
+    p = _VERTICAL_GRIDS.get(code)
+    if p:
+        return p
+    cand = _os.path.join(_proj_data_dir(), f"epsg_{code}.gtx")
+    return cand if _os.path.exists(cand) else None
+
+
+def _horizontal_proj4(code: int) -> str | None:
+    """proj4 string for a horizontal EPSG code (registry, builtin
+    re-expression, or the UTM pattern)."""
+    key = f"EPSG:{code}"
+    s = _PROJ4_STRINGS.get(key) or _BUILTIN_AS_PROJ4.get(key)
+    if s is None:
+        zone, south = _utm_zone(key)
+        if zone:
+            s = f"+proj=utm +zone={zone}{' +south' if south else ''} +datum=WGS84"
+    return s
+
+
+def _compound_proj4(crs: str) -> str | None:
+    """Lower a compound CRS — registry code ('EPSG:7415') or PROJ's
+    horizontal+vertical notation ('EPSG:4326+5773') — to the horizontal
+    member's proj4 string plus vertical tokens (+geoidgrids when a grid
+    is registered, +vto_meter=-1 for depth axes). None if not compound.
+    Axis-order note: the compound CODE keeps its authority axis order
+    (geographic compounds are listed in _GEOGRAPHIC_EPSG), because the
+    lowering happens below the axis check."""
+    if not crs.startswith("EPSG:"):
+        return None
+    body = crs[5:]
+    if "+" in body:
+        h_s, v_s = body.split("+", 1)
+        if not (h_s.isdigit() and v_s.isdigit()):
+            return None
+        h, v = int(h_s), int(v_s)
+    elif body.isdigit() and int(body) in _COMPOUND_EPSG:
+        h, v = _COMPOUND_EPSG[int(body)]
+    else:
+        return None
+    if v not in _VERTICAL_EPSG:
+        raise ValueError(
+            f"unknown vertical CRS member EPSG:{v} in {crs!r} "
+            f"(known vertical codes: {sorted(_VERTICAL_EPSG)})")
+    base = _horizontal_proj4(h)
+    if base is None:
+        raise ValueError(
+            f"unsupported horizontal CRS member EPSG:{h} in {crs!r}")
+    _, direction = _VERTICAL_EPSG[v]
+    grid = _vertical_grid_path(v)
+    if grid:
+        base += f" +geoidgrids={grid}"
+    if direction == "down":
+        base += " +vto_meter=-1"
+    return base
+
+
 def _as_proj4_def(crs: str):
-    """ProjDef for any supported CRS name (long-tail, raw string, or a
-    proj4 re-expression of an analytic built-in); None if unknown."""
+    """ProjDef for any supported CRS name (long-tail, raw string, a
+    proj4 re-expression of an analytic built-in, or a compound
+    EPSG code); None if unknown."""
     d = _proj4_def(crs)
     if d is not None:
         return d
@@ -1230,4 +1374,15 @@ def list_proj_crs_df(spark):
         kind = "geographic 2D" if code in _GEOGRAPHIC_EPSG else "projected"
         axis = "lat,lon" if code in _GEOGRAPHIC_EPSG else "x,y"
         rows.append(("EPSG", num, name, kind, axis))
+    # r15: vertical + compound registry (reference lists these through
+    # the embedded PROJ db the same way)
+    for vc, (vname, vdir) in sorted(_VERTICAL_EPSG.items()):
+        rows.append(("EPSG", str(vc), vname, "vertical",
+                     "up" if vdir == "up" else "down"))
+    for cc, (h, v) in sorted(_COMPOUND_EPSG.items()):
+        hname = _CRS_NAMES.get(f"EPSG:{h}", f"EPSG:{h}")
+        rows.append(("EPSG", str(cc), f"{hname} + {_VERTICAL_EPSG[v][0]}",
+                     "compound",
+                     ("lat,lon,z" if f"EPSG:{cc}" in _GEOGRAPHIC_EPSG
+                      else "x,y,z")))
     return spark.createDataFrame(rows, "auth_name string, code string, name string, type string, axis string")

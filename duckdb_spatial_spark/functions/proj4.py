@@ -94,11 +94,11 @@ _WGS84 = Ellipsoid(*ELLIPSOIDS["WGS84"])
 class ProjDef:
     __slots__ = (
         "proj", "ell", "params", "towgs84", "to_meter", "nadgrids", "pm",
-        "geoidgrids",
+        "geoidgrids", "vto_meter",
     )
 
     def __init__(self, proj, ell, params, towgs84, to_meter, nadgrids=None,
-                 pm=0.0, geoidgrids=None):
+                 pm=0.0, geoidgrids=None, vto_meter=1.0):
         self.proj = proj
         self.ell = ell
         self.params = params
@@ -114,6 +114,9 @@ class ProjDef:
         # +geoidgrids= GTX vertical grid: this CRS's z is ORTHOMETRIC
         # height above the geoid; lazily loaded (functions/gtx.py)
         self.geoidgrids = geoidgrids
+        # +vto_meter= vertical unit factor (PROJ semantics): z in this
+        # CRS times vto_meter = meters; -1 models depth axes (MSL depth)
+        self.vto_meter = vto_meter
 
 
 def _parse_angle(v: str) -> float:
@@ -129,7 +132,7 @@ _CONSUMED_KEYS = frozenset(
         "proj", "a", "rf", "f", "b", "ellps", "datum", "towgs84", "to_meter",
         "units", "lat_0", "lat_1", "lat_2", "lat_ts", "lon_0", "k", "k_0",
         "x_0", "y_0", "zone", "south", "nadgrids", "pm", "geoidgrids",
-        "lonc", "alpha", "gamma", "no_uoff",
+        "vto_meter", "lonc", "alpha", "gamma", "no_uoff",
     }
 )
 # +pm= named prime meridians (proj's `-lm` list, Greenwich offsets in deg)
@@ -196,6 +199,9 @@ def parse_proj4(s: str) -> ProjDef:
     geoidgrids = params.get("geoidgrids")
     if geoidgrids == "@null":
         geoidgrids = None
+    vto_meter = float(params.get("vto_meter", 1.0))
+    if vto_meter == 0.0:
+        raise ValueError("+vto_meter=0 is not a unit")
 
     pm = 0.0
     if "pm" in params:
@@ -281,7 +287,8 @@ def parse_proj4(s: str) -> ProjDef:
         raise ValueError(f"unsupported +proj={proj} (supported: longlat, tmerc, utm, merc, "
                          f"webmerc, lcc, aea, stere, sterea, laea, somerc, cass, omerc, "
                          f"krovak, eqc, aeqd, nzmg)")
-    return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm, geoidgrids)
+    return ProjDef(proj, ell, num, towgs84, to_meter, nadgrids, pm,
+                   geoidgrids, vto_meter)
 
 
 # ---------------------------------------------------------------------------
@@ -1351,6 +1358,9 @@ def transform_proj4(x, y, src: ProjDef, dst: ProjDef, z=None):
     lon, lat = _inv(src, x, y)
     if src.pm:
         lon = np.asarray(lon, dtype=np.float64) + src.pm
+    if z is not None and src.vto_meter != 1.0:
+        # vertical units -> meters (PROJ +vto_meter; -1 = depth axis)
+        z = np.asarray(z, dtype=np.float64) * src.vto_meter
     if z is not None and src.geoidgrids:
         from .gtx import load_gtx
 
@@ -1389,6 +1399,8 @@ def transform_proj4(x, y, src: ProjDef, dst: ProjDef, z=None):
         from .gtx import load_gtx
 
         z = load_gtx(dst.geoidgrids).to_orthometric(lon, lat, z)
+    if z is not None and dst.vto_meter != 1.0:
+        z = np.asarray(z, dtype=np.float64) / dst.vto_meter
     if dst.pm:
         lon = np.asarray(lon, dtype=np.float64) - dst.pm
     ox, oy = _fwd(dst, lon, lat)

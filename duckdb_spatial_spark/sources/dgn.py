@@ -40,9 +40,27 @@ the file's own TCB (subunits-per-master i32 @1112 x uor-per-subunit
 i32 @1116, the dgnlib TCB layout), falling back to 1000.0 when the TCB
 carries zeros — pass ``uor_scale=`` to override. CELL headers (type 2)
 collect their line/linestring/shape members into one multi-geometry row
-with the RAD50-decoded cell name in ``text``. B-spline curves and 3D
-are out of scope and are SKIPPED on read (counted, not raised — a real
-design file mixes them with the vector subset)."""
+with the RAD50-decoded cell name in ``text``.
+
+3D design files (r15): the TCB dimension flag (byte 1214 bit 0x40, the
+dgnlib DGNLoadTCB convention) switches linear payloads to (x y z) int32
+triplets — LINE / LINE STRING / SHAPE / CURVE and complex/cell members
+read as Z-carrying geometries (our writer stamps the same flag via
+``dimension=3``). CURVE elements (type 11) are the ISFF parametric
+spline: the first and last vertices are slope-control points that the
+curve does not pass through; we stroke a C1 cubic through the interior
+vertices with Catmull-Rom tangents (the control points supply the end
+slopes — their ISFF role), 8 samples per span. B-SPLINE CURVE headers
+(type 27) consume their complex-bit component elements — POLE (21,
+line-string-shaped payload), KNOT (26) and WEIGHT (28) are accepted and
+the uniform stroke ignores knots/weights — and stroke a uniform
+B-spline over the poles via De Boor (order u8 @38, clamped to the pole
+count; properties u8 @39 bit 0 = closed/periodic; header words u16 @36
+count the member words, mirroring the complex-chain convention). The
+pole/knot/weight component structure is dgnlib's; the two header bytes
+are pinned by this module's own writer-reader pair (the public ISFF
+copies do not reproduce the 27-header byte layout) and documented here
+so the assumption is visible."""
 
 from __future__ import annotations
 
@@ -62,11 +80,16 @@ DGNT_LINE = 3
 DGNT_LINE_STRING = 4
 DGNT_SHAPE = 6
 DGNT_TCB = 9
+DGNT_CURVE = 11
 DGNT_COMPLEX_CHAIN = 12
 DGNT_COMPLEX_SHAPE = 14
 DGNT_ELLIPSE = 15
 DGNT_ARC = 16
 DGNT_TEXT = 17
+DGNT_BSPLINE_POLE = 21
+DGNT_BSPLINE_KNOT = 26
+DGNT_BSPLINE_CURVE_HEADER = 27
+DGNT_BSPLINE_WEIGHT = 28
 
 # stroking density for arc/ellipse -> vertex sequences (GDAL's DGN layer
 # strokes them the same way via dgnlib DGNStrokeArc/DGNStrokeCurve)
@@ -136,24 +159,105 @@ def tcb_uor_scale(path_or_buf) -> float | None:
     return None
 
 
+def tcb_dimension(buf: bytes) -> int:
+    """2 or 3 from the TCB dimension flag (byte 1214 bit 0x40, the
+    dgnlib DGNLoadTCB convention; write_dgn stamps the same bit)."""
+    for _, etype, _, el in _iter_elements(buf[:4096]):
+        if etype == DGNT_TCB:
+            return 3 if len(el) > 1214 and (el[1214] & 0x40) else 2
+    return 2
+
+
 def _symb(el: bytes):
     (symb,) = struct.unpack_from("<H", el, 34)
     return symb & 0xFF, (symb >> 8) & 0x1F, (symb >> 13) & 0x7
 
 
-def _vertices(etype: int, body: bytes, uor: float):
+def _vertices(etype: int, body: bytes, uor: float, dim: int = 2):
+    w = 4 * dim  # bytes per vertex
     if etype == DGNT_LINE:
-        if len(body) < 16:
+        if len(body) < 2 * w:
             return []
         return [
-            [_rd_i32(body, 0) / uor, _rd_i32(body, 4) / uor],
-            [_rd_i32(body, 8) / uor, _rd_i32(body, 12) / uor],
+            [_rd_i32(body, 4 * k) / uor for k in range(dim)],
+            [_rd_i32(body, w + 4 * k) / uor for k in range(dim)],
         ]
     (nv,) = struct.unpack_from("<H", body, 0)
     return [
-        [_rd_i32(body, 2 + 8 * i) / uor, _rd_i32(body, 6 + 8 * i) / uor]
+        [_rd_i32(body, 2 + w * i + 4 * k) / uor for k in range(dim)]
         for i in range(nv)
+        if 2 + w * (i + 1) <= len(body)
     ]
+
+
+def _stroke_curve(pts, samples_per_span: int = 8):
+    """ISFF CURVE (type 11) stroke: a C1 cubic through the interior
+    vertices; the first and last vertices are slope-control points the
+    curve does not pass through (their ISFF role) — Catmull-Rom tangents
+    use them at the ends. Works for 2D and 3D vertex lists."""
+    if len(pts) < 4:
+        return [list(p) for p in pts[1:-1]] if len(pts) > 2 else []
+    import numpy as np
+
+    v = np.asarray(pts, dtype=np.float64)
+    out = [list(v[1])]
+    t = np.linspace(0.0, 1.0, samples_per_span + 1)[1:]
+    for i in range(1, len(v) - 2):
+        p0, p1, p2, p3 = v[i - 1], v[i], v[i + 1], v[i + 2]
+        m1 = (p2 - p0) / 2.0
+        m2 = (p3 - p1) / 2.0
+        # Hermite basis over [0,1]
+        h00 = 2 * t**3 - 3 * t**2 + 1
+        h10 = t**3 - 2 * t**2 + t
+        h01 = -2 * t**3 + 3 * t**2
+        h11 = t**3 - t**2
+        seg = (h00[:, None] * p1 + h10[:, None] * m1
+               + h01[:, None] * p2 + h11[:, None] * m2)
+        out.extend(seg.tolist())
+    return out
+
+
+def _stroke_bspline(poles, order: int, closed: bool,
+                    samples_per_span: int = 10):
+    """Uniform B-spline stroke over control poles via De Boor (open
+    curves use a clamped knot vector so the stroke starts/ends on the
+    first/last pole; closed curves wrap the poles periodically)."""
+    import numpy as np
+
+    P = np.asarray(poles, dtype=np.float64)
+    n = len(P)
+    if n == 0:
+        return []
+    k = max(2, min(int(order), n if not closed else n + 1))
+    if closed:
+        P = np.vstack([P, P[: k - 1]])
+        n = len(P)
+        knots = np.arange(n + k, dtype=np.float64)
+        t0, t1 = knots[k - 1], knots[n]
+    else:
+        if n < k:
+            k = n
+        knots = np.concatenate([
+            np.zeros(k), np.arange(1, n - k + 1, dtype=np.float64),
+            np.full(k, float(n - k + 1)),
+        ])
+        t0, t1 = knots[k - 1], knots[n]
+    spans = max(1, n - k + 1)
+    ts = np.linspace(t0, t1, spans * samples_per_span + 1)
+    out = []
+    for t in ts:
+        # De Boor at parameter t
+        j = int(np.searchsorted(knots, t, side="right") - 1)
+        j = min(max(j, k - 1), n - 1)
+        d = [P[j - k + 1 + r].copy() for r in range(k)]
+        for r in range(1, k):
+            for i in range(k - 1, r - 1, -1):
+                il = j - k + 1 + i
+                den = knots[il + k - r] - knots[il]
+                alpha = 0.0 if den == 0.0 else (t - knots[il]) / den
+                d[i] = (1.0 - alpha) * d[i - 1] + alpha * d[i]
+        out.append(d[k - 1].tolist())
+    return out
 
 
 def _stroke_arc(cx, cy, a, b, rot_deg, start_deg, sweep_deg):
@@ -185,9 +289,9 @@ def _rad50_encode(s: str) -> int:
     return idx[0] * 1600 + idx[1] * 40 + idx[2]
 
 
-def _member_geom(etype, el, uor):
+def _member_geom(etype, el, uor, dim: int = 2):
     """Geometry of a complex/cell member element (types 3/4/6)."""
-    pts = _vertices(etype, el[36:], uor) if len(el) >= 36 else []
+    pts = _vertices(etype, el[36:], uor, dim) if len(el) >= 36 else []
     if etype == DGNT_SHAPE:
         if not pts:
             return None
@@ -206,12 +310,16 @@ def parse_dgn(path: str, uor_scale: float | None = None):
     with open(path, "rb") as fh:
         buf = fh.read()
     uor = uor_scale if uor_scale is not None else (tcb_uor_scale(buf) or 1000.0)
+    dim = tcb_dimension(buf)
     out = []
     # pending complex assembly: (etype, level, color, weight, style,
     #                            remaining-members, coords)
     pending = None
     # pending cell: dict(level, color, weight, style, words, name, geoms)
     cell = None
+    # pending B-spline: dict(level, color, weight, style, order, closed,
+    #                        words, poles)
+    bspl = None
 
     def close_cell():
         nonlocal cell
@@ -240,10 +348,33 @@ def parse_dgn(path: str, uor_scale: float | None = None):
             g = G.linestring(pts)
         out.append((level, color, weight, style, None, g))
 
+    def close_bspl():
+        nonlocal bspl
+        if bspl is None:
+            return
+        b, bspl = bspl, None
+        pts = _stroke_bspline(b["poles"], b["order"], b["closed"])
+        if len(pts) >= 2:
+            out.append((b["level"], b["color"], b["weight"], b["style"],
+                        None, G.linestring(pts)))
+
     for level, etype, cmplx, el in _iter_elements(buf):
+        if bspl is not None and cmplx:
+            # B-spline components: POLE carries the control points
+            # (line-string-shaped payload); KNOT/WEIGHT are consumed and
+            # ignored by the uniform stroke
+            if etype == DGNT_BSPLINE_POLE and len(el) >= 36:
+                bspl["poles"].extend(
+                    _vertices(DGNT_LINE_STRING, el[36:], uor, dim))
+            bspl["words"] -= len(el) // 2
+            if bspl["words"] <= 0:
+                close_bspl()
+            continue
+        if bspl is not None:
+            close_bspl()
         if pending is not None and cmplx and etype in (DGNT_LINE,
                                                        DGNT_LINE_STRING):
-            pts = _vertices(etype, el[36:], uor) if len(el) >= 36 else []
+            pts = _vertices(etype, el[36:], uor, dim) if len(el) >= 36 else []
             acc = pending[6]
             if acc and pts and acc[-1] == pts[0]:
                 pts = pts[1:]
@@ -257,7 +388,7 @@ def parse_dgn(path: str, uor_scale: float | None = None):
         if cell is not None and cmplx:
             # cell members: words counted against the header's totlength
             if etype in (DGNT_LINE, DGNT_LINE_STRING, DGNT_SHAPE):
-                g = _member_geom(etype, el, uor)
+                g = _member_geom(etype, el, uor, dim)
                 if g is not None:
                     cell["geoms"].append(g)
             cell["words"] -= len(el) // 2
@@ -287,8 +418,29 @@ def parse_dgn(path: str, uor_scale: float | None = None):
             (numelems,) = struct.unpack_from("<H", el, 38)
             pending = (etype, level, color, weight, style, numelems, [])
             continue
+        if etype == DGNT_BSPLINE_CURVE_HEADER:
+            # words u16 @36 (member words, the complex-header convention),
+            # order u8 @38, properties u8 @39 bit 0 = closed — see module
+            # docstring for the provenance of these two bytes
+            if len(el) < 40:
+                continue
+            color, weight, style = _symb(el)
+            (words,) = struct.unpack_from("<H", el, 36)
+            bspl = {"level": level, "color": color, "weight": weight,
+                    "style": style, "order": el[38] or 4,
+                    "closed": bool(el[39] & 1), "words": words, "poles": []}
+            continue
         if cmplx:
             continue  # stray complex member without a header
+        if etype == DGNT_CURVE:
+            if len(el) < 38:
+                continue
+            color, weight, style = _symb(el)
+            pts = _stroke_curve(_vertices(DGNT_LINE_STRING, el[36:], uor, dim))
+            if len(pts) >= 2:
+                out.append((level, color, weight, style, None,
+                            G.linestring(pts)))
+            continue
         if etype == DGNT_ELLIPSE:
             # ISFF 2D ellipse: primary/secondary axis doubles @36/@44,
             # rotation i32 @52 (deg*360000), origin doubles @56/@64
@@ -339,7 +491,7 @@ def parse_dgn(path: str, uor_scale: float | None = None):
             continue
         color, weight, style = _symb(el)
         body = el[36:]
-        pts = _vertices(etype, body, uor)
+        pts = _vertices(etype, body, uor, dim)
         if etype == DGNT_SHAPE:
             if not pts:
                 continue
@@ -353,6 +505,7 @@ def parse_dgn(path: str, uor_scale: float | None = None):
         out.append((level, color, weight, style, None, g))
     close_pending()
     close_cell()
+    close_bspl()
     return out
 
 
@@ -384,11 +537,17 @@ def read_dgn(spark: SparkSession, path: str,
         ]
     )
 
-    def per_file_rows(fp):
-        for level, color, weight, style, txt, g in parse_dgn(fp, uor_scale):
-            yield (level, color, weight, style, txt, WKB.to_wkb(g))
+    return distributed_file_read(
+        spark, files, schema,
+        "duckdb_spatial_spark.sources.dgn:_distrib_rows",
+        {"uor_scale": uor_scale})
 
-    return distributed_file_read(spark, files, schema, per_file_rows, "dgn")
+
+def _distrib_rows(fp, uor_scale=None):
+    """Worker-side row generator for read_dgn (imported by name through
+    sources/_distrib.py options — no closures in the plan)."""
+    for level, color, weight, style, txt, g in parse_dgn(fp, uor_scale):
+        yield (level, color, weight, style, txt, WKB.to_wkb(g))
 
 
 def _element(etype: int, level: int, symb: int, rng, body: bytes,
@@ -432,6 +591,52 @@ def arc_element(cx, cy, a, b, start_deg, sweep_deg, rot_deg=0.0, level=0,
     return _element(DGNT_ARC, level, 0, rng, body)
 
 
+def write_dgn_elements(path: str, elements, uor_scale: float = 1000.0,
+                       dimension: int = 2) -> None:
+    """Write raw ISFF elements (built with curve_element /
+    bspline_elements / arc_element / ellipse_element / cell_element)
+    into a minimal design file: TCB (uor_scale + dimension flag) +
+    elements + EOF word — the fixture path for element types write_dgn
+    does not synthesize from geometries."""
+    tcb = bytearray(bytes([0, DGNT_TCB]) + struct.pack("<H", 766)
+                    + b"\x00" * 1532)
+    tcb[1112:1116] = _wr_i32(1)
+    tcb[1116:1120] = _wr_i32(int(round(uor_scale)))
+    if dimension == 3:
+        tcb[1214] |= 0x40  # dgnlib DGNLoadTCB dimension flag
+    with open(path, "wb") as fh:
+        fh.write(bytes(tcb) + b"".join(elements) + b"\xff\xff")
+
+
+def curve_element(pts, level=0, uor_scale: float = 1000.0) -> bytes:
+    """Raw ISFF CURVE element (type 11): line-string-shaped payload whose
+    first and last vertices are slope-control points (parse_dgn strokes
+    a C1 cubic through the interior vertices). 2D (x,y) or 3D (x,y,z)
+    vertex tuples — 3D files must also stamp the TCB flag (write_dgn
+    ``dimension=3``)."""
+    ipts = [tuple(int(round(c * uor_scale)) for c in p) for p in pts]
+    body = struct.pack("<H", len(ipts)) + b"".join(
+        _wr_i32(v) for p in ipts for v in p)
+    return _element(DGNT_CURVE, level, 0, _rng(ipts), body)
+
+
+def bspline_elements(poles, order: int = 4, closed: bool = False,
+                     level: int = 0, uor_scale: float = 1000.0) -> bytes:
+    """Raw B-SPLINE CURVE header (type 27) + one POLE component (type 21,
+    complex bit) carrying the control points; parse_dgn strokes a uniform
+    B-spline over them (see module docstring for the header-byte
+    provenance)."""
+    ipts = [tuple(int(round(c * uor_scale)) for c in p) for p in poles]
+    pole_body = struct.pack("<H", len(ipts)) + b"".join(
+        _wr_i32(v) for p in ipts for v in p)
+    pole = _element(DGNT_BSPLINE_POLE, level, 0, _rng(ipts), pole_body,
+                    cmplx=True)
+    hdr_body = (struct.pack("<H", len(pole) // 2)
+                + bytes([order & 0xFF, 1 if closed else 0]))
+    return _element(DGNT_BSPLINE_CURVE_HEADER, level, 0, _rng(ipts),
+                    hdr_body) + pole
+
+
 def cell_element(name: str, members: list[bytes], level: int = 0) -> bytes:
     """Raw ISFF CELL HEADER element (type 2, 2D) followed by its member
     elements (pass elements built with the complex bit set, e.g. via
@@ -462,7 +667,7 @@ def _rng(pts):
 def write_dgn(df: DataFrame, path: str, geom_col: str = "geom",
               uor_scale: float = 1000.0, level_col: str | None = None,
               text_col: str | None = None, complex_shapes: bool = False,
-              max_rows: int = 1_000_000) -> None:
+              dimension: int = 2, max_rows: int = 1_000_000) -> None:
     """Minimal DGN v7 writer (2D lines/linestrings/polygon shells, TEXT
     elements, complex chains for MULTILINESTRING): TCB carrying
     ``uor_scale`` (subunits-per-master=1) + one element per row + EOF
@@ -471,7 +676,21 @@ def write_dgn(df: DataFrame, path: str, geom_col: str = "geom",
     element and raise. ``text_col=``: rows with a non-null value write a
     TEXT element at the geometry's first point. ``complex_shapes=True``
     splits each polygon ring across two members of a COMPLEX SHAPE
-    header instead of one SHAPE element (for parity testing)."""
+    header instead of one SHAPE element (for parity testing).
+    ``dimension=3`` stamps the TCB dimension flag and writes (x y z)
+    int32 triplets for linework (z from the geometry when it has one,
+    else 0)."""
+    if dimension not in (2, 3):
+        raise ValueError("write_dgn: dimension must be 2 or 3")
+
+    def _ipt(p):
+        co = [int(round(float(p[0]) * uor_scale)),
+              int(round(float(p[1]) * uor_scale))]
+        if dimension == 3:
+            co.append(int(round(float(p[2]) * uor_scale))
+                      if len(p) > 2 else 0)
+        return tuple(co)
+
     elems = []
     n = 0
     for r in df.toLocalIterator():
@@ -507,8 +726,7 @@ def write_dgn(df: DataFrame, path: str, geom_col: str = "geom",
             members = []
             allpts = []
             for part in g.data:
-                pts = [(int(round(p[0] * uor_scale)),
-                        int(round(p[1] * uor_scale))) for p in part.data]
+                pts = [_ipt(p) for p in part.data]
                 allpts.extend(pts)
                 etype, body = _linework(pts)
                 members.append(_element(etype, level, 0, _rng(pts), body,
@@ -520,15 +738,13 @@ def write_dgn(df: DataFrame, path: str, geom_col: str = "geom",
             elems.append(mem)
             continue
         if g.tag == G.LINESTRING:
-            pts = [(int(round(p[0] * uor_scale)), int(round(p[1] * uor_scale)))
-                   for p in g.data]
+            pts = [_ipt(p) for p in g.data]
             etype, body = _linework(pts)
         elif g.tag == G.POLYGON:
             if len(g.data) != 1:
                 raise ValueError("write_dgn: polygon holes are not "
                                  "representable as one SHAPE element")
-            pts = [(int(round(p[0] * uor_scale)), int(round(p[1] * uor_scale)))
-                   for p in g.data[0]]
+            pts = [_ipt(p) for p in g.data[0]]
             if complex_shapes and len(pts) >= 4:
                 # split the ring into two members under a type-14 header
                 cut = max(2, len(pts) // 2)
@@ -557,5 +773,7 @@ def write_dgn(df: DataFrame, path: str, geom_col: str = "geom",
                     + b"\x00" * 1532)
     tcb[1112:1116] = _wr_i32(1)
     tcb[1116:1120] = _wr_i32(int(round(uor_scale)))
+    if dimension == 3:
+        tcb[1214] |= 0x40  # dgnlib DGNLoadTCB dimension flag
     with open(path, "wb") as fh:
         fh.write(bytes(tcb) + b"".join(elems) + b"\xff\xff")

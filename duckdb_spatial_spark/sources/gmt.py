@@ -197,16 +197,24 @@ def read_gmt(spark: SparkSession, path: str) -> DataFrame:
         + [T.StructField("geom", T.BinaryType(), True)]
     )
 
-    def per_file_rows(fp):
-        _, _, feats = parse_gmt(fp)
-        for attrs, g in feats:
-            vals = []
-            for i, (_, _, gmt_t) in enumerate(fields):
-                raw = attrs[i] if attrs and i < len(attrs) else None
-                vals.append(_conv(raw, gmt_t))
-            yield tuple(vals) + (WKB.to_wkb(g),)
+    return distributed_file_read(
+        spark, files, schema,
+        "duckdb_spatial_spark.sources.gmt:_distrib_rows",
+        {"gmt_types": [t for _, _, t in fields]})
 
-    return distributed_file_read(spark, files, schema, per_file_rows, "gmt")
+
+def _distrib_rows(fp, gmt_types=None):
+    """Worker-side row generator for read_gmt (imported by name through
+    sources/_distrib.py options — no closures in the plan); the column
+    types come from the FIRST file's header, bound driver-side."""
+    gmt_types = gmt_types or []
+    _, _, feats = parse_gmt(fp)
+    for attrs, g in feats:
+        vals = []
+        for i, gmt_t in enumerate(gmt_types):
+            raw = attrs[i] if attrs and i < len(attrs) else None
+            vals.append(_conv(raw, gmt_t))
+        yield tuple(vals) + (WKB.to_wkb(g),)
 
 
 _TAG_NAMES = {G.POINT: "POINT", G.LINESTRING: "LINESTRING",

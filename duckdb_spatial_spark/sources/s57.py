@@ -42,9 +42,12 @@ ATTF/NATF merge per attribute code; SG2D/SG3D/VRPT/FSPT replace
 wholesale when no control field accompanies them. The partial-edit
 control fields ARE honored when present (Part 3 §8.4): SGCC
 (CCUI 1=insert/2=delete/3=modify, CCIX 1-based index, CCNC count)
-splices the accompanying SG2D coordinates into the target's array, and
-FSPC (FSUI/FSIX/NSPT) splices FSPT pointer entries the same way —
-the operations GDAL's S57 driver applies via ApplyRecordUpdate."""
+splices the accompanying SG2D coordinates into the target's array,
+FSPC (FSUI/FSIX/NSPT) splices FSPT pointer entries the same way, and
+VRPC (VPUI/VPIX/NVPT) splices VRPT vector-pointer entries — the full
+set of operations GDAL's S57 driver applies via ApplyRecordUpdate.
+A RUIN=3 (modify) whose target is absent from the base is skipped,
+as GDAL does — inserting the fragment would fabricate a feature."""
 
 from __future__ import annotations
 
@@ -271,6 +274,19 @@ def _apply_updates(base: list, upd: list) -> list:
                 tgt["FSPT"] = [b"".join(_splice(ptrs, blob, 8, instr,
                                                 fsix, nspt))]
                 handled.update(("FSPC", "FSPT"))
+            if "VRPC" in ufm and len(ufm["VRPC"][0]) >= 9:
+                # VRPC (VPUI b11, VPIX b14, NVPT b14) splices 9-byte VRPT
+                # pointer entries — the last §8.4 control field GDAL
+                # applies (ApplyRecordUpdate) that r14 still replaced
+                # wholesale
+                c = ufm["VRPC"][0]
+                instr = c[0]
+                vpix, nvpt = struct.unpack_from("<II", c, 1)
+                ptrs = _entries(tgt.get("VRPT", []), 9)
+                blob = b"".join(ufm.get("VRPT", [b""]))
+                tgt["VRPT"] = [b"".join(_splice(ptrs, blob, 9, instr,
+                                                vpix, nvpt))]
+                handled.update(("VRPC", "VRPT"))
             for tag, datas in ufm.items():
                 if tag in ("0001", "VRID", "FRID") or tag in handled:
                     continue
@@ -287,6 +303,11 @@ def _apply_updates(base: list, upd: list) -> list:
                     tgt[tag] = [blob]
                 else:
                     tgt[tag] = list(datas)  # wholesale replacement
+        elif u["ruin"] == 3:
+            # modify of a record absent from the base: GDAL warns and
+            # skips — inserting the fragment would surface a bogus
+            # partial record as a feature (r14 advisory)
+            continue
         else:  # insert (or unknown RUIN: treat as insert, GDAL warns too)
             if key not in by_key:
                 order.append(key)
@@ -322,7 +343,10 @@ def parse_s57(path: str, apply_updates: bool = True):
     nodes3d: dict = {}  # (rcnm, rcid) -> [[x, y, z], ...]
     edges: dict = {}    # (rcnm, rcid) -> dict(coords, begin, end)
     feats = []
-    for r in records:
+    # two passes: ALL vector records bind before any feature assembles —
+    # update-inserted nodes/edges append after the base's feature records
+    # in merge order, and a feature may point at them (r15 VRPC fix)
+    for r in sorted(records, key=lambda r: r["kind"] != "V"):
         fmap = r["fmap"]
         if r["kind"] == "V":
             rcnm, rcid = r["rcnm"], r["rcid"]
@@ -495,14 +519,20 @@ def read_s57(spark: SparkSession, path: str,
         ]
     )
 
-    def per_file_rows(fp):
-        for rcid, objl, prim, attrs, natf, g in parse_s57(fp, apply_updates):
-            yield (int(rcid), int(objl), int(prim),
-                   {int(k): str(v) for k, v in attrs.items()},
-                   {int(k): str(v) for k, v in natf.items()},
-                   WKB.to_wkb(g))
+    return distributed_file_read(
+        spark, files, schema,
+        "duckdb_spatial_spark.sources.s57:_distrib_rows",
+        {"apply_updates": bool(apply_updates)})
 
-    return distributed_file_read(spark, files, schema, per_file_rows, "s57")
+
+def _distrib_rows(fp, apply_updates=True):
+    """Worker-side row generator for read_s57 (imported by name through
+    sources/_distrib.py options — no closures in the plan)."""
+    for rcid, objl, prim, attrs, natf, g in parse_s57(fp, apply_updates):
+        yield (int(rcid), int(objl), int(prim),
+               {int(k): str(v) for k, v in attrs.items()},
+               {int(k): str(v) for k, v in natf.items()},
+               WKB.to_wkb(g))
 
 
 # --------------------------------------------------------------------------
@@ -518,6 +548,7 @@ _DDR_FIELDS = [
     ("SG3D", b"2600;&3-D coordinate (sounding array) field"),
     ("SGCC", b"1600;&Coordinate control field"),
     ("FSPC", b"1600;&Feature record to spatial record pointer control field"),
+    ("VRPC", b"1600;&Vector record pointer control field"),
     ("VRPT", b"2600;&Vector record pointer field"),
     ("FRID", b"1600;&Feature record identifier field"),
     ("ATTF", b"2600;&Feature record attribute field"),

@@ -116,6 +116,18 @@ def _read_src_sql(spark: SparkSession, src: str, sql: str,
             return spark.read.parquet(src)
         return None
 
+    # a user's pre-existing temp view with the same name must survive the
+    # SrcSQL evaluation (r14 advisory): capture its plan before replacing,
+    # restore it after — permanent tables are only shadowed for the
+    # duration and need no restore beyond dropping our temp view
+    def _existing_temp(name):
+        try:
+            t = spark.catalog.getTable(name)
+        except Exception:  # noqa: BLE001 - not a resolvable table
+            return None
+        return spark.table(name) if t.isTemporary else None
+
+    saved = {n: _existing_temp(n) for n in names}
     for name in names:
         try:
             member = st_read(spark, src, layer=name, **options)
@@ -132,7 +144,10 @@ def _read_src_sql(spark: SparkSession, src: str, sql: str,
         return spark.sql(sql)
     finally:
         for name in names:
-            spark.catalog.dropTempView(name)
+            if saved.get(name) is not None:
+                saved[name].createOrReplaceTempView(name)
+            else:
+                spark.catalog.dropTempView(name)
 
 
 def read_vrt(spark: SparkSession, path: str, layer: str | None = None,

@@ -212,3 +212,81 @@ def test_cell_header(spark, tmp_path):
     assert c.text == "PUMP2"
     assert c.t == "GEOMETRYCOLLECTION" and c.n == 2
     assert rows[0].text is None  # the plain envelope row untouched
+
+
+def test_3d_linework_roundtrip(spark, tmp_path):
+    """dimension=3 stamps the TCB flag; LINE/LINE_STRING/SHAPE payloads
+    become (x y z) triplets and read back as Z geometries."""
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, "LINESTRING Z (0 0 1.5, 3 4 2.5)"),
+         (2, "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 4 1, 0 0 1))"),
+         (3, "LINESTRING Z (0 0 -5, 1 0 -6, 2 1 -7)")],
+        "lvl int, wkt string",
+    ).selectExpr("lvl", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
+    p = str(tmp_path / "three.dgn")
+    write_dgn(df, p, level_col="lvl", dimension=3, uor_scale=100000)
+    back = {r.level: r for r in read_dgn(spark, p).selectExpr(
+        "level", "ST_GeometryType(geom) AS t", "ST_HasZ(geom) AS hz",
+        "ST_NPoints(geom) AS n", "round(ST_ZMin(geom), 6) AS zmn",
+        "round(ST_ZMax(geom), 6) AS zmx",
+        "round(ST_Area(geom), 6) AS a").collect()}
+    assert back[1].t == "LINESTRING" and back[1].hz and back[1].zmx == 2.5
+    assert back[2].t == "POLYGON" and back[2].a == 16.0 and back[2].zmn == 1.0
+    assert back[3].n == 3 and back[3].zmn == -7.0  # negative z UORs
+    # a 2D write of the same geometries drops z entirely
+    p2 = str(tmp_path / "two.dgn")
+    write_dgn(df, p2, level_col="lvl", uor_scale=100000)
+    flat = read_dgn(spark, p2).selectExpr("ST_HasZ(geom) AS hz").collect()
+    assert all(not r.hz for r in flat)
+
+
+def test_curve_element_stroked(spark, tmp_path):
+    """CURVE (type 11): first/last vertices are slope controls the curve
+    does not pass through; the stroke is a C1 cubic through the interior
+    vertices, 8 samples per span."""
+    from duckdb_spatial_spark.sources.dgn import (
+        curve_element, write_dgn_elements,
+    )
+
+    register_all(spark)
+    p = str(tmp_path / "curve.dgn")
+    write_dgn_elements(p, [
+        curve_element([(-1, -1), (0, 0), (1, 1), (2, 0), (3, 1)],
+                      level=5, uor_scale=100000),
+    ], uor_scale=100000)
+    r = read_dgn(spark, p).selectExpr(
+        "level", "ST_GeometryType(geom) AS t", "ST_NPoints(geom) AS n",
+        "round(ST_X(ST_StartPoint(geom)), 6) AS x0",
+        "round(ST_Y(ST_StartPoint(geom)), 6) AS y0",
+        "round(ST_X(ST_EndPoint(geom)), 6) AS x1",
+        "round(ST_Y(ST_EndPoint(geom)), 6) AS y1").first()
+    assert (r.level, r.t, r.n) == (5, "LINESTRING", 17)
+    assert (r.x0, r.y0) == (0.0, 0.0) and (r.x1, r.y1) == (2.0, 0.0)
+
+
+def test_bspline_open_and_closed(spark, tmp_path):
+    """B-SPLINE CURVE header (27) + POLE component (21): open curves
+    clamp to the end poles; closed curves are periodic (start == end)
+    and a square control polygon passes through its edge midpoints."""
+    from duckdb_spatial_spark.sources.dgn import (
+        bspline_elements, write_dgn_elements,
+    )
+
+    register_all(spark)
+    p = str(tmp_path / "bspl.dgn")
+    write_dgn_elements(p, [
+        bspline_elements([(0, 0), (1, 2), (2, -2), (3, 0)], order=3,
+                         level=1, uor_scale=100000),
+        bspline_elements([(0, 0), (2, 0), (2, 2), (0, 2)], order=3,
+                         closed=True, level=2, uor_scale=100000),
+    ], uor_scale=100000)
+    rows = {r.level: r for r in read_dgn(spark, p).selectExpr(
+        "level", "ST_NPoints(geom) AS n", "ST_IsClosed(geom) AS cl",
+        "round(ST_X(ST_StartPoint(geom)), 6) AS x0",
+        "round(ST_X(ST_EndPoint(geom)), 6) AS x1",
+        "round(ST_XMin(geom), 6) AS mnx",
+        "round(ST_XMax(geom), 6) AS mxx").collect()}
+    op, cl = rows[1], rows[2]
+    assert op.n == 21 and op.x0 == 0.0 and op.x1 == 3.0 and not op.cl
+    assert cl.n == 41 and cl.cl and cl.mnx == 0.0 and cl.mxx == 2.0

@@ -250,3 +250,99 @@ def test_partial_edit_updates_sgcc_fspc(spark, tmp_path):
     ])
     r = read_s57(spark, p).selectExpr("ST_AsText(geom) AS t").first()
     assert r.t == "LINESTRING (0 0, 1 5, 2 0)"
+
+
+def test_partial_edit_updates_vrpc(spark, tmp_path):
+    """S-57 Part 3 §8.4 VRPC control field: splices 9-byte VRPT pointer
+    entries (begin/end node pointers) instead of wholesale replacement —
+    the last update instruction GDAL's ApplyRecordUpdate honors."""
+    register_all(spark)
+    from duckdb_spatial_spark.sources.s57 import (
+        RCNM_FE, _sg2d, _vrid, sgcc, write_s57_update,
+    )
+
+    comf = 10_000_000
+
+    def name(rcnm, rcid):
+        return bytes([rcnm]) + struct.pack("<I", rcid)
+
+    dspm = (bytes([20]) + struct.pack("<I", 1) + bytes([2, 7, 1])
+            + struct.pack("<I", 52000) + bytes([1, 1, 1, 1])
+            + struct.pack("<II", comf, 10))
+    recs = [
+        _mk_record("L", [("0000", b"0100;&x")], field_control_len="09"),
+        _mk_record("D", [("0001", struct.pack("<H", 1)), ("DSPM", dspm)]),
+        # connected nodes 1 (0,0) and 2 (3,3)
+        _mk_record("D", [("0001", struct.pack("<H", 2)),
+                         ("VRID", _vrid(RCNM_VC, 1)),
+                         ("SG2D", _sg2d([(0.0, 0.0)], comf))]),
+        _mk_record("D", [("0001", struct.pack("<H", 3)),
+                         ("VRID", _vrid(RCNM_VC, 2)),
+                         ("SG2D", _sg2d([(3.0, 3.0)], comf))]),
+        # edge 5: interior vertices (1,1)-(2,2); begin node 1, end node 2
+        _mk_record("D", [
+            ("0001", struct.pack("<H", 4)),
+            ("VRID", _vrid(RCNM_VE, 5)),
+            ("VRPT", name(RCNM_VC, 1) + bytes([1, 1, 1, 2])
+                     + name(RCNM_VC, 2) + bytes([1, 1, 2, 2])),
+            ("SG2D", _sg2d([(1.0, 1.0), (2.0, 2.0)], comf)),
+        ]),
+        # line feature over edge 5
+        _mk_record("D", [
+            ("0001", struct.pack("<H", 5)),
+            ("FRID", bytes([RCNM_FE]) + struct.pack("<I", 9) + bytes([2, 1])
+                     + struct.pack("<HHB", 42, 1, 1)),
+            ("FSPT", name(RCNM_VE, 5) + bytes([1, 1, 2])),
+        ]),
+    ]
+    p = str(tmp_path / "vrpc.000")
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+
+    def line():
+        return read_s57(spark, p).selectExpr("ST_AsText(geom) AS t").first().t
+
+    assert line() == "LINESTRING (0 0, 1 1, 2 2, 3 3)"
+    # .001: insert node VC 3 at (9,9); VRPC MODIFY entry 2 (the end
+    # pointer) to point at it — the old end node VC 2 stays on disk
+    write_s57_update(str(tmp_path / "vrpc.001"), [
+        {"kind": "V", "rcnm": RCNM_VC, "rcid": 3, "ruin": 1,
+         "fields": [("SG2D", _sg2d([(9.0, 9.0)], comf))]},
+        {"kind": "V", "rcnm": RCNM_VE, "rcid": 5, "ruin": 3,
+         "fields": [("VRPC", sgcc(3, 2, 1)),
+                    ("VRPT", name(RCNM_VC, 3) + bytes([1, 1, 2, 2]))]},
+    ])
+    assert line() == "LINESTRING (0 0, 1 1, 2 2, 9 9)"
+    # .002: VRPC DELETE entry 1 (the begin pointer)
+    write_s57_update(str(tmp_path / "vrpc.002"), [
+        {"kind": "V", "rcnm": RCNM_VE, "rcid": 5, "ruin": 3,
+         "fields": [("VRPC", sgcc(2, 1, 1))]},
+    ])
+    assert line() == "LINESTRING (1 1, 2 2, 9 9)"
+    # .003: VRPC INSERT a begin pointer to VC 2 at position 1
+    write_s57_update(str(tmp_path / "vrpc.003"), [
+        {"kind": "V", "rcnm": RCNM_VE, "rcid": 5, "ruin": 3,
+         "fields": [("VRPC", sgcc(1, 1, 1)),
+                    ("VRPT", name(RCNM_VC, 2) + bytes([1, 1, 1, 2]))]},
+    ])
+    assert line() == "LINESTRING (3 3, 1 1, 2 2, 9 9)"
+
+
+def test_update_modify_missing_record_skipped(spark, tmp_path):
+    """RUIN=3 (modify) of a record absent from the base is skipped, not
+    treated as an insert — an ATTF-only fragment must not surface as a
+    bogus feature (GDAL warns and skips; r14 advisory)."""
+    register_all(spark)
+    from duckdb_spatial_spark.sources.s57 import write_s57_update
+
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Point(1.0, 2.0)) AS geom")
+    p = str(tmp_path / "miss.000")
+    write_s57(df, p)
+    write_s57_update(str(tmp_path / "miss.001"), [
+        {"kind": "F", "rcnm": 100, "rcid": 77, "ruin": 3, "prim": 1,
+         "fields": [("ATTF", struct.pack("<H", 116) + b"Ghost" + b"\x1f")]},
+    ])
+    back = read_s57(spark, p)
+    assert back.count() == 1
+    assert back.selectExpr("rcid").first().rcid == 2

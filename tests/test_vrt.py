@@ -214,3 +214,46 @@ def test_warped_layer(spark, tmp_path, csvdir):
       </OGRVRTWarpedLayer>""")
     with pytest.raises(ValueError, match="SrcSRS"):
         read_vrt(spark, bad)
+
+
+def test_src_sql_preserves_user_temp_view(spark, tmp_path, csvdir):
+    """A pre-existing session temp view whose name collides with a SrcSQL
+    table reference must survive the evaluation (r14 advisory: the old
+    code clobbered and then DROPPED it)."""
+    register_all(spark)
+    spark.createDataFrame([(999, "mine")], "id long, tag string") \
+        .createOrReplaceTempView("pts")
+    vrt = _write_vrt(tmp_path, f"""
+      <OGRVRTLayer name="s">
+        <SrcDataSource relativeToVRT="0">{csvdir}</SrcDataSource>
+        <SrcSQL>SELECT id, px, py FROM pts WHERE id = 2</SrcSQL>
+        <GeometryField encoding="PointFromColumns" x="px" y="py"/>
+      </OGRVRTLayer>""")
+    try:
+        df = read_vrt(spark, vrt)
+        assert df.count() == 1  # SrcSQL saw the SOURCE, not the user view
+        back = spark.table("pts").collect()  # user view restored
+        assert len(back) == 1 and back[0].tag == "mine"
+    finally:
+        spark.catalog.dropTempView("pts")
+
+
+def test_repeated_reads_share_one_datasource(spark, tmp_path, csvdir):
+    """read_dgn/read_gmt/read_s57 in a loop must not grow the session's
+    Python data-source registry (r14 advisory): the shared source is
+    registered under ONE fixed name with per-load options."""
+    from duckdb_spatial_spark.sources.dgn import read_dgn, write_dgn
+
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(0.0, 0.0),"
+        " ST_Point(1.0, 1.0)))) AS geom")
+    p = str(tmp_path / "loop.dgn")
+    write_dgn(df, p)
+    first = read_dgn(spark, p)
+    assert first.count() == 1
+    for _ in range(3):
+        assert read_dgn(spark, p).count() == 1
+    # the FIRST DataFrame still re-executes correctly after later
+    # registrations (the old fixed-name+closure shape returned the
+    # stale reader here)
+    assert first.count() == 1
