@@ -4666,6 +4666,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fgb_roundtrip": q_fgb_roundtrip,
         # --- new in r10: splittable ndjson lane (tab_roundtrip, long-green
         # r8+r9 and unchanged, rotates behind the window for this slot) ---
+        # r15: list_proj_crs_df gained vertical+compound rows -> rotate
+        # spatial_refsys back in-window (geojsonseq, long-green r10+,
+        # unchanged, rotates behind)
+        # r15: list_proj_crs_df gained vertical+compound rows -> rotate
+        # spatial_refsys back in-window (geojsonseq, long-green r10+,
+        # unchanged, rotates behind)
+        "spatial_refsys": q_spatial_refsys,
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         # --- new in r10: model-based quality filter (georss_roundtrip,
         # long-green r8+r9 and unchanged, rotates behind the window) ---
@@ -4757,7 +4764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_jaccard": q_text_ngram_jaccard,
         # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
         "embedding_neardup": q_embedding_neardup,
-        "spatial_refsys": q_spatial_refsys,
         "osm_read": q_osm_read,
         "shp_roundtrip": q_shp_roundtrip,
         "dxf_read": q_dxf_read,
