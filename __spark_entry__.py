@@ -970,6 +970,39 @@ def q_gmt_roundtrip(spark, sf_dir):
     )
 
 
+def q_sosi_roundtrip(spark, sf_dir):
+    """Kartverket SOSI write -> read round trip (sources/sosi.py, new in
+    r15): dot-hierarchy text, TRANSPAR ORIGO/ENHET integer-unit
+    coordinates, one KURVE per polygon ring + FLATE assembling its
+    boundary from KURVE references, attributes as ..NAME value groups.
+    The reference covers SOSI through its GDAL driver matrix
+    (st_drivers.cpp; GDAL wraps the FYBA library). ENHET=0.01 over
+    integer-valued test coordinates makes the quantization exact."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_sosi, write_sosi
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 300")
+        .withColumn(
+            "geom",
+            F.expr("ST_MakeEnvelope(x, y, x + 1 + id % 4, y + 2 + id % 5)"),
+        )
+        .selectExpr("id AS fid", "geom")
+    )
+    path = os.path.join(_fresh_tmp("sosi_q"), "rt.sos")
+    write_sosi(df, path, koordsys=22, attrs=["fid"])
+    back = read_sosi(spark, path)  # FLATE rows; boundary KURVEs excluded
+    return back.filter("kind = 'FLATE'").selectExpr(
+        "CAST(attrs['FID'] AS BIGINT) AS id",
+        "round(ST_Area(geom), 6) AS area",
+        "round(ST_XMin(geom), 6) AS mnx",
+        "round(ST_YMax(geom), 6) AS mxy",
+    )
+
+
 def q_dgn_roundtrip(spark, sf_dir):
     """MicroStation DGN v7 write -> read round trip (sources/dgn.py, new
     in r13): ISFF SHAPE elements (type 6) with word-swapped int32 UOR
@@ -4587,6 +4620,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r15: vertical/compound EPSG registry — never
         # driver-checked, leads the window ---
         "spatial_transform_vertical": q_spatial_transform_vertical,
+        # --- new in r15: SOSI driver (read/write + FLATE ref assembly) ---
+        "sosi_roundtrip": q_sosi_roundtrip,
         "spatial_transform_tranche5": q_spatial_transform_tranche5,
         "vrt_union_sql": q_vrt_union_sql,
         # r15: s57_depth extended (VRPC splices, RUIN=3-missing skip);
@@ -4663,7 +4698,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ---
         "spatial_zm_flags": q_spatial_zm_flags,
         "st_drivers_meta": q_st_drivers_meta,
-        "fgb_roundtrip": q_fgb_roundtrip,
         # --- new in r10: splittable ndjson lane (tab_roundtrip, long-green
         # r8+r9 and unchanged, rotates behind the window for this slot) ---
         # r15: list_proj_crs_df gained vertical+compound rows -> rotate
@@ -4673,6 +4707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # spatial_refsys back in-window (geojsonseq, long-green r10+,
         # unchanged, rotates behind)
         "spatial_refsys": q_spatial_refsys,
+        # fgb (long-green r5+, unchanged) rotates behind for the r15
+        # sosi_roundtrip slot
+        "fgb_roundtrip": q_fgb_roundtrip,
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
         # --- new in r10: model-based quality filter (georss_roundtrip,
         # long-green r8+r9 and unchanged, rotates behind the window) ---
@@ -6217,7 +6254,7 @@ def oracle_sql() -> dict[str, str]:
               ('OCI', 'true', 'false'), ('WFS', 'true', 'false'),
               ('ODS', 'true', 'true'), ('OGR_VRT', 'true', 'false'),
               ('OGR_GMT', 'true', 'true'), ('DGN', 'true', 'true'),
-              ('S57', 'true', 'true')
+              ('S57', 'true', 'true'), ('SOSI', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
@@ -6446,6 +6483,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ({pts}) WHERE id < 300
         """,
         "gmt_roundtrip": f"""
+            SELECT id,
+                   round((1 + id % 4) * (2 + id % 5), 6) AS area,
+                   round(x, 6) AS mnx,
+                   round(y + 2 + id % 5, 6) AS mxy
+            FROM ({pts}) WHERE id < 300
+        """,
+        "sosi_roundtrip": f"""
             SELECT id,
                    round((1 + id % 4) * (2 + id % 5), 6) AS area,
                    round(x, 6) AS mnx,

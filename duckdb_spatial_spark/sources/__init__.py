@@ -79,6 +79,7 @@ _DRIVER_ALIASES = {
     "esrijson": {"esrijson"}, "netcdf": {"netcdf", "nc"},
     "mvt": {"mvt", "mvt (mapbox vector tile)"}, "warc": {"warc"},
     "vrt": {"vrt", "ogr_vrt"}, "gmt": {"gmt", "ogr_gmt"},
+    "sosi": {"sosi"},
     "dgn": {"dgn"},
     "s57": {"s57", "iho s-57 (enc)", "enc"},
 }
@@ -262,6 +263,7 @@ def _st_read_sniff(p: str):
             (".esrijson", "esrijson"), (".nc", "netcdf"), (".cdf", "netcdf"),
             (".mvt", "mvt"), (".warc.gz", "warc"), (".warc", "warc"),
             (".vrt", "vrt"), (".gmt", "gmt"), (".dgn", "dgn"), (".000", "s57"),
+            (".sos", "sosi"),
     ):
         if p.endswith(ext):
             return f
@@ -370,6 +372,8 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_vrt(spark, path, **options)
     if fmt == "gmt":
         return read_gmt(spark, path, **options)
+    if fmt == "sosi":
+        return read_sosi(spark, path, **options)
     if fmt == "dgn":
         return read_dgn(spark, path, **options)
     if fmt == "s57":
@@ -459,6 +463,7 @@ from .tabular import read_xlsx, write_xlsx, xlsx_sheets  # noqa: F401
 from .dgn import read_dgn, write_dgn  # noqa: F401
 from .s57 import read_s57, write_s57  # noqa: F401
 from .gmt import read_gmt, write_gmt  # noqa: F401
+from .sosi import read_sosi, write_sosi  # noqa: F401
 from .vrt import read_vrt, vrt_layers  # noqa: F401
 from .ods import ods_sheets, read_ods, write_ods  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
@@ -749,7 +754,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         ".splite": "spatialite", ".parquet": "geoparquet",
         ".esrijson": "esrijson", ".nc": "netcdf", ".cdf": "netcdf",
         ".mvt": "mvt", ".warc.gz": "warc", ".warc": "warc",
-        ".gmt": "gmt", ".dgn": "dgn", ".000": "s57",
+        ".gmt": "gmt", ".dgn": "dgn", ".000": "s57", ".sos": "sosi",
     }
     fmt = (format or "").lower()
     if not fmt:
@@ -774,6 +779,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         "georss": write_georss, "pgdump": write_pgdump,
         "spatialite": write_spatialite, "sqlite": write_spatialite,
         "esrijson": write_esrijson, "gmt": write_gmt, "dgn": write_dgn,
+        "sosi": write_sosi,
         "s57": write_s57,
     }
     if fmt in ("netcdf", "nc", "cdf"):

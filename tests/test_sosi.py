@@ -1,0 +1,140 @@
+"""SOSI source (sources/sosi.py): dot-hierarchy parsing, ORIGO/ENHET
+scaling, FLATE ring assembly from KURVE refs (reversed + holes), NØH
+heights, charsets, KOORDSYS CRS tag, write->read round trip."""
+
+import pytest
+
+from duckdb_spatial_spark.functions import register_all
+from duckdb_spatial_spark.functions.crs import geom_crs
+from duckdb_spatial_spark.sources import st_read, st_write
+from duckdb_spatial_spark.sources.sosi import parse_sosi, read_sosi, write_sosi
+
+
+def _write(tmp_path, body, name="t.sos", encoding="utf-8"):
+    p = tmp_path / name
+    p.write_bytes(body.encode(encoding))
+    return str(p)
+
+
+HEAD = """.HODE
+..TEGNSETT UTF-8
+..TRANSPAR
+...KOORDSYS 22
+...ORIGO-NØ 6000000 500000
+...ENHET 0.01
+..OMRÅDE
+...MIN-NØ 0 0
+...MAX-NØ 100000000 100000000
+..SOSI-VERSJON 4.5
+"""
+
+
+def test_parse_origo_enhet_and_attrs(tmp_path):
+    p = _write(tmp_path, HEAD + """.PUNKT 1:
+..OBJTYPE Flyplass
+..NAVN Gardermoen
+..NØ
+1000 2000
+.SLUTT
+""")
+    meta, feats = parse_sosi(p)
+    assert meta["epsg"] == 25832 and meta["enhet"] == 0.01
+    f = feats[0]
+    assert f["objtype"] == "Flyplass" and f["attrs"]["NAVN"] == "Gardermoen"
+    # x = origo_e + e*enhet, y = origo_n + n*enhet (NØ order: north first)
+    assert list(f["geom"].data) == [500000 + 2000 * 0.01, 6000000 + 1000 * 0.01]
+
+
+def test_flate_reversed_refs_and_hole(tmp_path):
+    p = _write(tmp_path, HEAD + """.KURVE 1:
+..NØ
+0 0
+0 1000
+.KURVE 2:
+..NØ
+0 0
+1000 0
+1000 1000
+0 1000
+.KURVE 3:
+..NØ
+200 200
+200 400
+400 400
+400 200
+200 200
+.FLATE 9:
+..OBJTYPE Innsjø
+..REF :1 :-2 (:3)
+..NØ
+500 500
+.SLUTT
+""")
+    _, feats = parse_sosi(p)
+    fl = [f for f in feats if f["kind"] == "FLATE"][0]
+    g = fl["geom"]
+    assert g.tag == 3 and len(g.data) == 2  # shell + hole
+    # :-2 reverses KURVE 2 so its last vertex (0,1000) chains onto
+    # KURVE 1's end; the shared vertex dedups -> a closed 5-point ring
+    shell = [list(pt) for pt in g.data[0]]
+    assert shell[0] == shell[-1] and len(shell) == 5
+    hole = [list(pt) for pt in g.data[1]]
+    assert len(hole) == 5
+
+
+def test_noh_heights_and_iso8859(tmp_path):
+    body = HEAD.replace("UTF-8", "ISO8859-1") + """.KURVE 4:
+..OBJTYPE Vannvei
+..NØH
+0 0 120
+1000 1000 130
+.SLUTT
+"""
+    p = _write(tmp_path, body, encoding="latin-1")
+    _, feats = parse_sosi(p)
+    g = feats[0]["geom"]
+    assert g.has_z and [round(c, 6) for c in g.data[0]][2] == 120.0
+    assert feats[0]["objtype"] == "Vannvei"
+
+
+def test_roundtrip_and_crs_tag(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame(
+        [(1, "A", "POINT (10.5 60.25)"),
+         (2, "B", "LINESTRING (10 60, 11 61)"),
+         (3, "C", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))")],
+        "id long, typ string, wkt string",
+    ).selectExpr("id", "typ", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
+    p = str(tmp_path / "rt.sos")
+    st_write(df, p, objtype_col="typ", koordsys=23, enhet=0.000001,
+             attrs=["id"])
+    back = st_read(spark, p)
+    assert geom_crs(back) == "EPSG:25833"
+    rows = {r.objtype: r for r in back.selectExpr(
+        "objtype", "kind", "ST_AsText(geom) AS wkt",
+        "attrs['ID'] AS fid").collect() if r.objtype}
+    assert rows["A"].wkt == "POINT (10.5 60.25)" and rows["A"].fid == "1"
+    assert rows["B"].kind == "KURVE"
+    assert rows["C"].kind == "FLATE"
+    assert "POLYGON" in rows["C"].wkt and "(1 1" in rows["C"].wkt
+    # uniform bbox= / columns= contract
+    assert st_read(spark, p, bbox=(10.4, 60.2, 10.6, 60.3),
+                   columns=["objtype"]).columns == ["objtype", "geom"]
+
+
+def test_unsupported_geometry_refused(spark, tmp_path):
+    register_all(spark)
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Collect(ARRAY(ST_Point(1.0, 2.0)))) AS geom")
+    with pytest.raises(ValueError, match="unsupported geometry"):
+        write_sosi(df, str(tmp_path / "x.sos"))
+
+
+def test_directory_read_distributed(spark, tmp_path):
+    register_all(spark)
+    for i in range(3):
+        df = spark.createDataFrame([(i,)], "id long").selectExpr(
+            f"ST_AsWKB(ST_Point({i}.0, {i}.0)) AS geom")
+        write_sosi(df, str(tmp_path / f"f{i}.sos"))
+    back = read_sosi(spark, str(tmp_path))
+    assert back.count() == 3

@@ -49,6 +49,7 @@ MATRIX = [
     ("mvt", "d.mvt", {}, "id"),
     ("geoparquet", "d_file.parquet", {"file": True}, "id"),
     ("geojsonseq", "d.geojsonl", {}, "id"),
+    ("sosi", "d.sos", {}, "id"),
 ]
 
 
