@@ -60,12 +60,12 @@ def _norm_crs(name: str) -> str:
 # geographic EPSG codes whose authority axis order is (lat, lon)
 _GEOGRAPHIC_EPSG = {
     "EPSG:4326", "EPSG:4258", "EPSG:4277", "EPSG:4149", "EPSG:4150",
-    "EPSG:4267", "EPSG:4269", "EPSG:4283", "EPSG:4674",
+    "EPSG:4267", "EPSG:4269", "EPSG:4283", "EPSG:4674", "EPSG:4152",
     # compound codes whose horizontal member is authority-lat/lon
     # geographic keep that axis order (the compound lowering happens
     # below the axis check); 'EPSG:h+v' notation is always lon/lat,
     # like raw proj4 strings
-    "EPSG:9518", "EPSG:9705", "EPSG:9707", "EPSG:5498",
+    "EPSG:9518", "EPSG:9705", "EPSG:9707", "EPSG:5498", "EPSG:5499",
 }
 
 
@@ -248,6 +248,9 @@ _PROJ4_STRINGS = {
     # path via +nadgrids where sub-metre matters)
     "EPSG:4267": "+proj=longlat +ellps=clrk66 +towgs84=-8,160,176 +no_defs",
     "EPSG:4269": "+proj=longlat +ellps=GRS80 +no_defs",  # NAD83
+    # NAD83(HARN): same GRS80 null-transform stance as NAD83 (the HARN
+    # readjustment is sub-meter; PROJ's init also carries no datum leg)
+    "EPSG:4152": "+proj=longlat +ellps=GRS80 +no_defs",
     "EPSG:4283": "+proj=longlat +ellps=GRS80 +no_defs",  # GDA94
     "EPSG:4674": "+proj=longlat +ellps=GRS80 +no_defs",  # SIRGAS 2000
     # --- US State Plane sample (the populous zones; GN7-2 LCC-2SP math,
@@ -311,6 +314,7 @@ _CRS_NAMES = {
     "EPSG:4277": "OSGB36 (geographic 2D)",
     "EPSG:4267": "NAD27 (geographic 2D)",
     "EPSG:4269": "NAD83 (geographic 2D)",
+    "EPSG:4152": "NAD83(HARN) (geographic 2D)",
     "EPSG:4283": "GDA94 (geographic 2D)",
     "EPSG:4674": "SIRGAS 2000 (geographic 2D)",
     "EPSG:27700": "OSGB36 / British National Grid",
@@ -849,6 +853,7 @@ _VERTICAL_EPSG = {
 # compound EPSG code -> (horizontal member, vertical member)
 _COMPOUND_EPSG = {
     5498: (4269, 5703),    # NAD83 + NAVD88 height
+    5499: (4152, 5703),    # NAD83(HARN) + NAVD88 height
     5972: (25832, 5941),   # ETRS89 / UTM 32N + NN2000 height
     6697: (6668, 6695),    # JGD2011 + JGD2011 (vertical) height
     7405: (27700, 5701),   # OSGB36 / British National Grid + ODN height

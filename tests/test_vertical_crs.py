@@ -76,6 +76,18 @@ def test_no_grid_passthrough_and_axis_order():
     assert abs(x1[0] - x2[0]) < 1e-6 and abs(y1[0] - y2[0]) < 1e-6
 
 
+def test_harn_compound_5499(geoid):
+    # NAD83(HARN) horizontal (4152, GRS80 null-transform stance like
+    # NAD83) + NAVD88: same geoid math as 5498, authority lat/lon order
+    x, y, z = C.transform_xy(np.array([35.25]), np.array([-95.5]),
+                             "EPSG:5499", "EPSG:4326", always_xy=False,
+                             z=np.array([1.0]))
+    N = 2 + 0.5 * (-95.5 + 100) + 0.25 * (35.25 - 30)
+    # GRS80 vs WGS84 flattening differ in the 9th decimal, so the
+    # datum-less geocentric roundtrip wobbles lat by ~1e-9 deg
+    assert abs(x[0] - 35.25) < 1e-6 and y[0] == -95.5 and z[0] == 1.0 + N
+
+
 def test_projected_compound_and_errors():
     # 7415 Amersfoort / RD New + NAP: horizontal still transforms with
     # the vertical axis passing through (no NAP grid registered)
