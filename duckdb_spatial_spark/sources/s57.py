@@ -174,6 +174,8 @@ def _parse_dsid(data: bytes) -> dict:
     out = {}
     if len(data) < 7:
         return out
+    out["expp"] = int(data[5])   # exchange purpose (1 new / 2 revision)
+    out["intu"] = int(data[6])   # intended usage (navigational purpose)
     parts = data[7:].split(_UT)
     for key, val in zip(("dsnm", "edtn", "updn", "uadt", "isdt"), parts):
         out[key] = val.decode("utf-8", "replace")
@@ -493,11 +495,15 @@ def _assemble(prim, ptrs, nodes, edges, nodes3d=None):
 
 
 def read_s57(spark: SparkSession, path: str,
-             apply_updates: bool = True) -> DataFrame:
+             apply_updates: bool = True, layer: str | None = None) -> DataFrame:
     """ST_Read for .000 ENC cells: (rcid, objl, prim, attrs, natf, geom) —
     ``attrs``/``natf`` are the ATTF/NATF maps {attribute code: value}.
     Sibling update cells (.001+) apply first; per-file parsing runs
-    distributed (one input partition per base cell)."""
+    distributed (one input partition per base cell).
+
+    ``layer="DSID"`` (r15) returns GDAL's DSID pseudo-layer instead: one
+    row per cell with the dataset-identification fields (EXPP/INTU/DSNM/
+    EDTN/UPDN/UADT/ISDT), COMF/SOMF and the applied-update count."""
     from pyspark.sql import types as T
 
     from ._distrib import distributed_file_read
@@ -508,6 +514,27 @@ def read_s57(spark: SparkSession, path: str,
         files = sorted(_glob.glob(path)) or [path]
     if not files:
         raise FileNotFoundError(path)
+    if layer is not None:
+        if str(layer).upper() != "DSID":
+            raise ValueError(
+                f"read_s57: unknown layer {layer!r} — the only pseudo-layer "
+                "is 'DSID' (feature records are the default read)")
+        rows = []
+        for fp in files:
+            m = s57_meta(fp)
+            rows.append((
+                os.path.basename(fp), m.get("expp"), m.get("intu"),
+                m.get("dsnm"), m.get("edtn"), m.get("updn"),
+                m.get("uadt"), m.get("isdt"),
+                float(m["comf"]), float(m["somf"]),
+                len(m.get("updates") or []),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "file string, expp int, intu int, dsnm string, edtn string,"
+            " updn string, uadt string, isdt string, comf double,"
+            " somf double, updates int",
+        )
     schema = T.StructType(
         [
             T.StructField("rcid", T.LongType()),

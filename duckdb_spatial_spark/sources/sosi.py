@@ -12,6 +12,9 @@ SOSI syntax (Kartverket "SOSI Del 1: Realisering i SOSI-format"):
       ...ENHET <u>            unit: coord = origo + value * u
   .PUNKT <id>:                point feature: ..NØ / ..NØH + one coord line
   .KURVE <id>:                line feature: coords one per line under ..NØ
+  .BUEP <id>:                 arc through three points -> stroked 5-deg
+                              polyline (FYBA/GDAL behavior); referenceable
+                              from FLATE boundaries like any KURVE
   .FLATE <id>:                area feature: ..REF lists the boundary as
                               KURVE references — ``:n`` forward, ``:-n``
                               reversed, parenthesized groups are interior
@@ -22,7 +25,7 @@ Coordinate lines carry NORTHING EASTING [HEIGHT] (the NØ/NØH axis
 order); this reader emits (x=easting, y=northing[, z=height]). Every
 ``..NAME value`` group on a feature that is not NØ/NØH/REF/OBJTYPE is
 kept in an ``attrs`` map (stringly, like the S-57 ATTF map). Unknown
-element types (BUEP arcs, TEKST, RASTER...) are skipped. The writer
+element types (TEKST, RASTER...) are skipped. The writer
 emits UTF-8 with TEGNSETT declared, one KURVE per polygon ring with a
 FLATE referencing them (holes parenthesized), so read_sosi(write_sosi)
 round-trips geometry exactly at the chosen ENHET quantization."""
@@ -43,6 +46,39 @@ _KOORDSYS_EPSG = {21: 25831, 22: 25832, 23: 25833, 24: 25834, 25: 25835}
 
 _ELEM = _re.compile(r"^\.([A-ZÆØÅa-zæøå][\wÆØÅæøå-]*)(?:\s+(\d+))?\s*:?\s*$")
 _REF_TOKEN = _re.compile(r"\(|\)|:-?\d+")
+
+
+def _stroke_buep(p0, p1, p2, step_deg: float = 5.0):
+    """BUEP (arc through three points): circumcircle through p0/p1/p2,
+    stroked from p0 THROUGH p1 to p2 at ``step_deg`` steps (the dgn.py
+    arc density; FYBA/GDAL stroke BUEP the same way). Collinear points
+    degrade to the 3-point polyline. The exact input endpoints are
+    emitted verbatim so the arc provably passes through them."""
+    import math
+
+    (x0, y0), (x1, y1), (x2, y2) = p0[:2], p1[:2], p2[:2]
+    d = 2.0 * (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1))
+    if d == 0.0:
+        return [list(p0), list(p1), list(p2)]
+    ux = ((x0 * x0 + y0 * y0) * (y1 - y2) + (x1 * x1 + y1 * y1) * (y2 - y0)
+          + (x2 * x2 + y2 * y2) * (y0 - y1)) / d
+    uy = ((x0 * x0 + y0 * y0) * (x2 - x1) + (x1 * x1 + y1 * y1) * (x0 - x2)
+          + (x2 * x2 + y2 * y2) * (x1 - x0)) / d
+    r = math.hypot(x0 - ux, y0 - uy)
+    a0 = math.atan2(y0 - uy, x0 - ux)
+    a1 = math.atan2(y1 - uy, x1 - ux)
+    a2 = math.atan2(y2 - uy, x2 - ux)
+    two_pi = 2.0 * math.pi
+    ccw = (a2 - a0) % two_pi
+    mid = (a1 - a0) % two_pi
+    sweep = ccw if mid <= ccw else ccw - two_pi
+    n = max(2, int(abs(math.degrees(sweep)) / step_deg) + 1)
+    out = [list(p0)]
+    for i in range(1, n):
+        t = a0 + sweep * i / n
+        out.append([ux + r * math.cos(t), uy + r * math.sin(t)])
+    out.append(list(p2))
+    return out
 
 
 def _decode(raw: bytes) -> str:
@@ -142,15 +178,20 @@ def parse_sosi(path: str):
             cur["coords"].append([x, y] if h is None else [x, y, h])
     meta = {"origo": origo, "enhet": enhet, "koordsys": koordsys,
             "epsg": _KOORDSYS_EPSG.get(koordsys)}
+    # BUEP arcs stroke to vertex chains up front so both the standalone
+    # feature and any FLATE reference see the same polyline
+    for el in elems:
+        if el["kind"] == "BUEP" and len(el["coords"]) >= 3:
+            el["coords"] = _stroke_buep(*el["coords"][:3])
     kurver = {el["id"]: el for el in elems
-              if el["kind"] == "KURVE" and el["id"] is not None}
+              if el["kind"] in ("KURVE", "BUEP") and el["id"] is not None}
     feats = []
     for el in elems:
         kind = el["kind"]
         if kind == "PUNKT" and el["coords"]:
             c = el["coords"][0]
             g = G.point(*c[:3]) if len(c) > 2 else G.point(c[0], c[1])
-        elif kind == "KURVE" and len(el["coords"]) >= 2:
+        elif kind in ("KURVE", "BUEP") and len(el["coords"]) >= 2:
             g = G.linestring(el["coords"])
         elif kind == "FLATE" and el["refs"]:
             rings, ring, depth = [], [], 0

@@ -346,3 +346,29 @@ def test_update_modify_missing_record_skipped(spark, tmp_path):
     back = read_s57(spark, p)
     assert back.count() == 1
     assert back.selectExpr("rcid").first().rcid == 2
+
+
+def test_dsid_pseudo_layer(spark, tmp_path):
+    """layer='DSID' returns GDAL's dataset-identification pseudo-layer:
+    one row per cell with EXPP/INTU/DSNM/EDTN/UPDN, COMF/SOMF and the
+    applied-update count."""
+    register_all(spark)
+    from duckdb_spatial_spark.sources.s57 import write_s57_update
+
+    df = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Point(1.0, 2.0)) AS geom")
+    p = str(tmp_path / "dsid.000")
+    write_s57(df, p, dsnm="DSIDCELL")
+    write_s57_update(str(tmp_path / "dsid.001"), [
+        {"kind": "F", "rcnm": 100, "rcid": 2, "ruin": 3, "prim": 1,
+         "fields": [("ATTF", struct.pack("<H", 116) + b"X" + b"\x1f")]},
+    ])
+    row = read_s57(spark, p, layer="DSID").first()
+    assert row.dsnm == "DSIDCELL" and row.updates == 1
+    assert row.comf == 10_000_000.0 and row.somf == 10.0
+    assert row.expp == 1 and row.intu == 1
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="DSID"):
+        read_s57(spark, p, layer="Nope")
+    # through the generic st_read layer= contract too
+    assert st_read(spark, p, layer="DSID").count() == 1

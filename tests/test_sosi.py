@@ -138,3 +138,42 @@ def test_directory_read_distributed(spark, tmp_path):
         write_sosi(df, str(tmp_path / f"f{i}.sos"))
     back = read_sosi(spark, str(tmp_path))
     assert back.count() == 3
+
+
+def test_buep_arc_stroked(tmp_path):
+    """BUEP (arc through three points) strokes a circumcircle polyline
+    with exact endpoints; FLATE boundaries can reference it."""
+    import math
+
+    p = _write(tmp_path, """.HODE
+..TEGNSETT UTF-8
+..TRANSPAR
+...ORIGO-NØ 0 0
+...ENHET 1
+.BUEP 1:
+..OBJTYPE Kai
+..NØ
+0 100
+100 0
+0 -100
+.KURVE 2:
+..NØ
+0 -100
+0 100
+.FLATE 3:
+..REF :1 :2
+..NØ
+0 0
+.SLUTT
+""")
+    _, feats = parse_sosi(p)
+    by_kind = {f["kind"]: f for f in feats}
+    arc = by_kind["BUEP"]["geom"]
+    pts = [list(q) for q in arc.data]
+    assert pts[0] == [100.0, 0.0] and pts[-1] == [-100.0, 0.0]
+    assert len(pts) == 38  # 180 deg at 5-deg steps + exact endpoints
+    assert all(abs(math.hypot(x, y) - 100.0) < 1e-9 for x, y in pts)
+    # the FLATE closes: stroked arc + the straight chord back
+    fl = by_kind["FLATE"]["geom"]
+    ring = [list(q) for q in fl.data[0]]
+    assert ring[0] == ring[-1] and len(ring) == 39
