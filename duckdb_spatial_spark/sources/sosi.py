@@ -11,6 +11,7 @@ SOSI syntax (Kartverket "SOSI Del 1: Realisering i SOSI-format"):
       ...ORIGO-NØ <n> <e>     coordinate origin (NORTHING first)
       ...ENHET <u>            unit: coord = origo + value * u
   .PUNKT <id>:                point feature: ..NØ / ..NØH + one coord line
+  .TEKST <id>:                text point: ..STRENG value -> attrs map
   .KURVE <id>:                line feature: coords one per line under ..NØ
   .BUEP <id>:                 arc through three points -> stroked 5-deg
                               polyline (FYBA/GDAL behavior); referenceable
@@ -25,7 +26,7 @@ Coordinate lines carry NORTHING EASTING [HEIGHT] (the NØ/NØH axis
 order); this reader emits (x=easting, y=northing[, z=height]). Every
 ``..NAME value`` group on a feature that is not NØ/NØH/REF/OBJTYPE is
 kept in an ``attrs`` map (stringly, like the S-57 ATTF map). Unknown
-element types (TEKST, RASTER...) are skipped. The writer
+element types (RASTER, symbol groups...) are skipped. The writer
 emits UTF-8 with TEGNSETT declared, one KURVE per polygon ring with a
 FLATE referencing them (holes parenthesized), so read_sosi(write_sosi)
 round-trips geometry exactly at the chosen ENHET quantization."""
@@ -188,7 +189,9 @@ def parse_sosi(path: str):
     feats = []
     for el in elems:
         kind = el["kind"]
-        if kind == "PUNKT" and el["coords"]:
+        if kind in ("PUNKT", "TEKST") and el["coords"]:
+            # TEKST is a text point (GDAL's SOSI driver exposes it the
+            # same way); its ..STRENG value already lands in attrs
             c = el["coords"][0]
             g = G.point(*c[:3]) if len(c) > 2 else G.point(c[0], c[1])
         elif kind in ("KURVE", "BUEP") and len(el["coords"]) >= 2:

@@ -177,3 +177,24 @@ def test_buep_arc_stroked(tmp_path):
     fl = by_kind["FLATE"]["geom"]
     ring = [list(q) for q in fl.data[0]]
     assert ring[0] == ring[-1] and len(ring) == 39
+
+
+def test_tekst_element(tmp_path):
+    """TEKST elements read as text points; the STRENG value lands in the
+    attrs map (GDAL's SOSI driver exposes the same)."""
+    p = _write(tmp_path, """.HODE
+..TEGNSETT UTF-8
+..TRANSPAR
+...ORIGO-NØ 0 0
+...ENHET 0.5
+.TEKST 7:
+..OBJTYPE Stedsnavn
+..STRENG Blåfjell
+..NØ
+100 200
+.SLUTT
+""")
+    _, feats = parse_sosi(p)
+    t = feats[0]
+    assert t["kind"] == "TEKST" and t["attrs"]["STRENG"] == "Blåfjell"
+    assert list(t["geom"].data) == [100.0, 50.0]  # e*0.5, n*0.5
