@@ -3355,7 +3355,7 @@ def q_spatial_transform_vertical(spark, sf_dir):
           round(ST_Z(u), 6) AS h_ell,
           round(ST_Z(ST_Transform(u, 'EPSG:4326', 'EPSG:5498', true)), 6) AS h_rt,
           round(ST_Z(ST_Transform(p, 'EPSG:4326+5703', 'EPSG:4326', true)), 6) AS h_notation,
-          round(ST_Z(ST_Transform(p, 'EPSG:4326+5715', 'EPSG:4326', true)), 6) AS negdepth,
+          round(ST_Z(ST_Transform(p, 'EPSG:4326+5715', 'EPSG:4326', true)), 6) + 0 AS negdepth,
           round(ST_Z(ST_Transform(p, 'EPSG:9705', 'EPSG:4326', true)), 6) AS msl_pass
         FROM (
           SELECT pid, p, ST_Transform(p, 'EPSG:5498', 'EPSG:4326', true) AS u
@@ -5339,7 +5339,9 @@ def oracle_sql() -> dict[str, str]:
               round(h + 2 + 0.5 * (lon + 100) + 0.25 * (lat - 30), 6) AS h_ell,
               round(h, 6) AS h_rt,
               round(h + 2 + 0.5 * (lon + 100) + 0.25 * (lat - 30), 6) AS h_notation,
-              round(-h, 6) AS negdepth,
+              -- + 0 normalizes DuckDB's round(-0.0)=-0.0 to +0.0 (Spark's
+              -- BigDecimal-backed round has no signed zero); see CLAUDE.md
+              round(-h, 6) + 0 AS negdepth,
               round(h, 6) AS msl_pass
             FROM (VALUES
               (1, CAST(-95.5 AS DOUBLE), CAST(35.25 AS DOUBLE), CAST(100.0 AS DOUBLE)),

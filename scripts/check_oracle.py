@@ -30,6 +30,9 @@ def norm_rows(cols, rows):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "nan"
+                elif v == 0.0 and math.copysign(1.0, v) < 0:
+                    # driver hashes the representation: -0.0 != +0.0 there
+                    v = "-0.0"
                 else:
                     v = round(v, 9)
             vals.append(v)
