@@ -4418,13 +4418,18 @@ def q_dgn_depth(spark, sf_dir):
     vertex counts are exact: curve = 2 spans x 8 + 1 = 17; open spline
     (4 poles, order 3) = 2 spans x 10 + 1 = 21; closed = 4 x 10 + 1 =
     41; the closed square spline passes through the control-polygon
-    edge midpoints, so mnx/mxx are exact 0/2."""
+    edge midpoints, so mnx/mxx are exact 0/2. r16 adds the 3D
+    quaternion element layouts (dgnlib's 2^31-scaled w/x/y/z ints):
+    two 3D ARCs — identity rotation (plane stays at z=cz) and a
+    90-degree rotation about X mapping the local ey axis into world Z —
+    plus a 3D TEXT element (origin i32 @62/@66/@70); arc extremes sit
+    on stroke endpoints so the oracle is exact."""
     _prep(spark, sf_dir)
     import os
 
     from duckdb_spatial_spark.sources import read_dgn, write_dgn
     from duckdb_spatial_spark.sources.dgn import (
-        bspline_elements, curve_element, write_dgn_elements,
+        arc_element, bspline_elements, curve_element, write_dgn_elements,
     )
 
     tmp = _fresh_tmp("dgn_depth_q")
@@ -4442,12 +4447,13 @@ def q_dgn_depth(spark, sf_dir):
     write_dgn(polys, os.path.join(tmp, "b.dgn"), level_col="lvl",
               complex_shapes=True, uor_scale=100000)
     z3d = spark.createDataFrame(
-        [(2, "LINESTRING Z (0 0 1.5, 3 4 2.5)"),
-         (4, "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 4 1, 0 0 1))")],
-        "lvl int, wkt string",
-    ).selectExpr("lvl", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
+        [(2, None, "LINESTRING Z (0 0 1.5, 3 4 2.5)"),
+         (4, None, "POLYGON Z ((0 0 1, 4 0 1, 4 4 1, 0 4 1, 0 0 1))"),
+         (14, "Deep", "POINT Z (2.5 3.25 -1.75)")],
+        "lvl int, label string, wkt string",
+    ).selectExpr("lvl", "label", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
     write_dgn(z3d, os.path.join(tmp, "c.dgn"), level_col="lvl",
-              dimension=3, uor_scale=100000)
+              text_col="label", dimension=3, uor_scale=100000)
     write_dgn_elements(os.path.join(tmp, "d.dgn"), [
         curve_element([(-1, -1), (0, 0), (1, 1), (2, 0), (3, 1)],
                       level=9, uor_scale=100000),
@@ -4456,6 +4462,17 @@ def q_dgn_depth(spark, sf_dir):
         bspline_elements([(0, 0), (2, 0), (2, 2), (0, 2)], order=3,
                          closed=True, level=11, uor_scale=100000),
     ], uor_scale=100000)
+    # r16: 3D ARC quaternion layouts — identity quat keeps the local XY
+    # plane at z=cz; a 90-degree rotation about X (w=x=sqrt(1/2)) maps
+    # local (ex, ey, 0) to world (ex, 0, ey), so the quarter arc's ey
+    # extreme lands in Z (exact at the stroke endpoints t=0/t=90)
+    _s2 = 0.5 ** 0.5
+    write_dgn_elements(os.path.join(tmp, "e.dgn"), [
+        arc_element(0.0, 0.0, 5.0, 5.0, 0.0, 90.0, level=12,
+                    uor_scale=100000, cz=7.5),
+        arc_element(10.0, 20.0, 2.0, 2.0, 0.0, 90.0, level=13,
+                    uor_scale=100000, cz=3.0, quat=(_s2, _s2, 0.0, 0.0)),
+    ], uor_scale=100000, dimension=3)
     back = read_dgn(spark, tmp)  # directory read, TCB uor from each file
     return back.selectExpr(
         "level", "text",
@@ -5325,7 +5342,14 @@ def oracle_sql() -> dict[str, str]:
               (7, NULL, 'POLYGON', 5, 48, 0, 8, NULL),
               (9, NULL, 'LINESTRING', 17, 0, 0, 2, NULL),
               (10, NULL, 'LINESTRING', 21, 0, 0, 3, NULL),
-              (11, NULL, 'LINESTRING', 41, 0, 0, 2, NULL)
+              (11, NULL, 'LINESTRING', 41, 0, 0, 2, NULL),
+              -- r16 3D arcs: quarter circles stroke 90/5+1 spans = 20
+              -- points hitting t=0/t=90 exactly; identity quat keeps
+              -- z=7.5, the 90-deg-about-X quat maps the r=2 arc's ey
+              -- extreme into z (zmx = 3+2 = 5); 3D TEXT reads origin z
+              (12, NULL, 'LINESTRING', 20, 0, 0, 5, 7.5),
+              (13, NULL, 'LINESTRING', 20, 0, 10, 12, 5),
+              (14, 'Deep', 'POINT', 1, 0, 2.5, 2.5, -1.75)
             ) AS t(level, text, t, npts, a, mnx, mxx, zmx)
         """,
         "spatial_transform_vertical": """

@@ -46,7 +46,14 @@ with the RAD50-decoded cell name in ``text``.
 dgnlib DGNLoadTCB convention) switches linear payloads to (x y z) int32
 triplets — LINE / LINE STRING / SHAPE / CURVE and complex/cell members
 read as Z-carrying geometries (our writer stamps the same flag via
-``dimension=3``). CURVE elements (type 11) are the ISFF parametric
+``dimension=3``). 3D ELLIPSE / ARC / TEXT (r16) use the quaternion
+layouts: rotation stored as 4 x i32 (w x y z scaled by 2^31, the
+dgnlib DGNQuaternionToMatrix scaling) where the 2D layout has a
+rotation angle — ellipse: axes dbl @36/@44, quat @52, origin dbl
+@68/@76/@84; arc: start/sweep i32 @36/@40, axes dbl @44/@52, quat @60,
+origin dbl @76/@84/@92; text: quat @46, origin i32 @62/@66/@70,
+numchars @74, chars @76. The quaternion rotates the element-local
+ellipse plane (a cos t, b sin t, 0) onto the design axes. CURVE elements (type 11) are the ISFF parametric
 spline: the first and last vertices are slope-control points that the
 curve does not pass through; we stroke a C1 cubic through the interior
 vertices with Catmull-Rom tangents (the control points supply the end
@@ -275,6 +282,41 @@ def _stroke_arc(cx, cy, a, b, rot_deg, start_deg, sweep_deg):
     return pts
 
 
+def _quat_rot(el: bytes, off: int):
+    """3D element rotation: unit quaternion stored as 4 x i32 (w x y z,
+    scaled by 2^31 — the dgnlib DGNQuaternionToMatrix scaling) -> 3x3
+    rotation matrix mapping the element-local plane to design axes
+    (standard unit-quaternion matrix). Zero quaternion -> identity."""
+    import math
+
+    q = [_rd_i32(el, off + 4 * i) / float(1 << 31) for i in range(4)]
+    n = math.sqrt(sum(c * c for c in q))
+    if n == 0.0:
+        w, x, y, z = 1.0, 0.0, 0.0, 0.0
+    else:
+        w, x, y, z = (c / n for c in q)
+    return [
+        [w * w + x * x - y * y - z * z, 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), w * w - x * x + y * y - z * z, 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), w * w - x * x - y * y + z * z],
+    ]
+
+
+def _stroke_arc3(cx, cy, cz, a, b, R, start_deg, sweep_deg):
+    """3D ellipse-arc vertices: origin + R @ (a cos t, b sin t, 0)."""
+    import math
+
+    n = max(2, int(abs(sweep_deg) / _ARC_STEP_DEG) + 1)
+    pts = []
+    for i in range(n + 1):
+        t = math.radians(start_deg + sweep_deg * i / n)
+        ex, ey = a * math.cos(t), b * math.sin(t)
+        pts.append([cx + R[0][0] * ex + R[0][1] * ey,
+                    cy + R[1][0] * ex + R[1][1] * ey,
+                    cz + R[2][0] * ex + R[2][1] * ey])
+    return pts
+
+
 _RAD50 = " ABCDEFGHIJKLMNOPQRSTUVWXYZ$.%0123456789"
 
 
@@ -442,48 +484,87 @@ def parse_dgn(path: str, uor_scale: float | None = None):
                             G.linestring(pts)))
             continue
         if etype == DGNT_ELLIPSE:
-            # ISFF 2D ellipse: primary/secondary axis doubles @36/@44,
-            # rotation i32 @52 (deg*360000), origin doubles @56/@64
-            if len(el) < 72:
-                continue
+            # ISFF ellipse: primary/secondary axis doubles @36/@44, then
+            # 2D: rotation i32 @52 (deg*360000), origin doubles @56/@64
+            # 3D: quaternion 4 x i32 @52, origin doubles @68/@76/@84
             color, weight, style = _symb(el)
-            a = _rd_dbl(el, 36) / uor
-            b_ax = _rd_dbl(el, 44) / uor
-            rot = _rd_i32(el, 52) / 360000.0
-            cx = _rd_dbl(el, 56) / uor
-            cy = _rd_dbl(el, 64) / uor
-            ring = _stroke_arc(cx, cy, a, b_ax, rot, 0.0, 360.0)
+            if dim == 3:
+                if len(el) < 92:
+                    continue
+                a = _rd_dbl(el, 36) / uor
+                b_ax = _rd_dbl(el, 44) / uor
+                R = _quat_rot(el, 52)
+                cx = _rd_dbl(el, 68) / uor
+                cy = _rd_dbl(el, 76) / uor
+                cz = _rd_dbl(el, 84) / uor
+                ring = _stroke_arc3(cx, cy, cz, a, b_ax, R, 0.0, 360.0)
+            else:
+                if len(el) < 72:
+                    continue
+                a = _rd_dbl(el, 36) / uor
+                b_ax = _rd_dbl(el, 44) / uor
+                rot = _rd_i32(el, 52) / 360000.0
+                cx = _rd_dbl(el, 56) / uor
+                cy = _rd_dbl(el, 64) / uor
+                ring = _stroke_arc(cx, cy, a, b_ax, rot, 0.0, 360.0)
             ring[-1] = list(ring[0])
             out.append((level, color, weight, style, None, G.polygon([ring])))
             continue
         if etype == DGNT_ARC:
-            # ISFF 2D arc: start i32 @36, sweep sign-magnitude i32 @40
-            # (deg*360000), axes doubles @44/@52, rotation i32 @60,
-            # origin doubles @64/@72
-            if len(el) < 80:
-                continue
+            # ISFF arc: start i32 @36, sweep sign-magnitude i32 @40
+            # (deg*360000), axes doubles @44/@52, then
+            # 2D: rotation i32 @60, origin doubles @64/@72
+            # 3D: quaternion 4 x i32 @60, origin doubles @76/@84/@92
             color, weight, style = _symb(el)
-            start = _rd_i32(el, 36) / 360000.0
-            raw = _rd_i32(el, 40) & 0xFFFFFFFF
+            start = _rd_i32(el, 36) / 360000.0 if len(el) >= 44 else 0.0
+            raw = (_rd_i32(el, 40) & 0xFFFFFFFF) if len(el) >= 44 else 0
             sweep = -(raw & 0x7FFFFFFF) if raw & 0x80000000 else raw
             sweep /= 360000.0
-            a = _rd_dbl(el, 44) / uor
-            b_ax = _rd_dbl(el, 52) / uor
-            rot = _rd_i32(el, 60) / 360000.0
-            cx = _rd_dbl(el, 64) / uor
-            cy = _rd_dbl(el, 72) / uor
-            pts = _stroke_arc(cx, cy, a, b_ax, rot, start, sweep)
+            if dim == 3:
+                if len(el) < 100:
+                    continue
+                a = _rd_dbl(el, 44) / uor
+                b_ax = _rd_dbl(el, 52) / uor
+                R = _quat_rot(el, 60)
+                cx = _rd_dbl(el, 76) / uor
+                cy = _rd_dbl(el, 84) / uor
+                cz = _rd_dbl(el, 92) / uor
+                pts = _stroke_arc3(cx, cy, cz, a, b_ax, R, start, sweep)
+            else:
+                if len(el) < 80:
+                    continue
+                a = _rd_dbl(el, 44) / uor
+                b_ax = _rd_dbl(el, 52) / uor
+                rot = _rd_i32(el, 60) / 360000.0
+                cx = _rd_dbl(el, 64) / uor
+                cy = _rd_dbl(el, 72) / uor
+                pts = _stroke_arc(cx, cy, a, b_ax, rot, start, sweep)
             out.append((level, color, weight, style, None, G.linestring(pts)))
             continue
         if etype == DGNT_TEXT:
-            if len(el) < 60:
-                continue
+            # ISFF text: font @36, just @37, length/height mult i32
+            # @38/@42, then 2D: rotation i32 @46, origin i32 @50/@54,
+            # numchars @58, chars @60; 3D: quaternion 4 x i32 @46,
+            # origin i32 @62/@66/@70, numchars @74, chars @76
             color, weight, style = _symb(el)
-            x = _rd_i32(el, 50) / uor
-            y = _rd_i32(el, 54) / uor
-            nch = el[58]
-            txt = el[60 : 60 + nch].decode("latin-1", "replace")
-            out.append((level, color, weight, style, txt, G.point(x, y)))
+            if dim == 3:
+                if len(el) < 76:
+                    continue
+                x = _rd_i32(el, 62) / uor
+                y = _rd_i32(el, 66) / uor
+                z = _rd_i32(el, 70) / uor
+                nch = el[74]
+                txt = el[76 : 76 + nch].decode("latin-1", "replace")
+                out.append((level, color, weight, style, txt,
+                            G.point(x, y, z)))
+            else:
+                if len(el) < 60:
+                    continue
+                x = _rd_i32(el, 50) / uor
+                y = _rd_i32(el, 54) / uor
+                nch = el[58]
+                txt = el[60 : 60 + nch].decode("latin-1", "replace")
+                out.append((level, color, weight, style, txt, G.point(x, y)))
             continue
         if etype not in (DGNT_LINE, DGNT_LINE_STRING, DGNT_SHAPE):
             continue
@@ -561,33 +642,57 @@ def _element(etype: int, level: int, symb: int, rng, body: bytes,
     return head + rbytes + fixed + body
 
 
+def _wr_quat(quat) -> bytes:
+    """Encode a unit quaternion (w x y z floats) as the 4 x i32 layout
+    (scaled by 2^31-1 to stay in int32 range; the reader re-normalizes)."""
+    mx = (1 << 31) - 1
+    return b"".join(_wr_i32(max(-mx, min(mx, int(round(c * mx)))))
+                    for c in quat)
+
+
 def ellipse_element(cx, cy, a, b, rot_deg=0.0, level=0,
-                    uor_scale: float = 1000.0) -> bytes:
-    """Raw ISFF ELLIPSE element (type 15, 2D) — for producing fixtures
+                    uor_scale: float = 1000.0, cz=None, quat=None) -> bytes:
+    """Raw ISFF ELLIPSE element (type 15) — for producing fixtures
     and for callers that need true curve elements (write_dgn strokes
-    nothing; parse_dgn strokes these to rings)."""
-    body = (_wr_dbl(a * uor_scale) + _wr_dbl(b * uor_scale)
-            + _wr_i32(int(round(rot_deg * 360000)))
-            + _wr_dbl(cx * uor_scale) + _wr_dbl(cy * uor_scale))
+    nothing; parse_dgn strokes these to rings). ``cz`` non-None writes
+    the 3D layout (quaternion rotation, default identity; the file must
+    also stamp the TCB flag via write_dgn_elements ``dimension=3``)."""
+    if cz is not None:
+        body = (_wr_dbl(a * uor_scale) + _wr_dbl(b * uor_scale)
+                + _wr_quat(quat or (1.0, 0.0, 0.0, 0.0))
+                + _wr_dbl(cx * uor_scale) + _wr_dbl(cy * uor_scale)
+                + _wr_dbl(cz * uor_scale))
+    else:
+        body = (_wr_dbl(a * uor_scale) + _wr_dbl(b * uor_scale)
+                + _wr_i32(int(round(rot_deg * 360000)))
+                + _wr_dbl(cx * uor_scale) + _wr_dbl(cy * uor_scale))
     r = max(a, b) * uor_scale
-    rng = (int(cx * uor_scale - r), int(cy * uor_scale - r), 0,
-           int(cx * uor_scale + r), int(cy * uor_scale + r), 0)
+    z = int((cz or 0.0) * uor_scale)
+    rng = (int(cx * uor_scale - r), int(cy * uor_scale - r), z,
+           int(cx * uor_scale + r), int(cy * uor_scale + r), z)
     return _element(DGNT_ELLIPSE, level, 0, rng, body)
 
 
 def arc_element(cx, cy, a, b, start_deg, sweep_deg, rot_deg=0.0, level=0,
-                uor_scale: float = 1000.0) -> bytes:
-    """Raw ISFF ARC element (type 16, 2D); sweep uses the sign-magnitude
-    convention (high bit = negative sweep)."""
+                uor_scale: float = 1000.0, cz=None, quat=None) -> bytes:
+    """Raw ISFF ARC element (type 16); sweep uses the sign-magnitude
+    convention (high bit = negative sweep). ``cz`` non-None writes the
+    3D layout (quaternion rotation, default identity)."""
     raw = (0x80000000 | int(round(-sweep_deg * 360000))
            if sweep_deg < 0 else int(round(sweep_deg * 360000)))
     body = (_wr_i32(int(round(start_deg * 360000))) + _wr_i32(raw)
-            + _wr_dbl(a * uor_scale) + _wr_dbl(b * uor_scale)
-            + _wr_i32(int(round(rot_deg * 360000)))
-            + _wr_dbl(cx * uor_scale) + _wr_dbl(cy * uor_scale))
+            + _wr_dbl(a * uor_scale) + _wr_dbl(b * uor_scale))
+    if cz is not None:
+        body += (_wr_quat(quat or (1.0, 0.0, 0.0, 0.0))
+                 + _wr_dbl(cx * uor_scale) + _wr_dbl(cy * uor_scale)
+                 + _wr_dbl(cz * uor_scale))
+    else:
+        body += (_wr_i32(int(round(rot_deg * 360000)))
+                 + _wr_dbl(cx * uor_scale) + _wr_dbl(cy * uor_scale))
     r = max(a, b) * uor_scale
-    rng = (int(cx * uor_scale - r), int(cy * uor_scale - r), 0,
-           int(cx * uor_scale + r), int(cy * uor_scale + r), 0)
+    z = int((cz or 0.0) * uor_scale)
+    rng = (int(cx * uor_scale - r), int(cy * uor_scale - r), z,
+           int(cx * uor_scale + r), int(cy * uor_scale + r), z)
     return _element(DGNT_ARC, level, 0, rng, body)
 
 
@@ -706,20 +811,30 @@ def write_dgn(df: DataFrame, path: str, geom_col: str = "geom",
         g = WKB.from_wkb(bytes(wkb))
         if txt is not None:
             if g.tag == G.POINT:
-                ox, oy = float(g.data[0]), float(g.data[1])
+                xy = g.data
             else:
                 p0 = g.flatten()[0]
                 xy = p0.data if p0.tag == G.POINT else p0.data[0]
-                ox, oy = float(xy[0]), float(xy[1])
+            ox, oy = float(xy[0]), float(xy[1])
+            oz = float(xy[2]) if dimension == 3 and len(xy) > 2 else 0.0
             ix, iy = int(round(ox * uor_scale)), int(round(oy * uor_scale))
+            iz = int(round(oz * uor_scale))
             raw = str(txt).encode("latin-1", "replace")[:255]
-            body = (bytes([0, 0]) + _wr_i32(0) + _wr_i32(0) + _wr_i32(0)
-                    + _wr_i32(ix) + _wr_i32(iy)
-                    + bytes([len(raw), 0]) + raw)
+            if dimension == 3:
+                # 3D text: quaternion (identity) @46, origin xyz @62,
+                # numchars @74, chars @76
+                body = (bytes([0, 0]) + _wr_i32(0) + _wr_i32(0)
+                        + _wr_quat((1.0, 0.0, 0.0, 0.0))
+                        + _wr_i32(ix) + _wr_i32(iy) + _wr_i32(iz)
+                        + bytes([len(raw), 0]) + raw)
+            else:
+                body = (bytes([0, 0]) + _wr_i32(0) + _wr_i32(0) + _wr_i32(0)
+                        + _wr_i32(ix) + _wr_i32(iy)
+                        + bytes([len(raw), 0]) + raw)
             if len(body) % 2:
                 body += b"\x00"
             elems.append(_element(DGNT_TEXT, level, 0,
-                                  (ix, iy, 0, ix, iy, 0), body))
+                                  (ix, iy, iz, ix, iy, iz), body))
             continue
         if g.tag == G.MULTILINESTRING:
             # complex chain: type-12 header + one member per part

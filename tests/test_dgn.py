@@ -290,3 +290,58 @@ def test_bspline_open_and_closed(spark, tmp_path):
     op, cl = rows[1], rows[2]
     assert op.n == 21 and op.x0 == 0.0 and op.x1 == 3.0 and not op.cl
     assert cl.n == 41 and cl.cl and cl.mnx == 0.0 and cl.mxx == 2.0
+
+
+def test_3d_arc_ellipse_text(spark, tmp_path):
+    """3D ELLIPSE/ARC (quaternion layouts) and 3D TEXT origin: identity
+    quaternion keeps the XY plane at z = cz; a 90-degree rotation about
+    the X axis (quat w=x=sqrt(2)/2) maps the local ellipse plane into
+    XZ, so the world points are (cx + a cos t, cy, cz + b sin t)."""
+    import math
+
+    from duckdb_spatial_spark.sources.dgn import (
+        arc_element, ellipse_element, read_dgn, write_dgn,
+        write_dgn_elements,
+    )
+
+    register_all(spark)
+    s = math.sqrt(0.5)
+    p = str(tmp_path / "curves3.dgn")
+    write_dgn_elements(p, [
+        # identity quat: quarter circle r=5 in the z=7.5 plane
+        arc_element(0.0, 0.0, 5.0, 5.0, 0.0, 90.0, level=6,
+                    uor_scale=100000, cz=7.5),
+        # 90 deg about X: ellipse a=3/b=2 in the XZ plane through y=20
+        ellipse_element(10.0, 20.0, 3.0, 2.0, level=4, uor_scale=100000,
+                        cz=3.0, quat=(s, s, 0.0, 0.0)),
+    ], uor_scale=100000, dimension=3)
+    rows = {r.level: r for r in read_dgn(spark, p).selectExpr(
+        "level", "ST_GeometryType(geom) AS t", "ST_HasZ(geom) AS hz",
+        "ST_NPoints(geom) AS n",
+        "round(ST_XMin(geom), 3) AS mnx", "round(ST_XMax(geom), 3) AS mxx",
+        "round(ST_YMin(geom), 3) AS mny", "round(ST_YMax(geom), 3) AS mxy",
+        "round(ST_ZMin(geom), 3) AS mnz", "round(ST_ZMax(geom), 3) AS mxz",
+    ).collect()}
+    a = rows[6]
+    assert a.t == "LINESTRING" and a.hz and a.n == 20
+    assert a.mnz == 7.5 and a.mxz == 7.5
+    assert a.mxx == 5.0 and a.mxy == 5.0 and abs(a.mnx) < 0.01
+    e = rows[4]
+    assert e.t == "POLYGON" and e.hz
+    # stroked 73-gon: extremes converge on the axis lengths (within 1%)
+    assert abs(e.mnx - 7.0) < 0.01 and abs(e.mxx - 13.0) < 0.01
+    assert (e.mny, e.mxy) == (20.0, 20.0)
+    assert abs(e.mnz - 1.0) < 0.01 and abs(e.mxz - 5.0) < 0.01
+    # 3D TEXT: write_dgn's dimension=3 text path + origin z readback
+    df = spark.createDataFrame([(9, "Depth", "POINT Z (1.5 2.5 -3.25)")],
+                               "lvl int, nm string, wkt string").selectExpr(
+        "lvl", "nm", "ST_AsWKB(ST_GeomFromText(wkt)) AS geom")
+    pt = str(tmp_path / "text3.dgn")
+    write_dgn(df, pt, level_col="lvl", text_col="nm", dimension=3,
+              uor_scale=100000)
+    r = read_dgn(spark, pt).selectExpr(
+        "level", "text", "ST_HasZ(geom) AS hz",
+        "round(ST_X(geom), 6) AS x", "round(ST_Y(geom), 6) AS y",
+        "round(ST_Z(geom), 6) AS z").first()
+    assert (r.level, r.text, r.hz) == (9, "Depth", True)
+    assert (r.x, r.y, r.z) == (1.5, 2.5, -3.25)
