@@ -388,20 +388,36 @@ def minhash_lsh_pairs(
                 memo[t] = s
             return s
 
+        # undefined Jaccard (null text / empty shingle sets) must come
+        # back as a REAL null, not NaN: Spark orders NaN above every
+        # number, so a NaN surviving Arrow conversion would PASS the
+        # `jaccard >= threshold` filter. Track a miss mask and emit an
+        # object series with explicit None — never np.nan.
         out = np.empty(len(a), dtype="float64")
+        miss = np.zeros(len(a), dtype=bool)
         for i, (x, y) in enumerate(zip(a, b)):
             if x is None or y is None:
-                out[i] = np.nan
+                miss[i] = True
                 continue
             sa, sb = sh_set(x), sh_set(y)
             # exact-copy pairs dominate real web corpora: equal texts memo
             # to the SAME frozenset object, so `is` skips the intersection
             if sa is sb:
-                out[i] = 1.0 if sa else np.nan
+                if sa:
+                    out[i] = 1.0
+                else:
+                    miss[i] = True
                 continue
             c = len(sa & sb)
             u = len(sa) + len(sb) - c
-            out[i] = c / u if u else np.nan
+            if u:
+                out[i] = c / u
+            else:
+                miss[i] = True
+        if miss.any():
+            vals = out.astype(object)
+            vals[miss] = None
+            return pd.Series(vals, dtype=object)
         return pd.Series(out)
 
     return (

@@ -98,6 +98,15 @@ def _decode(raw: bytes) -> str:
         return raw.decode("latin-1", "replace")
 
 
+def _header_koordsys(path: str) -> int | None:
+    """KOORDSYS from the .HODE prefix only (no feature parse) — the
+    cheap per-file scan read_sosi uses to detect mixed UTM zones."""
+    with open(path, "rb") as fh:
+        head = _decode(fh.read(8192))
+    m = _re.search(r"\.{3}KOORDSYS\s+(\d+)", head)
+    return int(m.group(1)) if m else None
+
+
 def parse_sosi(path: str):
     """-> (meta, features): meta has origo/enhet/koordsys/epsg; features
     are dicts {id, kind, objtype, attrs, geometry}."""
@@ -213,8 +222,7 @@ def parse_sosi(path: str):
                     grp.append(int(tok[1:]))
             if grp:
                 groups.append((grp, depth > 0))
-            shell, holes = [], []
-            for ids, is_hole in groups:
+            def _ring(ids):
                 ring = []
                 for rid in ids:
                     k = kurver.get(abs(rid))
@@ -227,13 +235,22 @@ def parse_sosi(path: str):
                         pts = pts[1:]
                     ring.extend(pts)
                 if len(ring) < 3:
-                    continue
+                    return None
                 if ring[0] != ring[-1]:
                     ring.append(list(ring[0]))
-                (holes if is_hole else shell).append(ring)
-            if not shell:
+                return ring
+
+            # ALL non-hole groups concatenate into ONE exterior chain:
+            # exterior KURVE refs listed after a parenthesized hole group
+            # continue the same shell (they are not a second polygon)
+            shell_ids = [rid for ids, is_hole in groups if not is_hole
+                         for rid in ids]
+            shell = _ring(shell_ids)
+            if shell is None:
                 continue
-            g = G.polygon(shell[:1] + holes)
+            holes = [r for r in (_ring(ids) for ids, is_hole in groups
+                                 if is_hole) if r is not None]
+            g = G.polygon([shell] + holes)
         else:
             continue
         feats.append({"id": el["id"], "kind": kind,
@@ -266,9 +283,13 @@ def read_sosi(spark: SparkSession, path: str) -> DataFrame:
         files = sorted(_glob.glob(path)) or [path]
     if not files:
         raise FileNotFoundError(path)
-    # KOORDSYS binds driver-side from the first file's header, landing in
-    # the geom StructField metadata (the shapefile .prj tagging idiom)
-    epsg = parse_sosi(files[0])[0].get("epsg")
+    # KOORDSYS binds driver-side from a cheap header-only scan of EVERY
+    # file, landing in the geom StructField metadata (the shapefile .prj
+    # tagging idiom). Mixed zones across a directory (KOORDSYS 22 vs 23
+    # is common across Kartverket municipality files) would mis-reference
+    # every non-first file, so disagreement omits the tag entirely.
+    codes = {_header_koordsys(f) for f in files}
+    epsg = _KOORDSYS_EPSG.get(codes.pop()) if len(codes) == 1 else None
     schema = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("kind", T.StringType()),

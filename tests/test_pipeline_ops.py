@@ -380,3 +380,19 @@ def test_ivfpq_index_recall_and_compression(spark, emb):
 
     with _pytest.raises(ValueError, match="not divisible"):
         K.build_ivfpq_index(emb2, tempfile.mkdtemp() + "/bad", nlist=4, m=dim + 1)
+
+
+def test_minhash_verify_undefined_jaccard_dropped(spark):
+    """Undefined Jaccard (null text, sub-n-token docs with empty shingle
+    sets) must come back as a real null from the verify lane — Spark
+    orders NaN above every number, so a surviving NaN would PASS the
+    `jaccard >= threshold` filter and emit a bogus pair."""
+    rows = [(1, "too short"), (2, "too short"),
+            (3, None), (4, None),
+            (5, "alpha beta gamma delta " * 10),
+            (6, "alpha beta gamma delta " * 10)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = D.minhash_lsh_pairs(df, "id", "text", n=3, num_hashes=32,
+                                bands=8, threshold=0.1)
+    got = sorted((r.id_a, r.id_b, r.jaccard) for r in pairs.collect())
+    assert got == [(5, 6, 1.0)]

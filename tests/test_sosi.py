@@ -198,3 +198,62 @@ def test_tekst_element(tmp_path):
     t = feats[0]
     assert t["kind"] == "TEKST" and t["attrs"]["STRENG"] == "Blåfjell"
     assert list(t["geom"].data) == [100.0, 50.0]  # e*0.5, n*0.5
+
+
+def test_flate_split_shell_groups(tmp_path):
+    """Exterior KURVE refs appearing AFTER a parenthesized hole group
+    continue the SAME exterior chain — they are not a second shell and
+    must not be dropped."""
+    p = _write(tmp_path, HEAD + """.KURVE 1:
+..NØ
+0 0
+0 1000
+1000 1000
+.KURVE 2:
+..NØ
+1000 1000
+1000 0
+0 0
+.KURVE 3:
+..NØ
+200 200
+200 400
+400 400
+400 200
+200 200
+.FLATE 9:
+..REF :1 (:3) :2
+..NØ
+500 500
+.SLUTT
+""")
+    _, feats = parse_sosi(p)
+    fl = [f for f in feats if f["kind"] == "FLATE"][0]
+    g = fl["geom"]
+    assert g.tag == 3 and len(g.data) == 2  # one shell + one hole
+    shell = [list(pt) for pt in g.data[0]]
+    assert shell[0] == shell[-1] and len(shell) == 5  # full closed square
+    # the (n=1000, e=0) corner comes only from KURVE 2 (the post-hole
+    # shell group) — truncating to the first group would lose it
+    assert [500000.0, 6000010.0] in shell
+
+
+def test_mixed_koordsys_directory_untagged(spark, tmp_path):
+    """A directory mixing UTM zones (KOORDSYS 22 vs 23) must not tag all
+    rows with the first file's EPSG — the CRS tag is omitted instead."""
+    register_all(spark)
+    for i, ks in enumerate((22, 23)):
+        df = spark.createDataFrame([(i,)], "id long").selectExpr(
+            f"ST_AsWKB(ST_Point({i}.0, {i}.0)) AS geom")
+        write_sosi(df, str(tmp_path / f"z{i}.sos"), koordsys=ks)
+    back = read_sosi(spark, str(tmp_path))
+    assert geom_crs(back) is None
+    assert back.count() == 2
+    # agreeing zones still tag
+    for f in ("z0.sos", "z1.sos"):
+        (tmp_path / f).unlink()
+    for i in range(2):
+        df = spark.createDataFrame([(i,)], "id long").selectExpr(
+            f"ST_AsWKB(ST_Point({i}.0, {i}.0)) AS geom")
+        write_sosi(df, str(tmp_path / f"u{i}.sos"), koordsys=23)
+    assert geom_crs(read_sosi(spark, str(tmp_path))) == "EPSG:25833"
