@@ -4627,117 +4627,34 @@ def q_streaming_minhash_probe(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Query registry. ORDER MATTERS: the driver oracle-checks the FIRST 50
-    entries only, so recently-changed / never-driver-checked operators go
-    first; long-stable spatial rows (green since r2/r3, still covered by
-    pytest + scripts/check_oracle.py) rotate to the back."""
+    entries only — every row changed this round (directly or through
+    shared code) sits inside that window, followed by every row whose
+    last driver check predates r15; rows checked green at r15 and
+    untouched since rotate behind. Long-green never-changing rows were
+    retired in r16 to retired_queries(): still swept by
+    scripts/check_oracle.py every session and pinned by
+    tests/test_retired_driver_rows.py (see docs/RETIRED_QUERIES.md)."""
     return {
-        # --- new in r14: Krovak/NZMG kernels, VRT union+SrcSQL, S-57
-        # depth (SG3D/NATF/updates/multi-shell), DGN depth (complex/
-        # text/TCB) — never driver-checked, lead the window ---
-        # --- new in r15: vertical/compound EPSG registry — never
-        # driver-checked, leads the window ---
+        # --- changed in r16: vertical-transform signed-zero fix, SOSI
+        # shell concatenation + mixed-KOORDSYS guard, DGN 3D quaternion
+        # ellipse/arc/text, minhash verify-lane explicit-null Jaccard ---
         "spatial_transform_vertical": q_spatial_transform_vertical,
-        # --- new in r15: SOSI driver (read/write + FLATE ref assembly) ---
         "sosi_roundtrip": q_sosi_roundtrip,
-        "spatial_transform_tranche5": q_spatial_transform_tranche5,
-        "vrt_union_sql": q_vrt_union_sql,
-        # r15: s57_depth extended (VRPC splices, RUIN=3-missing skip);
-        # dgn_depth extended (3D linework, CURVE + B-spline strokes)
-        "s57_depth": q_s57_depth,
         "dgn_depth": q_dgn_depth,
-        "streaming_tagged_transform": q_streaming_tagged_transform,
-        "streaming_ann_probe": q_streaming_ann_probe,
-        "streaming_minhash_probe": q_streaming_minhash_probe,
-        # --- LLM-pipeline lanes (rewritten in r4, driver-unchecked) first ---
-        "minhash_lsh_spec": q_minhash_lsh_spec,
-        "simhash_spec": q_simhash_spec,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        # --- new in r11: ANN quality made driver-visible (recall@10 of
-        # lsh/ivf/ivfpq vs the exact baseline, value-oracled booleans) ---
-        "ann_recall": q_ann_recall,
-        # --- new in r12: EPSG registry tranche 3 (full SPCS83 metric set,
-        # JGD2000/2011, CGCS2000, Pulkovo 1995, SWEREF99, RGF93 CC...) ---
-        "spatial_transform_tranche3": q_spatial_transform_tranche3,
-        # --- new in r12: WFS remote source under the value gate ---
-        "wfs_read": q_wfs_read,
-        # --- new in r12: BPE tokenizer training ---
-        "bpe_learn": q_bpe_learn,
-        # --- new in r12: script detection (pre-language-ID router) ---
-        "script_profile": q_script_profile,
-        # --- r13: the six former rows-only lanes, all value-gated now
-        # (invariant literals / exact-verification oracles) — in-window ---
-        # --- new in r13: EPSG tranche 4 (India/NZ/Africa long tail) ---
-        "spatial_transform_tranche4": q_spatial_transform_tranche4,
-        # --- new in r13: source-declared CRS tag -> st_transform_tagged ---
-        "crs_tagged_transform": q_crs_tagged_transform,
-        # --- new in r13: bare-GML, OGR-VRT, GMT, DGN driver rows ---
-        "gml_roundtrip": q_gml_roundtrip,
-        "vrt_read": q_vrt_read,
-        "gmt_roundtrip": q_gmt_roundtrip,
         "dgn_roundtrip": q_dgn_roundtrip,
-        "s57_roundtrip": q_s57_roundtrip,
-        "ivfpq_index": q_ivfpq_index,
-        "ivf_index": q_ivf_index,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
+        "minhash_lsh_spec": q_minhash_lsh_spec,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
-        # r14: streaming/demo.py gained module-level imports + new
-        # functions — keep two representative existing streaming rows
-        # in-window (the rest stay pytest-covered)
-        "streaming_extent": q_streaming_extent,
-        "streaming_sessionize": q_streaming_sessionize,
-        "winnowing": q_winnowing,
-        # --- new in r9: NTv2 grids, polygon short-circuit, introspection,
-        # netCDF codec, DSIR selection, grid-join box short-circuit ---
-        # geoparquet_file stays in-window: its read path gained the r13
-        # CRS footer tag
-        "geoparquet_file": q_geoparquet_file,
-        "dsir": q_dsir,
-        "dup_spans": q_dup_spans,
-        # --- new in r10: ExactSubstr span removal (streaming_join,
-        # long-green r8+r9 and unchanged, rotates behind the window) ---
-        "excise_spans": q_excise_spans,
-        "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
-        "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
-        "spatial_transform_nad27": q_spatial_transform_nad27,
-        "spatial_transform_paris": q_spatial_transform_paris,
-        # --- new in r11: EPSG registry breadth (State Plane + UTM/GK
-        # series), pinned to the GN7-2 lcc-2SP and GDA94 worked examples ---
-        "spatial_transform_stateplane": q_spatial_transform_stateplane,
-        # --- new in r10: sterea/laea projection families ---
-        "spatial_transform_rd": q_spatial_transform_rd,
-        "spatial_native_casts": q_spatial_native_casts,
-        "layout_pruned_polys": q_layout_pruned_polys,
-        "geo_parquet_stats": q_geo_parquet_stats,
-        # --- new in r8: R-tree/layout analog rows ---
-        "layout_snapshot": q_layout_snapshot,
-        # --- new in r5 ---
-        "spatial_zm_flags": q_spatial_zm_flags,
-        "st_drivers_meta": q_st_drivers_meta,
-        # --- new in r10: splittable ndjson lane (tab_roundtrip, long-green
-        # r8+r9 and unchanged, rotates behind the window for this slot) ---
-        # r15: list_proj_crs_df gained vertical+compound rows -> rotate
-        # spatial_refsys back in-window (geojsonseq, long-green r10+,
-        # unchanged, rotates behind)
-        # r15: list_proj_crs_df gained vertical+compound rows -> rotate
-        # spatial_refsys back in-window (geojsonseq, long-green r10+,
-        # unchanged, rotates behind)
-        "spatial_refsys": q_spatial_refsys,
-        # fgb (long-green r5+, unchanged) rotates behind for the r15
-        # sosi_roundtrip slot
+        # --- extended in r16: S-57 exchange-set catalog; geoid grid
+        # through the streaming tagged-transform path ---
+        "s57_depth": q_s57_depth,
+        "streaming_tagged_transform": q_streaming_tagged_transform,
+        # --- last driver-checked before r15 — all inside the window ---
         "fgb_roundtrip": q_fgb_roundtrip,
         "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
-        # --- new in r10: model-based quality filter (georss_roundtrip,
-        # long-green r8+r9 and unchanged, rotates behind the window) ---
         "clf_quality": q_clf_quality,
         "multimodal_meta": q_multimodal_meta,
         "streaming_upsert": q_streaming_upsert,
-        # --- round-6 pipeline operators ---
-        # --- new in r10: sessionization (gopher_quality, long-green r8+r9
-        # and unchanged, rotates behind the window) ---
         "events_sessionize": q_events_sessionize,
-        # --- new in r11: streaming session_window parity row ---
         "lang_id": q_lang_id,
         "decontaminate": q_decontaminate,
         "embedding_assign": q_embedding_assign,
@@ -4747,7 +4664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "mix_sample": q_mix_sample,
         "minhash_index": q_minhash_index,
-        # long-green r9-r12, unchanged in r13: rotated behind the window
         "zonal_stats": q_zonal_stats,
         "dedup_docs": q_dedup_docs,
         "warc_roundtrip": q_warc_roundtrip,
@@ -4758,96 +4674,148 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_metrics_full": q_text_metrics_full,
         "quality_score": q_quality_score,
-        "url_canonicalize": q_url_canonicalize,
-        "tab_roundtrip": q_tab_roundtrip,
-        # long-green r9-r11, unchanged in r12: rotated behind the window
         "html_extract": q_html_extract,
         "robots": q_robots,
-        "streaming_join": q_streaming_join,
-        "georss_roundtrip": q_georss_roundtrip,
         "gopher_quality": q_gopher_quality,
         "bpe_encode": q_bpe_encode,
-        "kmv_distinct": q_kmv_distinct,
-        "arrow_roundtrip": q_arrow_roundtrip,
-        # r8-green, unchanged in r9 — rotated behind the window
         "dedup_lines": q_dedup_lines,
         "embedding_centroids": q_embedding_centroids,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
-        "streaming_geofence": q_streaming_geofence,
-        "streaming_dedup": q_streaming_dedup,
-        "layout_pruned_count": q_layout_pruned_count,
-        "spatial_unary_ops": q_spatial_unary_ops,
-        "spatial_intersection_lines": q_spatial_intersection_lines,
-        "spatial_area_spheroid": q_spatial_area_spheroid,
-        "spatial_distance_spheroid": q_spatial_distance_spheroid,
-        "spatial_predicates2": q_spatial_predicates2,
-        "spatial_construct_ops": q_spatial_construct_ops,
-        "ngram_lm": q_ngram_lm,
-        "chunk_documents": q_chunk_documents,
-        "text_normalize": q_text_normalize,
         "events_percentiles": q_events_percentiles,
         "pii_scrub": q_pii_scrub,
-        "sample_stratified": q_sample_stratified,
-        # --- remaining driver-checked surface ---
-        # (transform_wkt leads: r5 code with no driver row yet)
-        "spatial_transform_wkt": q_spatial_transform_wkt,
-        "spatial_extent_agg": q_spatial_extent_agg,
-        "spatial_overlay_rects": q_spatial_overlay_rects,
-        "spatial_intersection_tri_rect": q_spatial_intersection_tri_rect,
-        "spatial_convexhull_area": q_spatial_convexhull_area,
-        "spatial_makevalid_bowtie": q_spatial_makevalid_bowtie,
-        "spatial_union_agg_chain": q_spatial_union_agg_chain,
-        "spatial_intersection_agg": q_spatial_intersection_agg,
-        "spatial_transform_longtail": q_spatial_transform_longtail,
-        "spatial_format_ops": q_spatial_format_ops,
-        "spatial_buffer_styles": q_spatial_buffer_styles,
-        "spatial_predicates": q_spatial_predicates,
-        "spatial_hilbert": q_spatial_hilbert,
-        "mif_roundtrip": q_mif_roundtrip,
-        "pgdump_roundtrip": q_pgdump_roundtrip,
-        "spatialite_roundtrip": q_spatialite_roundtrip,
-        "spatial_generatepoints": q_spatial_generatepoints,
         "tpch_q1": q_tpch_q1,
         "tpch_q6": q_tpch_q6,
         "events_hourly": q_events_hourly,
         "events_sessionization": q_events_sessionization,
-        "ngram_counts": q_ngram_counts,
-        "text_metrics": q_text_metrics,
         "dedup_clusters": q_dedup_clusters,
-        "text_ngram_jaccard": q_text_ngram_jaccard,
-        # --- long-stable (green r2-r7, pytest + check_oracle.py coverage) ---
         "embedding_neardup": q_embedding_neardup,
-        "osm_read": q_osm_read,
-        "shp_roundtrip": q_shp_roundtrip,
-        "dxf_read": q_dxf_read,
-        "xlsx_roundtrip": q_xlsx_roundtrip,
-        "gdb_roundtrip": q_gdb_roundtrip,
-        "spatial_transform_3857": q_spatial_transform_3857,
-        "spatial_buffer_area": q_spatial_buffer_area,
-        "kml_roundtrip": q_kml_roundtrip,
-        "spatial_dwithin_grouped": q_spatial_dwithin_grouped,
-        "window_running_total": q_window_running_total,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
         "events_top_per_type": q_events_top_per_type,
-        "spatial_dwithin_join_count": q_spatial_dwithin_join_count,
+        # --- checked green at r15, unchanged since: behind the window ---
+        "spatial_transform_tranche5": q_spatial_transform_tranche5,
+        "vrt_union_sql": q_vrt_union_sql,
+        "streaming_ann_probe": q_streaming_ann_probe,
+        "streaming_minhash_probe": q_streaming_minhash_probe,
+        "simhash_spec": q_simhash_spec,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_recall": q_ann_recall,
+        "spatial_transform_tranche3": q_spatial_transform_tranche3,
+        "wfs_read": q_wfs_read,
+        "bpe_learn": q_bpe_learn,
+        "script_profile": q_script_profile,
+        "spatial_transform_tranche4": q_spatial_transform_tranche4,
+        "crs_tagged_transform": q_crs_tagged_transform,
+        "gml_roundtrip": q_gml_roundtrip,
+        "vrt_read": q_vrt_read,
+        "gmt_roundtrip": q_gmt_roundtrip,
+        "s57_roundtrip": q_s57_roundtrip,
+        "ivfpq_index": q_ivfpq_index,
+        "ivf_index": q_ivf_index,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "simhash": q_simhash,
+        "streaming_extent": q_streaming_extent,
+        "streaming_sessionize": q_streaming_sessionize,
+        "winnowing": q_winnowing,
+        "geoparquet_file": q_geoparquet_file,
+        "dsir": q_dsir,
+        "dup_spans": q_dup_spans,
+        "excise_spans": q_excise_spans,
+        "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
+        "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
+        "spatial_transform_nad27": q_spatial_transform_nad27,
+        "spatial_transform_paris": q_spatial_transform_paris,
+        "spatial_transform_stateplane": q_spatial_transform_stateplane,
+        "spatial_transform_rd": q_spatial_transform_rd,
+        "spatial_native_casts": q_spatial_native_casts,
+        "layout_pruned_polys": q_layout_pruned_polys,
+        "geo_parquet_stats": q_geo_parquet_stats,
+        "layout_snapshot": q_layout_snapshot,
+        "spatial_zm_flags": q_spatial_zm_flags,
+        "st_drivers_meta": q_st_drivers_meta,
+        "spatial_refsys": q_spatial_refsys,
+    }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Long-green driver rows retired from the queries() window (r16,
+    judge directive 3): every row here passed its DuckDB value oracle in
+    CORRECTNESS artifacts across 6+ rounds without a single code change.
+    They remain first-class checks — scripts/check_oracle.py sweeps them
+    together with queries() by default, and
+    tests/test_retired_driver_rows.py runs the same row/schema/value
+    compare in the pytest suite — they just no longer consume driver
+    window slots (rotation bookkeeping was becoming the riskiest part of
+    the repo at 160 rows). oracle_sql() keeps every retired entry."""
+    return {
+        "arrow_roundtrip": q_arrow_roundtrip,
+        "chunk_documents": q_chunk_documents,
+        "dxf_read": q_dxf_read,
+        "gdb_roundtrip": q_gdb_roundtrip,
+        "georss_roundtrip": q_georss_roundtrip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
+        "kml_roundtrip": q_kml_roundtrip,
+        "kmv_distinct": q_kmv_distinct,
+        "layout_pruned_count": q_layout_pruned_count,
+        "mif_roundtrip": q_mif_roundtrip,
+        "ngram_counts": q_ngram_counts,
+        "ngram_lm": q_ngram_lm,
+        "osm_read": q_osm_read,
+        "pgdump_roundtrip": q_pgdump_roundtrip,
+        "sample_stratified": q_sample_stratified,
+        "shp_roundtrip": q_shp_roundtrip,
+        "spatial_area_envelope": q_spatial_area_envelope,
+        "spatial_area_spheroid": q_spatial_area_spheroid,
+        "spatial_astext": q_spatial_astext,
+        "spatial_buffer_area": q_spatial_buffer_area,
+        "spatial_buffer_styles": q_spatial_buffer_styles,
+        "spatial_centroid": q_spatial_centroid,
+        "spatial_collect_dump": q_spatial_collect_dump,
+        "spatial_construct_ops": q_spatial_construct_ops,
+        "spatial_convexhull_area": q_spatial_convexhull_area,
         "spatial_distance": q_spatial_distance,
+        "spatial_distance_sphere": q_spatial_distance_sphere,
+        "spatial_distance_spheroid": q_spatial_distance_spheroid,
+        "spatial_dwithin_grouped": q_spatial_dwithin_grouped,
+        "spatial_dwithin_join_count": q_spatial_dwithin_join_count,
         "spatial_envelope_count": q_spatial_envelope_count,
         "spatial_envelope_count_native": q_spatial_envelope_count_native,
-        "spatial_astext": q_spatial_astext,
-        "spatial_area_envelope": q_spatial_area_envelope,
-        "spatial_wkt_triangle_area": q_spatial_wkt_triangle_area,
-        "spatial_distance_sphere": q_spatial_distance_sphere,
-        "spatial_line_length": q_spatial_line_length,
-        "spatial_perimeter": q_spatial_perimeter,
-        "spatial_makeline_npoints": q_spatial_makeline_npoints,
-        "spatial_makeline_astext": q_spatial_makeline_astext,
-        "spatial_centroid": q_spatial_centroid,
-        "spatial_quadkey": q_spatial_quadkey,
-        "spatial_collect_dump": q_spatial_collect_dump,
+        "spatial_extent_agg": q_spatial_extent_agg,
+        "spatial_format_ops": q_spatial_format_ops,
+        "spatial_generatepoints": q_spatial_generatepoints,
+        "spatial_hilbert": q_spatial_hilbert,
+        "spatial_intersection_agg": q_spatial_intersection_agg,
+        "spatial_intersection_lines": q_spatial_intersection_lines,
+        "spatial_intersection_tri_rect": q_spatial_intersection_tri_rect,
         "spatial_line_endpoints": q_spatial_line_endpoints,
+        "spatial_line_length": q_spatial_line_length,
+        "spatial_makeline_astext": q_spatial_makeline_astext,
+        "spatial_makeline_npoints": q_spatial_makeline_npoints,
+        "spatial_makevalid_bowtie": q_spatial_makevalid_bowtie,
+        "spatial_overlay_rects": q_spatial_overlay_rects,
+        "spatial_perimeter": q_spatial_perimeter,
+        "spatial_predicates": q_spatial_predicates,
+        "spatial_predicates2": q_spatial_predicates2,
+        "spatial_quadkey": q_spatial_quadkey,
+        "spatial_transform_3857": q_spatial_transform_3857,
+        "spatial_transform_longtail": q_spatial_transform_longtail,
+        "spatial_transform_wkt": q_spatial_transform_wkt,
+        "spatial_unary_ops": q_spatial_unary_ops,
+        "spatial_union_agg_chain": q_spatial_union_agg_chain,
+        "spatial_wkt_triangle_area": q_spatial_wkt_triangle_area,
+        "spatialite_roundtrip": q_spatialite_roundtrip,
+        "streaming_dedup": q_streaming_dedup,
+        "streaming_geofence": q_streaming_geofence,
+        "streaming_join": q_streaming_join,
+        "tab_roundtrip": q_tab_roundtrip,
+        "text_metrics": q_text_metrics,
+        "text_ngram_jaccard": q_text_ngram_jaccard,
+        "text_normalize": q_text_normalize,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "url_canonicalize": q_url_canonicalize,
+        "window_running_total": q_window_running_total,
+        "xlsx_roundtrip": q_xlsx_roundtrip,
     }
 
 

@@ -63,7 +63,11 @@ def main():
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
-    qs = E.queries()
+    qs = dict(E.queries())
+    # retired rows (r16, retired_queries docstring) stay in the sweep:
+    # the driver window shrank, the correctness surface did not
+    if hasattr(E, "retired_queries"):
+        qs.update(E.retired_queries())
     oracles = E.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
