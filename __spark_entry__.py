@@ -4339,13 +4339,21 @@ def q_s57_depth(spark, sf_dir):
     skip) — GDAL's S57 driver covers the same surface (S-57 Part 3
     ch. 8, ApplyRecordUpdate). Coordinates
     quantize at 1/COMF = 1e-7 deg so 5-decimal rounding is exact; depths
-    at 1/SOMF = 0.1."""
+    at 1/SOMF = 0.1.
+
+    r16: the fixture is an EXCHANGE SET — cells live under ENC_ROOT with
+    a CATALOG.031 whose CATD records enumerate them (S-57 Part 3 §5.2,
+    GDAL's enumeration path), including a backslash-separated
+    subdirectory entry, a TXT ancillary entry and a missing-file entry
+    (both skipped); the read points at the exchange-set ROOT."""
     _prep(spark, sf_dir)
     import os
     import struct as _struct
 
     from duckdb_spatial_spark.sources import read_s57, write_s57
-    from duckdb_spatial_spark.sources.s57 import write_s57_update
+    from duckdb_spatial_spark.sources.s57 import (
+        write_s57_catalog, write_s57_update,
+    )
 
     df = spark.createDataFrame(
         [(1, 129, "Alpha", None),
@@ -4364,11 +4372,28 @@ def q_s57_depth(spark, sf_dir):
         " ELSE ST_AsWKB(ST_Point(7.0, 8.0)) END AS geom",
     )
     tmp = _fresh_tmp("s57_depth_q")
-    path = os.path.join(tmp, "cell.000")
+    enc = os.path.join(tmp, "ENC_ROOT")
+    os.makedirs(os.path.join(enc, "GB5"), exist_ok=True)
+    path = os.path.join(enc, "cell.000")
     write_s57(df, path, objl_col="objl", attrs={"nm": 116}, natf={"nn": 300},
               dsnm="R14CELL")
+    # second cell in a subdirectory, referenced from the catalogue with
+    # a backslash separator (the spec allows either; GDAL normalizes)
+    df2 = spark.createDataFrame([(5, "Echo")], "objl int, nm string").selectExpr(
+        "objl", "nm", "ST_AsWKB(ST_Point(30.0, 40.0)) AS geom")
+    write_s57(df2, os.path.join(enc, "GB5", "cell2.000"), objl_col="objl",
+              attrs={"nm": 116}, dsnm="R16CELL2")
+    write_s57_catalog(os.path.join(enc, "CATALOG.031"), [
+        ("CATALOG.031", "ASC"),          # the catalogue's own row: skipped
+        "cell.000",
+        "cell.001",                      # updates ride the sibling machinery
+        "cell.002",
+        "GB5\\cell2.000",
+        "GB5\\README.TXT",               # non-cell ancillary: skipped
+        "missing.000",                   # absent file: skipped like GDAL
+    ])
     # update 1: delete the Beta feature (FRID rcid 4), re-attribute Alpha
-    write_s57_update(os.path.join(tmp, "cell.001"), [
+    write_s57_update(os.path.join(enc, "cell.001"), [
         {"kind": "F", "rcnm": 100, "rcid": 4, "ruin": 2},
         {"kind": "F", "rcnm": 100, "rcid": 2, "ruin": 3, "prim": 1,
          "fields": [("ATTF", _struct.pack("<H", 116) + b"Delta" + b"\x1f")]},
@@ -4383,7 +4408,7 @@ def q_s57_depth(spark, sf_dir):
     )
 
     _name5 = bytes([RCNM_VC]) + _struct.pack("<I", 100)
-    write_s57_update(os.path.join(tmp, "cell.002"), [
+    write_s57_update(os.path.join(enc, "cell.002"), [
         {"kind": "V", "rcnm": RCNM_VC, "rcid": 100, "ruin": 1,
          "fields": [("SG2D", _sg2d([(0.0, 0.0)], 10_000_000.0))]},
         {"kind": "V", "rcnm": RCNM_VE, "rcid": 5, "ruin": 3,
@@ -4392,7 +4417,9 @@ def q_s57_depth(spark, sf_dir):
         {"kind": "F", "rcnm": 100, "rcid": 99, "ruin": 3, "prim": 1,
          "fields": [("ATTF", _struct.pack("<H", 116) + b"Ghost" + b"\x1f")]},
     ])
-    back = read_s57(spark, path)
+    # read the EXCHANGE-SET ROOT: find_catalog locates ENC_ROOT/CATALOG.031
+    # and the CATD records enumerate both cells
+    back = read_s57(spark, tmp)
     return back.selectExpr(
         "rcid", "objl",
         "attrs[116] AS nm", "natf[300] AS nn",
@@ -5288,7 +5315,10 @@ def oracle_sql() -> dict[str, str]:
               -- np 16: the r15 VRPC splice adds a begin-node vertex to
               -- the outer shell (previously 15)
               (8, 2, 'Gamma', NULL, 'MULTIPOLYGON', 16, 121.0, -1.0),
-              (10, 3, NULL, 'Nat', 'POINT', 1, 0.0, -1.0)
+              (10, 3, NULL, 'Nat', 'POINT', 1, 0.0, -1.0),
+              -- r16: second cell enumerated via the exchange-set
+              -- CATALOG.031 (backslash subdir entry); its own rcid space
+              (2, 5, 'Echo', NULL, 'POINT', 1, 0.0, -1.0)
             ) AS t(rcid, objl, nm, nn, t, np, a, zmx)
         """,
         "dgn_depth": """

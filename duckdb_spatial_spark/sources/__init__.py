@@ -263,6 +263,7 @@ def _st_read_sniff(p: str):
             (".esrijson", "esrijson"), (".nc", "netcdf"), (".cdf", "netcdf"),
             (".mvt", "mvt"), (".warc.gz", "warc"), (".warc", "warc"),
             (".vrt", "vrt"), (".gmt", "gmt"), (".dgn", "dgn"), (".000", "s57"),
+            (".031", "s57"),  # exchange-set CATALOG.031 (r16)
             (".sos", "sosi"),
     ):
         if p.endswith(ext):

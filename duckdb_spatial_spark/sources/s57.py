@@ -47,7 +47,14 @@ FSPC (FSUI/FSIX/NSPT) splices FSPT pointer entries the same way, and
 VRPC (VPUI/VPIX/NVPT) splices VRPT vector-pointer entries — the full
 set of operations GDAL's S57 driver applies via ApplyRecordUpdate.
 A RUIN=3 (modify) whose target is absent from the base is skipped,
-as GDAL does — inserting the fragment would fabricate a feature."""
+as GDAL does — inserting the fragment would fabricate a feature.
+
+Exchange sets (r16): a CATALOG.031 catalogue (one CATD field per
+ISO 8211 record, Part 3 §5.2) enumerates the set's files; read_s57
+accepts the catalogue path or the exchange-set root (ENC_ROOT layout)
+and reads exactly the referenced .000 cells — GDAL's S57 enumeration
+behavior, including '\\\\'-separator normalization and skipping
+ancillary/missing entries."""
 
 from __future__ import annotations
 
@@ -317,6 +324,121 @@ def _apply_updates(base: list, upd: list) -> list:
     return [by_key[k] for k in order if k in by_key]
 
 
+def _parse_catd(data: bytes) -> dict:
+    """CATD (Catalogue Directory field, S-57 Part 3 §5.2): RCNM A(2) and
+    RCID I(10) fixed-width, then UT-delimited FILE, LFIL, VOLM; IMPL A(3)
+    fixed at the head of the next slice followed by SLAT; then WLON,
+    NLAT, ELON, CRCS, COMT — all ASCII in the catalogue implementation."""
+    out: dict = {}
+    if len(data) < 12:
+        return out
+    out["rcnm"] = data[0:2].decode("ascii", "replace")
+    try:
+        out["rcid"] = int(data[2:12])
+    except ValueError:
+        out["rcid"] = None
+    parts = data[12:].split(_UT)
+
+    def s(i):
+        return parts[i].decode("utf-8", "replace") if len(parts) > i else ""
+
+    def fl(b):
+        try:
+            return float(b)
+        except ValueError:
+            return None
+
+    out["file"] = s(0)
+    out["lfil"] = s(1)
+    out["volm"] = s(2)
+    p3 = parts[3] if len(parts) > 3 else b""
+    out["impl"] = p3[:3].decode("ascii", "replace")
+    out["slat"] = fl(p3[3:])
+    out["wlon"] = fl(parts[4]) if len(parts) > 4 else None
+    out["nlat"] = fl(parts[5]) if len(parts) > 5 else None
+    out["elon"] = fl(parts[6]) if len(parts) > 6 else None
+    out["crcs"] = s(7)
+    out["comt"] = s(8)
+    return out
+
+
+def parse_s57_catalog(path: str) -> list[dict]:
+    """Exchange-set catalogue (CATALOG.031): one CATD field per ISO 8211
+    record — GDAL's S57 driver enumerates ENC cells from the same
+    records. Returns [{rcid, file, impl, volm, ...}] with ``file`` the
+    exchange-set-relative path; '\\\\' separators normalize to '/' (the
+    spec allows either, GDAL normalizes the same way)."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    out = []
+    for leader_id, fields in iso8211_records(buf):
+        if leader_id == "L":
+            continue  # DDR
+        for tag, data in fields:
+            if tag == "CATD":
+                d = _parse_catd(data)
+                if d.get("file"):
+                    d["file"] = d["file"].replace("\\", "/")
+                    out.append(d)
+    return out
+
+
+def exchange_set_cells(cat_path: str) -> list[str]:
+    """Base-cell (.000) paths referenced by an exchange-set CATALOG.031,
+    resolved against the catalogue's own directory. Update cells (.001+)
+    ride along via the readers' sibling-update machinery, the catalogue
+    row itself and text/ancillary entries (IMPL ASC/TXT) are skipped,
+    and missing referenced files are skipped like GDAL (warn-and-
+    continue); an exchange set that resolves zero cells raises."""
+    root = os.path.dirname(os.path.abspath(cat_path))
+    cells = []
+    for e in parse_s57_catalog(cat_path):
+        f = e["file"]
+        if os.path.basename(f).upper().startswith("CATALOG.0"):
+            continue
+        if not f.lower().endswith(".000"):
+            continue
+        fp = os.path.join(root, *f.split("/"))
+        if os.path.exists(fp):
+            cells.append(fp)
+    if not cells:
+        raise FileNotFoundError(
+            f"{cat_path}: catalogue references no existing .000 cells")
+    return sorted(cells)
+
+
+def find_catalog(path: str) -> str | None:
+    """CATALOG.031 under an exchange-set root: the directory itself or
+    its ENC_ROOT child (the standard exchange-set layout)."""
+    for d in (path, os.path.join(path, "ENC_ROOT")):
+        for n in ("CATALOG.031", "catalog.031"):
+            fp = os.path.join(d, n)
+            if os.path.exists(fp):
+                return fp
+    return None
+
+
+def write_s57_catalog(path: str, files, volm: str = "V01X01") -> None:
+    """Build a CATALOG.031 for fixtures/exports: one CATD record per
+    entry. ``files`` holds exchange-set-relative paths (or (path, impl)
+    tuples, impl in BIN/ASC/TXT). The bbox/CRC subfields are written
+    empty — optional per the spec, and ignored for enumeration."""
+    recs = [_mk_record("L", _DDR_FIELDS, field_control_len="09")]
+    rcid = 0
+    for f in files:
+        fp, impl = f if isinstance(f, tuple) else (f, "BIN")
+        rcid += 1
+        catd = (b"CD" + str(rcid).zfill(10).encode()
+                + fp.encode() + _UT + _UT + volm.encode() + _UT
+                + impl.encode("ascii")[:3].ljust(3) + _UT      # IMPL+SLAT
+                + _UT + _UT + _UT                              # WLON NLAT ELON
+                + _UT)                                         # CRCS, COMT=''
+        recs.append(_mk_record(
+            "D", [("0001", struct.pack("<H", rcid)), ("CATD", catd)]))
+    with open(path, "wb") as fh:
+        fh.write(b"".join(recs))
+
+
 def update_files_for(path: str) -> list[str]:
     """Sibling update cells of a base .000, in numeric order."""
     stem = os.path.splitext(path)[0]
@@ -503,13 +625,24 @@ def read_s57(spark: SparkSession, path: str,
 
     ``layer="DSID"`` (r15) returns GDAL's DSID pseudo-layer instead: one
     row per cell with the dataset-identification fields (EXPP/INTU/DSNM/
-    EDTN/UPDN/UADT/ISDT), COMF/SOMF and the applied-update count."""
+    EDTN/UPDN/UADT/ISDT), COMF/SOMF and the applied-update count.
+
+    Exchange sets (r16): pointing at a CATALOG.031, or at a directory
+    containing one (directly or under ENC_ROOT — the standard exchange
+    layout), enumerates the base cells from the catalogue's CATD records
+    exactly like GDAL's S57 driver, instead of globbing."""
     from pyspark.sql import types as T
 
     from ._distrib import distributed_file_read
 
     if os.path.isdir(path):
-        files = sorted(_glob.glob(os.path.join(path, "*.000")))
+        cat = find_catalog(path)
+        if cat is not None:
+            files = exchange_set_cells(cat)
+        else:
+            files = sorted(_glob.glob(os.path.join(path, "*.000")))
+    elif path.upper().endswith(".031"):
+        files = exchange_set_cells(path)
     else:
         files = sorted(_glob.glob(path)) or [path]
     if not files:

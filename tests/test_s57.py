@@ -372,3 +372,57 @@ def test_dsid_pseudo_layer(spark, tmp_path):
         read_s57(spark, p, layer="Nope")
     # through the generic st_read layer= contract too
     assert st_read(spark, p, layer="DSID").count() == 1
+
+
+def test_exchange_set_catalog(spark, tmp_path):
+    """CATALOG.031 enumeration (S-57 Part 3 §5.2 CATD records): reading
+    the exchange-set root or the catalogue file itself yields exactly
+    the referenced .000 cells — backslash separators normalize, the
+    catalogue's own row / TXT ancillaries / missing files are skipped."""
+    import os
+
+    from duckdb_spatial_spark.sources.s57 import (
+        exchange_set_cells, parse_s57_catalog, read_s57, write_s57,
+        write_s57_catalog,
+    )
+
+    register_all(spark)
+    enc = tmp_path / "ENC_ROOT"
+    (enc / "GB5").mkdir(parents=True)
+    a = spark.createDataFrame([(1,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Point(1.0, 2.0)) AS geom")
+    b = spark.createDataFrame([(2,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Point(3.0, 4.0)) AS geom")
+    # a third cell EXISTS on disk but is not in the catalogue: the
+    # catalogue, not the glob, decides membership
+    c = spark.createDataFrame([(3,)], "id long").selectExpr(
+        "ST_AsWKB(ST_Point(5.0, 6.0)) AS geom")
+    write_s57(a, str(enc / "aa.000"))
+    write_s57(b, str(enc / "GB5" / "bb.000"))
+    write_s57(c, str(enc / "zz.000"))
+    cat = str(enc / "CATALOG.031")
+    write_s57_catalog(cat, [
+        ("CATALOG.031", "ASC"),
+        "aa.000",
+        "GB5\\bb.000",
+        ("GB5\\README.TXT", "TXT"),
+        "missing.000",
+    ])
+    ents = parse_s57_catalog(cat)
+    assert [e["file"] for e in ents] == [
+        "CATALOG.031", "aa.000", "GB5/bb.000", "GB5/README.TXT",
+        "missing.000"]
+    assert ents[0]["impl"] == "ASC" and ents[1]["impl"] == "BIN"
+    cells = exchange_set_cells(cat)
+    assert sorted(os.path.basename(f) for f in cells) == ["aa.000", "bb.000"]
+    # exchange-set ROOT (ENC_ROOT discovery), catalogue path, and the
+    # parent of ENC_ROOT all enumerate the same two cells
+    for p in (str(tmp_path), str(enc), cat):
+        xs = sorted(round(r.x, 6) for r in read_s57(spark, p).selectExpr(
+            "ST_X(geom) AS x").collect())
+        assert xs == [1.0, 3.0], p
+    # a catalogue resolving zero cells raises
+    empty = str(tmp_path / "empty.031")
+    write_s57_catalog(empty, ["gone.000"])
+    with pytest.raises(FileNotFoundError):
+        exchange_set_cells(empty)
