@@ -207,6 +207,7 @@ def streaming_tagged_transform(
     ts_col: str = "ts",
     x_col: str = "x",
     y_col: str = "y",
+    z_col: str | None = None,
     window: str = "5 minutes",
     watermark: str = "10 minutes",
 ) -> DataFrame:
@@ -218,26 +219,51 @@ def streaming_tagged_transform(
     coordinates follows, so state stays four doubles + a long per window
     (the reference's proj transform is a per-row scalar the same way,
     proj/functions.cpp; here it is one Arrow-batched kernel inside the
-    micro-batch)."""
+    micro-batch).
+
+    ``z_col`` (r16): builds POINT Z inputs so compound/vertical tags
+    ('EPSG:4326+5703', 5498, MSL depth codes...) resolve their geoid
+    grids inside the micro-batch exactly like the batch path — executor
+    workers find GTX grids through register_vertical_grid() or the
+    PROJ_DATA convention dir — and the windowed extent gains
+    min_z/max_z of the TRANSFORMED heights (state: six doubles + a
+    long per window)."""
     from ..functions import udfs
     from ..functions.crs import st_transform_tagged
 
-    g = points.withColumn(
-        "geom",
-        udfs.st_point(F.col(x_col).cast("double"), F.col(y_col).cast("double")),
-    ).withMetadata("geom", {"crs": str(crs)})
+    if z_col is not None:
+        g = points.withColumn(
+            "geom",
+            udfs.st_point3d(F.col(x_col).cast("double"),
+                            F.col(y_col).cast("double"),
+                            F.col(z_col).cast("double")),
+        )
+    else:
+        g = points.withColumn(
+            "geom",
+            udfs.st_point(F.col(x_col).cast("double"),
+                          F.col(y_col).cast("double")),
+        )
+    g = g.withMetadata("geom", {"crs": str(crs)})
     t = st_transform_tagged(g, dst_crs)
     t = t.withColumn("tx", udfs.st_x(F.col("geom"))).withColumn(
         "ty", udfs.st_y(F.col("geom"))
     )
+    aggs = [
+        F.min("tx").alias("min_x"), F.min("ty").alias("min_y"),
+        F.max("tx").alias("max_x"), F.max("ty").alias("max_y"),
+    ]
+    cols = ["min_x", "min_y", "max_x", "max_y"]
+    if z_col is not None:
+        t = t.withColumn("tz", udfs.st_z(F.col("geom")))
+        aggs += [F.min("tz").alias("min_z"), F.max("tz").alias("max_z")]
+        cols += ["min_z", "max_z"]
+    aggs.append(F.count("*").alias("n"))
     if t.isStreaming:
         t = t.withWatermark(ts_col, watermark)
     return t.groupBy(F.window(F.col(ts_col), window).alias("w")).agg(
-        F.min("tx").alias("min_x"), F.min("ty").alias("min_y"),
-        F.max("tx").alias("max_x"), F.max("ty").alias("max_y"),
-        F.count("*").alias("n"),
-    ).select(F.col("w.start").alias("window_start"), "min_x", "min_y",
-             "max_x", "max_y", "n")
+        *aggs
+    ).select(F.col("w.start").alias("window_start"), *cols, "n")
 
 
 def streaming_ivf_probe(

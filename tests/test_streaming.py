@@ -332,3 +332,39 @@ def test_streaming_minhash_probe(spark, tmp_path):
     minhash_index_build(base, str(tmp_path / "mhx"), num_hashes=8, bands=4)
     with _pytest.raises(ValueError, match="poly131"):
         streaming_minhash_probe(stream, str(tmp_path / "mhx"))
+
+
+def test_streaming_tagged_transform_vertical_grid(spark, tmp_path):
+    """z_col path (r16): compound 'EPSG:4326+5703' tag resolves the GTX
+    geoid grid inside the plan (batch parity of the streaming vertical
+    probe) — the synthetic affine undulation N = 2 + 0.5*(lon+100) +
+    0.25*(lat-30) is exact under bilinear interpolation at
+    binary-fraction coordinates."""
+    import os
+    import struct
+
+    from duckdb_spatial_spark.functions import register_all
+    from duckdb_spatial_spark.streaming import streaming_tagged_transform
+
+    register_all(spark)
+    gd = os.path.join("spark-warehouse", "proj_grids")
+    os.makedirs(gd, exist_ok=True)
+    with open(os.path.join(gd, "epsg_5703.gtx"), "wb") as f:
+        f.write(struct.pack(">ddddii", 30.0, -100.0, 1.0, 1.0, 11, 11))
+        for i in range(11):
+            for j in range(11):
+                f.write(struct.pack(">f", 2.0 + 0.5 * j + 0.25 * i))
+    df = spark.sql(
+        "SELECT timestamp_seconds(1704067200 + id) AS ts,"
+        " -95.5D AS x, 35.25D AS y, CAST(id AS DOUBLE) * 0.5 AS h"
+        " FROM range(4) AS t(id)"
+    )
+    out = streaming_tagged_transform(
+        df, "EPSG:4326", crs="EPSG:4326+5703", z_col="h").collect()
+    assert len(out) == 1
+    r = out[0]
+    n_und = 2 + 0.5 * (-95.5 + 100) + 0.25 * (35.25 - 30)  # = 5.5625
+    assert (r.min_x, r.max_x) == (-95.5, -95.5)
+    assert (r.min_y, r.max_y) == (35.25, 35.25)
+    assert r.min_z == n_und and r.max_z == 1.5 + n_und
+    assert r.n == 4
