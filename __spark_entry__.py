@@ -977,7 +977,16 @@ def q_sosi_roundtrip(spark, sf_dir):
     boundary from KURVE references, attributes as ..NAME value groups.
     The reference covers SOSI through its GDAL driver matrix
     (st_drivers.cpp; GDAL wraps the FYBA library). ENHET=0.01 over
-    integer-valued test coordinates makes the quantization exact."""
+    integer-valued test coordinates makes the quantization exact.
+
+    r16 depth: a second hand-written file in the same directory pins the
+    topology/header residue — two FLATEs SHARING one boundary KURVE
+    (forward in one, ``:-1`` reversed in the other, the standard
+    Kartverket shared-edge encoding), an exterior chain SPLIT around a
+    parenthesized hole group (the r16 shell-concatenation fix), a
+    TEKST point, a RASTER element whose raw data lines must be skipped,
+    and DEF/DATO/SOSI-VERSJON/OMRÅDE header groups the parser must
+    tolerate. Directory read also re-proves the uniform-KOORDSYS tag."""
     _prep(spark, sf_dir)
     import os
 
@@ -992,10 +1001,69 @@ def q_sosi_roundtrip(spark, sf_dir):
         )
         .selectExpr("id AS fid", "geom")
     )
-    path = os.path.join(_fresh_tmp("sosi_q"), "rt.sos")
-    write_sosi(df, path, koordsys=22, attrs=["fid"])
-    back = read_sosi(spark, path)  # FLATE rows; boundary KURVEs excluded
-    return back.filter("kind = 'FLATE'").selectExpr(
+    tmp = _fresh_tmp("sosi_q")
+    write_sosi(df, os.path.join(tmp, "rt.sos"), koordsys=22, attrs=["fid"])
+    extra = """.HODE
+..TEGNSETT UTF-8
+..SOSI-VERSJON 4.5
+..DATO 20240815
+..TRANSPAR
+...KOORDSYS 22
+...ORIGO-NØ 0 0
+...ENHET 0.01
+..OMRÅDE
+...MIN-NØ 0 0
+...MAX-NØ 1000000 1000000
+..DEF
+...GRUPPE 1
+.KURVE 1:
+..NØ
+0 1000
+1000 1000
+.KURVE 2:
+..NØ
+1000 1000
+1000 0
+0 0
+0 1000
+.KURVE 3:
+..NØ
+0 1000
+0 2000
+1000 2000
+1000 1000
+.KURVE 4:
+..NØ
+200 200
+200 400
+400 400
+400 200
+200 200
+.FLATE 11:
+..FID 9011
+..REF :1 (:4) :2
+..NØ
+500 500
+.FLATE 12:
+..FID 9012
+..REF :3 :-1
+..NØ
+500 1500
+.RASTER 99:
+..RASTER-DEL 1
+1 2 3 4 5 6 7 8
+9 10 11 12
+.TEKST 13:
+..FID 9013
+..STRENG Navn
+..NØ
+500 500
+.SLUTT
+"""
+    with open(os.path.join(tmp, "extra.sos"), "w", encoding="utf-8") as fh:
+        fh.write(extra)
+    back = read_sosi(spark, tmp)  # directory read, KOORDSYS agreement
+    return back.filter("kind IN ('FLATE', 'TEKST')").selectExpr(
         "CAST(attrs['FID'] AS BIGINT) AS id",
         "round(ST_Area(geom), 6) AS area",
         "round(ST_XMin(geom), 6) AS mnx",
@@ -6585,6 +6653,16 @@ def oracle_sql() -> dict[str, str]:
                    round(x, 6) AS mnx,
                    round(y + 2 + id % 5, 6) AS mxy
             FROM ({pts}) WHERE id < 300
+            UNION ALL
+            -- r16 extra.sos: shared-KURVE FLATE pair (left shell split
+            -- around its hole group, right reuses the edge reversed) +
+            -- the TEKST point; coordinates are 0.01-unit integers
+            SELECT * FROM (VALUES
+              (CAST(9011 AS BIGINT), CAST(96.0 AS DOUBLE),
+               CAST(0.0 AS DOUBLE), CAST(10.0 AS DOUBLE)),
+              (9012, 100.0, 10.0, 10.0),
+              (9013, 0.0, 5.0, 5.0)
+            ) AS t(id, area, mnx, mxy)
         """,
         "dgn_roundtrip": f"""
             SELECT CAST(id % 63 AS INTEGER) AS level,

@@ -22,6 +22,16 @@ SOSI syntax (Kartverket "SOSI Del 1: Realisering i SOSI-format"):
                               rings; ..NØ holds the representation point
   .SLUTT                      end of file
 
+Header depth (r16): ..SOSI-VERSJON / ..DATO / ..OMRÅDE (MIN-NØ/MAX-NØ)
+surface in the parse meta; ..DEF definition groups are tolerated
+without effect (the FYBA behavior); non-vector element kinds (RASTER
+and its raw data lines, symbol groups...) are skipped and counted in
+meta['skipped']. FLATE boundaries may SHARE KURVEs across features
+(forward in one, ``:-n`` reversed in the other — the standard
+Kartverket shared-edge encoding), and ALL non-parenthesized REF groups
+concatenate into one exterior chain (an exterior group listed after a
+hole group continues the same shell).
+
 Coordinate lines carry NORTHING EASTING [HEIGHT] (the NØ/NØH axis
 order); this reader emits (x=easting, y=northing[, z=height]). Every
 ``..NAME value`` group on a feature that is not NØ/NØH/REF/OBJTYPE is
@@ -115,6 +125,9 @@ def parse_sosi(path: str):
     origo = (0.0, 0.0)
     enhet = 1.0
     koordsys = None
+    versjon = None
+    dato = None
+    omrade: dict = {}
     elems: list[dict] = []
     cur: dict | None = None
     mode = None  # "coords" | "refs" | None — what dotless lines mean
@@ -149,6 +162,17 @@ def parse_sosi(path: str):
                     enhet = float(val)
                 elif uname == "KOORDSYS":
                     koordsys = int(val.split()[0])
+                elif uname == "SOSI-VERSJON":
+                    versjon = val.strip()
+                elif uname == "DATO":
+                    dato = val.strip()
+                elif uname in ("MIN-NØ", "MIN-NO", "MAX-NØ", "MAX-NO"):
+                    parts = val.split()
+                    if len(parts) >= 2:
+                        omrade[uname[:3].replace("Ø", "O").lower()] = (
+                            float(parts[0]), float(parts[1]))
+                # ..DEF definition groups (and anything nested under
+                # them) are tolerated without effect, the FYBA behavior
                 mode = None
                 continue
             if uname in ("NØ", "NO", "NØH", "NOH"):
@@ -186,8 +210,15 @@ def parse_sosi(path: str):
             x = origo[1] + e * enhet
             y = origo[0] + n * enhet
             cur["coords"].append([x, y] if h is None else [x, y, h])
+    _FEAT_KINDS = ("PUNKT", "TEKST", "KURVE", "BUEP", "FLATE", "HODE")
+    skipped: dict[str, int] = {}
+    for el in elems:
+        if el["kind"] not in _FEAT_KINDS:
+            skipped[el["kind"]] = skipped.get(el["kind"], 0) + 1
     meta = {"origo": origo, "enhet": enhet, "koordsys": koordsys,
-            "epsg": _KOORDSYS_EPSG.get(koordsys)}
+            "epsg": _KOORDSYS_EPSG.get(koordsys),
+            "sosi_versjon": versjon, "dato": dato,
+            "omrade": omrade or None, "skipped": skipped}
     # BUEP arcs stroke to vertex chains up front so both the standalone
     # feature and any FLATE reference see the same polyline
     for el in elems:

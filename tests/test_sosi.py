@@ -257,3 +257,66 @@ def test_mixed_koordsys_directory_untagged(spark, tmp_path):
             f"ST_AsWKB(ST_Point({i}.0, {i}.0)) AS geom")
         write_sosi(df, str(tmp_path / f"u{i}.sos"), koordsys=23)
     assert geom_crs(read_sosi(spark, str(tmp_path))) == "EPSG:25833"
+
+
+def test_header_groups_raster_skip_and_shared_kurve(tmp_path):
+    """SOSI depth residue (r16): DEF/DATO/SOSI-VERSJON/OMRÅDE header
+    groups surface in meta, RASTER raw-data lines are skipped (counted
+    in meta['skipped']), and two FLATEs share one boundary KURVE
+    (forward / :-n reversed — the standard Kartverket shared-edge
+    encoding) without the second losing its ring."""
+    p = _write(tmp_path, """.HODE
+..TEGNSETT UTF-8
+..SOSI-VERSJON 4.5
+..DATO 20240815
+..TRANSPAR
+...KOORDSYS 22
+...ORIGO-NØ 0 0
+...ENHET 0.01
+..OMRÅDE
+...MIN-NØ 0 0
+...MAX-NØ 2000 2000
+..DEF
+...GRUPPE 1
+.KURVE 1:
+..NØ
+0 1000
+1000 1000
+.KURVE 2:
+..NØ
+1000 1000
+1000 0
+0 0
+0 1000
+.KURVE 3:
+..NØ
+0 1000
+0 2000
+1000 2000
+1000 1000
+.FLATE 11:
+..REF :1 :2
+..NØ
+500 500
+.FLATE 12:
+..REF :3 :-1
+..NØ
+500 1500
+.RASTER 99:
+..RASTER-DEL 1
+1 2 3 4 5 6 7 8
+.SLUTT
+""")
+    meta, feats = parse_sosi(p)
+    assert meta["sosi_versjon"] == "4.5" and meta["dato"] == "20240815"
+    assert meta["omrade"] == {"min": (0.0, 0.0), "max": (2000.0, 2000.0)}
+    assert meta["skipped"] == {"RASTER": 1}
+    fl = {f["id"]: f for f in feats if f["kind"] == "FLATE"}
+    # both polygons assemble closed 5-point squares; the shared edge is
+    # K1 forward in 11, reversed in 12 (raster data lines did not leak)
+    for fid in (11, 12):
+        ring = [list(pt) for pt in fl[fid]["geom"].data[0]]
+        assert ring[0] == ring[-1] and len(ring) == 5
+    xs11 = {pt[0] for pt in fl[11]["geom"].data[0]}
+    xs12 = {pt[0] for pt in fl[12]["geom"].data[0]}
+    assert xs11 == {0.0, 10.0} and xs12 == {10.0, 20.0}
