@@ -970,6 +970,42 @@ def q_gmt_roundtrip(spark, sf_dir):
     )
 
 
+def q_interlis_roundtrip(spark, sf_dir):
+    """INTERLIS 1 (.itf) write -> read round trip (sources/interlis.py,
+    new in r16 — the 36th ST_Read format): MTID/MODL/TOPI/TABL framing,
+    OBJE value lists with '@' nulls, STPT/LIPT line sequences. The
+    reference covers Interlis through its GDAL driver matrix
+    (st_drivers.cpp lists 'Interlis 1'). Integer test coordinates and a
+    <=3-decimal writer keep the round trip exact; lengths are
+    sqrt-of-integers on both sides."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_interlis, write_interlis
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 300")
+        .selectExpr(
+            "id AS fid",
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('n', id) END AS nm",
+            "ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(x, y),"
+            " ST_Point(x + 1 + id % 4, y + 2 + id % 5)))) AS geom",
+        )
+    )
+    path = os.path.join(_fresh_tmp("itf_q"), "rt.itf")
+    write_interlis(df, path, tid_col="fid", attrs=["nm"],
+                   model="Bench", topic="Lines", table="Seg")
+    back = read_interlis(spark, path)
+    return back.selectExpr(
+        "tid",
+        "attrs[0] AS nm",
+        "round(ST_Length(geom), 6) AS len",
+        "round(ST_XMin(geom), 6) AS mnx",
+        "round(ST_YMax(geom), 6) AS mxy",
+    )
+
+
 def q_sosi_roundtrip(spark, sf_dir):
     """Kartverket SOSI write -> read round trip (sources/sosi.py, new in
     r15): dot-hierarchy text, TRANSPAR ORIGO/ENHET integer-unit
@@ -4789,6 +4825,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dgn_roundtrip": q_dgn_roundtrip,
         "minhash_lsh_spec": q_minhash_lsh_spec,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # --- new in r16: INTERLIS 1 (.itf), the 36th ST_Read format;
+        # st_drivers_meta re-enters the window (its registry grew) ---
+        "interlis_roundtrip": q_interlis_roundtrip,
+        "st_drivers_meta": q_st_drivers_meta,
         # --- extended in r16: S-57 exchange-set catalog; geoid grid
         # through the streaming tagged-transform path ---
         "s57_depth": q_s57_depth,
@@ -4824,7 +4864,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "bpe_encode": q_bpe_encode,
         "dedup_lines": q_dedup_lines,
-        "embedding_centroids": q_embedding_centroids,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
         "events_percentiles": q_events_percentiles,
@@ -4835,7 +4874,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionization": q_events_sessionization,
         "dedup_clusters": q_dedup_clusters,
         "embedding_neardup": q_embedding_neardup,
-        "events_top_per_type": q_events_top_per_type,
         # --- checked green at r15, unchanged since: behind the window ---
         "spatial_transform_tranche5": q_spatial_transform_tranche5,
         "vrt_union_sql": q_vrt_union_sql,
@@ -4877,7 +4915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_parquet_stats": q_geo_parquet_stats,
         "layout_snapshot": q_layout_snapshot,
         "spatial_zm_flags": q_spatial_zm_flags,
-        "st_drivers_meta": q_st_drivers_meta,
         "spatial_refsys": q_spatial_refsys,
     }
 
@@ -4894,8 +4931,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the repo at 160 rows). oracle_sql() keeps every retired entry."""
     return {
         "arrow_roundtrip": q_arrow_roundtrip,
+        "events_top_per_type": q_events_top_per_type,
         "chunk_documents": q_chunk_documents,
         "dxf_read": q_dxf_read,
+        "embedding_centroids": q_embedding_centroids,
         "gdb_roundtrip": q_gdb_roundtrip,
         "georss_roundtrip": q_georss_roundtrip,
         "gpkg_roundtrip": q_gpkg_roundtrip,
@@ -6412,7 +6451,8 @@ def oracle_sql() -> dict[str, str]:
               ('OCI', 'true', 'false'), ('WFS', 'true', 'false'),
               ('ODS', 'true', 'true'), ('OGR_VRT', 'true', 'false'),
               ('OGR_GMT', 'true', 'true'), ('DGN', 'true', 'true'),
-              ('S57', 'true', 'true'), ('SOSI', 'true', 'true')
+              ('S57', 'true', 'true'), ('SOSI', 'true', 'true'),
+              ('Interlis 1', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
@@ -6643,6 +6683,16 @@ def oracle_sql() -> dict[str, str]:
         "gmt_roundtrip": f"""
             SELECT id,
                    round((1 + id % 4) * (2 + id % 5), 6) AS area,
+                   round(x, 6) AS mnx,
+                   round(y + 2 + id % 5, 6) AS mxy
+            FROM ({pts}) WHERE id < 300
+        """,
+        "interlis_roundtrip": f"""
+            SELECT id AS tid,
+                   CASE WHEN id % 7 = 0 THEN NULL
+                        ELSE concat('n', id) END AS nm,
+                   round(sqrt((1 + id % 4) * (1 + id % 4)
+                              + (2 + id % 5) * (2 + id % 5)), 6) AS len,
                    round(x, 6) AS mnx,
                    round(y + 2 + id % 5, 6) AS mxy
             FROM ({pts}) WHERE id < 300

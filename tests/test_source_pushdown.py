@@ -50,6 +50,7 @@ MATRIX = [
     ("geoparquet", "d_file.parquet", {"file": True}, "id"),
     ("geojsonseq", "d.geojsonl", {}, "id"),
     ("sosi", "d.sos", {}, "id"),
+    ("interlis", "d.itf", {}, "tid"),
 ]
 
 
