@@ -970,6 +970,43 @@ def q_gmt_roundtrip(spark, sf_dir):
     )
 
 
+def q_sdts_roundtrip(spark, sf_dir):
+    """USGS SDTS TVP write -> read round trip (sources/sdts.py, new in
+    r16 — the 37th ST_Read format): CATD-enumerated modules, IREF
+    scale/origin decoding of BI32 SADR coordinates, NO01 point + LE01
+    line records, ATID references into the AP01 attribute module ('@'
+    analog: null attrs reference nothing). The reference reaches SDTS
+    through GDAL's driver enumeration (st_drivers.cpp). sfax/sfay =
+    0.01 over integer test coordinates keeps quantization exact."""
+    _prep(spark, sf_dir)
+    import os
+
+    from duckdb_spatial_spark.sources import read_sdts, write_sdts
+
+    df = (
+        spark.sql(_PTS)
+        .filter("id < 300")
+        .selectExpr(
+            "id AS fid",
+            "CASE WHEN id % 7 = 0 THEN NULL ELSE concat('n', id) END AS nm",
+            "CASE WHEN id % 2 = 0 THEN ST_AsWKB(ST_Point(x, y))"
+            " ELSE ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(x, y),"
+            " ST_Point(x + 1 + id % 4, y + 2 + id % 5)))) END AS geom",
+        )
+    )
+    path = os.path.join(_fresh_tmp("sdts_q"), "xfer")
+    write_sdts(df, path, rcid_col="fid", attrs=["nm"])
+    back = read_sdts(spark, path)
+    return back.selectExpr(
+        "module",
+        "rcid",
+        "attrs['nm'] AS nm",
+        "round(ST_Length(geom), 6) AS len",
+        "round(ST_XMin(geom), 6) AS mnx",
+        "round(ST_YMax(geom), 6) AS mxy",
+    )
+
+
 def q_interlis_roundtrip(spark, sf_dir):
     """INTERLIS 1 (.itf) write -> read round trip (sources/interlis.py,
     new in r16 — the 36th ST_Read format): MTID/MODL/TOPI/TABL framing,
@@ -4828,6 +4865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r16: INTERLIS 1 (.itf), the 36th ST_Read format;
         # st_drivers_meta re-enters the window (its registry grew) ---
         "interlis_roundtrip": q_interlis_roundtrip,
+        "sdts_roundtrip": q_sdts_roundtrip,
         "st_drivers_meta": q_st_drivers_meta,
         # --- extended in r16: S-57 exchange-set catalog; geoid grid
         # through the streaming tagged-transform path ---
@@ -4863,7 +4901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "gopher_quality": q_gopher_quality,
         "bpe_encode": q_bpe_encode,
-        "dedup_lines": q_dedup_lines,
         "pack_sequences": q_pack_sequences,
         "hash_split": q_hash_split,
         "events_percentiles": q_events_percentiles,
@@ -4932,6 +4969,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "arrow_roundtrip": q_arrow_roundtrip,
         "events_top_per_type": q_events_top_per_type,
+        "dedup_lines": q_dedup_lines,
         "chunk_documents": q_chunk_documents,
         "dxf_read": q_dxf_read,
         "embedding_centroids": q_embedding_centroids,
@@ -6452,7 +6490,7 @@ def oracle_sql() -> dict[str, str]:
               ('ODS', 'true', 'true'), ('OGR_VRT', 'true', 'false'),
               ('OGR_GMT', 'true', 'true'), ('DGN', 'true', 'true'),
               ('S57', 'true', 'true'), ('SOSI', 'true', 'true'),
-              ('Interlis 1', 'true', 'true')
+              ('Interlis 1', 'true', 'true'), ('SDTS', 'true', 'true')
             ) AS t(name, a, b)
             UNION ALL
             SELECT 'GeoJSON/Point/EPSG:4326' AS name,
@@ -6685,6 +6723,20 @@ def oracle_sql() -> dict[str, str]:
                    round((1 + id % 4) * (2 + id % 5), 6) AS area,
                    round(x, 6) AS mnx,
                    round(y + 2 + id % 5, 6) AS mxy
+            FROM ({pts}) WHERE id < 300
+        """,
+        "sdts_roundtrip": f"""
+            SELECT CASE WHEN id % 2 = 0 THEN 'NO01' ELSE 'LE01' END AS module,
+                   id AS rcid,
+                   CASE WHEN id % 7 = 0 THEN NULL
+                        ELSE concat('n', id) END AS nm,
+                   CASE WHEN id % 2 = 0 THEN 0.0
+                        ELSE round(sqrt((1 + id % 4) * (1 + id % 4)
+                                   + (2 + id % 5) * (2 + id % 5)), 6)
+                   END AS len,
+                   round(x, 6) AS mnx,
+                   CASE WHEN id % 2 = 0 THEN round(y, 6)
+                        ELSE round(y + 2 + id % 5, 6) END AS mxy
             FROM ({pts}) WHERE id < 300
         """,
         "interlis_roundtrip": f"""

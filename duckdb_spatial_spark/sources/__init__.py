@@ -81,6 +81,7 @@ _DRIVER_ALIASES = {
     "vrt": {"vrt", "ogr_vrt"}, "gmt": {"gmt", "ogr_gmt"},
     "sosi": {"sosi"},
     "interlis": {"interlis", "interlis 1", "ili", "itf"},
+    "sdts": {"sdts"},
     "dgn": {"dgn"},
     "s57": {"s57", "iho s-57 (enc)", "enc"},
 }
@@ -265,7 +266,7 @@ def _st_read_sniff(p: str):
             (".mvt", "mvt"), (".warc.gz", "warc"), (".warc", "warc"),
             (".vrt", "vrt"), (".gmt", "gmt"), (".dgn", "dgn"), (".000", "s57"),
             (".031", "s57"),  # exchange-set CATALOG.031 (r16)
-            (".sos", "sosi"), (".itf", "interlis"),
+            (".sos", "sosi"), (".itf", "interlis"), (".ddf", "sdts"),
     ):
         if p.endswith(ext):
             return f
@@ -378,6 +379,8 @@ def _st_read_dispatch(spark, path: str, format: str | None, bbox, **options):
         return read_sosi(spark, path, **options)
     if fmt == "interlis":
         return read_interlis(spark, path, **options)
+    if fmt == "sdts":
+        return read_sdts(spark, path, **options)
     if fmt == "dgn":
         return read_dgn(spark, path, **options)
     if fmt == "s57":
@@ -469,6 +472,7 @@ from .s57 import read_s57, write_s57  # noqa: F401
 from .gmt import read_gmt, write_gmt  # noqa: F401
 from .sosi import read_sosi, write_sosi  # noqa: F401
 from .interlis import read_interlis, write_interlis  # noqa: F401
+from .sdts import read_sdts, write_sdts  # noqa: F401
 from .vrt import read_vrt, vrt_layers  # noqa: F401
 from .ods import ods_sheets, read_ods, write_ods  # noqa: F401
 from .mapinfo import read_mif, write_mif  # noqa: F401
@@ -760,7 +764,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         ".esrijson": "esrijson", ".nc": "netcdf", ".cdf": "netcdf",
         ".mvt": "mvt", ".warc.gz": "warc", ".warc": "warc",
         ".gmt": "gmt", ".dgn": "dgn", ".000": "s57", ".sos": "sosi",
-        ".itf": "interlis",
+        ".itf": "interlis", ".ddf": "sdts",
     }
     fmt = (format or "").lower()
     if not fmt:
@@ -787,6 +791,7 @@ def st_write(df, path: str, format: str | None = None, **options):
         "esrijson": write_esrijson, "gmt": write_gmt, "dgn": write_dgn,
         "sosi": write_sosi,
         "interlis": write_interlis,
+        "sdts": write_sdts,
         "s57": write_s57,
     }
     if fmt in ("netcdf", "nc", "cdf"):

@@ -560,6 +560,7 @@ def st_drivers(spark: SparkSession) -> DataFrame:
         ("S57", "IHO S-57 ENC cells (ISO 8211 container; FRID/VRID/SG2D/FSPT assembly, read/write)", True, True, True, ""),
         ("SOSI", "Kartverket SOSI (dot-hierarchy text; PUNKT/KURVE/FLATE with KURVE-ref ring assembly, read/write)", True, True, True, ""),
         ("Interlis 1", "INTERLIS 1 transfer format (.itf; OBJE rows + STPT/LIPT/ARCP/ELIN line sequences, model-less string attrs, read/write)", True, True, True, ""),
+        ("SDTS", "USGS SDTS TVP transfer (.DDF; CATD-enumerated modules, IREF-scaled SADR coordinates, point/line records + ATID attribute refs, read/write)", True, True, True, ""),
     ]
     return spark.createDataFrame(
         rows,

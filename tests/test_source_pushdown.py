@@ -51,6 +51,7 @@ MATRIX = [
     ("geojsonseq", "d.geojsonl", {}, "id"),
     ("sosi", "d.sos", {}, "id"),
     ("interlis", "d.itf", {}, "tid"),
+    ("sdts", "d_sdts", {}, "rcid"),
 ]
 
 
