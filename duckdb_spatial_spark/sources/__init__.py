@@ -655,6 +655,32 @@ def st_read_meta(spark, path: str, format: str | None = None):
         if dsid:
             rows.append((f"{path}:DSID", "S57", len(m.get("updates", [])),
                          dsid, ""))
+    elif format == "sosi" or p.endswith(".sos"):
+        # driver-side single pass through the dot-hierarchy parser
+        from .sosi import parse_sosi
+
+        meta, feats = parse_sosi(path)
+        kinds = sorted({{1: "Point", 2: "LineString", 3: "Polygon"}.get(
+            f["geom"].tag, "?") for f in feats})
+        rows.append((path, "SOSI", len(feats), ",".join(kinds),
+                     f"EPSG:{meta['epsg']}" if meta.get("epsg") else ""))
+    elif format == "interlis" or p.endswith(".itf"):
+        from .interlis import parse_itf
+
+        _meta, feats = parse_itf(path)
+        kinds = sorted({
+            {1: "Point", 2: "LineString", 5: "MultiLineString"}.get(
+                f["geom"].tag, "?")
+            for f in feats if f.get("geom") is not None
+        })
+        rows.append((path, "Interlis 1", len(feats), ",".join(kinds), ""))
+    elif format == "sdts" or p.endswith(".ddf"):
+        from .sdts import parse_sdts
+
+        _meta, feats = parse_sdts(path)
+        kinds = sorted({{1: "Point", 2: "LineString"}.get(
+            f["geom"].tag, "?") for f in feats})
+        rows.append((path, "SDTS", len(feats), ",".join(kinds), ""))
     elif (
         (format in ("geoparquet", "parquet") or p.endswith(".parquet"))
         and __import__("os").path.isfile(path)

@@ -108,3 +108,36 @@ def test_meta_new_r13_formats(spark, tmp_path):
         r = st_read_meta(spark, p).first()
         assert r.driver == driver and r.feature_count == 4, (ext, r)
         assert gt in r.geometry_types, (ext, r)
+
+
+def test_meta_new_r16_formats(spark, tmp_path):
+    """sosi/interlis/sdts answer st_read_meta from their driver-side
+    parsers (no Spark scan job); SOSI carries the KOORDSYS EPSG."""
+    from duckdb_spatial_spark.functions import register_all
+    from duckdb_spatial_spark.sources import st_read_meta, st_write
+
+    register_all(spark)
+    df = spark.createDataFrame([(i,) for i in range(4)], "id long").selectExpr(
+        "id",
+        "ST_AsWKB(ST_MakeLine(ARRAY(ST_Point(CAST(id AS DOUBLE), 0.0),"
+        " ST_Point(CAST(id AS DOUBLE), 2.0)))) AS geom",
+    )
+    p = str(tmp_path / "m.sos")
+    st_write(df, p, koordsys=23)
+    r = st_read_meta(spark, p).first()
+    # SOSI polygon-writer note: linestrings write as KURVE; the FLATE
+    # path is polygon-only, so these stay LineString
+    assert r.driver == "SOSI" and r.feature_count == 4
+    assert "LineString" in r.geometry_types and r.crs == "EPSG:25833"
+
+    p = str(tmp_path / "m.itf")
+    st_write(df, p)
+    r = st_read_meta(spark, p).first()
+    assert r.driver == "Interlis 1" and r.feature_count == 4
+    assert "LineString" in r.geometry_types
+
+    p = str(tmp_path / "m_sdts")
+    st_write(df, p, format="sdts")
+    r = st_read_meta(spark, str(tmp_path / "m_sdts" / "TR01CATD.DDF")).first()
+    assert r.driver == "SDTS" and r.feature_count == 4
+    assert "LineString" in r.geometry_types
