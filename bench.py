@@ -264,11 +264,22 @@ def main():
 
             @bench(f"points_cluster_build{suffix}", repeats=2)
             def _():
+                # r16 OPT: point-ingest fast lane (hilbert_cluster_points,
+                # in the repo since r11 but the bench still ran the generic
+                # sampled lane behind an st_point UDF — whose stats job
+                # evaluates the full ArrowEval WKB build over every row and
+                # whose fused crossing then re-decodes the WKB it just
+                # built). point_xy keeps the stats JVM-side and assembles
+                # WKB+bbox+hilbert+route in ONE crossing. Same layout
+                # schema; hilbert values use the EXACT data bounds (JVM
+                # agg) instead of the generic lane's sampled approximation.
+                # Isolated interleaved A/B at 10M (ab_points_cluster.py):
+                # old 24.9s / new 16.0s / duck COPY 20.0s (1.24 -> 0.80).
                 write_geo_parquet(
-                    flat.withColumn("geom", udfs.st_point("x", "y")).select("id", "geom"),
+                    flat.select("id", "x", "y"),
                     f"{tmp}/pts{suffix}",
                     num_partitions=max(cpus, 16),
-                    sample_fraction=0.01,
+                    point_xy=("x", "y"),
                 )
 
             # cluster-build comparable (reference rtree_index.benchmark
@@ -358,13 +369,24 @@ def main():
             # alternation cancels the swing out of the ratio and the
             # in-artifact rates certify floor-vs-plan on their own
             def _ours_cluster_build():
-                g = praw_df.select(
-                    "id",
-                    udfs.st_makeenvelope(
-                        "mx", "my", F.col("mx") + F.col("w"), F.col("my") + F.col("h")
-                    ).alias("geom"),
+                # r16 OPT: box-ingest fast lane (hilbert_cluster_boxes) —
+                # same inputs, same output layout (row-identical geom/bbox/
+                # hilbert, pinned by tests/test_hilbert_boxes.py), but the
+                # bounds agg + split sample run JVM-side, ONE narrow
+                # hilbert/route crossing feeds the exchange, and the 93-byte
+                # envelope WKB is assembled post-sort in the write stage.
+                # The old plan (st_makeenvelope UDF -> generic
+                # hilbert_cluster) evaluated the envelope build + WKB bbox
+                # decode 3x per row (bounds agg, repartitionByRange sample,
+                # shuffle) — isolated interleaved A/B at 30M rows:
+                # old 207.9s / new 16.8s / duck COPY 50.5s (ratio 4.12 ->
+                # 0.33; scripts/ab_cluster_build.py, OPTIMIZATION_r16.md)
+                g = praw_df.selectExpr(
+                    "id", "mx", "my", "mx + w AS _mxx", "my + h AS _mxy")
+                write_geo_parquet(
+                    g, f"{tmp}/polys{suffix}", num_partitions=max(cpus, 16),
+                    box_xyxy=("mx", "my", "_mxx", "_mxy"),
                 )
-                write_geo_parquet(g, f"{tmp}/polys{suffix}", num_partitions=max(cpus, 16))
 
             # same cluster-build comparable as the points lane: morton
             # sort on the rect CENTER + parquet write in plain SQL

@@ -241,9 +241,19 @@ def hilbert_cluster_points(
     doubles (raw telemetry, the 100 TB shape), so the bounds aggregate and
     the split-point sample run entirely JVM-side against the numeric
     columns — the generic path must push every row through the geometry
-    UDF chain even for its stats job. ONE Python crossing total: a fused
-    UDF that assembles point WKB (vectorized 21-byte records), bbox
-    sidecars, Hilbert index, and shuffle route per batch."""
+    UDF chain even for its stats job.
+
+    r16 optimization (guide §2.3/§8 — shuffle fewer bytes, build heavy
+    bytes once, late): the pre-exchange crossing now computes ONLY
+    (hilbert, route) from (x, y) — 16 B/row up, 12 B/row down — so the
+    exchange and sort carry plain numerics (~36 B/row instead of ~61 with
+    the 21-byte WKB and duplicated bbox doubles). The point WKB is
+    assembled AFTER the sort, in the write stage, and the bbox sidecars
+    are JVM conditional projections of x/y. Per-row output values are
+    bit-identical to the pre-r16 fused lane (same WKB construction, same
+    null semantics: bbox/hilbert/geom NULL when either coordinate is
+    NULL), pinned by tests/test_storage_sources.py and
+    tests/test_hilbert_boxes.py."""
     from ..functions import fastpath  # noqa: F401  (parity with generic path)
 
     spark = df.sparkSession
@@ -270,13 +280,24 @@ def hilbert_cluster_points(
     jmap = np.asarray(_hash_preimages(spark, nb), dtype=np.int32) if nb > 1 else None
 
     stype = T.StructType(
-        [T.StructField(geom_col, T.BinaryType())]
-        + [T.StructField(c, T.DoubleType()) for c in BBOX_COLS]
-        + [T.StructField("hilbert", T.LongType()), T.StructField("route", T.IntegerType())]
+        [T.StructField("hilbert", T.LongType()), T.StructField("route", T.IntegerType())]
     )
 
     @F.pandas_udf(stype)
-    def fused(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    def hilbert_route(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        xs = x.to_numpy(dtype=np.float64, na_value=np.nan)
+        ys = y.to_numpy(dtype=np.float64, na_value=np.nan)
+        nan = np.isnan(xs) | np.isnan(ys)
+        h = udfs.hilbert_scaled(np.nan_to_num(xs), np.nan_to_num(ys), b0, b1, b2, b3)
+        bucket = np.searchsorted(splits, h, side="right") if len(splits) else np.zeros(len(h), dtype=np.int64)
+        route = jmap[bucket] if jmap is not None else np.zeros(len(h), dtype=np.int32)
+        return pd.DataFrame({
+            "hilbert": pd.arrays.IntegerArray(h, nan) if nan.any() else h,
+            "route": route.astype(np.int32),
+        })
+
+    @F.pandas_udf(T.BinaryType())
+    def point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
         xs = x.to_numpy(dtype=np.float64, na_value=np.nan)
         ys = y.to_numpy(dtype=np.float64, na_value=np.nan)
         m = len(xs)
@@ -287,29 +308,131 @@ def hilbert_cluster_points(
         buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(m, 8)
         rows = buf.tobytes()
         nan = np.isnan(xs) | np.isnan(ys)
-        geoms = [None if nan[i] else rows[i * 21 : (i + 1) * 21] for i in range(m)]
+        return pd.Series([None if nan[i] else rows[i * 21 : (i + 1) * 21] for i in range(m)])
+
+    px, py = F.col(x_col), F.col(y_col)
+    both = px.isNotNull() & py.isNotNull()
+    keep = [c for c in df.columns if c not in (x_col, y_col)]
+    routed = df.select("*", hilbert_route(px, py).alias("_s")).select(
+        "*", F.col("_s.hilbert").alias("hilbert"), F.col("_s.route").alias("_route")
+    ).drop("_s")
+    if nb == 1:
+        placed = routed.coalesce(1).sortWithinPartitions("hilbert")
+    else:
+        placed = routed.repartition(nb, F.col("_route")).sortWithinPartitions("hilbert")
+    # WKB + bbox sidecars materialize HERE, post-sort, in the write stage;
+    # bbox NULL iff either coordinate is NULL (the fused lane's semantics)
+    return placed.select(
+        *keep,
+        point_wkb(px, py).alias(geom_col),
+        F.when(both, px).alias(BBOX_COLS[0]),
+        F.when(both, py).alias(BBOX_COLS[1]),
+        F.when(both, px).alias(BBOX_COLS[2]),
+        F.when(both, py).alias(BBOX_COLS[3]),
+        "hilbert",
+    )
+
+
+def hilbert_cluster_boxes(
+    df: DataFrame,
+    min_x_col: str,
+    min_y_col: str,
+    max_x_col: str,
+    max_y_col: str,
+    geom_col: str = "geom",
+    bounds: tuple | None = None,
+    num_partitions: int | None = None,
+    sample_fraction: float = 0.01,
+    seed: int = 7,
+) -> DataFrame:
+    """Box-ingest clustering: source rows carry the rectangle bounds as 4
+    plain double columns (any ingested-extent layout — building footprints,
+    tiles, envelopes), so, like :func:`hilbert_cluster_points`, the bounds
+    aggregate and split-point sample run entirely JVM-side. The generic
+    path must instead evaluate the geometry-constructor UDF chain + WKB
+    bbox decode once for the bounds job, AGAIN for repartitionByRange's
+    reservoir sample, and AGAIN for the shuffle pass (3 full Python
+    evaluations, audited r16).
+
+    Plan shape (optimization-guide §2.3/§8: decide with small rows, build
+    heavy bytes once, late):
+
+    * ONE narrow Python crossing BEFORE the exchange: (cx, cy) in,
+      (hilbert, route) out — 16 B/row up, 12 B/row down;
+    * the exchange + sort carry only the numeric bounds + hilbert
+      (~56 B/row), never WKB;
+    * the 93-byte envelope WKB is assembled AFTER the sort, in the write
+      stage, by the vectorized :func:`udfs.st_makeenvelope` kernel —
+      built exactly once and never shuffled.
+
+    Output schema matches the generic lane: (*other cols, geom, bbox_*,
+    hilbert); bbox sidecars are plain renames of the input bounds."""
+    spark = df.sparkSession
+    n = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    mnx, mny, mxx, mxy = (F.col(c) for c in (min_x_col, min_y_col, max_x_col, max_y_col))
+    if bounds is None:
+        r = df.agg(F.min(mnx), F.min(mny), F.max(mxx), F.max(mxy)).collect()[0]
+        bounds = (r[0], r[1], r[2], r[3]) if r[0] is not None else (0.0, 0.0, 0.0, 0.0)
+    b0, b1, b2, b3 = (float(b) for b in bounds)
+    sample = (
+        df.select(((mnx + mxx) / 2).alias("x"), ((mny + mxy) / 2).alias("y"))
+        .sample(fraction=float(sample_fraction), seed=seed)
+        .limit(2_000_000)  # driver-memory guard, same as the points lane
+        .collect()
+    )
+    sample = [r for r in sample if r.x is not None and r.y is not None]
+    if sample:
+        sx = np.asarray([r.x for r in sample], dtype=np.float64)
+        sy = np.asarray([r.y for r in sample], dtype=np.float64)
+        hs = udfs.hilbert_scaled(sx, sy, b0, b1, b2, b3)
+        probs = np.arange(1, n) / n
+        splits = np.unique(np.quantile(hs, probs).astype(np.int64))
+    else:
+        splits = np.array([], dtype=np.int64)
+    nb = len(splits) + 1
+    jmap = np.asarray(_hash_preimages(spark, nb), dtype=np.int32) if nb > 1 else None
+
+    stype = T.StructType(
+        [T.StructField("hilbert", T.LongType()), T.StructField("route", T.IntegerType())]
+    )
+
+    @F.pandas_udf(stype)
+    def hilbert_route(cx: pd.Series, cy: pd.Series) -> pd.DataFrame:
+        xs = cx.to_numpy(dtype=np.float64, na_value=np.nan)
+        ys = cy.to_numpy(dtype=np.float64, na_value=np.nan)
+        nan = np.isnan(xs) | np.isnan(ys)
         h = udfs.hilbert_scaled(np.nan_to_num(xs), np.nan_to_num(ys), b0, b1, b2, b3)
-        bucket = np.searchsorted(splits, h, side="right") if len(splits) else np.zeros(m, dtype=np.int64)
-        route = jmap[bucket] if jmap is not None else np.zeros(m, dtype=np.int32)
-        out = {geom_col: geoms}
-        for c, v in zip(BBOX_COLS, (xs, ys, xs, ys)):
-            out[c] = pd.arrays.FloatingArray(v, nan) if nan.any() else v
-        out["hilbert"] = pd.arrays.IntegerArray(h, nan) if nan.any() else h
-        out["route"] = route.astype(np.int32)
+        bucket = (
+            np.searchsorted(splits, h, side="right")
+            if len(splits)
+            else np.zeros(len(h), dtype=np.int64)
+        )
+        route = jmap[bucket] if jmap is not None else np.zeros(len(h), dtype=np.int32)
+        out = {
+            "hilbert": pd.arrays.IntegerArray(h, nan) if nan.any() else h,
+            "route": route.astype(np.int32),
+        }
         return pd.DataFrame(out)
 
-    s = fused(F.col(x_col), F.col(y_col))
-    keep = [c for c in df.columns if c not in (x_col, y_col)]
-    out = df.select(*keep, s.alias("_s")).select(
-        *keep,
-        F.col(f"_s.{geom_col}").alias(geom_col),
-        *[F.col(f"_s.{c}").alias(c) for c in BBOX_COLS],
-        F.col("_s.hilbert").alias("hilbert"),
-        F.col("_s.route").alias("_route"),
-    )
+    keep = [c for c in df.columns if c not in (min_x_col, min_y_col, max_x_col, max_y_col)]
+    routed = df.select(
+        "*", hilbert_route((mnx + mxx) / 2, (mny + mxy) / 2).alias("_s")
+    ).select("*", F.col("_s.hilbert").alias("hilbert"), F.col("_s.route").alias("_route")).drop("_s")
     if nb == 1:
-        return out.coalesce(1).sortWithinPartitions("hilbert").drop("_route")
-    return out.repartition(nb, F.col("_route")).sortWithinPartitions("hilbert").drop("_route")
+        placed = routed.coalesce(1).sortWithinPartitions("hilbert")
+    else:
+        placed = routed.repartition(nb, F.col("_route")).sortWithinPartitions("hilbert")
+    # WKB assembled HERE — after the exchange and sort, once, in the write
+    # stage; bbox sidecars are zero-cost renames of the bound columns
+    return placed.select(
+        *keep,
+        udfs.st_makeenvelope(mnx, mny, mxx, mxy).alias(geom_col),
+        mnx.alias(BBOX_COLS[0]),
+        mny.alias(BBOX_COLS[1]),
+        mxx.alias(BBOX_COLS[2]),
+        mxy.alias(BBOX_COLS[3]),
+        "hilbert",
+    )
 
 
 def write_geo_parquet(
@@ -321,6 +444,7 @@ def write_geo_parquet(
     num_partitions: int | None = None,
     sample_fraction: float | None = None,
     point_xy: tuple | None = None,
+    box_xyxy: tuple | None = None,
 ) -> None:
     """Hilbert-clustered GeoParquet-style write (geometry stays WKB binary,
     which IS GeoParquet's encoding).
@@ -328,6 +452,11 @@ def write_geo_parquet(
     ``point_xy=(x_col, y_col)``: point-ingest fast lane — geometry is
     ASSEMBLED here from numeric columns (stats jobs stay JVM-side, one
     Python crossing total; see :func:`hilbert_cluster_points`).
+
+    ``box_xyxy=(min_x, min_y, max_x, max_y)``: box-ingest fast lane —
+    same idea for rectangle extents (stats JVM-side, one narrow Python
+    crossing for hilbert/route, envelope WKB built post-sort; see
+    :func:`hilbert_cluster_boxes`).
 
     Parquet dictionary encoding is disabled: WKB geometries are near-unique,
     so dictionary pages only add CPU + a failed-dictionary fallback per row
@@ -345,6 +474,17 @@ def write_geo_parquet(
         clustered = hilbert_cluster_points(
             df, point_xy[0], point_xy[1], geom_col, bounds, num_partitions,
             sample_fraction if sample_fraction else 0.01,
+        )
+    elif box_xyxy is not None:
+        if bounds is None:
+            r = df.agg(
+                F.min(box_xyxy[0]), F.min(box_xyxy[1]), F.max(box_xyxy[2]), F.max(box_xyxy[3])
+            ).collect()[0]
+            bounds = (r[0], r[1], r[2], r[3]) if r[0] is not None else (0.0, 0.0, 0.0, 0.0)
+        clustered = hilbert_cluster_boxes(
+            df, *box_xyxy, geom_col=geom_col, bounds=bounds,
+            num_partitions=num_partitions,
+            sample_fraction=sample_fraction if sample_fraction else 0.01,
         )
     else:
         clustered = hilbert_cluster(df, geom_col, bounds, num_partitions, sample_fraction)
