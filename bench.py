@@ -262,8 +262,7 @@ def main():
                 rows=n_points,
             )
 
-            @bench(f"points_cluster_build{suffix}", repeats=2)
-            def _():
+            def _ours_points_cluster():
                 # r16 OPT: point-ingest fast lane (hilbert_cluster_points,
                 # in the repo since r11 but the bench still ran the generic
                 # sampled lane behind an st_point UDF — whose stats job
@@ -284,13 +283,19 @@ def main():
 
             # cluster-build comparable (reference rtree_index.benchmark
             # times CREATE INDEX; no spatial extension offline, so the
-            # analog is the same curve-sort + parquet write in plain SQL)
-            duck_bench(
+            # analog is the same curve-sort + parquet write in plain SQL).
+            # r16 OPT: interleaved ab_bench like the polys lane — this
+            # host's write wall swings 2-4x between sessions (duck's own
+            # 50M COPY: 76s this session vs ~20s in the isolated 10M
+            # probe scaled), so rep-by-rep alternation + in-artifact
+            # Mrows/s keep the ratio honest on a single artifact
+            ab_bench(
                 f"points_cluster_build{suffix}",
+                _ours_points_cluster,
                 f"COPY (SELECT id, x, y, _morton(x, y) AS mkey"
                 f" FROM '{raw}/*.parquet' ORDER BY mkey)"
                 f" TO '{tmp}/duck_pts{suffix}.parquet' (FORMAT parquet)",
-                repeats=1,
+                rows=n_points, repeats=2,
             )
 
             clustered = spark.read.parquet(f"{tmp}/pts{suffix}")
