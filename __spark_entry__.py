@@ -4855,7 +4855,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- changed in r16: vertical-transform signed-zero fix, SOSI
         # shell concatenation + mixed-KOORDSYS guard, DGN 3D quaternion
-        # ellipse/arc/text, minhash verify-lane explicit-null Jaccard ---
+        # ellipse/arc/text, minhash verify-lane explicit-null Jaccard,
+        # excise_dup_spans count stage moved JVM-side (r16 opt change 10:
+        # count(*) OVER (PARTITION BY _wt) replaces the mapInPandas
+        # count-filter; output proven exceptAll-identical) ---
+        "excise_spans": q_excise_spans,
         "spatial_transform_vertical": q_spatial_transform_vertical,
         "sosi_roundtrip": q_sosi_roundtrip,
         "dgn_depth": q_dgn_depth,
@@ -4910,6 +4914,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_sessionization": q_events_sessionization,
         "dedup_clusters": q_dedup_clusters,
+        # --- behind the window from here (embedding_neardup rotated out
+        # when excise_spans re-entered: its code changed in r16-opt) ---
         "embedding_neardup": q_embedding_neardup,
         # --- checked green at r15, unchanged since: behind the window ---
         "spatial_transform_tranche5": q_spatial_transform_tranche5,
@@ -4940,7 +4946,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparquet_file": q_geoparquet_file,
         "dsir": q_dsir,
         "dup_spans": q_dup_spans,
-        "excise_spans": q_excise_spans,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "spatial_transform_nad27": q_spatial_transform_nad27,

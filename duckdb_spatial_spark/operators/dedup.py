@@ -1311,15 +1311,18 @@ def excise_dup_spans(
     Two exact plans, chosen by ``method``:
 
     * ``"text"`` (default) — window TEXT rows (one Arrow pass, each
-      window one C-level slice) → ONE explicit exchange on ``_wt``
-      (equal windows co-locate) → a local pandas count-filter inside
-      each partition (no self-join, so the window pass runs exactly
-      once — a groupBy+join-back here re-executes the whole pass on the
-      probe side) → per-doc flagged starts → final Arrow rebuild
-      against the original text. Shuffle volume is ~window-size× the
-      corpus bytes — the same asymptotics as the hash lane's span rows,
-      fatter rows, two fewer stages. One pathologically hot boilerplate
-      span concentrates in one partition (the local count buffers it);
+      window one C-level slice) → ``count(*) OVER (PARTITION BY _wt)``
+      — ONE exchange on ``_wt`` (equal windows co-locate) and the
+      corpus-wide count runs JVM-side in the WindowExec, so the window
+      rows never cross back into Python (no self-join either, so the
+      window pass runs exactly once — a groupBy+join-back re-executes
+      the whole pass on the probe side, and a persist to avoid that
+      re-pass measured slower than both: r16 ab_excise_count.py) →
+      per-doc flagged starts → final Arrow rebuild against the
+      original text. Shuffle volume is ~window-size× the corpus bytes —
+      the same asymptotics as the hash lane's span rows, fatter rows,
+      two fewer stages. One pathologically hot boilerplate span
+      concentrates in one WindowExec group (spillable row buffer);
       in that regime use ``"hash"``, whose corpus-scale stage is an
       AQE-splittable join.
     * ``"hash"`` — a ~2⁶⁰ double-hash prefilter shuffles 16 B/window
@@ -1336,29 +1339,19 @@ def excise_dup_spans(
 
     base = widen_narrow_input(df.select(F.col(id_col), F.col(text_col)))
     if method == "text":
+        from pyspark.sql.window import Window
+
         wtexts = _window_text_spans(base, id_col, text_col, w)
-        loc = wtexts.repartition(F.col("_wt"))
-        flag_schema = T.StructType(
-            [df.schema[id_col], T.StructField("_s", T.LongType())]
-        )
-
-        def dup_filter(batches):
-            # equal window texts are co-located by the repartition but
-            # may straddle Arrow batches: buffer the partition, count
-            # locally, keep rows whose text occurs ≥2 times corpus-wide.
-            # factorize + bincount: one hash pass over the strings (a
-            # groupby.transform('size') measured ~4% slower and allocates
-            # a group map; r13 bracket in PLANS.md)
-            pdfs = list(batches)
-            if not pdfs:
-                return
-            pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-            codes, _ = pd.factorize(pdf["_wt"])
-            cnt = np.bincount(codes)
-            yield pdf.loc[cnt[codes] >= 2, [pdf.columns[0], "_s"]]
-
+        # corpus-wide occurrence count per literal window text, JVM-side:
+        # the Window exchange co-locates equal texts exactly like the old
+        # repartition(_wt) did, but the count no longer ships the window
+        # rows back into a Python worker (r13 decomposition charged ~0.8 s
+        # of the 10x-tier wall to that Arrow transfer; the r16 interleaved
+        # A/B in scripts/ab_excise_count.py measured this plan faster in
+        # every round, output exceptAll-identical)
         flagged = (
-            loc.mapInPandas(dup_filter, flag_schema)
+            wtexts.withColumn("_c", F.count("*").over(Window.partitionBy("_wt")))
+            .where(F.col("_c") >= 2)
             .groupBy(id_col)
             .agg(F.collect_list("_s").alias("_flags"))
         )
