@@ -4853,71 +4853,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scripts/check_oracle.py every session and pinned by
     tests/test_retired_driver_rows.py (see docs/RETIRED_QUERIES.md)."""
     return {
-        # --- changed in r16: vertical-transform signed-zero fix, SOSI
-        # shell concatenation + mixed-KOORDSYS guard, DGN 3D quaternion
-        # ellipse/arc/text, minhash verify-lane explicit-null Jaccard,
-        # excise_dup_spans count stage moved JVM-side (r16 opt change 10:
-        # count(*) OVER (PARTITION BY _wt) replaces the mapInPandas
-        # count-filter; output proven exceptAll-identical) ---
+        # --- changed in r17 (optimization round 2): excise_dup_spans
+        # window-text build + rebuild kernels vectorized (dedup.py shared
+        # helpers — dup_spans rides the same module); write_geo_parquet
+        # layout path (pruning.py) — the four layout rows below re-enter
+        # the window per the r16 verdict (its What's-wrong #1: the r16
+        # v2+zstd writer change was never driver-verified) ---
         "excise_spans": q_excise_spans,
-        "spatial_transform_vertical": q_spatial_transform_vertical,
-        "sosi_roundtrip": q_sosi_roundtrip,
-        "dgn_depth": q_dgn_depth,
-        "dgn_roundtrip": q_dgn_roundtrip,
-        "minhash_lsh_spec": q_minhash_lsh_spec,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        # --- new in r16: INTERLIS 1 (.itf), the 36th ST_Read format;
-        # st_drivers_meta re-enters the window (its registry grew) ---
-        "interlis_roundtrip": q_interlis_roundtrip,
-        "sdts_roundtrip": q_sdts_roundtrip,
-        "st_drivers_meta": q_st_drivers_meta,
-        # --- extended in r16: S-57 exchange-set catalog; geoid grid
-        # through the streaming tagged-transform path ---
-        "s57_depth": q_s57_depth,
-        "streaming_tagged_transform": q_streaming_tagged_transform,
-        # --- last driver-checked before r15 — all inside the window ---
-        "fgb_roundtrip": q_fgb_roundtrip,
-        "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
-        "clf_quality": q_clf_quality,
-        "multimodal_meta": q_multimodal_meta,
-        "streaming_upsert": q_streaming_upsert,
-        "events_sessionize": q_events_sessionize,
-        "lang_id": q_lang_id,
-        "decontaminate": q_decontaminate,
-        "embedding_assign": q_embedding_assign,
-        "bm25": q_bm25,
-        "wordlist_filter": q_wordlist_filter,
-        "dedup_exact": q_dedup_exact,
-        "semantic_dedup": q_semantic_dedup,
-        "mix_sample": q_mix_sample,
-        "minhash_index": q_minhash_index,
-        "zonal_stats": q_zonal_stats,
-        "dedup_docs": q_dedup_docs,
-        "warc_roundtrip": q_warc_roundtrip,
-        "netcdf_roundtrip": q_netcdf_roundtrip,
-        "mvt_roundtrip": q_mvt_roundtrip,
-        "esrijson_roundtrip": q_esrijson_roundtrip,
-        "text_entropy": q_text_entropy,
-        "text_token_count": q_text_token_count,
-        "text_metrics_full": q_text_metrics_full,
-        "quality_score": q_quality_score,
-        "html_extract": q_html_extract,
-        "robots": q_robots,
-        "gopher_quality": q_gopher_quality,
-        "bpe_encode": q_bpe_encode,
-        "pack_sequences": q_pack_sequences,
-        "hash_split": q_hash_split,
-        "events_percentiles": q_events_percentiles,
-        "pii_scrub": q_pii_scrub,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q6": q_tpch_q6,
-        "events_hourly": q_events_hourly,
-        "events_sessionization": q_events_sessionization,
-        "dedup_clusters": q_dedup_clusters,
-        # --- behind the window from here (embedding_neardup rotated out
-        # when excise_spans re-entered: its code changed in r16-opt) ---
+        "dup_spans": q_dup_spans,
+        "geoparquet_file": q_geoparquet_file,
+        "geo_parquet_stats": q_geo_parquet_stats,
+        "layout_pruned_polys": q_layout_pruned_polys,
+        "layout_snapshot": q_layout_snapshot,
+        # --- stalest row first (last driver-checked pre-r15; r16 ADVICE
+        # item 3 scheduled it at the front of the r17 rotation) ---
         "embedding_neardup": q_embedding_neardup,
-        # --- checked green at r15, unchanged since: behind the window ---
+        # --- last checked r15, two rounds stale — all inside the window ---
         "spatial_transform_tranche5": q_spatial_transform_tranche5,
         "vrt_union_sql": q_vrt_union_sql,
         "streaming_ann_probe": q_streaming_ann_probe,
@@ -4943,9 +4894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_extent": q_streaming_extent,
         "streaming_sessionize": q_streaming_sessionize,
         "winnowing": q_winnowing,
-        "geoparquet_file": q_geoparquet_file,
         "dsir": q_dsir,
-        "dup_spans": q_dup_spans,
         "spatial_join_point_in_rect": q_spatial_join_point_in_rect,
         "spatial_join_rect_overlap": q_spatial_join_rect_overlap,
         "spatial_transform_nad27": q_spatial_transform_nad27,
@@ -4953,11 +4902,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_transform_stateplane": q_spatial_transform_stateplane,
         "spatial_transform_rd": q_spatial_transform_rd,
         "spatial_native_casts": q_spatial_native_casts,
-        "layout_pruned_polys": q_layout_pruned_polys,
-        "geo_parquet_stats": q_geo_parquet_stats,
-        "layout_snapshot": q_layout_snapshot,
         "spatial_zm_flags": q_spatial_zm_flags,
         "spatial_refsys": q_spatial_refsys,
+        # --- r16-checked canaries for the r17 Arrow batch-size cap (the
+        # one cross-cutting execution change this round): batch-global
+        # vectorized text/embedding kernels whose outputs must be
+        # invariant to batch boundaries ---
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "clf_quality": q_clf_quality,
+        "gopher_quality": q_gopher_quality,
+        "decontaminate": q_decontaminate,
+        "text_metrics_full": q_text_metrics_full,
+        "lang_id": q_lang_id,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_docs": q_dedup_docs,
+        # --- behind the window from here: checked green at r16,
+        # unchanged since ---
+        "spatial_transform_vertical": q_spatial_transform_vertical,
+        "sosi_roundtrip": q_sosi_roundtrip,
+        "dgn_depth": q_dgn_depth,
+        "dgn_roundtrip": q_dgn_roundtrip,
+        "minhash_lsh_spec": q_minhash_lsh_spec,
+        "interlis_roundtrip": q_interlis_roundtrip,
+        "sdts_roundtrip": q_sdts_roundtrip,
+        "st_drivers_meta": q_st_drivers_meta,
+        "s57_depth": q_s57_depth,
+        "streaming_tagged_transform": q_streaming_tagged_transform,
+        "fgb_roundtrip": q_fgb_roundtrip,
+        "geojsonseq_roundtrip": q_geojsonseq_roundtrip,
+        "multimodal_meta": q_multimodal_meta,
+        "streaming_upsert": q_streaming_upsert,
+        "events_sessionize": q_events_sessionize,
+        "embedding_assign": q_embedding_assign,
+        "bm25": q_bm25,
+        "wordlist_filter": q_wordlist_filter,
+        "dedup_exact": q_dedup_exact,
+        "mix_sample": q_mix_sample,
+        "minhash_index": q_minhash_index,
+        "zonal_stats": q_zonal_stats,
+        "warc_roundtrip": q_warc_roundtrip,
+        "netcdf_roundtrip": q_netcdf_roundtrip,
+        "mvt_roundtrip": q_mvt_roundtrip,
+        "esrijson_roundtrip": q_esrijson_roundtrip,
+        "text_entropy": q_text_entropy,
+        "text_token_count": q_text_token_count,
+        "quality_score": q_quality_score,
+        "html_extract": q_html_extract,
+        "robots": q_robots,
+        "bpe_encode": q_bpe_encode,
+        "pack_sequences": q_pack_sequences,
+        "hash_split": q_hash_split,
+        "events_percentiles": q_events_percentiles,
+        "pii_scrub": q_pii_scrub,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q6": q_tpch_q6,
+        "events_hourly": q_events_hourly,
+        "events_sessionization": q_events_sessionization,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 

@@ -3,11 +3,17 @@
 shape: JVM-side counting that removes the SECOND Python crossing of the
 window rows without re-running the window pass).
 
-Current plan ("text"): window rows (Py pass #1) -> Exchange(_wt) ->
-mapInPandas factorize+bincount (window rows cross JVM->Py AGAIN, ~0.8 s
-of the r13 floor decomposition) -> flags -> rebuild (Py pass #2).
+NOTE (r16 advisory): the v_win plan below WON this bracket and shipped
+as excise_dup_spans' "text" method, so v_cur now builds the same window
+plan as v_win — re-running this script compares v_win against itself.
+The pre-change baseline (window rows -> Exchange(_wt) -> mapInPandas
+factorize+bincount -> flags -> rebuild, the r13 shape) only exists in
+a pre-2660be1 worktree; run it there for a true before/after, the same
+caveat capture_excise_plan.py documents. Historical results are in
+OPTIMIZATION_r16.md change 10.
 
-  v_cur   the shipped plan (baseline)
+  v_cur   the shipped plan (was the mapInPandas count-filter baseline;
+          post-2660be1 it is the v_win shape)
   v_win   count(*) OVER (PARTITION BY _wt) — same single Exchange, the
           count runs JVM-side (WindowExec sort) and only flagged
           (id, _s) rows continue; no second Python crossing
@@ -35,7 +41,7 @@ rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
 cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-from pyspark.sql import SparkSession, functions as F, types as T  # noqa: E402
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
 from pyspark.sql.window import Window  # noqa: E402
 from pyspark.storagelevel import StorageLevel  # noqa: E402
 
@@ -93,10 +99,6 @@ W = 8
 
 def v_cur():
     return excise_dup_spans(df)
-
-
-def _flag_schema():
-    return T.StructType([df.schema["doc_id"], T.StructField("_s", T.LongType())])
 
 
 def v_win():
