@@ -157,10 +157,12 @@ def main():
             duck[name] = round(min(d_runs), 3)
             duck_repeats[name] = d_runs
         if rows and o_runs and d_runs:
+            # Mrows/s [ours, duckdb] over the same files; small-corpus doc
+            # lanes (kilorow scale) keep 3 decimals so the rate is nonzero
             rates[name] = [
-                round(rows / 1e6 / min(o_runs), 1),
-                round(rows / 1e6 / min(d_runs), 1),
-            ]  # Mrows/s: [ours, duckdb] over the same files
+                round(r, 1) if r >= 1.0 else round(r, 3)
+                for r in (rows / 1e6 / min(o_runs), rows / 1e6 / min(d_runs))
+            ]
 
     def duck_bench(name, sql, repeats: int = 3):
         best = None

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ._ascii import _STRIP, _WS
 from ._ascii import ws_split as _ascii_ws_split
 
 
@@ -1233,8 +1234,21 @@ def _window_text_spans(
 ) -> DataFrame:
     """One Arrow pass emitting a row per ``w``-token window: ``(id, _s,
     _wt)`` where ``_wt`` is the window's whitespace-normalized text.
-    Each window is one C-level slice of the doc's joined text (no
-    per-token interpreter work)."""
+
+    r17 vectorization (optimization-guide §4.2 "hand whole batches to
+    vectorized native code", §4.2 Arrow buffer note): the per-WINDOW
+    work is zero Python. Per doc there is ONE C regex pass
+    (``_WS.sub(" ", strip)`` — identical to ``" ".join(ws_split(s))``,
+    both collapse ASCII-whitespace runs) and ONE utf-8 encode; token
+    offsets come from a vectorized byte scan for 0x20 (tokens can never
+    contain ASCII space, and UTF-8 continuation bytes are >= 0x80, so
+    the scan is exact on any input); all window strings of the batch
+    are then built by one numpy gather into a single byte buffer and
+    one ``pa.StringArray.from_buffers`` — the per-window Python slice
+    loop and the 8x-corpus-size boxing of window strings through
+    pandas are both gone (offline A/B: 1.5-1.7x on kernel+conversion,
+    scripts/proto_window_text_vec.py). Output rows are byte-identical
+    to the loop implementation (proven there incl. non-ASCII)."""
     out_schema = T.StructType(
         [
             df.schema[id_col],
@@ -1244,38 +1258,146 @@ def _window_text_spans(
     )
     ii = df.columns.index(id_col)
     ti = df.columns.index(text_col)
+    # flush the vectorized builder every ~8 MB of window payload: the
+    # gather index array is 4 B per OUTPUT byte, so unbounded batches
+    # would allocate payload*4 of scratch per worker (measured as a
+    # 9 s first-rep page-fault spike at a 27 MB/batch payload); 8 MB
+    # keeps scratch ~32 MB/worker and under the int32 offset limit
+    flush_bytes = 8 << 20
 
     def gen(batches):
-        for pdf in batches:
-            ids, ss, wts = [], [], []
-            for did, text in zip(pdf.iloc[:, ii], pdf.iloc[:, ti]):
+        import pyarrow as pa
+
+        sub = _WS.sub
+
+        def build(ids_arr, row_idx, bufs, starts, ends, nwins):
+            big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            a = np.concatenate(starts)
+            b = np.concatenate(ends)
+            nw = np.asarray(nwins, dtype=np.int64)
+            first = np.zeros(len(nw) + 1, dtype=np.int64)
+            np.cumsum(nw, out=first[1:])
+            all_ss = np.arange(int(first[-1]), dtype=np.int64) - np.repeat(
+                first[:-1], nw
+            )
+            all_ids = np.repeat(np.asarray(row_idx, dtype=np.int64), nw)
+            # emit in sub-int32-offset slices (a single giant doc can push
+            # the flush batch's window payload past 2 GiB)
+            lo = 0
+            n = len(a)
+            while lo < n:
+                hi = n
+                while True:
+                    wl = b[lo:hi] - a[lo:hi]
+                    voff = np.zeros(hi - lo + 1, dtype=np.int64)
+                    np.cumsum(wl, out=voff[1:])
+                    if voff[-1] <= 2**31 - 1:
+                        break
+                    hi = lo + max(1, (hi - lo) // 2)
+                # gather: window k's bytes are big[a[k] : a[k] + wl[k]]
+                # (int32 index — 4 B of scratch per output byte, bounded
+                # by the flush cap)
+                idx = np.arange(int(voff[-1]), dtype=np.int32) - np.repeat(
+                    (voff[:-1] - a[lo:hi]).astype(np.int32), wl
+                )
+                wts = pa.StringArray.from_buffers(
+                    hi - lo, pa.py_buffer(voff.astype(np.int32)), pa.py_buffer(big[idx])
+                )
+                ids = ids_arr.take(pa.array(all_ids[lo:hi]))
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(all_ss[lo:hi], type=pa.int64()), wts],
+                    names=[id_col, "_s", "_wt"],
+                )
+                lo = hi
+
+        empty = None
+        emitted = False
+        for rb in batches:
+            ids_arr = rb.column(ii)
+            if empty is None:
+                empty = pa.RecordBatch.from_arrays(
+                    [
+                        ids_arr.slice(0, 0),
+                        pa.array([], type=pa.int64()),
+                        pa.array([], type=pa.string()),
+                    ],
+                    names=[id_col, "_s", "_wt"],
+                )
+            row_idx, bufs, starts, ends, nwins = [], [], [], [], []
+            pos = 0
+            for i, text in enumerate(rb.column(ti).to_pylist()):
                 if text is None:
                     continue
-                toks = _ascii_ws_split(str(text))
-                if len(toks) < w:
+                joined = sub(" ", text.strip(_STRIP))
+                if not joined:
                     continue
-                joined = " ".join(toks)
-                tl = np.fromiter(
-                    (len(t) for t in toks), dtype=np.int64, count=len(toks)
-                )
-                off = np.zeros(len(toks) + 1, dtype=np.int64)
-                np.cumsum(tl + 1, out=off[1:])
-                nwin = len(toks) - w + 1
-                a = off[:nwin]
-                b = off[w : w + nwin] - 1  # strip joiner space
-                for s in range(nwin):
-                    ids.append(did)
-                    ss.append(s)
-                    wts.append(joined[a[s] : b[s]])
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids),
-                    "_s": pd.Series(ss, dtype="int64"),
-                    "_wt": pd.Series(wts, dtype="object"),
-                }
-            )
+                jb = joined.encode("utf-8")
+                arr = np.frombuffer(jb, dtype=np.uint8)
+                sp = np.flatnonzero(arr == 32)
+                ntok = len(sp) + 1
+                if ntok < w:
+                    continue
+                # token i spans [off[i], off[i+1]-1) in jb (off[-1] is a
+                # sentinel one past a virtual trailing joiner space)
+                off = np.empty(ntok + 1, dtype=np.int64)
+                off[0] = 0
+                off[1:-1] = sp + 1
+                off[-1] = len(jb) + 1
+                nwin = ntok - w + 1
+                starts.append(pos + off[:nwin])
+                ends.append(pos + off[w : w + nwin] - 1)
+                nwins.append(nwin)
+                row_idx.append(i)
+                bufs.append(jb)
+                pos += len(jb)
+                if pos * (w + 1) >= flush_bytes:
+                    yield from build(ids_arr, row_idx, bufs, starts, ends, nwins)
+                    emitted = True
+                    row_idx, bufs, starts, ends, nwins = [], [], [], [], []
+                    pos = 0
+            if row_idx:
+                yield from build(ids_arr, row_idx, bufs, starts, ends, nwins)
+                emitted = True
+        if not emitted and empty is not None:
+            yield empty
 
-    return df.mapInPandas(gen, out_schema)
+    return df.mapInArrow(gen, out_schema)
+
+
+def _excise_pick_method(
+    base: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int,
+    seed: int,
+    sample_mod: int = 64,
+    hot_share: float = 0.02,
+) -> str:
+    """Skew sketch for ``excise_dup_spans(method="auto")``: estimate the
+    hottest window group's share of all window occurrences from a
+    DETERMINISTIC 1/``sample_mod`` doc sample (``pmod(xxhash64(id))`` —
+    never ``rand()``, which breaks under task retry, guide §2.5) hashed
+    through the wide ~2⁶⁰ prefilter key (collisions at sample scale are
+    negligible and could only overestimate hotness, i.e. pick the safer
+    plan). A span that concentrates ``hot_share`` of the corpus into one
+    window-count group would straggle the text plan's single WindowExec
+    task; the hash plan splits it via AQE joins + map-side combines.
+    The share of a corpus-wide hot span is preserved under doc sampling,
+    so the estimate is unbiased where it matters."""
+    spans = _window_hash_spans(
+        base.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(sample_mod)) == 0),
+        id_col, text_col, w, seed, wide=True,
+    )
+    row = (
+        spans.groupBy("_h")
+        .agg(F.count("*").alias("_c"))
+        .agg(F.max("_c"), F.sum("_c"))
+        .collect()[0]
+    )
+    mx, tot = row[0], row[1]
+    if not tot or not mx:
+        return "text"
+    return "hash" if mx / tot >= hot_share else "text"
 
 
 def excise_dup_spans(
@@ -1331,13 +1453,30 @@ def excise_dup_spans(
       verified. Post-filter stages scale with duplicate volume, not
       corpus size — take this when window-text shuffle bytes are the
       binding constraint (very fat windows / very large corpora) and
-      duplicate density is low."""
+      duplicate density is low.
+    * ``"auto"`` (r17) — run :func:`_excise_pick_method`'s deterministic
+      sample sketch first: a corpus whose hottest window group holds
+      ≥2% of all window occurrences (a boilerplate span that would
+      straggle the text plan's single WindowExec group) routes to
+      ``"hash"``, whose corpus-scale stages AQE can split; everything
+      else routes to ``"text"``. Identical output either way — the
+      router only picks the plan — at the cost of one sketch job."""
     w = int(window)
-    if method not in ("text", "hash"):
+    if method not in ("text", "hash", "auto"):
         raise ValueError(f"excise_dup_spans: unknown method {method!r}")
     from ._util import widen_narrow_input
 
     base = widen_narrow_input(df.select(F.col(id_col), F.col(text_col)))
+    if method == "auto":
+        # r17 skew fallback (r16 verdict item 3, guide §2.5): one
+        # pathologically hot boilerplate span lands in a single
+        # WindowExec group under the text plan (spillable but a single
+        # straggler task); the hash plan's corpus-scale stages are an
+        # AQE-splittable join + map-side-combinable aggregates. Both
+        # plans return IDENTICAL rows, so the router only affects the
+        # plan. Costs one deterministic-sample sketch job — opt in per
+        # corpus; the default stays "text" (no sketch on the hot path).
+        method = _excise_pick_method(base, id_col, text_col, w, int(seed))
     if method == "text":
         from pyspark.sql.window import Window
 
@@ -1417,13 +1556,20 @@ def _excise_rebuild(
 ) -> DataFrame:
     """Final Arrow pass of :func:`excise_dup_spans`: ``src`` carries
     ``(id, text, _flags)`` (flagged window starts, NULL for clean docs);
-    rebuild each doc's surviving-token text via a difference-array kill
-    mask + one vectorized object-array take.
+    rebuild each doc's surviving-token text.
 
-    (A pandas ``.str.count``/``.str.replace`` fast path for unflagged
-    docs was measured SLOWER than the plain per-doc split+join here —
-    pandas str ops carry per-element regex overhead too; keep the
-    loop.)"""
+    r17 vectorization (optimization-guide §4.2, same treatment as
+    :func:`_window_text_spans`): per doc there is ONE C regex
+    normalization pass + ONE utf-8 encode; token offsets come from the
+    vectorized 0x20 byte scan; the kill mask is ONE batch-global
+    difference-array cumsum (flagged ranges never cross doc boundaries,
+    so coverage returns to zero at each boundary); every clean_text
+    string of the batch is then assembled by one numpy gather of the
+    surviving token byte ranges and one ``pa.StringArray.from_buffers``
+    — no per-doc Python join, no per-row boxing of the rebuilt strings.
+    Identity with the old per-doc split+join loop is pinned by the
+    brute-force parity tests (tests/test_dsir.py) and the oracle row.
+    The ids column passes through zero-copy (rows map 1:1)."""
     out_schema = T.StructType(
         [
             df.schema[id_col],
@@ -1434,36 +1580,149 @@ def _excise_rebuild(
     )
 
     def rebuild(batches):
-        for pdf in batches:
-            ids, cleans, ntoks, nrem = [], [], [], []
-            for did, text, flags in zip(
-                pdf.iloc[:, 0], pdf.iloc[:, 1], pdf.iloc[:, 2]
-            ):
-                toks = _ascii_ws_split(str(text)) if text is not None else []
-                n = len(toks)
-                if flags is None or (hasattr(flags, "__len__") and len(flags) == 0):
-                    clean, nkept = " ".join(toks), n
+        import pyarrow as pa
+
+        sub = _WS.sub
+
+        def flag_lists(fl, n):
+            """Per-row flag arrays as (values, row_offsets) int64 numpy."""
+            if isinstance(fl, (pa.ListArray, pa.LargeListArray)):
+                off = np.asarray(fl.offsets, dtype=np.int64)
+                vals = np.asarray(fl.values, dtype=np.int64)
+                # a sliced ListArray keeps the FULL child values with
+                # shifted offsets — normalize to zero-based and trim
+                vals = vals[off[0] : off[-1]]
+                if off[0] != 0:
+                    off = off - off[0]
+                # null rows keep zero-length ranges (offsets repeat)
+                return vals, off
+            # fallback for exotic layouts: box per row
+            vals, off = [], np.zeros(n + 1, dtype=np.int64)
+            for i, row in enumerate(fl.to_pylist()):
+                if row:
+                    vals.extend(int(v) for v in row)
+                off[i + 1] = len(vals)
+            return np.asarray(vals, dtype=np.int64), off
+
+        def row_slices(rb):
+            """Split the batch so each slice's text payload stays small:
+            the gather scratch is 4 B per clean-text byte (same bound as
+            the window builder's flush cap)."""
+            txt = rb.column(1)
+            width = 8 if pa.types.is_large_string(txt.type) else 4
+            obuf = txt.buffers()[1]
+            if obuf is None:  # all-null column: no offsets to split on
+                yield rb
+                return
+            off = np.frombuffer(
+                obuf, dtype=np.int64 if width == 8 else np.int32,
+                count=rb.num_rows + 1 + txt.offset,
+            )[txt.offset :]
+            cum = off - off[0]
+            lo = 0
+            while lo < rb.num_rows:
+                hi = int(
+                    np.searchsorted(cum, cum[lo] + (8 << 20), side="left")
+                )
+                hi = max(lo + 1, min(hi, rb.num_rows))
+                yield rb.slice(lo, hi - lo)
+                lo = hi
+
+        def _one(rb):
+            nrows = rb.num_rows
+            ids_arr = rb.column(0)
+            texts = rb.column(1).to_pylist()
+            bufs = []
+            ntok = np.zeros(nrows, dtype=np.int64)
+            tok_off_parts = []
+            byte_base = 0
+            tok_base = np.zeros(nrows + 1, dtype=np.int64)
+            for i, text in enumerate(texts):
+                if text is None:
+                    joined = ""
                 else:
-                    starts = np.asarray(list(flags), dtype=np.int64)
-                    # every token covered by a flagged window dies; mark
-                    # via a difference array instead of per-start loops
-                    diff = np.zeros(n + 1, dtype=np.int64)
-                    np.add.at(diff, starts, 1)
-                    np.add.at(diff, np.minimum(starts + w, n), -1)
-                    alive = np.cumsum(diff[:n]) <= 0
-                    kept = np.asarray(toks, dtype=object)[alive]
-                    clean, nkept = " ".join(kept), int(alive.sum())
-                ids.append(did)
-                cleans.append(clean)
-                ntoks.append(n)
-                nrem.append(n - nkept)
-            yield pd.DataFrame(
-                {
-                    id_col: pd.Series(ids),
-                    "clean_text": pd.Series(cleans, dtype="object"),
-                    "n_tokens": pd.Series(ntoks, dtype="int64"),
-                    "n_removed": pd.Series(nrem, dtype="int64"),
-                }
+                    joined = sub(" ", text.strip(_STRIP))
+                jb = joined.encode("utf-8")
+                if jb:
+                    arr = np.frombuffer(jb, dtype=np.uint8)
+                    sp = np.flatnonzero(arr == 32)
+                    nt = len(sp) + 1
+                    # token i spans [off[i], off[i+1]) in jb + b" " —
+                    # INCLUDING its trailing joiner/sentinel space
+                    off = np.empty(nt + 1, dtype=np.int64)
+                    off[0] = 0
+                    off[1:-1] = sp + 1
+                    off[-1] = len(jb) + 1
+                    tok_off_parts.append(off + byte_base)
+                    bufs.append(jb + b" ")
+                    byte_base += len(jb) + 1
+                    ntok[i] = nt
+                tok_base[i + 1] = tok_base[i] + ntok[i]
+            TOK = int(tok_base[-1])
+            big = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            # global token spans (each includes its trailing space)
+            if tok_off_parts:
+                tok_starts = np.concatenate([p[:-1] for p in tok_off_parts])
+                tok_ends = np.concatenate([p[1:] for p in tok_off_parts])
+            else:
+                tok_starts = np.empty(0, dtype=np.int64)
+                tok_ends = np.empty(0, dtype=np.int64)
+
+            fvals, foff = flag_lists(rb.column(2), nrows)
+            alive = np.ones(TOK, dtype=bool)
+            if len(fvals):
+                frow_counts = np.diff(foff)
+                frow = np.repeat(np.arange(nrows, dtype=np.int64), frow_counts)
+                fn = ntok[frow]
+                gs = np.minimum(fvals, fn) + tok_base[frow]
+                ge = np.minimum(fvals + w, fn) + tok_base[frow]
+                diff = np.zeros(TOK + 1, dtype=np.int64)
+                np.add.at(diff, gs, 1)
+                np.add.at(diff, ge, -1)
+                alive = np.cumsum(diff[:TOK]) <= 0
+            # kept-token count + clean byte length per doc (segment sums)
+            cs_alive = np.zeros(TOK + 1, dtype=np.int64)
+            np.cumsum(alive, out=cs_alive[1:])
+            kc = cs_alive[tok_base[1:]] - cs_alive[tok_base[:-1]]
+            tok_len = tok_ends - tok_starts
+            contrib = np.where(alive, tok_len, 0)
+            cs_len = np.zeros(TOK + 1, dtype=np.int64)
+            np.cumsum(contrib, out=cs_len[1:])
+            doc_len = cs_len[tok_base[1:]] - cs_len[tok_base[:-1]]
+            doc_len = doc_len - (kc > 0)  # drop each doc's trailing space
+            # gather surviving token bytes (doc order == token order)
+            ks = tok_starts[alive]
+            ke = tok_ends[alive].copy()
+            lastk = np.cumsum(kc)
+            sel = kc > 0
+            ke[lastk[sel] - 1] -= 1  # trim the last kept token's space
+            kl = ke - ks
+            voff = np.zeros(len(ks) + 1, dtype=np.int64)
+            np.cumsum(kl, out=voff[1:])
+            # int32 gather index: 4 B scratch per clean-text byte,
+            # bounded by row_slices' 8 MB text cap
+            idx = np.arange(int(voff[-1]), dtype=np.int32) - np.repeat(
+                (voff[:-1] - ks).astype(np.int32), kl
+            )
+            soff = np.zeros(nrows + 1, dtype=np.int64)
+            np.cumsum(doc_len, out=soff[1:])
+            cleans = pa.StringArray.from_buffers(
+                nrows, pa.py_buffer(soff.astype(np.int32)), pa.py_buffer(big[idx])
+            )
+            return pa.RecordBatch.from_arrays(
+                [
+                    ids_arr,
+                    cleans,
+                    pa.array(ntok, type=pa.int64()),
+                    pa.array(ntok - kc, type=pa.int64()),
+                ],
+                names=[id_col, "clean_text", "n_tokens", "n_removed"],
             )
 
-    return src.mapInPandas(rebuild, out_schema)
+        for whole in batches:
+            if whole.num_rows == 0:
+                yield _one(whole)
+            else:
+                yield from (_one(rb) for rb in row_slices(whole))
+
+    return src.mapInArrow(rebuild, out_schema)

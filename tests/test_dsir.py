@@ -193,3 +193,59 @@ def test_excise_dup_spans(spark):
         assert r.n_removed == sum(dead)
     assert got[2].n_removed == 0 and got[4].n_removed == 0 and got[5].n_tokens == 0
     assert got[3].clean_text == ""  # fully self-duplicated doc vanishes
+
+
+def test_excise_auto_skew_fallback(spark):
+    """r17 skew fallback: a corpus with one pathologically hot
+    boilerplate span routes method="auto" to the hash plan (whose
+    corpus-scale stages AQE can split); a uniform corpus stays on the
+    text plan. Both methods return identical rows on the hot fixture,
+    so the router can only change the plan, never the result."""
+    from duckdb_spatial_spark.operators.dedup import (
+        _excise_pick_method,
+        excise_dup_spans,
+    )
+
+    w = 4
+    boiler = "subscribe to our newsletter now"  # 5 tokens -> 2 hot windows
+    hot_docs = [
+        (i, f"unique{i}a unique{i}b {boiler} unique{i}c unique{i}d")
+        for i in range(400)
+    ]
+    hot = spark.createDataFrame(hot_docs, "doc_id long, text string")
+    uni_docs = [
+        (i, " ".join(f"u{i}t{j}" for j in range(12))) for i in range(400)
+    ]
+    uni = spark.createDataFrame(uni_docs, "doc_id long, text string")
+
+    # the sketch routes the hot corpus to hash, the uniform one to text
+    assert _excise_pick_method(hot.select("doc_id", "text"), "doc_id", "text", w, 5) == "hash"
+    assert _excise_pick_method(uni.select("doc_id", "text"), "doc_id", "text", w, 5) == "text"
+
+    # the auto plan IS the hash plan on the hot corpus (fallback engaged):
+    # its physical plan carries the hash lane's extra Python crossing
+    # (candidate re-derivation) — 3 MapInArrow nodes vs the text plan's 2
+    auto_plan = (
+        excise_dup_spans(hot, window=w, seed=5, method="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    text_plan = (
+        excise_dup_spans(hot, window=w, seed=5, method="text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    hash_plan = (
+        excise_dup_spans(hot, window=w, seed=5, method="hash")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_py = lambda p: p.count("MapInArrow") + p.count("MapInPandas")  # noqa: E731
+    assert n_py(auto_plan) == n_py(hash_plan) != n_py(text_plan)
+    assert "Window" in text_plan and "Window" not in auto_plan
+
+    # identical rows from all three methods on the hot fixture
+    got_auto = {r.doc_id: r for r in excise_dup_spans(hot, window=w, seed=5, method="auto").collect()}
+    got_text = {r.doc_id: r for r in excise_dup_spans(hot, window=w, seed=5, method="text").collect()}
+    got_hash = {r.doc_id: r for r in excise_dup_spans(hot, window=w, seed=5, method="hash").collect()}
+    assert got_auto == got_text == got_hash
+    # the boilerplate tokens died everywhere; per-doc unique filler only
+    # dies where a hot window covers it
+    assert all("subscribe" not in r.clean_text for r in got_auto.values())
