@@ -33,6 +33,79 @@ from ..functions import udfs
 
 BBOX_COLS = ("bbox_min_x", "bbox_min_y", "bbox_max_x", "bbox_max_y")
 
+
+def _fixed_record_binary(recs, width, nan):
+    """Zero-boxing WKB column: ``recs`` is the flat uint8 record buffer
+    (``width`` bytes per row), ``nan`` the null mask. One
+    ``Array.from_buffers`` replaces the per-row ``rows[i*w:(i+1)*w]``
+    bytes-slice list the pandas_udf shape needs (r16 opt note 6b; the
+    r17 kernel A/B in scripts/ab_wkb_kernel.py measures 12-16x on the
+    21-byte point record and 3-11x on the 93-byte envelope, both
+    boundary conversions included). Null rows keep their record bytes
+    in the data buffer (offsets stay uniform); the validity bitmap
+    carries the nulls."""
+    import pyarrow as pa
+
+    m = len(recs) // width
+    offsets = np.arange(m + 1, dtype=np.int32) * width
+    if nan.any():
+        validity = pa.py_buffer(np.packbits(~nan, bitorder="little"))
+        nulls = int(nan.sum())
+    else:
+        validity, nulls = None, 0
+    return pa.Array.from_buffers(
+        pa.binary(), m,
+        [validity, pa.py_buffer(offsets), pa.py_buffer(recs)],
+        null_count=nulls,
+    )
+
+
+@F.arrow_udf(T.BinaryType())
+def _point_wkb_arrow(x, y):
+    """21-byte little-endian point WKB, arrow-native (pa.Array in/out).
+    Byte-identical to udfs.st_point / the r16 lane-local point_wkb on
+    every valid row, same null semantics (NULL or NaN coordinate ->
+    NULL geometry); used by the layout write stage where the per-row
+    boxing of the pandas_udf shape was the remaining Python cost."""
+    xs = np.asarray(x.to_numpy(zero_copy_only=False), dtype=np.float64)
+    ys = np.asarray(y.to_numpy(zero_copy_only=False), dtype=np.float64)
+    m = len(xs)
+    buf = np.zeros((m, 21), dtype=np.uint8)
+    buf[:, 0] = 1  # little endian
+    buf[:, 1] = 1  # type = POINT
+    buf[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(m, 8)
+    buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(m, 8)
+    return _fixed_record_binary(
+        buf.reshape(-1), 21, np.isnan(xs) | np.isnan(ys)
+    )
+
+
+@F.arrow_udf(T.BinaryType())
+def _envelope_wkb_arrow(min_x, min_y, max_x, max_y):
+    """93-byte single-ring box polygon WKB, arrow-native. Byte-identical
+    to udfs.st_makeenvelope (same Polygon::CreateFromBox vertex order),
+    same null semantics (any NULL/NaN bound -> NULL geometry)."""
+    cols = [
+        np.asarray(s.to_numpy(zero_copy_only=False), dtype=np.float64)
+        for s in (min_x, min_y, max_x, max_y)
+    ]
+    a, b, c, d = cols
+    m = len(a)
+    buf = np.zeros((m, 93), dtype=np.uint8)
+    buf[:, 0] = 1  # little endian
+    buf[:, 1] = 3  # type = POLYGON
+    buf[:, 5] = 1  # one ring
+    buf[:, 9] = 5  # five points (closed)
+    ring = np.empty((m, 10), dtype=np.float64)
+    ring[:, 0], ring[:, 1] = a, b
+    ring[:, 2], ring[:, 3] = a, d
+    ring[:, 4], ring[:, 5] = c, d
+    ring[:, 6], ring[:, 7] = c, b
+    ring[:, 8], ring[:, 9] = a, b
+    buf[:, 13:93] = ring.astype("<f8").view(np.uint8).reshape(m, 80)
+    nan = np.isnan(a) | np.isnan(b) | np.isnan(c) | np.isnan(d)
+    return _fixed_record_binary(buf.reshape(-1), 93, nan)
+
 # Layout writer options (see write_geo_parquet docstring for the measured
 # rationale): dictionary off (near-unique WKB), v2 data pages (delta
 # encodings for the sorted hilbert column and prefix-sharing WKB), zstd.
@@ -306,20 +379,6 @@ def hilbert_cluster_points(
             "route": route.astype(np.int32),
         })
 
-    @F.pandas_udf(T.BinaryType())
-    def point_wkb(x: pd.Series, y: pd.Series) -> pd.Series:
-        xs = x.to_numpy(dtype=np.float64, na_value=np.nan)
-        ys = y.to_numpy(dtype=np.float64, na_value=np.nan)
-        m = len(xs)
-        buf = np.zeros((m, 21), dtype=np.uint8)
-        buf[:, 0] = 1
-        buf[:, 1] = 1
-        buf[:, 5:13] = xs.astype("<f8").view(np.uint8).reshape(m, 8)
-        buf[:, 13:21] = ys.astype("<f8").view(np.uint8).reshape(m, 8)
-        rows = buf.tobytes()
-        nan = np.isnan(xs) | np.isnan(ys)
-        return pd.Series([None if nan[i] else rows[i * 21 : (i + 1) * 21] for i in range(m)])
-
     px, py = F.col(x_col), F.col(y_col)
     both = px.isNotNull() & py.isNotNull()
     keep = [c for c in df.columns if c not in (x_col, y_col)]
@@ -331,10 +390,11 @@ def hilbert_cluster_points(
     else:
         placed = routed.repartition(nb, F.col("_route")).sortWithinPartitions("hilbert")
     # WKB + bbox sidecars materialize HERE, post-sort, in the write stage;
-    # bbox NULL iff either coordinate is NULL (the fused lane's semantics)
+    # bbox NULL iff either coordinate is NULL (the fused lane's semantics).
+    # r17: zero-boxing arrow_udf kernel (scripts/ab_wkb_kernel.py)
     return placed.select(
         *keep,
-        point_wkb(px, py).alias(geom_col),
+        _point_wkb_arrow(px, py).alias(geom_col),
         F.when(both, px).alias(BBOX_COLS[0]),
         F.when(both, py).alias(BBOX_COLS[1]),
         F.when(both, px).alias(BBOX_COLS[2]),
@@ -433,10 +493,12 @@ def hilbert_cluster_boxes(
     else:
         placed = routed.repartition(nb, F.col("_route")).sortWithinPartitions("hilbert")
     # WKB assembled HERE — after the exchange and sort, once, in the write
-    # stage; bbox sidecars are zero-cost renames of the bound columns
+    # stage; bbox sidecars are zero-cost renames of the bound columns.
+    # r17: zero-boxing arrow_udf kernel, byte-identical to
+    # udfs.st_makeenvelope (scripts/ab_wkb_kernel.py)
     return placed.select(
         *keep,
-        udfs.st_makeenvelope(mnx, mny, mxx, mxy).alias(geom_col),
+        _envelope_wkb_arrow(mnx, mny, mxx, mxy).alias(geom_col),
         mnx.alias(BBOX_COLS[0]),
         mny.alias(BBOX_COLS[1]),
         mxx.alias(BBOX_COLS[2]),
